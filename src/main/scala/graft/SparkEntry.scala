@@ -1,13 +1,198 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 gets an entry in
+  * [[queries]]; SQL-expressible ones also get a DuckDB oracle in
+  * [[oracleSql]] (column names aliased identically on both sides —
+  * the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.revenueByRegion(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> (Relational.pricingSummary _),
+    "q02_filter_project"    -> (Relational.filterProject _),
+    "q03_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q04_revenue_by_region" -> (Relational.revenueByRegion _),
+    "q05_top_orders"        -> (Relational.topOrders _),
+    "q06_best_order_per_customer" -> (Relational.bestOrderPerCustomer _),
+    "q07_distinct_counts"   -> (Relational.distinctCounts _),
+    "q08_customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "q09_big_spenders"      -> (Relational.bigSpenders _),
+    "q10_set_intersect"     -> (Relational.setIntersect _),
+    "q11_set_union"         -> (Relational.setUnion _),
+    "q12_set_except"        -> (Relational.setExcept _),
+    "q13_latest_event_per_user" -> (Relational.latestEventPerUser _),
+    "q14_daily_event_stats" -> (Relational.dailyEventStats _),
+    "q15_rollup_quantities" -> (Relational.rollupQuantities _),
+    "q16_scalar_functions"  -> (Relational.scalarFunctions _),
+    "q17_frequent_customers" -> (Relational.frequentCustomers _),
+    "q18_revenue_by_brand"  -> (Relational.revenueByBrand _),
+    "q19_sessionize"        -> (Relational.sessionize _),
+    "q20_above_average_orders" -> (Relational.aboveAverageOrders _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS sum_base_price,
+        |  sum(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)) / 10000.0 AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(floor(l_discount * 100 + 0.5)) / 100.0 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_shipdate < TIMESTAMP '1995-09-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT n_name, sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q04_revenue_by_region" ->
+      """SELECT r_name, sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+    "q05_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q06_best_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q07_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q08_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_big_spenders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q11_set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q14_daily_event_stats" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  sum(floor(value * 100 + 0.5)) / 100.0 AS total_value,
+        |  avg(floor(value * 100 + 0.5)) / 100.0 AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+    "q15_rollup_quantities" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q16_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substring(o_orderstatus, 1, 1) AS status_1,
+        |  year(o_orderdate) AS order_year,
+        |  month(o_orderdate) AS order_month,
+        |  floor(o_totalprice * 0.1 * 100 + 0.5) / 100.0 AS tithe,
+        |  length(o_orderpriority) AS pri_len,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_frequent_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total_spent
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q18_revenue_by_brand" ->
+      """SELECT p_brand,
+        |  sum(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q19_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                              ORDER BY ts ASC, event_id ASC) IS NULL
+        |             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+        |                              ORDER BY ts ASC, event_id ASC)) > 1800000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM events) a) b
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q20_above_average_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    avg(floor(o_totalprice * 100 + 0.5)) OVER (PARTITION BY o_custkey) / 100.0 AS cust_avg
+        |  FROM orders) t
+        |WHERE o_totalprice > cust_avg * 1.8
+        |ORDER BY o_orderkey""".stripMargin,
+  )
 }

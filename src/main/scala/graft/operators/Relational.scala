@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The relational operator surface of the engine: aggregation, joins,
+  * windows, set ops, top-k, time-bucketed rollups — the analytics layer
+  * the reference delegates to Postgres/Metabase (SURVEY.md §2 O19,
+  * `README.md:146-151` of the reference) plus the operator categories
+  * §2.1 enumerates (filters, joins, windows, sorts, set ops, scalar
+  * functions) that any user of the warehouse table needs.
+  *
+  * Scale notes (applies to every query here):
+  *  - All scans go through [[graft.core.Tables]] → plain parquet scans;
+  *    filters and projections below are Catalyst-pushable
+  *    (`PushedFilters`/`ReadSchema` verified in PlansSpec).
+  *  - Dimension tables (region/nation/customer/part/supplier) are
+  *    explicitly `broadcast()` so fact-side data never shuffles for
+  *    those joins at any scale.
+  *  - Aggregations rely on Spark's partial (map-side) aggregation;
+  *    nothing here materializes an unbounded driver-side collection.
+  *  - Every query ends in a deterministic ORDER BY so oracle compares
+  *    are stable; at production scale the final sort is a small
+  *    result-set sort (TakeOrderedAndProject where LIMIT is present).
+  */
+object Relational {
+
+  /** Cross-engine deterministic 2-dp rounding for per-row money math:
+    * `floor(x*100 + 0.5)/100` runs the same IEEE double op sequence in
+    * Spark and DuckDB, unlike `round()` (Spark: HALF_UP on the decimal
+    * string; DuckDB: half-even nearbyint), which systematically
+    * disagrees on the exact half-cent values 2-dp source data
+    * produces. Aggregate results keep plain round(): their inputs are
+    * not systematically half-way. */
+  private def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100.0
+
+  /** Bit-deterministic aggregation of decimal-quantized doubles: the
+    * testdata's money columns are 2-dp (products of them 4-dp), so
+    * `floor(x*scale+0.5)` is an exact integer per row, integer sums in
+    * double are exact (< 2^53) and therefore order-independent, and
+    * the final divide is the same IEEE op in Spark and DuckDB. Plain
+    * `sum`/`avg` of raw doubles differs between engines in the last
+    * ulps (different accumulation order), which can flip any
+    * subsequent rounding at a boundary. */
+  private def qsum(c: Column, scale: Int): Column =
+    sum(floor(c * scale + lit(0.5))) / scale.toDouble
+  private def qavg(c: Column, scale: Int): Column =
+    avg(floor(c * scale + lit(0.5))) / scale.toDouble
+
+  /** TPC-H Q1-style pricing summary: grouped full-scan aggregation with
+    * partial aggregation map-side. Reference analog: the Metabase
+    * SUM/GROUP BY dashboards (O19). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        qsum(col("l_extendedprice"), 100).as("sum_base_price"),
+        qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        qavg(col("l_discount"), 100).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection + derived scalar column (reference O7: value
+    * derivation is exactly this shape). Predicate and column pruning
+    * must reach the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-09-01").cast("timestamp") &&
+        col("l_discount") > lit(0.05))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Revenue by nation: fact table joined to two broadcast dims, then
+    * grouped. The orders→customer join shuffles on custkey only if AQE
+    * does not broadcast customer; nation is always broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(qsum(col("o_totalprice"), 100).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** Revenue by region: one more broadcast hop (nation→region),
+    * snowflake-style. */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(qsum(col("o_totalprice"), 100).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+  }
+
+  /** Top-k by value: ORDER BY + LIMIT, which Spark plans as
+    * TakeOrderedAndProject — per-partition top-k then a k-row driver
+    * merge; no full sort, no full shuffle, scale-safe. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Window function: best order per customer via row_number. One
+    * shuffle on the partition key; within-partition sort only. */
+  def bestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** Distinct aggregation (expand + two-phase agg under the hood). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Anti join: customers that never ordered (NOT EXISTS). Broadcast
+    * the distinct key set when small; AQE handles it. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join with a correlated predicate: customers having at least
+    * one order above a threshold (EXISTS). */
+  def bigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Set operation: INTERSECT of the customer sets with open and
+    * finished orders (planned as an aggregate-style hash semi). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.intersect(p).orderBy("o_custkey")
+  }
+
+  /** Set operation: UNION DISTINCT across two filtered branches. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    c.union(o).distinct().orderBy("c_custkey")
+  }
+
+  /** EXCEPT: building-segment customers that never placed an order. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.except(o).orderBy("c_custkey")
+  }
+
+  /** Keyed last-writer-wins dedup — the exact semantics of the
+    * reference's UPSERT (O14, `cocoa_processing_dag.py:223-237`)
+    * expressed as a window: one shuffle on the key, then keep the
+    * newest row per key. This is the query-shaped twin of
+    * [[graft.pipeline.Merge]]. */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** Time-bucketed aggregation ("quality trends" analog, O19): tumbling
+    * day buckets via date_trunc, grouped with the categorical column. */
+  def dailyEventStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        qsum(col("value"), 100).as("total_value"),
+        qavg(col("value"), 100).as("avg_value"))
+      .orderBy("day", "event_type")
+
+  /** ROLLUP grouping sets over the two lineitem status dimensions. */
+  def rollupQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
+  /** Scalar-function surface: string, date and arithmetic functions in
+    * one projection (reference O7/O8 and §2.1 scalar functions). */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderstatus"), 1, 1).as("status_1"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        round2(col("o_totalprice") * 0.1).as("tithe"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+      .orderBy("o_orderkey")
+
+  /** HAVING: post-aggregation filter on group cardinality. */
+  def frequentCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        qsum(col("o_totalprice"), 100).as("total_spent"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Fact-fact join with a broadcast dim: revenue by part brand.
+    * lineitem⋈part is broadcast (part is the small side at every SF
+    * ratio: |part| ≈ |lineitem|/30). */
+  def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Gap-based sessionization over the event stream: lag + conditional
+    * flag + running sum — the classic two-window composition. One
+    * shuffle on user_id, reused by both windows (same partitioning). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapMs = 30L * 60 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Correlated scalar-aggregate pattern: each order against its
+    * customer's average order value (join back an aggregate). */
+  def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPerCust = o.groupBy(col("o_custkey").as("k"))
+      .agg(qavg(col("o_totalprice"), 100).as("cust_avg"))
+    o.join(avgPerCust, o("o_custkey") === avgPerCust("k"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.8)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+}
