@@ -1,8 +1,14 @@
 package graft
 
+import java.nio.file.Files
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum => fsum}
 
 import graft.operators.Relational
+import graft.pipeline.{CocoaGen, CocoaPipeline, Warehouse}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,7 +45,32 @@ object SparkEntry {
     "q18_revenue_by_brand"  -> (Relational.revenueByBrand _),
     "q19_sessionize"        -> (Relational.sessionize _),
     "q20_above_average_orders" -> (Relational.aboveAverageOrders _),
+    // Cocoa pipeline parity (O1-O18): self-generated data, rows-only
+    // checks (not DuckDB-expressible: the input is generated + merged
+    // in-engine, not read from the testdata tables).
+    "p01_cocoa_warehouse"   -> ((s, _) => cocoaWarehouse(s)),
+    "p02_cocoa_value_by_region" -> ((s, _) =>
+      cocoaWarehouse(s).groupBy(col("region"))
+        .agg(fsum(col("shipment_value_usd")).as("total_value_usd"))
+        .orderBy("region")),
+    // Structured Streaming surface
+    "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
+    "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
   )
+
+  /** End-to-end cocoa run (two overlapping generated batches through
+    * ingest→enrich→merge) in a temp dir; deterministic seeds and
+    * processed_at so repeated Verify runs hash identically. */
+  private def cocoaWarehouse(spark: SparkSession): DataFrame = {
+    val root = Files.createTempDirectory("cocoa_verify").toString
+    val dirs = CocoaPipeline.Dirs(
+      s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 41, idOffset = 0)
+    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000000000L))
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 42, idOffset = 500)
+    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000100000L))
+    Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id")
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -129,7 +160,7 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
     "q14_daily_event_stats" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, count(*) AS n,
         |  sum(floor(value * 100 + 0.5)) / 100.0 AS total_value,
         |  avg(floor(value * 100 + 0.5)) / 100.0 AS avg_value
         |FROM events
@@ -186,6 +217,13 @@ object SparkEntry {
         |    FROM events) a) b
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "s01_streaming_daily_stats" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, count(*) AS n,
+        |  sum(floor(value * 100 + 0.5)) / 100.0 AS total_value,
+        |  avg(floor(value * 100 + 0.5)) / 100.0 AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "q20_above_average_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
         |FROM (

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed last-writer-wins MERGE — the reference's single "query"
+  * (O14): `INSERT … ON CONFLICT (shipment_id) DO UPDATE SET …`
+  * (`cocoa_processing_dag.py:223-237`), i.e. last writer wins per key,
+  * where "last" within one batch is the latest `processed_at` (ties
+  * broken arbitrarily-but-deterministically).
+  *
+  * Implementation is two built-in operators — no custom Catalyst
+  * needed (SURVEY.md §4):
+  *
+  *  1. within-batch dedup: `row_number()` over
+  *     `partitionBy(key).orderBy(ord desc)` — one shuffle on the key;
+  *  2. upsert: `target ANTI JOIN updates ON key` (keep target rows
+  *     whose key is not updated) `UNION ALL` the deduped updates —
+  *     semantically identical to a full-outer coalesce merge but
+  *     cheaper: the anti join is a plain shuffled (or broadcast, when
+  *     the update batch is small — AQE decides) hash join and the
+  *     union is free.
+  *
+  * Scale: both steps shuffle on the merge key only. With a target
+  * bucketed/pre-partitioned by key the anti join avoids re-shuffling
+  * the big side; daily-batch-vs-100TB-target asymmetry makes the
+  * broadcast-anti plan the expected one.
+  */
+object Merge {
+
+  /** Keep exactly one row per key: the greatest by `ord`, then by
+    * `tieBreakers` (all descending) so results are deterministic even
+    * for equal-`ord` duplicates inside one batch. */
+  def lastWriterWins(updates: DataFrame, key: String, ord: Column,
+      tieBreakers: Seq[Column] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy((ord.desc +: tieBreakers.map(_.desc)): _*)
+    updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Upsert `updates` into `target` on `key`, last writer (by `ord`)
+    * winning both within the batch and against the existing table. */
+  def upsert(target: DataFrame, updates: DataFrame, key: String, ord: Column,
+      tieBreakers: Seq[Column] = Seq.empty): DataFrame = {
+    val deduped = lastWriterWins(updates, key, ord, tieBreakers)
+    target.join(deduped.select(col(key)), Seq(key), "left_anti")
+      .unionByName(deduped.select(target.columns.map(col).toSeq: _*))
+  }
+
+  /** Order-based merge: the greatest-`ord` row wins across target AND
+    * updates — one union + one keyed window (a single shuffle).
+    * Unlike [[upsert]] (reference parity: the applied batch
+    * unconditionally overwrites, like `ON CONFLICT DO UPDATE`), this
+    * variant is commutative across batches and therefore the right
+    * tool when batches can arrive out of order / late. */
+  def mergeByOrd(target: DataFrame, updates: DataFrame, key: String, ord: Column,
+      tieBreakers: Seq[Column] = Seq.empty): DataFrame =
+    lastWriterWins(
+      target.unionByName(updates.select(target.columns.map(col).toSeq: _*)),
+      key, ord, tieBreakers)
+
+  /** The cocoa-specific instantiation: key = shipment_id, recency =
+    * processed_at, deterministic tie-break on the event timestamp. */
+  def upsertShipments(target: DataFrame, updates: DataFrame): DataFrame =
+    upsert(target, updates, CocoaSchema.mergeKey,
+      col("processed_at"), Seq(col("timestamp")))
+}

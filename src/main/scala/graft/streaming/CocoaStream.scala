@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.{CocoaSchema, Enrich, Merge, Warehouse}
+
+/** Structured Streaming variant of the cocoa pipeline (SURVEY.md §2.1
+  * streaming, §3): the checkpointed file-source log replaces the
+  * reference's manifest + archive "seen" bookkeeping (O1/O3/O16) with
+  * exactly-once file processing, and `foreachBatch` gives the same
+  * atomic-per-batch merge the reference gets from a Postgres
+  * transaction — idempotent on retry because the warehouse commit is
+  * a whole-snapshot swap.
+  *
+  * `Trigger.AvailableNow` drains everything currently in the landing
+  * zone then stops — the scheduled-daily semantics of the reference
+  * DAG (`@daily`, `cocoa_processing_dag.py:47`) without a scheduler;
+  * swap in a processing-time trigger for continuous ingest.
+  */
+object CocoaStream {
+
+  /** Run one drain of the landing zone into the warehouse. Returns the
+    * number of micro-batches processed. */
+  def runAvailableNow(spark: SparkSession, landingDir: String,
+      warehouseDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+
+    val reader = spark.readStream
+      .schema(CocoaSchema.input)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.csv(landingDir)
+
+    var batches = 0L
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // One processed_at per micro-batch, mirroring the reference's
+        // per-chunk utcnow() (O8).
+        val enriched = Enrich.enrich(batch, new Timestamp(System.currentTimeMillis()))
+        val target = Warehouse.read(spark, warehouseDir)
+        val merged = Merge.upsertShipments(target, enriched)
+        Warehouse.commit(spark, warehouseDir, merged)
+        batches += 1
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    batches
+  }
+}

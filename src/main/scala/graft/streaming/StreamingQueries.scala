@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming analytics surface: the same aggregations as the batch
+  * layer, computed by Structured Streaming so the engine covers the
+  * streaming category first-class (the reference is scheduled
+  * micro-batch; SURVEY.md §2.1). Results are written to an in-memory
+  * sink and handed back as a DataFrame, which makes these queries
+  * oracle-comparable against the batch SQL. */
+object StreamingQueries {
+
+  private val nameCounter = new AtomicLong(0)
+
+  /** events.parquet read as a stream. Schema must be declared up
+    * front for a streaming file source; ts arrives as raw nanos
+    * (see [[graft.core.Tables.events]]) and is truncated to µs. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // Glob, not a bare file path: the streaming file source requires a
+    // directory basePath, and the non-glob prefix of a pattern (the sf
+    // dir) satisfies it.
+    spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming twin of Relational.dailyEventStats — same oracle SQL.
+    * Complete-mode aggregation drained with Trigger.AvailableNow: at
+    * cluster scale the same plan runs incrementally with a watermark;
+    * state is keyed on (day, event_type), bounded by the calendar. */
+  def dailyEventStats(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"stream_daily_stats_${nameCounter.incrementAndGet()}"
+    val agg = eventsStream(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + lit(0.5))) / 100.0).as("total_value"),
+        (avg(floor(col("value") * 100 + lit(0.5))) / 100.0).as("avg_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("day", "event_type")
+  }
+
+  /** Watermarked sliding-window throughput over the event stream —
+    * the watermark/event-time-window surface the reference lacks
+    * entirely (SURVEY.md §2.1 streaming). 6h tumbling windows; with
+    * AvailableNow + append mode only windows below the final
+    * watermark emit, which is exactly the late-data semantics a
+    * continuous deployment would see. Not oracle-compared (DuckDB has
+    * no watermark notion); asserted structurally in tests. */
+  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"stream_windowed_counts_${nameCounter.incrementAndGet()}"
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("window_start", "event_type")
+  }
+}

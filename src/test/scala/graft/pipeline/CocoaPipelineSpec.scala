@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** End-to-end batch pipeline: generate overlapping landing batches →
+  * ingest → enrich → merge twice → assert idempotent counts, the
+  * value formula, validation quarantine and the O19 aggregate
+  * (SURVEY.md §7 "minimum end-to-end slice"). */
+class CocoaPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshDirs(): CocoaPipeline.Dirs = {
+    val root = Files.createTempDirectory("cocoa").toString
+    CocoaPipeline.Dirs(s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")
+  }
+
+  test("two overlapping batches merge idempotently with last writer winning") {
+    val dirs = freshDirs()
+    // batch 1: keys 0..499; batch 2: keys 250..749 (overlap 250..499)
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 250, seed = 1, idOffset = 0)
+    val r1 = CocoaPipeline.runBatch(spark, dirs, new Timestamp(1000000L))
+    assert(r1.filesQuarantined.isEmpty)
+    assert(r1.warehouseRows === 500)
+
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 250, seed = 2, idOffset = 250)
+    val r2 = CocoaPipeline.runBatch(spark, dirs, new Timestamp(2000000L))
+    assert(r2.warehouseRows === 750, "750 distinct keys after overlap merge")
+
+    val wh = Warehouse.read(spark, dirs.warehouse)
+    assert(wh.select("shipment_id").distinct().count() === 750)
+    // overlapped keys must carry batch-2's processed_at (last writer)
+    val overlapped = wh.filter(col("shipment_id") >= "SHIP-0000000250" &&
+      col("shipment_id") <= "SHIP-0000000499")
+    assert(overlapped.filter(col("processed_at") =!= new Timestamp(2000000L)).count() === 0)
+
+    // value formula: round(weight * 2.50, 2), null-free since weight is non-null
+    val bad = wh.filter(
+      abs(col("shipment_value_usd") - round(col("shipment_weight_kg") * 2.5, 2)) > 1e-9)
+    assert(bad.count() === 0)
+
+    // O19 aggregate surface over the warehouse
+    val agg = wh.groupBy("region").agg(sum("shipment_value_usd").as("total"))
+    assert(agg.count() > 0 && agg.count() <= CocoaGen.regions.size)
+
+    // landing drained into archive
+    assert(Ingest.discoverCsv(spark, dirs.landing).isEmpty)
+    assert(r1.filesProcessed.nonEmpty && r2.filesProcessed.nonEmpty)
+  }
+
+  test("file missing a required column is quarantined whole; valid files still load") {
+    val dirs = freshDirs()
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 100, seed = 3)
+    // hand-write an invalid CSV (no shipment_id column)
+    val badDir = new java.io.File(dirs.landing)
+    val bad = new java.io.File(badDir, "bad_no_key.csv")
+    val w = new java.io.PrintWriter(bad)
+    w.println("timestamp,farm_id,region,bean_type,quality_score,shipment_weight_kg,temperature_celsius")
+    w.println("2025-01-01T00:00:00,FARM-1,Ashanti,Criollo,8.0,1000,20.0")
+    w.close()
+
+    val r = CocoaPipeline.runBatch(spark, dirs)
+    assert(r.filesQuarantined.map(p => p.substring(p.lastIndexOf('/') + 1)) === Seq("bad_no_key.csv"))
+    assert(r.warehouseRows === 100, "valid file loads; invalid skipped whole, not row-wise")
+  }
+
+  test("empty landing zone is a no-op (O2 branch)") {
+    val dirs = freshDirs()
+    val r = CocoaPipeline.runBatch(spark, dirs)
+    assert(r.version.isEmpty && r.rowsMerged === 0)
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 0)
+  }
+
+  test("warehouse commit is versioned and vacuumable") {
+    val dirs = freshDirs()
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 4)
+    CocoaPipeline.runBatch(spark, dirs)
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 5, idOffset = 1000)
+    CocoaPipeline.runBatch(spark, dirs)
+    assert(Warehouse.currentVersion(spark, dirs.warehouse) === Some(1L))
+    Warehouse.vacuum(spark, dirs.warehouse)
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 100)
+  }
+}
