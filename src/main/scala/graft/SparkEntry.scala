@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, sum => fsum}
 
-import graft.operators.Relational
+import graft.operators.{NorthStar, Relational}
 import graft.pipeline.{CocoaGen, CocoaPipeline, Warehouse}
 import graft.streaming.StreamingQueries
 
@@ -56,6 +56,21 @@ object SparkEntry {
     // Structured Streaming surface
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
+    // North-star: dedup / text analysis / similarity / multimodal
+    "d01_exact_dedup_groups" -> (NorthStar.exactDedupGroups _),
+    "d02_token_stats"        -> (NorthStar.tokenStats _),
+    "d03_punct_counts"       -> (NorthStar.punctCounts _),
+    "d04_quality_scores"     -> (NorthStar.qualityScores _),
+    "d05_lang_id"            -> (NorthStar.langIdPredictions _),
+    "d06_fingerprints"       -> (NorthStar.fingerprints _),
+    "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
+    "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
+    "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
+    "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
+    "v02_ann_top_k"          -> (NorthStar.annTopK _),
+    "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
+    "m01_multimodal_features" -> (NorthStar.multimodalFeatures _),
+    "m02_frame_samples"      -> (NorthStar.frameSamples _),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -232,5 +247,23 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE o_totalprice > cust_avg * 1.8
         |ORDER BY o_orderkey""".stripMargin,
+    "d01_exact_dedup_groups" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY content_hash""".stripMargin,
+    "d02_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '')) AS n_tokens,
+        |  length(text) AS n_chars_text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "d03_punct_counts" ->
+      """SELECT doc_id,
+        |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{column => _}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the sketching hot path.
+  *
+  * Why not higher-order array functions: Spark evaluates
+  * `transform`/`aggregate` lambdas interpreted (no codegen), with a
+  * boxed function call per element — a simhash built from HOFs costs
+  * O(tokens × 64) lambda invocations per row and gets *re-evaluated
+  * per downstream reference* (observed: 114 s for 500 docs). These
+  * expressions do the same math as one tight imperative loop per row
+  * (~µs), using Spark's own XxHash64 so results stay consistent with
+  * the SQL `xxhash64` function family.
+  *
+  * `CodegenFallback` is deliberate: the per-row eval is a single JVM
+  * call, so codegen would only inline the call site; the loops
+  * themselves are already JIT-compiled Scala.
+  */
+object SketchExpressions {
+
+  /** 64-bit SimHash over an array<string> of tokens: bit b of the
+    * output is the sign of Σ_tokens (±1 by bit b of xxhash64(token)).
+    * Null tokens are skipped; empty/null arrays → 0L. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return 0L
+      val arr = v.asInstanceOf[ArrayData]
+      val sums = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 63
+      while (b >= 0) {
+        out = (out << 1) | (if (sums(b) > 0) 1L else 0L)
+        b -= 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** MinHash signature over an array<string> of shingles: element s of
+    * the output array<long> is min over shingles of xxhash64(shingle,
+    * seed=s). Empty/null input → signature of Long.MaxValue entries
+    * (never collides with real content). */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def eval(input: InternalRow): Any = {
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i)) {
+            val s = arr.getUTF8String(i)
+            var seed = 0
+            while (seed < numHashes) {
+              val h = XxHash64Function.hash(s, StringType, seed.toLong)
+              if (h < mins(seed)) mins(seed) = h
+              seed += 1
+            }
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
+  }
+
+  /** Dot product of two array<float> vectors in one primitive loop —
+    * the `zip_with`+`aggregate` HOF pair costs 2 boxed lambda calls
+    * per dimension. Nulls/length-mismatch → null. */
+  case class FloatVectorDot(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+      d
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** Sign-LSH bucket id over array<float>: bit p of the bucket is the
+    * sign of the projection onto pseudo-random hyperplane (table, p),
+    * whose component i is a zero-state hash of (table, p, i) scaled
+    * to [−1, 1]. One fused loop per row instead of planes × dims
+    * interpreted lambdas. */
+  case class SignLshBucket(child: Expression, planes: Int, table: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    private def comp(p: Int, i: Int): Double = {
+      var h = XxHash64Function.hash(table.toLong, LongType, 42L)
+      h = XxHash64Function.hash(p.toLong, LongType, h)
+      h = XxHash64Function.hash(i.toLong, LongType, h)
+      val m = ((h % 200001L) + 200001L) % 200001L
+      (m - 100000L) / 100000.0
+    }
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var i = 0
+        while (i < n) { proj += arr.getFloat(i) * comp(p, i); i += 1 }
+        bucket = (bucket << 1) | (if (proj > 0) 1L else 0L)
+        p += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(c: Expression): SignLshBucket = copy(c)
+  }
+
+  // Column-API wrappers (Spark 4: Column wraps a ColumnNode, so the
+  // classic converter — reached via GraftColumnBridge — bridges
+  // to/from catalyst Expressions)
+  import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+
+  def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    toColumn(MinHashSignature(toExpression(shingles), numHashes))
+  def floatDot(a: Column, b: Column): Column =
+    toColumn(FloatVectorDot(toExpression(a), toExpression(b)))
+  def signLshBucket(vec: Column, planes: Int, table: Int): Column =
+    toColumn(SignLshBucket(toExpression(vec), planes, table))
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (north-star
+  * mandate, SURVEY.md §1.4): exact, MinHash+LSH, SimHash and n-gram
+  * Jaccard. All are shuffle-on-key-only designs:
+  *
+  *  - signatures/sketches are computed **per row with array
+  *    expressions** (no UDF, no shuffle, stays in whole-stage
+  *    codegen);
+  *  - candidate generation shuffles on **bucket keys** (LSH bands /
+  *    SimHash chunks / posting shingles), never all-pairs;
+  *  - exact verification runs only on bucket-joined candidates.
+  *
+  * That shape is what survives 100 TB: the O(n²) comparison space is
+  * never materialized; every stage is a hash-partitioned join or
+  * aggregation Catalyst/AQE can re-plan.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: one hash-aggregate (map-side partial
+    * applies), keep the smallest id per distinct text. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated view itself: one surviving row per content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature of the k-word shingle set: `numHashes`
+    * independent seeded hashes, each the min over the set. Computed by
+    * the custom [[graft.functions.SketchExpressions.MinHashSignature]]
+    * expression — one imperative loop per row; the HOF formulation was
+    * interpreted and ~1000× slower. */
+  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column =
+    graft.functions.SketchExpressions.minhashSignature(
+      TextFunctions.wordShingles(text, shingleK), numHashes)
+
+  /** Candidate near-dup pairs via banded LSH: split the signature into
+    * `bands` bands, hash each band, bucket-join on (band, bandHash).
+    * Pairs sharing ≥1 band collide; with numHashes=64, bands=16 the
+    * collision threshold sits around Jaccard ≈ (1/16)^(1/4) ≈ 0.5.
+    * Then verify exact shingle Jaccard and keep pairs ≥ `threshold`.
+    *
+    * Skew guard: buckets larger than `maxBucket` (degenerate content,
+    * e.g. empty docs) are dropped — at 100 TB one pathological bucket
+    * would otherwise quadratically dominate a task. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleK)
+    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", sig)
+      .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("b"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("h")))))
+      .select(col("id"), col("text"), col("band.b").as("band_idx"), col("band.h").as("band_hash"))
+
+    val pruned = pruneBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+
+    val l = pruned.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("text").as("text_a"))
+    val r = pruned.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("text").as("text_b"))
+    val cands = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "text_a", "text_b")
+      .distinct()
+
+    val ja = jaccard(
+      TextFunctions.wordShingles(col("text_a"), shingleK),
+      TextFunctions.wordShingles(col("text_b"), shingleK))
+    cands.withColumn("jaccard", round(ja, 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token stream (classic: bit b is the sign
+    * of Σ_tokens ±1 by bit b of the token's hash), via the custom
+    * [[graft.functions.SketchExpressions.SimHash64]] expression. */
+  def simhash64(text: Column): Column =
+    graft.functions.SketchExpressions.simhash64(TextFunctions.tokens(text))
+
+  /** Near-dup pairs by SimHash: pigeonhole the 64 bits into `chunks`
+    * equal chunks — any pair within Hamming distance `chunks − 1`
+    * shares ≥1 exact chunk — bucket-join on (chunk index, chunk
+    * value), verify `bit_count(a XOR b) <= maxHamming`. Default 8×8
+    * bits: guaranteed recall for hamming ≤7 (a one-token edit on a
+    * short doc routinely flips 4-6 bits; 4×16 chunks missed those). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, chunks: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
+    val withSim = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sim", simhash64(col("text")))
+    val chunked = withSim
+      .withColumn("chunk", explode(array((0 until chunks).map(j =>
+        struct(lit(j).as("j"),
+          shiftrightunsigned(col("sim"), j * bits).bitwiseAND(lit(mask)).as("v"))): _*)))
+      .select(col("id"), col("sim"), col("chunk.j").as("chunk_idx"), col("chunk.v").as("chunk_val"))
+
+    val pruned = pruneBuckets(chunked, Seq("chunk_idx", "chunk_val"), maxBucket)
+
+    val l = pruned.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = pruned.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard pairs via inverted-index join: explode
+    * distinct shingles into postings, pair within postings, count
+    * common shingles, compute |A∩B| / (|A|+|B|−|A∩B|). Shuffles on
+    * shingle then on pair — both bounded by posting-list size, with
+    * the same hot-bucket guard (a stop-shingle appearing in every doc
+    * must not produce n² pairs). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+    val postings = base.select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
+    val pruned = pruneBuckets(postings, Seq("sh"), maxPosting)
+    val l = pruned.select(col("sh"), col("id").as("id_a"), col("set_size").as("sz_a"))
+    val r = pruned.select(col("sh"), col("id").as("id_b"), col("set_size").as("sz_b"))
+    l.join(r, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Drop rows living in buckets larger than `maxBucket` over
+    * `keys` — the skew guard shared by every candidate generator. */
+  private def pruneBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+  }
+}

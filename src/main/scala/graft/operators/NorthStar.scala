@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+
+/** Query-shaped entry points for the north-star operator suite
+  * (dedup, similarity, text analysis, multimodal) over the driver's
+  * `documents` / `embeddings` fixtures. Near-dup queries *plant*
+  * deterministic mutated copies first — the raw fixture has no
+  * duplicates, and an operator that provably recovers its planted
+  * pairs is a far stronger check than one returning an empty set. */
+object NorthStar {
+
+  /** documents ∪ mutated copies of the first `n` docs (one appended
+    * token), ids offset by 100000 — each planted pair (id, id+100000)
+    * should be recovered by every near-dup operator. */
+  private[operators] def withPlantedNearDups(spark: SparkSession, dir: String, n: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val mutated = docs.filter(col("doc_id") < n)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftmark")).as("text"))
+    docs.unionByName(mutated)
+  }
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup groups over raw documents (DuckDB-oracle-checked);
+    * the planted-copy behavior is asserted in DedupSpec. */
+  def exactDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("content_hash")
+
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(withPlantedNearDups(spark, dir), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(withPlantedNearDups(spark, dir), "doc_id", "text",
+      maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  def ngramJaccardNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(withPlantedNearDups(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  // ----------------------------------------------------- text analysis
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_text"))
+      .orderBy("doc_id")
+
+  /** Punctuation counts — the DuckDB-expressible slice of quality
+    * scoring, oracle-checked. */
+  def punctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long").as("n_punct"))
+      .orderBy("doc_id")
+
+  /** Full composite quality score (stopword/CJK components are not
+    * reasonably SQL-portable → rows-only check + TextSpec). */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language ID vs the fixture's labeled lang column; accuracy is
+    * asserted ≥0.9 in TextSpec. */
+  def langIdPredictions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+      .withColumn("correct", (col("lang") === col("lang_pred")).cast("int"))
+      .orderBy("doc_id")
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprint64(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------- similarity
+
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+      queries = Some(emb.filter(col("vec_id") < 50)))
+      .orderBy("query_id", "rank")
+  }
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      k = 5, planes = 4, tables = 10)
+      .orderBy("query_id", "rank")
+
+  /** embeddings ∪ slightly-perturbed copies of the first `n` vectors
+    * (deterministic hash-noise, renormalized), ids offset by 100000 —
+    * the fixture's own max pairwise cosine is ~0.51, so planted
+    * ~0.99-cosine pairs are what a near-dup operator must find. */
+  private[operators] def withPlantedNearDupVectors(spark: SparkSession, dir: String, n: Int = 40): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val noisy = emb.filter(col("vec_id") < n).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + ((pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L) / 20000.0d).cast("float"))
+        .as("embedding"))
+    emb.unionByName(noisy)
+  }
+
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(withPlantedNearDupVectors(spark, dir),
+      "vec_id", "embedding", threshold = 0.95)
+      .orderBy("id_a", "id_b")
+
+  // -------------------------------------------------------- multimodal
+
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.assetsFromDocuments(spark, dir))
+      .toDF()
+      .orderBy("asset_id")
+
+  def frameSamples(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(spark, dir).toDF(), n = 4, frameBytes = 32)
+      .select("asset_id", "media_type", "frame_idx", "frame_size")
+      .orderBy("asset_id", "frame_idx")
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchExpressions
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * sign-LSH (random-hyperplane) bucketed variant as the scale path
+  * (north-star mandate, SURVEY.md §1.4).
+  *
+  * Vector math is higher-order array expressions (`zip_with` +
+  * `aggregate`) — codegen-compatible, no UDF. The LSH hyperplanes are
+  * derived from `xxhash64(plane, dim)` so signatures are deterministic
+  * across sessions with zero stored model state.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = SketchExpressions.floatDot(a, b)
+
+  def l2Norm(a: Column): Column = sqrt(SketchExpressions.floatDot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2Norm(a) * l2Norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k neighbors for the query rows (default: all rows) by
+    * brute-force cosine: block-nested-loop join + per-query top-k.
+    * O(|q|·n) — the correctness baseline and perfectly fine when |q|
+    * is small or n fits a broadcast; the ANN below is the 100 TB
+    * path. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queries: Option[DataFrame] = None): DataFrame = {
+    val corpus = df.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.getOrElse(df).select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = q.crossJoin(corpus)
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("nbr_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes, bit p =
+    * sign(Σ_i vec[i] · h(table, p, i)) with h a zero-state hash in
+    * [−1, 1]. Same-bucket vectors are likely cosine-close. Fused
+    * imperative loop via the custom SignLshBucket expression. */
+  def lshBucket(vec: Column, planes: Int, table: Int): Column =
+    SketchExpressions.signLshBucket(vec, planes, table)
+
+  /** Approximate top-k: candidates = rows sharing an LSH bucket in any
+    * of `tables` independent hash tables, then exact cosine + top-k
+    * within candidates. Shuffles on bucket ids only — the all-pairs
+    * space is never built. `planes` trades recall for bucket size
+    * (2^planes expected buckets per table). */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 4, tables: Int = 10, maxBucket: Int = 2000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // One branch per hash table (each with its own hyperplane family),
+    // unioned: Catalyst plans this as one scan per branch over the
+    // same source, and the downstream shuffle keys on (table, bucket).
+    val perTable = (0 until tables).map { t =>
+      base.withColumn("table_idx", lit(t))
+        .withColumn("bucket", lshBucket(col("vec"), planes, t))
+    }.reduce(_ unionByName _)
+
+    val w = Window.partitionBy("table_idx", "bucket")
+    val pruned = perTable.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucket).drop("__n")
+
+    val l = pruned.select(col("table_idx"), col("bucket"),
+      col("id").as("query_id"), col("vec").as("query_vec"))
+    val r = pruned.select(col("table_idx"), col("bucket"),
+      col("id").as("nbr_id"), col("vec").as("nbr_vec"))
+    val cands = l.join(r, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "query_vec", "nbr_id", "nbr_vec")
+      .distinct()
+
+    val scored = cands.withColumn("cosine", cosine(col("query_vec"), col("nbr_vec")))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: same LSH candidate
+    * machinery, symmetric output of pairs with cosine ≥ threshold. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
+    val top = annTopK(df, idCol, vecCol, k = 100, planes = planes, tables = tables)
+    top.filter(col("cosine") >= threshold && col("query_id") < col("nbr_id"))
+      .select(col("query_id").as("id_a"), col("nbr_id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.Tables
+import graft.operators.NorthStar
+
+/** Text analysis: tokenization edge cases, language-ID accuracy on
+  * the labeled fixture, fingerprint properties, multimodal plumbing. */
+class TextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tokens handle edges: empty, whitespace runs, leading/trailing") {
+    val df = Seq("", "   ", "one", "  two  words ", "a\tb\nc").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L, 0L, 1L, 2L, 3L))
+  }
+
+  test("word shingles: correct count and short-doc fallback") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(size(TextFunctions.wordShingles(col("text"), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(2, 1))
+  }
+
+  test("language ID classifies real-language sentences correctly") {
+    // The fixture's lang labels are synthetic (all texts are the same
+    // English-ish word salad), so accuracy is asserted on genuine
+    // sentences instead; the fixture query stays a rows-only output.
+    val samples = Seq(
+      ("en", "the quality of the data is important for the model and it depends on the pipeline"),
+      ("en", "this is a test of the system that we built for processing large amounts of text"),
+      ("es", "la calidad de los datos es importante para el modelo y depende de una buena tuberia"),
+      ("es", "el sistema que construimos procesa una gran cantidad de texto por los servidores"),
+      ("de", "die Qualität der Daten ist wichtig für das Modell und sie hängt von der Pipeline ab"),
+      ("de", "das System das wir gebaut haben verarbeitet eine große Menge von Text mit den Servern"),
+      ("fr", "la qualité des données est importante pour le modèle et elle dépend de la chaîne"),
+      ("fr", "le système que nous avons construit traite une grande quantité de texte sur les serveurs"),
+      ("zh", "数据质量对模型非常重要而且取决于数据处理管道的设计"),
+      ("zh", "我们构建的系统每天处理大量的文本数据"))
+    val preds = samples.toDF("lang", "text")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("pred")).collect()
+    preds.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+    // fixture query still runs and emits predictions
+    assert(NorthStar.langIdPredictions(spark, dir).count() === 500)
+  }
+
+  test("fingerprint: deterministic, order-sensitive, whitespace-insensitive") {
+    val fp = (s: String) => Seq(s).toDF("text")
+      .select(TextFunctions.fingerprint64(col("text"))).head.getLong(0)
+    assert(fp("the quick fox") === fp("the  quick   fox"), "whitespace-normalized")
+    assert(fp("the quick fox") !== fp("fox quick the"), "order-sensitive")
+    assert(fp("the quick fox") !== fp("the quick foxes"), "edit-sensitive")
+  }
+
+  test("quality score is bounded and penalizes junk") {
+    val df = Seq(
+      ("good", "The data pipeline processes the input files and writes the results to the warehouse for the analysts of the team."),
+      ("junk", "!!!! ???? ....,,,, ;;;"),
+      ("short", "hi"))
+      .toDF("kind", "text")
+      .select(col("kind"), TextFunctions.qualityScore(col("text")).as("q"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m("good") > m("junk") && m("good") > m("short"))
+  }
+
+  test("multimodal features: real byte stats, stubbed decode, stable schema") {
+    val feats = NorthStar.multimodalFeatures(spark, dir)
+    assert(feats.count() === 500)
+    val r = feats.filter(col("asset_id") === 0).head
+    assert(r.getAs[Long]("n_bytes") > 0)
+    assert(r.getAs[Double]("byte_entropy") > 0.0)
+    val again = NorthStar.multimodalFeatures(spark, dir).filter(col("asset_id") === 0).head
+    assert(r === again, "decode stub must be deterministic")
+  }
+
+  test("frame sampling yields n frames of bounded size per asset") {
+    val frames = NorthStar.frameSamples(spark, dir)
+    assert(frames.count() === 500 * 4)
+    assert(frames.agg(max("frame_size")).head.getLong(0) <= 32)
+  }
+}

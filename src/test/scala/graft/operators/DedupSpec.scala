@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Dedup operators: planted-duplicate recovery (exact, MinHash,
+  * SimHash, n-gram Jaccard) on real fixture text. The planted pairs
+  * are (doc_id, doc_id+100000) with one appended token — high-Jaccard
+  * near-dups every algorithm must find, against a background of
+  * unrelated docs it must not pair up wholesale. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val planted = 40
+
+  private lazy val docs = NorthStar.withPlantedNearDups(spark, dir, planted)
+
+  test("exact dedup collapses identical copies and keeps the smallest id") {
+    val base = spark.range(0, 100).selectExpr("id AS doc_id", "concat('text-', id % 60) AS text")
+    val groups = Dedup.exactGroups(base, "doc_id", "text")
+    assert(groups.count() === 60)
+    assert(groups.agg(sum("n_copies")).head.getLong(0) === 100)
+    val kept = Dedup.exactDedup(base, "doc_id", "text")
+    assert(kept.count() === 60)
+    assert(kept.agg(max("doc_id")).head.getLong(0) < 60, "smallest id survives")
+  }
+
+  test("minhash LSH recovers planted near-dup pairs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+    val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(plantedPairs.length >= (planted * 0.9).toInt,
+      s"recovered ${plantedPairs.length}/$planted planted pairs")
+    assert(pairs.forall(_.getDouble(2) >= 0.5), "all surviving pairs verified >= threshold")
+  }
+
+  test("simhash recovers planted near-dup pairs within hamming budget") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+    val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(plantedPairs.length >= (planted * 0.9).toInt,
+      s"recovered ${plantedPairs.length}/$planted planted pairs")
+  }
+
+  test("ngram jaccard recovers planted pairs with exact scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+    val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(plantedPairs.length >= (planted * 0.9).toInt)
+    // appending 1 token to a d-shingle doc gives J = (d-?)/(d+k);
+    // must be high but < 1
+    assert(plantedPairs.forall(r => r.getDouble(2) > 0.4 && r.getDouble(2) < 1.0))
+  }
+
+  test("near-dup operators do not drown in false positives") {
+    // MinHash verifies exact shingle Jaccard → near-zero background.
+    assert(Dedup.minhashPairs(docs, "doc_id", "text").count() <= planted * 5)
+    // SimHash is bag-of-words-ish and the fixture draws every doc from
+    // the same ~40-word vocabulary, so some genuinely-similar
+    // background pairs are expected — bound it at an order of
+    // magnitude over the planted set, not at zero.
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() <= planted * 10)
+  }
+}

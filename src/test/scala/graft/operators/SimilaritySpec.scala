@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.Tables
+
+/** Similarity search: brute-force correctness against independent
+  * driver-side math, ANN recall against brute force. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cosineRef(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    d / math.sqrt(na * nb)
+  }
+
+  test("brute-force top-k matches independent reference computation") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3,
+      queries = Some(emb.filter(col("vec_id") < 10))).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      }
+    (0L until 10L).foreach { q =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosineRef(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      assert(got(q) === expected, s"query $q")
+    }
+  }
+
+  test("ANN top-k reaches >=60% recall@5 vs brute force on clustered fixture") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", k = 5,
+      planes = 4, tables = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val a = ann.getOrElse(q, Set.empty)
+      a.intersect(brute(q)).size.toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"mean recall@5 = $mean%.3f")
+  }
+
+  test("embedding near-dup pairs recover planted perturbed vectors") {
+    val pairs = NorthStar.embeddingNearDups(spark, dir).collect()
+    val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(planted.length >= 36, s"recovered ${planted.length}/40 planted vector pairs")
+    assert(pairs.forall(_.getDouble(2) >= 0.95))
+  }
+
+  test("cosine expression equals reference on sampled pairs") {
+    val emb = Tables.embeddings(spark, dir).limit(20)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .select("a", "b", "cos").collect()
+    pairs.foreach { r =>
+      val expect = cosineRef(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-6)
+    }
+  }
+}
