@@ -62,11 +62,15 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
-  /** MinHash signature over an array<string> of shingles: element s of
-    * the output array<long> is min over shingles of xxhash64(shingle,
-    * seed=s). Empty/null input → signature of Long.MaxValue entries
-    * (never collides with real content). */
-  case class MinHashSignature(child: Expression, numHashes: Int)
+  /** MinHash signature over an array<string> of *tokens*: builds the
+    * k-word shingle set imperatively (no interpreted `transform`/
+    * `slice`/`array_join` chain), then element s of the output
+    * array<long> is min over shingles of hash(shingle, seed=s). A
+    * shingle's hash is the seed-keyed chain of its tokens' hashes —
+    * equivalent discriminating power to hashing the joined string,
+    * without materializing it. Empty/null input → Long.MaxValue
+    * entries (never collides with real content). */
+  case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
@@ -76,19 +80,31 @@ object SketchExpressions {
       val v = child.eval(input)
       if (v != null) {
         val arr = v.asInstanceOf[ArrayData]
-        var i = 0
         val n = arr.numElements()
+        // token hashes once; shingle hash = chained token hashes
+        val th = new Array[Long](n)
+        var i = 0
         while (i < n) {
-          if (!arr.isNullAt(i)) {
-            val s = arr.getUTF8String(i)
-            var seed = 0
-            while (seed < numHashes) {
-              val h = XxHash64Function.hash(s, StringType, seed.toLong)
-              if (h < mins(seed)) mins(seed) = h
-              seed += 1
-            }
-          }
+          th(i) = if (arr.isNullAt(i)) 0L
+            else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
           i += 1
+        }
+        val k = math.min(shingleK, math.max(n, 1))
+        val nShingles = math.max(n - k + 1, if (n == 0) 0 else 1)
+        var s = 0
+        while (s < nShingles) {
+          var seed = 0
+          while (seed < numHashes) {
+            var h = seed.toLong
+            var j = 0
+            while (j < k && s + j < n) {
+              h = XxHash64Function.hash(th(s + j), LongType, h)
+              j += 1
+            }
+            if (h < mins(seed)) mins(seed) = h
+            seed += 1
+          }
+          s += 1
         }
       }
       new GenericArrayData(mins)
@@ -157,8 +173,8 @@ object SketchExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    toColumn(MinHashSignature(toExpression(shingles), numHashes))
+  def minhashSignature(tokens: Column, numHashes: Int, shingleK: Int): Column =
+    toColumn(MinHashSignature(toExpression(tokens), numHashes, shingleK))
   def floatDot(a: Column, b: Column): Column =
     toColumn(FloatVectorDot(toExpression(a), toExpression(b)))
   def signLshBucket(vec: Column, planes: Int, table: Int): Column =

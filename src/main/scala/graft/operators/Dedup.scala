@@ -42,11 +42,12 @@ object Dedup {
   /** MinHash signature of the k-word shingle set: `numHashes`
     * independent seeded hashes, each the min over the set. Computed by
     * the custom [[graft.functions.SketchExpressions.MinHashSignature]]
-    * expression — one imperative loop per row; the HOF formulation was
-    * interpreted and ~1000× slower. */
+    * expression from the token array — shingling happens inside the
+    * imperative loop; the HOF formulation was interpreted and orders
+    * of magnitude slower. */
   def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column =
     graft.functions.SketchExpressions.minhashSignature(
-      TextFunctions.wordShingles(text, shingleK), numHashes)
+      TextFunctions.tokens(text), numHashes, shingleK)
 
   /** Candidate near-dup pairs via banded LSH: split the signature into
     * `bands` bands, hash each band, bucket-join on (band, bandHash).
@@ -69,16 +70,8 @@ object Dedup {
         b => struct(b.as("b"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("h")))))
       .select(col("id"), col("text"), col("band.b").as("band_idx"), col("band.h").as("band_hash"))
 
-    val pruned = pruneBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
-
-    val l = pruned.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val r = pruned.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("text").as("text_b"))
-    val cands = l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
-      .distinct()
+    val cands = bucketSelfPairs(banded, Seq("band_idx", "band_hash"),
+      Seq("id", "text"), maxBucket)
 
     val ja = jaccard(
       TextFunctions.wordShingles(col("text_a"), shingleK),
@@ -121,17 +114,10 @@ object Dedup {
           shiftrightunsigned(col("sim"), j * bits).bitwiseAND(lit(mask)).as("v"))): _*)))
       .select(col("id"), col("sim"), col("chunk.j").as("chunk_idx"), col("chunk.v").as("chunk_val"))
 
-    val pruned = pruneBuckets(chunked, Seq("chunk_idx", "chunk_val"), maxBucket)
-
-    val l = pruned.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = pruned.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+    bucketSelfPairs(chunked, Seq("chunk_idx", "chunk_val"),
+      Seq("id", "sim"), maxBucket)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -149,25 +135,63 @@ object Dedup {
       TextFunctions.wordShingles(col(textCol), n).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
     val postings = base.select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
-    val pruned = pruneBuckets(postings, Seq("sh"), maxPosting)
-    val l = pruned.select(col("sh"), col("id").as("id_a"), col("set_size").as("sz_a"))
-    val r = pruned.select(col("sh"), col("id").as("id_b"), col("set_size").as("sz_b"))
-    l.join(r, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+    // No dropDuplicates here: each shared shingle must contribute one
+    // pair occurrence, counted below as |A∩B|.
+    val pairs = postingPairs(postings, maxPosting)
+    pairs.groupBy(col("id_a"), col("id_b"), col("set_size_a"), col("set_size_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+        round(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Drop rows living in buckets larger than `maxBucket` over
-    * `keys` — the skew guard shared by every candidate generator. */
-  private def pruneBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bucket_n", count(lit(1)).over(w))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+  /** Shared candidate generator: all (id_a < id_b) pairs of rows
+    * sharing a bucket key, in ONE pass.
+    *
+    * Shape: (1) a cheap `groupBy(keys).count` finds hot buckets
+    * (degenerate content — e.g. a stop-shingle in every doc — that
+    * would otherwise explode quadratically or OOM an aggregation
+    * buffer); the tiny hot-key set is broadcast-anti-joined away
+    * BEFORE any list is materialized. (2) survivors are
+    * `collect_list`'d per bucket (bounded ≤ maxBucket by
+    * construction) and pairs are expanded in-bucket with array
+    * expressions. Both aggregations shuffle on the same keys, so the
+    * exchange is reusable; compare the naïve self-join, which
+    * computes the (expensive, sketch-bearing) child twice and
+    * shuffles three times.
+    *
+    * `payload` must contain `id`; pairs are normalized so
+    * `id_a < id_b` (collect_list order is nondeterministic), then
+    * deduped across buckets. */
+  private[operators] def bucketSelfPairs(df: DataFrame, keys: Seq[String],
+      payload: Seq[String], maxBucket: Int, dedupPairs: Boolean = true): DataFrame = {
+    require(payload.contains("id"), "payload must carry the id column")
+    val keyCols = keys.map(col)
+    val hot = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(keyCols: _*)
+    val cool = df.join(broadcast(hot), keys, "left_anti")
+    val member = struct(payload.map(col): _*)
+    val buckets = cool.groupBy(keyCols: _*)
+      .agg(collect_list(member).as("__ms"))
+      .filter(size(col("__ms")) >= 2)
+    val rawPairs = buckets.select(explode(flatten(
+      transform(col("__ms"), (a, i) =>
+        transform(slice(col("__ms"), i + 2, size(col("__ms"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+    val norm = rawPairs.select(
+      when(col("p.a.id") < col("p.b.id"), col("p"))
+        .otherwise(struct(col("p.b").as("a"), col("p.a").as("b"))).as("p"))
+    val out = norm.select(
+      payload.map(c => col(s"p.a.$c").as(s"${c}_a")) ++
+        payload.map(c => col(s"p.b.$c").as(s"${c}_b")): _*)
+    if (dedupPairs) out.dropDuplicates("id_a", "id_b") else out
   }
+
+  /** Pair occurrences per shared posting key — NOT deduped: the n-gram
+    * join counts one occurrence per common shingle. */
+  private def postingPairs(postings: DataFrame, maxPosting: Int): DataFrame =
+    bucketSelfPairs(postings, Seq("sh"), Seq("id", "set_size"),
+      maxPosting, dedupPairs = false)
 }

@@ -100,7 +100,7 @@ object NorthStar {
 
   def annTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      k = 5, planes = 4, tables = 10)
+      k = 5, tables = 10)
       .orderBy("query_id", "rank")
 
   /** embeddings ∪ slightly-perturbed copies of the first `n` vectors

@@ -57,30 +57,38 @@ object Similarity {
     * of `tables` independent hash tables, then exact cosine + top-k
     * within candidates. Shuffles on bucket ids only — the all-pairs
     * space is never built. `planes` trades recall for bucket size
-    * (2^planes expected buckets per table). */
+    * (2^planes expected buckets per table); `planes = 0` sizes it
+    * from the corpus so mean bucket occupancy is ~64 regardless of
+    * scale — candidate volume stays ~64·n, linear, instead of
+    * n²/2^planes blowing up as the corpus grows past the tuning SF. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      planes: Int = 4, tables: Int = 10, maxBucket: Int = 2000): DataFrame = {
+      planes: Int = 0, tables: Int = 10, maxBucket: Int = 2000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = base.count().max(1)
+        math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      }
     // One branch per hash table (each with its own hyperplane family),
     // unioned: Catalyst plans this as one scan per branch over the
     // same source, and the downstream shuffle keys on (table, bucket).
     val perTable = (0 until tables).map { t =>
       base.withColumn("table_idx", lit(t))
-        .withColumn("bucket", lshBucket(col("vec"), planes, t))
+        .withColumn("bucket", lshBucket(col("vec"), p, t))
     }.reduce(_ unionByName _)
 
-    val w = Window.partitionBy("table_idx", "bucket")
-    val pruned = perTable.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxBucket).drop("__n")
-
-    val l = pruned.select(col("table_idx"), col("bucket"),
-      col("id").as("query_id"), col("vec").as("query_vec"))
-    val r = pruned.select(col("table_idx"), col("bucket"),
-      col("id").as("nbr_id"), col("vec").as("nbr_vec"))
-    val cands = l.join(r, Seq("table_idx", "bucket"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .select("query_id", "query_vec", "nbr_id", "nbr_vec")
-      .distinct()
+    // Single-pass in-bucket pair expansion (see Dedup.bucketSelfPairs:
+    // hot-bucket blacklist → collect_list → pair expressions); ANN
+    // needs BOTH directions of each pair, so mirror after expansion.
+    val half = Dedup.bucketSelfPairs(perTable, Seq("table_idx", "bucket"),
+      Seq("id", "vec"), maxBucket)
+    val cands = half.select(
+        col("id_a").as("query_id"), col("vec_a").as("query_vec"),
+        col("id_b").as("nbr_id"), col("vec_b").as("nbr_vec"))
+      .unionByName(half.select(
+        col("id_b").as("query_id"), col("vec_b").as("query_vec"),
+        col("id_a").as("nbr_id"), col("vec_a").as("nbr_vec")))
 
     val scored = cands.withColumn("cosine", cosine(col("query_vec"), col("nbr_vec")))
     val rankW = Window.partitionBy("query_id")
@@ -93,7 +101,7 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: same LSH candidate
     * machinery, symmetric output of pairs with cosine ≥ threshold. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, tables: Int = 4): DataFrame = {
+      threshold: Double, planes: Int = 0, tables: Int = 6): DataFrame = {
     val top = annTopK(df, idCol, vecCol, k = 100, planes = planes, tables = tables)
     top.filter(col("cosine") >= threshold && col("query_id") < col("nbr_id"))
       .select(col("query_id").as("id_a"), col("nbr_id").as("id_b"), col("cosine"))
