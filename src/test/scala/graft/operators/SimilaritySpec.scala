@@ -53,6 +53,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.6, f"mean recall@5 = $mean%.3f")
   }
 
+  test("IVF top-k reaches >=60% recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = IvfIndex.topK(spark, emb, "vec_id", "embedding", k = 5,
+      nCells = 10, nProbe = 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"IVF mean recall@5 = $mean%.3f")
+  }
+
   test("embedding near-dup pairs recover planted perturbed vectors") {
     val pairs = NorthStar.embeddingNearDups(spark, dir).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)

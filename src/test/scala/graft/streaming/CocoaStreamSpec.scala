@@ -40,6 +40,18 @@ class CocoaStreamSpec extends AnyFunSuite {
     assert(streamed.map(_.toString).sorted.toSeq === batch.map(_.toString).sorted.toSeq)
   }
 
+  test("stateful flatMapGroupsWithState sessionization equals batch windows") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StatefulSessions.sessionize(spark, dir).collect()
+    val batch = graft.operators.Relational.sessionize(spark, dir).collect()
+    assert(streamed.map(_.toString).sorted.toSeq === batch.map(_.toString).sorted.toSeq)
+    // most sessions must come from real streaming state, not the
+    // open-session flush
+    val closedOnly = StatefulSessions.sessionize(spark, dir, flushOpen = false).count()
+    assert(closedOnly >= batch.length * 0.8,
+      s"$closedOnly of ${batch.length} sessions emitted by state logic")
+  }
+
   test("watermarked windowed counts emit closed windows") {
     val out = StreamingQueries.windowedEventCounts(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
