@@ -52,6 +52,7 @@ object SparkEntry {
     "q18_revenue_by_brand"  -> (Relational.revenueByBrand _),
     "q19_sessionize"        -> (Relational.sessionize _),
     "q20_above_average_orders" -> (Relational.aboveAverageOrders _),
+    "q21_salted_revenue_by_brand" -> (Relational.saltedRevenueByBrand _),
     // Cocoa pipeline parity (O1-O18): self-generated data, rows-only
     // checks (not DuckDB-expressible: the input is generated + merged
     // in-engine, not read from the testdata tables).
@@ -218,6 +219,14 @@ object SparkEntry {
         |HAVING count(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
     "q18_revenue_by_brand" ->
+      """SELECT p_brand,
+        |  sum(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q21_salted_revenue_by_brand" ->
       """SELECT p_brand,
         |  sum(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)) / 10000.0 AS revenue,
         |  count(*) AS n_items

@@ -259,6 +259,21 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** revenueByBrand executed through the salted join (Skew operator):
+    * identical results — shares q18's oracle — but a hot part key
+    * would spread over 8 reducers. On this unskewed fixture it simply
+    * proves semantic equivalence; the skew behavior itself is measured
+    * in SkewSpec. */
+  def saltedRevenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).withColumnRenamed("p_partkey", "l_partkey")
+    Skew.saltedEquiJoin(li, p, "l_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   /** Gap-based sessionization over the event stream: lag + conditional
     * flag + running sum — the classic two-window composition. One
     * shuffle on user_id, reused by both windows (same partitioning). */

@@ -69,6 +69,22 @@ object Warehouse {
     next
   }
 
+  /** Bucketed variant: commit the snapshot as a catalog table bucketed
+    * + sorted on the merge key. A bucketed target joins updates
+    * without re-shuffling the big side — Spark shuffles only the
+    * (small) update batch into the target's bucketing, which is the
+    * difference between moving a daily batch and moving 100 TB every
+    * merge. Catalog metadata is session-scoped with the in-memory
+    * catalog (no Hive offline); a cluster deployment points
+    * `spark.sql.warehouse.dir` + a metastore at durable storage. */
+  def commitBucketed(spark: SparkSession, table: String, df: DataFrame,
+      nBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, CocoaSchema.mergeKey)
+      .sortBy(CocoaSchema.mergeKey)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Drop all snapshots older than the committed one. */
   def vacuum(spark: SparkSession, root: String): Unit =
     currentVersion(spark, root).foreach { cur =>
