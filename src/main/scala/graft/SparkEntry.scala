@@ -53,6 +53,9 @@ object SparkEntry {
     "q19_sessionize"        -> (Relational.sessionize _),
     "q20_above_average_orders" -> (Relational.aboveAverageOrders _),
     "q21_salted_revenue_by_brand" -> (Relational.saltedRevenueByBrand _),
+    "q22_approx_stats"      -> (Relational.approxStats _),
+    "q23_pivot_quantities"  -> (Relational.pivotQuantities _),
+    "q24_token_frequencies" -> (Relational.tokenFrequencies _),
     // Cocoa pipeline parity (O1-O18): self-generated data, rows-only
     // checks (not DuckDB-expressible: the input is generated + merged
     // in-engine, not read from the testdata tables).
@@ -301,5 +304,21 @@ object SparkEntry {
         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q23_pivot_quantities" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q24_token_frequencies" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 50""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
 }

@@ -295,6 +295,42 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Approximate aggregates — the sketch family Spark ships natively:
+    * HyperLogLog++ distinct counts and quantile sketches. At 100 TB
+    * these replace exact distinct/percentile (whose state is O(n))
+    * with bounded-memory mergeable sketches. Accuracy vs exact is
+    * asserted in RelationalSpec; not oracle-compared (DuckDB's approx
+    * sketches differ by construction). */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+
+  /** Pivot: quantity totals per linestatus pivoted by returnflag —
+    * oracle-expressed as CASE aggregation (identical output columns
+    * A/N/R in both engines). */
+  def pivotQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("l_quantity"))
+      .orderBy("l_linestatus")
+
+  /** Generator/UDTF shape: explode the token stream and count global
+    * token frequencies — one explode + hash aggregate, the canonical
+    * flatMap-then-reduce. Top 50 for a bounded, deterministic result
+    * (ties broken by token). */
+  def tokenFrequencies(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {

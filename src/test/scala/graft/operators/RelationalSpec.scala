@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Cross-query invariants the oracle can't see, plus approximate-
+  * aggregate accuracy bounds. */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx distinct counts within 5% of exact; percentiles ordered") {
+    val exact = Relational.distinctCounts(spark, dir).head
+    val approx = Relational.approxStats(spark, dir).head
+    val (exParts, exSupps) = (exact.getLong(0), exact.getLong(1))
+    assert(math.abs(approx.getLong(0) - exParts).toDouble / exParts < 0.05)
+    assert(math.abs(approx.getLong(1) - exSupps).toDouble / exSupps < 0.05)
+    assert(approx.getDouble(2) < approx.getDouble(3), "p50 < p99")
+  }
+
+  test("nation revenues aggregate to region revenues") {
+    val byNation = Relational.revenueByNation(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("revenue")).head.getDouble(0)
+    val byRegion = Relational.revenueByRegion(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("revenue")).head.getDouble(0)
+    assert(math.abs(byNation - byRegion) < 1e-6)
+  }
+
+  test("pivot cells reconcile with the rollup grand total") {
+    import org.apache.spark.sql.functions._
+    val pivotTotal = Relational.pivotQuantities(spark, dir)
+      .select((coalesce(col("A"), lit(0.0)) + coalesce(col("N"), lit(0.0)) +
+        coalesce(col("R"), lit(0.0))).as("t"))
+      .agg(sum("t")).head.getDouble(0)
+    val rollupTotal = Relational.rollupQuantities(spark, dir)
+      .filter(col("flag") === "ALL" && col("status") === "ALL")
+      .head.getDouble(2)
+    assert(math.abs(pivotTotal - rollupTotal) < 1e-6)
+  }
+
+  test("token frequencies: top tokens cover the fixture vocabulary head") {
+    val top = Relational.tokenFrequencies(spark, dir).collect()
+    // the sf0.001 fixture vocabulary is smaller than the LIMIT
+    assert(top.length > 0 && top.length <= 50)
+    assert(top.head.getLong(1) >= top.last.getLong(1), "sorted by count desc")
+  }
+}
