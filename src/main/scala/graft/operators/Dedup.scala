@@ -167,11 +167,17 @@ object Dedup {
   private[operators] def bucketSelfPairs(df: DataFrame, keys: Seq[String],
       payload: Seq[String], maxBucket: Int, dedupPairs: Boolean = true): DataFrame = {
     require(payload.contains("id"), "payload must carry the id column")
+    // The input carries the expensive sketch columns and is consumed
+    // twice (hot-bucket count, then the pair expansion). Materialize
+    // it once — this IS the index artifact a production pipeline would
+    // persist to storage; recomputing signatures per consumer doubles
+    // the dominant cost.
+    val cached = df.cache()
     val keyCols = keys.map(col)
-    val hot = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val hot = cached.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
       .select(keyCols: _*)
-    val cool = df.join(broadcast(hot), keys, "left_anti")
+    val cool = cached.join(broadcast(hot), keys, "left_anti")
     val member = struct(payload.map(col): _*)
     val buckets = cool.groupBy(keyCols: _*)
       .agg(collect_list(member).as("__ms"))

@@ -36,7 +36,10 @@ object IvfIndex {
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("mlvec").setPredictionCol("cell")
       .fit(base)
-    val assigned = model.transform(base).drop("mlvec")
+    // Materialize the index: cell assignment is the build artifact
+    // (production persists it partitioned by cell); without this every
+    // downstream consumer re-runs the k-means transform.
+    val assigned = model.transform(base).drop("mlvec").cache()
     val centroids = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) })
@@ -53,6 +56,7 @@ object IvfIndex {
 
     val q = queries.map(_.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .getOrElse(assigned.select(col("id"), col("vec")))
+      .withColumn("qnorm", Similarity.l2Norm(col("vec")))
 
     // Probe selection: tiny centroid table broadcast against queries.
     // Rank cells by squared euclidean |q−c|² = |q|² − 2q·c + |c|²;
@@ -65,17 +69,23 @@ object IvfIndex {
           lit(2.0) * SketchExpressions.floatDot(col("vec"), col("centroid")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
-      .select(col("id").as("query_id"), col("vec").as("query_vec"), col("cell"))
+      .select(col("id").as("query_id"), col("vec").as("query_vec"),
+        col("qnorm"), col("cell"))
 
-    // Candidate join inside probed cells only, then exact cosine top-k.
+    // Candidate join inside probed cells only, then exact cosine top-k
+    // (norms precomputed per row, not per pair).
     val cands = probes.join(
-        assigned.select(col("cell"), col("id").as("nbr_id"), col("vec").as("nbr_vec")),
+        assigned.select(col("cell"), col("id").as("nbr_id"), col("vec").as("nbr_vec"))
+          .withColumn("nnorm", Similarity.l2Norm(col("nbr_vec"))),
         Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     cands
-      .withColumn("cosine", Similarity.cosine(col("query_vec"), col("nbr_vec")))
+      .withColumn("cosine",
+        when(col("qnorm") * col("nnorm") > 0,
+          SketchExpressions.floatDot(col("query_vec"), col("nbr_vec")) /
+            (col("qnorm") * col("nnorm"))).otherwise(lit(0.0)))
       .dropDuplicates("query_id", "nbr_id")
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)

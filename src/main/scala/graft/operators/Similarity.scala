@@ -27,6 +27,12 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Cosine from a precomputed-norm pair: norms are computed once per
+    * ROW upstream instead of once per candidate PAIR (the pair space
+    * is orders of magnitude larger). */
+  private def cosineWithNorms(dotC: Column, normA: Column, normB: Column): Column =
+    when(normA * normB > 0, dotC / (normA * normB)).otherwise(lit(0.0))
+
   /** Exact top-k neighbors for the query rows (default: all rows) by
     * brute-force cosine: block-nested-loop join + per-query top-k.
     * O(|q|·n) — the correctness baseline and perfectly fine when |q|
@@ -35,10 +41,13 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queries: Option[DataFrame] = None): DataFrame = {
     val corpus = df.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("nbr_norm", l2Norm(col("nbr_vec")))
     val q = queries.getOrElse(df).select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("query_norm", l2Norm(col("query_vec")))
     val scored = q.crossJoin(corpus)
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine", cosine(col("query_vec"), col("nbr_vec")))
+      .withColumn("cosine", cosineWithNorms(
+        dot(col("query_vec"), col("nbr_vec")), col("query_norm"), col("nbr_norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -64,6 +73,7 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 0, tables: Int = 10, maxBucket: Int = 2000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
     val p =
       if (planes > 0) planes
       else {
@@ -82,15 +92,13 @@ object Similarity {
     // hot-bucket blacklist → collect_list → pair expressions); ANN
     // needs BOTH directions of each pair, so mirror after expansion.
     val half = Dedup.bucketSelfPairs(perTable, Seq("table_idx", "bucket"),
-      Seq("id", "vec"), maxBucket)
-    val cands = half.select(
-        col("id_a").as("query_id"), col("vec_a").as("query_vec"),
-        col("id_b").as("nbr_id"), col("vec_b").as("nbr_vec"))
+      Seq("id", "vec", "norm"), maxBucket)
+      .withColumn("cosine", cosineWithNorms(
+        dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
+    val scored = half.select(
+        col("id_a").as("query_id"), col("id_b").as("nbr_id"), col("cosine"))
       .unionByName(half.select(
-        col("id_b").as("query_id"), col("vec_b").as("query_vec"),
-        col("id_a").as("nbr_id"), col("vec_a").as("nbr_vec")))
-
-    val scored = cands.withColumn("cosine", cosine(col("query_vec"), col("nbr_vec")))
+        col("id_b").as("query_id"), col("id_a").as("nbr_id"), col("cosine")))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(rankW))
