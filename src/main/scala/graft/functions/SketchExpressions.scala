@@ -112,23 +112,41 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
   }
 
+  /** Shared imperative kernel, also the codegen call target (Scala
+    * objects emit static forwarders, so generated Java can call
+    * `graft.functions.SketchExpressions.dotKernel(a, b)` directly). */
+  def dotKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
+    d
+  }
+
   /** Dot product of two array<float> vectors in one primitive loop —
     * the `zip_with`+`aggregate` HOF pair costs 2 boxed lambda calls
-    * per dimension. Nulls/length-mismatch → null. */
+    * per dimension. Null input → null; length mismatch → 0.0 (NOT
+    * null: a null branch here would force `ev.isNull` assignment in
+    * doGenCode, which is a literal when both children are non-nullable
+    * and breaks Janino compilation — silently disabling codegen for
+    * the whole stage). Implements `doGenCode` since it sits inside
+    * per-candidate-pair projections. */
   case class FloatVectorDot(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullable: Boolean = true
+    override def nullable: Boolean = left.nullable || right.nullable
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      if (n != b.numElements()) return null
-      var d = 0.0
-      var i = 0
-      while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i); i += 1 }
-      d
+      if (a.numElements() != b.numElements()) 0.0 else dotKernel(a, b)
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""${ev.value} = ($a.numElements() == $b.numElements())
+           |  ? graft.functions.SketchExpressions.dotKernel($a, $b) : 0.0;
+         """.stripMargin)
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 

@@ -171,7 +171,11 @@ object Dedup {
     // twice (hot-bucket count, then the pair expansion). Materialize
     // it once — this IS the index artifact a production pipeline would
     // persist to storage; recomputing signatures per consumer doubles
-    // the dominant cost.
+    // the dominant cost. cache(), not localCheckpoint(): measured 6×
+    // slower via checkpoint (eager row-copy materialization dominates).
+    // CacheManager entries outlive the query — long-lived sessions
+    // should spark.catalog.clearCache() between jobs, as Verify/Bench
+    // do.
     val cached = df.cache()
     val keyCols = keys.map(col)
     val hot = cached.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))

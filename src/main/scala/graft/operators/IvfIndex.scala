@@ -36,10 +36,15 @@ object IvfIndex {
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("mlvec").setPredictionCol("cell")
       .fit(base)
-    // Materialize the index: cell assignment is the build artifact
-    // (production persists it partitioned by cell); without this every
-    // downstream consumer re-runs the k-means transform.
-    val assigned = model.transform(base).drop("mlvec").cache()
+    // Materialize the index: cell assignment + per-row norm is the
+    // build artifact (production persists it partitioned by cell);
+    // without this every downstream consumer re-runs the k-means
+    // transform, and norms would be recomputed per consumer.
+    // cache() — see Dedup.bucketSelfPairs for the cache-vs-checkpoint
+    // tradeoff; callers clear the session cache between jobs.
+    val assigned = model.transform(base).drop("mlvec")
+      .withColumn("norm", Similarity.l2Norm(col("vec")))
+      .cache()
     val centroids = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) })
@@ -54,9 +59,12 @@ object IvfIndex {
       queries: Option[DataFrame] = None): DataFrame = {
     val (assigned, centroids) = build(spark, df, idCol, vecCol, nCells)
 
-    val q = queries.map(_.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .getOrElse(assigned.select(col("id"), col("vec")))
-      .withColumn("qnorm", Similarity.l2Norm(col("vec")))
+    // External queries compute their own norms; the all-pairs default
+    // reuses the norm baked into the build artifact.
+    val q = queries
+      .map(_.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("qnorm", Similarity.l2Norm(col("vec"))))
+      .getOrElse(assigned.select(col("id"), col("vec"), col("norm").as("qnorm")))
 
     // Probe selection: tiny centroid table broadcast against queries.
     // Rank cells by squared euclidean |q−c|² = |q|² − 2q·c + |c|²;
@@ -75,17 +83,16 @@ object IvfIndex {
     // Candidate join inside probed cells only, then exact cosine top-k
     // (norms precomputed per row, not per pair).
     val cands = probes.join(
-        assigned.select(col("cell"), col("id").as("nbr_id"), col("vec").as("nbr_vec"))
-          .withColumn("nnorm", Similarity.l2Norm(col("nbr_vec"))),
+        assigned.select(col("cell"), col("id").as("nbr_id"),
+          col("vec").as("nbr_vec"), col("norm").as("nnorm")),
         Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     cands
-      .withColumn("cosine",
-        when(col("qnorm") * col("nnorm") > 0,
-          SketchExpressions.floatDot(col("query_vec"), col("nbr_vec")) /
-            (col("qnorm") * col("nnorm"))).otherwise(lit(0.0)))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        SketchExpressions.floatDot(col("query_vec"), col("nbr_vec")),
+        col("qnorm"), col("nnorm")))
       .dropDuplicates("query_id", "nbr_id")
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)

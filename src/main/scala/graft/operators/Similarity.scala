@@ -30,7 +30,7 @@ object Similarity {
   /** Cosine from a precomputed-norm pair: norms are computed once per
     * ROW upstream instead of once per candidate PAIR (the pair space
     * is orders of magnitude larger). */
-  private def cosineWithNorms(dotC: Column, normA: Column, normB: Column): Column =
+  private[operators] def cosineWithNorms(dotC: Column, normA: Column, normB: Column): Column =
     when(normA * normB > 0, dotC / (normA * normB)).otherwise(lit(0.0))
 
   /** Exact top-k neighbors for the query rows (default: all rows) by
