@@ -89,8 +89,16 @@ object SparkEntry {
 
   /** End-to-end cocoa run (two overlapping generated batches through
     * ingest→enrich→merge) in a temp dir; deterministic seeds and
-    * processed_at so repeated Verify runs hash identically. */
-  private def cocoaWarehouse(spark: SparkSession): DataFrame = {
+    * processed_at so repeated Verify runs hash identically. Memoized
+    * per session: p01 and p02 share one pipeline execution (results
+    * are deterministic, so reuse is observationally identical). */
+  private val cocoaMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def cocoaWarehouse(spark: SparkSession): DataFrame =
+    cocoaMemo.computeIfAbsent(spark, runCocoa)
+
+  private def runCocoa(spark: SparkSession): DataFrame = {
     val root = Files.createTempDirectory("cocoa_verify").toString
     val dirs = CocoaPipeline.Dirs(
       s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")

@@ -89,12 +89,17 @@ object Similarity {
     }.reduce(_ unionByName _)
 
     // Single-pass in-bucket pair expansion (see Dedup.bucketSelfPairs:
-    // hot-bucket blacklist → collect_list → pair expressions); ANN
-    // needs BOTH directions of each pair, so mirror after expansion.
+    // hot-bucket blacklist → collect_list → pair expressions). Score
+    // FIRST, dedup after: a pair colliding in several tables costs a
+    // few extra (codegen'd) dot products, but the dedup shuffle then
+    // moves 3 narrow columns instead of two 64-float vectors per row.
+    // ANN needs BOTH directions of each pair → mirror after dedup.
     val half = Dedup.bucketSelfPairs(perTable, Seq("table_idx", "bucket"),
-      Seq("id", "vec", "norm"), maxBucket)
+      Seq("id", "vec", "norm"), maxBucket, dedupPairs = false)
       .withColumn("cosine", cosineWithNorms(
         dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
     val scored = half.select(
         col("id_a").as("query_id"), col("id_b").as("nbr_id"), col("cosine"))
       .unionByName(half.select(
