@@ -123,13 +123,13 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram jaccard
 
-  /** Exact n-gram Jaccard pairs via inverted-index join: explode
-    * distinct shingles into postings, pair within postings, count
-    * common shingles, compute |A∩B| / (|A|+|B|−|A∩B|). Shuffles on
-    * shingle then on pair — both bounded by posting-list size, with
-    * the same hot-bucket guard (a stop-shingle appearing in every doc
-    * must not produce n² pairs). */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  /** Exact n-gram Jaccard pairs via the full inverted-index join:
+    * explode distinct shingles into postings, pair within postings,
+    * count common shingles, compute |A∩B| / (|A|+|B|−|A∩B|). Every
+    * shared shingle contributes one pair occurrence — exhaustive and
+    * O(Σ|posting|²); [[ngramJaccardPairs]] (prefix-filtered) is the
+    * production path, this is its correctness baseline. */
+  def ngramJaccardPairsExhaustive(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), n).as("shingles"))
@@ -142,6 +142,41 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         round(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the
+    * AllPairs/PPJoin family): under any global total order on
+    * shingles, J(A,B) ≥ t implies the (⌊(1−t)·|A|⌋+1)-prefixes of A
+    * and B intersect — so only each doc's prefix (its globally RAREST
+    * shingles, ordered by document frequency so prefixes collide
+    * seldom) generates candidates, and the full shingle sets verify
+    * exact Jaccard afterwards. No false negatives by the theorem; no
+    * false positives by verification. Candidate volume drops from
+    * Σ|posting|² over all shingles to Σ|prefix-posting|² over rare
+    * ones. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+      .cache() // consumed by postings and twice by verification
+    val postings = base.select(col("id"), explode(col("shingles")).as("sh"))
+    val dfreq = postings.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val ranked = postings.join(dfreq, Seq("sh"))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df").asc, col("sh").asc)))
+    val prefix = ranked
+      .join(base.select(col("id"), col("set_size")), Seq("id"))
+      .filter(col("__rank") <= floor((lit(1.0) - threshold) * col("set_size")) + 1)
+      .select(col("id"), col("sh"))
+    val cands = bucketSelfPairs(prefix, Seq("sh"), Seq("id"), maxPosting)
+    val withSets = cands
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+    withSets
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

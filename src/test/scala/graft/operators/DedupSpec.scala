@@ -51,6 +51,14 @@ class DedupSpec extends AnyFunSuite {
     assert(plantedPairs.forall(r => r.getDouble(2) > 0.4 && r.getDouble(2) < 1.0))
   }
 
+  test("prefix-filtered ngram jaccard equals the exhaustive baseline") {
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val slow = Dedup.ngramJaccardPairsExhaustive(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(fast === slow, "prefix filter must lose no pairs and add none")
+  }
+
   test("near-dup operators do not drown in false positives") {
     // MinHash verifies exact shingle Jaccard → near-zero background.
     assert(Dedup.minhashPairs(docs, "doc_id", "text").count() <= planted * 5)
