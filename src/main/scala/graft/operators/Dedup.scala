@@ -127,22 +127,31 @@ object Dedup {
     * explode distinct shingles into postings, pair within postings,
     * count common shingles, compute |A∩B| / (|A|+|B|−|A∩B|). Every
     * shared shingle contributes one pair occurrence — exhaustive and
-    * O(Σ|posting|²); [[ngramJaccardPairs]] (prefix-filtered) is the
-    * production path, this is its correctness baseline. */
+    * O(Σ|posting|²). Caveat: the hot-bucket guard drops postings
+    * larger than `maxPosting`, so a hot shingle counts as NOT shared
+    * and Jaccard is underestimated for pairs sharing it; the
+    * prefix-filtered [[ngramJaccardPairs]] verifies with full sets and
+    * stays exact even then — the two agree whenever no posting exceeds
+    * the guard. */
   def ngramJaccardPairsExhaustive(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), n).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
+    // Null shingles (null-text docs) are excluded in BOTH variants so
+    // they agree: a contentless doc never pairs.
     val postings = base.select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
     // No dropDuplicates here: each shared shingle must contribute one
     // pair occurrence, counted below as |A∩B|.
     val pairs = postingPairs(postings, maxPosting)
     pairs.groupBy(col("id_a"), col("id_b"), col("set_size_a"), col("set_size_b"))
       .agg(count(lit(1)).as("inter"))
+      // threshold on the UNROUNDED value (rounding first would admit
+      // borderline pairs the prefix variant rightly prunes)
+      .filter(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")) >= threshold)
       .withColumn("jaccard",
         round(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -152,32 +161,46 @@ object Dedup {
     * and B intersect — so only each doc's prefix (its globally RAREST
     * shingles, ordered by document frequency so prefixes collide
     * seldom) generates candidates, and the full shingle sets verify
-    * exact Jaccard afterwards. No false negatives by the theorem; no
-    * false positives by verification. Candidate volume drops from
-    * Σ|posting|² over all shingles to Σ|prefix-posting|² over rare
-    * ones. */
+    * exact Jaccard afterwards. No false negatives by the theorem
+    * (modulo the shared hot-bucket guard: a prefix bucket larger than
+    * `maxPosting` is dropped, same caveat as every candidate
+    * generator here); no false positives by verification.
+    * Candidate volume drops from Σ|posting|² over all shingles to
+    * Σ|prefix-posting|² over rare ones — a win on zipfian corpora,
+    * a loss on uniform ones (see NorthStar.ngramJaccardNearDups).
+    *
+    * Note: caches the shingle-set artifact for its three consumers;
+    * callers outside Verify/Bench (which clearCache between jobs)
+    * own that lifecycle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
       .cache() // consumed by postings and twice by verification
-    val postings = base.select(col("id"), explode(col("shingles")).as("sh"))
+    val postings = base.select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull) // contentless docs never pair (both variants)
     val dfreq = postings.groupBy("sh").agg(count(lit(1)).as("__df"))
     val ranked = postings.join(dfreq, Seq("sh"))
       .withColumn("__rank", row_number().over(
         Window.partitionBy("id").orderBy(col("__df").asc, col("sh").asc)))
+    // Prefix length ⌊(1−t)·|A|⌋+1, computed with an epsilon: Spark
+    // evaluates (1.0−0.8)*5 as 0.9999999999999998, whose bare floor
+    // would shorten the prefix below the theorem's bound and silently
+    // drop true positives. The epsilon only ever lengthens a prefix —
+    // always safe.
     val prefix = ranked
-      .join(base.select(col("id"), col("set_size")), Seq("id"))
-      .filter(col("__rank") <= floor((lit(1.0) - threshold) * col("set_size")) + 1)
+      .filter(col("__rank") <=
+        floor((lit(1.0) - threshold) * col("set_size") + lit(1e-9)) + 1)
       .select(col("id"), col("sh"))
     val cands = bucketSelfPairs(prefix, Seq("sh"), Seq("id"), maxPosting)
     val withSets = cands
       .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
     withSets
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("__j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("__j") >= threshold) // unrounded, matching exhaustive
+      .withColumn("jaccard", round(col("__j"), 4))
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -59,6 +59,20 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === slow, "prefix filter must lose no pairs and add none")
   }
 
+  test("prefix length survives float-floor boundaries (t=0.8, 5-shingle docs)") {
+    import spark.implicits._
+    // J(A,B) = 4/5 = 0.8 exactly; (1.0-0.8)*5 evaluates to
+    // 0.9999999999999998 in double math, so an epsilon-less floor
+    // would shorten the prefix and silently lose this pair.
+    val a = "w1 w2 w3 w4 w5 w6 w7" // 5 distinct 3-shingles
+    val b = "w1 w2 w3 w4 w5 w6"    // 4 shingles, all ⊂ A's
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8).collect()
+    assert(pairs.length === 1 && pairs.head.getDouble(2) === 0.8,
+      s"expected the J=0.8 pair, got ${pairs.mkString(",")}")
+  }
+
   test("near-dup operators do not drown in false positives") {
     // MinHash verifies exact shingle Jaccard → near-zero background.
     assert(Dedup.minhashPairs(docs, "doc_id", "text").count() <= planted * 5)
