@@ -6,6 +6,8 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Landing-zone discovery, file-level schema validation and CSV scan
   * (reference O1/O5/O6/O15).
@@ -13,19 +15,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference's validation is *file-level, not row-level*: a chunk
   * missing any required column is skipped whole with a warning
   * (`cocoa_processing_dag.py:187-190`); rows are never filtered. We
-  * reproduce that by checking each file's header line before handing
-  * the surviving set to one schema'd CSV scan.
+  * reproduce that by checking each file's header line before reading.
   *
-  * Scale: the header check reads one line per file. It runs
-  * distributed (a Dataset of paths, opened executor-side), so a
-  * million-file landing zone costs a map job, not a driver loop. The
-  * subsequent scan is a single `spark.read.csv(valid: _*)` — Spark
-  * parallelizes by file/split natively, replacing the reference's
-  * manual 50k-row chunking and 5-file batching (O3).
+  * Column binding is BY NAME, like the reference's pandas — files
+  * whose headers carry all required columns load correctly regardless
+  * of column order or extra columns. (A naive
+  * `spark.read.schema(s).csv(files)` binds positionally when
+  * `enforceSchema` is true, silently misparsing reordered files that
+  * passed a set-based header check.) Files are grouped by their exact
+  * header sequence; each group is read with an all-string positional
+  * schema named from its header, then projected+cast by name —
+  * usually one group, so still one scan.
+  *
+  * Scale: the header check reads one line per file, distributed; the
+  * per-group scan is a plain `csv(group: _*)` that Spark splits
+  * natively, replacing the reference's manual 50k-row chunking and
+  * 5-file batching (O3).
   */
 object Ingest {
 
-  final case class Discovery(valid: Seq[String], quarantined: Seq[String])
+  final case class Discovery(
+      valid: Seq[String],
+      quarantined: Seq[String],
+      headers: Map[String, Seq[String]])
 
   /** List `*.csv` under the landing dir (reference
     * `check_for_files`, `cocoa_processing_dag.py:56-86`). */
@@ -39,17 +51,28 @@ object Ingest {
       .sorted
   }
 
+  /** RFC-4180-tolerant header cell cleanup: strip BOM and optional
+    * quoting (a quoted or BOM-prefixed header must not quarantine a
+    * file Spark's CSV parser would read fine). */
+  private[pipeline] def cleanHeaderCell(raw: String): String = {
+    val t = raw.replace("\uFEFF", "").trim
+    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+      t.substring(1, t.length - 1).trim
+    else t
+  }
+
   /** Partition discovered files into header-valid vs quarantined.
     * Headers are read executor-side: one line per file, no full scan.
     * Missing required columns ⇒ quarantine the whole file; extra
-    * columns are tolerated (the reference only checks the missing
-    * set, `cocoa_processing_dag.py:31-35,187-190`). */
+    * columns and reordering are tolerated (the reference only checks
+    * the missing set, `cocoa_processing_dag.py:31-35,187-190`; its
+    * pandas reader binds by name). */
   def validateHeaders(spark: SparkSession, files: Seq[String]): Discovery = {
-    if (files.isEmpty) return Discovery(Seq.empty, Seq.empty)
+    if (files.isEmpty) return Discovery(Seq.empty, Seq.empty, Map.empty)
     import spark.implicits._
     val required = CocoaSchema.requiredColumns
     val flagged = files.toDS().repartition(math.min(files.size, 64)).map { p =>
-      val ok =
+      val header =
         try {
           val path = new Path(p)
           // Executor-side FS from default conf: resolves local and
@@ -58,37 +81,56 @@ object Ingest {
           val fs = path.getFileSystem(new Configuration())
           val in = new BufferedReader(
             new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
-          try {
-            val header = Option(in.readLine()).getOrElse("")
-            val cols = header.split(",").map(_.trim).toSet
-            (required -- cols).isEmpty
-          } finally in.close()
-        } catch { case _: Exception => false }
-      (p, ok)
+          try Option(in.readLine()).getOrElse("")
+          finally in.close()
+        } catch { case _: Exception => "" }
+      (p, header)
     }.collect()
+    val parsed = flagged.map { case (p, h) =>
+      (p, h.split(",", -1).map(cleanHeaderCell).toSeq)
+    }
+    val (ok, bad) = parsed.partition { case (_, cols) =>
+      (required -- cols.toSet).isEmpty
+    }
     Discovery(
-      valid = flagged.collect { case (p, true) => p }.toSeq.sorted,
-      quarantined = flagged.collect { case (p, false) => p }.toSeq.sorted)
+      valid = ok.map(_._1).toSeq.sorted,
+      quarantined = bad.map(_._1).toSeq.sorted,
+      headers = ok.toMap)
   }
 
-  /** One schema'd scan over the surviving files. PERMISSIVE mode with
-    * a corrupt-record column is the row-level safety net the reference
-    * lacks; file-level skipping already happened above. */
-  def readCsv(spark: SparkSession, files: Seq[String]): DataFrame = {
-    require(files.nonEmpty, "no valid files to read")
-    spark.read
-      .schema(CocoaSchema.input)
-      .option("header", "true")
-      .option("mode", "PERMISSIVE")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
-      .csv(files: _*)
+  /** Read the surviving files with BY-NAME column binding: group by
+    * exact header sequence, read each group with an all-string schema
+    * in the file's own column order, project the required columns by
+    * name and cast to the canonical types. Extra columns are dropped;
+    * rows whose key fails to parse are removed (the reference's
+    * Postgres PK would reject them — `cocoa_processing_dag.py:159`). */
+  def readCsv(spark: SparkSession, disc: Discovery): DataFrame = {
+    require(disc.valid.nonEmpty, "no valid files to read")
+    val byHeader: Map[Seq[String], Seq[String]] =
+      disc.valid.groupBy(p => disc.headers(p)).map { case (h, ps) => h -> ps.toSeq }
+    val parts = byHeader.map { case (header, paths) =>
+      val rawSchema = StructType(header.map(c => StructField(c, StringType, nullable = true)))
+      val raw = spark.read
+        .schema(rawSchema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(paths: _*)
+      // Plain casts: string→timestamp accepts ISO-8601 with optional
+      // fractional seconds and zone suffix, matching the generator's
+      // output (`generate_data.py:34` writes isoformat).
+      raw.select(CocoaSchema.input.fields.map { f =>
+        col(f.name).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
+    parts.reduce(_ unionByName _)
+      .filter(col(CocoaSchema.mergeKey).isNotNull)
   }
 
   /** Discover + validate + read in one call; `Discovery` is returned
     * alongside so the caller can archive/quarantine (O15/O16). */
   def ingest(spark: SparkSession, landingDir: String): (Option[DataFrame], Discovery) = {
     val disc = validateHeaders(spark, discoverCsv(spark, landingDir))
-    val df = if (disc.valid.nonEmpty) Some(readCsv(spark, disc.valid)) else None
+    val df = if (disc.valid.nonEmpty) Some(readCsv(spark, disc)) else None
     (df, disc)
   }
 

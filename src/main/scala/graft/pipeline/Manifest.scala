@@ -34,15 +34,21 @@ object Manifest {
     finally out.close()
   }
 
+  /** Driver-side read: manifests are control-plane metadata (a few KB
+    * of JSON) — launching Spark jobs to parse one would schedule
+    * cluster tasks for nothing. Jackson ships with Spark. */
   def read(spark: SparkSession, manifestPath: String): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, explode, from_json}
-    import org.apache.spark.sql.types.{ArrayType, StringType}
-    import spark.implicits._
-    val txt = spark.read.textFile(manifestPath).collect().mkString
+    val fs = Ingest.fs(spark, manifestPath)
+    val p = new Path(manifestPath)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
     if (txt.trim.isEmpty) return Seq.empty
-    Seq(txt).toDF("j")
-      .select(explode(from_json(col("j"), ArrayType(StringType))).as("f"))
-      .collect().map(_.getString(0)).toSeq
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(txt, classOf[Array[String]]).toSeq
   }
 
   /** Split into batches of `size` (reference BATCH_SIZE=5). */

@@ -28,17 +28,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Warehouse {
 
   private val versionFile = "_VERSION"
+  private val lockFile = "_COMMIT_LOCK"
 
+  /** The committed version: the `_VERSION` pointer when present, else
+    * recovered as the greatest fully-written snapshot (one whose
+    * `_SUCCESS` marker exists) — a crash between writing a snapshot
+    * and publishing the pointer must not make the warehouse read as
+    * empty or let the next commit reuse a version number. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = Ingest.fs(spark, root)
     val vf = new Path(root, versionFile)
-    if (!fs.exists(vf)) None
-    else {
+    if (fs.exists(vf)) {
       val in = fs.open(vf)
       try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         StandardCharsets.UTF_8).trim.toLong)
       finally in.close()
-    }
+    } else completeSnapshots(spark, root).maxOption
+  }
+
+  private def completeSnapshots(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = Ingest.fs(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong)
   }
 
   def versionPath(root: String, v: Long): String = s"$root/v$v"
@@ -53,20 +68,46 @@ object Warehouse {
     }
 
   /** Write `df` as the next snapshot and atomically publish it.
-    * Returns the committed version. */
+    * Returns the committed version.
+    *
+    * Safety properties (the reference gets these from one Postgres
+    * transaction, `cocoa_processing_dag.py:221,237`):
+    *  - writer-writer: a best-effort lock file taken with
+    *    create(overwrite=false) serializes concurrent commits (a
+    *    crashed holder leaves a stale lock — operator removes it;
+    *    documented tradeoff of having no coordination service);
+    *  - version monotonicity: `next` is 1 + the max over BOTH the
+    *    pointer and all complete snapshot dirs, so a crash after
+    *    snapshot-write but before publish can never cause a version
+    *    number to be reused/overwritten;
+    *  - pointer swap: FileContext.rename(OVERWRITE) replaces
+    *    `_VERSION` atomically — no delete-then-rename window in which
+    *    readers see no pointer. */
   def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-    df.write.mode("overwrite").parquet(versionPath(root, next))
     val fs = Ingest.fs(spark, root)
-    val tmp = new Path(root, s".$versionFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val target = new Path(root, versionFile)
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"failed to publish $target")
-    next
+    fs.mkdirs(new Path(root))
+    val lock = new Path(root, lockFile)
+    val lockStream =
+      try fs.create(lock, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another commit holds $lock (stale? remove it manually)", e)
+      }
+    lockStream.close()
+    try {
+      val next = (currentVersion(spark, root).toSeq ++
+        completeSnapshots(spark, root)).maxOption.map(_ + 1).getOrElse(0L)
+      df.write.mode("overwrite").parquet(versionPath(root, next))
+      val tmp = new Path(root, s".$versionFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(root).toUri, fs.getConf)
+      fc.rename(tmp, new Path(root, versionFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      next
+    } finally fs.delete(lock, false)
   }
 
   /** Bucketed variant: commit the snapshot as a catalog table bucketed

@@ -28,9 +28,17 @@ object CocoaStream {
       warehouseDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Long = {
 
+    // enforceSchema=false: the streaming file source has no per-file
+    // quarantine hook (unlike batch Ingest.validateHeaders), so a file
+    // whose header doesn't match the declared schema must fail LOUDLY
+    // rather than bind positionally and merge shifted garbage that the
+    // checkpoint log then marks as processed forever. Landing zones
+    // feeding this variant are expected well-formed; mixed-quality
+    // zones should run the batch pipeline.
     val reader = spark.readStream
       .schema(CocoaSchema.input)
       .option("header", "true")
+      .option("enforceSchema", "false")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.csv(landingDir)

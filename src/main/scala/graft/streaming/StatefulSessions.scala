@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.types._
 
 /** Custom stateful streaming: gap-based sessionization with
   * `flatMapGroupsWithState` — the `KeyValueGroupedDataset` custom-state
@@ -33,14 +32,19 @@ object StatefulSessions {
   val gapMs: Long = 30L * 60 * 1000
 
   /** Per-user group logic: fold sorted events into sessions, emit the
-    * closed ones, keep the open one in state. */
-  private def updateUser(
+    * closed ones, keep the open one in state. A timed-out session is
+    * emitted but the state is kept as a counter sentinel (`n = 0`) —
+    * removing it would restart the per-user session counter at 1 and
+    * emit duplicate (user_id, session_id) pairs; the sentinel is one
+    * tiny record per ever-seen user (the deliberate cost of stable
+    * session numbering without an external store). */
+  private[streaming] def updateUser(
       userId: Long,
       events: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
       val s = state.get
-      state.remove()
+      state.update(s.copy(n = 0L)) // counter sentinel: no open session
       return Iterator(SessionOut(userId, s.sessionId, s.n, s.startMs, s.endMs))
     }
     // Micro-batches deliver events unordered within the batch; sort by
@@ -53,6 +57,8 @@ object StatefulSessions {
       cur match {
         case null =>
           cur = SessionState(1L, e.ms, e.ms, 1L)
+        case s if s.n == 0L => // sentinel: resume numbering after timeout
+          cur = SessionState(s.sessionId + 1, e.ms, e.ms, 1L)
         case s if e.ms - s.endMs > gapMs =>
           out ::= SessionOut(userId, s.sessionId, s.n, s.startMs, s.endMs)
           cur = SessionState(s.sessionId + 1, e.ms, e.ms, 1L)
@@ -62,7 +68,7 @@ object StatefulSessions {
     }
     if (cur != null) {
       state.update(cur)
-      state.setTimeoutTimestamp(cur.endMs + gapMs)
+      if (cur.n > 0L) state.setTimeoutTimestamp(cur.endMs + gapMs)
     }
     out.reverseIterator
   }
@@ -73,16 +79,9 @@ object StatefulSessions {
     * deployment would leave them pending). */
   def sessionize(spark: SparkSession, dir: String, flushOpen: Boolean = true): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val events: Dataset[Ev] = spark.readStream.schema(schema)
-      .parquet(s"$dir/events*.parquet")
+    val events: Dataset[Ev] = StreamingQueries.eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000000").as("ms"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        unix_millis(col("ts")).as("ms"), col("ts"))
       .withWatermark("ts", "1 hour")
       .as[Ev]
 
@@ -97,7 +96,7 @@ object StatefulSessions {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val closed = spark.table(sink)
+    val closed = StreamingQueries.drainMemorySink(spark, sink)
 
     if (!flushOpen) return closed.orderBy("user_id", "session_id")
 

@@ -19,8 +19,10 @@ object StreamingQueries {
 
   /** events.parquet read as a stream. Schema must be declared up
     * front for a streaming file source; ts arrives as raw nanos
-    * (see [[graft.core.Tables.events]]) and is truncated to µs. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    * (see [[graft.core.Tables.events]]) and is truncated to µs.
+    * Shared by every streaming query (incl. StatefulSessions) so the
+    * schema/ns-conversion logic lives in one place. */
+  private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -52,7 +54,18 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink).orderBy("day", "event_type")
+    drainMemorySink(spark, sink).orderBy("day", "event_type")
+  }
+
+  /** Materialize a memory sink's rows into a standalone DataFrame and
+    * drop the sink view — otherwise every call leaks its full result
+    * set in driver memory for the session's lifetime. */
+  private[streaming] def drainMemorySink(spark: SparkSession, sink: String): DataFrame = {
+    val table = spark.table(sink)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(table.collect(): _*), table.schema)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   /** Watermarked sliding-window throughput over the event stream —
@@ -76,6 +89,6 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink).orderBy("window_start", "event_type")
+    drainMemorySink(spark, sink).orderBy("window_start", "event_type")
   }
 }

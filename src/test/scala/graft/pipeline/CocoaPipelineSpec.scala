@@ -69,6 +69,49 @@ class CocoaPipelineSpec extends AnyFunSuite {
     assert(r.warehouseRows === 100, "valid file loads; invalid skipped whole, not row-wise")
   }
 
+  test("reordered and quoted-header files load correctly by name") {
+    val dirs = freshDirs()
+    new java.io.File(dirs.landing).mkdirs()
+    // columns deliberately NOT in schema order, header quoted, BOM'd —
+    // positional binding would put farm_id into timestamp
+    val f = new java.io.File(new java.io.File(dirs.landing), "reordered.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("﻿\"farm_id\",\"shipment_id\",\"region\",\"timestamp\",\"bean_type\",\"quality_score\",\"temperature_celsius\",\"shipment_weight_kg\"")
+    w.println("FARM-7,SHIP-A,Ashanti,2025-01-02T03:04:05,Criollo,8.5,21.5,1200")
+    w.println("FARM-8,SHIP-B,Volta,2025-01-03T04:05:06,Forastero,9.1,,900")
+    w.close()
+    val r = CocoaPipeline.runBatch(spark, dirs, new Timestamp(5000000L))
+    assert(r.filesQuarantined.isEmpty && r.warehouseRows === 2)
+    val wh = Warehouse.read(spark, dirs.warehouse)
+    val a = wh.filter(col("shipment_id") === "SHIP-A").head
+    assert(a.getAs[String]("farm_id") === "FARM-7")
+    assert(a.getAs[Timestamp]("timestamp").toString.startsWith("2025-01-02"))
+    assert(a.getAs[Long]("shipment_weight_kg") === 1200L)
+    val b = wh.filter(col("shipment_id") === "SHIP-B").head
+    assert(b.getAs[Any]("temperature_celsius") === null)
+  }
+
+  test("warehouse recovers from a crash between snapshot write and pointer publish") {
+    val dirs = freshDirs()
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 31)
+    CocoaPipeline.runBatch(spark, dirs)
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 32, idOffset = 1000)
+    CocoaPipeline.runBatch(spark, dirs)
+    assert(Warehouse.currentVersion(spark, dirs.warehouse) === Some(1L))
+    // simulate the crash window: pointer gone, snapshots intact
+    val fs = new org.apache.hadoop.fs.Path(dirs.warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dirs.warehouse, "_VERSION"), false)
+    assert(Warehouse.currentVersion(spark, dirs.warehouse) === Some(1L),
+      "recovered from complete snapshots, not read-as-empty")
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 100)
+    // next commit must NOT reuse/overwrite version numbers
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 33, idOffset = 2000)
+    CocoaPipeline.runBatch(spark, dirs)
+    assert(Warehouse.currentVersion(spark, dirs.warehouse) === Some(2L))
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 150)
+  }
+
   test("empty landing zone is a no-op (O2 branch)") {
     val dirs = freshDirs()
     val r = CocoaPipeline.runBatch(spark, dirs)

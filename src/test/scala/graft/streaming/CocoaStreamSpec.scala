@@ -52,6 +52,31 @@ class CocoaStreamSpec extends AnyFunSuite {
       s"$closedOnly of ${batch.length} sessions emitted by state logic")
   }
 
+  test("session counter survives an event-time timeout (no duplicate session ids)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import StatefulSessions.{Ev, SessionState}
+    import org.apache.spark.api.java.Optional
+    // batch 1: one session, then a timeout fires
+    val s1 = TestGroupState.create[SessionState](
+      optionalState = Optional.empty[SessionState](), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(java.lang.Long.valueOf(0L)).asInstanceOf[Optional[Long]], hasTimedOut = false)
+    StatefulSessions.updateUser(1L, Iterator(Ev(1L, 10L, 1000L)), s1).toList
+    assert(s1.get.sessionId === 1L && s1.get.n === 1L)
+    // timeout closes session 1 but must keep the counter
+    val s2 = TestGroupState.create[SessionState](
+      optionalState = Optional.of(s1.get), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(java.lang.Long.valueOf(10000000L)).asInstanceOf[Optional[Long]], hasTimedOut = true)
+    val closed = StatefulSessions.updateUser(1L, Iterator.empty, s2).toList
+    assert(closed.map(_.session_id) === List(1L))
+    assert(s2.get.n === 0L, "sentinel retained")
+    // next event must open session 2, not restart at 1
+    val s3 = TestGroupState.create[SessionState](
+      optionalState = Optional.of(s2.get), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(java.lang.Long.valueOf(10000000L)).asInstanceOf[Optional[Long]], hasTimedOut = false)
+    StatefulSessions.updateUser(1L, Iterator(Ev(1L, 99L, 20000000L)), s3).toList
+    assert(s3.get.sessionId === 2L, "counter resumed after timeout")
+  }
+
   test("watermarked windowed counts emit closed windows") {
     val out = StreamingQueries.windowedEventCounts(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
