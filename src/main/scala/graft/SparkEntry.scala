@@ -56,6 +56,10 @@ object SparkEntry {
     "q22_approx_stats"      -> (Relational.approxStats _),
     "q23_pivot_quantities"  -> (Relational.pivotQuantities _),
     "q24_token_frequencies" -> (Relational.tokenFrequencies _),
+    "q25_date_arithmetic"   -> (Relational.dateArithmetic _),
+    "q26_string_functions"  -> (Relational.stringFunctions _),
+    "q27_price_tiers"       -> (Relational.priceTiers _),
+    "q28_null_semantics"    -> (Relational.nullSemantics _),
     // Cocoa pipeline parity (O1-O18): self-generated data, rows-only
     // checks (not DuckDB-expressible: the input is generated + merged
     // in-engine, not read from the testdata tables).
@@ -328,5 +332,40 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 50""".stripMargin,
+    "q25_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  quarter(o_orderdate) AS qtr
+        |FROM orders
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q26_string_functions" ->
+      """SELECT c_custkey,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |  regexp_replace(c_name, 'Customer', 'Cust') AS short_name,
+        |  instr(c_name, '#') AS hash_pos,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  repeat(substring(c_mktsegment, 1, 1), 3) AS seg_x3
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
+    "q27_price_tiers" ->
+      """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+        |            WHEN o_totalprice < 250000.0 THEN 'mid'
+        |            ELSE 'high' END AS tier,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY tier""".stripMargin,
+    "q28_null_semantics" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  count(nullif(o_orderstatus, 'O')) AS n_not_open,
+        |  sum(CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS n_not_open2
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
 }

@@ -331,6 +331,55 @@ object Relational {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
 
+  /** Date arithmetic: intervals, day differences, extraction. */
+  def dateArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_eoy"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .orderBy("o_orderkey")
+
+  /** String-function surface: pad, replace, locate, reverse, repeat. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 200)
+      .select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        repeat(substring(col("c_mktsegment"), 1, 1), 3).as("seg_x3"))
+      .orderBy("c_custkey")
+
+  /** Conditional buckets: CASE-based price tiering + counts. */
+  def priceTiers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        when(col("o_totalprice") < 100000.0, "low")
+          .when(col("o_totalprice") < 250000.0, "mid")
+          .otherwise("high").as("tier"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tier")
+
+  /** Null-semantics surface: nullif produces nulls, count/agg skip
+    * them, coalesce restores defaults. */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(nullif(col("o_orderstatus"), lit("O"))).as("n_not_open"),
+        sum(coalesce(nullif(col("o_orderstatus"), lit("O")), lit(null))
+          .isNotNull.cast("long")).as("n_not_open2"))
+      .orderBy("o_orderpriority")
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
