@@ -80,6 +80,7 @@ object SparkEntry {
     "d04_quality_scores"     -> (NorthStar.qualityScores _),
     "d05_lang_id"            -> (NorthStar.langIdPredictions _),
     "d06_fingerprints"       -> (NorthStar.fingerprints _),
+    "d10_fingerprints_md5"   -> (NorthStar.fingerprintsMd5 _),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
@@ -254,8 +255,8 @@ object SparkEntry {
         |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
         |FROM (
         |  SELECT user_id, event_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id
-        |                        ORDER BY ts ASC, event_id ASC) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |                             ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, event_id, ts,
         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
@@ -271,8 +272,8 @@ object SparkEntry {
         |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
         |FROM (
         |  SELECT user_id, event_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id
-        |                        ORDER BY ts ASC, event_id ASC) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |                             ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, event_id, ts,
         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
@@ -362,10 +363,127 @@ object SparkEntry {
     "q28_null_semantics" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
         |  count(nullif(o_orderstatus, 'O')) AS n_not_open,
-        |  sum(CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
-        |           THEN 1 ELSE 0 END) AS n_not_open2
+        |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_not_open2
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // North-star oracles. All quantized decimals use the floor form
+    // (see graft.functions.Quantize): identical double arithmetic on
+    // both engines, unlike round().
+    "d04_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS cjk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, punct, cjk,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CASE WHEN len(toks) > 0
+        |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','this'], x))) AS DOUBLE) / len(toks)
+        |         ELSE 0.0 END AS sw_en
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    least(n_chars / 200.0, 1.0) AS len_score,
+        |    1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10.0, 1.0) AS punct_score,
+        |    least(greatest(sw_en, cjk) * 5.0, 1.0) AS sw_score,
+        |    CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END AS wl_score
+        |  FROM r)
+        |SELECT doc_id,
+        |  floor((len_score * 0.3 + punct_score * 0.2 + sw_score * 0.3 + wl_score * 0.2) * 10000 + 0.5) / 10000.0 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d05_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS cjk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, cjk,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','this'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con','para','es'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','mit','den','ein','eine','zu','im','auf','nicht'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','sur','avec'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN cjk > 0.05 THEN 'zh'
+        |         WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM r)
+        |SELECT doc_id, lang, lang_pred, CAST(CAST(lang = lang_pred AS INT) AS BIGINT) AS correct
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "d09_ngram_jaccard_near_dups" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM docs WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d10_fingerprints_md5" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fingerprint_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_frame_samples" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |    octet_length(encode(text)) AS blen
+        |  FROM documents),
+        |f AS (
+        |  SELECT asset_id, media_type, unnest(range(0, 4)) AS frame_idx,
+        |    blen, greatest(blen - 32, 1) AS span
+        |  FROM a)
+        |SELECT asset_id, media_type, frame_idx,
+        |  greatest(least(32, blen - CAST(trunc(frame_idx * span / 4.0 + 1) AS BIGINT) + 1), 0) AS frame_size
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+    "s02_streaming_windowed_counts" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |w AS (SELECT (us // 21600000000) * 21600000000 AS ws_us, event_type FROM ev),
+        |wm AS (SELECT max(us) - 3600000000 AS wm_us FROM ev)
+        |SELECT make_timestamp(ws_us) AS window_start, event_type, count(*) AS n
+        |FROM w, wm WHERE ws_us + 21600000000 <= wm_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "v01_knn_brute_force" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
 }

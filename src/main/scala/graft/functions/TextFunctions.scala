@@ -99,7 +99,9 @@ object TextFunctions {
     val punctScore = lit(1.0) - least(punctRatio * 10.0, lit(1.0))
     val swScore = least(greatest(stopwordRatio(text), cjkRatio(text)) * 5.0, lit(1.0))
     val wordLenScore = when(meanWordLen.between(2.0, 12.0), 1.0).otherwise(0.3)
-    round(lenScore * 0.3 + punctScore * 0.2 + swScore * 0.3 + wordLenScore * 0.2, 4)
+    // quantize4, not round(_, 4): the score is oracle-compared and
+    // round() is not portable across engines (see Quantize).
+    Quantize.quantize4(lenScore * 0.3 + punctScore * 0.2 + swScore * 0.3 + wordLenScore * 0.2)
   }
 
   /** Order-sensitive 64-bit document fingerprint: a rolling hash
@@ -111,4 +113,11 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     aggregate(tokens(text), lit(-3750763034362895579L), // FNV-1a offset basis
       (acc, t) => xxhash64(acc, t))
+
+  /** Portable order-sensitive fingerprint: md5 of the normalized
+    * (lowercased, whitespace-collapsed) token stream. Same identity
+    * semantics as [[fingerprint64]] but reproducible by any engine
+    * with md5 — this is the oracle-checkable variant. */
+  def fingerprintMd5(text: Column): Column =
+    md5(array_join(tokens(text), " "))
 }

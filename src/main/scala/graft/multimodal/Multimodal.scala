@@ -28,7 +28,9 @@ object Multimodal {
       // STUB fields: a real decoder would emit true dims/durations.
       width: Int, height: Int, sample_rate: Int,
       byte_entropy: Double,
-      histogram_head: Seq[Long]) // first 16 of the 256-bin byte histogram
+      // first 16 of the 256-bin byte histogram, comma-joined: scalar
+      // columns only — array columns break flat oracle comparison
+      histogram_head: String)
 
   /** Deterministic fake decode — STUB for the codec call a production
     * deployment would make (e.g. JNI to a codec, or `mapInPandas` +
@@ -77,7 +79,7 @@ object Multimodal {
         val (w, h, sr) = decodeStub(a.media_type, bytes)
         AssetFeatures(a.asset_id, a.media_type, bytes.length.toLong,
           java.util.Arrays.hashCode(bytes).toLong, w, h, sr,
-          math.rint(entropy * 10000) / 10000, hist.take(16).toSeq)
+          math.rint(entropy * 10000) / 10000, hist.take(16).mkString(","))
       }
     }
   }

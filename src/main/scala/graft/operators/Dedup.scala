@@ -76,7 +76,7 @@ object Dedup {
     val ja = jaccard(
       TextFunctions.wordShingles(col("text_a"), shingleK),
       TextFunctions.wordShingles(col("text_b"), shingleK))
-    cands.withColumn("jaccard", round(ja, 4))
+    cands.withColumn("jaccard", graft.functions.Quantize.quantize4(ja))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -151,7 +151,7 @@ object Dedup {
       // borderline pairs the prefix variant rightly prunes)
       .filter(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")) >= threshold)
       .withColumn("jaccard",
-        round(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")), 4))
+        graft.functions.Quantize.quantize4(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter"))))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -200,7 +200,7 @@ object Dedup {
     withSets
       .withColumn("__j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("__j") >= threshold) // unrounded, matching exhaustive
-      .withColumn("jaccard", round(col("__j"), 4))
+      .withColumn("jaccard", graft.functions.Quantize.quantize4(col("__j")))
       .select("id_a", "id_b", "jaccard")
   }
 

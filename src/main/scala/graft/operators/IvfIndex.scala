@@ -96,6 +96,6 @@ object IvfIndex {
       .dropDuplicates("query_id", "nbr_id")
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+      .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
   }
 }

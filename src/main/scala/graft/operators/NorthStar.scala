@@ -86,13 +86,21 @@ object NorthStar {
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       TextFunctions.langId(col("text")).as("lang_pred"))
-      .withColumn("correct", (col("lang") === col("lang_pred")).cast("int"))
+      .withColumn("correct", (col("lang") === col("lang_pred")).cast("long"))
       .orderBy("doc_id")
 
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
       TextFunctions.fingerprint64(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** md5-of-token-stream fingerprint — same semantics, DuckDB-oracled
+    * (the xxhash64 chain above is Spark-specific, rows-only check). */
+  def fingerprintsMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fingerprint_md5"))
       .orderBy("doc_id")
 
   // -------------------------------------------------------- similarity
@@ -143,6 +151,7 @@ object NorthStar {
   def frameSamples(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.assetsFromDocuments(spark, dir).toDF(), n = 4, frameBytes = 32)
-      .select("asset_id", "media_type", "frame_idx", "frame_size")
+      .select(col("asset_id"), col("media_type"),
+        col("frame_idx").cast("long").as("frame_idx"), col("frame_size"))
       .orderBy("asset_id", "frame_idx")
 }

@@ -52,7 +52,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+      .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
   /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes, bit p =
@@ -108,7 +108,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+      .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs: same LSH candidate

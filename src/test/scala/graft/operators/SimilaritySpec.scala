@@ -28,7 +28,7 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3,
       queries = Some(emb.filter(col("vec_id") < 10))).collect()
       .groupBy(_.getLong(0)).map { case (q, rows) =>
-        q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+        q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
       }
     (0L until 10L).foreach { q =>
       val expected = vecs.toSeq.filter(_._1 != q)

@@ -40,6 +40,15 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame):
         return [f"schema mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"]
     if len(got) != len(want):
         return [f"row count mismatch: spark={len(got)} oracle={len(want)}"]
+    # the driver hashes raw values, so an int column vs a float column (e.g.
+    # DuckDB HUGEINT -> pandas float64) mismatches even when values are equal
+    for c in got.columns:
+        gk = got[c].dtype.kind
+        wk = want[c].dtype.kind
+        if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
+            issues.append(
+                f"col {c}: dtype class mismatch spark={got[c].dtype} oracle={want[c].dtype}"
+                " (driver hash will differ; CAST the oracle)")
     g, w = canon(got), canon(want)
     for c in g.columns:
         gv, wv = g[c], w[c]
