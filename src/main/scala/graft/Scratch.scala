@@ -1,0 +1,58 @@
+package graft
+
+// Ad-hoc profiling harness — not part of the library surface.
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    import graft.operators.{Dedup, NorthStar}
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIME $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      spark.catalog.clearCache()
+    }
+
+    // warmup
+    spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    docs.cache().count()
+
+    time("tokens only") {
+      docs.select(TextFunctions.tokens(col("text")).as("t")).agg(sum(size(col("t")))).collect(); docs.count()
+    }
+    time("wordShingles(3)") {
+      docs.select(TextFunctions.wordShingles(col("text"), 3).as("s")).agg(sum(size(col("s")))).collect(); docs.count()
+    }
+    time("postings explode") {
+      docs.select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), 3)).as("sh")).count()
+    }
+    time("d09 full (current)") {
+      NorthStar.ngramJaccardNearDups(spark, sfDir).count()
+    }
+    time("d07 full (current)") {
+      NorthStar.minhashNearDups(spark, sfDir).count()
+    }
+    time("d08 full (current)") {
+      NorthStar.simhashNearDups(spark, sfDir).count()
+    }
+    time("dump planted sims") {
+      val planted = graft.operators.NorthStar.plantedDocsForScratch(spark, sfDir)
+      val sims = planted.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
+      sims.write.mode("overwrite").parquet("/tmp/scratch_sims")
+      sims.count()
+    }
+    spark.stop()
+  }
+}

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{column => _}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the sketching hot path.
   *
@@ -185,6 +186,114 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression): SignLshBucket = copy(c)
   }
 
+  /** Tokenizer kernel — the imperative twin of `TextFunctions.tokens`
+    * (`filter(split(lower(trim(text)), "\s+"), _ =!= "")`): lowercase
+    * via `UTF8String.toLowerCase` (same method the `lower()` SQL
+    * function calls), split on Java-regex `\s` whitespace (the six
+    * ASCII chars — multibyte UTF-8 never contains ASCII bytes, so a
+    * byte scan is safe), drop empties. Interpreted HOF chains cost
+    * ~3s per 5k docs at sf0.1; this is one pass. */
+  def tokenizeKernel(s: UTF8String): Array[UTF8String] = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](16)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val isWs = i == n || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      }
+      if (isWs) {
+        if (start >= 0) { out += UTF8String.fromBytes(bytes, start, i - start); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** array<string> tokens of raw text — drop-in for the HOF
+    * formulation of `TextFunctions.tokens` (identical output). */
+  case class Tokenize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      new GenericArrayData(
+        tokenizeKernel(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+    override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
+  }
+
+  /** Sorted distinct 64-bit hashes of the k-word shingles of raw
+    * text. A shingle's hash is the seed-42 chain of its tokens'
+    * hashes — same discriminating power as hashing the joined string
+    * (distinctness preserved modulo 64-bit collisions), without
+    * materializing shingle strings. Shorter-than-k docs contribute
+    * one whole-token-stream shingle, mirroring
+    * `TextFunctions.wordShingles`. Sorted output lets
+    * [[SortedLongJaccard]] verify candidates with one merge scan. */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any = {
+      val toks = tokenizeKernel(v.asInstanceOf[UTF8String])
+      val n = toks.length
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) { th(i) = XxHash64Function.hash(toks(i), StringType, 42L); i += 1 }
+      val nShingles = math.max(n - k + 1, 1)
+      val hs = new Array[Long](nShingles)
+      var s = 0
+      while (s < nShingles) {
+        var h = 42L
+        var j = 0
+        while (j < k && s + j < n) { h = XxHash64Function.hash(th(s + j), LongType, h); j += 1 }
+        hs(s) = h
+        s += 1
+      }
+      java.util.Arrays.sort(hs)
+      // dedupe in place (sorted)
+      var w = 0
+      var r = 0
+      while (r < nShingles) {
+        if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+        r += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
+  }
+
+  /** Exact Jaccard of two SORTED DISTINCT array<long> sets via one
+    * merge scan — O(|a|+|b|), no hash sets, no HOFs. Empty∪empty →
+    * 0.0 (matches `Dedup.jaccard`'s `when(union > 0)` guard). */
+  case class SortedLongJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
   // Column-API wrappers (Spark 4: Column wraps a ColumnNode, so the
   // classic converter — reached via GraftColumnBridge — bridges
   // to/from catalyst Expressions)
@@ -193,6 +302,11 @@ object SketchExpressions {
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
   def minhashSignature(tokens: Column, numHashes: Int, shingleK: Int): Column =
     toColumn(MinHashSignature(toExpression(tokens), numHashes, shingleK))
+  def tokenize(text: Column): Column = toColumn(Tokenize(toExpression(text)))
+  def shingleHashes(text: Column, k: Int): Column =
+    toColumn(ShingleHashes(toExpression(text), k))
+  def sortedLongJaccard(a: Column, b: Column): Column =
+    toColumn(SortedLongJaccard(toExpression(a), toExpression(b)))
   def floatDot(a: Column, b: Column): Column =
     toColumn(FloatVectorDot(toExpression(a), toExpression(b)))
   def signLshBucket(vec: Column, planes: Int, table: Int): Column =

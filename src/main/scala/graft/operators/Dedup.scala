@@ -60,23 +60,32 @@ object Dedup {
     * would otherwise quadratically dominate a task. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 4000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleK)
-    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", sig)
+    // One pass computes BOTH the MinHash signature (for banding) and
+    // the sorted shingle-hash set (for exact verification); cached so
+    // the band explode and the verification joins share it.
+    val base = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleK).as("sig"),
+        graft.functions.SketchExpressions.shingleHashes(col(textCol), shingleK).as("sh"))
+      .cache()
+    val banded = base
       .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("b"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("h")))))
-      .select(col("id"), col("text"), col("band.b").as("band_idx"), col("band.h").as("band_hash"))
+      .select(col("id"), col("band.b").as("band_idx"), col("band.h").as("band_hash"))
 
-    val cands = bucketSelfPairs(banded, Seq("band_idx", "band_hash"),
-      Seq("id", "text"), maxBucket)
-
-    val ja = jaccard(
-      TextFunctions.wordShingles(col("text_a"), shingleK),
-      TextFunctions.wordShingles(col("text_b"), shingleK))
-    cands.withColumn("jaccard", graft.functions.Quantize.quantize4(ja))
+    // Candidates carry ids ONLY: the 16× band explode shuffles 8-byte
+    // ids instead of full document text; shingle sets join back for
+    // the (much smaller) candidate set. At cluster scale these are
+    // two hash joins on the doc id — never a text broadcast.
+    val cands = bucketSelfJoinPairs(banded, Seq("band_idx", "band_hash"),
+      Seq("id"), maxBucket)
+    val ja = graft.functions.SketchExpressions.sortedLongJaccard(col("sh_a"), col("sh_b"))
+    cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", graft.functions.Quantize.quantize4(ja))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -96,29 +105,39 @@ object Dedup {
     graft.functions.SketchExpressions.simhash64(TextFunctions.tokens(text))
 
   /** Near-dup pairs by SimHash: pigeonhole the 64 bits into `chunks`
-    * equal chunks — any pair within Hamming distance `chunks − 1`
+    * near-equal chunks — any pair within Hamming distance `chunks − 1`
     * shares ≥1 exact chunk — bucket-join on (chunk index, chunk
-    * value), verify `bit_count(a XOR b) <= maxHamming`. Default 8×8
-    * bits: guaranteed recall for hamming ≤7 (a one-token edit on a
-    * short doc routinely flips 4-6 bits; 4×16 chunks missed those). */
+    * value), verify `bit_count(a XOR b) <= maxHamming`. The output is
+    * exactly the hamming ≤ `maxHamming` pair set for ANY chunk count
+    * > maxHamming (pigeonhole guarantees recall; the verify filter
+    * removes the rest), so chunk count is purely a candidate-volume
+    * knob: 7 chunks of 9-10 bits halve the expected bucket collisions
+    * of 8×8 while still covering maxHamming = 6 (a one-token edit on
+    * a short doc routinely flips 4-6 bits; 4×16 chunks missed those). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6, chunks: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    require(64 % chunks == 0, "chunks must divide 64")
-    val bits = 64 / chunks
-    val mask = (1L << bits) - 1
+      maxHamming: Int = 6, chunks: Int = 7, maxBucket: Int = 4000): DataFrame = {
+    require(chunks > maxHamming, "pigeonhole needs chunks > maxHamming")
+    require(chunks <= 64, "at most one chunk per bit")
+    val widths = Array.tabulate(chunks)(j => 64 / chunks + (if (j < 64 % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSim = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", simhash64(col("text")))
     val chunked = withSim
       .withColumn("chunk", explode(array((0 until chunks).map(j =>
         struct(lit(j).as("j"),
-          shiftrightunsigned(col("sim"), j * bits).bitwiseAND(lit(mask)).as("v"))): _*)))
+          shiftrightunsigned(col("sim"), offsets(j))
+            .bitwiseAND(lit((1L << widths(j)) - 1)).as("v"))): _*)))
       .select(col("id"), col("sim"), col("chunk.j").as("chunk_idx"), col("chunk.v").as("chunk_val"))
 
-    bucketSelfPairs(chunked, Seq("chunk_idx", "chunk_val"),
-      Seq("id", "sim"), maxBucket)
+    // Hamming-filter BEFORE the cross-chunk dedup: bit_count is a
+    // codegen'd long op, so pruning the ~7× chunk-collision stream
+    // first leaves dropDuplicates a small survivor set.
+    bucketSelfJoinPairs(chunked, Seq("chunk_idx", "chunk_val"),
+      Seq("id", "sim"), maxBucket, dedupPairs = false)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -135,16 +154,28 @@ object Dedup {
     * the guard. */
   def ngramJaccardPairsExhaustive(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
+    // Postings carry 8-byte shingle HASHES (sorted-distinct kernel),
+    // not shingle strings: the posting shuffle and the self-join key
+    // shrink ~4×, and the whole pairing path stays in codegen. Null
+    // text → null shingles, excluded in BOTH variants so they agree:
+    // a contentless doc never pairs.
     val base = df.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
-      .withColumn("set_size", size(col("shingles")))
-    // Null shingles (null-text docs) are excluded in BOTH variants so
-    // they agree: a contentless doc never pairs.
-    val postings = base.select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
+      graft.functions.SketchExpressions.shingleHashes(col(textCol), n).as("sh"))
       .filter(col("sh").isNotNull)
-    // No dropDuplicates here: each shared shingle must contribute one
-    // pair occurrence, counted below as |A∩B|.
-    val pairs = postingPairs(postings, maxPosting)
+      .withColumn("set_size", size(col("sh")))
+    val postings = base
+      .select(col("id"), col("set_size"), explode(col("sh")).as("gh"))
+      .cache()
+    val hot = postings.groupBy(col("gh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPosting)
+      .select(col("gh"))
+    val cool = postings.join(broadcast(hot), Seq("gh"), "left_anti")
+    // Sort-merge/shuffled-hash self-join on the 8-byte key, then one
+    // partial-aggregating groupBy: each shared shingle contributes one
+    // pair occurrence, counted as |A∩B|.
+    val pairs = cool.select(col("gh"), col("id").as("id_a"), col("set_size").as("set_size_a"))
+      .join(cool.select(col("gh"), col("id").as("id_b"), col("set_size").as("set_size_b")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
     pairs.groupBy(col("id_a"), col("id_b"), col("set_size_a"), col("set_size_b"))
       .agg(count(lit(1)).as("inter"))
       // threshold on the UNROUNDED value (rounding first would admit
@@ -204,6 +235,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Join-based twin of [[bucketSelfPairs]]: pairs come from a
+    * self-JOIN on the bucket keys instead of per-bucket list
+    * expansion. A hot bucket's n² pairs then spread across join tasks
+    * (AQE skew-split), instead of landing in ONE task's array loop —
+    * so the hot-bucket cap can sit ~4× higher for the same worst-case
+    * latency, buying recall on skewed key spaces (measured: simhash
+    * chunk buckets of 1.7k docs on the uniform-vocab fixture, dropped
+    * at cap 1000, kept at 4000 → exact hamming recall). Same output
+    * contract as [[bucketSelfPairs]]. */
+  private[operators] def bucketSelfJoinPairs(df: DataFrame, keys: Seq[String],
+      payload: Seq[String], maxBucket: Int, dedupPairs: Boolean = true): DataFrame = {
+    require(payload.contains("id"), "payload must carry the id column")
+    val cached = df.cache()
+    val keyCols = keys.map(col)
+    val hot = cached.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(keyCols: _*)
+    val cool = cached.join(broadcast(hot), keys, "left_anti")
+    val a = cool.select(keyCols ++ payload.map(c => col(c).as(s"${c}_a")): _*)
+    val b = cool.select(keyCols ++ payload.map(c => col(c).as(s"${c}_b")): _*)
+    val out = a.join(b, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(payload.map(c => col(s"${c}_a")) ++ payload.map(c => col(s"${c}_b")): _*)
+    if (dedupPairs) out.dropDuplicates("id_a", "id_b") else out
+  }
+
   /** Shared candidate generator: all (id_a < id_b) pairs of rows
     * sharing a bucket key, in ONE pass.
     *
@@ -257,9 +314,4 @@ object Dedup {
     if (dedupPairs) out.dropDuplicates("id_a", "id_b") else out
   }
 
-  /** Pair occurrences per shared posting key — NOT deduped: the n-gram
-    * join counts one occurrence per common shingle. */
-  private def postingPairs(postings: DataFrame, maxPosting: Int): DataFrame =
-    bucketSelfPairs(postings, Seq("sh"), Seq("id", "set_size"),
-      maxPosting, dedupPairs = false)
 }

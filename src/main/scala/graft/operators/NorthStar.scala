@@ -26,6 +26,10 @@ object NorthStar {
     docs.unionByName(mutated)
   }
 
+  /** Scratch/profiling access to the planted-dup corpus. */
+  def plantedDocsForScratch(spark: SparkSession, dir: String): DataFrame =
+    withPlantedNearDups(spark, dir)
+
   // ------------------------------------------------------------- dedup
 
   /** Exact dedup groups over raw documents (DuckDB-oracle-checked);
