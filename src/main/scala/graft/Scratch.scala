@@ -47,11 +47,20 @@ object Scratch {
     time("d08 full (current)") {
       NorthStar.simhashNearDups(spark, sfDir).count()
     }
-    time("dump planted sims") {
-      val planted = graft.operators.NorthStar.plantedDocsForScratch(spark, sfDir)
-      val sims = planted.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
-      sims.write.mode("overwrite").parquet("/tmp/scratch_sims")
-      sims.count()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.cache().count()
+    time("ivf build only") {
+      val (assigned, cents) = graft.operators.IvfIndex.build(spark, emb, "vec_id", "embedding", 10)
+      assigned.count()
+    }
+    time("v04 full") {
+      NorthStar.ivfTopK(spark, sfDir).count()
+    }
+    time("v02 full") {
+      NorthStar.annTopK(spark, sfDir).count()
+    }
+    time("v03 full") {
+      NorthStar.embeddingNearDups(spark, sfDir).count()
     }
     spark.stop()
   }

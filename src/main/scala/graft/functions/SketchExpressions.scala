@@ -294,6 +294,89 @@ object SketchExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
+  /** All `bands` LSH band hashes of a MinHash signature in one pass:
+    * band b's hash is the seed-42-chained XxHash64 of its
+    * `len/bands` consecutive signature entries. Collision-equivalent
+    * to `xxhash64(slice(sig, …))` per band (same band slice ⇒ same
+    * hash) without the interpreted transform+slice chain. */
+  case class BandHashes(child: Expression, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bands >= 1, "bands must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val rows = n / bands
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 42L
+        var j = b * rows
+        val end = j + rows
+        while (j < end) { h = XxHash64Function.hash(arr.getLong(j), LongType, h); j += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): BandHashes = copy(child = c)
+  }
+
+  /** The `m` nearest quantizer cells for an array<float> vector,
+    * ranked by squared euclidean to each centroid (|c|² − 2q·c; the
+    * |q|² term is constant per row), ties broken by cell id. The
+    * centroid table is part of the expression (it is a tiny fitted
+    * model — cells × dim floats — exactly what a driver would
+    * broadcast), so probe selection costs one eval per row instead of
+    * a crossJoin + window shuffle. */
+  case class TopCells(child: Expression, centroids: Array[Array[Float]], m: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(m >= 1 && m <= centroids.length, "1 <= m <= nCells")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    @transient private lazy val cNorm2: Array[Double] =
+      centroids.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+        s
+      }
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val k = centroids.length
+      val dist = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        val n = math.min(arr.numElements(), cent.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += arr.getFloat(i).toDouble * cent(i); i += 1 }
+        dist(c) = cNorm2(c) - 2.0 * dot
+        c += 1
+      }
+      // selection of the m smallest (k is small; simple partial sort)
+      val idx = Array.tabulate(k)(identity)
+      var s = 0
+      while (s < m) {
+        var best = s
+        var t = s + 1
+        while (t < k) {
+          if (dist(idx(t)) < dist(idx(best)) ||
+            (dist(idx(t)) == dist(idx(best)) && idx(t) < idx(best))) best = t
+          t += 1
+        }
+        val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
+        s += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(idx, m))
+    }
+    override protected def withNewChildInternal(c: Expression): TopCells = copy(child = c)
+  }
+
   // Column-API wrappers (Spark 4: Column wraps a ColumnNode, so the
   // classic converter — reached via GraftColumnBridge — bridges
   // to/from catalyst Expressions)
@@ -307,6 +390,10 @@ object SketchExpressions {
     toColumn(ShingleHashes(toExpression(text), k))
   def sortedLongJaccard(a: Column, b: Column): Column =
     toColumn(SortedLongJaccard(toExpression(a), toExpression(b)))
+  def topCells(vec: Column, centroids: Array[Array[Float]], m: Int): Column =
+    toColumn(TopCells(toExpression(vec), centroids, m))
+  def bandHashes(sig: Column, bands: Int): Column =
+    toColumn(BandHashes(toExpression(sig), bands))
   def floatDot(a: Column, b: Column): Column =
     toColumn(FloatVectorDot(toExpression(a), toExpression(b)))
   def signLshBucket(vec: Column, planes: Int, table: Int): Column =

@@ -62,7 +62,6 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // One pass computes BOTH the MinHash signature (for banding) and
     // the sorted shingle-hash set (for exact verification); cached so
     // the band explode and the verification joins share it.
@@ -71,9 +70,10 @@ object Dedup {
         graft.functions.SketchExpressions.shingleHashes(col(textCol), shingleK).as("sh"))
       .cache()
     val banded = base
-      .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("b"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("h")))))
-      .select(col("id"), col("band.b").as("band_idx"), col("band.h").as("band_hash"))
+      .select(col("id"), posexplode(
+        graft.functions.SketchExpressions.bandHashes(col("sig"), bands)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
 
     // Candidates carry ids ONLY: the 16× band explode shuffles 8-byte
     // ids instead of full document text; shingle sets join back for

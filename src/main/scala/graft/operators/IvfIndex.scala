@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,45 +13,142 @@ import graft.functions.SketchExpressions
   * variant as the scale path").
   *
   * Division of labor is the point at scale:
-  *  - TRAIN (driver-coordinated, sampled): MLlib KMeans fits `nCells`
-  *    centroids — on 100 TB you fit on a sample; the model is tiny
-  *    (cells × dim floats).
-  *  - ASSIGN (distributed, linear): every vector gets its cell id —
-  *    one scan, the "index build". A real deployment persists this
+  *  - TRAIN (driver-local, sampled): Lloyd's k-means fits `nCells`
+  *    centroids on a bounded sample collected to the driver — on
+  *    100 TB you fit on a sample regardless; the model is tiny
+  *    (cells × dim floats) and a distributed fit would spend more on
+  *    per-iteration job scheduling than on arithmetic.
+  *  - ASSIGN (distributed, linear): every vector gets its cell id
+  *    from one [[SketchExpressions.TopCells]] evaluation — one scan,
+  *    the "index build". A real deployment persists this
   *    partitioned-by-cell.
-  *  - SEARCH (distributed, pruned): each query scores the centroid
-  *    table (broadcast — it is tiny), keeps `nProbe` cells, joins
+  *  - SEARCH (distributed, pruned): each query ranks the (in-
+  *    expression) centroid table, keeps `nProbe` cells, joins
   *    cell-partitioned candidates, exact-scores only those. Work per
-  *    query drops from O(n) to O(n · nProbe / nCells).
+  *    query drops from O(n) to O(n · nProbe / nCells), with no
+  *    centroid crossJoin or window shuffle — probe selection is a
+  *    per-row expression.
   */
 object IvfIndex {
 
-  /** Build cell assignments + the centroid table. */
+  /** Driver-local Lloyd's k-means over a sample: k-means++ style
+    * seeding (deterministic, seeded) then at most `iters` sweeps,
+    * stopping early when assignments stabilize. Returns `k` centroids
+    * as float arrays (cells may end up empty on degenerate input —
+    * they simply attract no candidates). */
+  private[operators] def fitCentroids(sample: Array[Array[Float]], k: Int,
+      seed: Long = 42L, iters: Int = 15): Array[Array[Float]] = {
+    require(sample.nonEmpty, "cannot fit a quantizer on an empty sample")
+    val dim = sample(0).length
+    val rng = new scala.util.Random(seed)
+    val n = sample.length
+
+    def dist2(a: Array[Float], c: Array[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < dim) { val t = a(i) - c(i); d += t * t; i += 1 }
+      d
+    }
+
+    // k-means++ seeding: first center uniform, then proportional to
+    // squared distance from the nearest chosen center.
+    val centers = Array.ofDim[Double](k, dim)
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c0 = sample(rng.nextInt(n))
+    var ci = 0
+    while (ci < k) {
+      var j = 0
+      while (j < dim) { centers(ci)(j) = c0(j); j += 1 }
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val d = dist2(sample(i), centers(ci))
+        if (d < d2(i)) d2(i) = d
+        total += d2(i)
+        i += 1
+      }
+      ci += 1
+      if (ci < k) {
+        var target = rng.nextDouble() * total
+        var pick = 0
+        i = 0
+        while (i < n && target > 0) { target -= d2(i); if (target > 0) pick = math.min(i + 1, n - 1); i += 1 }
+        c0 = sample(pick)
+      }
+    }
+
+    val assign = new Array[Int](n)
+    java.util.Arrays.fill(assign, -1)
+    var it = 0
+    var changed = true
+    while (it < iters && changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = dist2(sample(i), centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (best != assign(i)) { assign(i) = best; changed = true }
+        i += 1
+      }
+      if (changed) {
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Int](k)
+        i = 0
+        while (i < n) {
+          val c = assign(i)
+          counts(c) += 1
+          var j = 0
+          while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+      }
+      it += 1
+    }
+    centers.map(_.map(_.toFloat))
+  }
+
+  /** Fit centroids on a bounded deterministic sample of `df`. */
+  private[operators] def trainQuantizer(df: DataFrame, vecCol: String,
+      nCells: Int, seed: Long = 42L, maxSample: Int = 100000): Array[Array[Float]] = {
+    val sample = df.select(col(vecCol)).limit(maxSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    fitCentroids(sample, nCells, seed)
+  }
+
+  /** Build cell assignments (the distributed index artifact). */
   def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+      nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Float]]) = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("mlvec", array_to_vector(col("vec")))
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("mlvec").setPredictionCol("cell")
-      .fit(base)
+    val centroids = trainQuantizer(base, "vec", nCells, seed)
     // Materialize the index: cell assignment + per-row norm is the
-    // build artifact (production persists it partitioned by cell);
-    // without this every downstream consumer re-runs the k-means
-    // transform, and norms would be recomputed per consumer.
+    // build artifact (production persists it partitioned by cell).
     // cache() — see Dedup.bucketSelfPairs for the cache-vs-checkpoint
     // tradeoff; callers clear the session cache between jobs.
-    val assigned = model.transform(base).drop("mlvec")
+    val assigned = base
+      .withColumn("cell",
+        SketchExpressions.topCells(col("vec"), centroids, 1).getItem(0))
       .withColumn("norm", Similarity.l2Norm(col("vec")))
       .cache()
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) })
-      .toDF("cell", "centroid")
     (assigned, centroids)
   }
 
   /** Approximate top-k via cell probing. `queries` defaults to the
-    * whole corpus (all-pairs kNN shape). */
+    * whole corpus (all-pairs kNN shape); external query frames must
+    * carry distinct ids. */
   def topK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 3,
       queries: Option[DataFrame] = None): DataFrame = {
@@ -66,22 +161,18 @@ object IvfIndex {
         .withColumn("qnorm", Similarity.l2Norm(col("vec"))))
       .getOrElse(assigned.select(col("id"), col("vec"), col("norm").as("qnorm")))
 
-    // Probe selection: tiny centroid table broadcast against queries.
-    // Rank cells by squared euclidean |q−c|² = |q|² − 2q·c + |c|²;
-    // |q|² is constant per query so |c|² − 2q·c suffices (plain −q·c
-    // would bias toward long centroids).
-    val probeW = Window.partitionBy("id").orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        SketchExpressions.floatDot(col("centroid"), col("centroid")) -
-          lit(2.0) * SketchExpressions.floatDot(col("vec"), col("centroid")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
+    // Probe selection is one expression evaluation per query row —
+    // the centroid table lives inside the expression, so there is no
+    // crossJoin and no window shuffle here.
+    val probes = q
+      .withColumn("cell",
+        explode(SketchExpressions.topCells(col("vec"), centroids, nProbe)))
       .select(col("id").as("query_id"), col("vec").as("query_vec"),
         col("qnorm"), col("cell"))
 
     // Candidate join inside probed cells only, then exact cosine top-k
-    // (norms precomputed per row, not per pair).
+    // (norms precomputed per row, not per pair). No pair dedup needed:
+    // a neighbor lives in exactly one cell, so (query, nbr) is unique.
     val cands = probes.join(
         assigned.select(col("cell"), col("id").as("nbr_id"),
           col("vec").as("nbr_vec"), col("norm").as("nnorm")),
@@ -93,9 +184,10 @@ object IvfIndex {
       .withColumn("cosine", Similarity.cosineWithNorms(
         SketchExpressions.floatDot(col("query_vec"), col("nbr_vec")),
         col("qnorm"), col("nnorm")))
-      .dropDuplicates("query_id", "nbr_id")
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.Quantize.quantize4(col("cosine")).as("cosine"),
+        col("rank").cast("long").as("rank"))
   }
 }

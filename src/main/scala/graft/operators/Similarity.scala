@@ -72,34 +72,37 @@ object Similarity {
     * n²/2^planes blowing up as the corpus grows past the tuning SF. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 0, tables: Int = 10, maxBucket: Int = 2000): DataFrame = {
+    // The vector table is the expensive artifact: cache it once; the
+    // bucket stream derives from it in ONE scan (all hash tables
+    // evaluated in one projection and exploded), and the candidate
+    // scoring joins back against it by id.
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
+      .cache()
     val p =
       if (planes > 0) planes
       else {
         val n = base.count().max(1)
         math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
       }
-    // One branch per hash table (each with its own hyperplane family),
-    // unioned: Catalyst plans this as one scan per branch over the
-    // same source, and the downstream shuffle keys on (table, bucket).
-    val perTable = (0 until tables).map { t =>
-      base.withColumn("table_idx", lit(t))
-        .withColumn("bucket", lshBucket(col("vec"), p, t))
-    }.reduce(_ unionByName _)
+    val buckets = base.select(col("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), lshBucket(col("vec"), p, t).as("b"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("table_idx"), col("tb.b").as("bucket"))
 
-    // Single-pass in-bucket pair expansion (see Dedup.bucketSelfPairs:
-    // hot-bucket blacklist → collect_list → pair expressions). Score
-    // FIRST, dedup after: a pair colliding in several tables costs a
-    // few extra (codegen'd) dot products, but the dedup shuffle then
-    // moves 3 narrow columns instead of two 64-float vectors per row.
-    // ANN needs BOTH directions of each pair → mirror after dedup.
-    val half = Dedup.bucketSelfPairs(perTable, Seq("table_idx", "bucket"),
-      Seq("id", "vec", "norm"), maxBucket, dedupPairs = false)
+    // Candidates are (id, id) pairs ONLY — deduped across tables
+    // while still 16 bytes wide — then the two joins against the
+    // cached vector table (broadcast when small; hash join on id at
+    // scale) attach vectors for exactly one scoring pass per unique
+    // pair. ANN needs BOTH directions of each pair → mirror after
+    // scoring.
+    val half = Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
+      Seq("id"), maxBucket, dedupPairs = true)
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .withColumn("cosine", cosineWithNorms(
         dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .dropDuplicates("id_a", "id_b")
     val scored = half.select(
         col("id_a").as("query_id"), col("id_b").as("nbr_id"), col("cosine"))
       .unionByName(half.select(

@@ -69,9 +69,12 @@ object Ingest {
     * pandas reader binds by name). */
   def validateHeaders(spark: SparkSession, files: Seq[String]): Discovery = {
     if (files.isEmpty) return Discovery(Seq.empty, Seq.empty, Map.empty)
-    import spark.implicits._
     val required = CocoaSchema.requiredColumns
-    val flagged = files.toDS().repartition(math.min(files.size, 64)).map { p =>
+    // parallelize with explicit slices: one task per file (capped),
+    // no shuffle — repartition() would add an exchange stage just to
+    // spread a file list.
+    val flagged = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64)).map { p =>
       val header =
         try {
           val path = new Path(p)
