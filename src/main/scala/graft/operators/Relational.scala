@@ -210,6 +210,22 @@ object Relational {
         qavg(col("value"), 100).as("avg_value"))
       .orderBy("day", "event_type")
 
+  /** Semi-structured JSON on the data plane: extract a field from the
+    * events `props` JSON column and aggregate it — the engine-side
+    * twin of a JSON-functions dashboard query (§2.1 notes the
+    * reference keeps JSON control-plane-only; the engine supports it
+    * on rows). `get_json_object` is codegen'd; the cast-to-long keeps
+    * the aggregate exact. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** ROLLUP grouping sets over the two lineitem status dimensions. */
   def rollupQuantities(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
