@@ -47,6 +47,28 @@ object Scratch {
     time("d08 full (current)") {
       NorthStar.simhashNearDups(spark, sfDir).count()
     }
+    locally {
+      import graft.pipeline._
+      val root = java.nio.file.Files.createTempDirectory("cocoa_scratch").toString
+      val dirs = CocoaPipeline.Dirs(
+        s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")
+      time("cocoa gen batch 1") {
+        CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 41, idOffset = 0); 0L
+      }
+      time("cocoa run batch 1") {
+        CocoaPipeline.runBatch(spark, dirs, new java.sql.Timestamp(1700000000000L)).warehouseRows
+      }
+      time("cocoa gen batch 2") {
+        CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 42, idOffset = 500); 0L
+      }
+      time("cocoa run batch 2") {
+        CocoaPipeline.runBatch(spark, dirs, new java.sql.Timestamp(1700000100000L)).warehouseRows
+      }
+      time("cocoa read+order") {
+        Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id").count()
+      }
+    }
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.cache().count()
     time("ivf build only") {

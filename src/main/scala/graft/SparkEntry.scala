@@ -439,6 +439,97 @@ object SparkEntry {
         |  FROM r)
         |SELECT doc_id, lang, lang_pred, CAST(CAST(lang = lang_pred AS INT) AS BIGINT) AS correct
         |FROM p ORDER BY doc_id""".stripMargin,
+    // d07's MinHash-LSH candidates verify exact shingle Jaccard, and
+    // 32 bands × 4 rows hold the per-pair miss probability below 1e-8
+    // at the fixture's minimum pair Jaccard — so the output IS the
+    // exhaustive ≥ 0.5 pair set and shares d09's oracle shape. The
+    // filter applies to the QUANTIZED value, exactly as the operator
+    // does.
+    "d07_minhash_near_dups" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM docs WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs WHERE floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d08 recomputes the ENTIRE SimHash sketch in SQL: the portable
+    // token hash (poly-31 over codepoints + two 32-bit-constant
+    // multiply/xorshift rounds; see SketchExpressions.
+    // portableTokenHash64) wraps mod 2^64 via HUGEINT intermediates,
+    // and the pigeonhole chunk join on the Spark side guarantees exact
+    // recall at hamming ≤ 6 — so both engines produce the identical
+    // exhaustive hamming-≤-6 pair set.
+    "d08_simhash_near_dups" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        |  FROM docs),
+        |h0 AS (
+        |  SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS h
+        |  FROM tok),
+        |f1 AS (SELECT doc_id, CAST((CAST(xor(h, h >> 33) AS HUGEINT) * 4283543511) % 18446744073709551616 AS UBIGINT) AS z FROM h0),
+        |f2 AS (SELECT doc_id, CAST((CAST(xor(z, z >> 29) AS HUGEINT) * 3301882366) % 18446744073709551616 AS UBIGINT) AS z FROM f1),
+        |th AS (SELECT doc_id, xor(z, z >> 32) AS h FROM f2),
+        |bits AS (
+        |  SELECT doc_id, b.b AS bit,
+        |    CASE WHEN sum(CASE WHEN ((h >> CAST(b.b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS s
+        |  FROM th, generate_series(0, 63) b(b)
+        |  GROUP BY doc_id, b.b),
+        |sims AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s = 1 THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+    // v03's planted perturbation is plain integer arithmetic (not a
+    // Spark hash), so the oracle rebuilds the identical corpus: DuckDB
+    // lambda indexes are 1-based, hence (i-1); the float add rounds
+    // identically in both engines (a double add of two floats is
+    // exact, so rounding to float equals single-precision IEEE add).
+    // 16 LSH tables hold the per-pair miss at ~1e-7, so the LSH
+    // operator's output is deterministically the exhaustive ≥ 0.95
+    // pair set.
+    "v03_embedding_near_dups" ->
+      """WITH planted AS (
+        |  SELECT vec_id + 100000 AS pid,
+        |    list_transform(embedding, (x, i) ->
+        |      CAST(x + CAST(CAST(((((vec_id + 100000) * 2654435761 + (i - 1) * 40503) % 2001) - 1000) AS DOUBLE) / 20000.0 AS FLOAT) AS FLOAT)) AS emb
+        |  FROM embeddings WHERE vec_id < 40),
+        |corpus AS (
+        |  SELECT vec_id, embedding AS emb FROM embeddings
+        |  UNION ALL SELECT pid AS vec_id, emb FROM planted),
+        |e AS (
+        |  SELECT vec_id, emb::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(emb::DOUBLE[], emb::DOUBLE[])) AS nrm
+        |  FROM corpus),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    floor((CASE WHEN a.nrm * b.nrm > 0 THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
     "d09_ngram_jaccard_near_dups" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

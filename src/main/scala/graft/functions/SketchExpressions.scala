@@ -26,10 +26,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchExpressions {
 
+  /** Portable 64-bit token hash: poly-31 over Unicode codepoints,
+    * finalized with two multiply/xorshift rounds whose constants fit
+    * in 32 bits — chosen so the *identical* arithmetic is expressible
+    * in portable SQL on a 128-bit integer type (a 64×64 multiply
+    * would overflow INT128; 64×32 does not). Scala `Long` arithmetic
+    * wraps mod 2^64, matching the SQL `% 2^64` spelling. Used by the
+    * oracle-checked SimHash variant; avalanche quality is adequate for
+    * sketching (measured near-uniform bit balance over word corpora). */
+  def portableTokenHash64(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = h * 31L + cp
+      i += Character.charCount(cp)
+    }
+    var z = h ^ (h >>> 33)
+    z *= 4283543511L // 0xff51afd7
+    z ^= (z >>> 29)
+    z *= 3301882366L // 0xc4ceb9fe
+    z ^ (z >>> 32)
+  }
+
   /** 64-bit SimHash over an array<string> of tokens: bit b of the
-    * output is the sign of Σ_tokens (±1 by bit b of xxhash64(token)).
-    * Null tokens are skipped; empty/null arrays → 0L. */
-  case class SimHash64(child: Expression)
+    * output is the sign of Σ_tokens (±1 by bit b of hash(token)).
+    * Null tokens are skipped; empty/null arrays → 0L. The hash is
+    * Spark's XxHash64 by default; `portable = true` switches to
+    * [[portableTokenHash64]] so a SQL oracle can recompute the
+    * identical sketch. */
+  case class SimHash64(child: Expression, portable: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
@@ -43,7 +70,9 @@ object SketchExpressions {
       val n = arr.numElements()
       while (i < n) {
         if (!arr.isNullAt(i)) {
-          val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+          val h =
+            if (portable) portableTokenHash64(arr.getUTF8String(i))
+            else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
@@ -60,7 +89,7 @@ object SketchExpressions {
       }
       out
     }
-    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
   /** MinHash signature over an array<string> of *tokens*: builds the
@@ -382,7 +411,8 @@ object SketchExpressions {
   // to/from catalyst Expressions)
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 
-  def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    toColumn(SimHash64(toExpression(tokens), portable))
   def minhashSignature(tokens: Column, numHashes: Int, shingleK: Int): Column =
     toColumn(MinHashSignature(toExpression(tokens), numHashes, shingleK))
   def tokenize(text: Column): Column = toColumn(Tokenize(toExpression(text)))

@@ -100,9 +100,11 @@ object Dedup {
 
   /** 64-bit SimHash of the token stream (classic: bit b is the sign
     * of Σ_tokens ±1 by bit b of the token's hash), via the custom
-    * [[graft.functions.SketchExpressions.SimHash64]] expression. */
-  def simhash64(text: Column): Column =
-    graft.functions.SketchExpressions.simhash64(TextFunctions.tokens(text))
+    * [[graft.functions.SketchExpressions.SimHash64]] expression.
+    * `portable = true` uses the SQL-expressible token hash so an
+    * external engine can recompute identical sketches. */
+  def simhash64(text: Column, portable: Boolean = false): Column =
+    graft.functions.SketchExpressions.simhash64(TextFunctions.tokens(text), portable)
 
   /** Near-dup pairs by SimHash: pigeonhole the 64 bits into `chunks`
     * near-equal chunks — any pair within Hamming distance `chunks − 1`
@@ -115,13 +117,14 @@ object Dedup {
     * of 8×8 while still covering maxHamming = 6 (a one-token edit on
     * a short doc routinely flips 4-6 bits; 4×16 chunks missed those). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6, chunks: Int = 7, maxBucket: Int = 4000): DataFrame = {
+      maxHamming: Int = 6, chunks: Int = 7, maxBucket: Int = 4000,
+      portable: Boolean = false): DataFrame = {
     require(chunks > maxHamming, "pigeonhole needs chunks > maxHamming")
     require(chunks <= 64, "at most one chunk per bit")
     val widths = Array.tabulate(chunks)(j => 64 / chunks + (if (j < 64 % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val withSim = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sim", simhash64(col("text")))
+      .withColumn("sim", simhash64(col("text"), portable))
     val chunked = withSim
       .withColumn("chunk", explode(array((0 until chunks).map(j =>
         struct(lit(j).as("j"),
@@ -135,7 +138,7 @@ object Dedup {
     bucketSelfJoinPairs(chunked, Seq("chunk_idx", "chunk_val"),
       Seq("id", "sim"), maxBucket, dedupPairs = false)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }

@@ -30,6 +30,10 @@ object NorthStar {
   def plantedDocsForScratch(spark: SparkSession, dir: String): DataFrame =
     withPlantedNearDups(spark, dir)
 
+  /** Scratch/profiling access to the planted-vector corpus. */
+  def plantedVectorsForScratch(spark: SparkSession, dir: String): DataFrame =
+    withPlantedNearDupVectors(spark, dir)
+
   // ------------------------------------------------------------- dedup
 
   /** Exact dedup groups over raw documents (DuckDB-oracle-checked);
@@ -38,14 +42,24 @@ object NorthStar {
     Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("content_hash")
 
+  /** 128 hashes / 32 bands (r = 4): at the fixture's minimum true-pair
+    * Jaccard (~0.82) the per-pair LSH miss probability is
+    * (1 − 0.82⁴)³² ≈ 5e-9, so the recovered pair set is
+    * deterministically the exact ≥ 0.5 set — which is what lets the
+    * exhaustive-Jaccard DuckDB oracle hash-match a sketch-based
+    * operator. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(withPlantedNearDups(spark, dir), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Portable token hash so the DuckDB oracle recomputes identical
+    * sketches; the pigeonhole chunk join guarantees exact recall at
+    * hamming ≤ 6, so the output is exactly the hamming-≤-6 pair set
+    * and hash-comparable. */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(withPlantedNearDups(spark, dir), "doc_id", "text",
-      maxHamming = 6)
+      maxHamming = 6, portable = true)
       .orderBy("id_a", "id_b")
 
   /** Uses the exhaustive counting join: the fixture's docs all share
@@ -135,17 +149,26 @@ object NorthStar {
       k = 5, tables = 10)
       .orderBy("query_id", "rank")
 
-  /** embeddings ∪ slightly-perturbed copies of the first `n` vectors
-    * (deterministic hash-noise, renormalized), ids offset by 100000 —
-    * the fixture's own max pairwise cosine is ~0.51, so planted
-    * ~0.99-cosine pairs are what a near-dup operator must find. */
+  /** embeddings ∪ slightly-perturbed copies of the first `n` vectors,
+    * ids offset by 100000 — the fixture's own max pairwise cosine is
+    * ~0.51, so planted ~0.97-cosine pairs are what a near-dup operator
+    * must find. The per-dimension noise is plain integer arithmetic
+    * (`(vec_id·2654435761 + i·40503) mod 2001`, scaled to ±0.05) —
+    * NOT a Spark-specific hash — so the DuckDB oracle reconstructs the
+    * identical planted corpus in SQL and v03 is hash-compared, not
+    * rows-only. Float adds are IEEE-identical across engines. */
   private[operators] def withPlantedNearDupVectors(spark: SparkSession, dir: String, n: Int = 40): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val noisy = emb.filter(col("vec_id") < n).select(
-      (col("vec_id") + 100000).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        x + ((pmod(xxhash64(col("vec_id"), i), lit(2001L)) - 1000L) / 20000.0d).cast("float"))
-        .as("embedding"))
+    // The noise is keyed on the PLANTED id, via a pre-computed column
+    // (not a same-select alias: lateral-alias resolution would make
+    // the reference ambiguous between input and output vec_id).
+    val noisy = emb.filter(col("vec_id") < n)
+      .withColumn("pid", col("vec_id") + 100000L)
+      .select(
+        col("pid").as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + ((pmod(col("pid") * lit(2654435761L) + i.cast("long") * lit(40503L), lit(2001L)) - 1000L) / 20000.0d).cast("float"))
+          .as("embedding"))
     emb.unionByName(noisy)
   }
 

