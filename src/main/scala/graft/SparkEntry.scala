@@ -61,11 +61,12 @@ object SparkEntry {
     "q27_price_tiers"       -> (Relational.priceTiers _),
     "q28_null_semantics"    -> (Relational.nullSemantics _),
     "q29_json_props"        -> (Relational.jsonProps _),
-    // Cocoa pipeline parity (O1-O18): self-generated data, rows-only
-    // checks (not DuckDB-expressible: the input is generated + merged
-    // in-engine, not read from the testdata tables). p02-p04 are the
-    // O19 analytics surface: value-by-region, quality trends,
-    // regional distribution.
+    // Cocoa pipeline parity (O1-O18): the engine generates its own
+    // landing CSVs, dumps a copy to a fixed path, and the DuckDB
+    // oracle re-derives the warehouse from those exact files (parse →
+    // enrich → LWW merge in SQL) — full hash-compared pipeline
+    // oracles. p02-p04 are the O19 analytics surface: value-by-region,
+    // quality trends, regional distribution.
     "p01_cocoa_warehouse"   -> ((s, _) => cocoaWarehouse(s)),
     "p02_cocoa_value_by_region" -> ((s, _) =>
       cocoaWarehouse(s).groupBy(col("region"))
@@ -111,20 +112,55 @@ object SparkEntry {
     * ingest→enrich→merge) in a temp dir; deterministic seeds and
     * processed_at so repeated Verify runs hash identically. Memoized
     * per session: p01 and p02 share one pipeline execution (results
-    * are deterministic, so reuse is observationally identical). */
+    * are deterministic, so reuse is observationally identical).
+    *
+    * Each batch's landing CSVs are also copied to a FIXED path before
+    * processing: they are the pipeline's input artifact, and the
+    * DuckDB oracle re-derives the expected warehouse from those exact
+    * files (parse → enrich → keyed last-writer-wins merge in SQL) —
+    * upgrading p01-p04 from rows-only checks to full hash-compared
+    * pipeline oracles. */
   private val cocoaMemo =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
   private def cocoaWarehouse(spark: SparkSession): DataFrame =
     cocoaMemo.computeIfAbsent(spark, runCocoa)
 
+  /** Fixed location the oracle SQL reads the landing copies from —
+    * referenced verbatim inside [[oracleSql]]. */
+  private val cocoaOracleIn = "/tmp/graft_cocoa_verify_in"
+
+  private def copyCsvs(srcDir: String, dstDir: String): Unit = {
+    val dst = java.nio.file.Paths.get(dstDir)
+    Files.createDirectories(dst)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+    try files.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".csv"))
+        Files.copy(p, dst.resolve(p.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally files.close()
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.exists(root)) {
+      val all = java.nio.file.Files.walk(root)
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .iterator().forEachRemaining(p => Files.deleteIfExists(p))
+      finally all.close()
+    }
+  }
+
   private def runCocoa(spark: SparkSession): DataFrame = {
     val root = Files.createTempDirectory("cocoa_verify").toString
     val dirs = CocoaPipeline.Dirs(
       s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")
+    deleteRecursively(cocoaOracleIn)
     CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 41, idOffset = 0)
+    copyCsvs(dirs.landing, s"$cocoaOracleIn/b1")
     CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000000000L))
     CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 42, idOffset = 500)
+    copyCsvs(dirs.landing, s"$cocoaOracleIn/b2")
     CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000100000L))
     Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id")
   }
@@ -557,6 +593,37 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,
         |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m01: the full multimodal feature kernel recomputed in SQL —
+    // md5 content identity, size-seeded decode stub, and Shannon
+    // entropy over codepoint frequencies (quantized 4dp; the per-term
+    // p·ln(p)/ln(2) shape matches the kernel so both engines agree
+    // after quantization).
+    "m01_multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |    text, octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |s AS (SELECT asset_id, media_type, text, n_bytes,
+        |        (n_bytes * 2654435761) % 1000003 AS h FROM d),
+        |chars AS (SELECT asset_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM d),
+        |freq AS (SELECT asset_id, c, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT asset_id, sum(cnt) AS total, count(*) AS n_uniq FROM freq GROUP BY 1),
+        |ent AS (
+        |  SELECT f.asset_id,
+        |    -sum((CAST(cnt AS DOUBLE) / total) * ln(CAST(cnt AS DOUBLE) / total) / ln(2.0)) AS e
+        |  FROM freq f JOIN tot t ON f.asset_id = t.asset_id
+        |  GROUP BY f.asset_id)
+        |SELECT s.asset_id, s.media_type, CAST(s.n_bytes AS BIGINT) AS n_bytes,
+        |  md5(s.text) AS payload_md5,
+        |  CAST(CASE WHEN s.media_type = 'image' THEN 64 + (h % 1920) ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN s.media_type = 'image' THEN 64 + ((h // 7) % 1080) ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN s.media_type = 'audio' THEN [8000, 16000, 22050, 44100][CAST(h % 4 AS INT) + 1] ELSE 0 END AS INT) AS sample_rate,
+        |  floor(ent.e * 10000 + 0.5) / 10000.0 AS char_entropy,
+        |  CAST(tot.n_uniq AS BIGINT) AS n_unique_chars
+        |FROM s JOIN ent ON s.asset_id = ent.asset_id
+        |JOIN tot ON s.asset_id = tot.asset_id
+        |ORDER BY s.asset_id""".stripMargin,
     "m03_thumbnails" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
@@ -586,6 +653,24 @@ object SparkEntry {
         |SELECT asset_id, media_type, frame_idx,
         |  greatest(least(32, blen - CAST(trunc(frame_idx * span / 4.0 + 1) AS BIGINT) + 1), 0) AS frame_size
         |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+    // Cocoa pipeline oracles: re-derive the warehouse in SQL from the
+    // landing-file copies Verify dumps to a fixed path (see
+    // cocoaOracleIn). Merge = row_number LWW on (processed_at,
+    // timestamp) desc, exactly Merge.upsertShipments; value =
+    // weight × 2.5 is exact in doubles (halves), so no rounding is
+    // involved anywhere.
+    "p01_cocoa_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "p02_cocoa_value_by_region" -> cocoaOracle(
+      """SELECT region, sum(shipment_value_usd) AS total_value_usd
+        |FROM wh GROUP BY region ORDER BY region""".stripMargin),
+    "p03_cocoa_quality_trends" -> cocoaOracle(
+      """SELECT date_trunc('week', "timestamp") AS week, region,
+        |  count(*) AS n_shipments,
+        |  sum(floor(quality_score * 100 + 0.5)) / 100.0 AS sum_quality
+        |FROM wh GROUP BY 1, 2 ORDER BY week, region""".stripMargin),
+    "p04_cocoa_region_distribution" -> cocoaOracle(
+      """SELECT region, count(*) AS n_shipments
+        |FROM wh GROUP BY region ORDER BY region""".stripMargin),
     "s02_streaming_windowed_counts" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
         |w AS (SELECT (us // 21600000000) * 21600000000 AS ws_us, event_type FROM ev),
@@ -609,4 +694,27 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
+
+  /** Wrap a query over the `wh` CTE — the warehouse as re-derived by
+    * DuckDB from the dumped landing CSVs of the two batches. */
+  private def cocoaOracle(body: String): String = {
+    def batch(dir: String, processedAt: String): String =
+      s"""SELECT *, TIMESTAMP '$processedAt' AS processed_at
+         |FROM read_csv('$cocoaOracleIn/$dir/*.csv', header=true,
+         |  timestampformat='%Y-%m-%dT%H:%M:%S',
+         |  types={'timestamp':'TIMESTAMP','quality_score':'DOUBLE',
+         |         'shipment_weight_kg':'BIGINT','temperature_celsius':'DOUBLE'})""".stripMargin
+    s"""WITH b1 AS (${batch("b1", "2023-11-14 22:13:20")}),
+       |b2 AS (${batch("b2", "2023-11-14 22:15:00")}),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY shipment_id
+       |    ORDER BY processed_at DESC, "timestamp" DESC) AS rn
+       |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+       |wh AS (
+       |  SELECT shipment_id, "timestamp", farm_id, region, bean_type,
+       |    quality_score, shipment_weight_kg, temperature_celsius,
+       |    shipment_weight_kg * 2.5 AS shipment_value_usd, processed_at
+       |  FROM ranked WHERE rn = 1)
+       |$body""".stripMargin
+  }
 }

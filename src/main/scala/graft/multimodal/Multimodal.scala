@@ -24,23 +24,29 @@ object Multimodal {
       asset_id: Long,
       media_type: String,
       n_bytes: Long,
-      payload_hash: Long,
+      // md5 hex of the payload: portable content identity (any engine
+      // can recompute it), replacing a JVM-specific array hash
+      payload_md5: String,
       // STUB fields: a real decoder would emit true dims/durations.
       width: Int, height: Int, sample_rate: Int,
-      byte_entropy: Double,
-      // first 16 of the 256-bin byte histogram, comma-joined: scalar
-      // columns only — array columns break flat oracle comparison
-      histogram_head: String)
+      // Shannon entropy over Unicode codepoints, quantized to 4dp —
+      // codepoints (not raw bytes) so external SQL engines can derive
+      // the identical value; scalar columns only, array columns break
+      // flat oracle comparison
+      char_entropy: Double,
+      n_unique_chars: Long)
 
   /** Deterministic fake decode — STUB for the codec call a production
     * deployment would make (e.g. JNI to a codec, or `mapInPandas` +
-    * PIL in PySpark). Derives plausible metadata purely from the
-    * bytes so tests are stable. */
-  private[multimodal] def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(bytes)
+    * PIL in PySpark). Derives plausible metadata from the payload
+    * SIZE via portable integer arithmetic (a byte-array JVM hash
+    * would not be reproducible by the SQL oracle) so tests are
+    * stable. */
+  private[multimodal] def decodeStub(mediaType: String, nBytes: Long): (Int, Int, Int) = {
+    val h = (nBytes * 2654435761L) % 1000003L
     mediaType match {
-      case "image" => (64 + math.abs(h % 1920), 64 + math.abs((h / 7) % 1080), 0)
-      case "audio" => (0, 0, Seq(8000, 16000, 22050, 44100)(math.abs(h % 4)))
+      case "image" => ((64 + h % 1920).toInt, (64 + (h / 7) % 1080).toInt, 0)
+      case "audio" => (0, 0, Seq(8000, 16000, 22050, 44100)((h % 4).toInt))
       case _ => (0, 0, 0)
     }
   }
@@ -63,23 +69,37 @@ object Multimodal {
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition "codec" setup would go here (once per task)
+      // per-partition "codec" setup happens once per task — exactly
+      // the batch shape a Pandas-UDF `mapInPandas` kernel gives
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
         val bytes = a.payload
-        val hist = new Array[Long](256)
+        md.reset()
+        val md5Hex = md.digest(bytes).map("%02x".format(_)).mkString
+        // codepoint frequencies (portable: SQL engines enumerate
+        // codepoints; raw byte histograms they cannot)
+        val str = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val counts = new java.util.HashMap[Int, Long]()
         var i = 0
-        while (i < bytes.length) { hist(bytes(i) & 0xFF) += 1; i += 1 }
-        val n = math.max(bytes.length, 1)
-        var entropy = 0.0
-        var j = 0
-        while (j < 256) {
-          if (hist(j) > 0) { val p = hist(j).toDouble / n; entropy -= p * math.log(p) / math.log(2) }
-          j += 1
+        var total = 0L
+        while (i < str.length) {
+          val cp = str.codePointAt(i)
+          counts.merge(cp, 1L, _ + _)
+          total += 1
+          i += Character.charCount(cp)
         }
-        val (w, h, sr) = decodeStub(a.media_type, bytes)
-        AssetFeatures(a.asset_id, a.media_type, bytes.length.toLong,
-          java.util.Arrays.hashCode(bytes).toLong, w, h, sr,
-          math.rint(entropy * 10000) / 10000, hist.take(16).mkString(","))
+        var entropy = 0.0
+        if (total > 0) {
+          val values = counts.values.iterator()
+          while (values.hasNext) {
+            val p = values.next().toDouble / total
+            entropy -= p * math.log(p) / math.log(2.0)
+          }
+        }
+        val (w, h, sr) = decodeStub(a.media_type, bytes.length.toLong)
+        AssetFeatures(a.asset_id, a.media_type, bytes.length.toLong, md5Hex,
+          w, h, sr,
+          math.floor(entropy * 10000 + 0.5) / 10000, counts.size().toLong)
       }
     }
   }

@@ -69,5 +69,11 @@ object CocoaGen {
     shipments(spark, numFiles * rowsPerFile, seed, idOffset = idOffset, keySpace = keySpace)
       .repartition(numFiles)
       .write.mode("append").option("header", "true")
+      // Whole-second ISO-8601 without zone suffix (values are whole
+      // seconds by construction): both the engine's own ingest cast
+      // and any external SQL engine parse this identically, which is
+      // what lets the pipeline be oracle-checked from its landing
+      // files.
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
       .csv(landingDir)
 }

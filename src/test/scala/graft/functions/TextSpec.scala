@@ -74,7 +74,7 @@ class TextSpec extends AnyFunSuite {
     assert(feats.count() === 500)
     val r = feats.filter(col("asset_id") === 0).head
     assert(r.getAs[Long]("n_bytes") > 0)
-    assert(r.getAs[Double]("byte_entropy") > 0.0)
+    assert(r.getAs[Double]("char_entropy") > 0.0)
     val again = NorthStar.multimodalFeatures(spark, dir).filter(col("asset_id") === 0).head
     assert(r === again, "decode stub must be deterministic")
   }
