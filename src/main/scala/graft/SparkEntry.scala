@@ -158,10 +158,12 @@ object SparkEntry {
     deleteRecursively(cocoaOracleIn)
     CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 41, idOffset = 0)
     copyCsvs(dirs.landing, s"$cocoaOracleIn/b1")
-    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000000000L))
+    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000000000L),
+      computeCounts = false)
     CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 42, idOffset = 500)
     copyCsvs(dirs.landing, s"$cocoaOracleIn/b2")
-    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000100000L))
+    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000100000L),
+      computeCounts = false)
     Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id")
   }
 

@@ -43,7 +43,14 @@ object SketchExpressions {
       h = h * 31L + cp
       i += Character.charCount(cp)
     }
-    var z = h ^ (h >>> 33)
+    portableMix64(h)
+  }
+
+  /** The 32-bit-constant multiply/xorshift finalizer shared by the
+    * portable token hash and the MinHash affine-coefficient
+    * derivation. */
+  private[functions] def portableMix64(x: Long): Long = {
+    var z = x ^ (x >>> 33)
     z *= 4283543511L // 0xff51afd7
     z ^= (z >>> 29)
     z *= 3301882366L // 0xc4ceb9fe
@@ -95,15 +102,29 @@ object SketchExpressions {
   /** MinHash signature over an array<string> of *tokens*: builds the
     * k-word shingle set imperatively (no interpreted `transform`/
     * `slice`/`array_join` chain), then element s of the output
-    * array<long> is min over shingles of hash(shingle, seed=s). A
-    * shingle's hash is the seed-keyed chain of its tokens' hashes —
-    * equivalent discriminating power to hashing the joined string,
-    * without materializing it. Empty/null input → Long.MaxValue
-    * entries (never collides with real content). */
+    * array<long> is min over shingles of h_s(shingle). The hash
+    * family is UNIVERSAL-AFFINE: one 64-bit base hash per shingle
+    * (the chain of its tokens' xxhash64 values), then
+    * `h_s(x) = a_s·x + b_s` with per-seed odd multipliers derived by
+    * splitmix-style finalization — one multiply-add per (shingle,
+    * seed) instead of a fresh k-token hash chain per seed, an
+    * O(numHashes)× cut of the dominant sketch cost with the same
+    * collision structure (the standard multiply-shift family used by
+    * production MinHash implementations). Empty/null input →
+    * Long.MaxValue entries (never collides with real content). */
   case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
+
+    // Per-seed affine coefficients, fixed across rows: a_s odd (a
+    // bijection mod 2^64), b_s arbitrary. Derived once per operator
+    // instance via the portable finalizer (any well-mixed constants
+    // work; seeds only need to be fixed and distinct).
+    @transient private lazy val coefA: Array[Long] =
+      Array.tabulate(numHashes)(s => portableMix64(0x9e3779b97f4a7c15L * (s + 1)) | 1L)
+    @transient private lazy val coefB: Array[Long] =
+      Array.tabulate(numHashes)(s => portableMix64(0xbf58476d1ce4e5b9L * (s + 101)))
 
     override def eval(input: InternalRow): Any = {
       val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -111,7 +132,7 @@ object SketchExpressions {
       if (v != null) {
         val arr = v.asInstanceOf[ArrayData]
         val n = arr.numElements()
-        // token hashes once; shingle hash = chained token hashes
+        // token hashes once; shingle base hash = chained token hashes
         val th = new Array[Long](n)
         var i = 0
         while (i < n) {
@@ -121,16 +142,19 @@ object SketchExpressions {
         }
         val k = math.min(shingleK, math.max(n, 1))
         val nShingles = math.max(n - k + 1, if (n == 0) 0 else 1)
+        val a = coefA
+        val b = coefB
         var s = 0
         while (s < nShingles) {
+          var base = 42L
+          var j = 0
+          while (j < k && s + j < n) {
+            base = XxHash64Function.hash(th(s + j), LongType, base)
+            j += 1
+          }
           var seed = 0
           while (seed < numHashes) {
-            var h = seed.toLong
-            var j = 0
-            while (j < k && s + j < n) {
-              h = XxHash64Function.hash(th(s + j), LongType, h)
-              j += 1
-            }
+            val h = a(seed) * base + b(seed)
             if (h < mins(seed)) mins(seed) = h
             seed += 1
           }
@@ -140,6 +164,48 @@ object SketchExpressions {
       new GenericArrayData(mins)
     }
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
+  }
+
+  /** MinHash signature derived from an ALREADY-COMPUTED array<long>
+    * of shingle hashes (see [[ShingleHashes]] — same seed-42 token
+    * chain): element s is min over shingles of `a_s·h + b_s`, the
+    * universal-affine family of [[MinHashSignature]]. Callers that
+    * need both the signature (for banding) and the shingle set (for
+    * exact verification) pay ONE tokenize+hash pass instead of two —
+    * the sketch-bearing scan is the dominant cost of MinHash dedup.
+    * Empty input → Long.MaxValue entries; null → null (callers filter
+    * null shingle sets). */
+  case class MinHashFromHashes(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    @transient private lazy val coefA: Array[Long] =
+      Array.tabulate(numHashes)(s => portableMix64(0x9e3779b97f4a7c15L * (s + 1)) | 1L)
+    @transient private lazy val coefB: Array[Long] =
+      Array.tabulate(numHashes)(s => portableMix64(0xbf58476d1ce4e5b9L * (s + 101)))
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val a = coefA
+      val b = coefB
+      var i = 0
+      while (i < n) {
+        val base = arr.getLong(i)
+        var s = 0
+        while (s < numHashes) {
+          val h = a(s) * base + b(s)
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashFromHashes =
+      copy(child = c)
   }
 
   /** Shared imperative kernel, also the codegen call target (Scala
@@ -413,6 +479,8 @@ object SketchExpressions {
 
   def simhash64(tokens: Column, portable: Boolean = false): Column =
     toColumn(SimHash64(toExpression(tokens), portable))
+  def minhashFromHashes(shingleHashes: Column, numHashes: Int): Column =
+    toColumn(MinHashFromHashes(toExpression(shingleHashes), numHashes))
   def minhashSignature(tokens: Column, numHashes: Int, shingleK: Int): Column =
     toColumn(MinHashSignature(toExpression(tokens), numHashes, shingleK))
   def tokenize(text: Column): Column = toColumn(Tokenize(toExpression(text)))

@@ -62,12 +62,17 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // One pass computes BOTH the MinHash signature (for banding) and
-    // the sorted shingle-hash set (for exact verification); cached so
-    // the band explode and the verification joins share it.
+    // ONE tokenize+hash pass computes the sorted shingle-hash set (for
+    // exact verification), and the MinHash signature (for banding) is
+    // derived FROM it with the affine family — the signature re-uses
+    // the shingle hashes instead of re-tokenizing; cached so the band
+    // explode and the verification joins share it. (Distinctness note:
+    // signatures over the DISTINCT shingle set equal signatures over
+    // the raw shingle stream — min is idempotent to duplicates.)
     val base = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleK).as("sig"),
         graft.functions.SketchExpressions.shingleHashes(col(textCol), shingleK).as("sh"))
+      .withColumn("sig",
+        graft.functions.SketchExpressions.minhashFromHashes(col("sh"), numHashes))
       .cache()
     val banded = base
       .select(col("id"), posexplode(
@@ -169,10 +174,16 @@ object Dedup {
     val postings = base
       .select(col("id"), col("set_size"), explode(col("sh")).as("gh"))
       .cache()
-    val hot = postings.groupBy(col("gh")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxPosting)
+    // Keep only shingles appearing in 2..maxPosting docs: a df=1
+    // shingle cannot contribute a pair (set sizes ride on the rows,
+    // so dropping it changes nothing), and on real corpora MOST
+    // shingles are df=1 — this prunes the self-join input, the
+    // quadratic stage, at the cost of one aggregation that reuses
+    // the postings exchange.
+    val keep = postings.groupBy(col("gh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxPosting)
       .select(col("gh"))
-    val cool = postings.join(broadcast(hot), Seq("gh"), "left_anti")
+    val cool = postings.join(keep, Seq("gh"), "left_semi")
     // Sort-merge/shuffled-hash self-join on the 8-byte key, then one
     // partial-aggregating groupBy: each shared shingle contributes one
     // pair occurrence, counted as |A∩B|.

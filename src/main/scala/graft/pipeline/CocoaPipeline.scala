@@ -24,9 +24,13 @@ object CocoaPipeline {
 
   /** Run one processing batch. `processedAt` defaults to now; tests
     * pass a fixed instant for determinism (the reference stamps one
-    * utcnow() per chunk, O8). */
+    * utcnow() per chunk, O8). `computeCounts = false` skips the two
+    * audit `count()` jobs (each a full snapshot/staging scan) for
+    * callers that only consume the committed warehouse — the counts
+    * are reporting, not pipeline semantics. */
   def runBatch(spark: SparkSession, dirs: Dirs,
-      processedAt: Timestamp = new Timestamp(System.currentTimeMillis())): BatchResult = {
+      processedAt: Timestamp = new Timestamp(System.currentTimeMillis()),
+      computeCounts: Boolean = true): BatchResult = {
 
     val (maybeDf, disc) = Ingest.ingest(spark, dirs.landing)
     if (maybeDf.isEmpty)
@@ -46,8 +50,9 @@ object CocoaPipeline {
     val merged = Merge.upsertShipments(target, staged)
     val version = Warehouse.commit(spark, dirs.warehouse, merged)
 
-    val warehouseRows = Warehouse.read(spark, dirs.warehouse).count()
-    val rowsMerged = staged.count()
+    val warehouseRows =
+      if (computeCounts) Warehouse.read(spark, dirs.warehouse).count() else -1L
+    val rowsMerged = if (computeCounts) staged.count() else -1L
 
     Archive.archiveFiles(spark, disc.valid, dirs.archive)
     Archive.deleteDir(spark, dirs.staging)

@@ -79,24 +79,26 @@ object StatefulSessions {
     * deployment would leave them pending). */
   def sessionize(spark: SparkSession, dir: String, flushOpen: Boolean = true): DataFrame = {
     import spark.implicits._
-    val events: Dataset[Ev] = StreamingQueries.eventsStream(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("ms"), col("ts"))
-      .withWatermark("ts", "1 hour")
-      .as[Ev]
+    val closed = StreamingQueries.withStreamPartitions(spark, 8) {
+      val events: Dataset[Ev] = StreamingQueries.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[Ev]
 
-    val sink = s"stateful_sessions_${System.nanoTime()}"
-    val q = events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateUser)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val closed = StreamingQueries.drainMemorySink(spark, sink)
+      val sink = s"stateful_sessions_${System.nanoTime()}"
+      val q = events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateUser)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamingQueries.drainMemorySink(spark, sink)
+    }
 
     if (!flushOpen) return closed.orderBy("user_id", "session_id")
 

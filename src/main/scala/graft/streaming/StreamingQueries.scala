@@ -17,6 +17,21 @@ object StreamingQueries {
 
   private val nameCounter = new AtomicLong(0)
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Streaming stages pay a
+    * per-partition state-store instance (open/commit/snapshot each
+    * micro-batch), so partition count should track STATE size, not
+    * the session's scan parallelism — at the bench's key
+    * cardinalities (hundreds of users/windows) 8 partitions cuts the
+    * fixed state-store overhead ~4× with zero skew risk; a production
+    * deployment sizes this to keys/executor the same way. */
+  private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** events.parquet read as a stream. Schema must be declared up
     * front for a streaming file source; ts arrives as raw nanos
     * (see [[graft.core.Tables.events]]) and is truncated to µs.
@@ -40,22 +55,23 @@ object StreamingQueries {
     * Complete-mode aggregation drained with Trigger.AvailableNow: at
     * cluster scale the same plan runs incrementally with a watermark;
     * state is keyed on (day, event_type), bounded by the calendar. */
-  def dailyEventStats(spark: SparkSession, dir: String): DataFrame = {
-    val sink = s"stream_daily_stats_${nameCounter.incrementAndGet()}"
-    val agg = eventsStream(spark, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        (sum(floor(col("value") * 100 + lit(0.5))) / 100.0).as("total_value"),
-        (avg(floor(col("value") * 100 + lit(0.5))) / 100.0).as("avg_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    drainMemorySink(spark, sink).orderBy("day", "event_type")
-  }
+  def dailyEventStats(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
+      val sink = s"stream_daily_stats_${nameCounter.incrementAndGet()}"
+      val agg = eventsStream(spark, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + lit(0.5))) / 100.0).as("total_value"),
+          (avg(floor(col("value") * 100 + lit(0.5))) / 100.0).as("avg_value"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainMemorySink(spark, sink).orderBy("day", "event_type")
+    }
 
   /** Materialize a memory sink's rows into a standalone DataFrame and
     * drop the sink view — otherwise every call leaks its full result
@@ -75,20 +91,21 @@ object StreamingQueries {
     * watermark emit, which is exactly the late-data semantics a
     * continuous deployment would see. Not oracle-compared (DuckDB has
     * no watermark notion); asserted structurally in tests. */
-  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
-    val sink = s"stream_windowed_counts_${nameCounter.incrementAndGet()}"
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    drainMemorySink(spark, sink).orderBy("window_start", "event_type")
-  }
+  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
+      val sink = s"stream_windowed_counts_${nameCounter.incrementAndGet()}"
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainMemorySink(spark, sink).orderBy("window_start", "event_type")
+    }
 }
