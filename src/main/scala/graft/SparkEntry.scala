@@ -96,6 +96,16 @@ object SparkEntry {
     "d06_fingerprints"       -> (NorthStar.fingerprints _),
     "d10_fingerprints_md5"   -> (NorthStar.fingerprintsMd5 _),
     "d11_bpe_token_counts"   -> (NorthStar.bpeTokenCounts _),
+    // The custom Catalyst expression called THROUGH spark.sql via the
+    // graft_* function registry (GraftFunctions) — proves the SQL
+    // surface is first-class and cross-engine exact (the oracle
+    // recomputes the sketch from scratch in SQL).
+    "d12_sql_simhash" -> ((s, dir) => {
+      graft.core.Catalog.registerAll(s, dir)
+      graft.functions.GraftFunctions.register(s)
+      s.sql("""SELECT doc_id, graft_simhash64_portable(text) AS sim
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    }),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
@@ -541,6 +551,32 @@ object SparkEntry {
         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 6
         |ORDER BY id_a, id_b""".stripMargin,
+    // d12: per-document portable SimHash — same sketch recomputation
+    // as d08's oracle, reduced to the raw sketch value (converted to
+    // the signed 64-bit value Spark's LongType holds).
+    "d12_sql_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS h
+        |  FROM tok),
+        |f1 AS (SELECT doc_id, CAST((CAST(xor(h, h >> 33) AS HUGEINT) * 4283543511) % 18446744073709551616 AS UBIGINT) AS z FROM h0),
+        |f2 AS (SELECT doc_id, CAST((CAST(xor(z, z >> 29) AS HUGEINT) * 3301882366) % 18446744073709551616 AS UBIGINT) AS z FROM f1),
+        |th AS (SELECT doc_id, xor(z, z >> 32) AS h FROM f2),
+        |bits AS (
+        |  SELECT doc_id, b.b AS bit,
+        |    CASE WHEN sum(CASE WHEN ((h >> CAST(b.b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS s
+        |  FROM th, generate_series(0, 63) b(b)
+        |  GROUP BY doc_id, b.b),
+        |sims AS (
+        |  SELECT doc_id, sum(CASE WHEN s = 1 THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT) ELSE 0 END) AS sim
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN sim >= 9223372036854775808 THEN sim - 18446744073709551616 ELSE sim END AS BIGINT) AS sim
+        |FROM sims ORDER BY doc_id""".stripMargin,
     // v03's planted perturbation is plain integer arithmetic (not a
     // Spark hash), so the oracle rebuilds the identical corpus: DuckDB
     // lambda indexes are 1-based, hence (i-1); the float add rounds

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-function surface for the engine's custom Catalyst expressions:
+  * every sketch/text kernel is callable from `spark.sql(...)` as
+  * `graft_*`, so the library's capabilities are first-class in BOTH
+  * APIs (Column and SQL) — a user of the reference's SQL-only
+  * analytics path (Metabase→Postgres, SURVEY.md §3 entry point 3) can
+  * call the training-data operators without touching the Scala DSL.
+  *
+  * Two registration paths, same builders:
+  *  - [[GraftExtensions]] via
+  *    `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  *    standard plug-in mechanism for a cluster deployment;
+  *  - [[GraftFunctions.register]] on a live session — convenient for
+  *    notebooks/tests.
+  */
+object GraftFunctions {
+
+  import SketchExpressions._
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → (usage doc, builder). All builders consume analyzed child
+    * expressions; integer tuning knobs must be literals (they size
+    * arrays inside the expression, exactly like Spark's own
+    * `approx_count_distinct` precision argument). */
+  val registrations: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_tokenize",
+      "graft_tokenize(text) - lowercased whitespace tokens, empties dropped",
+      (args: Seq[Expression]) => Tokenize(args.head)),
+    ("graft_simhash64",
+      "graft_simhash64(text) - 64-bit SimHash of the token stream (xxhash64 family)",
+      (args: Seq[Expression]) => SimHash64(Tokenize(args.head))),
+    ("graft_simhash64_portable",
+      "graft_simhash64_portable(text) - SimHash with the portable token hash " +
+        "(recomputable in external SQL engines)",
+      (args: Seq[Expression]) => SimHash64(Tokenize(args.head), portable = true)),
+    ("graft_shingle_hashes",
+      "graft_shingle_hashes(text, k) - sorted distinct 64-bit hashes of the k-word shingles",
+      (args: Seq[Expression]) => ShingleHashes(args.head, intArg(args(1), "k"))),
+    ("graft_minhash",
+      "graft_minhash(text, numHashes, k) - MinHash signature over the k-word shingle set",
+      (args: Seq[Expression]) => MinHashFromHashes(
+        ShingleHashes(args.head, intArg(args(2), "k")), intArg(args(1), "numHashes"))),
+    ("graft_band_hashes",
+      "graft_band_hashes(sig, bands) - LSH band hashes of a MinHash signature",
+      (args: Seq[Expression]) => BandHashes(args.head, intArg(args(1), "bands"))),
+    ("graft_jaccard_sorted",
+      "graft_jaccard_sorted(a, b) - exact Jaccard of two sorted distinct array<long> sets",
+      (args: Seq[Expression]) => SortedLongJaccard(args.head, args(1))),
+    ("graft_float_dot",
+      "graft_float_dot(a, b) - dot product of two array<float> vectors (double accumulator)",
+      (args: Seq[Expression]) => FloatVectorDot(args.head, args(1))),
+    ("graft_lsh_bucket",
+      "graft_lsh_bucket(vec, planes, table) - sign-LSH bucket id of an array<float> vector",
+      (args: Seq[Expression]) => SignLshBucket(args.head,
+        intArg(args(1), "planes"), intArg(args(2), "table"))))
+
+  /** Register every `graft_*` function on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registrations.foreach { case (name, usage, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      val _ = usage // usage surfaces through the extensions path below
+    }
+  }
+}
+
+/** `SparkSessionExtensions` plug-in: injects every `graft_*` function
+  * at session build time (`spark.sql.extensions=
+  * graft.functions.GraftExtensions`). Catalyst rules/strategies would
+  * be injected here too; this engine needs none for its operator
+  * surface (SURVEY.md §4) — expressions + built-in planning cover it. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.SketchExpressions", null, name, usage, ""),
+        builder))
+    }
+}
