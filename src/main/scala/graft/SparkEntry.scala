@@ -61,6 +61,9 @@ object SparkEntry {
     "q27_price_tiers"       -> (Relational.priceTiers _),
     "q28_null_semantics"    -> (Relational.nullSemantics _),
     "q29_json_props"        -> (Relational.jsonProps _),
+    "q30_cube_quantities"   -> (Relational.cubeQuantities _),
+    "q31_left_join_brands"  -> (Relational.leftJoinBrands _),
+    "q32_full_outer_year_spend" -> (Relational.fullOuterYearSpend _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
     // landing CSVs, dumps a copy to a fixed path, and the DuckDB
     // oracle re-derives the warehouse from those exact files (parse →
@@ -431,6 +434,32 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q30_cube_quantities" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q31_left_join_brands" ->
+      """SELECT coalesce(p_brand, 'NONE') AS brand,
+        |  count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |LEFT JOIN (SELECT * FROM part WHERE p_size >= 40) p ON l_partkey = p_partkey
+        |GROUP BY 1
+        |ORDER BY brand""".stripMargin,
+    "q32_full_outer_year_spend" ->
+      """WITH y95 AS (
+        |  SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS spend_1995
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+        |y96 AS (
+        |  SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS spend_1996
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+        |SELECT coalesce(y95.o_custkey, y96.o_custkey) AS o_custkey,
+        |  coalesce(spend_1995, 0.0) AS spend_1995,
+        |  coalesce(spend_1996, 0.0) AS spend_1996
+        |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     // North-star oracles. All quantized decimals use the floor form
     // (see graft.functions.Quantize): identical double arithmetic on
     // both engines, unlike round().

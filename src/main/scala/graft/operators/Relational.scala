@@ -237,6 +237,50 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy("flag", "status")
 
+  /** CUBE grouping sets: all four aggregation granularities over the
+    * two status dimensions in one pass (rollup covers the
+    * hierarchical subset; CUBE completes the §2.1 grouping-set
+    * family). */
+  def cubeQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
+  /** LEFT OUTER join with a real null branch: lineitems against the
+    * large-size part subset — rows whose part is outside the subset
+    * keep a null brand, aggregated under 'NONE'. The dim subset is
+    * broadcast; the fact side never shuffles for the join. */
+  def leftJoinBrands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bigParts = Tables.part(spark, dir).filter(col("p_size") >= 40)
+    li.join(broadcast(bigParts), li("l_partkey") === bigParts("p_partkey"), "left_outer")
+      .groupBy(coalesce(col("p_brand"), lit("NONE")).as("brand"))
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("brand")
+  }
+
+  /** FULL OUTER join — the O14 merge shape as a query: per-customer
+    * 1995 vs 1996 order spending, customers present in either year,
+    * nulls where a year is absent. One shuffle per aggregate on the
+    * join key; the join reuses that partitioning. */
+  def fullOuterYearSpend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def yearly(y: Int) = o
+      .filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_custkey"))
+      .agg(qsum(col("o_totalprice"), 100).as(s"spend_$y"))
+    yearly(1995).join(yearly(1996), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("spend_1995"), lit(0.0)).as("spend_1995"),
+        coalesce(col("spend_1996"), lit(0.0)).as("spend_1996"))
+      .orderBy("o_custkey")
+  }
+
   /** Scalar-function surface: string, date and arithmetic functions in
     * one projection (reference O7/O8 and §2.1 scalar functions). */
   def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
