@@ -146,6 +146,32 @@ object IvfIndex {
     (assigned, centroids)
   }
 
+  /** Persist the index: cell assignments as parquet PARTITIONED BY
+    * cell (a probe touches only its cells' files — partition pruning
+    * is the on-disk analogue of the in-memory cell join), plus the
+    * centroid model as a tiny table. This is the artifact a 100 TB
+    * deployment builds once and queries many times; rebuilding the
+    * quantizer per query batch (what [[topK]] does for its
+    * self-contained demo shape) would re-scan the corpus. */
+  def save(assigned: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col("id"), col("vec"), col("norm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted index: (assignments, centroids). */
+  def load(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    (spark.read.parquet(s"$dir/cells"), centroids)
+  }
+
   /** Approximate top-k via cell probing. `queries` defaults to the
     * whole corpus (all-pairs kNN shape); external query frames must
     * carry distinct ids. */
@@ -153,6 +179,13 @@ object IvfIndex {
       k: Int, nCells: Int = 16, nProbe: Int = 3,
       queries: Option[DataFrame] = None): DataFrame = {
     val (assigned, centroids) = build(spark, df, idCol, vecCol, nCells)
+    search(assigned, centroids, k, nProbe, queries)
+  }
+
+  /** Search a (built or loaded) index. */
+  def search(assigned: DataFrame, centroids: Array[Array[Float]],
+      k: Int, nProbe: Int, queries: Option[DataFrame] = None,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
 
     // External queries compute their own norms; the all-pairs default
     // reuses the norm baked into the build artifact.

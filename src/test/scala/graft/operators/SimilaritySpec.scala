@@ -67,6 +67,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.6, f"IVF mean recall@5 = $mean%.3f")
   }
 
+  test("IVF index persists and reloads: search over loaded == direct topK") {
+    val emb = Tables.embeddings(spark, dir)
+    val direct = IvfIndex.topK(spark, emb, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 2).collect().toSeq
+
+    val (assigned, centroids) = IvfIndex.build(spark, emb, "vec_id", "embedding", nCells = 8)
+    val dirOut = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfIndex.save(assigned, centroids, dirOut)
+    val (loaded, loadedCentroids) = IvfIndex.load(spark, dirOut)
+    assert(loadedCentroids.map(_.toSeq).toSeq === centroids.map(_.toSeq).toSeq)
+    val viaIndex = IvfIndex.search(loaded, loadedCentroids, k = 3, nProbe = 2)
+      .collect().toSeq
+    assert(viaIndex.toSet === direct.toSet)
+    spark.catalog.clearCache()
+  }
+
   test("embedding near-dup pairs recover planted perturbed vectors") {
     val pairs = NorthStar.embeddingNearDups(spark, dir).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
