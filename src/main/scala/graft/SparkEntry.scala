@@ -112,6 +112,7 @@ object SparkEntry {
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
+    "d13_neardup_clusters"   -> (NorthStar.nearDupClusters _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -655,6 +656,40 @@ object SparkEntry {
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // d13: transitive closure of the ≥ 0.4 Jaccard pair graph via a
+    // recursive CTE — cluster id = min reachable doc id, exactly the
+    // converged min-label propagation the Spark operator runs.
+    "d13_neardup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM docs WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d11_bpe_token_counts" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,

@@ -249,6 +249,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair set: every doc that
+    * appears in a pair gets the MINIMUM id reachable through pairs as
+    * its `cluster_id` — the transitive-closure step that turns
+    * pairwise similarity into dedup groups (keep one doc per
+    * cluster). Pairs alone under-dedup: A~B and B~C must collapse to
+    * one cluster even when A~C was never scored.
+    *
+    * Algorithm: iterative min-label propagation. labels(v) starts at
+    * v; each round every vertex takes the min of its own and its
+    * neighbors' labels; stop when a round changes nothing. Rounds =
+    * O(component diameter) — near-dup components are shallow (stars/
+    * short chains), so 2-4 rounds in practice; each round is one
+    * shuffle-join on vertex id plus one aggregation, the same
+    * propagation loop GraphX/GraphFrames runs under the hood, without
+    * the dependency. The driver only sees a one-long convergence
+    * count per round, never vertex data. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    // Undirected edge list, both directions once.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // neighbor-min: for each vertex, the smallest label among its
+      // neighbors; then take min(own, neighbor-min).
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      next.count() // materialize before comparing
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Join-based twin of [[bucketSelfPairs]]: pairs come from a
     * self-JOIN on the bucket keys instead of per-bucket list
     * expansion. A hot bucket's n² pairs then spread across join tasks

@@ -73,6 +73,15 @@ object NorthStar {
       n = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clusters: connected components over the exact ≥ 0.4
+    * Jaccard pair set — the transitive-closure step that turns pairs
+    * into dedup groups. Oracled via a recursive-CTE closure in SQL. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairsExhaustive(withPlantedNearDups(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.4))
+      .orderBy("doc_id")
+
   // ----------------------------------------------------- text analysis
 
   /** Whitespace vs BPE-ish token counts side by side (the north-star

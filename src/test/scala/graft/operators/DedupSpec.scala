@@ -27,6 +27,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.agg(max("doc_id")).head.getLong(0) < 60, "smallest id survives")
   }
 
+  test("connected components collapse chains across multiple rounds") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
+    // pair 10-11, star 20-{21,22,23}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (20L, 22L), (20L, 23L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) === 1L), "chain collapses to min id")
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert((20L to 23L).forall(got(_) === 20L))
+    assert(got.size === 12)
+  }
+
   test("minhash LSH recovers planted near-dup pairs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text").collect()
     val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
