@@ -39,7 +39,7 @@ class DedupSpec extends AnyFunSuite {
     assert((1L to 5L).forall(got(_) === 1L), "chain collapses to min id")
     assert(got(10L) === 10L && got(11L) === 10L)
     assert((20L to 23L).forall(got(_) === 20L))
-    assert(got.size === 12)
+    assert(got.size === 11)
   }
 
   test("minhash LSH recovers planted near-dup pairs") {
