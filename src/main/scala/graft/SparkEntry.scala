@@ -64,6 +64,7 @@ object SparkEntry {
     "q30_cube_quantities"   -> (Relational.cubeQuantities _),
     "q31_left_join_brands"  -> (Relational.leftJoinBrands _),
     "q32_full_outer_year_spend" -> (Relational.fullOuterYearSpend _),
+    "q33_percentile_spend"  -> (Relational.percentileSpend _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
     // landing CSVs, dumps a copy to a fixed path, and the DuckDB
     // oracle re-derives the warehouse from those exact files (parse →
@@ -461,6 +462,15 @@ object SparkEntry {
         |  coalesce(spend_1996, 0.0) AS spend_1996
         |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q33_percentile_spend" ->
+      """SELECT o_orderstatus,
+        |  quantile_disc(o_totalprice, 0.25) AS p25,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // North-star oracles. All quantized decimals use the floor form
     // (see graft.functions.Quantize): identical double arithmetic on
     // both engines, unlike round().

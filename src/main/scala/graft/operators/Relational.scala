@@ -281,6 +281,20 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Ordered-set aggregates: discrete percentiles per group.
+    * `percentile_disc` picks an actual element (no interpolation
+    * arithmetic), which is what makes the result bit-identical across
+    * engines. */
+  def percentileSpend(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** Scalar-function surface: string, date and arithmetic functions in
     * one projection (reference O7/O8 and §2.1 scalar functions). */
   def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
