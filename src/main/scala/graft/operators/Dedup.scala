@@ -279,22 +279,25 @@ object Dedup {
     var converged = false
     while (round < maxRounds && !converged) {
       // neighbor-min: for each vertex, the smallest label among its
-      // neighbors; then take min(own, neighbor-min).
+      // neighbors; then take min(own, neighbor-min). Carrying the old
+      // label through lets ONE count() both materialize the round's
+      // cache and decide convergence — one job per round.
       val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dlabel"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .agg(min(col("dlabel")).as("nbr_label"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("old"), coalesce(col("nbr_label"), col("old"))).as("label"),
+          col("old"))
         .cache()
-      next.count() // materialize before comparing
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("label") =!= col("old")).count() == 0L
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
