@@ -267,6 +267,22 @@ object Dedup {
     * count per round, never vertex data. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // The label graph is orders of magnitude smaller than the corpus
+    // that produced the pairs (only docs appearing in a pair), so the
+    // propagation rounds' shuffles should be sized to |V|, not to the
+    // session's scan parallelism — at 32 partitions each tiny round
+    // pays 32 tasks × fixed overhead per stage. A production run on a
+    // huge pair graph raises this the same way it sizes any join.
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    try connectedComponentsLoop(pairs, aCol, bCol, maxRounds)
+    finally spark.conf.set(partKey, oldParts)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int): DataFrame = {
     // Undirected edge list, both directions once.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
