@@ -87,6 +87,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shipments"))
         .orderBy("region")),
     // Structured Streaming surface
+    "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
     "s03_stateful_sessions" -> ((s, dir) =>
@@ -164,6 +165,32 @@ object SparkEntry {
         .iterator().forEachRemaining(p => Files.deleteIfExists(p))
       finally all.close()
     }
+  }
+
+  /** Streaming twin of [[runCocoa]]: the same two generated batches
+    * drained through the checkpointed file source + foreachBatch merge
+    * (graft.streaming.CocoaStream) with pinned per-drain audit stamps —
+    * the result must hash-match the SAME warehouse oracle as p01,
+    * which is precisely the exactly-once claim of the streaming
+    * variant. The second drain's checkpoint log skips batch-1 files. */
+  private val cocoaStreamMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def cocoaStreamWarehouse(spark: SparkSession): DataFrame =
+    cocoaStreamMemo.computeIfAbsent(spark, runCocoaStream)
+
+  private def runCocoaStream(spark: SparkSession): DataFrame = {
+    val root = Files.createTempDirectory("cocoa_stream_verify").toString
+    val landing = s"$root/landing"
+    val warehouse = s"$root/warehouse"
+    val checkpoint = s"$root/checkpoint"
+    CocoaGen.writeLandingFiles(spark, landing, 2, 500, seed = 41, idOffset = 0)
+    graft.streaming.CocoaStream.runAvailableNow(spark, landing, warehouse, checkpoint,
+      processedAt = Some(new Timestamp(1700000000000L)))
+    CocoaGen.writeLandingFiles(spark, landing, 2, 500, seed = 42, idOffset = 500)
+    graft.streaming.CocoaStream.runAvailableNow(spark, landing, warehouse, checkpoint,
+      processedAt = Some(new Timestamp(1700000100000L)))
+    Warehouse.read(spark, warehouse).orderBy("shipment_id")
   }
 
   private def runCocoa(spark: SparkSession): DataFrame = {
@@ -772,6 +799,11 @@ object SparkEntry {
     // weight × 2.5 is exact in doubles (halves), so no rounding is
     // involved anywhere.
     "p01_cocoa_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // The streaming drain must land the IDENTICAL warehouse — the
+    // exactly-once/file-log claim, hash-checked. Same landing-file
+    // dump, same oracle. (runCocoa's dump is reused: both pipelines
+    // consume byte-identical generated batches.)
+    "s04_cocoa_stream_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "p02_cocoa_value_by_region" -> cocoaOracle(
       """SELECT region, sum(shipment_value_usd) AS total_value_usd
         |FROM wh GROUP BY region ORDER BY region""".stripMargin),

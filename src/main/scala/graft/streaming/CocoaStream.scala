@@ -23,10 +23,14 @@ import graft.pipeline.{CocoaSchema, Enrich, Merge, Warehouse}
 object CocoaStream {
 
   /** Run one drain of the landing zone into the warehouse. Returns the
-    * number of micro-batches processed. */
+    * number of micro-batches processed. `processedAt` pins the audit
+    * stamp for every micro-batch of this drain (tests / oracle-checked
+    * runs); `None` stamps wall-clock per batch like the reference's
+    * per-chunk utcnow(). */
   def runAvailableNow(spark: SparkSession, landingDir: String,
       warehouseDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): Long = {
+      maxFilesPerTrigger: Option[Int] = None,
+      processedAt: Option[Timestamp] = None): Long = {
 
     // enforceSchema=false: the streaming file source has no per-file
     // quarantine hook (unlike batch Ingest.validateHeaders), so a file
@@ -50,7 +54,8 @@ object CocoaStream {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // One processed_at per micro-batch, mirroring the reference's
         // per-chunk utcnow() (O8).
-        val enriched = Enrich.enrich(batch, new Timestamp(System.currentTimeMillis()))
+        val enriched = Enrich.enrich(batch,
+          processedAt.getOrElse(new Timestamp(System.currentTimeMillis())))
         val target = Warehouse.read(spark, warehouseDir)
         val merged = Merge.upsertShipments(target, enriched)
         Warehouse.commit(spark, warehouseDir, merged)
