@@ -65,6 +65,7 @@ object SparkEntry {
     "q31_left_join_brands"  -> (Relational.leftJoinBrands _),
     "q32_full_outer_year_spend" -> (Relational.fullOuterYearSpend _),
     "q33_percentile_spend"  -> (Relational.percentileSpend _),
+    "q34_asof_clicks"       -> (Relational.asofClicks _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
     // landing CSVs, dumps a copy to a fixed path, and the DuckDB
     // oracle re-derives the warehouse from those exact files (parse →
@@ -489,6 +490,16 @@ object SparkEntry {
         |  coalesce(spend_1996, 0.0) AS spend_1996
         |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // q34: DuckDB's NATIVE ASOF JOIN is the oracle for the composed
+    // union+window implementation — same point-in-time semantics
+    // (greatest right ts <= left ts per key, LEFT null when none).
+    "q34_asof_clicks" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  epoch_ms(c.ts) AS click_ts_ms, c.value AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q33_percentile_spend" ->
       """SELECT o_orderstatus,
         |  quantile_disc(o_totalprice, 0.25) AS p25,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join: for every left row, attach the single right row with
+  * the greatest `rightTs <= leftTs` within the same key — the
+  * point-in-time lookup (latest price before a trade, last state
+  * before an event) that relational engines ship natively (DuckDB
+  * `ASOF JOIN`; the oracle uses exactly that) but Spark does not.
+  *
+  * Implementation follows the preference order for operators Spark
+  * lacks: COMPOSE BUILT-INS first — no custom strategy needed. Tag
+  * and union both sides, sort within key by (ts, side) with the right
+  * side first at equal timestamps (so an exactly-simultaneous right
+  * row IS visible to the left row), and propagate each right payload
+  * column with `last(_, ignoreNulls = true)` over the running window.
+  * One shuffle on the key; within-partition sort; no join explosion —
+  * the classic distributed as-of shape. A left row with no prior
+  * right row keeps nulls, i.e. LEFT as-of semantics.
+  *
+  * At 100 TB both sides shuffle once on the key and stream through
+  * one sort — same cost class as a sort-merge join, with no
+  * candidate-pair blowup for hot keys (the window is linear in
+  * partition size).
+  */
+object AsOfJoin {
+
+  /** @param left       probe side; all its columns are kept
+    * @param right      reference side
+    * @param key        equi-key column present on both sides
+    * @param leftTs     event-time column on `left`
+    * @param rightTs    event-time column on `right`
+    * @param rightCols  payload columns of `right` to attach (renamed
+    *                   as given in the map: rightCol -> outputCol) */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightCols: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(rightCols.valuesIterator.contains),
+      "output right-column names must not collide with left columns")
+
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r0 = right
+      .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightCols.map { case (rc, out) => col(rc).as(out) }.toSeq): _*)
+    // Align schemas: left gains null right-payload columns, right
+    // gains null left columns.
+    val l2 = rightCols.values.foldLeft(l)((df, out) =>
+      df.withColumn(out, lit(null).cast(r0.schema(out).dataType)))
+    val r2 = leftCols.filterNot(c => c == key).foldLeft(r0)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = l2.select((Seq(col(key), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++ rightCols.values.map(col)): _*)
+      .unionByName(r2.select((Seq(col(key), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++ rightCols.values.map(col)): _*))
+
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.values.foldLeft(unioned)((df, out) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ rightCols.values.map(col)): _*)
+  }
+}

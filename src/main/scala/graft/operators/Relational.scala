@@ -281,6 +281,26 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** AS-OF join over the event stream: each purchase is joined to the
+    * same user's most recent prior-or-simultaneous click (see
+    * [[AsOfJoin]] — union + keyed window, one shuffle, no native
+    * operator needed). Timestamps surface as epoch millis for
+    * cross-engine stability. */
+  def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts",
+      Map("ts" -> "click_ts", "value" -> "click_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(col("click_ts")).as("click_ts_ms"),
+        col("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Ordered-set aggregates: discrete percentiles per group.
     * `percentile_disc` picks an actual element (no interpolation
     * arithmetic), which is what makes the result bit-identical across
