@@ -268,6 +268,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
+    // Materialize the edge list FIRST, under the session's normal
+    // parallelism: the pair-producing plan upstream (e.g. a shingle
+    // self-join over the whole corpus) is the heavy part and must not
+    // run with the loop's small shuffle sizing below.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    edges.count()
     // The label graph is orders of magnitude smaller than the corpus
     // that produced the pairs (only docs appearing in a pair), so the
     // propagation rounds' shuffles should be sized to |V|, not to the
@@ -277,17 +286,11 @@ object Dedup {
     val partKey = "spark.sql.shuffle.partitions"
     val oldParts = spark.conf.get(partKey)
     spark.conf.set(partKey, "8")
-    try connectedComponentsLoop(pairs, aCol, bCol, maxRounds)
+    try connectedComponentsLoop(edges, maxRounds)
     finally spark.conf.set(partKey, oldParts)
   }
 
-  private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
-      bCol: String, maxRounds: Int): DataFrame = {
-    // Undirected edge list, both directions once.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .cache()
+  private def connectedComponentsLoop(edges: DataFrame, maxRounds: Int): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
