@@ -786,6 +786,28 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // d06: the portable rolling fingerprint recomputed step-by-step —
+    // per-token poly-31+mix hashes (ordered via generate_subscripts),
+    // then the same mix-chain fold, finally converted to the signed
+    // 64-bit value Spark's LongType holds.
+    "d06_fingerprints" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(lt) AS t, generate_subscripts(lt, 1) AS i
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
+        |        FROM documents)),
+        |h0 AS (
+        |  SELECT doc_id, i, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS ph
+        |  FROM toks),
+        |th AS (SELECT doc_id, i, ${mixSqlU("ph")} AS h FROM h0),
+        |agg AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+        |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT), hs),
+        |         (a, b) -> ${mixSqlU("xor(a, b)")}) AS f FROM agg)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN f >= 9223372036854775808 THEN CAST(f AS HUGEINT) - 18446744073709551616
+        |            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY doc_id""".stripMargin,
     "d10_fingerprints_md5" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fingerprint_md5
@@ -849,6 +871,15 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
+
+  /** The portable 64-bit finalizer (SketchExpressions.portableMix64)
+    * spelled in SQL over a UBIGINT operand: 128-bit intermediates for
+    * the two 32-bit-constant multiplies, mod 2^64 after each. */
+  private def mixSqlU(v: String): String = {
+    val z1 = s"CAST((CAST(xor(($v), ($v) >> 33) AS HUGEINT) * 4283543511) % 18446744073709551616 AS UBIGINT)"
+    val z2 = s"CAST((CAST(xor($z1, $z1 >> 29) AS HUGEINT) * 3301882366) % 18446744073709551616 AS UBIGINT)"
+    s"xor($z2, $z2 >> 32)"
+  }
 
   /** Wrap a query over the `wh` CTE — the warehouse as re-derived by
     * DuckDB from the dumped landing CSVs of the two batches. */

@@ -208,6 +208,32 @@ object SketchExpressions {
       copy(child = c)
   }
 
+  /** Order-sensitive 64-bit document fingerprint over an
+    * array<string> of tokens: `h' = portableMix64(h ⊕ tokenHash)`
+    * folded left-to-right from 0 — same identity semantics as an
+    * xxhash64 chain (same sequence ⇒ same fingerprint, any edit ⇒
+    * different) but every step is expressible in portable SQL, so the
+    * value is oracle-checkable. Null tokens are skipped. */
+  case class PortableFingerprint64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          h = portableMix64(h ^ portableTokenHash64(arr.getUTF8String(i)))
+        i += 1
+      }
+      h
+    }
+    override protected def withNewChildInternal(c: Expression): PortableFingerprint64 =
+      copy(child = c)
+  }
+
   /** Shared imperative kernel, also the codegen call target (Scala
     * objects emit static forwarders, so generated Java can call
     * `graft.functions.SketchExpressions.dotKernel(a, b)` directly). */
@@ -481,6 +507,8 @@ object SketchExpressions {
     toColumn(SimHash64(toExpression(tokens), portable))
   def minhashFromHashes(shingleHashes: Column, numHashes: Int): Column =
     toColumn(MinHashFromHashes(toExpression(shingleHashes), numHashes))
+  def portableFingerprint64(tokens: Column): Column =
+    toColumn(PortableFingerprint64(toExpression(tokens)))
   def minhashSignature(tokens: Column, numHashes: Int, shingleK: Int): Column =
     toColumn(MinHashSignature(toExpression(tokens), numHashes, shingleK))
   def tokenize(text: Column): Column = toColumn(Tokenize(toExpression(text)))

@@ -123,4 +123,13 @@ object TextFunctions {
     * with md5 — this is the oracle-checkable variant. */
   def fingerprintMd5(text: Column): Column =
     md5(array_join(tokens(text), " "))
+
+  /** 64-bit portable rolling fingerprint — the numeric twin of
+    * [[fingerprintMd5]]: the mix-chain of the tokens' portable hashes
+    * (see [[SketchExpressions.PortableFingerprint64]]), recomputable
+    * step-by-step in external SQL engines. Prefer this over
+    * [[fingerprint64]] when the fingerprint must be verifiable
+    * outside Spark. */
+  def fingerprintPortable64(text: Column): Column =
+    SketchExpressions.portableFingerprint64(tokens(text))
 }

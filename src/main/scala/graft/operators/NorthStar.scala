@@ -130,10 +130,14 @@ object NorthStar {
       .withColumn("correct", (col("lang") === col("lang_pred")).cast("long"))
       .orderBy("doc_id")
 
+  /** Rolling-hash fingerprints with the PORTABLE chain — every step
+    * reproducible in SQL, so the 64-bit values are hash-compared
+    * against a from-scratch oracle recomputation (the xxhash64 chain
+    * variant remains available as TextFunctions.fingerprint64). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      TextFunctions.fingerprint64(col("text")).as("fingerprint"))
+      TextFunctions.fingerprintPortable64(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
   /** md5-of-token-stream fingerprint — same semantics, DuckDB-oracled
