@@ -305,6 +305,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dlabel"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dlabel")).as("nbr_label"))
+      // (Pointer jumping — label := label(label) — was measured here
+      // and REGRESSED: near-dup components are shallow stars/chains
+      // that converge in 2-3 rounds anyway, and the extra join
+      // re-evaluates the round's plan twice. Worth revisiting only
+      // for deep-diameter graphs.)
       val next = labels.withColumnRenamed("label", "old")
         .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
