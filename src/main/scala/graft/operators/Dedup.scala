@@ -266,7 +266,8 @@ object Dedup {
     * the dependency. The driver only sees a one-long convergence
     * count per round, never vertex data. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxRounds: Int = 20): DataFrame = {
+      bCol: String = "id_b", maxRounds: Int = 20,
+      smallGraphEdges: Long = 2L * 1000 * 1000): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the edge list FIRST, under the session's normal
     // parallelism: the pair-producing plan upstream (e.g. a shingle
@@ -276,7 +277,39 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
-    edges.count()
+    val nEdges = edges.count()
+
+    // Small-graph fast path — the broadcast-join analogue: a pair
+    // graph under ~2M edges (32 MB of longs) is driver-trivial with
+    // union-find, while each distributed round costs several fixed
+    // job latencies. Near-dup pair graphs are usually MUCH smaller
+    // than the corpus (that's the point of dedup); the distributed
+    // loop below remains the path for genuinely huge pair sets.
+    if (nEdges <= smallGraphEdges) {
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrDefault(root, root) != root) root = parent.get(root)
+        var cur = x // path compression
+        while (parent.getOrDefault(cur, cur) != root) {
+          val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
+        }
+        root
+      }
+      edges.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.keySet().forEach(v => out += ((v, find(v))))
+      val result = out.toSeq.toDF("doc_id", "cluster_id")
+      edges.unpersist()
+      return result
+    }
+
     // The label graph is orders of magnitude smaller than the corpus
     // that produced the pairs (only docs appearing in a pair), so the
     // propagation rounds' shuffles should be sized to |V|, not to the

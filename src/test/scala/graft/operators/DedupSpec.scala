@@ -27,19 +27,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.agg(max("doc_id")).head.getLong(0) < 60, "smallest id survives")
   }
 
-  test("connected components collapse chains across multiple rounds") {
+  test("connected components collapse chains (both execution paths)") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
     // pair 10-11, star 20-{21,22,23}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (20L, 21L), (20L, 22L), (20L, 23L))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 5L).forall(got(_) === 1L), "chain collapses to min id")
-    assert(got(10L) === 10L && got(11L) === 10L)
-    assert((20L to 23L).forall(got(_) === 20L))
-    assert(got.size === 11)
+    // smallGraphEdges=0 forces the distributed propagation loop;
+    // default exercises the driver union-find fast path.
+    for (threshold <- Seq(0L, 2000000L)) {
+      val got = Dedup.connectedComponents(pairs, smallGraphEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 5L).forall(got(_) === 1L), s"chain collapses to min id (t=$threshold)")
+      assert(got(10L) === 10L && got(11L) === 10L)
+      assert((20L to 23L).forall(got(_) === 20L))
+      assert(got.size === 11)
+    }
   }
 
   test("minhash LSH recovers planted near-dup pairs") {
