@@ -90,6 +90,7 @@ object SparkEntry {
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
+    "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
     "s03_stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionize(s, dir)),
@@ -848,6 +849,11 @@ object SparkEntry {
     "p04_cocoa_region_distribution" -> cocoaOracle(
       """SELECT region, count(*) AS n_shipments
         |FROM wh GROUP BY region ORDER BY region""".stripMargin),
+    // s05: the doubled-then-deduped stream must equal the original
+    // event set exactly.
+    "s05_streaming_dedup" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "s02_streaming_windowed_counts" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
         |w AS (SELECT (us // 21600000000) * 21600000000 AS ws_us, event_type FROM ev),

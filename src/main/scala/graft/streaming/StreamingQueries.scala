@@ -73,6 +73,34 @@ object StreamingQueries {
       drainMemorySink(spark, sink).orderBy("day", "event_type")
     }
 
+  /** Streaming deduplication — the exactly-once repair for an
+    * at-least-once transport: the source stream is deliberately
+    * DOUBLED (two file-source reads of the same fixture unioned, so
+    * every event arrives twice) and `dropDuplicates` on the event key
+    * + event-time column must reconstruct exactly the original event
+    * set — hash-compared against a plain batch scan. The watermark
+    * bounds the dedup state: keys older than the watermark are
+    * dropped from the store, which is what makes the operator viable
+    * on an unbounded stream. */
+  def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 8) {
+      val sink = s"stream_dedup_${nameCounter.incrementAndGet()}"
+      val doubled = eventsStream(spark, dir)
+        .unionByName(eventsStream(spark, dir))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id", "ts")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), col("event_type"), col("value"))
+      val q = doubled.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainMemorySink(spark, sink).orderBy("event_id")
+    }
+
   /** Materialize a memory sink's rows into a standalone DataFrame and
     * drop the sink view — otherwise every call leaks its full result
     * set in driver memory for the session's lifetime. */
