@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   * lacks: COMPOSE BUILT-INS first — no custom strategy needed. Tag
   * and union both sides, sort within key by (ts, side) with the right
   * side first at equal timestamps (so an exactly-simultaneous right
-  * row IS visible to the left row), and propagate each right payload
-  * column with `last(_, ignoreNulls = true)` over the running window.
+  * row IS visible to the left row), and propagate the right payload
+  * with `last(_, ignoreNulls = true)` over the running window.
   * One shuffle on the key; within-partition sort; no join explosion —
   * the classic distributed as-of shape. A left row with no prior
   * right row keeps nulls, i.e. LEFT as-of semantics.
+  *
+  * The payload travels as ONE struct column, not per-column fills:
+  * per-column `last(ignoreNulls)` would stitch a null field of the
+  * matched right row from an OLDER right row, diverging from native
+  * ASOF semantics (attach one whole row, nulls included). The struct
+  * is atomic — either the whole matched row or all nulls. Right rows
+  * tied on (key, ts) are broken deterministically by ordering on the
+  * payload struct itself (field-lexicographic), so reruns and
+  * different partitionings pick the same winner.
   *
   * At 100 TB both sides shuffle once on the key and stream through
   * one sort — same cost class as a sort-merge join, with no
@@ -41,29 +50,32 @@ object AsOfJoin {
     require(!leftCols.exists(rightCols.valuesIterator.contains),
       "output right-column names must not collide with left columns")
 
-    val l = left
+    val payload = struct(
+      rightCols.map { case (rc, out) => col(rc).as(out) }.toSeq: _*)
+    val r0 = right
+      .select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+        payload.as("__payload"))
+    // Align schemas: left gains a null payload struct, right gains
+    // null left columns.
+    val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val r0 = right
-      .select((Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        rightCols.map { case (rc, out) => col(rc).as(out) }.toSeq): _*)
-    // Align schemas: left gains null right-payload columns, right
-    // gains null left columns.
-    val l2 = rightCols.values.foldLeft(l)((df, out) =>
-      df.withColumn(out, lit(null).cast(r0.schema(out).dataType)))
+      .withColumn("__payload",
+        lit(null).cast(r0.schema("__payload").dataType))
     val r2 = leftCols.filterNot(c => c == key).foldLeft(r0)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = l2.select((Seq(col(key), col("__ts"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++ rightCols.values.map(col)): _*)
-      .unionByName(r2.select((Seq(col(key), col("__ts"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++ rightCols.values.map(col)): _*))
+    val shape = Seq(col(key), col("__ts"), col("__side")) ++
+      leftCols.filterNot(_ == key).map(col) :+ col("__payload")
+    val unioned = l2.select(shape: _*).unionByName(r2.select(shape: _*))
 
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.values.foldLeft(unioned)((df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w)))
+    val filled = unioned.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightCols.values.map(col)): _*)
+      .select((leftCols.map(col) ++
+        rightCols.values.toSeq.map(out => col("__payload")(out).as(out))): _*)
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.TextFunctions
 
 /** Deduplication operators for training-data pipelines (north-star
@@ -62,18 +63,18 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val scope = new CacheScope
     // ONE tokenize+hash pass computes the sorted shingle-hash set (for
     // exact verification), and the MinHash signature (for banding) is
     // derived FROM it with the affine family — the signature re-uses
-    // the shingle hashes instead of re-tokenizing; cached so the band
+    // the shingle hashes instead of re-tokenizing; pinned so the band
     // explode and the verification joins share it. (Distinctness note:
     // signatures over the DISTINCT shingle set equal signatures over
     // the raw shingle stream — min is idempotent to duplicates.)
-    val base = df.select(col(idCol).as("id"),
+    val base = scope.pin(df.select(col(idCol).as("id"),
         graft.functions.SketchExpressions.shingleHashes(col(textCol), shingleK).as("sh"))
       .withColumn("sig",
-        graft.functions.SketchExpressions.minhashFromHashes(col("sh"), numHashes))
-      .cache()
+        graft.functions.SketchExpressions.minhashFromHashes(col("sh"), numHashes)))
     val banded = base
       .select(col("id"), posexplode(
         graft.functions.SketchExpressions.bandHashes(col("sig"), bands)))
@@ -85,14 +86,14 @@ object Dedup {
     // the (much smaller) candidate set. At cluster scale these are
     // two hash joins on the doc id — never a text broadcast.
     val cands = bucketSelfJoinPairs(banded, Seq("band_idx", "band_hash"),
-      Seq("id"), maxBucket)
+      Seq("id"), maxBucket, scope)
     val ja = graft.functions.SketchExpressions.sortedLongJaccard(col("sh_a"), col("sh_b"))
-    cands
+    scope.sealResult(cands
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", graft.functions.Quantize.quantize4(ja))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
   def jaccard(a: Column, b: Column): Column = {
@@ -126,6 +127,7 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     require(chunks > maxHamming, "pigeonhole needs chunks > maxHamming")
     require(chunks <= 64, "at most one chunk per bit")
+    val scope = new CacheScope
     val widths = Array.tabulate(chunks)(j => 64 / chunks + (if (j < 64 % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val withSim = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -140,12 +142,12 @@ object Dedup {
     // Hamming-filter BEFORE the cross-chunk dedup: bit_count is a
     // codegen'd long op, so pruning the ~7× chunk-collision stream
     // first leaves dropDuplicates a small survivor set.
-    bucketSelfJoinPairs(chunked, Seq("chunk_idx", "chunk_val"),
-      Seq("id", "sim"), maxBucket, dedupPairs = false)
+    scope.sealResult(bucketSelfJoinPairs(chunked, Seq("chunk_idx", "chunk_val"),
+      Seq("id", "sim"), maxBucket, scope, dedupPairs = false)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b"))
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -167,13 +169,13 @@ object Dedup {
     // shrink ~4×, and the whole pairing path stays in codegen. Null
     // text → null shingles, excluded in BOTH variants so they agree:
     // a contentless doc never pairs.
+    val scope = new CacheScope
     val base = df.select(col(idCol).as("id"),
       graft.functions.SketchExpressions.shingleHashes(col(textCol), n).as("sh"))
       .filter(col("sh").isNotNull)
       .withColumn("set_size", size(col("sh")))
-    val postings = base
-      .select(col("id"), col("set_size"), explode(col("sh")).as("gh"))
-      .cache()
+    val postings = scope.pin(base
+      .select(col("id"), col("set_size"), explode(col("sh")).as("gh")))
     // Keep only shingles appearing in 2..maxPosting docs: a df=1
     // shingle cannot contribute a pair (set sizes ride on the rows,
     // so dropping it changes nothing), and on real corpora MOST
@@ -190,14 +192,15 @@ object Dedup {
     val pairs = cool.select(col("gh"), col("id").as("id_a"), col("set_size").as("set_size_a"))
       .join(cool.select(col("gh"), col("id").as("id_b"), col("set_size").as("set_size_b")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
-    pairs.groupBy(col("id_a"), col("id_b"), col("set_size_a"), col("set_size_b"))
+    scope.sealResult(pairs
+      .groupBy(col("id_a"), col("id_b"), col("set_size_a"), col("set_size_b"))
       .agg(count(lit(1)).as("inter"))
       // threshold on the UNROUNDED value (rounding first would admit
       // borderline pairs the prefix variant rightly prunes)
       .filter(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")) >= threshold)
       .withColumn("jaccard",
         graft.functions.Quantize.quantize4(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter"))))
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard"))
   }
 
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the
@@ -212,17 +215,14 @@ object Dedup {
     * generator here); no false positives by verification.
     * Candidate volume drops from Σ|posting|² over all shingles to
     * Σ|prefix-posting|² over rare ones — a win on zipfian corpora,
-    * a loss on uniform ones (see NorthStar.ngramJaccardNearDups).
-    *
-    * Note: caches the shingle-set artifact for its three consumers;
-    * callers outside Verify/Bench (which clearCache between jobs)
-    * own that lifecycle. */
+    * a loss on uniform ones (see NorthStar.ngramJaccardNearDups). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val scope = new CacheScope
+    val base = scope.pin(df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), n).as("shingles"))
-      .withColumn("set_size", size(col("shingles")))
-      .cache() // consumed by postings and twice by verification
+      .withColumn("set_size", size(col("shingles"))))
+    // consumed by postings and twice by verification
     val postings = base.select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
       .filter(col("sh").isNotNull) // contentless docs never pair (both variants)
     val dfreq = postings.groupBy("sh").agg(count(lit(1)).as("__df"))
@@ -238,15 +238,15 @@ object Dedup {
       .filter(col("__rank") <=
         floor((lit(1.0) - threshold) * col("set_size") + lit(1e-9)) + 1)
       .select(col("id"), col("sh"))
-    val cands = bucketSelfPairs(prefix, Seq("sh"), Seq("id"), maxPosting)
+    val cands = bucketSelfPairs(prefix, Seq("sh"), Seq("id"), maxPosting, scope)
     val withSets = cands
       .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-    withSets
+    scope.sealResult(withSets
       .withColumn("__j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("__j") >= threshold) // unrounded, matching exhaustive
       .withColumn("jaccard", graft.functions.Quantize.quantize4(col("__j")))
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard"))
   }
 
   /** Connected components over a near-dup pair set: every doc that
@@ -316,17 +316,30 @@ object Dedup {
     // session's scan parallelism — at 32 partitions each tiny round
     // pays 32 tasks × fixed overhead per stage. A production run on a
     // huge pair graph raises this the same way it sizes any join.
-    val partKey = "spark.sql.shuffle.partitions"
-    val oldParts = spark.conf.get(partKey)
-    spark.conf.set(partKey, "8")
-    try connectedComponentsLoop(edges, maxRounds)
-    finally spark.conf.set(partKey, oldParts)
+    //
+    // The sizing is scoped to a CLONED session (shared SparkContext
+    // and cache, private SQLConf) instead of temporarily mutating the
+    // caller's session-global shuffle.partitions: queries planned
+    // concurrently on the caller's session — other threads, streaming
+    // micro-batches — keep their own parallelism, and there is no
+    // restore race with other conf writers.
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", "8")
+    val loopEdges = loop.createDataFrame(edges.toDF().rdd, edges.schema).cache()
+    try connectedComponentsLoop(loopEdges, maxRounds)
+    finally edges.unpersist()
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxRounds: Int): DataFrame = {
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `cached` is the handle actually registered with the cache
+    // manager; `labels` is the (id, label) projection the next round
+    // consumes. They must be tracked separately: unpersist() with
+    // cascade=false only releases an EXACT plan match, so calling it
+    // on the projection would silently leak every round's cache.
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
+    var labels = cached
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -350,12 +363,28 @@ object Dedup {
           col("old"))
         .cache()
       converged = next.filter(col("label") =!= col("old")).count() == 0L
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select(col("id"), col("label"))
       round += 1
     }
+    // A silent exit here would return labels that LOOK valid but split
+    // genuine components — and it only triggers on the huge-graph
+    // path, exactly where long near-dup chains (diameter > maxRounds)
+    // become plausible. Fail loudly instead.
+    if (!converged) {
+      cached.unpersist()
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds: " +
+          "a component's diameter exceeds maxRounds and the labels are " +
+          "not yet stable; re-run with a larger maxRounds")
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).cache()
+    out.count()
+    cached.unpersist()
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    out
   }
 
   /** Join-based twin of [[bucketSelfPairs]]: pairs come from a
@@ -368,9 +397,10 @@ object Dedup {
     * at cap 1000, kept at 4000 → exact hamming recall). Same output
     * contract as [[bucketSelfPairs]]. */
   private[operators] def bucketSelfJoinPairs(df: DataFrame, keys: Seq[String],
-      payload: Seq[String], maxBucket: Int, dedupPairs: Boolean = true): DataFrame = {
+      payload: Seq[String], maxBucket: Int, scope: CacheScope,
+      dedupPairs: Boolean = true): DataFrame = {
     require(payload.contains("id"), "payload must carry the id column")
-    val cached = df.cache()
+    val cached = scope.pin(df)
     val keyCols = keys.map(col)
     val hot = cached.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
@@ -403,7 +433,8 @@ object Dedup {
     * `id_a < id_b` (collect_list order is nondeterministic), then
     * deduped across buckets. */
   private[operators] def bucketSelfPairs(df: DataFrame, keys: Seq[String],
-      payload: Seq[String], maxBucket: Int, dedupPairs: Boolean = true): DataFrame = {
+      payload: Seq[String], maxBucket: Int, scope: CacheScope,
+      dedupPairs: Boolean = true): DataFrame = {
     require(payload.contains("id"), "payload must carry the id column")
     // The input carries the expensive sketch columns and is consumed
     // twice (hot-bucket count, then the pair expansion). Materialize
@@ -411,10 +442,9 @@ object Dedup {
     // persist to storage; recomputing signatures per consumer doubles
     // the dominant cost. cache(), not localCheckpoint(): measured 6×
     // slower via checkpoint (eager row-copy materialization dominates).
-    // CacheManager entries outlive the query — long-lived sessions
-    // should spark.catalog.clearCache() between jobs, as Verify/Bench
-    // do.
-    val cached = df.cache()
+    // Pinned into the operator's CacheScope: released when the
+    // operator seals its result.
+    val cached = scope.pin(df)
     val keyCols = keys.map(col)
     val hot = cached.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)

@@ -121,10 +121,19 @@ object IvfIndex {
     centers.map(_.map(_.toFloat))
   }
 
-  /** Fit centroids on a bounded deterministic sample of `df`. */
+  /** Fit centroids on a bounded deterministic sample of `df`:
+    * order by a hash of the vector and take the top `maxSample`.
+    * A bare `limit()` would take an arbitrary PREFIX (typically the
+    * first file/partitions) — on corpora ordered by time or source
+    * the quantizer would fit a biased slice and cell balance/recall
+    * degrade at scale. Hash-ordering is a uniform pseudo-random
+    * draw over the whole corpus, still deterministic across runs,
+    * and plans as TakeOrdered (per-partition top-N + merge), not a
+    * full sort. */
   private[operators] def trainQuantizer(df: DataFrame, vecCol: String,
       nCells: Int, seed: Long = 42L, maxSample: Int = 100000): Array[Array[Float]] = {
-    val sample = df.select(col(vecCol)).limit(maxSample).collect()
+    val sample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
       .map(_.getSeq[Float](0).toArray)
     fitCentroids(sample, nCells, seed)
   }

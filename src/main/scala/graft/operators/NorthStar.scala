@@ -76,11 +76,16 @@ object NorthStar {
   /** Near-dup clusters: connected components over the exact ≥ 0.4
     * Jaccard pair set — the transitive-closure step that turns pairs
     * into dedup groups. Oracled via a recursive-CTE closure in SQL. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.ngramJaccardPairsExhaustive(withPlantedNearDups(spark, dir), "doc_id", "text",
-        n = 3, threshold = 0.4))
-      .orderBy("doc_id")
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsExhaustive(
+      withPlantedNearDups(spark, dir), "doc_id", "text", n = 3, threshold = 0.4)
+    val clusters = Dedup.connectedComponents(pairs)
+    // connectedComponents materializes its result before returning, so
+    // the pair cache has served every consumer — release it here (the
+    // composition point owns the handles it strings together).
+    pairs.unpersist()
+    clusters.orderBy("doc_id")
+  }
 
   // ----------------------------------------------------- text analysis
 

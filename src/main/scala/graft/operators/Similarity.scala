@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.SketchExpressions
 
 /** Similarity search over an embedding column (`array<float>`):
@@ -76,9 +77,9 @@ object Similarity {
     // bucket stream derives from it in ONE scan (all hash tables
     // evaluated in one projection and exploded), and the candidate
     // scoring joins back against it by id.
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("norm", l2Norm(col("vec")))
-      .cache()
+    val scope = new CacheScope
+    val base = scope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", l2Norm(col("vec"))))
     val buckets = lshBuckets(base, planes, tables)
 
     // Candidates are (id, id) pairs ONLY — deduped across tables
@@ -88,7 +89,7 @@ object Similarity {
     // pair. ANN needs BOTH directions of each pair → mirror after
     // scoring.
     val half = Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
-      Seq("id"), maxBucket, dedupPairs = true)
+      Seq("id"), maxBucket, scope, dedupPairs = true)
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .withColumn("cosine", cosineWithNorms(
@@ -100,9 +101,9 @@ object Similarity {
         col("id_b").as("query_id"), col("id_a").as("nbr_id"), col("cosine")))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(rankW))
+    scope.sealResult(scored.withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
+      .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank")))
   }
 
   /** One bucket row per (vector, hash table): all `tables` bucket ids
@@ -140,17 +141,17 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 0, tables: Int = 16,
       maxBucket: Int = 2000): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("norm", l2Norm(col("vec")))
-      .cache()
+    val scope = new CacheScope
+    val base = scope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", l2Norm(col("vec"))))
     val buckets = lshBuckets(base, planes, tables)
-    Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
-      Seq("id"), maxBucket, dedupPairs = true)
+    scope.sealResult(Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
+      Seq("id"), maxBucket, scope, dedupPairs = true)
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .withColumn("cosine", graft.functions.Quantize.quantize4(cosineWithNorms(
         dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b"))))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine")))
   }
 }

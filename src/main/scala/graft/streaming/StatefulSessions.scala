@@ -78,9 +78,9 @@ object StatefulSessions {
     * still-open sessions afterwards (batch-equivalence mode — a live
     * deployment would leave them pending). */
   def sessionize(spark: SparkSession, dir: String, flushOpen: Boolean = true): DataFrame = {
-    import spark.implicits._
-    val closed = StreamingQueries.withStreamPartitions(spark, 8) {
-      val events: Dataset[Ev] = StreamingQueries.eventsStream(spark, dir)
+    val closed = StreamingQueries.withStreamPartitions(spark, 8) { scoped =>
+      import scoped.implicits._
+      val events: Dataset[Ev] = StreamingQueries.eventsStream(scoped, dir)
         .select(col("user_id"), col("event_id"),
           unix_millis(col("ts")).as("ms"), col("ts"))
         .withWatermark("ts", "1 hour")
@@ -97,7 +97,7 @@ object StatefulSessions {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      StreamingQueries.drainMemorySink(spark, sink)
+      StreamingQueries.drainMemorySink(scoped, sink)
     }
 
     if (!flushOpen) return closed.orderBy("user_id", "session_id")

@@ -17,19 +17,22 @@ object StreamingQueries {
 
   private val nameCounter = new AtomicLong(0)
 
-  /** Run `f` with `spark.sql.shuffle.partitions` temporarily set to
-    * `n`, restoring the previous value after. Streaming stages pay a
-    * per-partition state-store instance (open/commit/snapshot each
-    * micro-batch), so partition count should track STATE size, not
-    * the session's scan parallelism — at the bench's key
-    * cardinalities (hundreds of users/windows) 8 partitions cuts the
-    * fixed state-store overhead ~4× with zero skew risk; a production
-    * deployment sizes this to keys/executor the same way. */
-  private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
+  /** Run `f` in a CLONED session (shared SparkContext and cache,
+    * private SQLConf) whose `spark.sql.shuffle.partitions` is `n`.
+    * Streaming stages pay a per-partition state-store instance
+    * (open/commit/snapshot each micro-batch), so partition count
+    * should track STATE size, not the session's scan parallelism — at
+    * the bench's key cardinalities (hundreds of users/windows) 8
+    * partitions cuts the fixed state-store overhead ~4× with zero
+    * skew risk; a production deployment sizes this to keys/executor
+    * the same way. Cloning (rather than temporarily mutating the
+    * caller's conf) keeps queries planned concurrently on the
+    * caller's session — other threads, other streams — at their own
+    * parallelism, with no restore race. */
+  private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(scoped)
   }
 
   /** events.parquet read as a stream. Schema must be declared up
@@ -56,9 +59,9 @@ object StreamingQueries {
     * cluster scale the same plan runs incrementally with a watermark;
     * state is keyed on (day, event_type), bounded by the calendar. */
   def dailyEventStats(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 8) { scoped =>
       val sink = s"stream_daily_stats_${nameCounter.incrementAndGet()}"
-      val agg = eventsStream(spark, dir)
+      val agg = eventsStream(scoped, dir)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           (sum(floor(col("value") * 100 + lit(0.5))) / 100.0).as("total_value"),
@@ -70,7 +73,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      drainMemorySink(spark, sink).orderBy("day", "event_type")
+      drainMemorySink(scoped, sink).orderBy("day", "event_type")
     }
 
   /** Streaming deduplication — the exactly-once repair for an
@@ -83,10 +86,10 @@ object StreamingQueries {
     * dropped from the store, which is what makes the operator viable
     * on an unbounded stream. */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 8) { scoped =>
       val sink = s"stream_dedup_${nameCounter.incrementAndGet()}"
-      val doubled = eventsStream(spark, dir)
-        .unionByName(eventsStream(spark, dir))
+      val doubled = eventsStream(scoped, dir)
+        .unionByName(eventsStream(scoped, dir))
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id", "ts")
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
@@ -98,7 +101,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      drainMemorySink(spark, sink).orderBy("event_id")
+      drainMemorySink(scoped, sink).orderBy("event_id")
     }
 
   /** Materialize a memory sink's rows into a standalone DataFrame and
@@ -120,9 +123,9 @@ object StreamingQueries {
     * continuous deployment would see. Not oracle-compared (DuckDB has
     * no watermark notion); asserted structurally in tests. */
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 8) { scoped =>
       val sink = s"stream_windowed_counts_${nameCounter.incrementAndGet()}"
-      val agg = eventsStream(spark, dir)
+      val agg = eventsStream(scoped, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -134,6 +137,6 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      drainMemorySink(spark, sink).orderBy("window_start", "event_type")
+      drainMemorySink(scoped, sink).orderBy("window_start", "event_type")
     }
 }

@@ -26,4 +26,33 @@ class AsOfJoinSpec extends AnyFunSuite {
       (1L, 25L, "b", Some(20L), Some(300.0)), // latest at-or-before
       (2L, 10L, "c", None, None)))            // right rows only in the future
   }
+
+  test("matched right row attaches atomically — its null fields stay null") {
+    // The matched right row (ts=20) has v=null. Per-column fills would
+    // stitch v=100.0 from the OLDER row while tag comes from ts=20;
+    // native ASOF semantics attach the whole matched row, nulls
+    // included.
+    val left = Seq((1L, 25L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, Some(100.0), "old"), (1L, 20L, None, "new"))
+      .toDF("k", "ts", "v", "tag")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", "ts",
+      Map("v" -> "r_v", "tag" -> "r_tag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3))).toSet
+    assert(got === Set((1L, 25L, None, "new")))
+  }
+
+  test("right rows tied on (key, ts) resolve deterministically") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 10L, "c"))
+      .toDF("k", "ts", "tag")
+    // Tie-break orders by the payload struct: the LAST in payload
+    // order wins. Repartitioning the right side must not change the
+    // winner.
+    val r1 = AsOfJoin.asOf(left, right, "k", "ts", "ts",
+      Map("tag" -> "r_tag")).collect().map(_.getString(2)).toSeq
+    val r2 = AsOfJoin.asOf(left, right.repartition(7), "k", "ts", "ts",
+      Map("tag" -> "r_tag")).collect().map(_.getString(2)).toSeq
+    assert(r1 === Seq("c") && r2 === Seq("c"))
+  }
 }
