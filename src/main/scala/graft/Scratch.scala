@@ -26,26 +26,29 @@ object Scratch {
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    docs.cache().count()
-
-    time("tokens only") {
-      docs.select(TextFunctions.tokens(col("text")).as("t")).agg(sum(size(col("t")))).collect(); docs.count()
+    time("m01 multimodal features") {
+      SparkEntry.queries("m01_multimodal_features")(spark, sfDir).count()
     }
-    time("wordShingles(3)") {
-      docs.select(TextFunctions.wordShingles(col("text"), 3).as("s")).agg(sum(size(col("s")))).collect(); docs.count()
+    time("s01 streaming daily stats") {
+      SparkEntry.queries("s01_streaming_daily_stats")(spark, sfDir).count()
     }
-    time("postings explode") {
-      docs.select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), 3)).as("sh")).count()
+    time("q08 customers without orders") {
+      SparkEntry.queries("q08_customers_without_orders")(spark, sfDir).count()
     }
-    time("d09 full (current)") {
-      NorthStar.ngramJaccardNearDups(spark, sfDir).count()
+    time("q10 set intersect") {
+      SparkEntry.queries("q10_set_intersect")(spark, sfDir).count()
     }
-    time("d07 full (current)") {
-      NorthStar.minhashNearDups(spark, sfDir).count()
+    time("q31 left join brands") {
+      SparkEntry.queries("q31_left_join_brands")(spark, sfDir).count()
     }
-    time("d08 full (current)") {
-      NorthStar.simhashNearDups(spark, sfDir).count()
+    time("q32 full outer year spend") {
+      SparkEntry.queries("q32_full_outer_year_spend")(spark, sfDir).count()
+    }
+    time("q33 percentile spend") {
+      SparkEntry.queries("q33_percentile_spend")(spark, sfDir).count()
+    }
+    time("q34 asof clicks") {
+      SparkEntry.queries("q34_asof_clicks")(spark, sfDir).count()
     }
     locally {
       import graft.pipeline._

@@ -56,8 +56,12 @@ object CocoaGen {
 
   /** Write `numFiles` landing CSVs of ~`rowsPerFile` rows each —
     * the reference's multi-file upload (O18, `generate_data.py:50-72`).
-    * One task per file via repartition, written with headers so the
-    * ingest-side header validation has something real to check. */
+    * One task per file, written with headers so the ingest-side
+    * header validation has something real to check. `coalesce` (a
+    * narrow, shuffle-free merge of the generator's pinned partitions,
+    * preserving their indices and therefore the seeded rand streams)
+    * when the file count allows it; `repartition` only when fanning
+    * OUT past the generator's partition count. */
   def writeLandingFiles(
       spark: SparkSession,
       landingDir: String,
@@ -65,9 +69,11 @@ object CocoaGen {
       rowsPerFile: Long,
       seed: Long,
       idOffset: Long = 0L,
-      keySpace: Long = -1L): Unit =
-    shipments(spark, numFiles * rowsPerFile, seed, idOffset = idOffset, keySpace = keySpace)
-      .repartition(numFiles)
+      keySpace: Long = -1L): Unit = {
+    val gen = shipments(spark, numFiles * rowsPerFile, seed,
+      idOffset = idOffset, keySpace = keySpace)
+    val sized = if (numFiles <= 8) gen.coalesce(numFiles) else gen.repartition(numFiles)
+    sized
       .write.mode("append").option("header", "true")
       // Whole-second ISO-8601 without zone suffix (values are whole
       // seconds by construction): both the engine's own ingest cast
@@ -76,4 +82,5 @@ object CocoaGen {
       // files.
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
       .csv(landingDir)
+  }
 }

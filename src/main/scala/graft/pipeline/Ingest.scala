@@ -61,34 +61,47 @@ object Ingest {
     else t
   }
 
+  /** One header line, cheaply: open, read the first line, close. */
+  private def readHeaderLine(p: String): String =
+    try {
+      val path = new Path(p)
+      // FS from default conf: resolves local and default-scheme
+      // paths; cluster deployments carry fs conf in core-site.xml.
+      val fs = path.getFileSystem(new Configuration())
+      val in = new BufferedReader(
+        new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+      try Option(in.readLine()).getOrElse("")
+      finally in.close()
+    } catch { case _: Exception => "" }
+
+  /** Small listings are checked on the driver directly — a header
+    * read is one FS open + one line, and scheduling a Spark job for a
+    * handful of files costs more than the reads. Above this, go
+    * executor-side. */
+  private val driverHeaderCheckMax = 64
+
   /** Partition discovered files into header-valid vs quarantined.
-    * Headers are read executor-side: one line per file, no full scan.
-    * Missing required columns ⇒ quarantine the whole file; extra
-    * columns and reordering are tolerated (the reference only checks
-    * the missing set, `cocoa_processing_dag.py:31-35,187-190`; its
-    * pandas reader binds by name). */
+    * Headers are read one line per file, no full scan — driver-side
+    * for small listings, executor-side beyond
+    * [[driverHeaderCheckMax]] files. Missing required columns ⇒
+    * quarantine the whole file; extra columns and reordering are
+    * tolerated (the reference only checks the missing set,
+    * `cocoa_processing_dag.py:31-35,187-190`; its pandas reader binds
+    * by name). */
   def validateHeaders(spark: SparkSession, files: Seq[String]): Discovery = {
     if (files.isEmpty) return Discovery(Seq.empty, Seq.empty, Map.empty)
     val required = CocoaSchema.requiredColumns
-    // parallelize with explicit slices: one task per file (capped),
-    // no shuffle — repartition() would add an exchange stage just to
-    // spread a file list.
-    val flagged = spark.sparkContext
-      .parallelize(files, math.min(files.size, 64)).map { p =>
-      val header =
-        try {
-          val path = new Path(p)
-          // Executor-side FS from default conf: resolves local and
-          // default-scheme paths; cluster deployments carry fs conf in
-          // core-site.xml on executors.
-          val fs = path.getFileSystem(new Configuration())
-          val in = new BufferedReader(
-            new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
-          try Option(in.readLine()).getOrElse("")
-          finally in.close()
-        } catch { case _: Exception => "" }
-      (p, header)
-    }.collect()
+    val flagged =
+      if (files.size <= driverHeaderCheckMax)
+        files.toArray.map(p => (p, readHeaderLine(p)))
+      else
+        // parallelize with explicit slices: one task per file
+        // (capped), no shuffle — repartition() would add an exchange
+        // stage just to spread a file list.
+        spark.sparkContext
+          .parallelize(files, math.min(files.size, 256))
+          .map(p => (p, readHeaderLine(p)))
+          .collect()
     val parsed = flagged.map { case (p, h) =>
       (p, h.split(",", -1).map(cleanHeaderCell).toSeq)
     }
