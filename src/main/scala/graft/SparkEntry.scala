@@ -91,6 +91,7 @@ object SparkEntry {
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
+    "s06_stream_stream_join" -> (StreamingQueries.viewPurchaseJoin _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
     "s03_stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionize(s, dir)),
@@ -854,6 +855,19 @@ object SparkEntry {
     "s05_streaming_dedup" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // s06: stream-stream interval join == the batch range join on
+    // µs-truncated event time (Spark's streamed ts is µs by
+    // construction; epoch_us truncates DuckDB's nanos identically).
+    "s06_stream_stream_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS view_id,
+        |  b.event_id AS purchase_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "s02_streaming_windowed_counts" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
         |w AS (SELECT (us // 21600000000) * 21600000000 AS ws_us, event_type FROM ev),

@@ -104,6 +104,47 @@ object StreamingQueries {
       drainMemorySink(scoped, sink).orderBy("event_id")
     }
 
+  /** Watermarked STREAM-STREAM interval join — the two-sided-state
+    * streaming surface (neither input is a static table): every
+    * `view` event joined to the same user's `purchase` events within
+    * the following hour. Both sides carry watermarks and the join
+    * condition bounds purchase-time relative to view-time, which is
+    * what lets Spark expire per-side state as the watermarks advance
+    * (state is O(events within the interval), not O(stream)). Inner
+    * stream-stream joins emit matches eagerly, so an AvailableNow
+    * drain yields exactly the batch join — DuckDB-oracled via the
+    * equivalent range join on microsecond epochs (both engines
+    * compare µs-truncated event time). */
+  def viewPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 8) { scoped =>
+      val sink = s"stream_join_${nameCounter.incrementAndGet()}"
+      val views = eventsStream(scoped, dir)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = eventsStream(scoped, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainMemorySink(scoped, sink).orderBy("view_id", "purchase_id")
+    }
+
   /** Materialize a memory sink's rows into a standalone DataFrame and
     * drop the sink view — otherwise every call leaks its full result
     * set in driver memory for the session's lifetime. */

@@ -81,4 +81,22 @@ class CocoaStreamSpec extends AnyFunSuite {
     val out = StreamingQueries.windowedEventCounts(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
   }
+
+  test("stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.viewPurchaseJoin(spark, dir).collect()
+    val ev = graft.core.Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = v.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("vts") && col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us"))
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).sorted.toSeq === batch.map(_.toString).sorted.toSeq)
+  }
 }
