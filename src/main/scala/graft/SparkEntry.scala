@@ -118,6 +118,7 @@ object SparkEntry {
     "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
     "d13_neardup_clusters"   -> (NorthStar.nearDupClusters _),
+    "d14_corpus_clean"       -> (NorthStar.corpusClean _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -740,6 +741,81 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // d14: the full cleaning composite — quality/lang gate (d04/d05
+    // kernels), exact dedup, then the d13 closure over survivors;
+    // keep each cluster's minimum id. Every stage re-derived in SQL.
+    "d14_corpus_clean" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS cjk
+        |  FROM docs),
+        |r AS (
+        |  SELECT doc_id, text, n_chars, punct, cjk,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','this'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con','para','es'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','mit','den','ein','eine','zu','im','auf','nicht'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','sur','avec'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_fr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    floor((least(n_chars / 200.0, 1.0) * 0.3
+        |         + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10.0, 1.0)) * 0.2
+        |         + least(greatest(s_en, cjk) * 5.0, 1.0) * 0.3
+        |         + (CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2) * 10000 + 0.5) / 10000.0 AS quality,
+        |    CASE WHEN cjk > 0.05 THEN 'zh'
+        |         WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM r),
+        |gated AS (
+        |  SELECT doc_id, text, quality, lang_pred FROM q
+        |  WHERE quality >= 0.6 AND lang_pred = 'en'),
+        |ex AS (
+        |  SELECT doc_id, text, quality, lang_pred,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM gated),
+        |kept AS (SELECT doc_id, text, quality, lang_pred FROM ex WHERE rn = 1),
+        |tok2 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM kept WHERE text IS NOT NULL),
+        |sh2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok2),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh2),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT k.doc_id, k.lang_pred, k.quality
+        |FROM kept k LEFT JOIN clusters c ON k.doc_id = c.doc_id
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     "d11_bpe_token_counts" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,

@@ -87,6 +87,43 @@ object NorthStar {
     clusters.orderBy("doc_id")
   }
 
+  /** d14: the composite cleaning pass a training-data pipeline runs
+    * end-to-end over a raw corpus, one oracled query composed from
+    * the operators above:
+    *
+    *  1. score quality + language per doc, gate on both
+    *     (`quality >= 0.6 AND lang = en` — the filter runs FIRST so
+    *     every later stage works on the shrunken survivor set);
+    *  2. exact dedup by content hash, keep the smallest id;
+    *  3. near-dup removal: exact n-gram-Jaccard pairs → connected
+    *     components → keep each cluster's minimum id.
+    *
+    * Output = the surviving corpus with its scores. At 100 TB this
+    * is the shape that matters: the cheap codegen'd gate prunes
+    * before any pair generation, the pair stage shuffles bucket keys
+    * only, and the closure runs on the (tiny) pair graph. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withPlantedNearDups(spark, dir)
+    val gated = corpus.select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      .filter(col("quality") >= 0.6 && col("lang_pred") === "en")
+    val exactW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val kept = gated.withColumn("__rn", row_number().over(exactW))
+      .filter(col("__rn") === 1).drop("__rn")
+    val pairs = Dedup.ngramJaccardPairsExhaustive(kept, "doc_id", "text",
+      n = 3, threshold = 0.4)
+    val clusters = Dedup.connectedComponents(pairs)
+    pairs.unpersist()
+    // cluster_id is the minimum reachable id, so the representative
+    // is exactly the row whose own id equals it; unpaired docs pass.
+    kept.join(clusters, Seq("doc_id"), "left_outer")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------- text analysis
 
   /** Whitespace vs BPE-ish token counts side by side (the north-star
