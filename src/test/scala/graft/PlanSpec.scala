@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries survive a 100× scale-up are not row counts but plan
+  * features — filters reaching the parquet scan, unused columns
+  * pruned, small dimension sides broadcast instead of shuffled. These
+  * lock those shapes in so a refactor that silently regresses one
+  * (e.g. an expression rewrite that blocks pushdown) fails CI, not a
+  * cluster run. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters push into the parquet scan; unused columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull("), "scan lost its pushed filters")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThan(l_discount"), // display string truncates the list
+      "range predicates did not reach the scan")
+    assert(!p.contains("l_comment"), "projection pruning lost: scan reads l_comment")
+  }
+
+  test("q04: dimension joins broadcast, no sort-merge on small sides") {
+    val p = plan("q04_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), "dimension join should broadcast")
+  }
+
+  test("q08: anti join broadcasts the subquery side") {
+    val p = plan("q08_customers_without_orders")
+    assert(p.contains("LeftAnti"), "expected an anti join")
+    assert(p.contains("Broadcast"), "anti join should broadcast, not shuffle")
+  }
+
+  test("q06: per-key top-1 is one window over one exchange, no join") {
+    val p = plan("q06_best_order_per_customer")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected a window operator")
+    assert(!p.contains("Join"), "top-1-per-key must not plan a self-join")
+  }
+
+  test("q01: aggregation is two-phase hash (map-side partial applies)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final hash aggregation")
+    assert(!p.contains("SortAggregate"), "agg fell back to sort-based")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // AQE's toString hides the codegen wrapping; ask the codegen
+    // debugger how many fused subtrees the executed plan holds.
+    val df = SparkEntry.queries("q02_filter_project")(spark, dir)
+    df.collect()
+    val s = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(s.contains("WholeStageCodegen") && !s.contains("Found 0 WholeStageCodegen"),
+      s"hot path dropped out of codegen:\n${s.linesIterator.take(3).mkString("\n")}")
+  }
+}
