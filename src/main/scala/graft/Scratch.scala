@@ -26,29 +26,33 @@ object Scratch {
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
 
-    time("m01 multimodal features") {
-      SparkEntry.queries("m01_multimodal_features")(spark, sfDir).count()
-    }
-    time("s01 streaming daily stats") {
-      SparkEntry.queries("s01_streaming_daily_stats")(spark, sfDir).count()
-    }
-    time("q08 customers without orders") {
-      SparkEntry.queries("q08_customers_without_orders")(spark, sfDir).count()
-    }
-    time("q10 set intersect") {
-      SparkEntry.queries("q10_set_intersect")(spark, sfDir).count()
-    }
-    time("q31 left join brands") {
-      SparkEntry.queries("q31_left_join_brands")(spark, sfDir).count()
-    }
-    time("q32 full outer year spend") {
-      SparkEntry.queries("q32_full_outer_year_spend")(spark, sfDir).count()
-    }
-    time("q33 percentile spend") {
-      SparkEntry.queries("q33_percentile_spend")(spark, sfDir).count()
-    }
-    time("q34 asof clicks") {
-      SparkEntry.queries("q34_asof_clicks")(spark, sfDir).count()
+    // ANN recall/time tradeoff: recall@5 vs brute force at sf0.01,
+    // wall time at the bench SF.
+    locally {
+      import graft.operators.Similarity
+      val small = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val bf = Similarity.bruteForceTopK(small, "vec_id", "embedding", 5)
+        .select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val big = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      for ((tables, planes) <- Seq((10, 0), (8, 0), (6, 0), (10, -1), (8, -1))) {
+        // planes = -1 encodes "occupancy 64": one fewer plane than auto
+        val n = small.count()
+        val p = if (planes == 0) 0
+        else math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+        val ann = Similarity.annTopK(small, "vec_id", "embedding", 5,
+          planes = p, tables = tables)
+          .select("query_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (ann & bf).size.toDouble / bf.size
+        spark.catalog.clearCache()
+        val pBig = if (planes == 0) 0
+        else math.max(4, math.ceil(math.log(big.count() / 64.0) / math.log(2)).toInt)
+        time(f"v02 tables=$tables occ=${if (planes == 0) 32 else 64} recall=$recall%.3f") {
+          Similarity.annTopK(big, "vec_id", "embedding", 5,
+            planes = pBig, tables = tables).count()
+        }
+      }
     }
     locally {
       import graft.pipeline._
