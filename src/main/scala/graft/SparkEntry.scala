@@ -64,6 +64,7 @@ object SparkEntry {
     "q30_cube_quantities"   -> (Relational.cubeQuantities _),
     "q31_left_join_brands"  -> (Relational.leftJoinBrands _),
     "q32_full_outer_year_spend" -> (Relational.fullOuterYearSpend _),
+    "q35_native_topk" -> (Relational.nativeTopOrders _),
     "q33_percentile_spend"  -> (Relational.percentileSpend _),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -493,6 +494,16 @@ object SparkEntry {
         |  coalesce(spend_1996, 0.0) AS spend_1996
         |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // q35: the custom TopKPerKey plan node must equal the classic
+    // row_number-window formulation exactly.
+    "q35_native_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     // q34: DuckDB's NATIVE ASOF JOIN is the oracle for the composed
     // union+window implementation — same point-in-time semantics
     // (greatest right ts <= left ts per key, LEFT null when none).

@@ -77,15 +77,17 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` plug-in: injects every `graft_*` function
-  * at session build time (`spark.sql.extensions=
-  * graft.functions.GraftExtensions`). Catalyst rules/strategies would
-  * be injected here too; this engine needs none for its operator
-  * surface (SURVEY.md §4) — expressions + built-in planning cover it. */
+  * and the engine's custom planner strategy at session build time
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`). The only
+  * custom strategy is top-k-per-key ([[graft.plans.TopKStrategy]]) —
+  * everything else is expressions + built-in planning (SURVEY.md §4). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.SketchExpressions", null, name, usage, ""),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

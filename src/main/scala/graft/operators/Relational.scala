@@ -130,6 +130,17 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Top-3 orders per customer through the engine's CUSTOM plan node
+    * ([[graft.plans.TopKPerKey]]): same result as the `row_number <= 3`
+    * window formulation (the oracle), but the physical operator keeps
+    * a bounded 3-row heap per key instead of sorting each partition —
+    * the custom logical-plan → strategy → SparkPlan stack end to end. */
+  def nativeTopOrders(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerKey(
+      Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", 3, tieBreakers = Seq("o_orderkey"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** Distinct aggregation (expand + two-phase agg under the hood). */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** Minimal access bridge for building DataFrames from custom logical
+  * plans (graft.plans): `Dataset.ofRows` and `logicalPlan` are
+  * `private[sql]`, which is the sanctioned seam for engine
+  * extensions — this object lives under `org.apache.spark.sql` purely
+  * to cross it, and holds no logic of its own. */
+object Bridge {
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def plan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataset[_]].logicalPlan
+
+  /** Wrap a logical plan back into a DataFrame on `spark`. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+}

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The custom TopKPerKey plan node: result-equality with the window
+  * formulation (incl. ties and null ordering values), and the plan
+  * property that justifies its existence — no per-partition sort. */
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("equals row_number window on the orders fixture") {
+    val native = graft.operators.Relational
+      .nativeTopOrders(spark, "/root/testdata/sf0.001").collect()
+    val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    assert(native.length === windowed.length)
+    assert(native.map(_.toString).toSeq === windowed.map(_.toString).toSeq)
+  }
+
+  test("nulls sort last and ties break on the tiebreaker") {
+    val df = Seq(
+      (1L, 10L, Some(5.0)), (1L, 11L, Some(5.0)), (1L, 12L, Some(7.0)),
+      (1L, 13L, None), (2L, 20L, None), (2L, 21L, None))
+      .toDF("k", "id", "v")
+    val got = TopK.topKPerKey(df, Seq("k"), "v", 2, tieBreakers = Seq("id"))
+      .orderBy("k", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // key 1: 7.0 then the 5.0 tie broken by smaller id; nulls last.
+    // key 2: only nulls exist, so they fill the k slots (id order).
+    assert(got === Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L)))
+  }
+
+  test("plans as the custom operator with no sort, one exchange") {
+    val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val df = TopK.topKPerKey(o, Seq("o_custkey"), "o_totalprice", 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "custom strategy did not plan the node")
+    assert(!p.contains("Sort "), "bounded-heap operator must not sort partitions")
+    assert(!p.contains("Window"), "must not fall back to the window formulation")
+  }
+}
