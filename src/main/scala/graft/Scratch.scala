@@ -26,33 +26,32 @@ object Scratch {
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
 
-    // ANN recall/time tradeoff: recall@5 vs brute force at sf0.01,
-    // wall time at the bench SF.
+    // Heap-pruned rank vs plain window rank, interleaved in one JVM
+    // so machine variance cancels: same scored candidate stream.
     locally {
+      import org.apache.spark.sql.expressions.Window
       import graft.operators.Similarity
-      val small = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-      val bf = Similarity.bruteForceTopK(small, "vec_id", "embedding", 5)
-        .select("query_id", "nbr_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
       val big = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      for ((tables, planes) <- Seq((10, 0), (8, 0), (6, 0), (10, -1), (8, -1))) {
-        // planes = -1 encodes "occupancy 64": one fewer plane than auto
-        val n = small.count()
-        val p = if (planes == 0) 0
-        else math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
-        val ann = Similarity.annTopK(small, "vec_id", "embedding", 5,
-          planes = p, tables = tables)
-          .select("query_id", "nbr_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val recall = (ann & bf).size.toDouble / bf.size
-        spark.catalog.clearCache()
-        val pBig = if (planes == 0) 0
-        else math.max(4, math.ceil(math.log(big.count() / 64.0) / math.log(2)).toInt)
-        time(f"v02 tables=$tables occ=${if (planes == 0) 32 else 64} recall=$recall%.3f") {
-          Similarity.annTopK(big, "vec_id", "embedding", 5,
-            planes = pBig, tables = tables).count()
+      val base = big.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .withColumn("norm", Similarity.l2Norm(col("vec")))
+        .cache()
+      base.count()
+      val q = base.select(col("id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+        .filter(col("query_id") < 2000)
+      val scored = q.crossJoin(base)
+        .filter(col("query_id") =!= col("id"))
+        .withColumn("cosine", Similarity.dot(col("qv"), col("vec")) / (col("qn") * col("norm")))
+        .select(col("query_id"), col("id").as("nbr_id"), col("cosine"))
+      for (round <- 1 to 3) {
+        time(s"window rank r$round") {
+          val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+          scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).count()
+        }
+        time(s"heap rank r$round") {
+          graft.plans.TopK.topKPerKey(scored, Seq("query_id"), "cosine", 5, Seq("nbr_id")).count()
         }
       }
+      base.unpersist()
     }
     locally {
       import graft.pipeline._

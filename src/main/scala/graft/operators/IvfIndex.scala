@@ -220,14 +220,12 @@ object IvfIndex {
           col("vec").as("nbr_vec"), col("norm").as("nnorm")),
         Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    cands
+    val scored = cands
       .withColumn("cosine", Similarity.cosineWithNorms(
         SketchExpressions.floatDot(col("query_vec"), col("nbr_vec")),
         col("qnorm"), col("nnorm")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"))
+    Similarity.rankTopK(scored, "query_id", "cosine", "nbr_id", k)
       .select(col("query_id"), col("nbr_id"),
         graft.functions.Quantize.quantize4(col("cosine")).as("cosine"),
         col("rank").cast("long").as("rank"))

@@ -34,6 +34,23 @@ object Similarity {
   private[operators] def cosineWithNorms(dotC: Column, normA: Column, normB: Column): Column =
     when(normA * normB > 0, dotC / (normA * normB)).otherwise(lit(0.0))
 
+  /** Per-query top-k with ranks, heap-pruned: the custom
+    * [[graft.plans.TopKPerKey]] node keeps each query's k best
+    * candidates in one bounded-heap pass (no sort of the full scored
+    * candidate stream — the first thing to spill at scale), then the
+    * row_number window ranks only the surviving k-per-key rows,
+    * reusing the same keyed exchange. Identical output to ranking the
+    * full stream (the heap keeps exactly the rows `rank <= k` keeps,
+    * same ordering + tiebreak). */
+  private[operators] def rankTopK(scored: DataFrame, keyCol: String,
+      scoreCol: String, tieCol: String, k: Int): DataFrame = {
+    val pruned = graft.plans.TopK.topKPerKey(
+      scored, Seq(keyCol), scoreCol, k, tieBreakers = Seq(tieCol))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    pruned.withColumn("rank", row_number().over(w))
+  }
+
   /** Exact top-k neighbors for the query rows (default: all rows) by
     * brute-force cosine: block-nested-loop join + per-query top-k.
     * O(|q|·n) — the correctness baseline and perfectly fine when |q|
@@ -49,10 +66,8 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine", cosineWithNorms(
         dot(col("query_vec"), col("nbr_vec")), col("query_norm"), col("nbr_norm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"))
+    rankTopK(scored, "query_id", "cosine", "nbr_id", k)
       .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
@@ -103,10 +118,7 @@ object Similarity {
         col("id_a").as("query_id"), col("id_b").as("nbr_id"), col("cosine"))
       .unionByName(half.select(
         col("id_b").as("query_id"), col("id_a").as("nbr_id"), col("cosine")))
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scope.sealResult(scored.withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+    scope.sealResult(rankTopK(scored, "query_id", "cosine", "nbr_id", k)
       .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank")))
   }
 
