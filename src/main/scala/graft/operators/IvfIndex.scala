@@ -188,7 +188,13 @@ object IvfIndex {
       k: Int, nCells: Int = 16, nProbe: Int = 3,
       queries: Option[DataFrame] = None): DataFrame = {
     val (assigned, centroids) = build(spark, df, idCol, vecCol, nCells)
-    search(assigned, centroids, k, nProbe, queries)
+    // Self-contained shape: materialize the search result and release
+    // the index cache (callers of build/search manage it themselves —
+    // the index is their artifact; here it is internal).
+    val out = search(assigned, centroids, k, nProbe, queries).cache()
+    out.count()
+    assigned.unpersist()
+    out
   }
 
   /** Search a (built or loaded) index. */
