@@ -26,32 +26,16 @@ object Scratch {
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
 
-    // Heap-pruned rank vs plain window rank, interleaved in one JVM
-    // so machine variance cancels: same scored candidate stream.
-    locally {
-      import org.apache.spark.sql.expressions.Window
-      import graft.operators.Similarity
-      val big = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val base = big.select(col("vec_id").as("id"), col("embedding").as("vec"))
-        .withColumn("norm", Similarity.l2Norm(col("vec")))
-        .cache()
-      base.count()
-      val q = base.select(col("id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
-        .filter(col("query_id") < 2000)
-      val scored = q.crossJoin(base)
-        .filter(col("query_id") =!= col("id"))
-        .withColumn("cosine", Similarity.dot(col("qv"), col("vec")) / (col("qn") * col("norm")))
-        .select(col("query_id"), col("id").as("nbr_id"), col("cosine"))
-      for (round <- 1 to 3) {
-        time(s"window rank r$round") {
-          val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("nbr_id").asc)
-          scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).count()
-        }
-        time(s"heap rank r$round") {
-          graft.plans.TopK.topKPerKey(scored, Seq("query_id"), "cosine", 5, Seq("nbr_id")).count()
-        }
+    for (round <- 1 to 2) {
+      time(s"d09 ngram jaccard r$round") {
+        SparkEntry.queries("d09_ngram_jaccard_near_dups")(spark, sfDir).count()
       }
-      base.unpersist()
+      time(s"d13 neardup clusters r$round") {
+        SparkEntry.queries("d13_neardup_clusters")(spark, sfDir).count()
+      }
+      time(s"d14 corpus clean r$round") {
+        SparkEntry.queries("d14_corpus_clean")(spark, sfDir).count()
+      }
     }
     locally {
       import graft.pipeline._

@@ -185,7 +185,10 @@ object Dedup {
     val keep = postings.groupBy(col("gh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2 && col("__n") <= maxPosting)
       .select(col("gh"))
-    val cool = postings.join(keep, Seq("gh"), "left_semi")
+    // Pinned: the self-join consumes `cool` on BOTH sides — without
+    // the pin the pruning semi-join (and the exchange feeding it)
+    // runs twice, once per side.
+    val cool = scope.pin(postings.join(keep, Seq("gh"), "left_semi"))
     // Sort-merge/shuffled-hash self-join on the 8-byte key, then one
     // partial-aggregating groupBy: each shared shingle contributes one
     // pair occurrence, counted as |A∩B|.
