@@ -41,6 +41,30 @@ class TopKSpec extends AnyFunSuite {
     assert(got === Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L)))
   }
 
+  test("property: equals the window formulation on arbitrary data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.choose(1L, 12L)
+      id <- Gen.choose(1L, 500L)
+      v <- Gen.option(Gen.choose(0, 50).map(_.toDouble))
+    } yield (k, id, v)
+    val listGen = Gen.listOfN(300, rowGen)
+    (1 to 5).foreach { i =>
+      val rows = listGen.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil)
+        .distinctBy(r => (r._1, r._2)) // unique (k, id) => total order
+      val df = rows.toDF("k", "id", "v")
+      val kk = 1 + i % 4
+      val native = TopK.topKPerKey(df, Seq("k"), "v", kk, tieBreakers = Seq("id"))
+        .orderBy("k", "id").collect().map(_.toString).toSeq
+      val w = Window.partitionBy("k").orderBy(col("v").desc_nulls_last, col("id").asc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= kk).drop("rn")
+        .orderBy("k", "id").collect().map(_.toString).toSeq
+      assert(native === windowed, s"seed $i k=$kk")
+    }
+  }
+
   test("plans as the custom operator with no sort, one exchange") {
     val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_custkey", "o_orderkey", "o_totalprice")
