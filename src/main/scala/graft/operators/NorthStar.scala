@@ -104,24 +104,29 @@ object NorthStar {
     * only, and the closure runs on the (tiny) pair graph. */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scope = new graft.core.CacheScope
     val corpus = withPlantedNearDups(spark, dir)
     val gated = corpus.select(col("doc_id"), col("text"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.langId(col("text")).as("lang_pred"))
       .filter(col("quality") >= 0.6 && col("lang_pred") === "en")
     val exactW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val kept = gated.withColumn("__rn", row_number().over(exactW))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Pinned: the survivor set (with its quality/lang text kernels)
+    // feeds both the pair stage and the final representative join.
+    val kept = scope.pin(gated.withColumn("__rn", row_number().over(exactW))
+      .filter(col("__rn") === 1).drop("__rn"))
     val pairs = Dedup.ngramJaccardPairsExhaustive(kept, "doc_id", "text",
       n = 3, threshold = 0.4)
     val clusters = Dedup.connectedComponents(pairs)
     pairs.unpersist()
     // cluster_id is the minimum reachable id, so the representative
     // is exactly the row whose own id equals it; unpaired docs pass.
-    kept.join(clusters, Seq("doc_id"), "left_outer")
-      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-      .select(col("doc_id"), col("lang_pred"), col("quality"))
-      .orderBy("doc_id")
+    val out = scope.sealResult(
+      kept.join(clusters, Seq("doc_id"), "left_outer")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("quality")))
+    clusters.unpersist()
+    out.orderBy("doc_id")
   }
 
   // ----------------------------------------------------- text analysis
