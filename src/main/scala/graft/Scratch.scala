@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
 // Ad-hoc profiling harness — not part of the library surface.
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -12,68 +16,45 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
-    import graft.functions.TextFunctions
-    import graft.operators.{Dedup, NorthStar}
+
+    val jobs = new AtomicInteger(0)
+    val describe = sys.env.contains("SCRATCH_DESCRIBE")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (describe) {
+          val desc = Option(js.properties)
+            .map(_.getProperty("spark.job.description", "")).getOrElse("")
+          val stages = js.stageInfos.map(si => s"${si.name}[${si.numTasks}]").mkString(", ")
+          println(s"  JOB ${js.jobId} tasks=${js.stageInfos.map(_.numTasks).sum} $stages | $desc")
+        }
+      }
+    })
 
     def time(name: String)(f: => Long): Unit = {
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       val n = f
-      println(f"TIME $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      // listener is async; give it a beat before reading the counter
+      Thread.sleep(200)
+      println(f"TIME $name%-32s $dt%8.2f s  jobs=${jobs.get() - j0}%4d  rows=$n")
       spark.catalog.clearCache()
     }
 
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
 
-    for (round <- 1 to 2) {
-      time(s"d09 ngram jaccard r$round") {
-        SparkEntry.queries("d09_ngram_jaccard_near_dups")(spark, sfDir).count()
-      }
-      time(s"d13 neardup clusters r$round") {
-        SparkEntry.queries("d13_neardup_clusters")(spark, sfDir).count()
-      }
-      time(s"d14 corpus clean r$round") {
-        SparkEntry.queries("d14_corpus_clean")(spark, sfDir).count()
-      }
-    }
-    locally {
-      import graft.pipeline._
-      val root = java.nio.file.Files.createTempDirectory("cocoa_scratch").toString
-      val dirs = CocoaPipeline.Dirs(
-        s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")
-      time("cocoa gen batch 1") {
-        CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 41, idOffset = 0); 0L
-      }
-      time("cocoa run batch 1") {
-        CocoaPipeline.runBatch(spark, dirs, new java.sql.Timestamp(1700000000000L)).warehouseRows
-      }
-      time("cocoa gen batch 2") {
-        CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 42, idOffset = 500); 0L
-      }
-      time("cocoa run batch 2") {
-        CocoaPipeline.runBatch(spark, dirs, new java.sql.Timestamp(1700000100000L)).warehouseRows
-      }
-      time("cocoa read+order") {
-        Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id").count()
-      }
-    }
-
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    emb.cache().count()
-    time("ivf build only") {
-      val (assigned, cents) = graft.operators.IvfIndex.build(spark, emb, "vec_id", "embedding", 10)
-      assigned.count()
-    }
-    time("v04 full") {
-      NorthStar.ivfTopK(spark, sfDir).count()
-    }
-    time("v02 full") {
-      NorthStar.annTopK(spark, sfDir).count()
-    }
-    time("v03 full") {
-      NorthStar.embeddingNearDups(spark, sfDir).count()
-    }
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "p01_cocoa_warehouse", "s01_streaming_daily_stats", "s02_streaming_windowed_counts",
+      "s03_stateful_sessions", "s04_cocoa_stream_warehouse", "s05_streaming_dedup",
+      "s06_stream_stream_join", "m01_multimodal_features", "m02_frame_samples",
+      "q31_left_join_brands", "q32_full_outer_year_spend",
+      "q10_set_intersect", "q11_set_union", "q12_set_except",
+      "q08_customers_without_orders", "q09_big_spenders", "q33_percentile_spend",
+      "q34_asof_clicks")
+    for (round <- 1 to 2; name <- names)
+      time(s"$name r$round") { SparkEntry.queries(name)(spark, sfDir).count() }
     spark.stop()
   }
 }

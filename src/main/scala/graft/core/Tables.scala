@@ -15,8 +15,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema memo, keyed by path. Parquet schema inference
+    * costs a one-task footer-read job per `spark.read.parquet` call;
+    * the testdata files are immutable for the life of the process, so
+    * the footer is read once per path and every later load passes the
+    * schema explicitly (no job). The memo is JVM-wide on purpose: a
+    * bench/verify run re-reads the same table from dozens of queries
+    * and across cloned sessions. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")

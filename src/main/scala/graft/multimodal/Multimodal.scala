@@ -55,7 +55,7 @@ object Multimodal {
     * binary payloads so the plumbing runs on real fixture data. */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.core.Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id"),
         (when(col("doc_id") % 2 === 0, "image").otherwise("audio")).as("media_type"),
         col("text").cast("binary").as("payload"))

@@ -44,7 +44,10 @@ object CocoaPipeline {
     // parquet before the DB load (O10/O11,
     // cocoa_processing_dag.py:201-211).
     enriched.write.mode("overwrite").parquet(dirs.staging)
-    val staged = spark.read.parquet(dirs.staging)
+    // Re-read with the writer's schema: the staged artifact is still
+    // the load source of truth (every byte read comes from staging),
+    // but the schema is already known — no footer-inference job.
+    val staged = spark.read.schema(enriched.schema).parquet(dirs.staging)
 
     val target = Warehouse.read(spark, dirs.warehouse)
     val merged = Merge.upsertShipments(target, staged)

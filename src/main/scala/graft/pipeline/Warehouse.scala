@@ -59,10 +59,14 @@ object Warehouse {
   def versionPath(root: String, v: Long): String = s"$root/v$v"
 
   /** Read the committed snapshot; empty (schema'd) DataFrame if the
-    * warehouse has never been committed. */
+    * warehouse has never been committed. The warehouse schema is the
+    * declared contract ([[CocoaSchema.warehouse]]), so it is passed
+    * explicitly — skipping parquet schema inference (a one-task
+    * footer-read job per read). */
   def read(spark: SparkSession, root: String): DataFrame =
     currentVersion(spark, root) match {
-      case Some(v) => spark.read.parquet(versionPath(root, v))
+      case Some(v) =>
+        spark.read.schema(CocoaSchema.warehouse).parquet(versionPath(root, v))
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CocoaSchema.warehouse)
     }

@@ -100,7 +100,8 @@ object StatefulSessions {
       StreamingQueries.drainMemorySink(scoped, sink)
     }
 
-    if (!flushOpen) return closed.orderBy("user_id", "session_id")
+    if (!flushOpen)
+      return closed.coalesce(1).sortWithinPartitions("user_id", "session_id")
 
     // Batch-equivalence flush: sessions still open at end-of-stream.
     // Recompute per-user tail deterministically from the batch table:
@@ -109,7 +110,10 @@ object StatefulSessions {
     val batch = graft.operators.Relational.sessionize(spark, dir)
     val open = batch.join(closed,
       Seq("user_id", "session_id"), "left_anti")
+    // Single-task final sort: the session set is keys-sized (bounded
+    // by distinct users), so a range-partitioned orderBy would pay a
+    // sampling pass + wide shuffle for rows that fit one task.
     closed.unionByName(open.select(closed.columns.map(col).toSeq: _*))
-      .orderBy("user_id", "session_id")
+      .coalesce(1).sortWithinPartitions("user_id", "session_id")
   }
 }

@@ -73,7 +73,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      drainMemorySink(scoped, sink).orderBy("day", "event_type")
+      drainSorted(scoped, sink, "day", "event_type")
     }
 
   /** Streaming deduplication — the exactly-once repair for an
@@ -101,7 +101,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      drainMemorySink(scoped, sink).orderBy("event_id")
+      drainSorted(scoped, sink, "event_id")
     }
 
   /** Watermarked STREAM-STREAM interval join — the two-sided-state
@@ -142,7 +142,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      drainMemorySink(scoped, sink).orderBy("view_id", "purchase_id")
+      drainSorted(scoped, sink, "view_id", "purchase_id")
     }
 
   /** Materialize a memory sink's rows into a standalone DataFrame and
@@ -155,6 +155,17 @@ object StreamingQueries {
     spark.catalog.dropTempView(sink)
     out
   }
+
+  /** Drain + global sort, cheaply: the drained rows are already a
+    * driver-local relation (the memory sink collected them), so a
+    * range-partitioned `orderBy` — a 2-job sample + shuffle-sort over
+    * `defaultParallelism` slices — is pure scheduling overhead.
+    * One task sorting the whole (sink-sized, by construction small)
+    * result is the right physical plan. */
+  private[streaming] def drainSorted(spark: SparkSession, sink: String,
+      cols: String*): DataFrame =
+    drainMemorySink(spark, sink).coalesce(1).sortWithinPartitions(
+      cols.map(col): _*)
 
   /** Watermarked sliding-window throughput over the event stream —
     * the watermark/event-time-window surface the reference lacks
@@ -178,6 +189,6 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      drainMemorySink(scoped, sink).orderBy("window_start", "event_type")
+      drainSorted(scoped, sink, "window_start", "event_type")
     }
 }
