@@ -189,13 +189,29 @@ object SparkEntry {
     val landing = s"$root/landing"
     val warehouse = s"$root/warehouse"
     val checkpoint = s"$root/checkpoint"
-    CocoaGen.writeLandingFiles(spark, landing, 2, 500, seed = 41, idOffset = 0)
-    graft.streaming.CocoaStream.runAvailableNow(spark, landing, warehouse, checkpoint,
+    val scoped = pipelineSession(spark)
+    CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 41, idOffset = 0)
+    graft.streaming.CocoaStream.runAvailableNow(scoped, landing, warehouse, checkpoint,
       processedAt = Some(new Timestamp(1700000000000L)))
-    CocoaGen.writeLandingFiles(spark, landing, 2, 500, seed = 42, idOffset = 500)
-    graft.streaming.CocoaStream.runAvailableNow(spark, landing, warehouse, checkpoint,
+    CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 42, idOffset = 500)
+    graft.streaming.CocoaStream.runAvailableNow(scoped, landing, warehouse, checkpoint,
       processedAt = Some(new Timestamp(1700000100000L)))
     Warehouse.read(spark, warehouse).orderBy("shipment_id")
+  }
+
+  /** Clone the session tuned for the pipeline's bounded maintenance
+    * batches: a daily-batch write's plan is fixed up front (small
+    * window + broadcast-anti merge), so AQE's stage-by-stage
+    * materialization — one scheduled job per exchange — buys nothing
+    * and multiplies fixed job latency; 8 shuffle partitions match the
+    * batch size the same way withStreamPartitions sizes state stores.
+    * Scoped to a clone so every analytic query keeps AQE; a cluster
+    * deployment re-enables it for replay/mega-batch merges. */
+  private def pipelineSession(spark: SparkSession): SparkSession = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.adaptive.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    scoped
   }
 
   private def runCocoa(spark: SparkSession): DataFrame = {
@@ -203,14 +219,17 @@ object SparkEntry {
     val dirs = CocoaPipeline.Dirs(
       s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")
     deleteRecursively(cocoaOracleIn)
-    CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 41, idOffset = 0)
+    val scoped = pipelineSession(spark)
+    CocoaGen.writeLandingFiles(scoped, dirs.landing, 2, 500, seed = 41, idOffset = 0)
     copyCsvs(dirs.landing, s"$cocoaOracleIn/b1")
-    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000000000L),
+    CocoaPipeline.runBatch(scoped, dirs, new Timestamp(1700000000000L),
       computeCounts = false)
-    CocoaGen.writeLandingFiles(spark, dirs.landing, 2, 500, seed = 42, idOffset = 500)
+    CocoaGen.writeLandingFiles(scoped, dirs.landing, 2, 500, seed = 42, idOffset = 500)
     copyCsvs(dirs.landing, s"$cocoaOracleIn/b2")
-    CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000100000L),
+    CocoaPipeline.runBatch(scoped, dirs, new Timestamp(1700000100000L),
       computeCounts = false)
+    // Read the committed snapshot on the CALLER's session: the result
+    // feeds p02-p04's analytics, which should plan with its conf.
     Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id")
   }
 

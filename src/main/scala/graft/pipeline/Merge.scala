@@ -42,11 +42,20 @@ object Merge {
   }
 
   /** Upsert `updates` into `target` on `key`, last writer (by `ord`)
-    * winning both within the batch and against the existing table. */
+    * winning both within the batch and against the existing table.
+    *
+    * `broadcastKeys = true` (default) broadcasts the deduped update
+    * KEY SET into the anti join — the expected plan for the
+    * batch-vs-warehouse asymmetry (a daily batch's key set is MBs
+    * while the target is the 100 TB side; the big side then streams
+    * with no shuffle). Pass false when a replayed mega-batch could
+    * blow the driver's broadcast limit and let AQE decide instead. */
   def upsert(target: DataFrame, updates: DataFrame, key: String, ord: Column,
-      tieBreakers: Seq[Column] = Seq.empty): DataFrame = {
+      tieBreakers: Seq[Column] = Seq.empty,
+      broadcastKeys: Boolean = true): DataFrame = {
     val deduped = lastWriterWins(updates, key, ord, tieBreakers)
-    target.join(deduped.select(col(key)), Seq(key), "left_anti")
+    val keys = deduped.select(col(key))
+    target.join(if (broadcastKeys) broadcast(keys) else keys, Seq(key), "left_anti")
       .unionByName(deduped.select(target.columns.map(col).toSeq: _*))
   }
 
