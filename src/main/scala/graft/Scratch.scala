@@ -45,15 +45,9 @@ object Scratch {
     // warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
 
-    val names = if (args.nonEmpty) args.toSeq else Seq(
-      "p01_cocoa_warehouse", "s01_streaming_daily_stats", "s02_streaming_windowed_counts",
-      "s03_stateful_sessions", "s04_cocoa_stream_warehouse", "s05_streaming_dedup",
-      "s06_stream_stream_join", "m01_multimodal_features", "m02_frame_samples",
-      "q31_left_join_brands", "q32_full_outer_year_spend",
-      "q10_set_intersect", "q11_set_union", "q12_set_except",
-      "q08_customers_without_orders", "q09_big_spenders", "q33_percentile_spend",
-      "q34_asof_clicks")
-    for (round <- 1 to 2; name <- names)
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val rounds = sys.env.get("SCRATCH_ROUNDS").map(_.toInt).getOrElse(2)
+    for (round <- 1 to rounds; name <- names)
       time(s"$name r$round") { SparkEntry.queries(name)(spark, sfDir).count() }
     spark.stop()
   }

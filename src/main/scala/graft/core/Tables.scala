@@ -25,9 +25,36 @@ object Tables {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Single-file footer read on the driver — the schema of one
+    * immutable file needs one FS open, not a scheduled job. Uses the
+    * same MessageType→StructType converter Spark's own inference
+    * runs, against the session's SQLConf (so e.g.
+    * `parquet.nanosAsLong` behaves identically). Directories (a
+    * partitioned table at cluster scale) fall back to Spark's
+    * distributed inference, which also handles schema merge. */
+  private def footerSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (!st.isFile) spark.read.parquet(path).schema
+      else {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try {
+          val msg = reader.getFooter.getFileMetaData.getSchema
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+            spark.sessionState.conf).convert(msg)
+        } finally reader.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => spark.read.parquet(path).schema
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val schema = schemaMemo.computeIfAbsent(path, p => footerSchema(spark, p))
     spark.read.schema(schema).parquet(path)
   }
 
