@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Cached plans keep their exact output partitioning unless this
+      // is on; without it every CacheScope-sealed result pins the full
+      // pre-coalesce shuffle width onto all downstream consumers.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer cache, JIT) so the
