@@ -107,13 +107,17 @@ object Similarity {
     // scale) attach vectors for exactly one scoring pass per unique
     // pair. ANN needs BOTH directions of each pair → mirror after
     // scoring.
-    val half = Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
+    // Pinned: the mirror union below consumes this subtree twice, and
+    // without a cache each branch re-runs the whole candidate scoring
+    // pipeline (exchange reuse does not span the differing final
+    // projections).
+    val half = scope.pin(Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
       Seq("id"), maxBucket, scope, dedupPairs = true)
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .withColumn("cosine", cosineWithNorms(
         dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine")))
     val scored = half.select(
         col("id_a").as("query_id"), col("id_b").as("nbr_id"), col("cosine"))
       .unionByName(half.select(
