@@ -120,6 +120,7 @@ object SparkEntry {
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
     "d13_neardup_clusters"   -> (NorthStar.nearDupClusters _),
     "d14_corpus_clean"       -> (NorthStar.corpusClean _),
+    "d15_group_minhash"      -> ((s, dir) => NorthStar.groupMinhash(s, dir)),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -231,6 +232,46 @@ object SparkEntry {
     // Read the committed snapshot on the CALLER's session: the result
     // feeds p02-p04's analytics, which should plan with its conf.
     Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id")
+  }
+
+  /** d15's oracle, with the aggregate's permutation seeds inlined as
+    * unsigned literals (the seed values come from the same
+    * [[graft.functions.MinHashUnionAgg.seeds]] the engine evaluates,
+    * so the two sides share constants by construction). */
+  private lazy val groupMinhashOracleSql: String = {
+    val seedRows = graft.functions.MinHashUnionAgg.seeds(16).zipWithIndex
+      .map { case (seed, i) =>
+        s"(CAST($i AS BIGINT), CAST('${java.lang.Long.toUnsignedString(seed)}' AS UBIGINT))"
+      }
+      .mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT lang, source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |sh AS (
+       |  SELECT lang, source,
+       |    CASE WHEN len(toks) >= 3
+       |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+       |         ELSE [array_to_string(toks, ' ')] END AS shingles
+       |  FROM tok),
+       |g AS (SELECT lang, source, unnest(shingles) AS s FROM sh),
+       |h0 AS (
+       |  SELECT lang, source, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(regexp_extract_all(s, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+       |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS h
+       |  FROM g),
+       |f1 AS (SELECT lang, source, CAST((CAST(xor(h, h >> 33) AS HUGEINT) * 4283543511) % 18446744073709551616 AS UBIGINT) AS z FROM h0),
+       |f2 AS (SELECT lang, source, CAST((CAST(xor(z, z >> 29) AS HUGEINT) * 3301882366) % 18446744073709551616 AS UBIGINT) AS z FROM f1),
+       |th AS (SELECT lang, source, xor(z, z >> 32) AS h FROM f2),
+       |perm AS (SELECT * FROM (VALUES $seedRows) t(perm_idx, seed)),
+       |x0 AS (SELECT lang, source, perm_idx, xor(h, seed) AS x FROM th, perm),
+       |x1 AS (SELECT lang, source, perm_idx, CAST((CAST(xor(x, x >> 33) AS HUGEINT) * 4283543511) % 18446744073709551616 AS UBIGINT) AS x FROM x0),
+       |x2 AS (SELECT lang, source, perm_idx, CAST((CAST(xor(x, x >> 29) AS HUGEINT) * 3301882366) % 18446744073709551616 AS UBIGINT) AS x FROM x1),
+       |xf AS (SELECT lang, source, perm_idx,
+       |  CAST(CASE WHEN xor(x, x >> 32) >= 9223372036854775808 THEN CAST(xor(x, x >> 32) AS HUGEINT) - 18446744073709551616 ELSE CAST(xor(x, x >> 32) AS HUGEINT) END AS BIGINT) AS z
+       |  FROM x2)
+       |SELECT lang, source, perm_idx, min(z) AS min_hash
+       |FROM xf GROUP BY lang, source, perm_idx
+       |ORDER BY lang, source, perm_idx""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -774,6 +815,12 @@ object SparkEntry {
     // d14: the full cleaning composite — quality/lang gate (d04/d05
     // kernels), exact dedup, then the d13 closure over survivors;
     // keep each cluster's minimum id. Every stage re-derived in SQL.
+    // d15: the oracle recomputes the ENTIRE per-group MinHash union
+    // sketch — portable shingle hash (d07's shingle spelling + d08's
+    // poly-31/mix finalizer) then, per inlined permutation seed,
+    // mix(h ⊕ seed) minimized per (lang, source) as SIGNED 64-bit
+    // (the comparison order Spark's Long minima use).
+    "d15_group_minhash" -> groupMinhashOracleSql,
     "d14_corpus_clean" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, text FROM documents

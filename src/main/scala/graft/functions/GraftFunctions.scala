@@ -48,6 +48,15 @@ object GraftFunctions {
     ("graft_shingle_hashes",
       "graft_shingle_hashes(text, k) - sorted distinct 64-bit hashes of the k-word shingles",
       (args: Seq[Expression]) => ShingleHashes(args.head, intArg(args(1), "k"))),
+    ("graft_shingle_hashes_portable",
+      "graft_shingle_hashes_portable(text, k) - shingle hashes with the portable " +
+        "(external-SQL-recomputable) hash family",
+      (args: Seq[Expression]) => PortableShingleHashes(args.head, intArg(args(1), "k"))),
+    ("graft_minhash_union",
+      "graft_minhash_union(shingle_hashes, numHashes) - AGGREGATE: MinHash signature " +
+        "of the union of the group's shingle sets (mergeable partial state)",
+      (args: Seq[Expression]) => MinHashUnionAgg(args.head, intArg(args(1), "numHashes"))
+        .toAggregateExpression()),
     ("graft_minhash",
       "graft_minhash(text, numHashes, k) - MinHash signature over the k-word shingle set",
       (args: Seq[Expression]) => MinHashFromHashes(

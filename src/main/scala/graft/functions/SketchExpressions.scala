@@ -387,6 +387,57 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
   }
 
+  /** Sorted distinct PORTABLE 64-bit hashes of the k-word shingles:
+    * poly-31 over the shingle string's codepoints (tokens joined by
+    * single spaces) finalized with [[portableMix64]] — i.e. exactly
+    * `portableTokenHash64(array_to_string(tokens[s:s+k-1], ' '))`,
+    * so an external SQL engine reconstructs identical values (the
+    * d07-oracle shingle spelling composed with the d08-oracle hash
+    * spelling). Same shingle framing as [[ShingleHashes]]:
+    * shorter-than-k docs contribute one whole-token-stream shingle.
+    * Feeds [[MinHashUnionAgg]], whose per-group sketch must be
+    * recomputable by the DuckDB oracle end-to-end. */
+  case class PortableShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any = {
+      val toks = tokenizeKernel(v.asInstanceOf[UTF8String])
+      val n = toks.length
+      val nShingles = math.max(n - k + 1, 1)
+      val hs = new Array[Long](nShingles)
+      var s = 0
+      while (s < nShingles) {
+        var h = 0L
+        var j = 0
+        while (j < k && s + j < n) {
+          if (j > 0) h = h * 31L + ' '.toInt // the joining space
+          val str = toks(s + j).toString
+          var i = 0
+          while (i < str.length) {
+            val cp = str.codePointAt(i)
+            h = h * 31L + cp
+            i += Character.charCount(cp)
+          }
+          j += 1
+        }
+        hs(s) = portableMix64(h)
+        s += 1
+      }
+      java.util.Arrays.sort(hs)
+      var w = 0
+      var r = 0
+      while (r < nShingles) {
+        if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+        r += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    }
+    override protected def withNewChildInternal(c: Expression): PortableShingleHashes =
+      copy(child = c)
+  }
+
   /** Exact Jaccard of two SORTED DISTINCT array<long> sets via one
     * merge scan — O(|a|+|b|), no hash sets, no HOFs. Empty∪empty →
     * 0.0 (matches `Dedup.jaccard`'s `when(union > 0)` guard). */
@@ -514,6 +565,11 @@ object SketchExpressions {
   def tokenize(text: Column): Column = toColumn(Tokenize(toExpression(text)))
   def shingleHashes(text: Column, k: Int): Column =
     toColumn(ShingleHashes(toExpression(text), k))
+  def portableShingleHashes(text: Column, k: Int): Column =
+    toColumn(PortableShingleHashes(toExpression(text), k))
+  def minhashUnion(shingleHashes: Column, numHashes: Int): Column =
+    toColumn(MinHashUnionAgg(toExpression(shingleHashes), numHashes)
+      .toAggregateExpression())
   def sortedLongJaccard(a: Column, b: Column): Column =
     toColumn(SortedLongJaccard(toExpression(a), toExpression(b)))
   def topCells(vec: Column, centroids: Array[Array[Float]], m: Int): Column =

@@ -145,6 +145,25 @@ object NorthStar {
       TextFunctions.tokenCount(col("text")).as("n_ws_tokens"))
       .orderBy("doc_id")
 
+  /** d15: per-(lang, source) MinHash signature via the custom
+    * [[graft.functions.MinHashUnionAgg]] aggregate — the mergeable
+    * corpus-sketch surface (map-side partial fold, only 8·numHashes
+    * bytes per group cross the shuffle). Signature exploded to one
+    * row per permutation so the result is scalar-typed and the DuckDB
+    * oracle hash-compares the exact per-group minima. */
+  def groupMinhash(spark: SparkSession, dir: String, numHashes: Int = 16): DataFrame = {
+    val sh = graft.functions.SketchExpressions.portableShingleHashes(col("text"), 3)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("source"), sh.as("sh"))
+      .groupBy(col("lang"), col("source"))
+      .agg(graft.functions.SketchExpressions.minhashUnion(col("sh"), numHashes).as("sig"))
+      .select(col("lang"), col("source"), posexplode(col("sig")))
+      .select(col("lang"), col("source"),
+        col("pos").cast("long").as("perm_idx"), col("col").as("min_hash"))
+      .orderBy("lang", "source", "perm_idx")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
