@@ -1,17 +1,22 @@
 package graft.plans
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, NullsFirst, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.BaseOrdering
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.unsafe.Platform
 
 /** Whole-operator custom Catalyst work (SURVEY.md §2.1 preference
   * (c)): TOP-K PER KEY as a first-class plan node.
@@ -22,10 +27,19 @@ import org.apache.spark.sql.graftbridge.Bridge
   * a bounded k-row heap per key instead: one pass, O(rows · log k)
   * comparisons, memory O(keys-per-partition · k) — at 100 TB that is
   * the difference between spilling a full sort of the fact table and
-  * streaming it once. (A production hardening would fall back to the
-  * sort-based plan when keys·k approaches task memory; the exchange
-  * on the key is identical either way, so only the per-partition
-  * operator differs.)
+  * streaming it once.
+  *
+  * SPILL SAFETY: held bytes are tracked against `maxHeldBytes`; on
+  * breach the current heaps are drained to a SORTED local spill
+  * segment (ordered by key bytes, then the requested row order) and
+  * the pass continues with empty heaps. A partition that never
+  * spills emits straight from its heaps; one that spilled finishes
+  * with a streaming k-way merge over its segments, emitting the
+  * first k rows per key group with O(segments) memory — so the
+  * many-distinct-keys regime (where keys·k rows cannot fit) degrades
+  * to external-merge behavior instead of OOM, the same shape Spark's
+  * sort-based window path has, but only over the ≤ k-per-key-per-
+  * segment survivors rather than the raw input.
   *
   * The full extension stack: logical [[TopKPerKey]] → planner
   * [[TopKStrategy]] (session-scoped via
@@ -38,8 +52,10 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxHeldBytes: Long = TopK.defaultMaxHeldBytes) extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(maxHeldBytes > 0, "maxHeldBytes must be positive")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -48,8 +64,8 @@ case class TopKPerKey(
 /** Plans the logical node; a no-op for every other operator. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, k, child, maxHeldBytes) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), maxHeldBytes) :: Nil
     case _ => Nil
   }
 }
@@ -57,12 +73,14 @@ object TopKStrategy extends SparkStrategy {
 /** One pass, one bounded heap per key. Requires clustering on the
   * keys — EnsureRequirements inserts the single hash exchange, the
   * same shuffle the window formulation pays, after which rows stream
-  * through without sorting. */
+  * through without sorting (unless the byte budget forces sorted
+  * spill segments; see the class doc). */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxHeldBytes: Long = TopK.defaultMaxHeldBytes) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -78,31 +96,139 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val boundKeys = BindReferences.bindReferences(keys, childOutput)
     val boundOrder = BindReferences.bindReferences(order, childOutput)
+    val numFields = childOutput.size
+    val budget = maxHeldBytes
+    val kk = k
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(boundKeys)
-      // "first" under the requested SortOrder = rank 1.
-      val ordering = GenerateOrdering.generate(boundOrder)
-      // max-heap of each key's current k best: head = the worst kept
-      // row, evicted when a better one arrives.
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      val heapCmp = new java.util.Comparator[UnsafeRow] {
-        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ordering.compare(b, a)
+      new TopKPartitionIterator(it, boundKeys, boundOrder, kk, numFields, budget)
+    }
+  }
+}
+
+/** Per-partition driver of the heap pass + optional spill merge. */
+private[plans] final class TopKPartitionIterator(
+    input: Iterator[InternalRow],
+    boundKeys: Seq[Expression],
+    boundOrder: Seq[SortOrder],
+    k: Int,
+    numFields: Int,
+    maxHeldBytes: Long) extends Iterator[UnsafeRow] {
+
+  private val keyProj = UnsafeProjection.create(boundKeys)
+  // "first" under the requested SortOrder = rank 1.
+  private val ordering: BaseOrdering = GenerateOrdering.generate(boundOrder)
+  // max-heap of each key's current k best: head = the worst kept row,
+  // evicted when a better one arrives.
+  private val heapCmp = new java.util.Comparator[UnsafeRow] {
+    override def compare(a: UnsafeRow, b: UnsafeRow): Int = ordering.compare(b, a)
+  }
+  // segment order: key bytes lexicographically (any total order that
+  // groups equal keys works — UnsafeRow equality is bytes equality),
+  // then the requested row order, so a k-way merge sees each key as
+  // one contiguous group with rows arriving best-first.
+  private def compareKeyBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+  private var heldBytes = 0L
+  private val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+
+  // ---- pass 1: heap fold under the byte budget -------------------------
+  locally {
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      spills.foreach(f => if (f.exists()) f.delete())
+    })
+    while (input.hasNext) {
+      val row = input.next().asInstanceOf[UnsafeRow]
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[UnsafeRow](k + 1, heapCmp)
+        val kc = key.copy()
+        heaps.put(kc, heap)
+        heldBytes += kc.getSizeInBytes + 64
       }
-      while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k + 1, heapCmp)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < k) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
+      if (heap.size < k) {
+        val rc = row.copy()
+        heap.add(rc)
+        heldBytes += rc.getSizeInBytes + 48
+      } else if (ordering.compare(row, heap.peek()) < 0) {
+        val out = heap.poll()
+        val rc = row.copy()
+        heap.add(rc)
+        heldBytes += rc.getSizeInBytes - out.getSizeInBytes
       }
-      // emit each key's survivors best-first (deterministic within key)
+      if (heldBytes > maxHeldBytes) spillCurrentHeaps()
+    }
+  }
+
+  private def sortedHeldRows(): Array[UnsafeRow] = {
+    val buf = new java.util.ArrayList[UnsafeRow]()
+    heaps.values.iterator.asScala.foreach { h =>
+      val arr = h.toArray(new Array[UnsafeRow](h.size))
+      buf.addAll(java.util.Arrays.asList(arr: _*))
+    }
+    val rows = buf.toArray(new Array[UnsafeRow](buf.size))
+    val keyBytes = new java.util.IdentityHashMap[UnsafeRow, Array[Byte]]()
+    rows.foreach(r => keyBytes.put(r, keyProj(r).copy().getBytes))
+    java.util.Arrays.sort(rows, new java.util.Comparator[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = {
+        val d = compareKeyBytes(keyBytes.get(a), keyBytes.get(b))
+        if (d != 0) d else ordering.compare(a, b)
+      }
+    })
+    rows
+  }
+
+  private def spillCurrentHeaps(): Unit = {
+    val rows = sortedHeldRows()
+    val file = File.createTempFile("graft_topk_", ".spill")
+    spills += file
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+    try {
+      val writeBuffer = new Array[Byte](4096)
+      rows.foreach { r =>
+        out.writeInt(r.getSizeInBytes)
+        r.writeToStream(out, writeBuffer)
+      }
+      out.writeInt(-1) // segment terminator
+    } finally out.close()
+    heaps = new java.util.HashMap()
+    heldBytes = 0L
+  }
+
+  private final class SegmentReader(file: File) {
+    private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    var row: UnsafeRow = _
+    var keyBytes: Array[Byte] = _
+    advance()
+    def advance(): Unit = {
+      val len = in.readInt()
+      if (len < 0) { row = null; keyBytes = null; in.close() }
+      else {
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET, len)
+        row = r
+        keyBytes = keyProj(r).copy().getBytes
+      }
+    }
+  }
+
+  // ---- emit ------------------------------------------------------------
+  private val emit: Iterator[UnsafeRow] =
+    if (spills.isEmpty) {
+      // never spilled: emit each key's survivors best-first
+      // (deterministic within key), no sort across keys needed
       heaps.values.iterator.asScala.flatMap { h =>
         val arr = h.toArray(new Array[UnsafeRow](h.size))
         java.util.Arrays.sort(arr, new java.util.Comparator[UnsafeRow] {
@@ -110,12 +236,62 @@ case class TopKPerKeyExec(
         })
         arr.iterator
       }
+    } else {
+      // spilled: flush the tail heaps as the last sorted segment, then
+      // stream a k-way merge, keeping the first k rows per key group
+      if (!heaps.isEmpty) spillCurrentHeaps()
+      val readers = spills.map(new SegmentReader(_)).filter(_.row != null)
+      val pq = new java.util.PriorityQueue[SegmentReader](
+        math.max(readers.size, 1),
+        new java.util.Comparator[SegmentReader] {
+          override def compare(a: SegmentReader, b: SegmentReader): Int = {
+            val d = compareKeyBytes(a.keyBytes, b.keyBytes)
+            if (d != 0) d else ordering.compare(a.row, b.row)
+          }
+        })
+      readers.foreach(pq.add)
+      new Iterator[UnsafeRow] {
+        private var currentKey: Array[Byte] = null
+        private var emitted = 0
+        private var nextRow: UnsafeRow = fetch()
+        private def fetch(): UnsafeRow = {
+          while (!pq.isEmpty) {
+            val seg = pq.poll()
+            val row = seg.row
+            val kb = seg.keyBytes
+            seg.advance()
+            if (seg.row != null) pq.add(seg)
+            if (currentKey == null || compareKeyBytes(currentKey, kb) != 0) {
+              currentKey = kb
+              emitted = 1
+              return row
+            } else if (emitted < k) {
+              emitted += 1
+              return row
+            } // else: beyond k for this key — skip
+          }
+          null
+        }
+        override def hasNext: Boolean = nextRow != null
+        override def next(): UnsafeRow = {
+          val r = nextRow
+          nextRow = fetch()
+          r
+        }
+      }
     }
-  }
+
+  override def hasNext: Boolean = emit.hasNext
+  override def next(): UnsafeRow = emit.next()
 }
 
 /** Column-name API over the plan node. */
 object TopK {
+
+  /** Default held-bytes budget per task before sorted spill segments
+    * kick in — sized well under a default executor task's share so
+    * the node never out-competes sibling operators for memory. */
+  val defaultMaxHeldBytes: Long = 128L * 1024 * 1024
 
   /** Register the strategy on `spark` (idempotent, session-scoped). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -127,13 +303,15 @@ object TopK {
   /** Keep each key's top `k` rows under `(orderCol desc, tieBreakers
     * asc)` — the `row_number <= k` result without the sort. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
-      k: Int, tieBreakers: Seq[String] = Seq.empty): DataFrame = {
+      k: Int, tieBreakers: Seq[String] = Seq.empty,
+      maxHeldBytes: Long = defaultMaxHeldBytes): DataFrame = {
     install(df.sparkSession)
     val order =
       SortOrder(UnresolvedAttribute.quoted(orderCol), Descending, NullsLast, Seq.empty) +:
         tieBreakers.map(c =>
           SortOrder(UnresolvedAttribute.quoted(c), Ascending, NullsFirst, Seq.empty))
     Bridge.ofRows(df.sparkSession,
-      TopKPerKey(keyCols.map(UnresolvedAttribute.quoted), order, k, Bridge.plan(df)))
+      TopKPerKey(keyCols.map(UnresolvedAttribute.quoted), order, k, Bridge.plan(df),
+        maxHeldBytes))
   }
 }

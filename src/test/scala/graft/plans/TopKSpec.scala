@@ -65,6 +65,39 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("spill path: a few-KB budget forces segment merges, same result") {
+    // ~3k rows, 40 keys, duplicated (k, id) scores across inserts; a
+    // 4 KB budget forces many sorted spill segments per partition, so
+    // the k-way merge path (incl. same key spanning segments and the
+    // per-group emit cap) produces the answer.
+    val rows = (1 to 3000).map { i =>
+      val k = i % 40L
+      val id = (i * 7919L) % 1000L
+      (k, k * 100000 + id, ((i * 31) % 100).toDouble)
+    }.distinctBy(r => (r._1, r._2))
+    val df = rows.toDF("k", "id", "v").repartition(3)
+    val spilled = TopK.topKPerKey(df, Seq("k"), "v", 5, tieBreakers = Seq("id"),
+      maxHeldBytes = 4096)
+      .orderBy("k", "id").collect().map(_.toString).toSeq
+    val inMemory = TopK.topKPerKey(df, Seq("k"), "v", 5, tieBreakers = Seq("id"))
+      .orderBy("k", "id").collect().map(_.toString).toSeq
+    val w = Window.partitionBy("k").orderBy(col("v").desc_nulls_last, col("id").asc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("k", "id").collect().map(_.toString).toSeq
+    assert(inMemory === windowed)
+    assert(spilled === windowed)
+  }
+
+  test("spill path: k larger than any key's rows loses nothing") {
+    val rows = (1 to 500).map(i => (i % 7L, i.toLong, (i % 13).toDouble))
+    val df = rows.toDF("k", "id", "v").repartition(2)
+    val spilled = TopK.topKPerKey(df, Seq("k"), "v", 1000, tieBreakers = Seq("id"),
+      maxHeldBytes = 2048)
+      .orderBy("k", "id").collect().map(_.toString).toSeq
+    assert(spilled === df.orderBy("k", "id").collect().map(_.toString).toSeq)
+  }
+
   test("plans as the custom operator with no sort, one exchange") {
     val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_custkey", "o_orderkey", "o_totalprice")
