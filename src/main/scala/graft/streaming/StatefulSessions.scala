@@ -78,7 +78,7 @@ object StatefulSessions {
     * still-open sessions afterwards (batch-equivalence mode — a live
     * deployment would leave them pending). */
   def sessionize(spark: SparkSession, dir: String, flushOpen: Boolean = true): DataFrame = {
-    val closed = StreamingQueries.withStreamPartitions(spark, 8) { scoped =>
+    val closed = StreamingQueries.withStreamPartitions(spark, 4) { scoped =>
       import scoped.implicits._
       val events: Dataset[Ev] = StreamingQueries.eventsStream(scoped, dir)
         .select(col("user_id"), col("event_id"),

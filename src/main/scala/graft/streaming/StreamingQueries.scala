@@ -22,10 +22,11 @@ object StreamingQueries {
     * Streaming stages pay a per-partition state-store instance
     * (open/commit/snapshot each micro-batch), so partition count
     * should track STATE size, not the session's scan parallelism — at
-    * the bench's key cardinalities (hundreds of users/windows) 8
-    * partitions cuts the fixed state-store overhead ~4× with zero
-    * skew risk; a production deployment sizes this to keys/executor
-    * the same way. Cloning (rather than temporarily mutating the
+    * the bench's key cardinalities (hundreds of users/windows) 4
+    * partitions cuts the fixed per-store overhead (open/commit/
+    * snapshot files each micro-batch) ~8× versus scan parallelism
+    * with zero skew risk; a production deployment sizes this to
+    * keys/executor the same way. Cloning (rather than temporarily mutating the
     * caller's conf) keeps queries planned concurrently on the
     * caller's session — other threads, other streams — at their own
     * parallelism, with no restore race. */
@@ -59,7 +60,7 @@ object StreamingQueries {
     * cluster scale the same plan runs incrementally with a watermark;
     * state is keyed on (day, event_type), bounded by the calendar. */
   def dailyEventStats(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) { scoped =>
+    withStreamPartitions(spark, 4) { scoped =>
       val sink = s"stream_daily_stats_${nameCounter.incrementAndGet()}"
       val agg = eventsStream(scoped, dir)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
@@ -86,7 +87,7 @@ object StreamingQueries {
     * dropped from the store, which is what makes the operator viable
     * on an unbounded stream. */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) { scoped =>
+    withStreamPartitions(spark, 4) { scoped =>
       val sink = s"stream_dedup_${nameCounter.incrementAndGet()}"
       val doubled = eventsStream(scoped, dir)
         .unionByName(eventsStream(scoped, dir))
@@ -116,7 +117,7 @@ object StreamingQueries {
     * equivalent range join on microsecond epochs (both engines
     * compare µs-truncated event time). */
   def viewPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) { scoped =>
+    withStreamPartitions(spark, 4) { scoped =>
       val sink = s"stream_join_${nameCounter.incrementAndGet()}"
       val views = eventsStream(scoped, dir)
         .filter(col("event_type") === "view")
@@ -175,7 +176,7 @@ object StreamingQueries {
     * continuous deployment would see. Not oracle-compared (DuckDB has
     * no watermark notion); asserted structurally in tests. */
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark, 8) { scoped =>
+    withStreamPartitions(spark, 4) { scoped =>
       val sink = s"stream_windowed_counts_${nameCounter.incrementAndGet()}"
       val agg = eventsStream(scoped, dir)
         .withWatermark("ts", "1 hour")
