@@ -223,12 +223,10 @@ object SparkEntry {
     val scoped = pipelineSession(spark)
     CocoaGen.writeLandingFiles(scoped, dirs.landing, 2, 500, seed = 41, idOffset = 0)
     copyCsvs(dirs.landing, s"$cocoaOracleIn/b1")
-    CocoaPipeline.runBatch(scoped, dirs, new Timestamp(1700000000000L),
-      computeCounts = false)
+    CocoaPipeline.runBatch(scoped, dirs, new Timestamp(1700000000000L))
     CocoaGen.writeLandingFiles(scoped, dirs.landing, 2, 500, seed = 42, idOffset = 500)
     copyCsvs(dirs.landing, s"$cocoaOracleIn/b2")
-    CocoaPipeline.runBatch(scoped, dirs, new Timestamp(1700000100000L),
-      computeCounts = false)
+    CocoaPipeline.runBatch(scoped, dirs, new Timestamp(1700000100000L))
     // Read the committed snapshot on the CALLER's session: the result
     // feeds p02-p04's analytics, which should plan with its conf.
     Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id")
