@@ -195,6 +195,13 @@ object Dedup {
     val pairs = cool.select(col("gh"), col("id").as("id_a"), col("set_size").as("set_size_a"))
       .join(cool.select(col("gh"), col("id").as("id_b"), col("set_size").as("set_size_b")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
+      // Length filter (AllPairs family), EXACT: J(A,B) ≤ min/max of
+      // the set sizes, so J ≥ t needs min ≥ t·max. Applied inside the
+      // join stage it drops size-incompatible candidates before the
+      // counting aggregation ever buffers them; the epsilon only ever
+      // loosens (keeps) — exactness rests on the final J ≥ t filter.
+      .filter(col("set_size_a") >= col("set_size_b") * threshold - 1e-9 &&
+        col("set_size_b") >= col("set_size_a") * threshold - 1e-9)
     scope.sealResult(pairs
       .groupBy(col("id_a"), col("id_b"), col("set_size_a"), col("set_size_b"))
       .agg(count(lit(1)).as("inter"))
