@@ -140,10 +140,15 @@ private[plans] final class TopKPartitionIterator(
   private var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
   private var heldBytes = 0L
   private val spills = scala.collection.mutable.ArrayBuffer.empty[File]
+  private val openReaders = scala.collection.mutable.ArrayBuffer.empty[SegmentReader]
 
   // ---- pass 1: heap fold under the byte budget -------------------------
   locally {
+    // Close readers before deleting: a downstream consumer that stops
+    // early (LIMIT) leaves merge streams open, and the files must not
+    // outlive the task either way.
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      openReaders.foreach(_.close())
       spills.foreach(f => if (f.exists()) f.delete())
     })
     while (input.hasNext) {
@@ -207,12 +212,15 @@ private[plans] final class TopKPartitionIterator(
 
   private final class SegmentReader(file: File) {
     private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    private var closed = false
     var row: UnsafeRow = _
     var keyBytes: Array[Byte] = _
+    openReaders += this
     advance()
+    def close(): Unit = if (!closed) { closed = true; in.close() }
     def advance(): Unit = {
       val len = in.readInt()
-      if (len < 0) { row = null; keyBytes = null; in.close() }
+      if (len < 0) { row = null; keyBytes = null; close() }
       else {
         val bytes = new Array[Byte](len)
         in.readFully(bytes)
