@@ -52,9 +52,24 @@ object Tables {
       case scala.util.control.NonFatal(_) => spark.read.parquet(path).schema
     }
 
+  /** The parquet→Spark type conversion depends on a handful of session
+    * confs; they join the memo key so two sessions with different
+    * parquet semantics never share an inferred schema. */
+  private def schemaKey(spark: SparkSession, path: String): String = {
+    val c = spark.sessionState.conf
+    val flags = Seq(
+      c.getConfString("spark.sql.parquet.binaryAsString", "false"),
+      c.getConfString("spark.sql.parquet.int96AsTimestamp", "true"),
+      c.getConfString("spark.sql.legacy.parquet.nanosAsLong", "false"),
+      c.getConfString("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+      c.getConfString("spark.sql.caseSensitive", "false"))
+    path + "|" + flags.mkString(",")
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaMemo.computeIfAbsent(path, p => footerSchema(spark, p))
+    val schema = schemaMemo.computeIfAbsent(
+      schemaKey(spark, path), _ => footerSchema(spark, path))
     spark.read.schema(schema).parquet(path)
   }
 

@@ -72,8 +72,12 @@ object Merge {
       key, ord, tieBreakers)
 
   /** The cocoa-specific instantiation: key = shipment_id, recency =
-    * processed_at, deterministic tie-break on the event timestamp. */
-  def upsertShipments(target: DataFrame, updates: DataFrame): DataFrame =
+    * processed_at, deterministic tie-break on the event timestamp.
+    * `broadcastKeys` reaches every pipeline entry (batch runBatch,
+    * streaming foreachBatch) so a replay job feeding mega-batches can
+    * opt out of the key-set broadcast and let AQE plan the anti join. */
+  def upsertShipments(target: DataFrame, updates: DataFrame,
+      broadcastKeys: Boolean = true): DataFrame =
     upsert(target, updates, CocoaSchema.mergeKey,
-      col("processed_at"), Seq(col("timestamp")))
+      col("processed_at"), Seq(col("timestamp")), broadcastKeys = broadcastKeys)
 }

@@ -175,7 +175,7 @@ private[plans] final class TopKPartitionIterator(
     }
   }
 
-  private def sortedHeldRows(): Array[UnsafeRow] = {
+  private def sortedHeldRows(): (Array[UnsafeRow], java.util.IdentityHashMap[UnsafeRow, Array[Byte]]) = {
     val buf = new java.util.ArrayList[UnsafeRow]()
     heaps.values.iterator.asScala.foreach { h =>
       val arr = h.toArray(new Array[UnsafeRow](h.size))
@@ -190,17 +190,20 @@ private[plans] final class TopKPartitionIterator(
         if (d != 0) d else ordering.compare(a, b)
       }
     })
-    rows
+    (rows, keyBytes)
   }
 
   private def spillCurrentHeaps(): Unit = {
-    val rows = sortedHeldRows()
-    val file = File.createTempFile("graft_topk_", ".spill")
+    val (rows, keyBytes) = sortedHeldRows()
+    val file = File.createTempFile("graft_topk_", ".spill", TopK.spillDir())
     spills += file
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
     try {
       val writeBuffer = new Array[Byte](4096)
       rows.foreach { r =>
+        val kb = keyBytes.get(r)
+        out.writeInt(kb.length)
+        out.write(kb)
         out.writeInt(r.getSizeInBytes)
         r.writeToStream(out, writeBuffer)
       }
@@ -219,15 +222,21 @@ private[plans] final class TopKPartitionIterator(
     advance()
     def close(): Unit = if (!closed) { closed = true; in.close() }
     def advance(): Unit = {
-      val len = in.readInt()
-      if (len < 0) { row = null; keyBytes = null; close() }
+      // segment record: [keyLen][keyBytes][rowLen][rowBytes] — the key
+      // bytes were computed for the pre-spill sort, so the merge is a
+      // pure read with no re-projection
+      val keyLen = in.readInt()
+      if (keyLen < 0) { row = null; keyBytes = null; close() }
       else {
+        val kb = new Array[Byte](keyLen)
+        in.readFully(kb)
+        val len = in.readInt()
         val bytes = new Array[Byte](len)
         in.readFully(bytes)
         val r = new UnsafeRow(numFields)
         r.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET, len)
         row = r
-        keyBytes = keyProj(r).copy().getBytes
+        keyBytes = kb
       }
     }
   }
@@ -300,6 +309,19 @@ object TopK {
     * kick in — sized well under a default executor task's share so
     * the node never out-competes sibling operators for memory. */
   val defaultMaxHeldBytes: Long = 128L * 1024 * 1024
+
+  /** Spill directory honoring the executor's configured local disks:
+    * first entry of `spark.local.dir` (Spark's own shuffle/spill
+    * location) when set, else the JVM tmpdir — a cluster whose /tmp
+    * is small or tmpfs-backed must not take top-k spills there. */
+  private[plans] def spillDir(): File = {
+    val configured = Option(org.apache.spark.SparkEnv.get)
+      .flatMap(env => env.conf.getOption("spark.local.dir"))
+      .map(_.split(",").head.trim)
+      .filter(_.nonEmpty)
+    val dir = new File(configured.getOrElse(System.getProperty("java.io.tmpdir")))
+    if (dir.isDirectory) dir else new File(System.getProperty("java.io.tmpdir"))
+  }
 
   /** Register the strategy on `spark` (idempotent, session-scoped). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -30,7 +30,8 @@ object CocoaStream {
   def runAvailableNow(spark: SparkSession, landingDir: String,
       warehouseDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      processedAt: Option[Timestamp] = None): Long = {
+      processedAt: Option[Timestamp] = None,
+      broadcastMergeKeys: Boolean = true): Long = {
 
     // enforceSchema=false: the streaming file source has no per-file
     // quarantine hook (unlike batch Ingest.validateHeaders), so a file
@@ -57,7 +58,7 @@ object CocoaStream {
         val enriched = Enrich.enrich(batch,
           processedAt.getOrElse(new Timestamp(System.currentTimeMillis())))
         val target = Warehouse.read(spark, warehouseDir)
-        val merged = Merge.upsertShipments(target, enriched)
+        val merged = Merge.upsertShipments(target, enriched, broadcastMergeKeys)
         Warehouse.commit(spark, warehouseDir, merged)
         batches += 1
         ()
