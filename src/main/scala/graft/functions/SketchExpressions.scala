@@ -290,15 +290,30 @@ object SketchExpressions {
       (m - 100000L) / 100000.0
     }
 
+    // The hyperplane components are row-independent (a function of
+    // (table, plane, dim index) only), so they are materialized once
+    // per expression instance per executor and grown if a wider
+    // vector ever appears — three chained xxhash64 calls per
+    // component per ROW was the dominant cost of the LSH scan.
+    @transient private var compCache: Array[Array[Double]] = _
+
+    private def components(n: Int): Array[Array[Double]] = {
+      if (compCache == null || compCache(0).length < n)
+        compCache = Array.tabulate(planes)(p => Array.tabulate(n)(i => comp(p, i)))
+      compCache
+    }
+
     override protected def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      val comps = components(n)
       var bucket = 0L
       var p = 0
       while (p < planes) {
+        val cp = comps(p)
         var proj = 0.0
         var i = 0
-        while (i < n) { proj += arr.getFloat(i) * comp(p, i); i += 1 }
+        while (i < n) { proj += arr.getFloat(i) * cp(i); i += 1 }
         bucket = (bucket << 1) | (if (proj > 0) 1L else 0L)
         p += 1
       }
@@ -479,6 +494,11 @@ object SketchExpressions {
     override protected def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      // also guards the SQL path (graft_band_hashes), which has no
+      // Scala-side validation: trailing signature entries must not be
+      // silently discarded
+      if (n % bands != 0) throw new IllegalArgumentException(
+        s"bands ($bands) must divide the signature length ($n)")
       val rows = n / bands
       val out = new Array[Long](bands)
       var b = 0

@@ -47,7 +47,10 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       rightCols: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.exists(rightCols.valuesIterator.contains),
+    // toSet, not valuesIterator: an Iterator is exhausted by the first
+    // exists() probe, which silently skipped collisions past it
+    val outNames = rightCols.values.toSet
+    require(!leftCols.exists(outNames.contains),
       "output right-column names must not collide with left columns")
 
     val payload = struct(
@@ -62,8 +65,10 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__payload",
         lit(null).cast(r0.schema("__payload").dataType))
-    val r2 = leftCols.filterNot(c => c == key).foldLeft(r0)((df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    // one select, not a withColumn fold: stacked Project nodes cost
+    // O(width²) analysis time on wide frames
+    val r2 = r0.select(col("*") +: leftCols.filterNot(_ == key).map(c =>
+      lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val shape = Seq(col(key), col("__ts"), col("__side")) ++
       leftCols.filterNot(_ == key).map(col) :+ col("__payload")

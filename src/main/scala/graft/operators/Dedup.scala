@@ -58,7 +58,14 @@ object Dedup {
     *
     * Skew guard: buckets larger than `maxBucket` (degenerate content,
     * e.g. empty docs) are dropped — at 100 TB one pathological bucket
-    * would otherwise quadratically dominate a task. */
+    * would otherwise quadratically dominate a task.
+    *
+    * Boundary semantics: the threshold compares the 4-dp QUANTIZED
+    * jaccard — deliberately, and matched by this operator's DuckDB
+    * oracle, which quantizes before filtering too. The ngram variants
+    * instead filter the unrounded value (their prefix-filter bound is
+    * derived from the exact threshold); each operator is aligned with
+    * its own oracle, so do not "unify" one side without the other. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4000): DataFrame = {
@@ -132,11 +139,15 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     val withSim = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", simhash64(col("text"), portable))
+    // Width-64 mask must be -1L explicitly: JVM shifts are mod 64, so
+    // (1L << 64) - 1 evaluates to 0 and chunks = 1 would bucket every
+    // doc under chunk_val 0 (then the hot-bucket guard drops them all).
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val chunked = withSim
       .withColumn("chunk", explode(array((0 until chunks).map(j =>
         struct(lit(j).as("j"),
           shiftrightunsigned(col("sim"), offsets(j))
-            .bitwiseAND(lit((1L << widths(j)) - 1)).as("v"))): _*)))
+            .bitwiseAND(lit(mask(widths(j)))).as("v"))): _*)))
       .select(col("id"), col("sim"), col("chunk.j").as("chunk_idx"), col("chunk.v").as("chunk_val"))
 
     // Hamming-filter BEFORE the cross-chunk dedup: bit_count is a
@@ -279,12 +290,30 @@ object Dedup {
       bCol: String = "id_b", maxRounds: Int = 20,
       smallGraphEdges: Long = 2L * 1000 * 1000): DataFrame = {
     val spark = pairs.sparkSession
+    // Integral ids only, normalized to LongType up front: the labels
+    // are min-reachable-ids, which needs a total order, and the two
+    // execution paths (driver union-find vs distributed propagation)
+    // must emit the SAME schema regardless of which one the edge
+    // count selects.
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      val integral = dt match {
+        case _: org.apache.spark.sql.types.ByteType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(integral, s"connectedComponents needs integral id columns; $c is $dt")
+    }
     // Materialize the edge list FIRST, under the session's normal
     // parallelism: the pair-producing plan upstream (e.g. a shingle
     // self-join over the whole corpus) is the heavy part and must not
     // run with the loop's small shuffle sizing below.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
       .distinct()
       .cache()
     val nEdges = edges.count()

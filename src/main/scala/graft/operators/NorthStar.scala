@@ -103,18 +103,15 @@ object NorthStar {
     * before any pair generation, the pair stage shuffles bucket keys
     * only, and the closure runs on the (tiny) pair graph. */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scope = new graft.core.CacheScope
     val corpus = withPlantedNearDups(spark, dir)
     val gated = corpus.select(col("doc_id"), col("text"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.langId(col("text")).as("lang_pred"))
       .filter(col("quality") >= 0.6 && col("lang_pred") === "en")
-    val exactW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     // Pinned: the survivor set (with its quality/lang text kernels)
     // feeds both the pair stage and the final representative join.
-    val kept = scope.pin(gated.withColumn("__rn", row_number().over(exactW))
-      .filter(col("__rn") === 1).drop("__rn"))
+    val kept = scope.pin(Dedup.exactDedup(gated, "doc_id", "text"))
     val pairs = Dedup.ngramJaccardPairsExhaustive(kept, "doc_id", "text",
       n = 3, threshold = 0.4)
     val clusters = Dedup.connectedComponents(pairs)

@@ -16,9 +16,17 @@ object Skew {
     * (key, salt) — a hot key's rows spread over `factor` reducers
     * instead of one. Dim replication costs |dim|·factor, so use for
     * mid-size dims where broadcast is too big but one hot fact key
-    * melts a task. Semantics identical to `fact.join(dim, key)`. */
+    * melts a task. Semantics identical to `fact.join(dim, key)` for
+    * inner and left joins (the fact side carries one salt per row, so
+    * unmatched fact rows surface once). Right/full outer are rejected:
+    * an unmatched DIM row exists `saltFactor` times after replication
+    * and would surface once per salt. */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin supports inner/left-side joins only (got $joinType): " +
+        "dim replication would emit unmatched dim rows once per salt")
     val saltedFact = fact.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
     val saltedDim = dim.withColumn("__salt",
@@ -52,7 +60,10 @@ object Skew {
 
   private def partial(f: String, c: String): Column = f match {
     case "sum" => sum(col(c))
-    case "count" => count(lit(1))
+    // count(col), not count(*): the (function, input column) API
+    // promises SQL count semantics — nulls in the input column do
+    // not count
+    case "count" => count(col(c))
     case "min" => min(col(c))
     case "max" => max(col(c))
     case other => throw new IllegalArgumentException(s"non-algebraic aggregate: $other")

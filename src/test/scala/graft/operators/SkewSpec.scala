@@ -12,9 +12,10 @@ class SkewSpec extends AnyFunSuite {
   import spark.implicits._
 
   // 90% of fact rows carry key 0 — one reducer would take ~all rows.
+  // Every 7th v is null so count(v) and count(*) genuinely differ.
   private lazy val fact = spark.range(0, 20000)
     .select((when(col("id") % 10 =!= 0, 0L).otherwise(col("id") % 50)).as("k"),
-      col("id").as("v"))
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id")).as("v"))
   private lazy val dim = spark.range(0, 50)
     .select(col("id").as("k"), concat(lit("dim-"), col("id")).as("label"))
 
@@ -43,9 +44,9 @@ class SkewSpec extends AnyFunSuite {
     assert(spread < 0.35, f"salted max partition share $spread%.2f")
   }
 
-  test("salted aggregate equals plain aggregate") {
+  test("salted aggregate equals plain aggregate (count skips nulls)") {
     val plain = fact.groupBy("k")
-      .agg(sum("v").as("sv"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .agg(sum("v").as("sv"), count(col("v")).as("n"), min("v").as("mn"), max("v").as("mx"))
       .collect().map(_.toString).sorted.toSeq
     val salted = Skew.saltedAggregate(fact, Seq("k"),
       Map("sv" -> ("sum", "v"), "n" -> ("count", "v"),
