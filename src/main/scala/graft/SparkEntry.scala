@@ -125,6 +125,13 @@ object SparkEntry {
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
     "v04_ann_ivf"            -> (NorthStar.ivfTopK _),
+    "v05_embedding_clusters" -> (NorthStar.embeddingClusters _),
+    // Format round-trips (write THROUGH the format, read back, query
+    // the read-back side): ORC / JSON / CSV / partitioned parquet.
+    "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
+    "io02_json_roundtrip"    -> (graft.sources.Formats.jsonRoundtripOrders _),
+    "io03_partitioned_prune" -> (graft.sources.Formats.partitionedEventsPrune _),
+    "io04_csv_roundtrip"     -> (graft.sources.Formats.csvRoundtripCustomer _),
     "m01_multimodal_features" -> (NorthStar.multimodalFeatures _),
     "m02_frame_samples"      -> (NorthStar.frameSamples _),
     "m03_thumbnails"         -> (NorthStar.thumbnails _),
@@ -1026,6 +1033,60 @@ object SparkEntry {
         |SELECT make_timestamp(ws_us) AS window_start, event_type, count(*) AS n
         |FROM w, wm WHERE ws_us + 21600000000 <= wm_us
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // io round-trips: the oracle reads the ORIGINAL parquet tables —
+    // a hash match therefore certifies the write→read round-trip
+    // through each format was lossless, not just the final query.
+    "io01_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS sum_base_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "io02_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey <= 5000
+        |ORDER BY o_orderkey""".stripMargin,
+    "io03_partitioned_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n,
+        |  sum(floor(value * 100 + 0.5)) / 100.0 AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "io04_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin,
+    // v05: transitive closure over v03's exhaustively-recomputed
+    // ≥ 0.95 cosine pair graph (recursive CTE, min reachable id) —
+    // the vector twin of d13's closure oracle.
+    "v05_embedding_clusters" ->
+      """WITH RECURSIVE planted AS (
+        |  SELECT vec_id + 100000 AS pid,
+        |    list_transform(embedding, (x, i) ->
+        |      CAST(x + CAST(CAST(((((vec_id + 100000) * 2654435761 + (i - 1) * 40503) % 2001) - 1000) AS DOUBLE) / 20000.0 AS FLOAT) AS FLOAT)) AS emb
+        |  FROM embeddings WHERE vec_id < 40),
+        |corpus AS (
+        |  SELECT vec_id, embedding AS emb FROM embeddings
+        |  UNION ALL SELECT pid AS vec_id, emb FROM planted),
+        |e AS (
+        |  SELECT vec_id, emb::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(emb::DOUBLE[], emb::DOUBLE[])) AS nrm
+        |  FROM corpus),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    floor((CASE WHEN a.nrm * b.nrm > 0 THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |jp AS (SELECT id_a, id_b FROM p WHERE cosine >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT g.src, reach.r FROM edges g JOIN reach ON g.dst = reach.id)
+        |SELECT id AS vec_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "v01_knn_brute_force" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

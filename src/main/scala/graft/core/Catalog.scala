@@ -50,5 +50,86 @@ object Catalog {
         |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
         |FROM orders
         |GROUP BY o_orderstatus, o_orderpriority
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // Correlated scalar subquery: Catalyst decorrelates it into a
+    // left outer aggregate join — no per-row re-execution.
+    "sql05_correlated_item_counts" ->
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    // IN-subquery → left semi join (the planner's rewrite on both
+    // engines); complements q08/q09's NOT EXISTS / EXISTS forms.
+    "sql06_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    // Per-group DISTINCT aggregate (q07 is global-only): Spark expands
+    // to a two-level aggregate on (group, distinct-col).
+    "sql07_distinct_customers_by_status" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // Window FRAME specifications (ROWS BETWEEN): moving and running
+    // sums of exact integer counts — order-independent-exact on both
+    // engines; sums cast because DuckDB widens sum(BIGINT) to HUGEINT.
+    "sql08_moving_daily_counts" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(sum(n) OVER (ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3d,
+        |  CAST(sum(n) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+        |FROM daily ORDER BY day""".stripMargin,
+    // Ranking-function suite beyond row_number (q06/sql03): rank,
+    // dense_rank, ntile, lag/lead — all int-typed in Spark vs BIGINT
+    // in DuckDB, so every ranking is cast explicitly (the SAME string
+    // runs on both engines, normalizing both sides).
+    "sql09_rank_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS prev_key,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS next_key
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    // GROUPING SETS with an explicit grouping() marker — the
+    // generalized form of q15's ROLLUP / q30's CUBE; grouping() is
+    // tinyint in Spark vs BIGINT in DuckDB, normalized by the cast.
+    "sql10_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY flag, status, g_status""".stripMargin,
+    // Multiplicity-preserving set op (q10-q12 are DISTINCT-semantics):
+    // INTERSECT ALL keeps min(multiplicity) per value.
+    "sql11_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    // Exercises the supplier table (the one fixture no other query
+    // reads) through the standard dim-join aggregate shape.
+    "sql12_suppliers_by_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  sum(floor(s_acctbal * 100 + 0.5)) / 100.0 AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
 }

@@ -258,6 +258,21 @@ object NorthStar {
       "vec_id", "embedding", threshold = 0.95)
       .orderBy("id_a", "id_b")
 
+  /** v05: SEMANTIC dedup groups — connected components over the
+    * embedding-cosine near-dup pair graph (the vector-space twin of
+    * d13's text-shingle clusters): every vector appearing in a ≥ 0.95
+    * pair gets the minimum reachable vec_id as its cluster. The
+    * composition a training pipeline runs to collapse paraphrase/
+    * re-encode duplicates that exact and n-gram dedup both miss. */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(withPlantedNearDupVectors(spark, dir),
+      "vec_id", "embedding", threshold = 0.95)
+    val clusters = Dedup.connectedComponents(pairs)
+    pairs.unpersist()
+    clusters.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Source/sink format coverage beyond the parquet the fixtures arrive
+  * in: ORC, JSON-lines and CSV round-trips, and a partitioned-parquet
+  * write whose read path partition-prunes. The reference's format
+  * surface is CSV landing + parquet staging (SURVEY.md §2.1
+  * "Scans/sources/sinks", O5/O10/O11); these ops extend it to every
+  * columnar/text format the Spark distribution ships offline (no
+  * spark-avro connector in /opt/spark/jars, so Avro is out of scope).
+  *
+  * Each op is a WRITE-then-READ-BACK through the format — the read
+  * result, not the original frame, feeds the returned query, so the
+  * oracle hash-match certifies round-trip fidelity (types, encoding,
+  * quoting) and not just the final aggregation.
+  *
+  * Scale notes: writes are plain distributed `df.write` (one task per
+  * partition, no driver collection); reads are the built-in vectorized
+  * scanners. Filters land in the scan (`PushedFilters` — asserted in
+  * PlansSpec for the CSV and partitioned cases); the partitioned read
+  * prunes directories before any I/O, the on-disk analogue of the IVF
+  * index's cell pruning.
+  */
+object Formats {
+
+  /** Round-trip staging dirs live under the JVM tmpdir, one fixed path
+    * per op: repeated runs overwrite (idempotent), and the artifact
+    * survives the call so the returned (lazy) frame stays readable. */
+  private def stage(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_io/$name"
+
+  /** ORC round-trip: stage `lineitem` as ORC, read it back, aggregate.
+    * The Q1-style result must hash-match the parquet-derived oracle —
+    * doubles and strings survive ORC exactly (both are lossless
+    * binary encodings). */
+  def orcRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("lineitem_orc")
+    val src = Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    src.write.mode("overwrite").orc(path)
+    spark.read.schema(src.schema).orc(path)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / 100.0).as("sum_base_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** JSON-lines round-trip: orders → json text → read back with the
+    * writer's schema (schema-on-read, no inference job). Timestamps
+    * in the fixture are date-granular, so the default ISO-8601 text
+    * form is lossless; doubles round-trip via shortest-repr
+    * serialization. Row-level output (not an aggregate) so every
+    * serialized value is hash-checked. */
+  def jsonRoundtripOrders(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("orders_json")
+    val src = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 5000)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    src.write.mode("overwrite").json(path)
+    spark.read.schema(src.schema).json(path)
+      .orderBy("o_orderkey")
+  }
+
+  /** CSV round-trip: customer → quoted CSV with header → read back
+    * with the writer's schema. Names carry commas/# — the quoting
+    * path is exercised, and the key filter is applied on the
+    * READ-BACK side so it pushes into the CSV scan. */
+  def csvRoundtripCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("customer_csv")
+    val src = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    spark.read.schema(src.schema).option("header", "true").csv(path)
+      .filter(col("c_custkey") <= 500)
+      .orderBy("c_custkey")
+  }
+
+  /** Partitioned-parquet write + pruned read: events written
+    * `partitionBy(event_type)`, read back with an equality filter on
+    * the partition column — the scan lists only the matching
+    * directory (partition pruning; asserted in PlansSpec). This is
+    * the layout/query pattern that carries 100 TB tables: partition
+    * on the coarse predicate column, prune before any byte is read. */
+  def partitionedEventsPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("events_by_type")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + lit(0.5))) / 100.0).as("total_value"))
+      .orderBy("day")
+  }
+}

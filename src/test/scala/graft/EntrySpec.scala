@@ -19,6 +19,6 @@ class EntrySpec extends AnyFunSuite {
 
   test("query names are stable and well-formed") {
     assert(SparkEntry.queries.keys.forall(_.matches("[a-z][a-z0-9_]+")))
-    assert(SparkEntry.queries.size >= 48)
+    assert(SparkEntry.queries.size >= 70)
   }
 }

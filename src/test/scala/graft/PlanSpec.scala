@@ -50,6 +50,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "agg fell back to sort-based")
   }
 
+  test("io03: partition-column filter prunes directories at the scan") {
+    val df = SparkEntry.queries("io03_partitioned_prune")(spark, dir)
+    df.collect() // materialize so the staged write exists and AQE finalizes
+    // the scan hides inside AQE wrapper nodes (AdaptiveSparkPlanExec /
+    // query stages) that plain collect() does not descend into
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a file scan over the partitioned stage")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "event_type predicate should be a partition filter, not a data filter")
+    // pruning happened if the executed scan selected exactly ONE
+    // partition directory (inputFiles would list the whole relation —
+    // pruning applies at selection time, visible in the metric)
+    assert(scan.metadata("Location").contains("events_by_type"))
+    assert(scan.metrics("numPartitions").value == 1,
+      s"expected 1 selected partition, got ${scan.metrics("numPartitions").value}")
+  }
+
+  test("io04: key filter pushes into the CSV scan") {
+    val df = SparkEntry.queries("io04_csv_roundtrip")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThanOrEqual(c_custkey,500)]") ||
+      p.contains("LessThanOrEqual(c_custkey,500)"),
+      "c_custkey <= 500 did not reach the CSV scan")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE's toString hides the codegen wrapping; ask the codegen
     // debugger how many fused subtrees the executed plan holds.
