@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 
 // Ad-hoc profiling harness — not part of the library surface.
 object Scratch {
@@ -33,6 +33,13 @@ object Scratch {
           println(s"  JOB ${js.jobId} tasks=${js.stageInfos.map(_.numTasks).sum} $stages | $desc")
         }
       }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (describe) {
+          val si = sc.stageInfo
+          val ms = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
+          if (ms >= 200)
+            println(f"  STAGE ${si.stageId}%4d ${ms / 1000.0}%6.2f s tasks=${si.numTasks}%4d ${si.name.take(90)}")
+        }
     })
 
     def time(name: String)(f: => Long): Unit = {

@@ -23,7 +23,14 @@ object NorthStar {
     val mutated = docs.filter(col("doc_id") < n)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" graftmark")).as("text"))
-    docs.unionByName(mutated)
+    // Hash-repartition by id BEFORE the sketch/kernel stages: the
+    // fixture is one single-row-group parquet file, so the scan yields
+    // one task and every per-row kernel downstream (tokenize, 128-hash
+    // MinHash, quality regexes) would otherwise run serial regardless
+    // of core count. One shuffle of the raw text — O(corpus bytes),
+    // trivial next to the multi-pass kernel work it parallelizes — and
+    // the cost holds at any scale: sketching dominates text movement.
+    docs.unionByName(mutated).repartition(col("doc_id"))
   }
 
   /** Scratch/profiling access to the planted-dup corpus. */
@@ -221,8 +228,11 @@ object NorthStar {
   }
 
   def annTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.annTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      k = 5, tables = 10)
+    Similarity.annTopK(
+      // widen the single-row-group scan before the per-vector LSH
+      // kernels (see withPlantedNearDups)
+      Tables.embeddings(spark, dir).repartition(col("vec_id")),
+      "vec_id", "embedding", k = 5, tables = 10)
       .orderBy("query_id", "rank")
 
   /** embeddings ∪ slightly-perturbed copies of the first `n` vectors,
@@ -245,12 +255,15 @@ object NorthStar {
         transform(col("embedding"), (x, i) =>
           x + ((pmod(col("pid") * lit(2654435761L) + i.cast("long") * lit(40503L), lit(2001L)) - 1000L) / 20000.0d).cast("float"))
           .as("embedding"))
-    emb.unionByName(noisy)
+    // single-row-group fixture file ⇒ widen before the per-vector
+    // LSH/norm kernels (see withPlantedNearDups)
+    emb.unionByName(noisy).repartition(col("vec_id"))
   }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
-    IvfIndex.topK(spark, Tables.embeddings(spark, dir), "vec_id", "embedding",
-      k = 5, nCells = 10, nProbe = 3)
+    IvfIndex.topK(spark,
+      Tables.embeddings(spark, dir).repartition(col("vec_id")),
+      "vec_id", "embedding", k = 5, nCells = 10, nProbe = 3)
       .orderBy("query_id", "rank")
 
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
