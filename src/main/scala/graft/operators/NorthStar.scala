@@ -30,8 +30,21 @@ object NorthStar {
     // of core count. One shuffle of the raw text — O(corpus bytes),
     // trivial next to the multi-pass kernel work it parallelizes — and
     // the cost holds at any scale: sketching dominates text movement.
-    docs.unionByName(mutated).repartition(col("doc_id"))
+    docs.unionByName(mutated).repartition(widenWidth(spark), col("doc_id"))
   }
+
+  /** Explicit width for the pre-kernel repartitions: an explicit count
+    * opts OUT of AQE partition coalescing — AQE sizes partitions by
+    * BYTES (advisory 64 MB) and would collapse a small-but-CPU-heavy
+    * corpus right back to one task, which is exactly the serialization
+    * these repartitions exist to break. 8 ways saturates the fixture
+    * corpora's kernel cost (measured: equal to 32 on documents, and 32
+    * pays visible per-task overhead on the 2k-vector embeddings);
+    * these widenings live in the QUERY/fixture layer only — the
+    * library operators themselves stay partition-agnostic and inherit
+    * whatever width the caller's (cluster-scale) input already has. */
+  private def widenWidth(spark: SparkSession): Int =
+    math.min(8, spark.sessionState.conf.numShufflePartitions)
 
   /** Scratch/profiling access to the planted-dup corpus. */
   def plantedDocsForScratch(spark: SparkSession, dir: String): DataFrame =
@@ -231,7 +244,7 @@ object NorthStar {
     Similarity.annTopK(
       // widen the single-row-group scan before the per-vector LSH
       // kernels (see withPlantedNearDups)
-      Tables.embeddings(spark, dir).repartition(col("vec_id")),
+      Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id")),
       "vec_id", "embedding", k = 5, tables = 10)
       .orderBy("query_id", "rank")
 
@@ -257,12 +270,12 @@ object NorthStar {
           .as("embedding"))
     // single-row-group fixture file ⇒ widen before the per-vector
     // LSH/norm kernels (see withPlantedNearDups)
-    emb.unionByName(noisy).repartition(col("vec_id"))
+    emb.unionByName(noisy).repartition(widenWidth(spark), col("vec_id"))
   }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     IvfIndex.topK(spark,
-      Tables.embeddings(spark, dir).repartition(col("vec_id")),
+      Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id")),
       "vec_id", "embedding", k = 5, nCells = 10, nProbe = 3)
       .orderBy("query_id", "rank")
 
