@@ -306,25 +306,27 @@ object Dedup {
       }
       require(integral, s"connectedComponents needs integral id columns; $c is $dt")
     }
-    // Materialize the edge list FIRST, under the session's normal
-    // parallelism: the pair-producing plan upstream (e.g. a shingle
-    // self-join over the whole corpus) is the heavy part and must not
-    // run with the loop's small shuffle sizing below.
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
+    // The symmetric, deduplicated edge list. NOT materialized yet —
+    // the small-graph probe below reads it once via limit+collect.
+    val edgesPlan = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
-      .cache()
-    val nEdges = edges.count()
 
     // Small-graph fast path — the broadcast-join analogue: a pair
     // graph under ~2M edges (32 MB of longs) is driver-trivial with
     // union-find, while each distributed round costs several fixed
-    // job latencies. Near-dup pair graphs are usually MUCH smaller
-    // than the corpus (that's the point of dedup); the distributed
-    // loop below remains the path for genuinely huge pair sets.
-    if (nEdges <= smallGraphEdges) {
+    // job latencies. Probed with ONE job: limit(max+1).collect() both
+    // answers "is it small?" and, when yes, already holds every edge —
+    // the separate count() the probe used to run was pure added
+    // latency on the path taken by every near-dup-sized graph.
+    // Near-dup pair graphs are usually MUCH smaller than the corpus
+    // (that's the point of dedup); the distributed loop below remains
+    // the path for genuinely huge pair sets.
+    val probe = edgesPlan
+      .limit(math.min(smallGraphEdges, Int.MaxValue - 1L).toInt + 1).collect()
+    if (probe.length <= smallGraphEdges) {
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -336,7 +338,7 @@ object Dedup {
         }
         root
       }
-      edges.collect().foreach { r =>
+      probe.foreach { r =>
         val (a, b) = (r.getLong(0), r.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
@@ -344,10 +346,13 @@ object Dedup {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       parent.keySet().forEach(v => out += ((v, find(v))))
-      val result = out.toSeq.toDF("doc_id", "cluster_id")
-      edges.unpersist()
-      return result
+      return out.toSeq.toDF("doc_id", "cluster_id")
     }
+    // Genuinely huge graph: recompute the edge plan into a cache for
+    // the propagation loop (the probe's truncated collect cannot seed
+    // it). Upstream pair sets are sealed cached results, so the
+    // recompute reads the cache, not the heavy pair machinery.
+    val edges = edgesPlan.cache()
 
     // The label graph is orders of magnitude smaller than the corpus
     // that produced the pairs (only docs appearing in a pair), so the
