@@ -121,6 +121,9 @@ object SparkEntry {
     "d13_neardup_clusters"   -> (NorthStar.nearDupClusters _),
     "d14_corpus_clean"       -> (NorthStar.corpusClean _),
     "d15_group_minhash"      -> ((s, dir) => NorthStar.groupMinhash(s, dir)),
+    "d16_train_split"        -> (NorthStar.trainSplit _),
+    "d17_token_chunks"       -> ((s, dir) => NorthStar.tokenChunks(s, dir)),
+    "d18_decontamination"    -> ((s, dir) => NorthStar.decontamination(s, dir)),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -972,6 +975,61 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), ' ')) AS fingerprint_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // d16: the d06 fingerprint chain reduced to bucket mod 100 —
+    // ((f % 100) + 100) % 100 spells Spark's pmod over DuckDB's
+    // sign-preserving %.
+    "d16_train_split" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(lt) AS t, generate_subscripts(lt, 1) AS i
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
+        |        FROM documents WHERE text IS NOT NULL)),
+        |h0 AS (
+        |  SELECT doc_id, i, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS ph
+        |  FROM toks),
+        |th AS (SELECT doc_id, i, ${mixSqlU("ph")} AS h FROM h0),
+        |agg AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+        |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT), hs),
+        |         (a, b) -> ${mixSqlU("xor(a, b)")}) AS f FROM agg),
+        |sgn AS (SELECT doc_id,
+        |  CAST(CASE WHEN f >= 9223372036854775808 THEN CAST(f AS HUGEINT) - 18446744073709551616
+        |            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint FROM fp)
+        |SELECT doc_id, ((fingerprint % 100) + 100) % 100 AS bucket,
+        |  CASE WHEN ((fingerprint % 100) + 100) % 100 < 80 THEN 'train'
+        |       WHEN ((fingerprint % 100) + 100) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM sgn ORDER BY doc_id""".stripMargin,
+    // d17: non-overlapping 32-token windows; DuckDB list slices are
+    // 1-based inclusive, matching Spark's slice(start, length).
+    "d17_token_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0, ((n - 1) // 32) + 1)) AS chunk_idx FROM f)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ') AS chunk_text,
+        |  least(n - chunk_idx * 32, 32) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // d18: corpus docs sharing any distinct 5-word shingle with the
+    // benchmark set (doc_id < 10); counts distinct shared shingles.
+    "d18_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM post WHERE doc_id < 10)
+        |SELECT p.doc_id, count(*) AS n_shared
+        |FROM post p JOIN bench b ON p.g = b.g
+        |WHERE p.doc_id >= 10
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "m02_frame_samples" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,

@@ -146,6 +146,65 @@ object NorthStar {
     out.orderBy("doc_id")
   }
 
+  /** d16: deterministic train/val/test assignment — bucket = the
+    * portable document fingerprint mod 100, split by 80/10/10. The
+    * split is a pure per-row expression (no shuffle, no sampling
+    * state): any engine — and any re-run over a grown corpus — assigns
+    * the same document to the same split, which is the property that
+    * keeps eval sets stable while a 100 TB corpus is re-ingested. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        pmod(TextFunctions.fingerprintPortable64(col("text")), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** d17: sequence packing — explode each document into fixed-size
+    * token windows (chunk size 32, stride = size: non-overlapping),
+    * the pre-tokenizer chunking step of an LLM training pipeline.
+    * One pass of array expressions per row; the explode multiplies
+    * rows but never shuffles. */
+  def tokenChunks(spark: SparkSession, dir: String, chunk: Int = 32): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / chunk).cast("int")),
+          i => array_join(slice(col("toks"), i * chunk + 1, lit(chunk)), " "))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        least(size(col("toks")) - col("pos") * chunk, lit(chunk)).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** d18: benchmark decontamination — flag corpus documents sharing
+    * any 5-word shingle with the "benchmark" set (here: doc_id < 10),
+    * the overlap check run before training to keep eval data out of
+    * the corpus. Shape at scale: the benchmark shingle set is tiny and
+    * broadcast; the corpus side streams through one semi-join-style
+    * probe — no corpus-vs-corpus pair space. */
+  def decontamination(spark: SparkSession, dir: String, n: Int = 5,
+      benchBelow: Long = 10L): DataFrame = {
+    val posting = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), n)).as("g"))
+    val bench = posting.filter(col("doc_id") < benchBelow).select("g").distinct()
+    posting.filter(col("doc_id") >= benchBelow)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------- text analysis
 
   /** Whitespace vs BPE-ish token counts side by side (the north-star
