@@ -190,8 +190,10 @@ object IvfIndex {
     val (assigned, centroids) = build(spark, df, idCol, vecCol, nCells)
     // Self-contained shape: materialize the search result and release
     // the index cache (callers of build/search manage it themselves —
-    // the index is their artifact; here it is internal).
-    val out = search(assigned, centroids, k, nProbe, queries).cache()
+    // the index is their artifact; here it is internal). The caller's
+    // column names are forwarded so an external query frame binds by
+    // the same idCol/vecCol as the corpus.
+    val out = search(assigned, centroids, k, nProbe, queries, idCol, vecCol).cache()
     out.count()
     assigned.unpersist()
     out

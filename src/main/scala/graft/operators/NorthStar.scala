@@ -338,6 +338,21 @@ object NorthStar {
       "vec_id", "embedding", k = 5, nCells = 10, nProbe = 3)
       .orderBy("query_id", "rank")
 
+  /** v06: the IVF index driven to EXACTNESS — nProbe = nCells probes
+    * every cell, so the search must return exactly the brute-force
+    * top-k (same oracle as v01). This pins the whole index path
+    * (k-means build, cell assignment, probe selection, candidate
+    * join, scoring, ranking) to a hash-compared ground truth; the
+    * approximate configurations (v04) then differ from it only by the
+    * probe budget. External query frame: the first 50 vectors. */
+  def ivfExactTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    IvfIndex.topK(spark, emb, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 8,
+      queries = Some(emb.filter(col("vec_id") < 50)))
+      .orderBy("query_id", "rank")
+  }
+
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(withPlantedNearDupVectors(spark, dir),
       "vec_id", "embedding", threshold = 0.95)
