@@ -131,11 +131,17 @@ object Ingest {
         .option("header", "true")
         .option("mode", "PERMISSIVE")
         .csv(paths: _*)
-      // Plain casts: string→timestamp accepts ISO-8601 with optional
-      // fractional seconds and zone suffix, matching the generator's
-      // output (`generate_data.py:34` writes isoformat).
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+      // cast THROWS on the first malformed value — one dirty cell
+      // would poison the whole multi-file scan, the failure mode a
+      // daily 100 TB batch cannot afford. try_cast nulls the VALUE and
+      // keeps the row (string→timestamp still accepts ISO-8601 with
+      // optional fractional seconds, the generator's format); rows
+      // whose KEY fails remain dropped below. Deliberately more
+      // row-preserving than the reference, whose per-file try/except
+      // (O15) would fail the entire file on one bad value.
       raw.select(CocoaSchema.input.fields.map { f =>
-        col(f.name).cast(f.dataType).as(f.name)
+        expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
       }.toSeq: _*)
     }
     parts.reduce(_ unionByName _)

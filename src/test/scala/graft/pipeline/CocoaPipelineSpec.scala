@@ -91,6 +91,31 @@ class CocoaPipelineSpec extends AnyFunSuite {
     assert(b.getAs[Any]("temperature_celsius") === null)
   }
 
+  test("corrupt row VALUES null out; rows with unparseable keys drop (row-level O15 analogue)") {
+    val dirs = freshDirs()
+    new java.io.File(dirs.landing).mkdirs()
+    val f = new java.io.File(new java.io.File(dirs.landing), "dirty_rows.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("shipment_id,timestamp,farm_id,region,bean_type,quality_score,shipment_weight_kg,temperature_celsius")
+    w.println("SHIP-OK,2025-01-01T00:00:00,FARM-1,Ashanti,Criollo,8.0,1000,20.0")
+    // unparseable numerics: cast -> null, row KEPT (header was valid,
+    // and the reference never drops rows for value errors)
+    w.println("SHIP-DIRTY,2025-01-01T01:00:00,FARM-2,Volta,Criollo,not_a_number,also_bad,20.0")
+    // blank key: would violate the warehouse PK -> row dropped
+    w.println(",2025-01-01T02:00:00,FARM-3,Ashanti,Criollo,8.5,1100,19.0")
+    w.close()
+
+    val r = CocoaPipeline.runBatch(spark, dirs, new Timestamp(7000000L))
+    assert(r.filesQuarantined.isEmpty, "value-level dirt must not quarantine the file")
+    assert(r.warehouseRows === 2, "good + nulled-values rows kept; keyless row dropped")
+    val wh = Warehouse.read(spark, dirs.warehouse)
+    val dirty = wh.filter(col("shipment_id") === "SHIP-DIRTY").head
+    assert(dirty.getAs[Any]("quality_score") === null)
+    assert(dirty.getAs[Any]("shipment_weight_kg") === null)
+    assert(dirty.getAs[Any]("shipment_value_usd") === null,
+      "derived value propagates the null, never fabricates a number")
+  }
+
   test("warehouse recovers from a crash between snapshot write and pointer publish") {
     val dirs = freshDirs()
     CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 31)
