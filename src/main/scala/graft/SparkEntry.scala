@@ -139,6 +139,8 @@ object SparkEntry {
     "m01_multimodal_features" -> (NorthStar.multimodalFeatures _),
     "m02_frame_samples"      -> (NorthStar.frameSamples _),
     "m03_thumbnails"         -> (NorthStar.thumbnails _),
+    "m04_binary_asset_source" -> ((s, dir) =>
+      graft.multimodal.Multimodal.binaryAssetSource(s, dir)),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -938,6 +940,14 @@ object SparkEntry {
         |FROM s JOIN ent ON s.asset_id = ent.asset_id
         |JOIN tot ON s.asset_id = tot.asset_id
         |ORDER BY s.asset_id""".stripMargin,
+    // m04: the binary store round-trip must preserve every byte — the
+    // oracle recomputes size + md5 from the originating table.
+    "m04_binary_asset_source" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+        |ORDER BY asset_id""".stripMargin,
     "m03_thumbnails" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,

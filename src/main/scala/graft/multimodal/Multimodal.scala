@@ -104,6 +104,40 @@ object Multimodal {
     }
   }
 
+  /** The `binaryFile` SOURCE path: one opaque file per asset on the
+    * content store, ingested by Spark's built-in binary-file reader
+    * (path, length, content) — the real shape of image/audio
+    * ingestion, complementing [[assetsFromDocuments]]'s column-wrapped
+    * demo. Asset files are materialized executor-side (one task per
+    * partition writes its own files — no driver collection), then read
+    * back through the source; identity features are oracle-checked
+    * against the originating table, certifying the bytes survived the
+    * store round-trip. */
+  def binaryAssetSource(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
+    val store = s"${sys.props("java.io.tmpdir")}/graft_io/binary_assets"
+    val root = new java.io.File(store)
+    // fresh store per run: stale files from a previous corpus would
+    // otherwise survive into the read-back
+    if (root.exists()) root.listFiles().foreach(_.delete())
+    root.mkdirs()
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(store, f"doc_${r.getLong(0)}%07d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile").load(store)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("asset_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("payload_md5"))
+      .orderBy("asset_id")
+  }
+
   /** "Frame sampling": cut `n` evenly-spaced fixed-size byte windows
     * from the payload — the partition/batch shape of video frame
     * extraction with the decoder stubbed to byte slicing. Pure
