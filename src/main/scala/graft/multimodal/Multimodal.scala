@@ -115,19 +115,30 @@ object Multimodal {
     * store round-trip. */
   def binaryAssetSource(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
     val store = s"${sys.props("java.io.tmpdir")}/graft_io/binary_assets"
-    val root = new java.io.File(store)
+    // All store I/O goes through the Hadoop FileSystem API resolved
+    // from the store URI — the same code writes a local dir here and a
+    // shared store (s3a://, hdfs://) on a cluster, where executor-local
+    // java.io would scatter files invisible to the driver's read.
+    val rootPath = new org.apache.hadoop.fs.Path(store)
+    val driverFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fresh store per run: stale files from a previous corpus would
     // otherwise survive into the read-back
-    if (root.exists()) root.listFiles().foreach(_.delete())
-    root.mkdirs()
+    if (driverFs.exists(rootPath)) driverFs.delete(rootPath, true)
+    driverFs.mkdirs(rootPath)
+    // ship the session's Hadoop conf (store credentials/endpoints ride
+    // spark.hadoop.*) to the writer tasks
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     graft.core.Tables.documents(spark, dir)
       .filter(col("doc_id") < maxId && col("text").isNotNull)
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(serConf.value)
         rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(store, f"doc_${r.getLong(0)}%07d.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(store, f"doc_${r.getLong(0)}%07d.bin"), true)
+          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
     spark.read.format("binaryFile").load(store)

@@ -306,13 +306,22 @@ object Dedup {
       }
       require(integral, s"connectedComponents needs integral id columns; $c is $dt")
     }
-    // The symmetric, deduplicated edge list. NOT materialized yet —
-    // the small-graph probe below reads it once via limit+collect.
-    val edgesPlan = pairs.select(col(aCol).cast("long").as("src"),
+    // The probe below collects up to smallGraphEdges+1 rows; a Long
+    // threshold at or past Int.MaxValue would silently truncate the
+    // collect and mis-classify a huge graph as small (wrong clusters).
+    require(smallGraphEdges >= 0 && smallGraphEdges < Int.MaxValue,
+      s"smallGraphEdges must be in [0, Int.MaxValue): $smallGraphEdges")
+    // The symmetric, deduplicated edge list, CACHED before the probe:
+    // whichever path runs, the union+distinct shuffle (and, for an
+    // unsealed `pairs` input, the pair machinery above it) computes
+    // once — the probe materializes the cache blocks it touches and
+    // the distributed loop reuses them.
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
+      .cache()
 
     // Small-graph fast path — the broadcast-join analogue: a pair
     // graph under ~2M edges (32 MB of longs) is driver-trivial with
@@ -324,8 +333,7 @@ object Dedup {
     // Near-dup pair graphs are usually MUCH smaller than the corpus
     // (that's the point of dedup); the distributed loop below remains
     // the path for genuinely huge pair sets.
-    val probe = edgesPlan
-      .limit(math.min(smallGraphEdges, Int.MaxValue - 1L).toInt + 1).collect()
+    val probe = edges.limit(smallGraphEdges.toInt + 1).collect()
     if (probe.length <= smallGraphEdges) {
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()
@@ -346,13 +354,9 @@ object Dedup {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       parent.keySet().forEach(v => out += ((v, find(v))))
+      edges.unpersist()
       return out.toSeq.toDF("doc_id", "cluster_id")
     }
-    // Genuinely huge graph: recompute the edge plan into a cache for
-    // the propagation loop (the probe's truncated collect cannot seed
-    // it). Upstream pair sets are sealed cached results, so the
-    // recompute reads the cache, not the heavy pair machinery.
-    val edges = edgesPlan.cache()
 
     // The label graph is orders of magnitude smaller than the corpus
     // that produced the pairs (only docs appearing in a pair), so the

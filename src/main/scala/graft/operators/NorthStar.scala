@@ -154,7 +154,10 @@ object NorthStar {
     * keeps eval sets stable while a 100 TB corpus is re-ingested. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
+      // tokenless docs (null or whitespace-only text) carry no signal
+      // to fingerprint — excluded on BOTH sides (the oracle's unnest
+      // over an empty token list drops them naturally)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
       .select(col("doc_id"),
         pmod(TextFunctions.fingerprintPortable64(col("text")), lit(100L)).as("bucket"))
       .withColumn("split",
@@ -192,8 +195,15 @@ object NorthStar {
     * broadcast; the corpus side streams through one semi-join-style
     * probe — no corpus-vs-corpus pair space. */
   def decontamination(spark: SparkSession, dir: String, n: Int = 5,
-      benchBelow: Long = 10L): DataFrame = {
-    val posting = Tables.documents(spark, dir)
+      benchBelow: Long = 10L): DataFrame =
+    decontaminationOf(
+      Tables.documents(spark, dir).select("doc_id", "text"), n, benchBelow)
+
+  /** Corpus-generic form: `docs` carries (doc_id, text); ids below
+    * `benchBelow` form the benchmark. Split out so tests drive the
+    * REAL operator on constructed frames. */
+  def decontaminationOf(docs: DataFrame, n: Int, benchBelow: Long): DataFrame = {
+    val posting = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(TextFunctions.wordShingles(col("text"), n)).as("g"))

@@ -80,8 +80,7 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("io04_csv_roundtrip")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThanOrEqual(c_custkey,500)]") ||
-      p.contains("LessThanOrEqual(c_custkey,500)"),
+    assert(p.contains("LessThanOrEqual(c_custkey,500)"),
       "c_custkey <= 500 did not reach the CSV scan")
   }
 

@@ -19,8 +19,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     val s1 = NorthStar.trainSplit(spark, dir).collect()
     val s2 = NorthStar.trainSplit(spark, dir).collect()
     assert(s1.toSeq == s2.toSeq, "split assignment must be deterministic")
-    val n = Tables.documents(spark, dir).filter(col("text").isNotNull).count()
-    assert(s1.length == n, "every non-null doc gets exactly one split")
+    val n = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        TextFunctions.tokenCount(col("text")) > 0).count()
+    assert(s1.length == n, "every tokenful doc gets exactly one split")
     val bySplit = s1.groupBy(_.getString(2)).view.mapValues(_.length).toMap
     assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
     // 80/10/10 in expectation; allow wide slack on 500 docs
@@ -52,12 +54,7 @@ class TrainingOpsSpec extends AnyFunSuite {
       (12L, "alpha beta gamma delta epsilon zeta eta theta"),
       (15L, "totally unrelated words nothing in common here at all")
     ).toDF("doc_id", "text")
-    val posting = docs.select(col("doc_id"),
-      explode(TextFunctions.wordShingles(col("text"), 5)).as("g"))
-    val bench = posting.filter(col("doc_id") < 10).select("g").distinct()
-    val flagged = posting.filter(col("doc_id") >= 10)
-      .join(broadcast(bench), Seq("g"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val flagged = NorthStar.decontaminationOf(docs, n = 5, benchBelow = 10L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flagged.keySet == Set(12L), s"expected only doc 12 flagged, got $flagged")
     assert(flagged(12L) == 4, "8 tokens -> 4 distinct 5-gram shingles, all shared")

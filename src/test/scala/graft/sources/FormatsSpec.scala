@@ -15,8 +15,10 @@ class FormatsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // sorted multiset, not a Set: a round-trip bug that DUPLICATES rows
+  // (stale part-file, writer retry) must fail, not alias away
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
 
   test("JSON round-trip is lossless for orders (keys, doubles, timestamps)") {
     val back = Formats.jsonRoundtripOrders(spark, dir)
