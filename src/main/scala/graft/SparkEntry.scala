@@ -88,6 +88,7 @@ object SparkEntry {
       cocoaWarehouse(s).groupBy(col("region"))
         .agg(count(lit(1)).as("n_shipments"))
         .orderBy("region")),
+    "p05_time_travel" -> ((s, _) => cocoaTimeTravel(s)),
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
@@ -158,8 +159,27 @@ object SparkEntry {
   private val cocoaMemo =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  /** Warehouse root of the memoized pipeline run — lets p05 time-travel
+    * to an older committed snapshot of the SAME run p01 read. */
+  private val cocoaDirsMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, CocoaPipeline.Dirs]()
+
   private def cocoaWarehouse(spark: SparkSession): DataFrame =
     cocoaMemo.computeIfAbsent(spark, runCocoa)
+
+  /** p05: TIME TRAVEL — read snapshot v0 (the batch-1 commit) after
+    * batch 2 has already committed v1. The versioned-directory commit
+    * protocol keeps every published snapshot immutable and readable,
+    * the Postgres-transaction analogue the warehouse replaces
+    * (vacuum() prunes old versions when retention ends). Oracled from
+    * batch 1's landing files alone. */
+  private def cocoaTimeTravel(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark) // ensure the two-batch run committed v0, v1
+    val dirs = cocoaDirsMemo.get(spark)
+    spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(dirs.warehouse, 0L))
+      .orderBy("shipment_id")
+  }
 
   /** Fixed location the oracle SQL reads the landing copies from —
     * referenced verbatim inside [[oracleSql]]. */
@@ -232,6 +252,7 @@ object SparkEntry {
     val root = Files.createTempDirectory("cocoa_verify").toString
     val dirs = CocoaPipeline.Dirs(
       s"$root/landing", s"$root/staging", s"$root/warehouse", s"$root/archive")
+    cocoaDirsMemo.put(spark, dirs)
     deleteRecursively(cocoaOracleIn)
     val scoped = pipelineSession(spark)
     CocoaGen.writeLandingFiles(scoped, dirs.landing, 2, 500, seed = 41, idOffset = 0)
@@ -1077,6 +1098,11 @@ object SparkEntry {
     "p04_cocoa_region_distribution" -> cocoaOracle(
       """SELECT region, count(*) AS n_shipments
         |FROM wh GROUP BY region ORDER BY region""".stripMargin),
+    // p05: snapshot v0 must equal the warehouse derived from batch 1
+    // ALONE — time travel reads are immutable history.
+    "p05_time_travel" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq("b1" -> "2023-11-14 22:13:20")),
     // s05: the doubled-then-deduped stream must equal the original
     // event set exactly.
     "s05_streaming_dedup" ->
@@ -1200,20 +1226,25 @@ object SparkEntry {
   }
 
   /** Wrap a query over the `wh` CTE — the warehouse as re-derived by
-    * DuckDB from the dumped landing CSVs of the two batches. */
-  private def cocoaOracle(body: String): String = {
+    * DuckDB from the dumped landing CSVs of the given batches (both
+    * by default; p05's time travel re-derives from batch 1 alone). */
+  private def cocoaOracle(body: String,
+      batches: Seq[(String, String)] = Seq(
+        "b1" -> "2023-11-14 22:13:20", "b2" -> "2023-11-14 22:15:00")): String = {
     def batch(dir: String, processedAt: String): String =
       s"""SELECT *, TIMESTAMP '$processedAt' AS processed_at
          |FROM read_csv('$cocoaOracleIn/$dir/*.csv', header=true,
          |  timestampformat='%Y-%m-%dT%H:%M:%S',
          |  types={'timestamp':'TIMESTAMP','quality_score':'DOUBLE',
          |         'shipment_weight_kg':'BIGINT','temperature_celsius':'DOUBLE'})""".stripMargin
-    s"""WITH b1 AS (${batch("b1", "2023-11-14 22:13:20")}),
-       |b2 AS (${batch("b2", "2023-11-14 22:15:00")}),
+    val ctes = batches
+      .map { case (d, ts) => s"$d AS (${batch(d, ts)})" }.mkString(",\n")
+    val unioned = batches.map(b => s"SELECT * FROM ${b._1}").mkString(" UNION ALL ")
+    s"""WITH $ctes,
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY shipment_id
        |    ORDER BY processed_at DESC, "timestamp" DESC) AS rn
-       |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+       |  FROM ($unioned)),
        |wh AS (
        |  SELECT shipment_id, "timestamp", farm_id, region, bean_type,
        |    quality_score, shipment_weight_kg, temperature_celsius,
