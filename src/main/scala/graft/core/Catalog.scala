@@ -131,5 +131,29 @@ object Catalog {
         |  sum(floor(s_acctbal * 100 + 0.5)) / 100.0 AS total_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin)
+        |ORDER BY n_name""".stripMargin,
+    // RANGE frame over event time (sql08 is the ROWS twin): the frame
+    // admits rows by VALUE distance, so calendar gaps shrink it —
+    // different semantics, not just different syntax.
+    "sql13_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(sum(n) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3d
+        |FROM daily ORDER BY day""".stripMargin,
+    // Aggregate FILTER clauses — per-aggregate predicates without a
+    // CASE rewrite. Integer-exact throughout: floor products are exact
+    // ints, so the double->BIGINT casts are unambiguous on both
+    // engines (Spark truncates, DuckDB rounds - identical on ints).
+    "sql14_filtered_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    FILTER (WHERE year(o_orderdate) = 1995) AS BIGINT) AS cents_1995
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }
