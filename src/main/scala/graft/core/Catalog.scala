@@ -125,10 +125,15 @@ object Catalog {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
     // Exercises the supplier table (the one fixture no other query
-    // reads) through the standard dim-join aggregate shape.
+    // reads) through the standard dim-join aggregate shape. Money is
+    // aggregated as integer cents (the sql14 pattern) so the hashed
+    // output holds no floating-point value at all: floor(x*100+0.5)
+    // is an exact int, per-row cast to BIGINT, summed in BIGINT on
+    // both engines — no sum(DOUBLE) pathway left to diverge.
     "sql12_suppliers_by_nation" ->
       """SELECT n_name, count(*) AS n_suppliers,
-        |  sum(floor(s_acctbal * 100 + 0.5)) / 100.0 AS total_acctbal
+        |  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,

@@ -114,16 +114,18 @@ object Multimodal {
     * against the originating table, certifying the bytes survived the
     * store round-trip. */
   def binaryAssetSource(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
-    val store = s"${sys.props("java.io.tmpdir")}/graft_io/binary_assets"
+    // Unique store per run (never a fixed shared path): a prior run's
+    // lazily-read frame must not see its store deleted from under it,
+    // and stale files from a previous corpus can't leak into the
+    // read-back. On a cluster the store root would be a per-run prefix
+    // under s3a://... built the same way.
+    val store = java.nio.file.Files.createTempDirectory("graft_binary_assets_").toString
     // All store I/O goes through the Hadoop FileSystem API resolved
     // from the store URI — the same code writes a local dir here and a
     // shared store (s3a://, hdfs://) on a cluster, where executor-local
     // java.io would scatter files invisible to the driver's read.
     val rootPath = new org.apache.hadoop.fs.Path(store)
     val driverFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fresh store per run: stale files from a previous corpus would
-    // otherwise survive into the read-back
-    if (driverFs.exists(rootPath)) driverFs.delete(rootPath, true)
     driverFs.mkdirs(rootPath)
     // ship the session's Hadoop conf (store credentials/endpoints ride
     // spark.hadoop.*) to the writer tasks

@@ -27,11 +27,14 @@ import graft.core.Tables
   */
 object Formats {
 
-  /** Round-trip staging dirs live under the JVM tmpdir, one fixed path
-    * per op: repeated runs overwrite (idempotent), and the artifact
-    * survives the call so the returned (lazy) frame stays readable. */
+  /** Round-trip staging dirs: one UNIQUE directory per invocation
+    * (not a fixed shared path) — the returned frame reads lazily, so
+    * a second invocation must not overwrite the store a still-held
+    * frame points at, and concurrent drivers must not collide. The
+    * dir survives the call so the lazy frame stays readable; staged
+    * fixtures are small and live under the JVM tmpdir. */
   private def stage(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_io/$name"
+    java.nio.file.Files.createTempDirectory(s"graft_io_${name}_").toString
 
   /** ORC round-trip: stage `lineitem` as ORC, read it back, aggregate.
     * The Q1-style result must hash-match the parquet-derived oracle —

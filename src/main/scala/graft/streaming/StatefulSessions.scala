@@ -86,18 +86,11 @@ object StatefulSessions {
         .withWatermark("ts", "1 hour")
         .as[Ev]
 
-      val sink = s"stateful_sessions_${System.nanoTime()}"
-      val q = events
+      val sessions = events
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateUser)
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      StreamingQueries.drainMemorySink(scoped, sink)
+      // row-level result (O(sessions) rows) → file sink, never memory
+      StreamingQueries.drainViaFileSink(sessions.toDF())
     }
 
     if (!flushOpen)

@@ -88,21 +88,14 @@ object StreamingQueries {
     * on an unbounded stream. */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 4) { scoped =>
-      val sink = s"stream_dedup_${nameCounter.incrementAndGet()}"
       val doubled = eventsStream(scoped, dir)
         .unionByName(eventsStream(scoped, dir))
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id", "ts")
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("user_id"), col("event_type"), col("value"))
-      val q = doubled.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      drainSorted(scoped, sink, "event_id")
+      // row-level result (O(stream) rows) → file sink, never memory
+      drainViaFileSink(doubled, "event_id")
     }
 
   /** Watermarked STREAM-STREAM interval join — the two-sided-state
@@ -118,7 +111,6 @@ object StreamingQueries {
     * compare µs-truncated event time). */
   def viewPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 4) { scoped =>
-      val sink = s"stream_join_${nameCounter.incrementAndGet()}"
       val views = eventsStream(scoped, dir)
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"),
@@ -136,15 +128,37 @@ object StreamingQueries {
         .select(col("user_id"), col("view_id"), col("purchase_id"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
             .as("gap_us"))
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      drainSorted(scoped, sink, "view_id", "purchase_id")
+      // row-level result (O(matches) rows) → file sink, never memory
+      drainViaFileSink(joined, "view_id", "purchase_id")
     }
+
+  /** Drain an append-mode stream through a PARQUET FILE SINK and read
+    * the result back, sorted. This is the scale-safe drain for
+    * ROW-LEVEL streaming results (dedup/join outputs are O(stream),
+    * not O(keys)): rows land distributed on the sink — executors
+    * write, the driver never holds the result — where a memory sink
+    * would collect the whole output into driver memory. The read-back
+    * goes through the sink's `_spark_metadata` commit log, so only
+    * files of committed batches are visible (exactly-once view). The
+    * sink dir is unique per run and passes through the Hadoop FS
+    * layer, so on a cluster the same code drains to s3a/hdfs. */
+  private[streaming] def drainViaFileSink(df: DataFrame, sortCols: String*): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sink_")
+    val data = s"$root/data"
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", data)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // schema'd read-back: no footer-inference job, and the one-task
+    // sort is right-sized for a bench-scale result (see drainSorted).
+    val back = df.sparkSession.read.schema(df.schema).parquet(data)
+    if (sortCols.isEmpty) back
+    else back.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
+  }
 
   /** Materialize a memory sink's rows into a standalone DataFrame and
     * drop the sink view — otherwise every call leaks its full result
