@@ -131,6 +131,8 @@ object SparkEntry {
     "v04_ann_ivf"            -> (NorthStar.ivfTopK _),
     "v05_embedding_clusters" -> (NorthStar.embeddingClusters _),
     "v06_ivf_exact"          -> (NorthStar.ivfExactTopK _),
+    "v07_lsh_exact"          -> (NorthStar.annExactTopK _),
+    "v08_ivf_saved"          -> (NorthStar.ivfSavedTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -1200,6 +1202,42 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "v01_knn_brute_force" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v07: zero hyperplanes degrade the sign-LSH to exhaustive (all
+    // pairs share the one bucket), so the ANN output is exactly the
+    // ALL-PAIRS brute-force top-k — v01's oracle without the query
+    // filter.
+    "v07_lsh_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v08: searching the saved-and-reloaded IVF index with every cell
+    // probed is exact — shares v06's brute-force oracle verbatim.
+    "v08_ivf_saved" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

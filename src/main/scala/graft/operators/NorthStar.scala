@@ -363,6 +363,41 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** v07: the sign-LSH ANN driven to EXHAUSTIVENESS — `planes = -1`
+    * puts every vector in one bucket of a single table, so the
+    * candidate set is all pairs and the operator must return exactly
+    * the all-pairs brute-force top-k (hash-compared against a DuckDB
+    * cross-join oracle). The v06 trick applied to the LSH family: it
+    * pins the whole pipeline — bucketing, pair dedup, mirror union,
+    * scoring, bounded-heap ranking — to ground truth; the production
+    * configuration (v02) then differs only by the plane count. */
+  def annExactTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(
+      Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id")),
+      "vec_id", "embedding", k = 5, planes = -1, tables = 1,
+      maxBucket = Int.MaxValue)
+      .orderBy("query_id", "rank")
+
+  /** v08: search a SAVED-then-LOADED IVF index — build the index,
+    * persist it partitioned-by-cell ([[IvfIndex.save]]), reload from
+    * disk ([[IvfIndex.load]]), and search the loaded artifact with
+    * nProbe = nCells. Probing every cell is exact, so the result must
+    * hash-equal v06 (same brute-force oracle) — certifying the
+    * persisted index, the actual deployment shape at 100 TB (build
+    * once, query many times from storage). */
+  def ivfSavedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val (assigned, centroids) = IvfIndex.build(spark, emb, "vec_id", "embedding", nCells = 8)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
+    IvfIndex.save(assigned, centroids, idxDir)
+    assigned.unpersist()
+    val (loaded, loadedCentroids) = IvfIndex.load(spark, idxDir)
+    IvfIndex.search(loaded, loadedCentroids, k = 5, nProbe = 8,
+      queries = Some(emb.filter(col("vec_id") < 50)),
+      idCol = "vec_id", vecCol = "embedding")
+      .orderBy("query_id", "rank")
+  }
+
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(withPlantedNearDupVectors(spark, dir),
       "vec_id", "embedding", threshold = 0.95)

@@ -130,9 +130,15 @@ object Similarity {
     * are evaluated in a single projection over the cached vector table
     * and exploded — one scan, no per-table passes. `planes = 0` sizes
     * the bucket space from the corpus so mean occupancy stays ~64
-    * at any scale. */
+    * at any scale. `planes < 0` is the EXHAUSTIVE degeneration: zero
+    * hyperplanes put every vector in one bucket of one table, so the
+    * candidate set is all pairs — the v06-style trick that pins the
+    * whole LSH pipeline (bucketing, pair expansion, scoring, ranking)
+    * to the brute-force ground truth. */
   private def lshBuckets(base: DataFrame, planes: Int, tables: Int,
       occupancy: Int = 32): DataFrame = {
+    if (planes < 0)
+      return base.select(col("id"), lit(0).as("table_idx"), lit(0L).as("bucket"))
     val p =
       if (planes > 0) planes
       else {

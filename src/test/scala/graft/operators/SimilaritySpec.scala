@@ -83,6 +83,26 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("exhaustive-mode LSH (planes = -1) equals all-pairs brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+      .collect().toSet
+    val exhaustive = Similarity.annTopK(emb, "vec_id", "embedding", k = 5,
+      planes = -1, tables = 1, maxBucket = Int.MaxValue).collect().toSet
+    assert(exhaustive === brute)
+    spark.catalog.clearCache()
+  }
+
+  test("saved-index search with nProbe = nCells equals brute force (v08 shape)") {
+    val got = NorthStar.ivfSavedTopK(spark, dir).collect().toSeq
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+      queries = Some(emb.filter(col("vec_id") < 50)))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === brute)
+    spark.catalog.clearCache()
+  }
+
   test("embedding near-dup pairs recover planted perturbed vectors") {
     val pairs = NorthStar.embeddingNearDups(spark, dir).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
