@@ -23,22 +23,36 @@ object Scratch {
 
     val jobs = new AtomicInteger(0)
     val describe = sys.env.contains("SCRATCH_DESCRIBE")
+    // executionId → physical-plan description head, captured at SQL
+    // execution start so broadcast-future jobs (whose stage callsites
+    // are just the thread pool) can be attributed to their query.
+    val sqlDescs = new java.util.concurrent.ConcurrentHashMap[String, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          sqlDescs.put(s.executionId.toString, s.description.linesIterator.take(1).mkString.take(120))
+        case _ => ()
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (describe) {
-          val desc = Option(js.properties)
-            .map(_.getProperty("spark.job.description", "")).getOrElse("")
-          val stages = js.stageInfos.map(si => s"${si.name}[${si.numTasks}]").mkString(", ")
-          println(s"  JOB ${js.jobId} tasks=${js.stageInfos.map(_.numTasks).sum} $stages | $desc")
+          val execId = Option(js.properties)
+            .map(_.getProperty("spark.sql.execution.id", "")).getOrElse("")
+          val desc = Option(sqlDescs.get(execId)).getOrElse("")
+          val stages = js.stageInfos.map(si => s"[${si.stageId}:${si.numTasks}]").mkString(",")
+          println(s"  JOB ${js.jobId} exec=$execId tasks=${js.stageInfos.map(_.numTasks).sum} $stages | $desc")
         }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (describe) {
           val si = sc.stageInfo
           val ms = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
-          if (ms >= 200)
+          if (ms >= 200) {
             println(f"  STAGE ${si.stageId}%4d ${ms / 1000.0}%6.2f s tasks=${si.numTasks}%4d ${si.name.take(90)}")
+            // callsite stack: first graft frames identify the operator
+            si.details.linesIterator.filter(_.contains("graft.")).take(3)
+              .foreach(l => println(s"        $l"))
+          }
         }
     })
 

@@ -33,8 +33,17 @@ final class CacheScope {
   def sealResult(result: DataFrame): DataFrame = {
     val out = result.cache()
     out.count()
+    release()
+    out
+  }
+
+  /** Unpersist every pinned intermediate WITHOUT materializing a
+    * result. Only correct when everything derived from the pins has
+    * already been materialized (e.g. connectedComponents returns a
+    * fully-materialized frame) — releasing under a still-lazy
+    * consumer silently reverts the pins to recompute-per-consumer. */
+  def release(): Unit = {
     handles.foreach(_.unpersist())
     handles.clear()
-    out
   }
 }

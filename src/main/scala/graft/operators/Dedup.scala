@@ -175,12 +175,27 @@ object Dedup {
     * the guard. */
   def ngramJaccardPairsExhaustive(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
+    val scope = new CacheScope
+    scope.sealResult(ngramJaccardPairsExhaustiveUnsealed(
+      df, idCol, textCol, n, threshold, maxPosting, scope))
+  }
+
+  /** UNSEALED twin of [[ngramJaccardPairsExhaustive]]: pins the
+    * intermediates into the CALLER's scope and returns the lazy pair
+    * frame. For compositions whose downstream consumer materializes
+    * exactly once anyway (connectedComponents caches + drains its
+    * edges), sealing the pair set first pays a full extra
+    * count-materialization chain purely to unpersist early — the
+    * caller's `scope.release()`/`sealResult` does that instead, after
+    * the one real consumer has run. */
+  private[operators] def ngramJaccardPairsExhaustiveUnsealed(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxPosting: Int, scope: CacheScope): DataFrame = {
     // Postings carry 8-byte shingle HASHES (sorted-distinct kernel),
     // not shingle strings: the posting shuffle and the self-join key
     // shrink ~4×, and the whole pairing path stays in codegen. Null
     // text → null shingles, excluded in BOTH variants so they agree:
     // a contentless doc never pairs.
-    val scope = new CacheScope
     val base = df.select(col(idCol).as("id"),
       graft.functions.SketchExpressions.shingleHashes(col(textCol), n).as("sh"))
       .filter(col("sh").isNotNull)
@@ -213,7 +228,7 @@ object Dedup {
       // loosens (keeps) — exactness rests on the final J ≥ t filter.
       .filter(col("set_size_a") >= col("set_size_b") * threshold - 1e-9 &&
         col("set_size_b") >= col("set_size_a") * threshold - 1e-9)
-    scope.sealResult(pairs
+    pairs
       .groupBy(col("id_a"), col("id_b"), col("set_size_a"), col("set_size_b"))
       .agg(count(lit(1)).as("inter"))
       // threshold on the UNROUNDED value (rounding first would admit
@@ -221,7 +236,7 @@ object Dedup {
       .filter(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter")) >= threshold)
       .withColumn("jaccard",
         graft.functions.Quantize.quantize4(col("inter") / (col("set_size_a") + col("set_size_b") - col("inter"))))
-      .select("id_a", "id_b", "jaccard"))
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the
@@ -311,16 +326,15 @@ object Dedup {
     // collect and mis-classify a huge graph as small (wrong clusters).
     require(smallGraphEdges >= 0 && smallGraphEdges < Int.MaxValue,
       s"smallGraphEdges must be in [0, Int.MaxValue): $smallGraphEdges")
-    // The symmetric, deduplicated edge list, CACHED before the probe:
-    // whichever path runs, the union+distinct shuffle (and, for an
-    // unsealed `pairs` input, the pair machinery above it) computes
-    // once — the probe materializes the cache blocks it touches and
-    // the distributed loop reuses them.
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
+    // The UNDIRECTED pair list, cached before the probe: whichever
+    // path runs, the pair machinery above computes once. The
+    // symmetrize + distinct the distributed loop needs is NOT done
+    // here — union-find is direction- and duplicate-agnostic, so the
+    // small path (the one every near-dup-sized graph takes) skips
+    // those two exchanges (and their AQE stage-materialization jobs)
+    // entirely; the big path pays them where they're actually needed.
+    val undirected = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
-      .distinct()
       .cache()
 
     // Small-graph fast path — the broadcast-join analogue: a pair
@@ -333,7 +347,7 @@ object Dedup {
     // Near-dup pair graphs are usually MUCH smaller than the corpus
     // (that's the point of dedup); the distributed loop below remains
     // the path for genuinely huge pair sets.
-    val probe = edges.limit(smallGraphEdges.toInt + 1).collect()
+    val probe = undirected.limit(smallGraphEdges.toInt + 1).collect()
     if (probe.length <= smallGraphEdges) {
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()
@@ -354,9 +368,17 @@ object Dedup {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       parent.keySet().forEach(v => out += ((v, find(v))))
-      edges.unpersist()
+      undirected.unpersist()
       return out.toSeq.toDF("doc_id", "cluster_id")
     }
+
+    // Distributed path: min-label propagation needs each vertex to see
+    // ALL its neighbors, so symmetrize + dedup here (reading the
+    // cached pair list, not re-running the pair machinery).
+    val edges = undirected
+      .unionByName(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
 
     // The label graph is orders of magnitude smaller than the corpus
     // that produced the pairs (only docs appearing in a pair), so the
@@ -375,7 +397,7 @@ object Dedup {
     loop.conf.set("spark.sql.shuffle.partitions", "8")
     val loopEdges = loop.createDataFrame(edges.toDF().rdd, edges.schema).cache()
     try connectedComponentsLoop(loopEdges, maxRounds)
-    finally edges.unpersist()
+    finally { edges.unpersist(); undirected.unpersist() }
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxRounds: Int): DataFrame = {

@@ -23,14 +23,19 @@ object NorthStar {
     val mutated = docs.filter(col("doc_id") < n)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" graftmark")).as("text"))
-    // Hash-repartition by id BEFORE the sketch/kernel stages: the
-    // fixture is one single-row-group parquet file, so the scan yields
-    // one task and every per-row kernel downstream (tokenize, 128-hash
-    // MinHash, quality regexes) would otherwise run serial regardless
-    // of core count. One shuffle of the raw text — O(corpus bytes),
-    // trivial next to the multi-pass kernel work it parallelizes — and
-    // the cost holds at any scale: sketching dominates text movement.
-    docs.unionByName(mutated).repartition(widenWidth(spark), col("doc_id"))
+    // Hash-repartition BEFORE the sketch/kernel stages: the fixture is
+    // one single-row-group parquet file, so the scan yields one task
+    // and every per-row kernel downstream (tokenize, 128-hash MinHash,
+    // quality regexes) would otherwise run serial regardless of core
+    // count. One shuffle of the raw text — O(corpus bytes), trivial
+    // next to the multi-pass kernel work it parallelizes — and the
+    // cost holds at any scale: sketching dominates text movement.
+    // The key is md5(text), not doc_id: the per-row kernels are
+    // key-agnostic, but exactDedup's window partitions by md5(text),
+    // so this choice lets Catalyst elide the window's own exchange in
+    // the compositions that dedup first (corpusClean) — one fewer
+    // shuffle of the full text corpus.
+    docs.unionByName(mutated).repartition(widenWidth(spark), md5(col("text")))
   }
 
   /** Explicit width for the pre-kernel repartitions: an explicit count
@@ -45,6 +50,52 @@ object NorthStar {
     * whatever width the caller's (cluster-scale) input already has. */
   private def widenWidth(spark: SparkSession): Int =
     math.min(8, spark.sessionState.conf.numShufflePartitions)
+
+  /** Rows in a parquet table, from file FOOTERS on the driver — zero
+    * Spark jobs, so it can gate planning decisions for free. */
+  private def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Below this corpus size, multi-stage compositions plan WITHOUT
+    * AQE: at fixture scale every AQE exchange materialization is its
+    * own Spark job (~0.2 s scheduling floor each), and a composite
+    * like corpusClean pays 10+ of them — pure latency, no re-planning
+    * value when the whole corpus fits one shuffle partition. At or
+    * above the threshold the caller's session (AQE on: skew splits,
+    * runtime coalescing) is used unchanged — the 100 TB path. */
+  private val smallCorpusRows = 10L * 1000 * 1000
+
+  /** Session a kernel composition should plan on: the caller's
+    * session, or (small corpora only) a CLONE — shared SparkContext
+    * and cache, private SQLConf — with AQE off and shuffle width
+    * sized to the corpus, so the caller's own conf is never mutated
+    * (same isolation pattern as StreamingQueries/connectedComponents
+    * cloned sessions). */
+  private def kernelSession(spark: SparkSession, dir: String,
+      table: String = "documents"): SparkSession = {
+    val n =
+      try parquetRowCount(spark, s"$dir/$table.parquet")
+      catch { case _: Throwable => Long.MaxValue } // unreadable → assume big
+    if (n >= smallCorpusRows) spark
+    else {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", widenWidth(spark).toString)
+      s
+    }
+  }
 
   /** Scratch/profiling access to the planted-dup corpus. */
   def plantedDocsForScratch(spark: SparkSession, dir: String): DataFrame =
@@ -68,19 +119,23 @@ object NorthStar {
     * deterministically the exact ≥ 0.5 set — which is what lets the
     * exhaustive-Jaccard DuckDB oracle hash-match a sketch-based
     * operator. */
-  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(withPlantedNearDups(spark, dir), "doc_id", "text",
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    Dedup.minhashPairs(withPlantedNearDups(s, dir), "doc_id", "text",
       numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
+  }
 
   /** Portable token hash so the DuckDB oracle recomputes identical
     * sketches; the pigeonhole chunk join guarantees exact recall at
     * hamming ≤ 6, so the output is exactly the hamming-≤-6 pair set
     * and hash-comparable. */
-  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(withPlantedNearDups(spark, dir), "doc_id", "text",
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    Dedup.simhashPairs(withPlantedNearDups(s, dir), "doc_id", "text",
       maxHamming = 6, portable = true)
       .orderBy("id_a", "id_b")
+  }
 
   /** Uses the exhaustive counting join: the fixture's docs all share
     * one tiny vocabulary, so no shingle is rare and prefix filtering
@@ -89,6 +144,9 @@ object NorthStar {
     * prefix-filtered [[Dedup.ngramJaccardPairs]] is the scale path —
     * equivalence of the two is spec-asserted. */
   def ngramJaccardNearDups(spark: SparkSession, dir: String): DataFrame =
+    // caller's session (AQE on): the posting self-join is the one pair
+    // stage where AQE's runtime broadcast/coalesce decisions beat the
+    // static plan even at fixture scale (measured ~1.5-2x)
     Dedup.ngramJaccardPairsExhaustive(withPlantedNearDups(spark, dir), "doc_id", "text",
       n = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -97,13 +155,17 @@ object NorthStar {
     * Jaccard pair set — the transitive-closure step that turns pairs
     * into dedup groups. Oracled via a recursive-CTE closure in SQL. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairsExhaustive(
-      withPlantedNearDups(spark, dir), "doc_id", "text", n = 3, threshold = 0.4)
+    // UNSEALED pair stage: connectedComponents caches and drains its
+    // edge set itself, so sealing the pair frame first would pay a
+    // second full materialization chain (several AQE-staged jobs)
+    // purely to unpersist early. The scope releases the pins after CC
+    // returns its fully-materialized result.
+    val scope = new graft.core.CacheScope
+    val pairs = Dedup.ngramJaccardPairsExhaustiveUnsealed(
+      withPlantedNearDups(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.4, maxPosting = 1000, scope)
     val clusters = Dedup.connectedComponents(pairs)
-    // connectedComponents materializes its result before returning, so
-    // the pair cache has served every consumer — release it here (the
-    // composition point owns the handles it strings together).
-    pairs.unpersist()
+    scope.release()
     clusters.orderBy("doc_id")
   }
 
@@ -132,14 +194,15 @@ object NorthStar {
     // Pinned: the survivor set (with its quality/lang text kernels)
     // feeds both the pair stage and the final representative join.
     val kept = scope.pin(Dedup.exactDedup(gated, "doc_id", "text"))
-    val pairs = Dedup.ngramJaccardPairsExhaustive(kept, "doc_id", "text",
-      n = 3, threshold = 0.4)
+    // Unsealed pair stage (see nearDupClusters): CC materializes once;
+    // the pins ride this scope and fall with the final sealResult.
+    val pairs = Dedup.ngramJaccardPairsExhaustiveUnsealed(kept, "doc_id", "text",
+      n = 3, threshold = 0.4, maxPosting = 1000, scope)
     val clusters = Dedup.connectedComponents(pairs)
-    pairs.unpersist()
     // cluster_id is the minimum reachable id, so the representative
     // is exactly the row whose own id equals it; unpaired docs pass.
     val out = scope.sealResult(
-      kept.join(clusters, Seq("doc_id"), "left_outer")
+      kept.join(broadcast(clusters), Seq("doc_id"), "left_outer")
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(col("doc_id"), col("lang_pred"), col("quality")))
     clusters.unpersist()
@@ -399,7 +462,8 @@ object NorthStar {
   }
 
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(withPlantedNearDupVectors(spark, dir),
+    Similarity.cosineNearDupPairs(
+      withPlantedNearDupVectors(kernelSession(spark, dir, "embeddings"), dir),
       "vec_id", "embedding", threshold = 0.95)
       .orderBy("id_a", "id_b")
 
@@ -410,10 +474,13 @@ object NorthStar {
     * composition a training pipeline runs to collapse paraphrase/
     * re-encode duplicates that exact and n-gram dedup both miss. */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Similarity.cosineNearDupPairs(withPlantedNearDupVectors(spark, dir),
-      "vec_id", "embedding", threshold = 0.95)
+    // Unsealed pair stage (see nearDupClusters for the contract).
+    val scope = new graft.core.CacheScope
+    val pairs = Similarity.cosineNearDupPairsUnsealed(
+      withPlantedNearDupVectors(spark, dir), "vec_id", "embedding",
+      threshold = 0.95, planes = 0, tables = 16, maxBucket = 2000, scope)
     val clusters = Dedup.connectedComponents(pairs)
-    pairs.unpersist()
+    scope.release()
     clusters.select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
   }

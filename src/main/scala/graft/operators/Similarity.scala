@@ -170,16 +170,27 @@ object Similarity {
       threshold: Double, planes: Int = 0, tables: Int = 16,
       maxBucket: Int = 2000): DataFrame = {
     val scope = new CacheScope
+    scope.sealResult(cosineNearDupPairsUnsealed(
+      df, idCol, vecCol, threshold, planes, tables, maxBucket, scope))
+  }
+
+  /** UNSEALED twin of [[cosineNearDupPairs]] (see
+    * [[Dedup.ngramJaccardPairsExhaustiveUnsealed]] for the contract):
+    * pins ride the caller's scope, the returned frame is lazy — for
+    * consumers like connectedComponents that materialize once anyway. */
+  private[operators] def cosineNearDupPairsUnsealed(df: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, planes: Int,
+      tables: Int, maxBucket: Int, scope: CacheScope): DataFrame = {
     val base = scope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", l2Norm(col("vec"))))
     val buckets = lshBuckets(base, planes, tables)
-    scope.sealResult(Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
+    Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),
       Seq("id"), maxBucket, scope, dedupPairs = true)
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .withColumn("cosine", graft.functions.Quantize.quantize4(cosineWithNorms(
         dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b"))))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
