@@ -45,4 +45,53 @@ class BucketedMergeSpec extends AnyFunSuite {
     assert(nEx <= 1, s"expected at most the updates-side shuffle, got $nEx exchanges:\n$plan")
     spark.sql("DROP TABLE IF EXISTS wh_bucketed")
   }
+
+  // Descend AQE wrapper nodes (AdaptiveSparkPlanExec / query stages):
+  // a plain plan.collect stops at stage boundaries and undercounts.
+  private def collectAll[T](p: SparkPlan)(
+      pf: PartialFunction[SparkPlan, Seq[T]]): Seq[T] = p.collect {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectAll(a.executedPlan)(pf)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectAll(q.plan)(pf)
+    case n if pf.isDefinedAt(n) => pf(n)
+  }.flatten
+
+  test("upsert plans a BROADCAST anti join; no shuffle above the bucketed target") {
+    spark.sql("DROP TABLE IF EXISTS wh_bucketed2")
+    val target = Enrich.enrich(CocoaGen.shipments(spark, 2000, seed = 23),
+      new Timestamp(1000000L))
+    Warehouse.commitBucketed(spark, "wh_bucketed2", target, nBuckets = 8)
+    val updates = Enrich.enrich(
+      CocoaGen.shipments(spark, 400, seed = 24, idOffset = 1800),
+      new Timestamp(2000000L))
+      .repartition(8, col(CocoaSchema.mergeKey))
+
+    val merged = Merge.upsertShipments(spark.table("wh_bucketed2"), updates)
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan
+
+    // 1. The anti join runs as BroadcastHashJoin(LeftAnti): the daily
+    //    batch's key set broadcasts, the 100 TB target streams.
+    val bhjAnti = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => Seq(j)
+    }
+    assert(bhjAnti.nonEmpty, s"expected BroadcastHashJoin(LeftAnti), plan:\n$plan")
+
+    // 2. No shuffle exchange has the bucketed table's scan beneath it:
+    //    only the update side (window dedup / its repartition) may
+    //    shuffle in the merge.
+    val shufflesOverTarget = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.find {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.metadata.get("Location").exists(_.contains("wh_bucketed2"))
+            case _ => false
+          }.isDefined => Seq(e)
+    }
+    assert(shufflesOverTarget.isEmpty,
+      s"bucketed target side was re-shuffled:\n${shufflesOverTarget.mkString("\n")}")
+    spark.sql("DROP TABLE IF EXISTS wh_bucketed2")
+  }
 }

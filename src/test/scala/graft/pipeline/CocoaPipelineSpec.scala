@@ -154,4 +154,34 @@ class CocoaPipelineSpec extends AnyFunSuite {
     Warehouse.vacuum(spark, dirs.warehouse)
     assert(Warehouse.read(spark, dirs.warehouse).count() === 100)
   }
+
+  test("vacuum retention: pruned versions fail cleanly, the pointer survives, commits continue") {
+    val dirs = freshDirs()
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 6)
+    CocoaPipeline.runBatch(spark, dirs)
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 7, idOffset = 1000)
+    CocoaPipeline.runBatch(spark, dirs)
+    // time travel works pre-vacuum: v0 is the first batch alone
+    val v0Path = Warehouse.versionPath(dirs.warehouse, 0L)
+    assert(spark.read.schema(CocoaSchema.warehouse).parquet(v0Path).count() === 50)
+
+    Warehouse.vacuum(spark, dirs.warehouse)
+
+    // the pruned snapshot is GONE — a time-travel read must fail
+    // loudly (missing path), not silently return rows from elsewhere
+    val err = intercept[Exception] {
+      spark.read.schema(CocoaSchema.warehouse).parquet(v0Path).count()
+    }
+    assert(err.getMessage != null && err.getMessage.toLowerCase.contains("path"),
+      s"expected a missing-path failure, got: ${err.getMessage}")
+    // the committed pointer still resolves and reads the live snapshot
+    assert(Warehouse.currentVersion(spark, dirs.warehouse) === Some(1L))
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 100)
+    // and the commit protocol keeps counting from the pointer — a
+    // vacuumed history must never cause version-number reuse
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 8, idOffset = 2000)
+    CocoaPipeline.runBatch(spark, dirs)
+    assert(Warehouse.currentVersion(spark, dirs.warehouse) === Some(2L))
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 150)
+  }
 }
