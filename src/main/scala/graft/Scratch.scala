@@ -29,8 +29,10 @@ object Scratch {
     val sqlDescs = new java.util.concurrent.ConcurrentHashMap[String, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
-        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart if describe =>
           sqlDescs.put(s.executionId.toString, s.description.linesIterator.take(1).mkString.take(120))
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+          sqlDescs.remove(s.executionId.toString) // bound the map over a long run
         case _ => ()
       }
       override def onJobStart(js: SparkListenerJobStart): Unit = {

@@ -117,9 +117,10 @@ object Multimodal {
     // Unique store per run (never a fixed shared path): a prior run's
     // lazily-read frame must not see its store deleted from under it,
     // and stale files from a previous corpus can't leak into the
-    // read-back. On a cluster the store root would be a per-run prefix
-    // under s3a://... built the same way.
-    val store = java.nio.file.Files.createTempDirectory("graft_binary_assets_").toString
+    // read-back; RunTemp sweeps the stores at JVM exit. On a cluster
+    // the store root would be a per-run prefix under s3a://... with a
+    // lifecycle policy playing RunTemp's role.
+    val store = graft.core.RunTemp.dir("graft_binary_assets_")
     // All store I/O goes through the Hadoop FileSystem API resolved
     // from the store URI — the same code writes a local dir here and a
     // shared store (s3a://, hdfs://) on a cluster, where executor-local

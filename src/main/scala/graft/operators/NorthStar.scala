@@ -52,16 +52,26 @@ object NorthStar {
     math.min(8, spark.sessionState.conf.numShufflePartitions)
 
   /** Rows in a parquet table, from file FOOTERS on the driver — zero
-    * Spark jobs, so it can gate planning decisions for free. */
+    * Spark jobs, so it can gate planning decisions for free. Listing
+    * is RECURSIVE (partitioned layouts nest part files under key=val
+    * dirs), and finding no parquet files at all returns Long.MaxValue:
+    * "couldn't count" must read as "assume big", never as "small" —
+    * the gate's failure mode must be a slower-but-safe AQE plan, not
+    * an 8-partition no-AQE plan over a huge corpus. */
   private def parquetRowCount(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-      else Array(fs.getFileStatus(p))
-    files.map { f =>
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) files += f
+      }
+    } else files += fs.getFileStatus(p)
+    if (files.isEmpty) Long.MaxValue
+    else files.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
       try r.getRecordCount finally r.close()
@@ -201,8 +211,11 @@ object NorthStar {
     val clusters = Dedup.connectedComponents(pairs)
     // cluster_id is the minimum reachable id, so the representative
     // is exactly the row whose own id equals it; unpaired docs pass.
+    // No broadcast hint: clusters is one row per doc in any near-dup
+    // pair — small on clean corpora, unbounded on duplicate-heavy
+    // ones. AQE sees its actual size and picks broadcast vs shuffle.
     val out = scope.sealResult(
-      kept.join(broadcast(clusters), Seq("doc_id"), "left_outer")
+      kept.join(clusters, Seq("doc_id"), "left_outer")
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(col("doc_id"), col("lang_pred"), col("quality")))
     clusters.unpersist()
@@ -451,7 +464,7 @@ object NorthStar {
   def ivfSavedTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
     val (assigned, centroids) = IvfIndex.build(spark, emb, "vec_id", "embedding", nCells = 8)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
+    val idxDir = graft.core.RunTemp.dir("graft_ivf_index_")
     IvfIndex.save(assigned, centroids, idxDir)
     assigned.unpersist()
     val (loaded, loadedCentroids) = IvfIndex.load(spark, idxDir)

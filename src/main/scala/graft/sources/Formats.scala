@@ -31,10 +31,11 @@ object Formats {
     * (not a fixed shared path) — the returned frame reads lazily, so
     * a second invocation must not overwrite the store a still-held
     * frame points at, and concurrent drivers must not collide. The
-    * dir survives the call so the lazy frame stays readable; staged
-    * fixtures are small and live under the JVM tmpdir. */
+    * dir survives the call so the lazy frame stays readable; all dirs
+    * are swept by [[graft.core.RunTemp]]'s JVM shutdown hook so
+    * repeated runs don't accumulate staged copies in /tmp. */
   private def stage(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_io_${name}_").toString
+    graft.core.RunTemp.dir(s"graft_io_${name}_")
 
   /** ORC round-trip: stage `lineitem` as ORC, read it back, aggregate.
     * The Q1-style result must hash-match the parquet-derived oracle —

@@ -140,10 +140,11 @@ object StreamingQueries {
     * would collect the whole output into driver memory. The read-back
     * goes through the sink's `_spark_metadata` commit log, so only
     * files of committed batches are visible (exactly-once view). The
-    * sink dir is unique per run and passes through the Hadoop FS
-    * layer, so on a cluster the same code drains to s3a/hdfs. */
+    * sink dir is unique per run (swept at JVM exit by RunTemp) and
+    * passes through the Hadoop FS layer, so on a cluster the same
+    * code drains to s3a/hdfs. */
   private[streaming] def drainViaFileSink(df: DataFrame, sortCols: String*): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_sink_")
+    val root = graft.core.RunTemp.dir("graft_stream_sink_")
     val data = s"$root/data"
     val q = df.writeStream
       .outputMode("append")

@@ -81,14 +81,16 @@ class BucketedMergeSpec extends AnyFunSuite {
 
     // 2. No shuffle exchange has the bucketed table's scan beneath it:
     //    only the update side (window dedup / its repartition) may
-    //    shuffle in the merge.
+    //    shuffle in the merge. The descent below the exchange must go
+    //    THROUGH AQE query-stage wrappers too (collectAll again), or a
+    //    scan hidden inside a materialized child stage would escape.
     val shufflesOverTarget = collectAll(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-          if e.find {
-            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-              s.metadata.get("Location").exists(_.contains("wh_bucketed2"))
-            case _ => false
-          }.isDefined => Seq(e)
+          if collectAll(e) {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+                if s.metadata.get("Location").exists(_.contains("wh_bucketed2")) =>
+              Seq(s)
+          }.nonEmpty => Seq(e)
     }
     assert(shufflesOverTarget.isEmpty,
       s"bucketed target side was re-shuffled:\n${shufflesOverTarget.mkString("\n")}")
