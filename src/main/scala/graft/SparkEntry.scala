@@ -67,6 +67,7 @@ object SparkEntry {
     "q35_native_topk" -> (Relational.nativeTopOrders _),
     "q33_percentile_spend"  -> (Relational.percentileSpend _),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
+    "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
     // landing CSVs, dumps a copy to a fixed path, and the DuckDB
     // oracle re-derives the warehouse from those exact files (parse →
@@ -1114,6 +1115,19 @@ object SparkEntry {
     // µs-truncated event time (Spark's streamed ts is µs by
     // construction; epoch_us truncates DuckDB's nanos identically).
     "s06_stream_stream_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS view_id,
+        |  b.event_id AS purchase_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    // q36: the batch bucketized range join answers the SAME question
+    // as the streaming interval join — one DuckDB range-join ground
+    // truth holds both temporal-join implementations.
+    "q36_range_join" ->
       """SELECT a.user_id AS user_id, a.event_id AS view_id,
         |  b.event_id AS purchase_id,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

@@ -498,6 +498,27 @@ object NorthStar {
       .orderBy("vec_id")
   }
 
+  /** q36: batch bucketized RANGE JOIN — every view paired with the
+    * same user's purchases in the following hour, via
+    * [[RangeJoin.intervalJoin]]'s banded equi-join (never a
+    * nested-loop theta product). Same output and oracle as the
+    * streaming interval join s06: the batch and streaming temporal
+    * joins are held to one ground truth. */
+  def rangeJoinViewPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    RangeJoin.intervalJoin(views, purchases, "view_us", "purchase_us",
+      lowerUs = 0L, upperUs = 3600L * 1000 * 1000, equiKeys = Seq("user_id"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (col("purchase_us") - col("view_us")).as("gap_us"))
+      .orderBy("view_id", "purchase_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Banded interval join: exact equivalence with the unbanded theta
+  * join (the bands must only bound candidate generation, never change
+  * the result), boundary/band-edge semantics, and the plan-shape
+  * guarantee the operator exists for — an EQUI join on (key, band),
+  * never a nested-loop/cartesian theta product. */
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def leftDf = {
+    import spark.implicits._
+    Seq((1L, 10L, 0L), (2L, 10L, 999L), (3L, 11L, 5000L), (4L, 12L, -2500L))
+      .toDF("l_id", "key", "l_ts")
+  }
+  private def rightDf = {
+    import spark.implicits._
+    Seq((101L, 10L, 0L), (102L, 10L, 1000L), (103L, 10L, 2000L),
+      (104L, 11L, 5999L), (105L, 11L, 6001L), (106L, 12L, -1501L),
+      (107L, 99L, 0L))
+      .toDF("r_id", "key", "r_ts")
+  }
+
+  test("banded join equals the unbanded theta join, bounds inclusive") {
+    val got = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
+      lowerUs = 0L, upperUs = 1000L, equiKeys = Seq("key"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = leftDf.join(rightDf, Seq("key"))
+      .filter(col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + 1000L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // spot-check semantics: both window ends inclusive; band edges
+    // (l=999 with r=1000 and r=1999 in the next band) still match;
+    // negative timestamps band correctly (floorDiv)
+    assert(got.contains((1L, 101L)) && got.contains((1L, 102L)), "inclusive ends")
+    assert(got.contains((2L, 102L)) && !got.contains((2L, 103L)), "cross-band candidate kept, 2000 > 1999 excluded")
+    assert(got.contains((3L, 104L)) && !got.contains((3L, 105L)), "6000 in, 6001 out")
+    assert(got.contains((4L, 106L)), "negative-epoch banding")
+    assert(!got.exists(_._2 == 107L), "equi key respected")
+  }
+
+  test("negative lower bound (window straddling the probe time)") {
+    val got = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
+      lowerUs = -1000L, upperUs = 1000L, equiKeys = Seq("key"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = leftDf.join(rightDf, Seq("key"))
+      .filter(col("r_ts") >= col("l_ts") - 1000L && col("r_ts") <= col("l_ts") + 1000L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("randomized equivalence with the unbanded join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val l = (0 until 500).map(i => (i.toLong, (rng.nextInt(5)).toLong, rng.nextLong() % 100000L))
+      .toDF("l_id", "key", "l_ts")
+    val r = (0 until 500).map(i => (i.toLong, (rng.nextInt(5)).toLong, rng.nextLong() % 100000L))
+      .toDF("r_id", "key", "r_ts")
+    val got = RangeJoin.intervalJoin(l, r, "l_ts", "r_ts", -777L, 3333L, Seq("key"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.join(r, Seq("key"))
+      .filter(col("r_ts") >= col("l_ts") - 777L && col("r_ts") <= col("l_ts") + 3333L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("plans as an equi join on (key, band) — no nested loop, no cartesian") {
+    val df = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
+      0L, 1000L, Seq("key"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a theta product:\n$p")
+    assert(p.contains("Join"), "expected an equi join in the plan")
+  }
+
+  test("q36 shape: view->purchase pairs within the hour on the fixture") {
+    val out = NorthStar.rangeJoinViewPurchase(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty, "fixture should contain view->purchase pairs within 1h")
+    assert(out.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 3600L * 1000 * 1000))
+  }
+}
