@@ -37,21 +37,35 @@ object RangeJoin {
     * @param rightTs  µs-epoch LONG column on `right`
     * @param lowerUs  window start offset: right.ts >= left.ts + lowerUs
     * @param upperUs  window end offset:   right.ts <= left.ts + upperUs
-    * @param equiKeys equi-join columns present on BOTH sides */
+    * @param equiKeys equi-join columns present on BOTH sides
+    * @param bandUs   band width override. Default (None) = the window
+    *                 span: each probe interval covers ≤2 bands — the
+    *                 right choice when events are sparse relative to
+    *                 the window. For a WIDE window over DENSE events,
+    *                 a band holds window·density rows and candidate
+    *                 volume approaches the theta product; a finer band
+    *                 (e.g. span/16) multiplies probe-side rows by
+    *                 span/band + 1 but divides per-band candidates by
+    *                 the same factor — tune to density · band ≈ tens
+    *                 of rows. Result is identical for ANY band width
+    *                 (the exact filter decides); only candidate volume
+    *                 moves. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String,
       lowerUs: Long, upperUs: Long,
-      equiKeys: Seq[String] = Seq.empty): DataFrame = {
+      equiKeys: Seq[String] = Seq.empty,
+      bandUs: Option[Long] = None): DataFrame = {
     require(upperUs >= lowerUs, s"empty window: [$lowerUs, $upperUs]")
+    require(bandUs.forall(_ > 0), s"band width must be positive: $bandUs")
     val rightOnly = right.columns.filterNot(equiKeys.contains).toSeq
     val leftOnly = left.columns.filterNot(equiKeys.contains).toSeq
     require(rightOnly.intersect(leftOnly).isEmpty,
       s"column collision: ${rightOnly.intersect(leftOnly).mkString(",")}")
 
-    // Band width = window span (min 1µs): floorDiv keeps negative
-    // epochs correct, and a left row's [ts+lower, ts+upper] interval
-    // then spans at most two consecutive bands.
-    val band = math.max(upperUs - lowerUs, 1L)
+    // floorDiv semantics via floor(/) keep negative epochs correct;
+    // with the default band = span a probe interval spans at most two
+    // consecutive bands.
+    val band = bandUs.getOrElse(math.max(upperUs - lowerUs, 1L))
     def bandOf(ts: Column): Column = floor(ts / lit(band)).cast("long")
 
     val l = left

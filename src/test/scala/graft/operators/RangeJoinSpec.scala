@@ -54,19 +54,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("randomized equivalence with the unbanded join") {
+  test("randomized equivalence with the unbanded join, at every band width") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
     val l = (0 until 500).map(i => (i.toLong, (rng.nextInt(5)).toLong, rng.nextLong() % 100000L))
       .toDF("l_id", "key", "l_ts")
     val r = (0 until 500).map(i => (i.toLong, (rng.nextInt(5)).toLong, rng.nextLong() % 100000L))
       .toDF("r_id", "key", "r_ts")
-    val got = RangeJoin.intervalJoin(l, r, "l_ts", "r_ts", -777L, 3333L, Seq("key"))
-      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val want = l.join(r, Seq("key"))
       .filter(col("r_ts") >= col("l_ts") - 777L && col("r_ts") <= col("l_ts") + 3333L)
       .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    assert(got === want)
+    // band width is a pure candidate-volume knob: default (= span),
+    // finer, and coarser-than-span must all give the identical result
+    for (band <- Seq(None, Some(257L), Some(100000L))) {
+      val got = RangeJoin.intervalJoin(l, r, "l_ts", "r_ts", -777L, 3333L,
+        Seq("key"), bandUs = band)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === want, s"band=$band diverged")
+    }
   }
 
   test("plans as an equi join on (key, band) — no nested loop, no cartesian") {
