@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity}
 
 /** Fluent user-facing surface: `import graft.syntax._` gives every
   * DataFrame the engine's training-data operators as methods, so a
@@ -61,6 +61,21 @@ object syntax {
     def cosineNearDups(idCol: String, vecCol: String,
         threshold: Double): DataFrame =
       Similarity.cosineNearDupPairs(df, idCol, vecCol, threshold)
+
+    // ---------------------------------------------------- temporal joins
+    /** Attach the latest `right` row with `rightTs <= leftTs` per key
+      * (point-in-time lookup; LEFT semantics, nulls when none). */
+    def asOfJoin(right: DataFrame, key: String, leftTs: String,
+        rightTs: String, rightCols: Map[String, String]): DataFrame =
+      AsOfJoin.asOf(df, right, key, leftTs, rightTs, rightCols)
+
+    /** All (this, right) pairs with `right.ts` in
+      * `[this.ts + lowerUs, this.ts + upperUs]` — banded equi-join,
+      * never a nested-loop theta product. */
+    def rangeJoin(right: DataFrame, leftTs: String, rightTs: String,
+        lowerUs: Long, upperUs: Long,
+        equiKeys: Seq[String] = Seq.empty): DataFrame =
+      RangeJoin.intervalJoin(df, right, leftTs, rightTs, lowerUs, upperUs, equiKeys)
 
     // ------------------------------------------------- text enrichment
     def withTokenCount(textCol: String, out: String = "n_tokens"): DataFrame =
