@@ -155,6 +155,20 @@ class CocoaPipelineSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, dirs.warehouse).count() === 100)
   }
 
+  test("snapshot isolation: a reader holding an old version is unaffected by a new commit") {
+    val dirs = freshDirs()
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 11)
+    CocoaPipeline.runBatch(spark, dirs)
+    // resolve the snapshot BEFORE the next commit: read() pins the
+    // version path at call time, and v-dirs are immutable until vacuum
+    val held = Warehouse.read(spark, dirs.warehouse)
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 12, idOffset = 1000)
+    CocoaPipeline.runBatch(spark, dirs)
+    assert(held.count() === 50, "held reader still sees its own snapshot")
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 100,
+      "fresh reader sees the new commit")
+  }
+
   test("vacuum retention: pruned versions fail cleanly, the pointer survives, commits continue") {
     val dirs = freshDirs()
     CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 6)
