@@ -141,7 +141,10 @@ object IvfIndex {
   /** Build cell assignments (the distributed index artifact). */
   def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Float]]) = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // null embeddings excluded — see Similarity.bruteForceTopK's
+    // contract note (a null vector can't be assigned a cell anyway)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = trainQuantizer(base, "vec", nCells, seed)
     // Materialize the index: cell assignment + per-row norm is the
     // build artifact (production persists it partitioned by cell).
@@ -205,9 +208,12 @@ object IvfIndex {
       idCol: String = "id", vecCol: String = "vec"): DataFrame = {
 
     // External queries compute their own norms; the all-pairs default
-    // reuses the norm baked into the build artifact.
+    // reuses the norm baked into the build artifact. Null query
+    // vectors are excluded like everywhere else (contract note in
+    // Similarity.bruteForceTopK).
     val q = queries
-      .map(_.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .map(_.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("qnorm", Similarity.l2Norm(col("vec"))))
       .getOrElse(assigned.select(col("id"), col("vec"), col("norm").as("qnorm")))
 

@@ -58,9 +58,17 @@ object Similarity {
     * path. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queries: Option[DataFrame] = None): DataFrame = {
-    val corpus = df.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    // Null embeddings carry no signal: excluded on BOTH sides here and
+    // in every other vector operator (LSH bucket joins would drop them
+    // anyway — null keys never join — so the explicit filter keeps the
+    // exact and approximate paths agreeing instead of brute force
+    // emitting null-cosine rows the ANN paths can't produce). Same
+    // contract as the text operators' "contentless doc never pairs".
+    val corpus = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", l2Norm(col("nbr_vec")))
-    val q = queries.getOrElse(df).select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val q = queries.getOrElse(df).filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .withColumn("query_norm", l2Norm(col("query_vec")))
     val scored = q.crossJoin(corpus)
       .filter(col("query_id") =!= col("nbr_id"))
@@ -93,7 +101,9 @@ object Similarity {
     // evaluated in one projection and exploded), and the candidate
     // scoring joins back against it by id.
     val scope = new CacheScope
-    val base = scope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // null embeddings excluded — see bruteForceTopK's contract note
+    val base = scope.pin(df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", l2Norm(col("vec"))))
     // occupancy 64: measured against occupancy 32 (one more plane),
     // recall@5 is IDENTICAL on the fixture while candidate scoring
@@ -181,7 +191,9 @@ object Similarity {
   private[operators] def cosineNearDupPairsUnsealed(df: DataFrame,
       idCol: String, vecCol: String, threshold: Double, planes: Int,
       tables: Int, maxBucket: Int, scope: CacheScope): DataFrame = {
-    val base = scope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // null embeddings excluded — see bruteForceTopK's contract note
+    val base = scope.pin(df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", l2Norm(col("vec"))))
     val buckets = lshBuckets(base, planes, tables)
     Dedup.bucketSelfJoinPairs(buckets, Seq("table_idx", "bucket"),

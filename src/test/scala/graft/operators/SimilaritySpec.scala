@@ -110,6 +110,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.95))
   }
 
+  test("null embeddings are excluded consistently across every vector operator") {
+    import org.apache.spark.sql.types._
+    val rows = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .limit(30).collect().toSeq :+
+      org.apache.spark.sql.Row(999999L, null)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val clean = withNull.filter(col("embedding").isNotNull)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+
+    val brute = Similarity.bruteForceTopK(withNull, "vec_id", "embedding", k = 3)
+    assert(!ids(brute).contains(999999L), "brute force leaked the null row")
+    assert(brute.collect().toSet ===
+      Similarity.bruteForceTopK(clean, "vec_id", "embedding", k = 3).collect().toSet,
+      "null row changed non-null results")
+
+    val ann = Similarity.annTopK(withNull, "vec_id", "embedding", k = 3,
+      planes = -1, tables = 1, maxBucket = Int.MaxValue)
+    assert(!ids(ann).contains(999999L), "ANN leaked the null row")
+
+    val pairs = Similarity.cosineNearDupPairs(withNull, "vec_id", "embedding", 0.0)
+    assert(!ids(pairs).contains(999999L), "near-dup pairs leaked the null row")
+
+    val ivf = IvfIndex.topK(spark, withNull, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 4)
+    assert(!ids(ivf).contains(999999L), "IVF leaked the null row")
+    spark.catalog.clearCache()
+  }
+
   test("cosine expression equals reference on sampled pairs") {
     val emb = Tables.embeddings(spark, dir).limit(20)
     val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
