@@ -61,13 +61,17 @@ object Ingest {
     else t
   }
 
-  /** One header line, cheaply: open, read the first line, close. */
-  private def readHeaderLine(p: String): String =
+  /** One header line, cheaply: open, read the first line, close.
+    * The caller passes the SESSION's Hadoop conf (shipped via
+    * SerializableConfiguration on the executor path): a bare
+    * `new Configuration()` would drop every `spark.hadoop.*` setting —
+    * object-store credentials, custom scheme bindings — and only
+    * appears to work locally because Hadoop's FileSystem cache is
+    * keyed by scheme, not by conf. */
+  private def readHeaderLine(p: String, conf: Configuration): String =
     try {
       val path = new Path(p)
-      // FS from default conf: resolves local and default-scheme
-      // paths; cluster deployments carry fs conf in core-site.xml.
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(conf)
       val in = new BufferedReader(
         new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
       try Option(in.readLine()).getOrElse("")
@@ -92,16 +96,22 @@ object Ingest {
     if (files.isEmpty) return Discovery(Seq.empty, Seq.empty, Map.empty)
     val required = CocoaSchema.requiredColumns
     val flagged =
-      if (files.size <= driverHeaderCheckMax)
-        files.toArray.map(p => (p, readHeaderLine(p)))
-      else
+      if (files.size <= driverHeaderCheckMax) {
+        val conf = spark.sessionState.newHadoopConf()
+        files.toArray.map(p => (p, readHeaderLine(p, conf)))
+      } else {
         // parallelize with explicit slices: one task per file
         // (capped), no shuffle — repartition() would add an exchange
-        // stage just to spread a file list.
+        // stage just to spread a file list. The session conf rides
+        // along (SerializableConfiguration) so executor-side opens
+        // resolve the same schemes/credentials as the driver.
+        val serConf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
         spark.sparkContext
           .parallelize(files, math.min(files.size, 256))
-          .map(p => (p, readHeaderLine(p)))
+          .map(p => (p, readHeaderLine(p, serConf.value)))
           .collect()
+      }
     val parsed = flagged.map { case (p, h) =>
       (p, h.split(",", -1).map(cleanHeaderCell).toSeq)
     }

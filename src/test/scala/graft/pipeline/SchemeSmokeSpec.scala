@@ -37,6 +37,14 @@ class SchemeSmokeSpec extends AnyFunSuite {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.mock.impl", classOf[MockSchemeFs].getName)
     hc.set("fs.AbstractFileSystem.mock.impl", classOf[MockAbstractFs].getName)
+    // No FS-instance cache for the scheme: the cache is keyed by
+    // scheme+authority only, so it would let a code path that builds a
+    // FRESH Configuration (dropping fs.mock.impl, i.e. dropping
+    // spark.hadoop.* on a real cluster) piggyback on an instance some
+    // correct path created earlier — exactly the bug class this smoke
+    // exists to catch. With the cache off, every open must resolve the
+    // scheme from the conf it was actually given.
+    hc.set("fs.mock.impl.disable.cache", "true")
 
     val local = java.nio.file.Files.createTempDirectory("graft_scheme_smoke")
     val root = s"mock://$local"
@@ -48,12 +56,15 @@ class SchemeSmokeSpec extends AnyFunSuite {
     assert(r.version === Some(0L))
     assert(Warehouse.read(spark, dirs.warehouse).count() === 100)
 
-    // second batch exercises the merge + archive paths on the scheme
-    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 10, idOffset = 80)
+    // second batch: >64 files forces the EXECUTOR-side header
+    // validation (driverHeaderCheckMax), proving the session conf —
+    // scheme bindings, credentials — actually ships to the tasks that
+    // open files there
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 70, 2, seed = 10, idOffset = 80)
     CocoaPipeline.runBatch(spark, dirs, new Timestamp(1700000100000L))
     assert(Warehouse.currentVersion(spark, dirs.warehouse) === Some(1L))
-    assert(Warehouse.read(spark, dirs.warehouse).count() === 130,
-      "100 existing keys, 50 updates of which 20 overlap -> 130")
+    assert(Warehouse.read(spark, dirs.warehouse).count() === 220,
+      "keys 0-99 existing, updates 80-219: 20 overlap -> 220 distinct")
 
     // landing drained into the archive, still through the mock scheme
     val fs = new org.apache.hadoop.fs.Path(dirs.landing)
