@@ -73,4 +73,22 @@ class SchemeSmokeSpec extends AnyFunSuite {
       .filter(_.getPath.getName.endsWith(".csv"))
     assert(leftover.isEmpty, s"landing not drained: ${leftover.mkString(",")}")
   }
+
+  test("streaming ingest (checkpoint + file-source log) also runs on the scheme") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mock.impl", classOf[MockSchemeFs].getName)
+    hc.set("fs.AbstractFileSystem.mock.impl", classOf[MockAbstractFs].getName)
+    hc.set("fs.mock.impl.disable.cache", "true")
+
+    val local = java.nio.file.Files.createTempDirectory("graft_scheme_stream")
+    val root = s"mock://$local"
+    // checkpoint + source log + sink all live on the scheme: the
+    // streaming engine's commit log goes through FileContext, the
+    // piece plain-FileSystem tests never touch
+    CocoaGen.writeLandingFiles(spark, s"$root/landing", 2, 40, seed = 13)
+    graft.streaming.CocoaStream.runAvailableNow(spark,
+      s"$root/landing", s"$root/warehouse", s"$root/chk",
+      processedAt = Some(new Timestamp(1700000000000L)))
+    assert(Warehouse.read(spark, s"$root/warehouse").count() === 80)
+  }
 }
