@@ -148,6 +148,25 @@ object Catalog {
         |  CAST(sum(n) OVER (ORDER BY day
         |    RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3d
         |FROM daily ORDER BY day""".stripMargin,
+    // Multiplicity-preserving EXCEPT (sql11's INTERSECT ALL twin):
+    // keeps max(0, mult_left − mult_right) copies per value — the
+    // bag-semantics set op q12's DISTINCT form cannot express.
+    "sql15_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    // LATERAL derived table — the correlated-subquery form that can
+    // return multiple columns per probe row (sql05's scalar subquery
+    // cannot); both planners decorrelate it to an aggregate join.
+    "sql16_lateral" ->
+      """SELECT c_custkey, t.n_orders, t.max_price
+        |FROM customer,
+        |LATERAL (SELECT count(*) AS n_orders,
+        |                max(o_totalprice) AS max_price
+        |         FROM orders WHERE o_custkey = c_custkey) t
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
     // Aggregate FILTER clauses — per-aggregate predicates without a
     // CASE rewrite. Integer-exact throughout: floor products are exact
     // ints, so the double->BIGINT casts are unambiguous on both
