@@ -167,6 +167,23 @@ object Catalog {
         |         FROM orders WHERE o_custkey = c_custkey) t
         |WHERE c_custkey <= 200
         |ORDER BY c_custkey""".stripMargin,
+    // Recursive CTE (Spark 4 gained WITH RECURSIVE): a dense key
+    // spine generated by recursion, LEFT JOINed to the real per-key
+    // aggregate — the spine-fill pattern (missing groups surface as
+    // zero instead of silently absent) that non-recursive SQL cannot
+    // express without a VALUES list. Spine keys cast to BIGINT so the
+    // hashed column has one integer width on both engines.
+    "sql17_recursive_spine" ->
+      """WITH RECURSIVE spine(k) AS (
+        |  SELECT 0 UNION ALL SELECT k + 1 FROM spine WHERE k < 30
+        |),
+        |per_nation AS (
+        |  SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1
+        |)
+        |SELECT CAST(s.k AS BIGINT) AS nationkey,
+        |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_customers
+        |FROM spine s LEFT JOIN per_nation p ON s.k = p.k
+        |ORDER BY nationkey""".stripMargin,
     // Aggregate FILTER clauses — per-aggregate predicates without a
     // CASE rewrite. Integer-exact throughout: floor products are exact
     // ints, so the double->BIGINT casts are unambiguous on both
