@@ -126,6 +126,7 @@ object SparkEntry {
     "d16_train_split"        -> (NorthStar.trainSplit _),
     "d17_token_chunks"       -> ((s, dir) => NorthStar.tokenChunks(s, dir)),
     "d18_decontamination"    -> ((s, dir) => NorthStar.decontamination(s, dir)),
+    "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1035,6 +1036,34 @@ object SparkEntry {
         |       WHEN ((fingerprint % 100) + 100) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM sgn ORDER BY doc_id""".stripMargin,
+    // d19: the same fingerprint re-derivation as d16, then a
+    // per-language row_number over (fingerprint, doc_id) — the
+    // deterministic stratified draw is exactly reproducible in SQL.
+    "d19_stratified_sample" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(lt) AS t, generate_subscripts(lt, 1) AS i
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
+        |        FROM documents WHERE text IS NOT NULL)),
+        |h0 AS (
+        |  SELECT doc_id, i, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS ph
+        |  FROM toks),
+        |th AS (SELECT doc_id, i, ${mixSqlU("ph")} AS h FROM h0),
+        |agg AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+        |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT), hs),
+        |         (a, b) -> ${mixSqlU("xor(a, b)")}) AS f FROM agg),
+        |sgn AS (SELECT doc_id,
+        |  CAST(CASE WHEN f >= 9223372036854775808 THEN CAST(f AS HUGEINT) - 18446744073709551616
+        |            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint FROM fp),
+        |ranked AS (
+        |  SELECT s.doc_id, d.lang,
+        |    CAST(row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.fingerprint, s.doc_id) AS BIGINT) AS sample_rank
+        |  FROM sgn s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, lang, sample_rank FROM ranked
+        |WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

@@ -242,6 +242,28 @@ object NorthStar {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** d19: DETERMINISTIC stratified sampling — per language, the K
+    * documents with the smallest (portable fingerprint, doc_id). The
+    * fingerprint is a uniform-ish pseudo-random key derived from
+    * content alone, so the draw is (a) unbiased w.r.t. corpus order,
+    * (b) stable under re-ingest and engine changes (same property as
+    * [[trainSplit]]), and (c) reproducible in the oracle. The
+    * per-stratum window is the exactness formulation; at 100 TB the
+    * same selection routes through the bounded-heap TopKPerKey node
+    * (one clustered exchange, no per-stratum full sort). */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("fp"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.fingerprintPortable64(col("text")).as("fp"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+  }
+
   /** d17: sequence packing — explode each document into fixed-size
     * token windows (chunk size 32, stride = size: non-overlapping),
     * the pre-tokenizer chunking step of an LLM training pipeline.
