@@ -1015,47 +1015,17 @@ object SparkEntry {
     // ((f % 100) + 100) % 100 spells Spark's pmod over DuckDB's
     // sign-preserving %.
     "d16_train_split" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest(lt) AS t, generate_subscripts(lt, 1) AS i
-        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
-        |        FROM documents WHERE text IS NOT NULL)),
-        |h0 AS (
-        |  SELECT doc_id, i, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-        |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
-        |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS ph
-        |  FROM toks),
-        |th AS (SELECT doc_id, i, ${mixSqlU("ph")} AS h FROM h0),
-        |agg AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
-        |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT), hs),
-        |         (a, b) -> ${mixSqlU("xor(a, b)")}) AS f FROM agg),
-        |sgn AS (SELECT doc_id,
-        |  CAST(CASE WHEN f >= 9223372036854775808 THEN CAST(f AS HUGEINT) - 18446744073709551616
-        |            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint FROM fp)
+      s"""WITH $fingerprintCtesSql
         |SELECT doc_id, ((fingerprint % 100) + 100) % 100 AS bucket,
         |  CASE WHEN ((fingerprint % 100) + 100) % 100 < 80 THEN 'train'
         |       WHEN ((fingerprint % 100) + 100) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM sgn ORDER BY doc_id""".stripMargin,
-    // d19: the same fingerprint re-derivation as d16, then a
-    // per-language row_number over (fingerprint, doc_id) — the
-    // deterministic stratified draw is exactly reproducible in SQL.
+    // d19: the same fingerprint re-derivation as d16 (shared CTE
+    // prefix), then a per-language row_number over (fingerprint,
+    // doc_id) — the deterministic stratified draw reproduced in SQL.
     "d19_stratified_sample" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest(lt) AS t, generate_subscripts(lt, 1) AS i
-        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
-        |        FROM documents WHERE text IS NOT NULL)),
-        |h0 AS (
-        |  SELECT doc_id, i, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-        |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
-        |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS ph
-        |  FROM toks),
-        |th AS (SELECT doc_id, i, ${mixSqlU("ph")} AS h FROM h0),
-        |agg AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
-        |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT), hs),
-        |         (a, b) -> ${mixSqlU("xor(a, b)")}) AS f FROM agg),
-        |sgn AS (SELECT doc_id,
-        |  CAST(CASE WHEN f >= 9223372036854775808 THEN CAST(f AS HUGEINT) - 18446744073709551616
-        |            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint FROM fp),
+      s"""WITH $fingerprintCtesSql,
         |ranked AS (
         |  SELECT s.doc_id, d.lang,
         |    CAST(row_number() OVER (PARTITION BY d.lang
@@ -1296,6 +1266,31 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
+
+  /** The portable per-document fingerprint chain
+    * (TextFunctions.fingerprintPortable64) re-derived in SQL — the
+    * CTE prefix ending in `sgn(doc_id, fingerprint)`. ONE definition
+    * shared by every oracle that consumes fingerprints (d16's split,
+    * d19's stratified draw): a hash-chain tweak lands in all of them
+    * or none, never desynchronized. Interpolate as
+    * `s"WITH $fingerprintCtesSql ..."`. */
+  private lazy val fingerprintCtesSql: String =
+    s"""toks AS (
+      |  SELECT doc_id, unnest(lt) AS t, generate_subscripts(lt, 1) AS i
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
+      |        FROM documents WHERE text IS NOT NULL)),
+      |h0 AS (
+      |  SELECT doc_id, i, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS UBIGINT) AS ph
+      |  FROM toks),
+      |th AS (SELECT doc_id, i, ${mixSqlU("ph")} AS h FROM h0),
+      |agg AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+      |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS UBIGINT), hs),
+      |         (a, b) -> ${mixSqlU("xor(a, b)")}) AS f FROM agg),
+      |sgn AS (SELECT doc_id,
+      |  CAST(CASE WHEN f >= 9223372036854775808 THEN CAST(f AS HUGEINT) - 18446744073709551616
+      |            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint FROM fp)""".stripMargin
 
   /** The portable 64-bit finalizer (SketchExpressions.portableMix64)
     * spelled in SQL over a UBIGINT operand: 128-bit intermediates for

@@ -61,6 +61,11 @@ object RangeJoin {
     val leftOnly = left.columns.filterNot(equiKeys.contains).toSeq
     require(rightOnly.intersect(leftOnly).isEmpty,
       s"column collision: ${rightOnly.intersect(leftOnly).mkString(",")}")
+    // working columns would silently overwrite same-named user
+    // columns (withColumn replaces) — reject instead
+    val reserved = Seq("__band", "__b_lo", "__b_hi")
+    val clash = (left.columns ++ right.columns).toSeq.intersect(reserved)
+    require(clash.isEmpty, s"reserved column names in input: ${clash.mkString(",")}")
 
     // floorDiv semantics via floor(/) keep negative epochs correct;
     // with the default band = span a probe interval spans at most two

@@ -104,9 +104,12 @@ object Ingest {
         // (capped), no shuffle — repartition() would add an exchange
         // stage just to spread a file list. The session conf rides
         // along (SerializableConfiguration) so executor-side opens
-        // resolve the same schemes/credentials as the driver.
+        // resolve the same schemes/credentials as the driver — and it
+        // is the SESSION-derived conf (newHadoopConf applies
+        // spark.conf-level fs settings), the same one the ≤64-file
+        // driver path uses, so behavior cannot change with file count.
         val serConf = new org.apache.spark.util.SerializableConfiguration(
-          spark.sparkContext.hadoopConfiguration)
+          spark.sessionState.newHadoopConf())
         spark.sparkContext
           .parallelize(files, math.min(files.size, 256))
           .map(p => (p, readHeaderLine(p, serConf.value)))

@@ -71,11 +71,15 @@ object syntax {
 
     /** All (this, right) pairs with `right.ts` in
       * `[this.ts + lowerUs, this.ts + upperUs]` — banded equi-join,
-      * never a nested-loop theta product. */
+      * never a nested-loop theta product. `bandUs` tunes candidate
+      * volume for wide windows over dense events (see
+      * [[RangeJoin.intervalJoin]]). */
     def rangeJoin(right: DataFrame, leftTs: String, rightTs: String,
         lowerUs: Long, upperUs: Long,
-        equiKeys: Seq[String] = Seq.empty): DataFrame =
-      RangeJoin.intervalJoin(df, right, leftTs, rightTs, lowerUs, upperUs, equiKeys)
+        equiKeys: Seq[String] = Seq.empty,
+        bandUs: Option[Long] = None): DataFrame =
+      RangeJoin.intervalJoin(df, right, leftTs, rightTs, lowerUs, upperUs,
+        equiKeys, bandUs)
 
     // ------------------------------------------------- text enrichment
     def withTokenCount(textCol: String, out: String = "n_tokens"): DataFrame =
