@@ -15,6 +15,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Rows in a parquet table, from file FOOTERS on the driver — zero
+    * Spark jobs, so callers can gate planning decisions for free
+    * (e.g. NorthStar's small-corpus AQE gate). Listing is RECURSIVE
+    * (partitioned layouts nest part files under key=val dirs), and
+    * finding no parquet files at all returns Long.MaxValue: "couldn't
+    * count" must read as "assume big", never as "small" — a gate's
+    * failure mode should be a slower-but-safe plan. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) files += f
+      }
+    } else files += fs.getFileStatus(p)
+    if (files.isEmpty) Long.MaxValue
+    else files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Inferred-schema memo, keyed by path. Parquet schema inference
     * costs a one-task footer-read job per `spark.read.parquet` call;
     * the testdata files are immutable for the life of the process, so

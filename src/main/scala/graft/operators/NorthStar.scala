@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -51,33 +52,6 @@ object NorthStar {
   private def widenWidth(spark: SparkSession): Int =
     math.min(8, spark.sessionState.conf.numShufflePartitions)
 
-  /** Rows in a parquet table, from file FOOTERS on the driver — zero
-    * Spark jobs, so it can gate planning decisions for free. Listing
-    * is RECURSIVE (partitioned layouts nest part files under key=val
-    * dirs), and finding no parquet files at all returns Long.MaxValue:
-    * "couldn't count" must read as "assume big", never as "small" —
-    * the gate's failure mode must be a slower-but-safe AQE plan, not
-    * an 8-partition no-AQE plan over a huge corpus. */
-  private def parquetRowCount(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-    if (fs.getFileStatus(p).isDirectory) {
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) files += f
-      }
-    } else files += fs.getFileStatus(p)
-    if (files.isEmpty) Long.MaxValue
-    else files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-      try r.getRecordCount finally r.close()
-    }.sum
-  }
-
   /** Below this corpus size, multi-stage compositions plan WITHOUT
     * AQE: at fixture scale every AQE exchange materialization is its
     * own Spark job (~0.2 s scheduling floor each), and a composite
@@ -96,7 +70,7 @@ object NorthStar {
   private def kernelSession(spark: SparkSession, dir: String,
       table: String = "documents"): SparkSession = {
     val n =
-      try parquetRowCount(spark, s"$dir/$table.parquet")
+      try Tables.parquetRowCount(spark, s"$dir/$table.parquet")
       catch { case _: Throwable => Long.MaxValue } // unreadable → assume big
     if (n >= smallCorpusRows) spark
     else {
@@ -252,8 +226,7 @@ object NorthStar {
     * same selection routes through the bounded-heap TopKPerKey node
     * (one clustered exchange, no per-stratum full sort). */
   def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("fp"), col("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("fp"), col("doc_id"))
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
       .select(col("doc_id"), col("lang"),
