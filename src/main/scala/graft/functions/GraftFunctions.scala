@@ -73,7 +73,35 @@ object GraftFunctions {
     ("graft_lsh_bucket",
       "graft_lsh_bucket(vec, planes, table) - sign-LSH bucket id of an array<float> vector",
       (args: Seq[Expression]) => SignLshBucket(args.head,
-        intArg(args(1), "planes"), intArg(args(2), "table"))))
+        intArg(args(1), "planes"), intArg(args(2), "table"))),
+    // Text-analysis kernels: these are COMPOSITE Column expressions
+    // (built-ins + custom kernels), surfaced to SQL by round-tripping
+    // the analyzed arg through the Column bridge — same math as the
+    // Column API by construction, no second implementation.
+    ("graft_token_count",
+      "graft_token_count(text) - whitespace token count (BIGINT)",
+      (args: Seq[Expression]) => viaColumn(args.head, TextFunctions.tokenCount)),
+    ("graft_quality_score",
+      "graft_quality_score(text) - composite [0,1] quality score " +
+        "(length/punctuation/stopword/script components)",
+      (args: Seq[Expression]) => viaColumn(args.head, TextFunctions.qualityScore)),
+    ("graft_lang_id",
+      "graft_lang_id(text) - n-gram/stopword-heuristic language id",
+      (args: Seq[Expression]) => viaColumn(args.head, TextFunctions.langId)),
+    ("graft_fingerprint64_portable",
+      "graft_fingerprint64_portable(text) - order-sensitive 64-bit document " +
+        "fingerprint over the token stream (portable hash chain, " +
+        "recomputable in external SQL engines)",
+      (args: Seq[Expression]) => viaColumn(args.head, TextFunctions.fingerprintPortable64)))
+
+  /** Lift a Column→Column kernel into an Expression builder via the
+    * sql-package bridge — EAGER tree conversion, because the registry
+    * hands the result straight to the analyzer (a lazy column-node
+    * wrapper would reach execution unevaluable). */
+  private def viaColumn(arg: Expression,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.GraftColumnBridge.toExpressionTree(
+      f(org.apache.spark.sql.GraftColumnBridge.toColumn(arg)))
 
   /** Register every `graft_*` function on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -36,6 +36,25 @@ class GraftSqlSpec extends AnyFunSuite {
     viaSql.zip(viaCol).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("text-analysis kernels are SQL-callable and match the Column API") {
+    registered()
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "el rio es muy largo y la casa es grande", "", "  one  ")
+    texts.toDF("text").createOrReplaceTempView("t_text_spec")
+    val viaSql = spark.sql(
+      """SELECT graft_token_count(text) AS n,
+        |  graft_quality_score(text) AS q,
+        |  graft_lang_id(text) AS lang,
+        |  graft_fingerprint64_portable(text) AS fp
+        |FROM t_text_spec""".stripMargin).collect()
+    val viaCol = texts.toDF("text").select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprintPortable64(col("text")).as("fp")).collect()
+    viaSql.zip(viaCol).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("graft_float_dot and graft_lsh_bucket are SQL-callable") {
     registered()
     Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
