@@ -155,6 +155,26 @@ class CocoaPipelineSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, dirs.warehouse).count() === 100)
   }
 
+  test("a held commit lock fails the second committer loudly, and release unblocks it") {
+    val dirs = freshDirs()
+    CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 14)
+    val fs = new org.apache.hadoop.fs.Path(dirs.warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dirs.warehouse))
+    val lock = new org.apache.hadoop.fs.Path(dirs.warehouse, "_COMMIT_LOCK")
+    fs.create(lock, false).close() // a concurrent committer holds the lock
+    val df = Enrich.enrich(CocoaGen.shipments(spark, 10, seed = 15),
+      new java.sql.Timestamp(1000000L))
+    val err = intercept[IllegalStateException] {
+      Warehouse.commit(spark, dirs.warehouse, df)
+    }
+    assert(err.getMessage.contains("another commit holds"))
+    // the failed attempt must NOT have deleted the other writer's lock
+    assert(fs.exists(lock), "loser released a lock it never held")
+    fs.delete(lock, false) // holder finishes
+    assert(Warehouse.commit(spark, dirs.warehouse, df) === 0L)
+  }
+
   test("snapshot isolation: a reader holding an old version is unaffected by a new commit") {
     val dirs = freshDirs()
     CocoaGen.writeLandingFiles(spark, dirs.landing, 1, 50, seed = 11)
