@@ -403,10 +403,43 @@ object Relational {
   /** Approximate aggregates — the sketch family Spark ships natively:
     * HyperLogLog++ distinct counts and quantile sketches. At 100 TB
     * these replace exact distinct/percentile (whose state is O(n))
-    * with bounded-memory mergeable sketches. Accuracy vs exact is
-    * asserted in RelationalSpec; not oracle-compared (DuckDB's approx
-    * sketches differ by construction). */
+    * with bounded-memory mergeable sketches.
+    *
+    * ORACLE SHAPE: the sketch VALUES can't be compared across engines
+    * (DuckDB's sketches differ by construction), so the query emits
+    * the EXACT side (integer distinct counts — engine-portable) plus
+    * one boolean bounded-error certificate per sketch column
+    * (`|approx − exact| ≤ bound`). Every output column is then
+    * deterministic on both engines: DuckDB recomputes the exact
+    * counts and emits literal TRUE for the certificates, so the
+    * driver hash-compares the whole row. The sketches are still
+    * computed Spark-side in the same aggregate — the certificate is
+    * only green when the HLL++/KLL machinery actually lands inside
+    * its published error bound (rsd 0.01 → 5% is generous; quantile
+    * accuracy 10000 → 2% relative on the price distribution). */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"),
+        expr("percentile(l_extendedprice, 0.5d)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.99d)").as("p99_exact"))
+      .select(
+        col("exact_parts"), col("exact_supps"),
+        (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.05).as("parts_ok"),
+        (abs(col("approx_supps") - col("exact_supps")) <= col("exact_supps") * 0.05).as("supps_ok"),
+        (abs(col("p50_approx") - col("p50_exact")) <= abs(col("p50_exact")) * 0.02).as("p50_ok"),
+        (abs(col("p99_approx") - col("p99_exact")) <= abs(col("p99_exact")) * 0.02).as("p99_ok"))
+
+  /** The raw sketch values (HLL++ distinct estimates + KLL quantile
+    * estimates) — the production surface a user calls; [[approxStats]]
+    * wraps it with the exactness certificate the driver gate hashes.
+    * Kept separate so the certificate never hides the actual API. */
+  def approxStatsRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),

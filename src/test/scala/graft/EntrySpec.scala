@@ -17,22 +17,18 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query has an oracle unless EXPLICITLY rows-only") {
+  test("every query has an oracle — no rows-only cells remain") {
     // The driver records a weaker rows-only check for oracle-less
-    // queries; that downgrade must be a deliberate decision, never an
-    // accident of forgetting the oracleSql entry. Approximate-by-
-    // design operators (their accuracy/recall bounds live in specs):
-    val rowsOnlyByDesign = Set(
-      "q22_approx_stats", // HLL/quantile sketches: no cross-engine exactness
-      "v02_ann_top_k",    // production-config sign-LSH (v07 pins exactness)
-      "v04_ann_ivf")      // production-config IVF (v06/v08 pin exactness)
+    // queries. Since round 5 the registry carries ZERO of them: the
+    // approximate-by-design operators (q22 sketches, v02/v04 ANN)
+    // emit the exact/truth side plus boolean bounded-error or recall
+    // certificates, which DuckDB recomputes/affirms — so every query
+    // is hash-comparable and any future oracle-less entry is a
+    // regression, full stop.
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val accidental = unoracled -- rowsOnlyByDesign
-    assert(accidental.isEmpty,
-      s"queries silently downgraded to rows-only (add an oracle or list " +
-        s"them here with a reason): $accidental")
-    val stale = rowsOnlyByDesign -- SparkEntry.queries.keySet
-    assert(stale.isEmpty, s"rows-only allowlist names absent queries: $stale")
+    assert(unoracled.isEmpty,
+      s"queries silently downgraded to rows-only (add an oracle — the " +
+        s"certificate pattern covers approximate ops too): $unoracled")
   }
 
   test("query names are stable and well-formed") {

@@ -75,6 +75,23 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("wrong arity fails analysis with the function name and usage, never silently") {
+    registered()
+    Seq("x").toDF("text").createOrReplaceTempView("t_arity_spec")
+    // extra argument: must NOT be silently ignored
+    val extra = intercept[Exception] {
+      spark.sql("SELECT graft_token_count(text, 7) FROM t_arity_spec").collect()
+    }
+    assert(extra.getMessage.contains("graft_token_count") &&
+      extra.getMessage.contains("exactly 1"), extra.getMessage)
+    // zero arguments: a clear arity error, not a bare NoSuchElementException
+    val zero = intercept[Exception] {
+      spark.sql("SELECT graft_lang_id() FROM t_arity_spec").collect()
+    }
+    assert(zero.getMessage.contains("graft_lang_id") &&
+      zero.getMessage.contains("exactly 1"), zero.getMessage)
+  }
+
   test("GraftExtensions injects every registration without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext) // throws on malformed registration

@@ -12,11 +12,20 @@ class RelationalSpec extends AnyFunSuite {
 
   test("approx distinct counts within 5% of exact; percentiles ordered") {
     val exact = Relational.distinctCounts(spark, dir).head
-    val approx = Relational.approxStats(spark, dir).head
+    val approx = Relational.approxStatsRaw(spark, dir).head
     val (exParts, exSupps) = (exact.getLong(0), exact.getLong(1))
     assert(math.abs(approx.getLong(0) - exParts).toDouble / exParts < 0.05)
     assert(math.abs(approx.getLong(1) - exSupps).toDouble / exSupps < 0.05)
     assert(approx.getDouble(2) < approx.getDouble(3), "p50 < p99")
+  }
+
+  test("approxStats certificate row: exact counts + all-green bounds") {
+    val exact = Relational.distinctCounts(spark, dir).head
+    val cert = Relational.approxStats(spark, dir).head
+    assert(cert.getLong(0) === exact.getLong(0), "exact_parts")
+    assert(cert.getLong(1) === exact.getLong(1), "exact_supps")
+    (2 to 5).foreach(i => assert(cert.getBoolean(i),
+      s"certificate column $i (${cert.schema.fieldNames(i)}) is false"))
   }
 
   test("nation revenues aggregate to region revenues") {

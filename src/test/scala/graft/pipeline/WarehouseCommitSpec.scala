@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Commit-protocol hardening: lease reclaim (a crashed holder's lock
+  * needs NO manual removal), fencing (a holder that lost its lease
+  * never publishes), racing committers landing distinct monotonic
+  * versions, and the full crash matrix between snapshot write and
+  * pointer publish. */
+class WarehouseCommitSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String = Files.createTempDirectory("wh_commit").toString
+  private def batch(seed: Int) =
+    Enrich.enrich(CocoaGen.shipments(spark, 10, seed = seed), new Timestamp(1000000L))
+  private def hfs(root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a stale lease (older than TTL) is reclaimed automatically") {
+    val root = freshRoot()
+    val fs = hfs(root)
+    fs.mkdirs(new Path(root))
+    val lock = new Path(root, "_COMMIT_LOCK")
+    val out = fs.create(lock, false)
+    out.write(s"dead-holder ${System.currentTimeMillis() - 3600L * 1000}"
+      .getBytes("UTF-8"))
+    out.close()
+    // no operator intervention: the next committer breaks the
+    // hour-old lease itself and commits
+    assert(Warehouse.commit(spark, root, batch(1)) === 0L)
+    assert(!fs.exists(lock), "winner released its own lease afterwards")
+    assert(Warehouse.read(spark, root).count() === 10)
+  }
+
+  test("a live lease (younger than TTL) still fails the second committer loudly") {
+    val root = freshRoot()
+    val fs = hfs(root)
+    fs.mkdirs(new Path(root))
+    val lock = new Path(root, "_COMMIT_LOCK")
+    val out = fs.create(lock, false)
+    out.write(s"live-holder ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    out.close()
+    val err = intercept[IllegalStateException] {
+      Warehouse.commit(spark, root, batch(2))
+    }
+    assert(err.getMessage.contains("another commit holds"))
+    assert(fs.exists(lock), "a live lease must never be broken")
+  }
+
+  test("fencing: a holder whose lease was reclaimed mid-commit aborts unpublished") {
+    val root = freshRoot()
+    val base = batch(3)
+    // A DataFrame whose materialization (i.e. the snapshot write
+    // itself) replaces the lock with a different holder's lease — the
+    // deterministic stand-in for "this commit stalled past the TTL and
+    // a breaker reclaimed the lease while the snapshot was writing".
+    val stealing = spark.createDataFrame(base.rdd.mapPartitions { it =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "_COMMIT_LOCK"),
+        "thief 9999999999999".getBytes("UTF-8"))
+      it
+    }, base.schema)
+    val err = intercept[IllegalStateException] {
+      Warehouse.commit(spark, root, stealing)
+    }
+    assert(err.getMessage.contains("commit fenced"))
+    val fs = hfs(root)
+    assert(!fs.exists(new Path(root, "_VERSION")),
+      "fenced commit must not publish the pointer")
+    // the loser must not delete the new holder's lease on the way out
+    assert(fs.exists(new Path(root, "_COMMIT_LOCK")),
+      "fenced commit deleted a lease it no longer owns")
+  }
+
+  test("racing committers: both land, versions distinct and monotonic") {
+    val root = freshRoot()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      def attempt(seed: Int): java.util.concurrent.Future[Long] =
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var out = -1L
+            // time-based deadline, not try-count: under a loaded
+            // parallel test run a single commit can hold the lease
+            // for seconds, and the loser retries through all of it
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            while (out < 0) {
+              try out = Warehouse.commit(spark, root, batch(seed))
+              catch {
+                // "another commit holds": lost the acquire race.
+                // "commit fenced": both racers slipped past local-FS
+                // create (non-atomic there) and the fencing read-back
+                // demoted this one — the defense working as designed;
+                // the loser simply retries like any aborted committer.
+                case e: IllegalStateException
+                    if e.getMessage.contains("another commit holds") ||
+                      e.getMessage.contains("commit fenced") =>
+                  assert(System.nanoTime() < deadline, "committer starved")
+                  Thread.sleep(25)
+              }
+            }
+            out
+          }
+        })
+      val (fa, fb) = (attempt(10), attempt(11))
+      assert(Set(fa.get(), fb.get()) === Set(0L, 1L),
+        "two distinct monotonic versions")
+      assert(Warehouse.currentVersion(spark, root) === Some(1L))
+    } finally pool.shutdown()
+  }
+
+  test("crash matrix: unpublished snapshots never cause version reuse") {
+    val root = freshRoot()
+    assert(Warehouse.commit(spark, root, batch(20)) === 0L)
+
+    // (a) crash AFTER fully writing v1 (incl. _SUCCESS) but BEFORE the
+    // pointer swap: readers keep v0; the next commit lands at v2 —
+    // the orphaned v1 is never reused or overwritten.
+    batch(21).write.parquet(Warehouse.versionPath(root, 1))
+    assert(Warehouse.currentVersion(spark, root) === Some(0L),
+      "pointer wins while present (crash-consistent read)")
+    assert(Warehouse.commit(spark, root, batch(22)) === 2L)
+    assert(Warehouse.currentVersion(spark, root) === Some(2L))
+
+    // (b) pointer ALSO lost: recovery from complete snapshots, and the
+    // following commit still advances (never reuses a number).
+    val fs = hfs(root)
+    fs.delete(new Path(root, "_VERSION"), false)
+    assert(Warehouse.currentVersion(spark, root) === Some(2L),
+      "recovered from complete snapshots, not read-as-empty")
+    assert(Warehouse.commit(spark, root, batch(23)) === 3L)
+
+    // (c) an INCOMPLETE snapshot (no _SUCCESS — crash mid-write) is
+    // invisible to recovery and safely overwritten by the next commit.
+    val orphan = new Path(Warehouse.versionPath(root, 4))
+    fs.mkdirs(orphan)
+    val junk = fs.create(new Path(orphan, "part-junk.parquet"), true)
+    junk.write("not parquet".getBytes("UTF-8")); junk.close()
+    assert(Warehouse.currentVersion(spark, root) === Some(3L),
+      "incomplete snapshot ignored by recovery")
+    assert(Warehouse.commit(spark, root, batch(24)) === 4L)
+    assert(Warehouse.read(spark, root).count() === 10,
+      "overwritten incomplete dir reads back clean")
+  }
+}
