@@ -945,19 +945,24 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,
         |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // m01: the full multimodal feature kernel recomputed in SQL —
-    // md5 content identity, size-seeded decode stub, and Shannon
-    // entropy over codepoint frequencies (quantized 4dp; the per-term
-    // p·ln(p)/ln(2) shape matches the kernel so both engines agree
-    // after quantization).
+    // m01: the multimodal feature kernel recomputed in SQL. Payloads
+    // are real container headers (PNG 33 B / JPEG 39 B / WAV 44 B)
+    // wrapping the text as content; the oracle re-derives the planned
+    // dims from the content size (the fixture's deterministic choice)
+    // and Spark must RECOVER those same values by actually parsing
+    // the header bytes — plus md5/entropy over the content section
+    // and a header_ok parse-validation certificate (literal TRUE
+    // here: only a real successful parse matches).
     "m01_multimodal_features" ->
       """WITH d AS (
         |  SELECT doc_id AS asset_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-        |    text, octet_length(encode(text)) AS n_bytes
+        |    CASE WHEN doc_id % 4 = 0 THEN 33
+        |         WHEN doc_id % 2 = 0 THEN 39 ELSE 44 END AS hdr,
+        |    text, octet_length(encode(text)) AS n_content
         |  FROM documents),
-        |s AS (SELECT asset_id, media_type, text, n_bytes,
-        |        (n_bytes * 2654435761) % 1000003 AS h FROM d),
+        |s AS (SELECT asset_id, media_type, hdr, text, n_content,
+        |        (n_content * 2654435761) % 1000003 AS h FROM d),
         |chars AS (SELECT asset_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM d),
         |freq AS (SELECT asset_id, c, count(*) AS cnt FROM chars GROUP BY 1, 2),
         |tot AS (SELECT asset_id, sum(cnt) AS total, count(*) AS n_uniq FROM freq GROUP BY 1),
@@ -966,13 +971,15 @@ object SparkEntry {
         |    -sum((CAST(cnt AS DOUBLE) / total) * ln(CAST(cnt AS DOUBLE) / total) / ln(2.0)) AS e
         |  FROM freq f JOIN tot t ON f.asset_id = t.asset_id
         |  GROUP BY f.asset_id)
-        |SELECT s.asset_id, s.media_type, CAST(s.n_bytes AS BIGINT) AS n_bytes,
-        |  md5(s.text) AS payload_md5,
+        |SELECT s.asset_id, s.media_type,
+        |  CAST(s.n_content + s.hdr AS BIGINT) AS n_bytes,
+        |  md5(s.text) AS content_md5,
         |  CAST(CASE WHEN s.media_type = 'image' THEN 64 + (h % 1920) ELSE 0 END AS INT) AS width,
         |  CAST(CASE WHEN s.media_type = 'image' THEN 64 + ((h // 7) % 1080) ELSE 0 END AS INT) AS height,
         |  CAST(CASE WHEN s.media_type = 'audio' THEN [8000, 16000, 22050, 44100][CAST(h % 4 AS INT) + 1] ELSE 0 END AS INT) AS sample_rate,
         |  floor(ent.e * 10000 + 0.5) / 10000.0 AS char_entropy,
-        |  CAST(tot.n_uniq AS BIGINT) AS n_unique_chars
+        |  CAST(tot.n_uniq AS BIGINT) AS n_unique_chars,
+        |  TRUE AS header_ok
         |FROM s JOIN ent ON s.asset_id = ent.asset_id
         |JOIN tot ON s.asset_id = tot.asset_id
         |ORDER BY s.asset_id""".stripMargin,
@@ -1079,7 +1086,9 @@ object SparkEntry {
       """WITH a AS (
         |  SELECT doc_id AS asset_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-        |    octet_length(encode(text)) AS blen
+        |    octet_length(encode(text)) +
+        |      CASE WHEN doc_id % 4 = 0 THEN 33
+        |           WHEN doc_id % 2 = 0 THEN 39 ELSE 44 END AS blen
         |  FROM documents),
         |f AS (
         |  SELECT asset_id, media_type, unnest(range(0, 4)) AS frame_idx,

@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, processed per-partition in bounded
   * batches (north-star mandate, SURVEY.md §1.4).
   *
-  * The *decode* step is a clearly-marked deterministic STUB — this
-  * container has no image/audio codecs — but everything Spark-side is
-  * real and tested: the schema (binary + struct metadata), the
-  * per-partition iteration (the Scala analogue of `mapInPandas`
-  * batch processing: one JVM-side pass per partition, bounded memory,
-  * no per-row task overhead), the partitioning story (payloads hash
-  * to partitions by asset id; a real deployment would bucket by
-  * content store block), and the feature schema handed downstream.
+  * The decode step is REAL byte parsing ([[MediaHeaders]]): PNG IHDR
+  * (CRC-verified), JPEG SOFn marker walk, WAV RIFF chunk walk — the
+  * same code decodes any real file of those formats. What this
+  * container cannot supply is real MEDIA, so the asset source
+  * synthesizes payloads as genuine format headers (valid signatures,
+  * real CRC32) wrapping document text as the content section — a
+  * deterministic fixture the SQL oracle can re-derive, feeding the
+  * real parsers real bytes. The Spark side is production-shaped
+  * throughout: binary + struct schema, one per-partition pass
+  * (the JVM analogue of `mapInPandas` batching — codec setup once per
+  * task, bounded memory), payloads hashed to partitions by asset id.
   */
 object Multimodal {
 
@@ -24,26 +27,29 @@ object Multimodal {
       asset_id: Long,
       media_type: String,
       n_bytes: Long,
-      // md5 hex of the payload: portable content identity (any engine
-      // can recompute it), replacing a JVM-specific array hash
-      payload_md5: String,
-      // STUB fields: a real decoder would emit true dims/durations.
+      // md5 hex of the CONTENT section (payload past the container
+      // header): portable content identity any engine can recompute
+      content_md5: String,
+      // decoded by actually parsing the payload's container header
+      // (MediaHeaders.parse) — not synthesized from metadata
       width: Int, height: Int, sample_rate: Int,
-      // Shannon entropy over Unicode codepoints, quantized to 4dp —
-      // codepoints (not raw bytes) so external SQL engines can derive
-      // the identical value; scalar columns only, array columns break
-      // flat oracle comparison
+      // Shannon entropy over Unicode codepoints of the content
+      // section, quantized to 4dp — codepoints (not raw bytes) so
+      // external SQL engines can derive the identical value
       char_entropy: Double,
-      n_unique_chars: Long)
+      n_unique_chars: Long,
+      // the parser validated the container (signature, layout, PNG
+      // CRC): a torn payload surfaces here instead of as garbage dims
+      header_ok: Boolean)
 
-  /** Deterministic fake decode — STUB for the codec call a production
-    * deployment would make (e.g. JNI to a codec, or `mapInPandas` +
-    * PIL in PySpark). Derives plausible metadata from the payload
-    * SIZE via portable integer arithmetic (a byte-array JVM hash
-    * would not be reproducible by the SQL oracle) so tests are
-    * stable. */
-  private[multimodal] def decodeStub(mediaType: String, nBytes: Long): (Int, Int, Int) = {
-    val h = (nBytes * 2654435761L) % 1000003L
+  /** The FIXTURE's deterministic choice of media dimensions when
+    * synthesizing assets (what the "camera" recorded), keyed on the
+    * content size via portable integer arithmetic so the SQL oracle
+    * re-derives it. The decode path does NOT use this — it parses the
+    * header bytes; specs + the oracle assert parse(encode(planned))
+    * returns exactly these values. */
+  private[multimodal] def plannedDims(mediaType: String, contentBytes: Long): (Int, Int, Int) = {
+    val h = (contentBytes * 2654435761L) % 1000003L
     mediaType match {
       case "image" => ((64 + h % 1920).toInt, (64 + (h / 7) % 1080).toInt, 0)
       case "audio" => (0, 0, Seq(8000, 16000, 22050, 44100)((h % 4).toInt))
@@ -51,21 +57,33 @@ object Multimodal {
     }
   }
 
-  /** Demo asset source: wrap the documents table's text bytes as
-    * binary payloads so the plumbing runs on real fixture data. */
+  /** Demo asset source: wrap the documents table's text bytes in real
+    * container headers — PNG for doc_id ≡ 0 (mod 4), JPEG for ≡ 2,
+    * WAV for odd ids — so every parser in [[MediaHeaders]] is
+    * exercised on the driver-gate path. */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     graft.core.Tables.documents(spark, dir)
-      .select(col("doc_id").as("asset_id"),
-        (when(col("doc_id") % 2 === 0, "image").otherwise("audio")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[Asset]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val content = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val mediaType = if (id % 2 == 0) "image" else "audio"
+        val (w, h, sr) = plannedDims(mediaType, content.length.toLong)
+        val header =
+          if (mediaType == "audio") MediaHeaders.wavHeader(sr, content.length)
+          else if (id % 4 == 0) MediaHeaders.pngHeader(w, h)
+          else MediaHeaders.jpegHeader(w, h)
+        Asset(id, mediaType, header ++ content)
+      }
   }
 
-  /** Per-partition feature extraction: byte histogram, entropy, stub
-    * decode. `mapPartitions` (not `map`) so per-partition setup — a
-    * real codec context — happens once per task, the same shape a
-    * Pandas-UDF `mapInPandas` batch gives PySpark. */
+  /** Per-partition feature extraction: real header decode
+    * ([[MediaHeaders.parse]]), content digest, codepoint entropy.
+    * `mapPartitions` (not `map`) so per-partition setup — the codec
+    * context — happens once per task, the same shape a Pandas-UDF
+    * `mapInPandas` batch gives PySpark. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -74,11 +92,20 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
         val bytes = a.payload
+        // REAL decode: dims/rate read out of the container header
+        // bytes; an unparseable payload degrades to zero-metadata
+        // features with header_ok = false, never a task failure
+        val parsed = MediaHeaders.parse(bytes)
+        val (w, h, sr, contentOff) = parsed match {
+          case Some(m) => (m.width, m.height, m.sampleRate, m.headerLen)
+          case None => (0, 0, 0, 0)
+        }
+        val content = java.util.Arrays.copyOfRange(bytes, contentOff, bytes.length)
         md.reset()
-        val md5Hex = md.digest(bytes).map("%02x".format(_)).mkString
+        val md5Hex = md.digest(content).map("%02x".format(_)).mkString
         // codepoint frequencies (portable: SQL engines enumerate
         // codepoints; raw byte histograms they cannot)
-        val str = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val str = new String(content, java.nio.charset.StandardCharsets.UTF_8)
         val counts = new java.util.HashMap[Int, Long]()
         var i = 0
         var total = 0L
@@ -96,10 +123,10 @@ object Multimodal {
             entropy -= p * math.log(p) / math.log(2.0)
           }
         }
-        val (w, h, sr) = decodeStub(a.media_type, bytes.length.toLong)
         AssetFeatures(a.asset_id, a.media_type, bytes.length.toLong, md5Hex,
           w, h, sr,
-          math.floor(entropy * 10000 + 0.5) / 10000, counts.size().toLong)
+          math.floor(entropy * 10000 + 0.5) / 10000, counts.size().toLong,
+          parsed.isDefined)
       }
     }
   }

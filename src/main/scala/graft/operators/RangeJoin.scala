@@ -38,18 +38,24 @@ object RangeJoin {
     * @param lowerUs  window start offset: right.ts >= left.ts + lowerUs
     * @param upperUs  window end offset:   right.ts <= left.ts + upperUs
     * @param equiKeys equi-join columns present on BOTH sides
-    * @param bandUs   band width override. Default (None) = the window
-    *                 span: each probe interval covers ≤2 bands — the
-    *                 right choice when events are sparse relative to
-    *                 the window. For a WIDE window over DENSE events,
-    *                 a band holds window·density rows and candidate
-    *                 volume approaches the theta product; a finer band
-    *                 (e.g. span/16) multiplies probe-side rows by
-    *                 span/band + 1 but divides per-band candidates by
-    *                 the same factor — tune to density · band ≈ tens
-    *                 of rows. Result is identical for ANY band width
-    *                 (the exact filter decides); only candidate volume
-    *                 moves. */
+    * @param bandUs   band width override. Default (None) = AUTO: one
+    *                 cheap ts-column-only aggregate over `right`
+    *                 derives the band from the observed event density
+    *                 so a band holds ≈[[targetRowsPerBand]] rows
+    *                 ([[autoBand]]) — capped at the window span (the
+    *                 sparse-events case, where span banding is already
+    *                 right and probes cover ≤2 bands). Span banding is
+    *                 never catastrophic — candidates stay ≤2× the true
+    *                 match count — but over DENSE events it piles
+    *                 span·density rows into each band: one build-side
+    *                 bucket per (key, band), one giant task, the
+    *                 parallelism/memory collapse that kills the join
+    *                 at scale. The auto band trims the ≤2× candidate
+    *                 slop AND restores bounded per-band occupancy
+    *                 (both spec-measured). Result is identical for ANY
+    *                 band width (the exact filter decides) — pass an
+    *                 explicit width to skip the stats pass or pin a
+    *                 tuning. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String,
       lowerUs: Long, upperUs: Long,
@@ -67,11 +73,17 @@ object RangeJoin {
     val clash = (left.columns ++ right.columns).toSeq.intersect(reserved)
     require(clash.isEmpty, s"reserved column names in input: ${clash.mkString(",")}")
 
-    // floorDiv semantics via floor(/) keep negative epochs correct;
-    // with the default band = span a probe interval spans at most two
-    // consecutive bands.
-    val band = bandUs.getOrElse(math.max(upperUs - lowerUs, 1L))
-    def bandOf(ts: Column): Column = floor(ts / lit(band)).cast("long")
+    val band = bandUs.getOrElse(autoBand(right, rightTs, lowerUs, upperUs))
+    // EXACT floorDiv, not floor(double-division): ts − pmod(ts, band)
+    // is the greatest band multiple ≤ ts (pmod is non-negative, so
+    // negative epochs floor correctly), and dividing an exact multiple
+    // through decimal(38,0) stays precise over the whole long range —
+    // floor(ts/band) in doubles silently stops equalling floorDiv past
+    // 2^53 and band assignment would drift from right-side to
+    // left-side rows. (Long underflow needs ts < MIN_LONG + band —
+    // ~292,000 years before epoch at band = 1 day — out of domain.)
+    def bandOf(ts: Column): Column =
+      ((ts - pmod(ts, lit(band))).cast("decimal(38,0)") / lit(band)).cast("long")
 
     val l = left
       .withColumn("__b_lo", bandOf(col(leftTs) + lit(lowerUs)))
@@ -85,5 +97,34 @@ object RangeJoin {
       .filter(col(rightTs) >= col(leftTs) + lit(lowerUs) &&
         col(rightTs) <= col(leftTs) + lit(upperUs))
       .drop("__band")
+  }
+
+  /** Auto-band target occupancy: tens of rows per band keeps per-band
+    * candidate lists small while bounding the probe-side explosion
+    * (span/band + 1 output rows per left row). */
+  private val targetRowsPerBand = 32L
+
+  /** Derive a band width from the right side's observed density: one
+    * aggregate (column-pruned to the ts column — a cheap pre-pass
+    * next to the join's own scan) measures row count and ts extent,
+    * and the band is sized so density · band ≈ [[targetRowsPerBand]],
+    * clamped to [1, span]. Sparse events (density · span below the
+    * target) clamp to the span — the classic ≤2-bands-per-probe
+    * banding; dense events get proportionally finer bands, keeping
+    * every (key, band) join bucket near the target occupancy instead
+    * of letting one band swallow the whole dense extent. The clamp
+    * also makes the empty/single-timestamp cases well-defined. */
+  private[operators] def autoBand(right: DataFrame, rightTs: String,
+      lowerUs: Long, upperUs: Long): Long = {
+    val span = math.max(upperUs - lowerUs, 1L)
+    val stats = right.agg(
+      count(col(rightTs)).as("n"),
+      min(col(rightTs)).as("lo"),
+      max(col(rightTs)).as("hi")).head()
+    if (stats.getLong(0) == 0L) return span
+    val n = stats.getLong(0)
+    val extent = stats.getLong(2) - stats.getLong(1) + 1L
+    val byDensity = math.ceil(targetRowsPerBand.toDouble * extent / n).toLong
+    math.min(span, math.max(1L, byDensity))
   }
 }

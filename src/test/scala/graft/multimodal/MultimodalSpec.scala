@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Real media-header codecs: encode→parse roundtrips across the dims
+  * domain, corruption detection (PNG CRC, truncation), marker-walk
+  * robustness on non-canonical layouts, and the end-to-end feature
+  * kernel recovering the planned dims from actual payload bytes. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("PNG header roundtrip + CRC validation") {
+    for ((w, h) <- Seq((1, 1), (64, 64), (1983, 1143), (65535, 1))) {
+      val bytes = MediaHeaders.pngHeader(w, h) ++ Array[Byte](1, 2, 3)
+      val m = MediaHeaders.parsePng(bytes).get
+      assert((m.width, m.height, m.headerLen) === ((w, h, 33)))
+    }
+    // corrupt ONE byte of the dims: the real CRC check must reject it
+    val good = MediaHeaders.pngHeader(640, 480)
+    val bad = good.clone(); bad(17) = (bad(17) ^ 0x01).toByte
+    assert(MediaHeaders.parsePng(bad).isEmpty, "corrupted IHDR passed CRC")
+    assert(MediaHeaders.parsePng(good.take(20)).isEmpty, "truncated header parsed")
+  }
+
+  test("JPEG SOF marker walk finds dims behind arbitrary APPn segments") {
+    val m = MediaHeaders.parseJpeg(MediaHeaders.jpegHeader(800, 600)).get
+    assert((m.width, m.height) === ((800, 600)))
+    // real-world shape: extra APP1 (EXIF-like) + COM segments before
+    // SOF — the walk must skip them by declared length
+    val app1 = Array(0xff, 0xe1, 0x00, 0x0a).map(_.toByte) ++ Array.fill(8)(0x41.toByte)
+    val com = Array(0xff, 0xfe, 0x00, 0x05).map(_.toByte) ++ "abc".getBytes
+    val canonical = MediaHeaders.jpegHeader(123, 45)
+    val withExtras = canonical.take(2) ++ app1 ++ com ++ canonical.drop(2)
+    val m2 = MediaHeaders.parseJpeg(withExtras).get
+    assert((m2.width, m2.height) === ((123, 45)))
+    // SOS before any SOF (malformed for our purposes): no dims
+    val sos = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    assert(MediaHeaders.parseJpeg(sos).isEmpty)
+  }
+
+  test("WAV RIFF chunk walk reads the sample rate, canonical or not") {
+    val m = MediaHeaders.parseWav(MediaHeaders.wavHeader(44100, 1000)).get
+    assert((m.sampleRate, m.headerLen) === ((44100, 44)))
+    // non-canonical: a LIST chunk between fmt and data
+    val canonical = MediaHeaders.wavHeader(16000, 10)
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val withList = canonical.take(36) ++ list ++ canonical.drop(36)
+    val m2 = MediaHeaders.parseWav(withList).get
+    assert(m2.sampleRate === 16000)
+    assert(m2.headerLen === 44 + 12, "content offset past the inserted chunk")
+    assert(MediaHeaders.parseWav("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+
+  test("sniffing dispatches by signature") {
+    assert(MediaHeaders.parse(MediaHeaders.pngHeader(2, 3)).get.kind === "image")
+    assert(MediaHeaders.parse(MediaHeaders.jpegHeader(2, 3)).get.kind === "image")
+    assert(MediaHeaders.parse(MediaHeaders.wavHeader(8000, 0)).get.kind === "audio")
+    assert(MediaHeaders.parse("plain text".getBytes).isEmpty)
+    assert(MediaHeaders.parse(null).isEmpty)
+  }
+
+  test("feature kernel recovers the planned dims by parsing real payload bytes") {
+    import org.apache.spark.sql.functions._
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(spark, dir)).toDF().cache()
+    val n = feats.count()
+    assert(n > 0)
+    assert(feats.filter(!col("header_ok")).count() === 0,
+      "every synthesized container must parse")
+    // decoded dims equal the fixture's planned dims (parse ∘ encode = id)
+    val mismatched = feats.collect().count { r =>
+      val contentLen = r.getAs[Long]("n_bytes") - (r.getAs[Long]("asset_id") match {
+        case id if id % 4 == 0 => 33L
+        case id if id % 2 == 0 => 39L
+        case _ => 44L
+      })
+      val (w, h, sr) = Multimodal.plannedDims(r.getAs[String]("media_type"), contentLen)
+      (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("sample_rate")) != ((w, h, sr))
+    }
+    assert(mismatched === 0, s"$mismatched assets decoded dims != planned dims")
+    feats.unpersist()
+  }
+}

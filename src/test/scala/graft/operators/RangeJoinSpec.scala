@@ -74,6 +74,86 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("auto band on dense events beats span banding by a measured candidate factor") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // DENSE fixture: 5000 events packed into a 10k-µs extent, probed
+    // with a 100k-µs window — span banding piles everything into ~1
+    // band and candidate volume approaches the theta product.
+    val lSeq = (0 until 300).map(i => (i.toLong, 1L, rng.nextInt(10000).toLong))
+    val rSeq = (0 until 5000).map(i => (i.toLong, 1L, rng.nextInt(10000).toLong))
+    val l = lSeq.toDF("l_id", "key", "l_ts")
+    val r = rSeq.toDF("r_id", "key", "r_ts")
+    val span = 100000L
+    val auto = RangeJoin.autoBand(r, "r_ts", 0L, span)
+    assert(auto < span / 100,
+      s"auto band $auto should be far finer than the $span span on dense events")
+    // measured candidate volume at a band width: Σ over probe bands of
+    // that band's right-side occupancy (the exact pair count the
+    // banded equi join feeds its filter)
+    val perBand = (band: Long) => {
+      val rBands = rSeq.groupBy(t => Math.floorDiv(t._3, band))
+        .view.mapValues(_.size.toLong).toMap
+      lSeq.iterator.map { case (_, _, ts) =>
+        (Math.floorDiv(ts, band) to Math.floorDiv(ts + span, band))
+          .iterator.map(b => rBands.getOrElse(b, 0L)).sum
+      }.sum
+    }
+    // Candidate volume: banding at span is bounded at 2× the true
+    // match count (≤2 bands per probe, each ≈ span·density rows), so
+    // the auto band's win here is trimming that ≤2× slop — assert it
+    // lands near the theoretical cap…
+    val (cAuto, cSpan) = (perBand(auto), perBand(span))
+    assert(cAuto * 18 <= cSpan * 10,
+      s"auto band candidates $cAuto not ≥1.8× below span banding's $cSpan")
+    // …while the SCALE-critical effect is per-band occupancy: span
+    // banding concentrates the whole dense extent into one band (one
+    // build-side bucket, one giant task — the thing that dies at
+    // 100 TB), auto banding caps it near the target occupancy.
+    val maxOcc = (band: Long) =>
+      rSeq.groupBy(t => Math.floorDiv(t._3, band)).values.map(_.size).max
+    val (occAuto, occSpan) = (maxOcc(auto), maxOcc(span))
+    assert(occAuto * 50 <= occSpan,
+      s"max band occupancy $occAuto (auto) vs $occSpan (span): parallelism not restored")
+    // band width is a pure candidate-volume knob: identical result
+    val want = RangeJoin.intervalJoin(l, r, "l_ts", "r_ts", 0L, span,
+      Seq("key"), bandUs = Some(span))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = RangeJoin.intervalJoin(l, r, "l_ts", "r_ts", 0L, span, Seq("key"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === want, "auto band changed the result")
+  }
+
+  test("sparse events clamp the auto band to the window span") {
+    import spark.implicits._
+    // 10 events across a huge extent: density · span ≪ target, so
+    // finer-than-span banding would only inflate the probe explode
+    val r = (0 until 10).map(i => (i.toLong, 1L, i * 10_000_000L))
+      .toDF("r_id", "key", "r_ts")
+    assert(RangeJoin.autoBand(r, "r_ts", 0L, 5000L) === 5000L)
+  }
+
+  test("band assignment stays exact beyond 2^53 (no double-precision drift)") {
+    import spark.implicits._
+    val base = 1L << 60 // ts magnitudes where floor(ts/band) in doubles drifts
+    val l = (0 until 50).map(i => (i.toLong, 1L, base + i * 997L))
+      .toDF("l_id", "key", "l_ts")
+    val r = (0 until 200).map(i => (i.toLong, 1L, base + i * 251L))
+      .toDF("r_id", "key", "r_ts")
+    val want = l.join(r, Seq("key"))
+      .filter(col("r_ts") >= col("l_ts") && col("r_ts") <= col("l_ts") + 1000L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce matches")
+    // odd band widths are the precision-hostile case (quotients just
+    // below an integer round UP in double math → off-by-one bands)
+    for (band <- Seq(None, Some(7L), Some(997L), Some(1000L))) {
+      val got = RangeJoin.intervalJoin(l, r, "l_ts", "r_ts", 0L, 1000L,
+        Seq("key"), bandUs = band)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === want, s"band=$band diverged at |ts| > 2^53")
+    }
+  }
+
   test("plans as an equi join on (key, band) — no nested loop, no cartesian") {
     val df = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
       0L, 1000L, Seq("key"))
