@@ -200,21 +200,23 @@ object Dedup {
       graft.functions.SketchExpressions.shingleHashes(col(textCol), n).as("sh"))
       .filter(col("sh").isNotNull)
       .withColumn("set_size", size(col("sh")))
-    val postings = scope.pin(base
-      .select(col("id"), col("set_size"), explode(col("sh")).as("gh")))
+    val postings = base
+      .select(col("id"), col("set_size"), explode(col("sh")).as("gh"))
     // Keep only shingles appearing in 2..maxPosting docs: a df=1
     // shingle cannot contribute a pair (set sizes ride on the rows,
     // so dropping it changes nothing), and on real corpora MOST
     // shingles are df=1 — this prunes the self-join input, the
-    // quadratic stage, at the cost of one aggregation that reuses
-    // the postings exchange.
-    val keep = postings.groupBy(col("gh")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__n") <= maxPosting)
-      .select(col("gh"))
-    // Pinned: the self-join consumes `cool` on BOTH sides — without
-    // the pin the pruning semi-join (and the exchange feeding it)
-    // runs twice, once per side.
-    val cool = scope.pin(postings.join(keep, Seq("gh"), "left_semi"))
+    // quadratic stage. Document frequency comes from ONE window count
+    // over the gh-partitioned postings — not a groupBy + semi-join
+    // back (two exchanges + a second pass over postings): the single
+    // window exchange both counts and prunes in-place, AND leaves the
+    // survivors hash-partitioned by gh, which is exactly the
+    // self-join's key — the join below runs with no further exchange.
+    // Pinned: the self-join consumes `cool` on BOTH sides.
+    val cool = scope.pin(postings
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("__df") >= 2 && col("__df") <= maxPosting)
+      .drop("__df"))
     // Sort-merge/shuffled-hash self-join on the 8-byte key, then one
     // partial-aggregating groupBy: each shared shingle contributes one
     // pair occurrence, counted as |A∩B|.
@@ -326,16 +328,17 @@ object Dedup {
     // collect and mis-classify a huge graph as small (wrong clusters).
     require(smallGraphEdges >= 0 && smallGraphEdges < Int.MaxValue,
       s"smallGraphEdges must be in [0, Int.MaxValue): $smallGraphEdges")
-    // The UNDIRECTED pair list, cached before the probe: whichever
-    // path runs, the pair machinery above computes once. The
-    // symmetrize + distinct the distributed loop needs is NOT done
-    // here — union-find is direction- and duplicate-agnostic, so the
-    // small path (the one every near-dup-sized graph takes) skips
-    // those two exchanges (and their AQE stage-materialization jobs)
-    // entirely; the big path pays them where they're actually needed.
+    // The UNDIRECTED pair list. NOT cached up front: on the small
+    // path (the one every near-dup-sized graph takes) the probe's
+    // collect is the ONLY consumer — union-find runs on the collected
+    // rows — so a cache would be pure write overhead. The big path
+    // caches below, where the symmetrize genuinely consumes the pair
+    // list twice. The symmetrize + distinct the distributed loop
+    // needs is also deferred there — union-find is direction- and
+    // duplicate-agnostic, so the small path skips those exchanges
+    // (and their AQE stage-materialization jobs) entirely.
     val undirected = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
-      .cache()
 
     // Small-graph fast path — the broadcast-join analogue: a pair
     // graph under ~2M edges (32 MB of longs) is driver-trivial with
@@ -368,15 +371,16 @@ object Dedup {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       parent.keySet().forEach(v => out += ((v, find(v))))
-      undirected.unpersist()
       return out.toSeq.toDF("doc_id", "cluster_id")
     }
 
     // Distributed path: min-label propagation needs each vertex to see
-    // ALL its neighbors, so symmetrize + dedup here (reading the
-    // cached pair list, not re-running the pair machinery).
-    val edges = undirected
-      .unionByName(undirected.select(col("dst").as("src"), col("src").as("dst")))
+    // ALL its neighbors, so symmetrize + dedup here. The pair list is
+    // cached FIRST (big path only — it is consumed by both union
+    // branches; the small path above never needed it).
+    val cachedUndirected = undirected.cache()
+    val edges = cachedUndirected
+      .unionByName(cachedUndirected.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
 
@@ -397,7 +401,7 @@ object Dedup {
     loop.conf.set("spark.sql.shuffle.partitions", "8")
     val loopEdges = loop.createDataFrame(edges.toDF().rdd, edges.schema).cache()
     try connectedComponentsLoop(loopEdges, maxRounds)
-    finally { edges.unpersist(); undirected.unpersist() }
+    finally { edges.unpersist(); cachedUndirected.unpersist() }
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxRounds: Int): DataFrame = {

@@ -188,12 +188,16 @@ object NorthStar {
     // No broadcast hint: clusters is one row per doc in any near-dup
     // pair — small on clean corpora, unbounded on duplicate-heavy
     // ones. AQE sees its actual size and picks broadcast vs shuffle.
+    // seal the SORTED result: the cached handle then satisfies every
+    // consumer (Verify's write, the driver's count) directly — an
+    // uncached orderBy wrapper would re-sort per consumer
     val out = scope.sealResult(
       kept.join(clusters, Seq("doc_id"), "left_outer")
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-        .select(col("doc_id"), col("lang_pred"), col("quality")))
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+        .orderBy("doc_id"))
     clusters.unpersist()
-    out.orderBy("doc_id")
+    out
   }
 
   /** d16: deterministic train/val/test assignment — bucket = the

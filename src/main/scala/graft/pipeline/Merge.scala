@@ -41,8 +41,22 @@ object Merge {
       .drop("__rn")
   }
 
+  /** Align `df` to the authoritative column set by NAME: missing
+    * columns fill with typed nulls (the additive-schema-evolution
+    * contract — a batch written before a column existed merges with
+    * nulls there), extra columns are dropped (the target schema is
+    * authoritative; widening happens by reading the TARGET under the
+    * widened schema, see [[Warehouse.read]]). */
+  private def alignTo(df: DataFrame, authoritative: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(authoritative.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+
   /** Upsert `updates` into `target` on `key`, last writer (by `ord`)
     * winning both within the batch and against the existing table.
+    * Update columns align to the target's schema by name — missing
+    * (pre-evolution) columns null-fill, extras drop ([[alignTo]]).
     *
     * `broadcastKeys = true` (default) broadcasts the deduped update
     * KEY SET into the anti join — the expected plan for the
@@ -56,7 +70,7 @@ object Merge {
     val deduped = lastWriterWins(updates, key, ord, tieBreakers)
     val keys = deduped.select(col(key))
     target.join(if (broadcastKeys) broadcast(keys) else keys, Seq(key), "left_anti")
-      .unionByName(deduped.select(target.columns.map(col).toSeq: _*))
+      .unionByName(alignTo(deduped, target.schema))
   }
 
   /** Order-based merge: the greatest-`ord` row wins across target AND
@@ -68,7 +82,7 @@ object Merge {
   def mergeByOrd(target: DataFrame, updates: DataFrame, key: String, ord: Column,
       tieBreakers: Seq[Column] = Seq.empty): DataFrame =
     lastWriterWins(
-      target.unionByName(updates.select(target.columns.map(col).toSeq: _*)),
+      target.unionByName(alignTo(updates, target.schema)),
       key, ord, tieBreakers)
 
   /** The cocoa-specific instantiation: key = shipment_id, recency =

@@ -138,16 +138,24 @@ object Warehouse {
   def versionPath(root: String, v: Long): String = s"$root/v$v"
 
   /** Read the committed snapshot; empty (schema'd) DataFrame if the
-    * warehouse has never been committed. The warehouse schema is the
-    * declared contract ([[CocoaSchema.warehouse]]), so it is passed
+    * warehouse has never been committed. The expected schema is passed
     * explicitly — skipping parquet schema inference (a one-task
-    * footer-read job per read). */
-  def read(spark: SparkSession, root: String): DataFrame =
+    * footer-read job per read) — and doubles as the SCHEMA-EVOLUTION
+    * contract: evolution is ADDITIVE-ONLY (new nullable columns).
+    * Reading an old snapshot under a widened schema yields nulls for
+    * the not-yet-existing columns (parquet missing-column semantics);
+    * reading any snapshot under the schema of its own era returns
+    * exactly that era's columns — so time travel across an evolution
+    * boundary is well-defined in both directions. Renames/drops/type
+    * changes are out of contract (they'd need a rewrite, not a read
+    * mapping). */
+  def read(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame =
     currentVersion(spark, root) match {
       case Some(v) =>
-        spark.read.schema(CocoaSchema.warehouse).parquet(versionPath(root, v))
+        spark.read.schema(schema).parquet(versionPath(root, v))
       case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CocoaSchema.warehouse)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
   /** Write `df` as the next snapshot and atomically publish it.

@@ -87,9 +87,11 @@ class WarehouseCommitSpec extends AnyFunSuite {
           def call(): Long = {
             var out = -1L
             // time-based deadline, not try-count: under a loaded
-            // parallel test run a single commit can hold the lease
-            // for seconds, and the loser retries through all of it
-            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            // parallel test run the holder's tiny Spark write can
+            // queue for MINUTES behind other suites' stages, and the
+            // loser retries through all of it — size the deadline for
+            // the worst queuing observed, not for a healthy run
+            val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
             while (out < 0) {
               try out = Warehouse.commit(spark, root, batch(seed))
               catch {
@@ -109,8 +111,8 @@ class WarehouseCommitSpec extends AnyFunSuite {
           }
         })
       val (fa, fb) = (attempt(10), attempt(11))
-      assert(Set(fa.get(), fb.get()) === Set(0L, 1L),
-        "two distinct monotonic versions")
+      val (va, vb) = (fa.get(), fb.get())
+      assert(Set(va, vb) === Set(0L, 1L), "two distinct monotonic versions")
       assert(Warehouse.currentVersion(spark, root) === Some(1L))
     } finally pool.shutdown()
   }
