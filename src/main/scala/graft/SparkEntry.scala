@@ -90,6 +90,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shipments"))
         .orderBy("region")),
     "p05_time_travel" -> ((s, _) => cocoaTimeTravel(s)),
+    // p06: the SAME two generated batches landed in a real external
+    // RDBMS (embedded Derby — the offline stand-in for the
+    // reference's Postgres target) through the distributed JDBC
+    // upsert, then read back over JDBC. Hash-matching p01's oracle
+    // certifies the sink preserves the exact warehouse the parquet
+    // path produces.
+    "p06_jdbc_warehouse" -> ((s, _) => cocoaJdbcWarehouse(s)),
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
@@ -250,6 +257,39 @@ object SparkEntry {
     scoped.conf.set("spark.sql.adaptive.enabled", "false")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
     scoped
+  }
+
+  /** p06: the cocoa batches landed in embedded Derby via the
+    * distributed JDBC upsert ([[graft.pipeline.JdbcWarehouse]]) and
+    * read back over JDBC. Byte-identical generated batches (same
+    * seeds as [[runCocoa]]) ⇒ same DuckDB oracle; the landing-file
+    * dump is runCocoa's (p01 always runs in the same Verify pass). */
+  private val cocoaJdbcMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def cocoaJdbcWarehouse(spark: SparkSession): DataFrame =
+    cocoaJdbcMemo.computeIfAbsent(spark, runCocoaJdbc)
+
+  private def runCocoaJdbc(spark: SparkSession): DataFrame = {
+    import graft.pipeline.{CocoaSchema, JdbcWarehouse, Merge}
+    val root = Files.createTempDirectory("cocoa_jdbc_verify").toString
+    val url = s"jdbc:derby:$root/db;create=true"
+    val scoped = pipelineSession(spark)
+    JdbcWarehouse.ensureTable(url, "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    def applyBatch(landing: String, seed: Int, offset: Int, ts: Long): Unit = {
+      CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = seed, idOffset = offset)
+      val (maybeDf, _) = graft.pipeline.Ingest.ingest(scoped, landing)
+      val enriched = graft.pipeline.Enrich.enrich(maybeDf.get, new Timestamp(ts))
+      // within-batch LWW first: key-unique input is what makes the
+      // upsert's cross-batch ON CONFLICT semantics equal the
+      // reference's, and concurrent partitions conflict-free
+      val deduped = Merge.lastWriterWins(enriched, CocoaSchema.mergeKey,
+        col("processed_at"), Seq(col("timestamp")))
+      JdbcWarehouse.upsert(deduped, url, "wh", CocoaSchema.mergeKey)
+    }
+    applyBatch(s"$root/landing1", 41, 0, 1700000000000L)
+    applyBatch(s"$root/landing2", 42, 500, 1700000100000L)
+    JdbcWarehouse.read(spark, url, "wh").orderBy("shipment_id")
   }
 
   private def runCocoa(spark: SparkSession): DataFrame = {
@@ -1104,6 +1144,9 @@ object SparkEntry {
     // weight × 2.5 is exact in doubles (halves), so no rounding is
     // involved anywhere.
     "p01_cocoa_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // p06: the JDBC (Derby) landing of the same batches must preserve
+    // the exact warehouse — same oracle as p01.
+    "p06_jdbc_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // The streaming drain must land the IDENTICAL warehouse — the
     // exactly-once/file-log claim, hash-checked. Same landing-file
     // dump, same oracle. (runCocoa's dump is reused: both pipelines

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** JDBC warehouse sink against embedded Derby: the distributed upsert
+  * must land exactly the warehouse the parquet path produces (same
+  * LWW semantics), replays must be idempotent, nulls must round-trip,
+  * and read-back column names/types must match the DataFrame schema. */
+class JdbcWarehouseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshUrl(): String =
+    s"jdbc:derby:${Files.createTempDirectory("jdbc_wh")}/db;create=true"
+
+  private def batch(seed: Int, n: Int, ts: Long, idOffset: Int = 0) =
+    Enrich.enrich(CocoaGen.shipments(spark, n, seed = seed, idOffset = idOffset),
+      new Timestamp(ts))
+
+  private def dedup(df: org.apache.spark.sql.DataFrame) =
+    Merge.lastWriterWins(df, CocoaSchema.mergeKey,
+      col("processed_at"), Seq(col("timestamp")))
+
+  test("jdbc upsert path produces exactly the parquet merge path's warehouse") {
+    val url = freshUrl()
+    JdbcWarehouse.ensureTable(url, "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    // overlapping batches: keys 0..59 then 30..89 (overlap 30..59)
+    val b1 = batch(1, 60, 1000000L)
+    val b2 = batch(2, 60, 2000000L, idOffset = 30)
+    JdbcWarehouse.upsert(dedup(b1), url, "wh", CocoaSchema.mergeKey)
+    JdbcWarehouse.upsert(dedup(b2), url, "wh", CocoaSchema.mergeKey)
+    val viaJdbc = JdbcWarehouse.read(spark, url, "wh")
+
+    assert(viaJdbc.columns.toSeq === CocoaSchema.warehouse.fieldNames.toSeq,
+      "read-back column names must match the schema (quoted lowercase)")
+
+    // the parquet path over the same batches
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CocoaSchema.warehouse)
+    val expect = Merge.upsertShipments(
+      Merge.upsertShipments(empty, b1), b2)
+
+    assert(viaJdbc.count() === 90)
+    assert(viaJdbc.collect().toSet === expect.collect().toSet,
+      "JDBC warehouse diverged from the parquet merge path")
+  }
+
+  test("replaying the same batch is idempotent") {
+    val url = freshUrl()
+    JdbcWarehouse.ensureTable(url, "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    val b = dedup(batch(5, 40, 1000000L))
+    JdbcWarehouse.upsert(b, url, "wh", CocoaSchema.mergeKey)
+    val first = JdbcWarehouse.read(spark, url, "wh").collect().toSet
+    JdbcWarehouse.upsert(b, url, "wh", CocoaSchema.mergeKey) // replay
+    val second = JdbcWarehouse.read(spark, url, "wh").collect().toSet
+    assert(second === first, "replay changed the warehouse")
+  }
+
+  test("ensureTable is idempotent and nulls round-trip") {
+    val url = freshUrl()
+    JdbcWarehouse.ensureTable(url, "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    JdbcWarehouse.ensureTable(url, "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    val withNulls = dedup(batch(7, 10, 1000000L))
+      .withColumn("farm_id", lit(null).cast("string"))
+      .withColumn("quality_score", lit(null).cast("double"))
+    JdbcWarehouse.upsert(withNulls, url, "wh", CocoaSchema.mergeKey)
+    val back = JdbcWarehouse.read(spark, url, "wh")
+    assert(back.count() === 10)
+    assert(back.filter(col("farm_id").isNull).count() === 10)
+    assert(back.filter(col("quality_score").isNull).count() === 10)
+  }
+
+  test("postgres dialect emits the reference's conflict clause") {
+    val sql = JdbcWarehouse.postgres.singleStatement.get(
+      "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    assert(sql.contains("ON CONFLICT (\"shipment_id\") DO UPDATE SET"))
+    assert(sql.contains("\"processed_at\" = EXCLUDED.\"processed_at\""))
+    assert(!sql.toLowerCase.contains("merge"), "postgres path must not use MERGE")
+    // the derby fallback's two-step statements, shape-checked
+    val up = JdbcWarehouse.updateSql("wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    assert(up.startsWith("UPDATE wh SET") && up.endsWith("WHERE \"shipment_id\" = ?"))
+    assert(!up.contains("\"shipment_id\" = ?,"), "key must not be in the SET list")
+  }
+}
