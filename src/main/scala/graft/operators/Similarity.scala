@@ -67,16 +67,44 @@ object Similarity {
     val corpus = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", l2Norm(col("nbr_vec")))
-    val q = queries.getOrElse(df).filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .withColumn("query_norm", l2Norm(col("query_vec")))
-    val scored = q.crossJoin(corpus)
-      .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine", cosineWithNorms(
-        dot(col("query_vec"), col("nbr_vec")), col("query_norm"), col("nbr_norm")))
-      .select(col("query_id"), col("nbr_id"), col("cosine"))
-    rankTopK(scored, "query_id", "cosine", "nbr_id", k)
-      .select(col("query_id"), col("nbr_id"), graft.functions.Quantize.quantize4(col("cosine")).as("cosine"), col("rank").cast("long").as("rank"))
+    def finish(scored: DataFrame): DataFrame =
+      rankTopK(scored, "query_id", "cosine", "nbr_id", k)
+        .select(col("query_id"), col("nbr_id"),
+          graft.functions.Quantize.quantize4(col("cosine")).as("cosine"),
+          col("rank").cast("long").as("rank"))
+    queries match {
+      case Some(qdf) =>
+        val q = qdf.filter(col(vecCol).isNotNull)
+          .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+          .withColumn("query_norm", l2Norm(col("query_vec")))
+        finish(q.crossJoin(corpus)
+          .filter(col("query_id") =!= col("nbr_id"))
+          .withColumn("cosine", cosineWithNorms(
+            dot(col("query_vec"), col("nbr_vec")), col("query_norm"), col("nbr_norm")))
+          .select(col("query_id"), col("nbr_id"), col("cosine")))
+      case None =>
+        // ALL-pairs: cosine is symmetric (float multiply commutes, the
+        // accumulation order is positional), so score each unordered
+        // pair once on the upper triangle and mirror — HALF the dot
+        // products of the naive q×c matrix. The half-matrix rides a
+        // scope (the mirror union consumes it twice) and the result is
+        // sealed — cached, materialized, intermediates released — so
+        // no hidden cache outlives the call (CacheScope contract).
+        val scope = new CacheScope
+        val half = scope.pin(corpus
+          .select(col("nbr_id").as("id_a"), col("nbr_vec").as("vec_a"), col("nbr_norm").as("norm_a"))
+          .crossJoin(corpus.select(
+            col("nbr_id").as("id_b"), col("nbr_vec").as("vec_b"), col("nbr_norm").as("norm_b")))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cosine", cosineWithNorms(
+            dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
+          .select(col("id_a"), col("id_b"), col("cosine")))
+        val scored = half
+          .select(col("id_a").as("query_id"), col("id_b").as("nbr_id"), col("cosine"))
+          .unionByName(half.select(
+            col("id_b").as("query_id"), col("id_a").as("nbr_id"), col("cosine")))
+        scope.sealResult(finish(scored))
+    }
   }
 
   /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes, bit p =
