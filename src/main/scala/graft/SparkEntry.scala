@@ -99,6 +99,7 @@ object SparkEntry {
     "p06_jdbc_warehouse" -> ((s, _) => cocoaJdbcWarehouse(s)),
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
+    "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
     "s06_stream_stream_join" -> (StreamingQueries.viewPurchaseJoin _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "v06_ivf_exact"          -> (NorthStar.ivfExactTopK _),
     "v07_lsh_exact"          -> (NorthStar.annExactTopK _),
     "v08_ivf_saved"          -> (NorthStar.ivfSavedTopK _),
+    "v09_int8_knn"           -> (NorthStar.int8Knn _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -228,6 +230,31 @@ object SparkEntry {
 
   private def cocoaStreamWarehouse(spark: SparkSession): DataFrame =
     cocoaStreamMemo.computeIfAbsent(spark, runCocoaStream)
+
+  /** s07: the streaming drain landed DIRECTLY in the external RDBMS
+    * (embedded Derby over the distributed JDBC upsert) — the
+    * reference's production shape, stream → Postgres. Must hash-match
+    * the same cocoa oracle: exactly-once-by-idempotence, certified. */
+  private val cocoaStreamJdbcMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def cocoaStreamJdbcWarehouse(spark: SparkSession): DataFrame =
+    cocoaStreamJdbcMemo.computeIfAbsent(spark, runCocoaStreamJdbc)
+
+  private def runCocoaStreamJdbc(spark: SparkSession): DataFrame = {
+    import graft.pipeline.JdbcWarehouse
+    val root = Files.createTempDirectory("cocoa_stream_jdbc_verify").toString
+    val landing = s"$root/landing"
+    val url = s"jdbc:derby:$root/db;create=true"
+    val scoped = pipelineSession(spark)
+    CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 41, idOffset = 0)
+    graft.streaming.CocoaStream.runAvailableNowJdbc(scoped, landing, url, "wh",
+      s"$root/checkpoint", processedAt = Some(new Timestamp(1700000000000L)))
+    CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 42, idOffset = 500)
+    graft.streaming.CocoaStream.runAvailableNowJdbc(scoped, landing, url, "wh",
+      s"$root/checkpoint", processedAt = Some(new Timestamp(1700000100000L)))
+    JdbcWarehouse.read(spark, url, "wh").orderBy("shipment_id")
+  }
 
   private def runCocoaStream(spark: SparkSession): DataFrame = {
     val root = Files.createTempDirectory("cocoa_stream_verify").toString
@@ -1152,6 +1179,9 @@ object SparkEntry {
     // dump, same oracle. (runCocoa's dump is reused: both pipelines
     // consume byte-identical generated batches.)
     "s04_cocoa_stream_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // s07: the streaming JDBC landing must preserve the same warehouse
+    // — stream -> RDBMS, exactly-once by upsert idempotence.
+    "s07_stream_jdbc_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "p02_cocoa_value_by_region" -> cocoaOracle(
       """SELECT region, sum(shipment_value_usd) AS total_value_usd
         |FROM wh GROUP BY region ORDER BY region""".stripMargin),
@@ -1349,6 +1379,31 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
         |  TRUE AS ivf_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v09: the int8 quantization (floor-half-up, engine-portable) and
+    // the integer cosine recomputed exactly — the compressed corpus's
+    // ranking is hash-compared, not approximated.
+    "v09_int8_knn" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma > 0
+        |         THEN list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / ma * 127 + 0.5))
+        |         ELSE list_transform(embedding, x -> 0.0) END AS qv
+        |  FROM m),
+        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |    CASE WHEN a.nrm * b.nrm > 0 THEN list_dot_product(a.qv, b.qv) / (a.nrm * b.nrm) ELSE 0.0 END AS cos
+        |  FROM n a, n b WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v08: searching the saved-and-reloaded IVF index with every cell
     // probed is exact — shares v06's brute-force oracle verbatim.

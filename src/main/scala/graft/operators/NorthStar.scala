@@ -517,6 +517,18 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** v09: exact kNN over the int8-QUANTIZED corpus — the compressed
+    * deployment shape ([[Similarity.quantizeInt8]]: 4× smaller
+    * vectors, scale-invariant integer cosine). Hash-oracled: the
+    * quantization and the integer cosine are engine-portable, so
+    * DuckDB recomputes the identical ranking. */
+  def int8Knn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    Similarity.int8TopK(emb, "vec_id", "embedding", k = 5,
+      queries = Some(emb.filter(col("vec_id") < 50)))
+      .orderBy("query_id", "rank")
+  }
+
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
       withPlantedNearDupVectors(kernelSession(spark, dir, "embeddings"), dir),

@@ -107,6 +107,41 @@ object Similarity {
     }
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× embedding
+    * compression a 100 TB vector corpus wants for storage/IO/cache
+    * (float32 → int8 + one float scale per vector). Cosine is
+    * SCALE-INVARIANT, so similarity search needs no dequantization:
+    * the integer vectors are scored directly, and the only quality
+    * loss is per-dimension rounding (|err| ≤ scale/2; recall bound
+    * spec-asserted). The rounding is `floor(x + 0.5)` — the
+    * engine-portable half-up both DuckDB and Spark evaluate
+    * identically (plain `round` disagrees across engines on halves),
+    * which is what lets the quantized search be hash-oracled (v09).
+    * Zero vectors quantize to zeros (no 0/0). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__ma", array_max(transform(col(vecCol), x => abs(x))).cast("double"))
+      .select(col(idCol),
+        when(col("__ma") > 0,
+          transform(col(vecCol), x =>
+            floor(x.cast("double") / col("__ma") * 127 + lit(0.5)).cast("tinyint")))
+          .otherwise(transform(col(vecCol), _ => lit(0).cast("tinyint"))).as("qvec"),
+        (col("__ma") / 127.0d).cast("float").as("scale"))
+
+  /** Exact top-k over the int8-quantized corpus: quantize, score the
+    * integer vectors with the same brute-force kernel (values ≤ 127
+    * are float-exact; the dot accumulates in a double), rank. The
+    * compressed twin of [[bruteForceTopK]] — at scale the 4×-smaller
+    * vectors are what makes the scoring pass cache-resident. */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queries: Option[DataFrame] = None): DataFrame = {
+    def asFloats(d: DataFrame): DataFrame =
+      d.select(col(idCol), transform(col("qvec"), x => x.cast("float")).as(vecCol))
+    val corpus = asFloats(quantizeInt8(df, idCol, vecCol))
+    val q = queries.map(qdf => asFloats(quantizeInt8(qdf, idCol, vecCol)))
+    bruteForceTopK(corpus, idCol, vecCol, k, q)
+  }
+
   /** Sign-LSH bucket id: `planes` pseudo-random hyperplanes, bit p =
     * sign(Σ_i vec[i] · h(table, p, i)) with h a zero-state hash in
     * [−1, 1]. Same-bucket vectors are likely cosine-close. Fused

@@ -67,4 +67,53 @@ object CocoaStream {
     query.awaitTermination()
     batches
   }
+
+  /** Streaming drain straight into an EXTERNAL RDBMS — the reference's
+    * production shape (stream of landing files → Postgres table) run
+    * through [[graft.pipeline.JdbcWarehouse]]'s distributed upsert in
+    * `foreachBatch`. Exactly-once effect WITHOUT a transactional sink
+    * coordinator: the checkpointed file-source log guarantees each file
+    * feeds exactly one committed micro-batch, and a replayed
+    * micro-batch (crash between the JDBC write and the checkpoint
+    * commit) re-upserts the SAME key-deduped rows — idempotent by the
+    * upsert's `ON CONFLICT DO UPDATE` semantics, the same
+    * at-least-once-plus-idempotence contract the reference relies on
+    * (`README.md:31`). Returns micro-batches processed. */
+  def runAvailableNowJdbc(spark: SparkSession, landingDir: String,
+      url: String, table: String, checkpointDir: String,
+      dialect: graft.pipeline.JdbcWarehouse.Dialect = graft.pipeline.JdbcWarehouse.derby,
+      maxFilesPerTrigger: Option[Int] = None,
+      processedAt: Option[Timestamp] = None): Long = {
+    graft.pipeline.JdbcWarehouse.ensureTable(
+      url, table, CocoaSchema.warehouse, CocoaSchema.mergeKey, dialect)
+    val reader = spark.readStream
+      .schema(CocoaSchema.input)
+      .option("header", "true")
+      .option("enforceSchema", "false")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.csv(landingDir)
+
+    var batches = 0L
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val enriched = Enrich.enrich(batch,
+          processedAt.getOrElse(new Timestamp(System.currentTimeMillis())))
+        // within-batch LWW first: key-unique rows make the upsert
+        // idempotent under micro-batch replay AND conflict-free
+        // across its writer partitions
+        val deduped = Merge.lastWriterWins(enriched, CocoaSchema.mergeKey,
+          org.apache.spark.sql.functions.col("processed_at"),
+          Seq(org.apache.spark.sql.functions.col("timestamp")))
+        graft.pipeline.JdbcWarehouse.upsert(
+          deduped, url, table, CocoaSchema.mergeKey, dialect)
+        batches += 1
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    batches
+  }
 }

@@ -103,6 +103,42 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("int8 quantization: bounded rounding error, zero-vector safety, 4x payload") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).limit(50)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").collect()
+    val byId = q.map(r => r.getLong(0) ->
+      (r.getSeq[Byte](1).toArray, r.getFloat(2))).toMap
+    byId.foreach { case (id, (qv, scale)) =>
+      val orig = vecs(id)
+      assert(qv.length === orig.length)
+      assert(qv.forall(b => b >= -127 && b <= 127))
+      // dequantized error bounded by half a quantization step
+      orig.zip(qv).foreach { case (x, b) =>
+        assert(math.abs(x - b * scale) <= scale / 2 + 1e-6,
+          s"vec $id: |$x - $b*$scale| > step/2")
+      }
+    }
+    // zero vector: no division blowup, zero output
+    val z = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(z, "vec_id", "embedding").head
+    assert(zq.getSeq[Byte](1).forall(_ == 0) && zq.getFloat(2) === 0f)
+  }
+
+  test("int8 top-k keeps >=90% recall@5 vs float brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val int8 = Similarity.int8TopK(emb, "vec_id", "embedding", k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      int8.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"int8 mean recall@5 = $mean%.3f")
+    spark.catalog.clearCache()
+  }
+
   test("embedding near-dup pairs recover planted perturbed vectors") {
     val pairs = NorthStar.embeddingNearDups(spark, dir).collect()
     val planted = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
