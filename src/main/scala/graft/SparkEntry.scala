@@ -135,6 +135,8 @@ object SparkEntry {
     "d17_token_chunks"       -> ((s, dir) => NorthStar.tokenChunks(s, dir)),
     "d18_decontamination"    -> ((s, dir) => NorthStar.decontamination(s, dir)),
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
+    "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
+    "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -144,6 +146,7 @@ object SparkEntry {
     "v07_lsh_exact"          -> (NorthStar.annExactTopK _),
     "v08_ivf_saved"          -> (NorthStar.ivfSavedTopK _),
     "v09_int8_knn"           -> (NorthStar.int8Knn _),
+    "v10_ivf_int8"           -> (NorthStar.ivfInt8Knn _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -1012,6 +1015,74 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,
         |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // d20: the line-level boilerplate strip re-derived exactly — the
+    // oracle re-plants the footer lines, recomputes line document
+    // frequencies, strips df > 10 candidates, and md5s the rebuilt
+    // text (order preserved via subscripts).
+    "d20_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || '-- graft footer --' || chr(10) || 'subscribe to graft weekly' AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |ln AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        |  FROM d),
+        |cand AS (SELECT DISTINCT doc_id, line FROM ln WHERE length(line) >= 1),
+        |dfq AS (SELECT line, count(*) AS ndocs FROM cand GROUP BY line),
+        |boiler AS (SELECT line FROM dfq WHERE ndocs > 10),
+        |kept AS (
+        |  SELECT l.doc_id, l.idx, l.line FROM ln l
+        |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)),
+        |tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM d),
+        |agg AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list(line ORDER BY idx), chr(10))) AS clean_md5,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.clean_md5, md5('')) AS clean_md5,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_removed
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // d21: the repetition signals recomputed from the same token/line
+    // streams — integer counts, one double division per signal, the
+    // shared floor-half-up 4dp quantization.
+    "d21_repetition_signals" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS DOUBLE) AS nl,
+        |    CAST(len(list_distinct(ls)) AS DOUBLE) AS dl,
+        |    CASE WHEN len(toks) >= 5
+        |         THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+        |         ELSE [] END AS g5,
+        |    CASE WHEN len(toks) >= 2
+        |         THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        |         ELSE [] END AS g2
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, nl, dl,
+        |    CAST(len(g5) AS DOUBLE) AS n5, CAST(len(list_distinct(g5)) AS DOUBLE) AS d5, g2
+        |  FROM g),
+        |t2 AS (
+        |  SELECT doc_id, CAST(max(cnt) AS DOUBLE) AS mc, CAST(sum(cnt) AS DOUBLE) AS tc
+        |  FROM (SELECT doc_id, gg, count(*) AS cnt
+        |        FROM (SELECT doc_id, unnest(g2) AS gg FROM c) GROUP BY doc_id, gg)
+        |  GROUP BY doc_id),
+        |j AS (
+        |  SELECT c.doc_id, c.nl, c.dl, c.n5, c.d5,
+        |    coalesce(t2.mc, 0) AS mc, coalesce(t2.tc, 0) AS tc
+        |  FROM c LEFT JOIN t2 ON c.doc_id = t2.doc_id)
+        |SELECT doc_id,
+        |  floor((CASE WHEN nl > 0 THEN (nl - dl) / nl ELSE 0 END) * 10000 + 0.5) / 10000.0 AS dup_line_frac,
+        |  floor((CASE WHEN n5 > 0 THEN (n5 - d5) / n5 ELSE 0 END) * 10000 + 0.5) / 10000.0 AS dup_5gram_frac,
+        |  floor((CASE WHEN tc > 0 THEN mc / tc ELSE 0 END) * 10000 + 0.5) / 10000.0 AS top_2gram_frac
+        |FROM j ORDER BY doc_id""".stripMargin,
     // m01: the multimodal feature kernel recomputed in SQL. Payloads
     // are real container headers (PNG 33 B / JPEG 39 B / WAV 44 B)
     // wrapping the text as content; the oracle re-derives the planned
@@ -1384,6 +1455,30 @@ object SparkEntry {
     // the integer cosine recomputed exactly — the compressed corpus's
     // ranking is hash-compared, not approximated.
     "v09_int8_knn" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma > 0
+        |         THEN list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / ma * 127 + 0.5))
+        |         ELSE list_transform(embedding, x -> 0.0) END AS qv
+        |  FROM m),
+        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |    CASE WHEN a.nrm * b.nrm > 0 THEN list_dot_product(a.qv, b.qv) / (a.nrm * b.nrm) ELSE 0.0 END AS cos
+        |  FROM n a, n b WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v10: IVF+SQ8 probed at nProbe=nCells is exact over the
+    // quantized corpus - shares v09's int8 brute-force oracle verbatim.
+    "v10_ivf_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma

@@ -287,6 +287,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard"))
   }
 
+  /** LINE-level corpus dedup — the boilerplate-removal stage of the
+    * published pretraining pipelines (headers, footers, nav chrome:
+    * lines repeated across many documents carry no signal and skew
+    * n-gram statistics). A line with document frequency >
+    * `maxDocFreq` (counted once per doc, only lines of at least
+    * `minLineChars` chars are candidates — blank/trivial lines are
+    * never stripped) is removed from every document; remaining lines
+    * keep their original order and within-doc repetitions.
+    *
+    * Scale shape: one line explode, one distinct + count aggregate
+    * (map-side partials) to find the boilerplate set, one anti join
+    * back — all shuffles keyed on the line text, never a doc×doc
+    * space. Returns (id, text_clean, n_lines_kept, n_lines_removed);
+    * fully-stripped documents yield an empty clean text, not a
+    * dropped row. */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int, minLineChars: Int = 1): DataFrame = {
+    val scope = new CacheScope
+    val lines = scope.pin(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "line"))
+    val boiler = lines
+      .filter(length(col("line")) >= minLineChars)
+      .select(col("id"), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("line"))
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx").as("i"), col("line").as("l")))),
+          s => s.getField("l")), "\n").as("text_clean"),
+        count(lit(1)).as("n_lines_kept"))
+    val totals = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("__n_total"))
+    scope.sealResult(totals.join(kept, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n_total") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed")))
+  }
+
   /** Connected components over a near-dup pair set: every doc that
     * appears in a pair gets the MINIMUM id reachable through pairs as
     * its `cluster_id` — the transitive-closure step that turns

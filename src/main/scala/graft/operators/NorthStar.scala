@@ -200,6 +200,67 @@ object NorthStar {
     out
   }
 
+  /** documents with two deterministic boilerplate lines appended to
+    * every doc — the fixture corpus has no naturally repeated lines,
+    * and an operator that provably strips exactly its planted
+    * boilerplate is the meaningful check (same planting philosophy as
+    * [[withPlantedNearDups]]). The oracle re-plants in SQL. */
+  private[operators] def withPlantedBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit("\n-- graft footer --\nsubscribe to graft weekly")).as("text"))
+      .repartition(widenWidth(spark), col("doc_id"))
+
+  /** d20: LINE-level boilerplate dedup over the planted corpus
+    * ([[Dedup.stripBoilerplateLines]]) — the repeated-footer removal
+    * stage of published pretraining pipelines, hash-oracled (the
+    * cleaned text is exact strings, so DuckDB recomputes its md5). */
+  def lineDedupClean(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripBoilerplateLines(withPlantedBoilerplate(spark, dir),
+      "doc_id", "text", maxDocFreq = 10)
+      .select(col("doc_id"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("n_lines_kept"), col("n_lines_removed"))
+      .orderBy("doc_id")
+
+  /** d21: per-document REPETITION quality signals (the Gopher-rule
+    * family): duplicate-line fraction, duplicate-5-gram fraction, and
+    * the share of the most frequent 2-gram. Pure integer counting +
+    * one double division per signal (quantized 4dp) — engine-portable
+    * and hash-oracled. The line/gram counts are per-row expressions;
+    * only the top-2-gram pass shuffles (explode → count → max),
+    * keyed on doc_id. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    def grams(n: Int) = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val ls = split(col("text"), "\n")
+    val base = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .repartition(widenWidth(spark), col("doc_id"))
+      .select(col("doc_id"),
+        size(ls).cast("double").as("nl"),
+        size(array_distinct(ls)).cast("double").as("dl"),
+        size(grams(5)).cast("double").as("n5"),
+        size(array_distinct(grams(5))).cast("double").as("d5"),
+        grams(2).as("g2"))
+    val top2 = base.select(col("doc_id"), explode_outer(col("g2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("g").isNotNull, col("c")).otherwise(lit(0L))).cast("double").as("mc"),
+        sum(when(col("g").isNotNull, col("c")).otherwise(lit(0L))).cast("double").as("tc"))
+    val q4 = graft.functions.Quantize.quantize4 _
+    base.join(top2, Seq("doc_id"))
+      .select(col("doc_id"),
+        q4(when(col("nl") > 0, (col("nl") - col("dl")) / col("nl")).otherwise(lit(0.0))).as("dup_line_frac"),
+        q4(when(col("n5") > 0, (col("n5") - col("d5")) / col("n5")).otherwise(lit(0.0))).as("dup_5gram_frac"),
+        q4(when(col("tc") > 0, col("mc") / col("tc")).otherwise(lit(0.0))).as("top_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** d16: deterministic train/val/test assignment — bucket = the
     * portable document fingerprint mod 100, split by 80/10/10. The
     * split is a pure per-row expression (no shuffle, no sampling
@@ -526,6 +587,22 @@ object NorthStar {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
     Similarity.int8TopK(emb, "vec_id", "embedding", k = 5,
       queries = Some(emb.filter(col("vec_id") < 50)))
+      .orderBy("query_id", "rank")
+  }
+
+  /** v10: IVF over the int8-QUANTIZED corpus — the compressed-index
+    * deployment shape (FAISS calls it IVF+SQ8: cells prune the search
+    * space, int8 shrinks the vectors the cells store 4×). Driven to
+    * exactness the v06 way (nProbe = nCells), so the output must
+    * hash-equal int8 brute force — v09's oracle verbatim certifies
+    * the whole composition (quantize → k-means build → cell probe →
+    * integer scoring → rank). */
+  def ivfInt8Knn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"), transform(col("qvec"), x => x.cast("float")).as("embedding"))
+    IvfIndex.topK(spark, q, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8,
+      queries = Some(q.filter(col("vec_id") < 50)))
       .orderBy("query_id", "rank")
   }
 

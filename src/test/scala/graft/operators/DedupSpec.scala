@@ -111,4 +111,44 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(id => id >= 100000L && out.contains(id - 100000L)),
       "near-dup removal kept both halves of a planted pair")
   }
+
+  test("line-level boilerplate strip: cross-doc lines removed, order and within-doc dups kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 12 docs share a footer; doc 0 also repeats ITS OWN unique line
+    // (must survive — df counts per doc, not per occurrence)
+    val docs = (0L until 12L).map { i =>
+      val own = s"unique line $i"
+      val body = if (i == 0) s"$own\n$own" else own
+      (i, s"intro $i\n$body\nSHARED FOOTER")
+    }.toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 12)
+    (0L until 12L).foreach { i =>
+      val r = out(i)
+      assert(!r.getString(1).contains("SHARED FOOTER"), s"doc $i kept boilerplate")
+      assert(r.getLong(3) === 1L, s"doc $i should lose exactly the footer")
+    }
+    assert(out(0L).getString(1) === "intro 0\nunique line 0\nunique line 0",
+      "order and within-doc duplicates must be preserved")
+
+    // a doc that is ALL boilerplate still yields a row (empty clean text)
+    val allBoiler = (0L until 12L).map(i => (i, "SHARED FOOTER")).toDF("doc_id", "text")
+    val stripped = Dedup.stripBoilerplateLines(allBoiler, "doc_id", "text", maxDocFreq = 10)
+    assert(stripped.count() === 12)
+    assert(stripped.filter(col("text_clean") =!= "").count() === 0)
+    assert(stripped.filter(col("n_lines_removed") =!= 1L).count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("planted-footer corpus: d20 removes exactly the two planted lines per doc") {
+    val out = NorthStar.lineDedupClean(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // every doc had exactly the two planted boilerplate lines appended;
+    // the fixture corpus itself has no cross-doc repeated lines
+    assert(out.forall(_.getLong(3) == 2L),
+      "every doc must lose exactly its two planted footer lines")
+    spark.catalog.clearCache()
+  }
 }
