@@ -137,6 +137,7 @@ object SparkEntry {
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
+    "d22_sequence_packing"   -> ((s, dir) => NorthStar.packSequences(s, dir)),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1083,6 +1084,27 @@ object SparkEntry {
         |  floor((CASE WHEN n5 > 0 THEN (n5 - d5) / n5 ELSE 0 END) * 10000 + 0.5) / 10000.0 AS dup_5gram_frac,
         |  floor((CASE WHEN tc > 0 THEN mc / tc ELSE 0 END) * 10000 + 0.5) / 10000.0 AS top_2gram_frac
         |FROM j ORDER BY doc_id""".stripMargin,
+    // d22: the packing manifest re-derived — same token counts, same
+    // per-language running offsets (window cumsum), same boundary
+    // arithmetic in integer SQL.
+    "d22_sequence_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id, lang, n FROM tok WHERE n > 0),
+        |o AS (
+        |  SELECT doc_id, lang, n,
+        |    coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, lang, n, strt,
+        |    unnest(range(CAST(strt // 256 AS BIGINT), CAST((strt + n - 1) // 256 + 1 AS BIGINT))) AS seq_id
+        |  FROM o)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(least((seq_id + 1) * 256, strt + n) - greatest(seq_id * 256, strt) AS BIGINT) AS n_tokens
+        |FROM sp ORDER BY lang, seq_id, doc_id""".stripMargin,
     // m01: the multimodal feature kernel recomputed in SQL. Payloads
     // are real container headers (PNG 33 B / JPEG 39 B / WAV 44 B)
     // wrapping the text as content; the oracle re-derives the planned

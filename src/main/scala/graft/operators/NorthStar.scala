@@ -261,6 +261,42 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** d22: SEQUENCE PACKING — the concat-and-cut step that turns a
+    * cleaned corpus into fixed-length training sequences: the token
+    * stream (docs in deterministic doc_id order) is cut at `seqLen`
+    * boundaries, documents spanning a boundary split across
+    * consecutive sequences. Output is the packing MANIFEST: one row
+    * per (sequence, contributing document) with the token count it
+    * contributes — exactly what a loader needs to materialize packed
+    * batches without ever concatenating text in the engine.
+    *
+    * Sharded by `lang`: each stratum packs independently (one keyed
+    * window, no global ordering bottleneck) — the shard column is how
+    * this scales: a 100 TB corpus packs per (shard, worker) exactly
+    * like this per-language fixture. Pure integer arithmetic over a
+    * running token offset ⇒ hash-oracled. */
+  def packSequences(spark: SparkSession, dir: String, seqLen: Long = 256L): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0) // tokenless docs contribute nothing to the stream
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // all offsets are non-negative and far below 2^53, so the
+    // double-division floor is exact here (contrast RangeJoin.bandOf,
+    // which must survive arbitrary epochs)
+    def seqOf(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(p / seqLen).cast("long")
+    base.withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(seqOf(col("start")), seqOf(col("start") + col("n") - 1))))
+      .select(col("lang"), col("seq_id"), col("doc_id"),
+        (least((col("seq_id") + 1) * seqLen, col("start") + col("n")) -
+          greatest(col("seq_id") * seqLen, col("start"))).as("n_tokens"))
+      .orderBy("lang", "seq_id", "doc_id")
+  }
+
   /** d16: deterministic train/val/test assignment — bucket = the
     * portable document fingerprint mod 100, split by 80/10/10. The
     * split is a pure per-row expression (no shuffle, no sampling

@@ -44,6 +44,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(short.count() == 0, "only a doc's final chunk may be partial")
   }
 
+  test("sequence packing: token conservation and full interior sequences") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val manifest = NorthStar.packSequences(spark, dir, seqLen = 256L).cache()
+    // conservation: each doc's manifest contributions sum to its token count
+    val perDoc = manifest.groupBy("doc_id").agg(sum("n_tokens").as("packed"))
+    val counts = graft.core.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+    assert(perDoc.join(counts, "doc_id").filter(col("packed") =!= col("n")).count() === 0,
+      "packing lost or duplicated tokens")
+    assert(perDoc.count() === counts.count(), "every tokenful doc must be packed")
+    // every sequence except each language's LAST holds exactly seqLen tokens
+    val perSeq = manifest.groupBy("lang", "seq_id").agg(sum("n_tokens").as("t"))
+    val lastSeq = perSeq.groupBy("lang").agg(max("seq_id").as("last"))
+    val interior = perSeq.join(lastSeq, "lang").filter(col("seq_id") < col("last"))
+    assert(interior.filter(col("t") =!= 256L).count() === 0,
+      "interior sequences must be exactly full")
+    manifest.unpersist()
+  }
+
   test("decontamination flags a constructed benchmark copy") {
     import spark.implicits._
     // doc 3 is benchmark (id < 10); doc 12 repeats its text verbatim →
