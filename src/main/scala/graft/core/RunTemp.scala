@@ -8,41 +8,44 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Operators stage artifacts (format round-trips, stream file sinks,
   * saved indexes, binary-asset stores) into UNIQUE directories so a
-  * re-run can never delete a store a still-held lazy frame points at
-  * — but unique dirs accumulate, and nothing else ever deletes them.
-  * One shutdown hook sweeps everything this JVM created; a directory
-  * therefore lives exactly as long as any frame that can read it. */
+  * re-run can never overwrite a store a still-held lazy frame points
+  * at. LIFETIME CONTRACT: a directory lives until (a) JVM exit,
+  * (b) an explicit [[release]], or (c) [[keepPerPrefix]] NEWER
+  * directories exist for the same call-site prefix — so a lazy frame
+  * must be consumed before its creating call site runs 8 more times
+  * (in practice: within the same benchmark round / query invocation;
+  * the pre-reaping design held dirs forever and leaked a full staged
+  * copy per invocation in long-lived processes). */
 object RunTemp {
 
-  private val created = ArrayBuffer.empty[Path]
+  // (exact creating prefix, path): grouping by the recorded prefix —
+  // NOT by name.startsWith — so "graft_io_" can never reap a
+  // different call site's "graft_io_orc_" dirs.
+  private val created = ArrayBuffer.empty[(String, Path)]
 
   /** Most-recent directories kept per prefix; older siblings are
-    * reaped on the next [[dir]] call with that prefix. Bounds the
-    * disk a LONG-LIVED process accumulates (benchmark loops calling
-    * the same stage/drain/save sites every round) while staying far
-    * above the number of same-prefix artifacts any single round holds
-    * live frames over — the old fixed-path design was effectively
-    * keep=1 (overwrite in place), so keep=8 is strictly safer than
-    * what it replaced. */
+    * reaped on the next [[dir]] call with that exact prefix. Far
+    * above the number of same-prefix artifacts any single round
+    * holds live frames over. */
   private val keepPerPrefix = 8
 
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      created.synchronized { created.foreach(deleteRecursively) }))
+      created.synchronized { created.foreach(e => deleteRecursively(e._2)) }))
 
   /** Create a unique directory under the JVM tmpdir, registered for
     * recursive deletion at JVM shutdown; reaps same-prefix dirs beyond
-    * the [[keepPerPrefix]] newest. */
+    * the [[keepPerPrefix]] newest (see the lifetime contract above). */
   def dir(prefix: String): String = {
     hookInstalled
     val p = Files.createTempDirectory(prefix)
     val toReap = created.synchronized {
-      created += p
-      val same = created.filter(_.getFileName.toString.startsWith(prefix))
+      created += ((prefix, p))
+      val same = created.filter(_._1 == prefix)
       if (same.length > keepPerPrefix) {
         val old = same.dropRight(keepPerPrefix)
         created --= old
-        old.toList
+        old.toList.map(_._2)
       } else Nil
     }
     toReap.foreach(deleteRecursively)
@@ -55,8 +58,8 @@ object RunTemp {
     * create — never deletes arbitrary input. */
   def release(path: String): Unit = {
     val target = created.synchronized {
-      val i = created.indexWhere(_.toString == path)
-      if (i < 0) None else Some(created.remove(i))
+      val i = created.indexWhere(_._2.toString == path)
+      if (i < 0) None else Some(created.remove(i)._2)
     }
     target.foreach(deleteRecursively)
   }

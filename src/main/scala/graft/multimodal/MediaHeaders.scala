@@ -149,7 +149,10 @@ object MediaHeaders {
       val size = b.getInt(i + 4)
       if (size < 0) return None
       if (ascii(i, "fmt ")) {
-        if (i + 16 > bytes.length) return None
+        // a PCM fmt chunk carries at least 16 data bytes; a shorter
+        // declared size means the sample-rate field lies outside the
+        // chunk — fail the parse, never read the next chunk's bytes
+        if (size < 16 || i + 16 > bytes.length) return None
         rate = b.getInt(i + 12)
       } else if (ascii(i, "data")) {
         return if (rate > 0) Some(Media("audio", 0, 0, rate, i + 8)) else None

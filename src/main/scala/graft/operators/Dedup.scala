@@ -373,17 +373,19 @@ object Dedup {
     // collect and mis-classify a huge graph as small (wrong clusters).
     require(smallGraphEdges >= 0 && smallGraphEdges < Int.MaxValue,
       s"smallGraphEdges must be in [0, Int.MaxValue): $smallGraphEdges")
-    // The UNDIRECTED pair list. NOT cached up front: on the small
-    // path (the one every near-dup-sized graph takes) the probe's
-    // collect is the ONLY consumer — union-find runs on the collected
-    // rows — so a cache would be pure write overhead. The big path
-    // caches below, where the symmetrize genuinely consumes the pair
-    // list twice. The symmetrize + distinct the distributed loop
-    // needs is also deferred there — union-find is direction- and
-    // duplicate-agnostic, so the small path skips those exchanges
-    // (and their AQE stage-materialization jobs) entirely.
+    // The UNDIRECTED pair list, cached BEFORE the probe: on the small
+    // path the cache write is a small overhead the collect pays once,
+    // but on the BIG path — the one where the pair machinery is
+    // genuinely expensive — the probe's collect would otherwise
+    // execute the full upstream lineage and the later cache fill
+    // would execute it a second time. Scale correctness beats the
+    // one-job fixture saving (measured and reverted r5). The
+    // symmetrize + distinct the distributed loop needs stays deferred
+    // to the big path — union-find is direction- and duplicate-
+    // agnostic, so the small path skips those exchanges entirely.
     val undirected = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
+      .cache()
 
     // Small-graph fast path — the broadcast-join analogue: a pair
     // graph under ~2M edges (32 MB of longs) is driver-trivial with
@@ -416,16 +418,15 @@ object Dedup {
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       parent.keySet().forEach(v => out += ((v, find(v))))
+      undirected.unpersist()
       return out.toSeq.toDF("doc_id", "cluster_id")
     }
 
     // Distributed path: min-label propagation needs each vertex to see
-    // ALL its neighbors, so symmetrize + dedup here. The pair list is
-    // cached FIRST (big path only — it is consumed by both union
-    // branches; the small path above never needed it).
-    val cachedUndirected = undirected.cache()
-    val edges = cachedUndirected
-      .unionByName(cachedUndirected.select(col("dst").as("src"), col("src").as("dst")))
+    // ALL its neighbors, so symmetrize + dedup here (reading the
+    // cached pair list, not re-running the pair machinery).
+    val edges = undirected
+      .unionByName(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
 
@@ -446,7 +447,7 @@ object Dedup {
     loop.conf.set("spark.sql.shuffle.partitions", "8")
     val loopEdges = loop.createDataFrame(edges.toDF().rdd, edges.schema).cache()
     try connectedComponentsLoop(loopEdges, maxRounds)
-    finally { edges.unpersist(); cachedUndirected.unpersist() }
+    finally { edges.unpersist(); undirected.unpersist() }
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxRounds: Int): DataFrame = {

@@ -69,11 +69,34 @@ object RangeJoin {
       s"column collision: ${rightOnly.intersect(leftOnly).mkString(",")}")
     // working columns would silently overwrite same-named user
     // columns (withColumn replaces) — reject instead
-    val reserved = Seq("__band", "__b_lo", "__b_hi")
+    val reserved = Seq("__band", "__b_lo", "__b_hi", "__bandw")
     val clash = (left.columns ++ right.columns).toSeq.intersect(reserved)
     require(clash.isEmpty, s"reserved column names in input: ${clash.mkString(",")}")
 
-    val band = bandUs.getOrElse(autoBand(right, rightTs, lowerUs, upperUs))
+    // The band width rides the PLAN, not the driver: auto mode derives
+    // it from a 1-row broadcast stats aggregate cross-joined onto both
+    // sides, so constructing the join stays lazy (no eager Spark job,
+    // no double execution of an expensive `right` lineage) and the
+    // stats evaluate exactly once, at execution, as part of the query.
+    // An EXPLICIT band skips the stats entirely and stays a literal.
+    val bandStats = bandUs match {
+      case Some(_) => None
+      case None =>
+        val span = math.max(upperUs - lowerUs, 1L)
+        Some(broadcast(right.agg(
+            count(col(rightTs)).as("__n"),
+            min(col(rightTs)).as("__lo"),
+            max(col(rightTs)).as("__hi"))
+          .select(
+            when(col("__n") > 0,
+              least(lit(span), greatest(lit(1L),
+                ceil(lit(targetRowsPerBand.toDouble) *
+                  (col("__hi") - col("__lo") + 1L) / col("__n")).cast("long"))))
+              .otherwise(lit(span)).as("__bandw"))))
+    }
+    def attach(df: DataFrame): DataFrame =
+      bandStats.map(df.crossJoin).getOrElse(df)
+    val bw: Column = bandUs.map(b => lit(b)).getOrElse(col("__bandw"))
     // EXACT floorDiv, not floor(double-division): ts − pmod(ts, band)
     // is the greatest band multiple ≤ ts (pmod is non-negative, so
     // negative epochs floor correctly), and dividing an exact multiple
@@ -83,15 +106,17 @@ object RangeJoin {
     // left-side rows. (Long underflow needs ts < MIN_LONG + band —
     // ~292,000 years before epoch at band = 1 day — out of domain.)
     def bandOf(ts: Column): Column =
-      ((ts - pmod(ts, lit(band))).cast("decimal(38,0)") / lit(band)).cast("long")
+      ((ts - pmod(ts, bw)).cast("decimal(38,0)") / bw).cast("long")
 
-    val l = left
+    val l = attach(left)
       .withColumn("__b_lo", bandOf(col(leftTs) + lit(lowerUs)))
       .withColumn("__b_hi", bandOf(col(leftTs) + lit(upperUs)))
       // sequence(lo, hi) is 1 or 2 elements by construction
       .withColumn("__band", explode(sequence(col("__b_lo"), col("__b_hi"))))
-      .drop("__b_lo", "__b_hi")
-    val r = right.withColumn("__band", bandOf(col(rightTs)))
+      .drop("__b_lo", "__b_hi", "__bandw")
+    val r = attach(right)
+      .withColumn("__band", bandOf(col(rightTs)))
+      .drop("__bandw")
 
     l.join(r, equiKeys :+ "__band")
       .filter(col(rightTs) >= col(leftTs) + lit(lowerUs) &&
@@ -104,16 +129,21 @@ object RangeJoin {
     * (span/band + 1 output rows per left row). */
   private val targetRowsPerBand = 32L
 
-  /** Derive a band width from the right side's observed density: one
-    * aggregate (column-pruned to the ts column — a cheap pre-pass
-    * next to the join's own scan) measures row count and ts extent,
-    * and the band is sized so density · band ≈ [[targetRowsPerBand]],
-    * clamped to [1, span]. Sparse events (density · span below the
-    * target) clamp to the span — the classic ≤2-bands-per-probe
-    * banding; dense events get proportionally finer bands, keeping
-    * every (key, band) join bucket near the target occupancy instead
-    * of letting one band swallow the whole dense extent. The clamp
-    * also makes the empty/single-timestamp cases well-defined. */
+  /** Reference (driver-side) form of the auto band the in-plan
+    * broadcast stats compute inside [[intervalJoin]] — kept for specs
+    * and callers that want the width as a value; the two MUST agree
+    * (same operation order: count/extent longs, one double multiply,
+    * one divide, ceil).
+    *
+    * One aggregate (column-pruned to the ts column) measures row
+    * count and ts extent, and the band is sized so density · band ≈
+    * [[targetRowsPerBand]], clamped to [1, span]. Sparse events
+    * (density · span below the target) clamp to the span — the
+    * classic ≤2-bands-per-probe banding; dense events get
+    * proportionally finer bands, keeping every (key, band) join
+    * bucket near the target occupancy instead of letting one band
+    * swallow the whole dense extent. The clamp also makes the empty/
+    * single-timestamp cases well-defined. */
   private[operators] def autoBand(right: DataFrame, rightTs: String,
       lowerUs: Long, upperUs: Long): Long = {
     val span = math.max(upperUs - lowerUs, 1L)

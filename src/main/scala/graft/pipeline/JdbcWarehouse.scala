@@ -150,6 +150,13 @@ object JdbcWarehouse {
                     if Set("40001", "40XL1").contains(e.getSQLState) && attempt < 3 =>
                   conn.rollback(); attempt += 1
                   Thread.sleep(50L * attempt)
+                // anything else: roll the open transaction back BEFORE
+                // rethrowing — an active transaction would make
+                // conn.close() throw (Derby 25001) from the finally and
+                // MASK this root cause
+                case e: Throwable =>
+                  try conn.rollback() catch { case _: SQLException => () }
+                  throw e
               }
             }
           }
@@ -174,7 +181,19 @@ object JdbcWarehouse {
                 psU.addBatch()
               }
               val counts = psU.executeBatch()
-              val fresh = pending.zip(counts).collect { case (r, 0) => r }
+              // JDBC lets a driver return SUCCESS_NO_INFO (-2) instead
+              // of per-row counts; treating those as "updated" would
+              // silently drop never-inserted rows. Re-probe such rows
+              // one by one — executeUpdate always returns a real count
+              // and re-running the idempotent UPDATE is harmless.
+              val fresh = pending.zip(counts).collect {
+                case (r, 0) => r
+                case (r, java.sql.Statement.SUCCESS_NO_INFO)
+                    if { var p = 1
+                      nonKey.foreach { case (f, i) => bindOne(psU, p, f.dataType, r, i); p += 1 }
+                      bindOne(psU, p, schema.fields(keyIdx).dataType, r, keyIdx)
+                      psU.executeUpdate() == 0 } => r
+              }
               if (fresh.nonEmpty) {
                 fresh.foreach { r => bind(psI, schema, r); psI.addBatch() }
                 psI.executeBatch()
@@ -192,7 +211,10 @@ object JdbcWarehouse {
               try rows.grouped(batchSize).foreach(g => flushTwoStep(psU, psI, g))
               finally { psU.close(); psI.close() }
           }
-        } finally conn.close()
+        } finally {
+          // close must never MASK an in-flight exception with its own
+          try conn.close() catch { case _: SQLException => () }
+        }
       }
     }
   }

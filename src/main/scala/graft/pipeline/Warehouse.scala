@@ -76,11 +76,18 @@ object Warehouse {
 
   /** Acquire the commit lease: create-exclusive wins outright; on
     * contention, a lease OLDER than `ttlMs` is presumed crashed and
-    * broken (delete + one re-create attempt — the create-exclusive
-    * race decides between concurrent breakers); a younger lease fails
-    * the caller loudly. No manual `_COMMIT_LOCK` removal is ever
-    * needed for a crashed holder — the next committer past the TTL
-    * reclaims it (VERDICT r4 "What's wrong" #2). */
+    * broken; a younger lease fails the caller loudly. No manual
+    * `_COMMIT_LOCK` removal is ever needed for a crashed holder — the
+    * next committer past the TTL reclaims it.
+    *
+    * Breaking is a RENAME of the stale lock to a breaker-unique
+    * tombstone, not delete-then-create: rename succeeds for exactly
+    * one of any number of concurrent breakers (the others' source
+    * path is gone), so a loser can never delete the winner's freshly
+    * written lease the way a bare delete could. The winner then
+    * create-exclusives its own lease; the read-back in
+    * [[tryCreateLease]] demotes ties with fresh (non-breaking)
+    * committers on filesystems whose create is check-then-act. */
   private def acquireLease(fs: FileSystem, lock: Path, holderId: String,
       ttlMs: Long): Unit = {
     if (tryCreateLease(fs, lock, holderId)) return
@@ -91,11 +98,19 @@ object Warehouse {
           throw new IllegalStateException(
             s"another commit holds $lock (holder ${l.holderId}, age ${age}ms" +
               s" <= ttl ${ttlMs}ms); it will be reclaimable after the TTL")
-        fs.delete(lock, false) // break the stale lease
+        val tombstone = new Path(lock.getParent, s".$lockFile.broken.$holderId")
+        val won =
+          try fs.rename(lock, tombstone)
+          catch { case _: java.io.IOException => false }
+        if (!won)
+          throw new IllegalStateException(
+            s"another commit holds $lock (a concurrent breaker reclaimed the" +
+              " stale lease first)")
+        fs.delete(tombstone, false)
         if (!tryCreateLease(fs, lock, holderId))
           throw new IllegalStateException(
-            s"another commit holds $lock (won the re-acquire race after a" +
-              " stale lease was broken)")
+            s"another commit holds $lock (lost the re-acquire race after" +
+              " breaking a stale lease)")
       case None => // holder released between our create failure and read
         if (!tryCreateLease(fs, lock, holderId))
           throw new IllegalStateException(
@@ -168,12 +183,19 @@ object Warehouse {
     *    commits; a crashed holder's lease is reclaimed automatically
     *    by the next committer once older than `lockTtlMs` — no
     *    operator intervention ([[acquireLease]]);
-    *  - fencing: immediately before the pointer swap the committer
+    *  - writer-writer data isolation: each holder writes its snapshot
+    *    into a PRIVATE staging directory (`.v{n}_{holderId}`) and only
+    *    an atomic directory rename makes it `v{n}` — so a stalled
+    *    holder whose lease is reclaimed can never interleave part
+    *    files into the directory its successor publishes (the
+    *    delete+overwrite shape had exactly that write-write window);
+    *  - fencing: immediately before the publish rename the committer
     *    re-reads the lock and verifies it still carries ITS holder-id
     *    and that `_VERSION` is unchanged since acquisition. A holder
-    *    that stalled past the TTL and lost its lease ABORTS (its
-    *    snapshot dir remains, harmless — version numbers are never
-    *    reused) instead of publishing over the new holder's commit;
+    *    that stalled past the TTL and lost its lease ABORTS — its
+    *    staging dir is its own, deleted on exit, and version numbers
+    *    are never reused — instead of publishing over the new
+    *    holder's commit;
     *  - version monotonicity: `next` is 1 + the max over BOTH the
     *    pointer and all complete snapshot dirs, so a crash after
     *    snapshot-write but before publish can never cause a version
@@ -195,6 +217,7 @@ object Warehouse {
     val lock = new Path(root, lockFile)
     val holderId = java.util.UUID.randomUUID().toString
     acquireLease(fs, lock, holderId, lockTtlMs)
+    var staging: Option[Path] = None
     try {
       // the raw pointer (NOT the snapshot-recovered version): the
       // fencing comparison below must not be perturbed by our own
@@ -202,7 +225,13 @@ object Warehouse {
       val pointerAtAcquire = pointerVersion(fs, root)
       val next = (currentVersion(spark, root).toSeq ++
         completeSnapshots(spark, root)).maxOption.map(_ + 1).getOrElse(0L)
-      df.write.mode("overwrite").parquet(versionPath(root, next))
+      // PRIVATE staging dir: only this holder ever writes it, so a
+      // reclaimed-lease zombie still writing cannot touch what the
+      // new holder publishes. Dot-prefixed ⇒ invisible to
+      // completeSnapshots and to parquet readers.
+      val stage = new Path(root, s".v${next}_$holderId")
+      staging = Some(stage)
+      df.write.mode("overwrite").parquet(stage.toString)
       // fencing: publish only while the lease is still OURS and nobody
       // committed underneath us (lost lease ⇒ a breaker judged us
       // crashed and may be mid-commit itself).
@@ -215,6 +244,23 @@ object Warehouse {
         throw new IllegalStateException(
           s"commit fenced: $versionFile advanced past $pointerAtAcquire" +
             s" during this commit; snapshot v$next left unpublished")
+      // Publish the snapshot: atomic rename, NO overwrite. Under the
+      // lease only this holder targets v{next}; a leftover v{next}
+      // can only be an INCOMPLETE orphan (no _SUCCESS — after this
+      // protocol every real v-dir appears atomically complete), which
+      // is invisible to recovery and safe to clear under the lease.
+      val target = new Path(versionPath(root, next))
+      if (fs.exists(target)) {
+        if (fs.exists(new Path(target, "_SUCCESS")))
+          throw new IllegalStateException(
+            s"commit fenced: complete snapshot $target appeared during this" +
+              " commit (concurrent writer?); aborting unpublished")
+        fs.delete(target, true)
+      }
+      if (!fs.rename(stage, target))
+        throw new IllegalStateException(
+          s"commit failed: could not publish $stage as $target")
+      staging = None
       val tmp = new Path(root, s".$versionFile.tmp")
       val out = fs.create(tmp, true)
       try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
@@ -225,6 +271,8 @@ object Warehouse {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       next
     } finally {
+      staging.foreach(s => try fs.delete(s, true)
+        catch { case _: java.io.IOException => () })
       // release only a lease we still own — never a successor's lock
       if (readLease(fs, lock).exists(_.holderId == holderId))
         fs.delete(lock, false)

@@ -52,6 +52,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m2.sampleRate === 16000)
     assert(m2.headerLen === 44 + 12, "content offset past the inserted chunk")
     assert(MediaHeaders.parseWav("RIFFxxxxNOPE".getBytes).isEmpty)
+    // a fmt chunk whose declared size is too short for the rate field
+    // must fail the parse, not read into the following chunk's bytes
+    val shortFmt = canonical.clone()
+    shortFmt(16) = 4 // fmt size 16 -> 4
+    assert(MediaHeaders.parseWav(shortFmt).isEmpty, "short fmt chunk parsed")
   }
 
   test("sniffing dispatches by signature") {

@@ -155,13 +155,28 @@ class RangeJoinSpec extends AnyFunSuite {
   }
 
   test("plans as an equi join on (key, band) — no nested loop, no cartesian") {
-    val df = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
+    // explicit band: the whole plan must be pure equi-join machinery
+    val explicit = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
+      0L, 1000L, Seq("key"), bandUs = Some(1000L))
+    explicit.collect()
+    val pe = explicit.queryExecution.executedPlan.toString
+    assert(!pe.contains("BroadcastNestedLoopJoin") && !pe.contains("CartesianProduct"),
+      s"range join fell back to a theta product:\n$pe")
+    assert(pe.contains("Join"), "expected an equi join in the plan")
+
+    // auto band: the PAIR join must still be the banded equi join;
+    // the only nested-loop allowed is the 1-ROW broadcast stats
+    // attach (how a scalar subplan rides the query) — never the
+    // |L|x|R| pair space
+    val auto = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
       0L, 1000L, Seq("key"))
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"range join fell back to a theta product:\n$p")
-    assert(p.contains("Join"), "expected an equi join in the plan")
+    auto.collect()
+    val pa = auto.queryExecution.executedPlan.toString
+    assert(!pa.contains("CartesianProduct"), s"cartesian pair space:\n$pa")
+    assert(pa.contains("__band"), "expected the banded equi join key")
+    val pairJoinIsEqui = pa.linesIterator
+      .exists(l => l.contains("Join") && l.contains("__band"))
+    assert(pairJoinIsEqui, s"pair join is not on (key, band):\n$pa")
   }
 
   test("q36 shape: view->purchase pairs within the hour on the fixture") {
