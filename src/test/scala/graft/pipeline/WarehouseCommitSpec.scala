@@ -76,6 +76,14 @@ class WarehouseCommitSpec extends AnyFunSuite {
     // the loser must not delete the new holder's lease on the way out
     assert(fs.exists(new Path(root, "_COMMIT_LOCK")),
       "fenced commit deleted a lease it no longer owns")
+    // write isolation: the fenced holder's PRIVATE staging dir is
+    // cleaned up, and no v-directory was ever created — the successor
+    // can publish v0 into a pristine namespace
+    val leftovers = fs.listStatus(new Path(root)).map(_.getPath.getName).toSet
+    assert(!leftovers.exists(_.startsWith(".v")),
+      s"fenced commit leaked its staging dir: $leftovers")
+    assert(!leftovers.exists(_.matches("v\\d+")),
+      s"fenced commit created a public snapshot dir: $leftovers")
   }
 
   test("racing committers: both land, versions distinct and monotonic") {
