@@ -75,6 +75,29 @@ class JdbcWarehouseSpec extends AnyFunSuite {
     assert(back.filter(col("quality_score").isNull).count() === 10)
   }
 
+  test("a constraint violation surfaces as the ROOT cause, not a close-time error") {
+    val url = freshUrl()
+    JdbcWarehouse.ensureTable(url, "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    // region longer than VARCHAR(512): the batch must fail with the
+    // Derby truncation error itself — not the 'cannot close a
+    // connection while a transaction is active' (25001) that an
+    // un-rolled-back transaction produces from conn.close()
+    val bad = dedup(batch(9, 5, 1000000L))
+      .withColumn("region", lit("x" * 600))
+    val err = intercept[org.apache.spark.SparkException] {
+      JdbcWarehouse.upsert(bad, url, "wh", CocoaSchema.mergeKey)
+    }
+    val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("truncation") || chain.contains("22001"),
+      s"expected the truncation root cause, got: $chain")
+    assert(!chain.contains("active transaction"),
+      s"close-time error masked the root cause: $chain")
+    // the connection was released cleanly: the table is still usable
+    JdbcWarehouse.upsert(dedup(batch(9, 5, 1000000L)), url, "wh", CocoaSchema.mergeKey)
+    assert(JdbcWarehouse.read(spark, url, "wh").count() === 5)
+  }
+
   test("postgres dialect emits the reference's conflict clause") {
     val sql = JdbcWarehouse.postgres.singleStatement.get(
       "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
