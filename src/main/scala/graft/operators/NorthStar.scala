@@ -270,25 +270,62 @@ object NorthStar {
     * contributes — exactly what a loader needs to materialize packed
     * batches without ever concatenating text in the engine.
     *
-    * Sharded by `lang`: each stratum packs independently (one keyed
-    * window, no global ordering bottleneck) — the shard column is how
-    * this scales: a 100 TB corpus packs per (shard, worker) exactly
-    * like this per-language fixture. Pure integer arithmetic over a
-    * running token offset ⇒ hash-oracled. */
+    * The running token offset is a TWO-PHASE DISTRIBUTED PREFIX-SUM,
+    * never a per-language window: a real corpus is majority one
+    * language, so `sum(n) over (partition by lang order by doc_id)`
+    * would pack the dominant stratum in a single task. Instead:
+    *
+    *  1. range-partition the minimal (doc_id, lang, n) projection on
+    *     (lang, doc_id) and MATERIALIZE the partition id as data —
+    *     within one range partition, each language's docs are a
+    *     contiguous doc_id interval, and every earlier pid holds only
+    *     smaller doc_ids of that language;
+    *  2. per-(pid, lang) token subtotals — O(partitions × languages)
+    *     rows — then each slice's global offset via a cumulative sum
+    *     over that TINY frame (the only per-lang window left runs
+    *     over subtotals, not documents);
+    *  3. broadcast the offsets back and finish with a partition-LOCAL
+    *     running sum: the document-stream window partitions by
+    *     (pid, lang), so no window group ever exceeds one range
+    *     partition — parallelism is O(partitions) regardless of how
+    *     skewed the language mix is.
+    *
+    * The pid column is written to a [[graft.core.RunTemp]] staging dir
+    * rather than recomputed because a re-evaluated range exchange may
+    * re-sample its bounds — phase 2 must see the SAME pids phase 1
+    * aggregated. Offsets are identical to the single-window form, so
+    * the manifest stays hash-oracled byte-for-byte. */
   def packSequences(spark: SparkSession, dir: String, seqLen: Long = 256L): DataFrame = {
     val base = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).as("n"))
       .filter(col("n") > 0) // tokenless docs contribute nothing to the stream
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val tmp = graft.core.RunTemp.dir("graft_pack_")
+    base.repartitionByRange(parts, col("lang"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    // global offset of each (pid, lang) slice = tokens of the same
+    // language in all earlier pids; the frame under this window is
+    // subtotals (≤ parts × langs rows), not the corpus
+    val sub = staged.groupBy("pid", "lang").agg(sum(col("n")).as("sub"))
+    val wOff = Window.partitionBy("lang").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = sub.withColumn("off", coalesce(sum(col("sub")).over(wOff), lit(0L)))
+      .select("pid", "lang", "off")
+    // partition-local running sum: window groups are (pid, lang)
+    // slices — each at most one range partition of documents
+    val wLocal = Window.partitionBy("pid", "lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     // all offsets are non-negative and far below 2^53, so the
     // double-division floor is exact here (contrast RangeJoin.bandOf,
     // which must survive arbitrary epochs)
     def seqOf(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(p / seqLen).cast("long")
-    base.withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+    staged.join(broadcast(off), Seq("pid", "lang"))
+      .withColumn("start", col("off") + coalesce(sum(col("n")).over(wLocal), lit(0L)))
       .withColumn("seq_id",
         explode(sequence(seqOf(col("start")), seqOf(col("start") + col("n") - 1))))
       .select(col("lang"), col("seq_id"), col("doc_id"),

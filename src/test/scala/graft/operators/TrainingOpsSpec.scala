@@ -67,6 +67,68 @@ class TrainingOpsSpec extends AnyFunSuite {
     manifest.unpersist()
   }
 
+  // Descend AQE wrapper nodes — a plain plan.collect stops at query
+  // stage boundaries and misses Window nodes inside finished stages.
+  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Seq[T]]): Seq[T] = p.collect {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectAll(a.executedPlan)(pf)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectAll(q.plan)(pf)
+    case n if pf.isDefinedAt(n) => pf(n)
+  }.flatten
+
+  test("sequence packing: no per-language window over the document stream") {
+    val manifest = NorthStar.packSequences(spark, dir, seqLen = 256L)
+    manifest.collect() // finalize the adaptive plan
+    val windows = collectAll(manifest.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+    }
+    assert(windows.nonEmpty, "expected window nodes in the packing plan")
+    // the running-sum window over DOCUMENTS (ordered by doc_id) must be
+    // partition-local — partitioned by (pid, lang), never lang alone:
+    // one window group per language is a single task scanning a whole
+    // stratum at 100 TB
+    val docStream = windows.filter(_.orderSpec.exists(
+      _.child.references.exists(_.name == "doc_id")))
+    assert(docStream.nonEmpty, "expected the doc_id-ordered running-sum window")
+    docStream.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(partCols.contains("pid"),
+        s"doc-stream window must partition by (pid, lang); got $partCols")
+    }
+    // the only lang-partitioned window left must run over the subtotal
+    // frame (ordered by pid), not over documents
+    windows.filterNot(docStream.contains).foreach { w =>
+      val ordCols = w.orderSpec.flatMap(_.child.references.map(_.name)).toSet
+      assert(ordCols == Set("pid"),
+        s"non-local window must be the tiny per-pid offset cumsum; orders by $ordCols")
+    }
+  }
+
+  test("two-phase prefix-sum reproduces the single-window packing byte-for-byte") {
+    import org.apache.spark.sql.expressions.Window
+    val twoPhase = NorthStar.packSequences(spark, dir, seqLen = 256L).collect()
+    // reference: the naive per-language unbounded window (fine at sf0.001)
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), TextFunctions.tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def seqOf(p: org.apache.spark.sql.Column) = floor(p / 256L).cast("long")
+    val naive = base.withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(seqOf(col("start")), seqOf(col("start") + col("n") - 1))))
+      .select(col("lang"), col("seq_id"), col("doc_id"),
+        (least((col("seq_id") + 1) * 256L, col("start") + col("n")) -
+          greatest(col("seq_id") * 256L, col("start"))).as("n_tokens"))
+      .orderBy("lang", "seq_id", "doc_id")
+      .collect()
+    assert(twoPhase.toSeq == naive.toSeq,
+      "distributed prefix-sum must yield the identical manifest")
+  }
+
   test("decontamination flags a constructed benchmark copy") {
     import spark.implicits._
     // doc 3 is benchmark (id < 10); doc 12 repeats its text verbatim →
