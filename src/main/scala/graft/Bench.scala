@@ -2,44 +2,63 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Cached plans keep their exact output partitioning unless this
-      // is on; without it every CacheScope-sealed result pins the full
-      // pre-coalesce shuffle width onto all downstream consumers.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footer cache, JIT) so the
-    // first timed query doesn't absorb ~5s of one-time startup.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators cache their index artifacts; drop them between
-      // queries so storage doesn't accumulate across the run
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The one-line JSON is the bench contract; stdout can be truncated
-    // or interleaved by the harness, so ALSO persist it as an artifact
-    // the driver (and future rounds) can read machine-parseably.
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    println(line)
-    spark.stop()
+    // Stdout hygiene: the driver parses bench stdout for the one-line
+    // JSON map, and in past rounds the line rode the tail of a noisy
+    // stream and arrived truncated ("parsed": null). Redirect
+    // System.out to stderr for the WHOLE run — Spark/log4j console
+    // chatter initialized after this point follows the redirect — and
+    // print the result line to the saved real stdout at the end, so it
+    // is the only line this JVM contributes to stdout.
+    val realOut = System.out
+    System.setOut(new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.err), true))
+    try {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // Cached plans keep their exact output partitioning unless this
+        // is on; without it every CacheScope-sealed result pins the full
+        // pre-coalesce shuffle width onto all downstream consumers.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // Warm the session (codegen, parquet footer cache, JIT) so the
+      // first timed query doesn't absorb ~5s of one-time startup.
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      val gate = SparkEntry.queries
+      // benchOnly rows (production twins of the certified approximate
+      // operators) are timed and reported per-query, but excluded from
+      // the headline total so it stays comparable round-over-round as
+      // the sum over the driver-gated registry.
+      val results = (gate ++ SparkEntry.benchOnly).toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // operators cache their index artifacts; drop them between
+          // queries so storage doesn't accumulate across the run
+          spark.catalog.clearCache()
+          name -> dt
+      }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (k, v) if gate.contains(k) => v }.sum
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // The one-line JSON is the bench contract; stdout can be truncated
+      // or interleaved by the harness, so ALSO persist it as an artifact
+      // the driver (and future rounds) can read machine-parseably.
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      realOut.println(line)
+      realOut.flush()
+      spark.stop()
+    } finally System.setOut(realOut)
   }
 }

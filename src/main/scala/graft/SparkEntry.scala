@@ -31,6 +31,18 @@ object SparkEntry {
       name -> ((s: SparkSession, dir: String) => graft.core.Catalog.sql(s, dir, q))
     }
 
+  /** BENCH-ONLY rows: production configurations of the approximate
+    * operators whose gate entries in [[queries]] are recall
+    * CERTIFICATES (they execute brute-force truth + the recall join
+    * on top of the operator — timing the gate over-states the
+    * operator ~2.5×). These have NO oracle by design — correctness of
+    * the same code paths is certified by v02/v04 and pinned exactly
+    * by v07/v06 — so they are timed by [[Bench]] but never dumped by
+    * [[Verify]]. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v02_ann_production" -> (NorthStar.annTopKProduction _),
+    "v04_ivf_production" -> (NorthStar.ivfTopKProduction _))
+
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (Relational.pricingSummary _),
     "q02_filter_project"    -> (Relational.filterProject _),

@@ -562,6 +562,27 @@ object NorthStar {
       minRecall = 0.6, okCol = "ann_recall_ok")
   }
 
+  /** BENCH-ONLY twin of v02: the production sign-LSH ANN path alone.
+    * The certified registry entry ([[annTopK]]) also executes the
+    * brute-force truth side and the recall join — timing it times the
+    * GATE, not the operator, and over-states the ANN's cost ~2.5×.
+    * This is the query a user actually runs; Bench reports it as its
+    * own row so BENCH reflects production latency. NOT in
+    * `SparkEntry.queries`: it has no oracle (that's what the
+    * certified twin is for). */
+  def annTopKProduction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    Similarity.annTopK(emb, "vec_id", "embedding", k = 5, tables = 10)
+  }
+
+  /** BENCH-ONLY twin of v04: the production IVF (nCells=10, nProbe=4)
+    * search alone, without the certificate's truth side — see
+    * [[annTopKProduction]]. */
+  def ivfTopKProduction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    IvfIndex.topK(spark, emb, "vec_id", "embedding", k = 5, nCells = 10, nProbe = 4)
+  }
+
   /** embeddings ∪ slightly-perturbed copies of the first `n` vectors,
     * ids offset by 100000 — the fixture's own max pairwise cosine is
     * ~0.51, so planted ~0.97-cosine pairs are what a near-dup operator
