@@ -23,8 +23,8 @@ object RunTemp {
   // different call site's "graft_io_orc_" dirs.
   private val created = ArrayBuffer.empty[(String, Path)]
 
-  /** Most-recent directories kept per prefix; older siblings are
-    * reaped on the next [[dir]] call with that exact prefix. Far
+  /** Default most-recent directories kept per prefix; older siblings
+    * are reaped on the next [[dir]] call with that exact prefix. Far
     * above the number of same-prefix artifacts any single round
     * holds live frames over. */
   private val keepPerPrefix = 8
@@ -35,20 +35,31 @@ object RunTemp {
 
   /** Create a unique directory under the JVM tmpdir, registered for
     * recursive deletion at JVM shutdown; reaps same-prefix dirs beyond
-    * the [[keepPerPrefix]] newest (see the lifetime contract above). */
-  def dir(prefix: String): String = {
+    * the `keep` newest (see the lifetime contract above). A call site
+    * that holds MANY lazy frames over artifacts of one prefix should
+    * pass its own `keep` rather than rely on the default. Every reap
+    * is logged with prefix and path so a later FileNotFound from a
+    * frame held past the contract is attributable to the reap that
+    * caused it instead of looking like data loss. */
+  def dir(prefix: String, keep: Int = keepPerPrefix): String = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
     hookInstalled
     val p = Files.createTempDirectory(prefix)
     val toReap = created.synchronized {
       created += ((prefix, p))
       val same = created.filter(_._1 == prefix)
-      if (same.length > keepPerPrefix) {
-        val old = same.dropRight(keepPerPrefix)
+      if (same.length > keep) {
+        val old = same.dropRight(keep)
         created --= old
         old.toList.map(_._2)
       } else Nil
     }
-    toReap.foreach(deleteRecursively)
+    toReap.foreach { old =>
+      System.err.println(
+        s"[RunTemp] reaping '$prefix' dir beyond $keep-newest: $old " +
+          "(a lazy frame still reading it will fail at action time)")
+      deleteRecursively(old)
+    }
     p.toString
   }
 

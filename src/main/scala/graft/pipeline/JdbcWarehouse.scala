@@ -45,7 +45,23 @@ object JdbcWarehouse {
       sqlType: DataType => String,
       singleStatement: Option[(String, StructType, String) => String])
 
-  private def q(ident: String): String = "\"" + ident + "\""
+  /** Quote an identifier (column OR table): embedded quotes double,
+    * so a hostile/odd name can never break out of the identifier
+    * position in the DDL/DML strings built below. */
+  private def q(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** Every entry point funnels through this: the key must exist and
+    * at least one non-key column must too — a key-only schema would
+    * generate an empty SET list (invalid SQL on every dialect); fail
+    * with a clear message instead of a driver syntax error. */
+  private def validate(schema: StructType, key: String): Unit = {
+    require(schema.fieldNames.contains(key),
+      s"upsert key '$key' not in schema ${schema.fieldNames.mkString(", ")}")
+    require(schema.fields.exists(_.name != key),
+      s"schema has no non-key columns — a key-only table cannot drive " +
+        s"the upsert's SET list; add a payload column")
+  }
 
   private def commonType(dt: DataType): String = dt match {
     case StringType => "VARCHAR(512)"
@@ -77,7 +93,7 @@ object JdbcWarehouse {
       val cols = schema.fields.map(f => q(f.name))
       val set = schema.fields.filterNot(_.name == key)
         .map(f => s"${q(f.name)} = EXCLUDED.${q(f.name)}").mkString(", ")
-      s"""INSERT INTO $table (${cols.mkString(", ")})
+      s"""INSERT INTO ${q(table)} (${cols.mkString(", ")})
          |VALUES (${schema.fields.map(_ => "?").mkString(", ")})
          |ON CONFLICT (${q(key)}) DO UPDATE SET $set""".stripMargin
     }))
@@ -87,11 +103,11 @@ object JdbcWarehouse {
   private[pipeline] def updateSql(table: String, schema: StructType, key: String): String = {
     val set = schema.fields.filterNot(_.name == key)
       .map(f => s"${q(f.name)} = ?").mkString(", ")
-    s"UPDATE $table SET $set WHERE ${q(key)} = ?"
+    s"UPDATE ${q(table)} SET $set WHERE ${q(key)} = ?"
   }
 
   private[pipeline] def insertSql(table: String, schema: StructType): String =
-    s"INSERT INTO $table (${schema.fields.map(f => q(f.name)).mkString(", ")}) " +
+    s"INSERT INTO ${q(table)} (${schema.fields.map(f => q(f.name)).mkString(", ")}) " +
       s"VALUES (${schema.fields.map(_ => "?").mkString(", ")})"
 
   /** Idempotent CREATE TABLE with a primary key on `key` (the upsert
@@ -99,6 +115,7 @@ object JdbcWarehouse {
     * SQLState X0Y32 / Postgres 42P07). */
   def ensureTable(url: String, table: String, schema: StructType, key: String,
       dialect: Dialect = derby): Unit = {
+    validate(schema, key)
     val cols = schema.fields.map { f =>
       val pk = if (f.name == key) " NOT NULL PRIMARY KEY" else ""
       s"${q(f.name)} ${dialect.sqlType(f.dataType)}$pk"
@@ -106,7 +123,7 @@ object JdbcWarehouse {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(s"CREATE TABLE $table ($cols)")
+      try st.executeUpdate(s"CREATE TABLE ${q(table)} ($cols)")
       catch {
         case e: SQLException
             if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" => () // exists
@@ -124,6 +141,7 @@ object JdbcWarehouse {
   def upsert(df: DataFrame, url: String, table: String, key: String,
       dialect: Dialect = derby, batchSize: Int = 500): Unit = {
     val schema = df.schema
+    validate(schema, key)
     // build every statement on the driver: the closure ships strings
     // + the schema, never the dialect's functions
     val single = dialect.singleStatement.map(f => f(table, schema, key))
@@ -145,9 +163,15 @@ object JdbcWarehouse {
               catch {
                 // 40001 serialization failure / 40XL1 derby lock
                 // timeout: page-level false sharing between
-                // key-disjoint partitions — rollback + retry
+                // key-disjoint partitions — rollback + retry.
+                // 23505 duplicate key: "key-disjoint partitions" is
+                // broken by SPECULATIVE EXECUTION — two copies of the
+                // same partition can interleave UPDATE(count 0)/INSERT
+                // on one key; on retry the twin's committed row makes
+                // the idempotent UPDATE match and the INSERT is skipped,
+                // so the retry converges instead of failing the task.
                 case e: SQLException
-                    if Set("40001", "40XL1").contains(e.getSQLState) && attempt < 3 =>
+                    if Set("40001", "40XL1", "23505").contains(e.getSQLState) && attempt < 3 =>
                   conn.rollback(); attempt += 1
                   Thread.sleep(50L * attempt)
                 // anything else: roll the open transaction back BEFORE
@@ -262,7 +286,9 @@ object JdbcWarehouse {
       partitioning: Map[String, String] = Map.empty): DataFrame = {
     val base = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", table)
+      // quoted to match the quoted-lowercase DDL above — an unquoted
+      // name would case-fold (Derby: uppercase) and miss the table
+      .option("dbtable", q(table))
     partitioning.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 }

@@ -46,12 +46,30 @@ object Merge {
     * contract — a batch written before a column existed merges with
     * nulls there), extra columns are dropped (the target schema is
     * authoritative; widening happens by reading the TARGET under the
-    * widened schema, see [[Warehouse.read]]). */
-  private def alignTo(df: DataFrame, authoritative: org.apache.spark.sql.types.StructType): DataFrame =
+    * widened schema, see [[Warehouse.read]]).
+    *
+    * Name matching follows the session's resolver
+    * (`spark.sql.caseSensitive`, default case-INSENSITIVE) — an exact
+    * `df.columns.contains` here would silently null-fill a column that
+    * differs only in case while every other resolution path in the
+    * query would have matched it, dropping the batch's data. A name
+    * that matches more than one update column case-insensitively is
+    * ambiguous and fails loudly. */
+  private def alignTo(df: DataFrame, authoritative: org.apache.spark.sql.types.StructType): DataFrame = {
+    val caseSensitive = df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def same(a: String, b: String) =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     df.select(authoritative.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      df.columns.filter(same(_, f.name)) match {
+        case Array() => lit(null).cast(f.dataType).as(f.name)
+        case Array(one) => col(one).as(f.name)
+        case many => throw new IllegalArgumentException(
+          s"update columns ${many.mkString(", ")} all resolve to " +
+            s"authoritative column '${f.name}' under the session's " +
+            s"case-insensitive resolution")
+      }
     }.toSeq: _*)
+  }
 
   /** Upsert `updates` into `target` on `key`, last writer (by `ord`)
     * winning both within the batch and against the existing table.

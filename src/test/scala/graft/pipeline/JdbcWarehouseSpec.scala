@@ -106,7 +106,72 @@ class JdbcWarehouseSpec extends AnyFunSuite {
     assert(!sql.toLowerCase.contains("merge"), "postgres path must not use MERGE")
     // the derby fallback's two-step statements, shape-checked
     val up = JdbcWarehouse.updateSql("wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
-    assert(up.startsWith("UPDATE wh SET") && up.endsWith("WHERE \"shipment_id\" = ?"))
+    assert(up.startsWith("UPDATE \"wh\" SET") && up.endsWith("WHERE \"shipment_id\" = ?"))
     assert(!up.contains("\"shipment_id\" = ?,"), "key must not be in the SET list")
+  }
+
+  test("golden SQL: the postgres upsert string, pinned whole") {
+    // The reference's landing statement (cocoa_processing_dag.py:
+    // 223-237) is INSERT … ON CONFLICT (key) DO UPDATE SET
+    // col = EXCLUDED.col per non-key column. Pin the ENTIRE generated
+    // string on a small schema so any drift in clause order, quoting,
+    // or placeholder count is a test diff, not a production surprise.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("qty", IntegerType),
+      StructField("note", StringType)))
+    val sql = JdbcWarehouse.postgres.singleStatement.get("t", schema, "id")
+    assert(sql ===
+      """INSERT INTO "t" ("id", "qty", "note")
+        |VALUES (?, ?, ?)
+        |ON CONFLICT ("id") DO UPDATE SET "qty" = EXCLUDED."qty", "note" = EXCLUDED."note"""".stripMargin)
+  }
+
+  test("flushSingle: a single-statement dialect drives batched writes for real") {
+    // No offline dialect has a native conflict clause, so the
+    // single-statement path was dead code under every runnable
+    // dialect. A plain-INSERT dialect is Derby-legal and exercises the
+    // same prepare/bind/addBatch/executeBatch/commit machinery the
+    // postgres ON CONFLICT statement would use.
+    val insertOnly = JdbcWarehouse.Dialect("insert-only",
+      JdbcWarehouse.derby.sqlType,
+      Some((t, s, _) => JdbcWarehouse.insertSql(t, s)))
+    val url = freshUrl()
+    JdbcWarehouse.ensureTable(url, "wh", CocoaSchema.warehouse, CocoaSchema.mergeKey)
+    val b = dedup(batch(11, 40, 1000000L)).repartition(4)
+    // batchSize 7 forces multiple executeBatch flushes per partition
+    JdbcWarehouse.upsert(b, url, "wh", CocoaSchema.mergeKey,
+      dialect = insertOnly, batchSize = 7)
+    val back = JdbcWarehouse.read(spark, url, "wh")
+    assert(back.count() === 40)
+    assert(back.collect().toSet === b.collect().toSet,
+      "single-statement path lost or mangled rows")
+    // replay: plain INSERT is NOT idempotent — the duplicate-key
+    // SQLState is in the retry set (speculative-twin degradation), so
+    // the retry loop must terminate and surface 23505 as the root
+    // cause rather than hang or mask it
+    val err = intercept[org.apache.spark.SparkException] {
+      JdbcWarehouse.upsert(b, url, "wh", CocoaSchema.mergeKey,
+        dialect = insertOnly, batchSize = 7)
+    }
+    val states = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .collect { case e: java.sql.SQLException => e.getSQLState }.toList
+    assert(states.contains("23505"), s"expected duplicate-key root cause, got $states")
+    assert(JdbcWarehouse.read(spark, url, "wh").count() === 40,
+      "failed replay must not leave partial duplicate state")
+  }
+
+  test("key-only schemas and missing keys fail loudly, not with syntax errors") {
+    import org.apache.spark.sql.types._
+    val keyOnly = StructType(Seq(StructField("id", LongType)))
+    val e1 = intercept[IllegalArgumentException] {
+      JdbcWarehouse.ensureTable(freshUrl(), "t", keyOnly, "id")
+    }
+    assert(e1.getMessage.contains("non-key"))
+    val e2 = intercept[IllegalArgumentException] {
+      JdbcWarehouse.ensureTable(freshUrl(), "t", CocoaSchema.warehouse, "nope")
+    }
+    assert(e2.getMessage.contains("not in schema"))
   }
 }

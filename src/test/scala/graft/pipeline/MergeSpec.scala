@@ -42,6 +42,18 @@ class MergeSpec extends AnyFunSuite {
       "c" -> (30L, 4.0)))  // within-batch LWW then insert
   }
 
+  test("update columns differing only in case still carry their data") {
+    // Spark resolution is case-insensitive by default; an exact-name
+    // alignment would silently null-fill "V" and drop the batch's
+    // values while every other resolution path in the query matched it
+    val target = df(Seq(("a", 10, 1.0)))
+    val updates = df(Seq(("b", 20, 9.0)))
+      .withColumnRenamed("v", "V")
+    val out = asMap(merge(target, updates))
+    assert(out === Map("a" -> (10L, 1.0), "b" -> (20L, 9.0)),
+      "case-insensitively matching update column must not be null-filled")
+  }
+
   test("merge is idempotent: merge(merge(T,U),U) == merge(T,U)") {
     val target = df(Seq(("a", 10, 1.0), ("b", 10, 2.0)))
     val updates = df(Seq(("b", 20, 9.0), ("c", 20, 3.0)))
