@@ -199,9 +199,11 @@ object SparkEntry {
   /** p05: TIME TRAVEL — read snapshot v0 (the batch-1 commit) after
     * batch 2 has already committed v1. The versioned-directory commit
     * protocol keeps every published snapshot immutable and readable,
-    * the Postgres-transaction analogue the warehouse replaces
-    * (vacuum() prunes old versions when retention ends). Oracled from
-    * batch 1's landing files alone. */
+    * the Postgres-transaction analogue the warehouse replaces. Time
+    * travel is guaranteed within [[Warehouse.vacuum]]'s retention
+    * floor (`keepLast`/`minAgeMs`); a version pruned past the floor
+    * fails loudly at read rather than resolving elsewhere. Oracled
+    * from batch 1's landing files alone. */
   private def cocoaTimeTravel(spark: SparkSession): DataFrame = {
     cocoaWarehouse(spark) // ensure the two-batch run committed v0, v1
     val dirs = cocoaDirsMemo.get(spark)

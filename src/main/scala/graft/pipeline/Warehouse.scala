@@ -295,13 +295,40 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Drop all snapshots older than the committed one. */
-  def vacuum(spark: SparkSession, root: String): Unit =
+  /** Drop old snapshots, subject to a RETENTION FLOOR — the contract
+    * that keeps "held readers survive new commits" (and p05-style time
+    * travel) true in the presence of maintenance:
+    *
+    *  - the `keepLast` newest committed snapshots are never dropped
+    *    (default 2: current + the one a just-superseded reader may
+    *    still hold — a reader that resolved `_VERSION` right before a
+    *    commit reads v_{n-1} while v_n publishes);
+    *  - nothing younger than `minAgeMs` is dropped, whatever its
+    *    position — size this above the longest-running reader job so
+    *    age alone protects any frame resolved within the window;
+    *  - snapshots ABOVE the committed pointer are never touched: they
+    *    belong to an in-flight concurrent committer.
+    *
+    * The reference needs no vacuum because Postgres MVCC ages out old
+    * row versions under the same kind of horizon (oldest active
+    * transaction); `keepLast`/`minAgeMs` are that horizon made
+    * explicit. Time travel ([[versionPath]]) is only guaranteed within
+    * the retention floor — a pruned version fails loudly at read. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
+      minAgeMs: Long = 0L): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
     currentVersion(spark, root).foreach { cur =>
       val fs = Ingest.fs(spark, root)
+      val now = System.currentTimeMillis()
       fs.listStatus(new Path(root)).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
-          s.getPath.getName.drop(1).toLong < cur)
-        .foreach(s => fs.delete(s.getPath, true))
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .map(s => (s.getPath.getName.drop(1).toLong, s))
+        .filter(_._1 <= cur)            // in-flight (> cur) untouchable
+        .sortBy(-_._1)
+        .drop(keepLast)                 // the retention floor
+        .filter { case (_, s) => now - s.getModificationTime >= minAgeMs }
+        .foreach { case (_, s) => fs.delete(s.getPath, true) }
     }
+  }
 }

@@ -199,7 +199,9 @@ class CocoaPipelineSpec extends AnyFunSuite {
     val v0Path = Warehouse.versionPath(dirs.warehouse, 0L)
     assert(spark.read.schema(CocoaSchema.warehouse).parquet(v0Path).count() === 50)
 
-    Warehouse.vacuum(spark, dirs.warehouse)
+    // keepLast=1 opts OUT of the default retention floor: this test is
+    // about what a pruned version looks like to a late reader
+    Warehouse.vacuum(spark, dirs.warehouse, keepLast = 1)
 
     // the pruned snapshot is GONE — a time-travel read must fail
     // loudly (missing path), not silently return rows from elsewhere

@@ -158,4 +158,49 @@ class WarehouseCommitSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, root).count() === 10,
       "overwritten incomplete dir reads back clean")
   }
+
+  test("vacuum retention floor: a held reader on v_{n-1} survives the default vacuum") {
+    val root = freshRoot()
+    assert(Warehouse.commit(spark, root, batch(31)) === 0L)
+    assert(Warehouse.commit(spark, root, batch(32)) === 1L)
+    // a reader that resolved the pointer just before the next commit:
+    // it holds v1 while v2 publishes
+    val held = spark.read.schema(CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(root, 1L))
+    assert(Warehouse.commit(spark, root, batch(33)) === 2L)
+    Warehouse.vacuum(spark, root) // default keepLast=2 keeps v2 AND v1
+    assert(held.count() === 10,
+      "held reader on the just-superseded snapshot must survive vacuum")
+    val fs = hfs(root)
+    assert(!fs.exists(new Path(Warehouse.versionPath(root, 0L))),
+      "v0 is beyond the floor and must be pruned")
+    assert(Warehouse.read(spark, root).count() === 10)
+  }
+
+  test("vacuum minAgeMs refuses to drop young snapshots regardless of position") {
+    val root = freshRoot()
+    (41 to 44).foreach(s => Warehouse.commit(spark, root, batch(s)))
+    Warehouse.vacuum(spark, root, keepLast = 1, minAgeMs = 3600L * 1000)
+    val fs = hfs(root)
+    (0L to 3L).foreach(v =>
+      assert(fs.exists(new Path(Warehouse.versionPath(root, v))),
+        s"v$v is younger than minAgeMs and must be retained"))
+  }
+
+  test("vacuum never touches snapshots above the committed pointer (in-flight commits)") {
+    val root = freshRoot()
+    (51 to 53).foreach(s => Warehouse.commit(spark, root, batch(s)))
+    val fs = hfs(root)
+    // a concurrent committer mid-flight: complete snapshot dir, pointer
+    // not yet swung to it
+    val inflight = new Path(Warehouse.versionPath(root, 99L))
+    fs.mkdirs(inflight)
+    fs.create(new Path(inflight, "_SUCCESS"), true).close()
+    Warehouse.vacuum(spark, root, keepLast = 1)
+    assert(fs.exists(inflight),
+      "an in-flight snapshot above the pointer must never be vacuumed")
+    assert(!fs.exists(new Path(Warehouse.versionPath(root, 0L))))
+    assert(!fs.exists(new Path(Warehouse.versionPath(root, 1L))))
+    assert(fs.exists(new Path(Warehouse.versionPath(root, 2L))))
+  }
 }
