@@ -176,12 +176,57 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
-  /** Load a persisted index: (assignments, centroids). */
-  def load(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
+  /** The centroid model of a persisted index — tiny (cells × dim
+    * floats), bounded driver load. */
+  private def loadCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$dir/centroids")
       .orderBy("cell_id").collect()
       .map(_.getSeq[Float](1).toArray)
-    (spark.read.parquet(s"$dir/cells"), centroids)
+
+  /** Load a persisted index: (assignments, centroids). */
+  def load(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
+    (spark.read.parquet(s"$dir/cells"), loadCentroids(spark, dir))
+  }
+
+  /** Incrementally grow a SAVED index: assign `newVectors` to the
+    * EXISTING centroid model and append their rows to the touched cell
+    * partitions only — untouched cells keep their files byte-for-byte.
+    * This is the maintenance path the deployment shape needs at scale:
+    * corpus growth must not force a full k-means rebuild and corpus
+    * rewrite (O(corpus)); an append is O(batch) — one distributed
+    * assignment scan of the batch, new parquet files landing only
+    * under `cell=<touched>/` directories.
+    *
+    * The quantizer is intentionally NOT refit: cell ASSIGNMENT defines
+    * correctness (a vector is found by probing the cell it was
+    * assigned to), so searching with the same saved model stays exact
+    * at nProbe = nCells and keeps its recall shape otherwise. After
+    * heavy drift (cell occupancies skewing), rebuild with [[build]] +
+    * [[save]] — the spec pins that an appended index searches
+    * identically to a from-scratch build at full probe width.
+    *
+    * Caller contract: `newVectors` ids must be disjoint from the saved
+    * corpus (same uniqueness contract as [[build]]'s input — the index
+    * stores assignments, not versions; replaying a batch would
+    * duplicate candidates).
+    *
+    * Returns the touched cell ids (sorted) — the partitions whose file
+    * sets changed — for observability and maintenance bookkeeping. */
+  def append(spark: SparkSession, dir: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Array[Int] = {
+    val centroids = loadCentroids(spark, dir)
+    val assigned = newVectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        SketchExpressions.topCells(col("vec"), centroids, 1).getItem(0))
+      .withColumn("norm", Similarity.l2Norm(col("vec")))
+      .cache() // two actions below: the partitioned write + touched-cell agg
+    assigned.select(col("id"), col("vec"), col("norm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assigned.unpersist()
+    touched
   }
 
   /** Approximate top-k via cell probing. `queries` defaults to the

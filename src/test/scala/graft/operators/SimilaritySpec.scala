@@ -83,6 +83,58 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental append touches only its cells and searches like a rebuild") {
+    import scala.jdk.CollectionConverters._
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") < 450)
+    val grow = emb.filter(col("vec_id") >= 450 && col("vec_id") < 455)
+    val (assigned, centroids) =
+      IvfIndex.build(spark, base, "vec_id", "embedding", nCells = 12)
+    val dirOut = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    IvfIndex.save(assigned, centroids, dirOut)
+    spark.catalog.clearCache()
+
+    def inventory(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(dirOut, "cells")
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .map(_.getFileName.toString).toSet)
+        .toMap
+    }
+    val before = inventory()
+    val touched = IvfIndex.append(spark, dirOut, grow, "vec_id", "embedding")
+    val after = inventory()
+
+    // 5 vectors across 12 cells: some cells MUST be untouched, and the
+    // append must not have rewritten them — that is the O(batch) claim
+    assert(touched.nonEmpty && touched.length <= 5)
+    val touchedDirs = touched.map(c => s"cell=$c").toSet
+    assert(before.keySet.diff(touchedDirs).nonEmpty, "expected untouched cells")
+    before.foreach { case (d, fs0) =>
+      if (touchedDirs.contains(d)) {
+        assert(fs0.subsetOf(after(d)), s"append must keep $d's existing files")
+        assert(after(d) != fs0, s"touched cell $d gained no files")
+      } else assert(after(d) === fs0, s"untouched cell $d was rewritten")
+    }
+
+    // full-probe search over the appended index must equal a
+    // from-scratch build over the grown corpus (both are exact at
+    // nProbe = nCells, whatever cells the appended rows landed in)
+    val qs = emb.filter(col("vec_id") < 50)
+    val (loaded, lc) = IvfIndex.load(spark, dirOut)
+    val viaAppend = IvfIndex.search(loaded, lc, k = 5, nProbe = 12,
+      queries = Some(qs), idCol = "vec_id", vecCol = "embedding")
+      .collect().toSet
+    val rebuild = IvfIndex.topK(spark, emb.filter(col("vec_id") < 455),
+      "vec_id", "embedding", k = 5, nCells = 12, nProbe = 12,
+      queries = Some(qs)).collect().toSet
+    assert(viaAppend === rebuild,
+      "appended index diverged from a from-scratch rebuild at full probe width")
+    spark.catalog.clearCache()
+  }
+
   test("exhaustive-mode LSH (planes = -1) equals all-pairs brute force") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
