@@ -55,7 +55,19 @@ object RangeJoin {
     *                 (both spec-measured). Result is identical for ANY
     *                 band width (the exact filter decides) — pass an
     *                 explicit width to skip the stats pass or pin a
-    *                 tuning. */
+    *                 tuning.
+    *
+    *                 The stats ride the PLAN: within one action the
+    *                 aggregate materializes once (both consumers share
+    *                 the broadcast — the second is a ReusedExchange,
+    *                 spec-asserted), but every ACTION re-executes the
+    *                 plan, stats included. A result consumed by many
+    *                 actions, or the same `right` joined repeatedly,
+    *                 should precompute once:
+    *                 `bandUs = Some(RangeJoin.autoBand(right, rightTs,
+    *                 lowerUs, upperUs))` — one eager driver-side
+    *                 aggregate, then every join stays a pure literal
+    *                 plan. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String,
       lowerUs: Long, upperUs: Long,
@@ -130,10 +142,13 @@ object RangeJoin {
   private val targetRowsPerBand = 32L
 
   /** Reference (driver-side) form of the auto band the in-plan
-    * broadcast stats compute inside [[intervalJoin]] — kept for specs
-    * and callers that want the width as a value; the two MUST agree
-    * (same operation order: count/extent longs, one double multiply,
-    * one divide, ceil).
+    * broadcast stats compute inside [[intervalJoin]] — for specs AND
+    * for callers that consume one joined result through MULTIPLE
+    * actions or join the same `right` repeatedly: compute the width
+    * once here, pass `bandUs = Some(...)`, and the per-action in-plan
+    * stats pass disappears. The two forms MUST agree (same operation
+    * order: count/extent longs, one double multiply, one divide,
+    * ceil).
     *
     * One aggregate (column-pruned to the ts column) measures row
     * count and ts extent, and the band is sized so density · band ≈
@@ -144,7 +159,7 @@ object RangeJoin {
     * bucket near the target occupancy instead of letting one band
     * swallow the whole dense extent. The clamp also makes the empty/
     * single-timestamp cases well-defined. */
-  private[operators] def autoBand(right: DataFrame, rightTs: String,
+  def autoBand(right: DataFrame, rightTs: String,
       lowerUs: Long, upperUs: Long): Long = {
     val span = math.max(upperUs - lowerUs, 1L)
     val stats = right.agg(

@@ -179,6 +179,46 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(pairJoinIsEqui, s"pair join is not on (key, band):\n$pa")
   }
 
+  // Descend AQE wrappers — plan.collect stops at query-stage bounds.
+  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Seq[T]]): Seq[T] = p.collect {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectAll(a.executedPlan)(pf)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectAll(q.plan)(pf)
+    case n if pf.isDefinedAt(n) => pf(n)
+  }.flatten
+
+  test("auto-band stats materialize ONCE per action; both consumers reuse the broadcast") {
+    val auto = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
+      0L, 1000L, Seq("key"))
+    auto.collect()
+    val plan = auto.queryExecution.executedPlan
+    def isBandw(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.output.map(_.name) == Seq("__bandw")
+    val built = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if isBandw(e) => Seq(e)
+    }
+    val reused = collectAll(plan) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+          if isBandw(r) => Seq(r)
+    }
+    assert(built.size == 1,
+      s"stats aggregate must materialize exactly once per action, got ${built.size}:\n$plan")
+    assert(reused.nonEmpty,
+      s"the second band consumer must be a ReusedExchange, not a recomputation:\n$plan")
+    // the multi-action escape hatch: the public driver-side form must
+    // agree with the in-plan computation (same width), so callers can
+    // precompute bandUs once and drop the per-action stats pass
+    val w = RangeJoin.autoBand(rightDf, "r_ts", 0L, 1000L)
+    val pinned = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",
+      0L, 1000L, Seq("key"), bandUs = Some(w))
+    assert(pinned.collect().toSet === auto.collect().toSet)
+    pinned.queryExecution.executedPlan.toString
+      .ensuring(!_.contains("__bandw"), "explicit band must skip the stats pass")
+  }
+
   test("q36 shape: view->purchase pairs within the hour on the fixture") {
     val out = NorthStar.rangeJoinViewPurchase(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty, "fixture should contain view->purchase pairs within 1h")
