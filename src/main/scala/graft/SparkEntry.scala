@@ -150,6 +150,8 @@ object SparkEntry {
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
     "d22_sequence_packing"   -> ((s, dir) => NorthStar.packSequences(s, dir)),
+    "d23_pii_scrub"          -> (NorthStar.piiScrub _),
+    "d24_url_domain_filter"  -> (NorthStar.urlDomainFilter _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1119,6 +1121,51 @@ object SparkEntry {
         |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
         |  CAST(least((seq_id + 1) * 256, strt + n) - greatest(seq_id * 256, strt) AS BIGINT) AS n_tokens
         |FROM sp ORDER BY lang, seq_id, doc_id""".stripMargin,
+    // d23: PII scrub re-derived — the oracle re-plants the same
+    // doc_id-arithmetic PII spans, applies the same RE2-subset
+    // patterns with regexp_replace(..., 'g'), and hashes the scrubbed
+    // text; the match counts audit the finder side.
+    "d23_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged' ELSE '' END
+        |    AS text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_md5,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // d24: URL extraction + domain blocklist re-derived — same
+    // re-planted links, same URL/host regexes, the blocklist as an
+    // IN-list (the Spark side broadcasts it as a 5-row table).
+    "d24_url_domain_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' see https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0 THEN ' ref http://ads' || CAST(doc_id % 5 AS VARCHAR) || '.blocked.net/x' ELSE '' END
+        |    AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+')) AS url
+        |  FROM d),
+        |dom AS (
+        |  SELECT doc_id, regexp_extract(url, '^https?://([^/?#]+)', 1) AS domain FROM u),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_urls,
+        |    sum(CASE WHEN domain IN ('ads0.blocked.net','ads1.blocked.net','ads2.blocked.net','ads3.blocked.net','ads4.blocked.net') THEN 1 ELSE 0 END) AS n_blocked
+        |  FROM dom GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_urls, 0) AS BIGINT) AS n_urls,
+        |  CAST(coalesce(a.n_blocked, 0) AS BIGINT) AS n_blocked,
+        |  coalesce(a.n_blocked, 0) = 0 AS keep
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // m01: the multimodal feature kernel recomputed in SQL. Payloads
     // are real container headers (PNG 33 B / JPEG 39 B / WAV 44 B)
     // wrapping the text as content; the oracle re-derives the planned

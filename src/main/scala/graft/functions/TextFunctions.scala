@@ -124,6 +124,46 @@ object TextFunctions {
   def fingerprintMd5(text: Column): Column =
     md5(array_join(tokens(text), " "))
 
+  /** PII patterns for training-corpus scrubbing (the published
+    * pretraining pipelines all carry this stage). Deliberately kept to
+    * the RE2-compatible regex subset — no lookaround, no backrefs —
+    * so an external engine (the DuckDB oracle, or a CCNet/Dolma-style
+    * re-implementation) recognizes exactly the same spans. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private[graft] val Ipv4Re  = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Text with emails/phones/IPv4s replaced by typed placeholder
+    * tags. Three chained codegen'd `regexp_replace`s — order is
+    * email → phone → IP so a placeholder never creates a new match
+    * (tags contain no digits or `@`). Pure per-row expression: no
+    * shuffle, pipelines inside the scan's codegen span. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-category PII match counts over the ORIGINAL text (audit
+    * metric for the scrub stage): (n_emails, n_phones, n_ips). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"))
+
+  /** All http(s) URLs in the text, as an array column. The character
+    * class stops at whitespace and quote-like characters, the same
+    * boundary the common-crawl extractors use; RE2-compatible (and
+    * SQL-string-safe) for the same reason as the PII patterns. */
+  private[graft] val UrlRe = "https?://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+"
+  def urls(text: Column): Column = regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Host part of one URL (`https://host/path` → `host`), the join
+    * key for domain-blocklist filtering. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "^https?://([^/?#]+)", 1)
+
   /** 64-bit portable rolling fingerprint — the numeric twin of
     * [[fingerprintMd5]]: the mix-chain of the tokens' portable hashes
     * (see [[SketchExpressions.PortableFingerprint64]]), recomputable

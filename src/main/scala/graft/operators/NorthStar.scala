@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,96 @@ object NorthStar {
         q4(when(col("nl") > 0, (col("nl") - col("dl")) / col("nl")).otherwise(lit(0.0))).as("dup_line_frac"),
         q4(when(col("n5") > 0, (col("n5") - col("d5")) / col("n5")).otherwise(lit(0.0))).as("dup_5gram_frac"),
         q4(when(col("tc") > 0, col("mc") / col("tc")).otherwise(lit(0.0))).as("top_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** documents with deterministic PII spans appended to arithmetic
+    * subsets of docs — the fixture corpus carries no natural PII (by
+    * construction), so an operator that provably finds and scrubs
+    * exactly its planted spans is the meaningful check (same planting
+    * philosophy as [[withPlantedBoilerplate]]). Every planted value is
+    * pure `doc_id` arithmetic so the oracle re-plants it in SQL. */
+  private[operators] def withPlantedPii(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    Tables.documents(spark, dir)
+      .select(id,
+        concat(col("text"),
+          when(pmod(id, lit(3)) === 0,
+            concat(lit(" contact user"), s(id), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod(id, lit(5)) === 0,
+            concat(lit(" call 555-867-"), lpad(s(pmod(id, lit(10000))), 4, "0"),
+              lit(" today"))).otherwise(lit("")),
+          when(pmod(id, lit(7)) === 0,
+            concat(lit(" from 10."), s(pmod(id, lit(200))), lit("."),
+              s(pmod(id, lit(100))), lit("."), s(pmod(id, lit(250))),
+              lit(" logged"))).otherwise(lit(""))).as("text"))
+      .repartition(widenWidth(spark), col("doc_id"))
+  }
+
+  /** d23: PII SCRUB — the redaction stage every published pretraining
+    * pipeline runs before training: emails / phone numbers / IPv4s
+    * replaced by typed tags ([[TextFunctions.scrubPii]]), plus the
+    * per-category match counts as the audit metric. All per-row
+    * codegen'd regexp expressions over one scan — no shuffle, no UDF;
+    * at 100 TB this pipelines inside the read stage. Hash-oracled:
+    * the scrubbed text is exact strings, so DuckDB recomputes its md5
+    * from the identically re-planted corpus. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val (ne, np, ni) = TextFunctions.piiCounts(col("text"))
+    withPlantedPii(spark, dir)
+      .select(col("doc_id"),
+        md5(TextFunctions.scrubPii(col("text")).cast("binary")).as("scrub_md5"),
+        ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  /** documents with deterministic URLs appended: every 4th doc gets a
+    * benign link, every 10th an ad-tracker link from a 5-domain
+    * blocklist family — again pure doc_id arithmetic, re-planted by
+    * the oracle in SQL. */
+  private[operators] def withPlantedUrls(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    Tables.documents(spark, dir)
+      .select(id,
+        concat(col("text"),
+          when(pmod(id, lit(4)) === 0,
+            concat(lit(" see https://site"), s(pmod(id, lit(50))),
+              lit(".example.org/p/"), s(id), lit(" ok"))).otherwise(lit("")),
+          when(pmod(id, lit(10)) === 0,
+            concat(lit(" ref http://ads"), s(pmod(id, lit(5))),
+              lit(".blocked.net/x"))).otherwise(lit(""))).as("text"))
+      .repartition(widenWidth(spark), col("doc_id"))
+  }
+
+  /** The ad/tracker domains [[urlDomainFilter]] rejects — tiny by
+    * nature (real blocklists are 10^4..10^6 rows), so it rides a
+    * BROADCAST join; the corpus side never shuffles on domain. */
+  private[operators] val BlockedDomains: Seq[String] =
+    (0 until 5).map(i => s"ads$i.blocked.net")
+
+  /** d24: URL extraction + DOMAIN-BLOCKLIST filter — the link-level
+    * hygiene stage (CCNet/RefinedWeb-style): extract every URL, join
+    * its host against a blocklist, and emit per-doc link counts plus
+    * the keep/drop decision. Scale shape: per-row regexp extraction
+    * pipelines in the scan; the explode is ids+domains only (never
+    * text); the blocklist side is `broadcast()` so the corpus never
+    * shuffles on domain; the count-back aggregation shuffles ids and
+    * two longs, keyed on doc_id. */
+  def urlDomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUrl = withPlantedUrls(spark, dir)
+      .select(col("doc_id"), explode_outer(TextFunctions.urls(col("text"))).as("url"))
+      .select(col("doc_id"), TextFunctions.urlDomain(col("url")).as("domain"))
+    val block = BlockedDomains.toDF("domain").withColumn("blocked", lit(true))
+    perUrl.join(broadcast(block), Seq("domain"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("domain")).as("n_urls"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+      .select(col("doc_id"), col("n_urls"), col("n_blocked"),
+        (col("n_blocked") === 0).as("keep"))
       .orderBy("doc_id")
   }
 
