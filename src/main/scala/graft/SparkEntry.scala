@@ -152,6 +152,7 @@ object SparkEntry {
     "d22_sequence_packing"   -> ((s, dir) => NorthStar.packSequences(s, dir)),
     "d23_pii_scrub"          -> (NorthStar.piiScrub _),
     "d24_url_domain_filter"  -> (NorthStar.urlDomainFilter _),
+    "d25_dup_spans"          -> (NorthStar.dupSpans _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1166,6 +1167,43 @@ object SparkEntry {
         |  coalesce(a.n_blocked, 0) = 0 AS keep
         |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // d25: cross-doc duplicate-span coverage re-derived — same
+    // re-planted slogan, same positional 8-grams, the interval union
+    // as the same lag-window arithmetic (1-based vs 0-based positions
+    // cancel in the lag distances).
+    "d25_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' u' || CAST(doc_id AS VARCHAR) || ' data engine scale spark graftx join hash merge sort batch stream window' ELSE '' END
+        |    AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    CASE WHEN len(toks) >= 8
+        |         THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+        |         ELSE [] END AS gs
+        |  FROM b),
+        |ex AS (
+        |  SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM t),
+        |dup AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(*) AS nd FROM (SELECT DISTINCT doc_id, g FROM ex) GROUP BY g)
+        |  WHERE nd > 1),
+        |dp AS (SELECT e.doc_id, e.pos FROM ex e JOIN dup USING (g)),
+        |w AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp),
+        |c AS (
+        |  SELECT doc_id, count(*) AS ndg,
+        |    sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END) AS cov
+        |  FROM w GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.ndg, 0) AS BIGINT) AS n_dup_grams,
+        |  floor((CASE WHEN t.n > 0 THEN CAST(coalesce(c.cov, 0) AS DOUBLE) / t.n ELSE 0 END) * 10000 + 0.5) / 10000.0 AS dup_cov
+        |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // m01: the multimodal feature kernel recomputed in SQL. Payloads
     // are real container headers (PNG 33 B / JPEG 39 B / WAV 44 B)
     // wrapping the text as content; the oracle re-derives the planned

@@ -332,6 +332,57 @@ object Dedup {
         (col("__n_total") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed")))
   }
 
+  /** CROSS-DOCUMENT duplicate-span coverage — the detection side of
+    * exact-substring dedup (the published pipelines remove token
+    * spans that recur verbatim across documents; see Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better").
+    * A position's k-gram is "duplicated" when the same k tokens occur
+    * in at least one OTHER document; the per-doc metric is the
+    * fraction of tokens covered by the union of duplicated spans
+    * `[pos, pos+k)`, plus the raw duplicated-position count.
+    *
+    * Scale shape: one positional-gram explode; one distinct + count
+    * aggregate over grams (map-side partials) to find the cross-doc
+    * set; one ids+positions-only semi join back; and the interval
+    * union is a `lag` window KEYED ON id (tokens newly covered =
+    * `min(k, pos - prev)`), so no per-corpus ordering exists anywhere
+    * — every shuffle is keyed on the gram or the doc id. Docs shorter
+    * than k tokens have no grams and coverage 0. Returns
+    * (id, n_tokens, n_dup_grams, dup_cov). */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val scope = new CacheScope
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val base = scope.pin(df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"),
+        grams.as("gs")))
+    val ex = scope.pin(base.select(col("id"), posexplode(col("gs")))
+      .withColumnRenamed("col", "g"))
+    val crossDoc = ex.select(col("id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1).select(col("g"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val cov = ex.join(crossDoc, Seq("g"), "left_semi")
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(when(col("__prev").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("pos") - col("__prev"))))
+          .as("__cov"))
+    scope.sealResult(base.select(col("id"), col("n_tokens"))
+      .join(cov, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        graft.functions.Quantize.quantize4(
+          when(col("n_tokens") > 0,
+            coalesce(col("__cov"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+            .otherwise(lit(0.0))).as("dup_cov")))
+  }
+
   /** Connected components over a near-dup pair set: every doc that
     * appears in a pair gets the MINIMUM id reachable through pairs as
     * its `cluster_id` — the transitive-closure step that turns

@@ -351,6 +351,38 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** documents with a shared 12-token slogan appended to every 6th
+    * doc. The fixture corpus already carries NATURAL cross-doc
+    * duplicated 8-grams (its generator repeats phrases across docs —
+    * real signal the operator must count too, and the oracle
+    * recomputes); the planting adds a KNOWN exact delta on top: 5
+    * pure-slogan grams per planted doc. Two guards make the delta
+    * exact: a `u<doc_id>` token separates doc tail from slogan, so
+    * every boundary gram carries a token unique to its doc (two
+    * planted docs ending in the same word would otherwise share a
+    * boundary gram); and the mid-slogan token `graftx` is outside the
+    * fixture vocabulary and sits in ALL five pure grams, so none can
+    * occur naturally. Re-planted by the oracle in SQL. */
+  private[operators] def withPlantedSlogan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            concat(lit(" u"), col("doc_id").cast("string"),
+              lit(" data engine scale spark graftx join hash merge sort batch stream window")))
+            .otherwise(lit(""))).as("text"))
+      .repartition(widenWidth(spark), col("doc_id"))
+
+  /** d25: cross-document DUPLICATE-SPAN coverage over the planted
+    * corpus ([[Dedup.dupSpanCoverage]]) — the detection metric of
+    * exact-substring dedup: which token positions sit inside an
+    * 8-gram that recurs verbatim in another document, and what
+    * fraction of each doc those spans cover. Hash-oracled: integer
+    * counts plus the shared floor-half-up 4dp coverage fraction. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanCoverage(withPlantedSlogan(spark, dir), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   /** d22: SEQUENCE PACKING — the concat-and-cut step that turns a
     * cleaned corpus into fixed-length training sequences: the token
     * stream (docs in deterministic doc_id order) is cut at `seqLen`

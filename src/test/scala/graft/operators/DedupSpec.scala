@@ -151,4 +151,55 @@ class DedupSpec extends AnyFunSuite {
       "every doc must lose exactly its two planted footer lines")
     spark.catalog.clearCache()
   }
+
+  test("dup-span coverage: shared 8-gram found, interval union merges overlaps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // shares 'a..h' with doc 2
+      (2L, "x a b c d e f g h z"),
+      (3L, "p q r s t u v w p2 q2 r2 s2 t2 u2 v2 w2 end1"), // 16-token prefix
+      (4L, "p q r s t u v w p2 q2 r2 s2 t2 u2 v2 w2 end2"), //   shared with 3
+      (5L, "totally unrelated words only here once")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((10L, 1L, 0.8)))   // 8 of 10 tokens covered
+    assert(got(2L) === ((10L, 1L, 0.8)))
+    // 9 overlapping shared grams union to the 16-token prefix: 16/17
+    assert(got(3L)._2 === 9L)
+    assert(got(3L)._3 === math.floor(16.0 / 17 * 10000 + 0.5) / 10000)
+    assert(got(4L)._2 === 9L)
+    assert(got(5L) === ((6L, 0L, 0.0)))
+  }
+
+  test("planted-slogan corpus: d25 adds exactly the five slogan grams per planted doc") {
+    // The fixture corpus has NATURAL cross-doc duplicated 8-grams
+    // (its generator repeats phrases across docs), so assert the
+    // planting DELTA, which is exact: each planted doc gains the 5
+    // pure-slogan grams (the doc-tail/slogan boundary grams carry the
+    // doc's unique tail and stay singletons), covering the 12
+    // appended tokens; unplanted docs are untouched.
+    val dir = "/root/testdata/sf0.001"
+    val base = Dedup.dupSpanCoverage(
+        graft.core.Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val out = NorthStar.dupSpans(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(r => r.getLong(2) > 0), "some docs must carry dup spans")
+    out.foreach { r =>
+      val (id, n, ndg, cov) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (bn, bndg, bcov) = base(id)
+      if (id % 6 == 0) {
+        assert(n === bn + 13, s"doc $id token count grows by u<id> + slogan")
+        assert(ndg === bndg + 5L, s"doc $id: the 12-token slogan has 5 pure 8-grams")
+        // covered tokens grow by exactly the 12 slogan tokens (the
+        // slogan spans are disjoint from any base dup span); undo the
+        // 4dp quantization with a matching tolerance
+        assert(math.abs(cov * n - (bcov * bn + 12.0)) < 0.05, s"doc $id coverage delta")
+      } else {
+        assert((n, ndg, cov) === ((bn, bndg, bcov)), s"doc $id must be untouched")
+      }
+    }
+  }
 }
