@@ -341,14 +341,18 @@ object Dedup {
     * fraction of tokens covered by the union of duplicated spans
     * `[pos, pos+k)`, plus the raw duplicated-position count.
     *
-    * Scale shape: one positional-gram explode; one distinct + count
-    * aggregate over grams (map-side partials) to find the cross-doc
-    * set; one ids+positions-only semi join back; and the interval
-    * union is a `lag` window KEYED ON id (tokens newly covered =
-    * `min(k, pos - prev)`), so no per-corpus ordering exists anywhere
-    * — every shuffle is keyed on the gram or the doc id. Docs shorter
-    * than k tokens have no grams and coverage 0. Returns
-    * (id, n_tokens, n_dup_grams, dup_cov). */
+    * Scale shape: one positional-gram explode; the heavy cross-doc
+    * count runs on 8-byte gram HASHES (the posting shuffle shrinks
+    * ~6× vs gram strings, same trade as [[ngramJaccardPairs]]), and
+    * the duplicate DECISION is then re-verified on the gram STRINGS
+    * of the surviving candidate sliver — a hash collision can only
+    * add a candidate, never fabricate a duplicate, so the result is
+    * exact. The semi join back carries ids+positions only, and the
+    * interval union is a `lag` window KEYED ON id (tokens newly
+    * covered = `min(k, pos - prev)`), so no per-corpus ordering
+    * exists anywhere — every shuffle is keyed on the gram (hash) or
+    * the doc id. Docs shorter than k tokens have no grams and
+    * coverage 0. Returns (id, n_tokens, n_dup_grams, dup_cov). */
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val scope = new CacheScope
@@ -361,12 +365,20 @@ object Dedup {
       .select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"),
         grams.as("gs")))
     val ex = scope.pin(base.select(col("id"), posexplode(col("gs")))
-      .withColumnRenamed("col", "g"))
-    val crossDoc = ex.select(col("id"), col("g")).distinct()
-      .groupBy("g").agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") > 1).select(col("g"))
+      .withColumnRenamed("col", "g")
+      .withColumn("__h", xxhash64(col("g"))))
+    val candHashes = ex.select(col("id"), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1).select(col("__h"))
+    // not pinned: both consumers re-derive it from the CACHED ex with
+    // one cheap semi join — a pin would cost a full materialization
+    // chain to save two in-memory probes
+    val candRows = ex.join(candHashes, Seq("__h"), "left_semi")
+    val crossDoc = candRows.select(col("id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("__ndg"))
+      .filter(col("__ndg") > 1).select(col("g"))
     val w = Window.partitionBy("id").orderBy("pos")
-    val cov = ex.join(crossDoc, Seq("g"), "left_semi")
+    val cov = candRows.join(crossDoc, Seq("g"), "left_semi")
       .withColumn("__prev", lag(col("pos"), 1).over(w))
       .groupBy("id")
       .agg(count(lit(1)).as("n_dup_grams"),
