@@ -153,6 +153,7 @@ object SparkEntry {
     "d23_pii_scrub"          -> (NorthStar.piiScrub _),
     "d24_url_domain_filter"  -> (NorthStar.urlDomainFilter _),
     "d25_dup_spans"          -> (NorthStar.dupSpans _),
+    "d26_mixture_sample"     -> (NorthStar.mixtureSample _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1311,6 +1312,18 @@ object SparkEntry {
         |SELECT doc_id, lang, sample_rank FROM ranked
         |WHERE sample_rank <= 20
         |ORDER BY lang, sample_rank""".stripMargin,
+    // d26: the mixture keep-bits re-derived from the shared
+    // fingerprint CTE — same mod-10000 bucket, same per-source cut
+    // arithmetic, so every kept doc_id must agree bit-for-bit.
+    "d26_mixture_sample" ->
+      s"""WITH $fingerprintCtesSql,
+        |m AS (
+        |  SELECT s.doc_id, d.source,
+        |    ((s.fingerprint % 10000) + 10000) % 10000 AS u,
+        |    (CAST(substr(d.source, 4) AS BIGINT) % 4 + 1) * 2000 AS cut
+        |  FROM sgn s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, source, CAST(u AS BIGINT) AS u, CAST(cut AS BIGINT) AS cut
+        |FROM m WHERE u < cut ORDER BY doc_id""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

@@ -476,6 +476,26 @@ object NorthStar {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** d26: WEIGHTED MIXTURE sampling — the data-mixing stage that
+    * turns per-source sampling weights into a concrete subcorpus
+    * (what the published pipelines do when combining web/books/code
+    * at fixed ratios). The keep decision compares the portable
+    * content fingerprint mod 10000 to the source's cut — a pure
+    * per-row expression: no shuffle, no sampling state, deterministic
+    * under re-ingest, engine-portable (the oracle reproduces every
+    * keep bit). Weights here derive from the fixture's source id
+    * (`srcN` → (N mod 4 + 1)·0.2, i.e. 0.2/0.4/0.6/0.8); a real run
+    * would broadcast-join a weights table — the decision expression
+    * is unchanged. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        pmod(TextFunctions.fingerprintPortable64(col("text")), lit(10000L)).as("u"),
+        ((substring(col("source"), 4, 10).cast("long") % 4 + 1) * 2000L).as("cut"))
+      .filter(col("u") < col("cut"))
+      .orderBy("doc_id")
+
   /** d19: DETERMINISTIC stratified sampling — per language, the K
     * documents with the smallest (portable fingerprint, doc_id). The
     * fingerprint is a uniform-ish pseudo-random key derived from

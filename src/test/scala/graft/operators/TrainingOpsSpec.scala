@@ -30,6 +30,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(bySplit("train") > bySplit.getOrElse("test", 0))
   }
 
+  test("mixture sample: deterministic, rates track source weights, filter-only plan") {
+    val m1 = NorthStar.mixtureSample(spark, dir)
+    val rows = m1.collect()
+    assert(rows.toSeq == NorthStar.mixtureSample(spark, dir).collect().toSeq,
+      "mixture must be deterministic")
+    // every kept row honors its cut; rates per source track the weight
+    assert(rows.forall(r => r.getLong(2) < r.getLong(3)), "kept rows honor the cut")
+    val total = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    total.foreach { case (src, n) =>
+      val frac = (src.drop(3).toLong % 4 + 1) * 0.2
+      val got = kept.getOrElse(src, 0L).toDouble / n
+      // 25 docs/source at sf0.001 — binomial noise is wide; just
+      // require the rate to sit in a generous band around the weight
+      assert(math.abs(got - frac) < 0.3, s"$src rate $got vs weight $frac")
+    }
+    // the keep decision is a pure per-row filter: no hash exchange
+    // anywhere (the output orderBy adds only a range exchange)
+    val plan = m1.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"mixture sampling must not shuffle on any key:\n$plan")
+  }
+
   test("token chunking conserves the token stream") {
     val chunks = NorthStar.tokenChunks(spark, dir)
     val totalChunked = chunks.agg(sum("n_tokens")).head.getLong(0)
