@@ -154,6 +154,7 @@ object SparkEntry {
     "d24_url_domain_filter"  -> (NorthStar.urlDomainFilter _),
     "d25_dup_spans"          -> (NorthStar.dupSpans _),
     "d26_mixture_sample"     -> (NorthStar.mixtureSample _),
+    "d27_cluster_reps"       -> (NorthStar.clusterRepresentatives _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -948,6 +949,68 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // d27: the d13 cluster closure joined with the d04 quality chain;
+    // keep each cluster's highest-quality member (ties by doc_id).
+    // Quality is the shared floor-half-up 4dp quantization, so the
+    // DESC ordering agrees bit-for-bit across engines.
+    "d27_cluster_reps" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM docs WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qt AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS cjk
+        |  FROM docs),
+        |qr AS (
+        |  SELECT doc_id, n_chars, punct, cjk,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','this'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_en
+        |  FROM qt),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor((least(n_chars / 200.0, 1.0) * 0.3
+        |         + (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10.0, 1.0)) * 0.2
+        |         + least(greatest(s_en, cjk) * 5.0, 1.0) * 0.3
+        |         + (CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2) * 10000 + 0.5) / 10000.0 AS quality
+        |  FROM qr),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.cluster_id) AS nm
+        |  FROM cl c JOIN q ON c.doc_id = q.doc_id)
+        |SELECT cluster_id, doc_id, quality, CAST(nm AS BIGINT) AS n_members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // d14: the full cleaning composite — quality/lang gate (d04/d05
     // kernels), exact dedup, then the d13 closure over survivors;
     // keep each cluster's minimum id. Every stage re-derived in SQL.

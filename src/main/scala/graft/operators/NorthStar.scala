@@ -153,6 +153,36 @@ object NorthStar {
     clusters.orderBy("doc_id")
   }
 
+  /** d27: QUALITY-BASED cluster representatives — the retention
+    * policy real dedup pipelines prefer over keep-min-id: within each
+    * near-dup cluster keep the HIGHEST-QUALITY member (ties broken by
+    * doc_id for determinism). Same planted corpus and cluster
+    * construction as [[nearDupClusters]]; the representative pick is
+    * one row_number window KEYED ON cluster_id over the (tiny)
+    * cluster membership — the corpus-scale stages are unchanged, the
+    * policy is a cheap epilogue. Returns one row per cluster:
+    * (cluster_id, doc_id, quality, n_members). */
+  def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val scope = new graft.core.CacheScope
+    val docs = withPlantedNearDups(spark, dir)
+    val pairs = Dedup.ngramJaccardPairsExhaustiveUnsealed(
+      docs, "doc_id", "text", n = 3, threshold = 0.4, maxPosting = 1000, scope)
+    val clusters = Dedup.connectedComponents(pairs)
+    scope.release()
+    val quality = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        col("n_members").cast("long").as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** d14: the composite cleaning pass a training-data pipeline runs
     * end-to-end over a raw corpus, one oracled query composed from
     * the operators above:

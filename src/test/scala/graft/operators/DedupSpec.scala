@@ -152,6 +152,22 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cluster representatives: one per cluster, a member, counts conserve") {
+    val reps = NorthStar.clusterRepresentatives(spark, dir).collect()
+    val clusters = NorthStar.nearDupClusters(spark, dir).collect()
+    val byCluster = clusters.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(reps.nonEmpty)
+    assert(reps.length === byCluster.size, "exactly one representative per cluster")
+    assert(reps.map(_.getLong(3)).sum === clusters.length.toLong,
+      "membership counts conserve the clustered corpus")
+    reps.foreach { r =>
+      assert(byCluster(r.getLong(0)).contains(r.getLong(1)),
+        s"representative ${r.getLong(1)} must belong to cluster ${r.getLong(0)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dup-span coverage: shared 8-gram found, interval union merges overlaps") {
     import spark.implicits._
     val docs = Seq(
