@@ -1214,7 +1214,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, text ||
         |    CASE WHEN doc_id % 4 = 0 THEN ' see https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END ||
-        |    CASE WHEN doc_id % 10 = 0 THEN ' ref http://ads' || CAST(doc_id % 5 AS VARCHAR) || '.blocked.net/x' ELSE '' END
+        |    CASE WHEN doc_id % 10 = 0 THEN ' ref http://ads' || CAST((doc_id // 10) % 5 AS VARCHAR) || '.blocked.net/x' ELSE '' END
         |    AS text
         |  FROM documents WHERE text IS NOT NULL),
         |u AS (

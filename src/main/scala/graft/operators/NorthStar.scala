@@ -301,6 +301,10 @@ object NorthStar {
     val id = col("doc_id")
     def s(c: Column) = c.cast("string")
     Tables.documents(spark, dir)
+      // null-text parity with the oracle's WHERE text IS NOT NULL —
+      // without it a null-text doc would emit a null row the oracle
+      // omits (the fixture happens to have none; don't depend on that)
+      .filter(col("text").isNotNull)
       .select(id,
         concat(col("text"),
           when(pmod(id, lit(3)) === 0,
@@ -341,13 +345,19 @@ object NorthStar {
     val id = col("doc_id")
     def s(c: Column) = c.cast("string")
     Tables.documents(spark, dir)
+      // null-text parity with the oracle (see withPlantedPii)
+      .filter(col("text").isNotNull)
       .select(id,
         concat(col("text"),
           when(pmod(id, lit(4)) === 0,
             concat(lit(" see https://site"), s(pmod(id, lit(50))),
               lit(".example.org/p/"), s(id), lit(" ok"))).otherwise(lit("")),
+          // (doc_id div 10) mod 5, NOT doc_id mod 5: every 10th doc
+          // is also a multiple of 5, which would pin every planted
+          // tracker to ads0 and leave the rest of the blocklist
+          // unexercised
           when(pmod(id, lit(10)) === 0,
-            concat(lit(" ref http://ads"), s(pmod(id, lit(5))),
+            concat(lit(" ref http://ads"), s(pmod(expr("doc_id div 10"), lit(5))),
               lit(".blocked.net/x"))).otherwise(lit(""))).as("text"))
       .repartition(widenWidth(spark), col("doc_id"))
   }
@@ -834,7 +844,11 @@ object NorthStar {
   def ivfSavedTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
     val (assigned, centroids) = IvfIndex.build(spark, emb, "vec_id", "embedding", nCells = 8)
-    val idxDir = graft.core.RunTemp.dir("graft_ivf_index_")
+    // saved-index dirs are DEPLOYMENT artifacts: a loaded search
+    // frame reads the dir lazily long after the query that wrote it,
+    // so this call site opts into a floor well above the default
+    // 8-newest heuristic (the RunTemp per-call-site contract)
+    val idxDir = graft.core.RunTemp.dir("graft_ivf_index_", keep = 32)
     IvfIndex.save(assigned, centroids, idxDir)
     assigned.unpersist()
     val (loaded, loadedCentroids) = IvfIndex.load(spark, idxDir)

@@ -112,7 +112,16 @@ object JdbcWarehouse {
 
   /** Idempotent CREATE TABLE with a primary key on `key` (the upsert
     * conflict target). Existing tables are left untouched (Derby
-    * SQLState X0Y32 / Postgres 42P07). */
+    * SQLState X0Y32 / Postgres 42P07).
+    *
+    * MIGRATION NOTE: identifiers are quoted everywhere (DDL, DML and
+    * the read path), so `table` is case-SENSITIVE to the engine. A
+    * database whose tables were created UNQUOTED by other tooling
+    * stores them case-folded (Derby/Postgres fold opposite ways!);
+    * targeting such a table from here requires passing the folded
+    * spelling (e.g. "WH" for a Derby table created as `wh`) —
+    * otherwise ensureTable sees no conflict and creates a second,
+    * empty table beside the old one. */
   def ensureTable(url: String, table: String, schema: StructType, key: String,
       dialect: Dialect = derby): Unit = {
     validate(schema, key)

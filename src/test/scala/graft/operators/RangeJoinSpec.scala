@@ -181,13 +181,8 @@ class RangeJoinSpec extends AnyFunSuite {
 
   // Descend AQE wrappers — plan.collect stops at query-stage bounds.
   private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
-      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Seq[T]]): Seq[T] = p.collect {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      collectAll(a.executedPlan)(pf)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      collectAll(q.plan)(pf)
-    case n if pf.isDefinedAt(n) => pf(n)
-  }.flatten
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Seq[T]]): Seq[T] =
+    graft.PlanWalk.collectAll(p)(pf)
 
   test("auto-band stats materialize ONCE per action; both consumers reuse the broadcast") {
     val auto = RangeJoin.intervalJoin(leftDf, rightDf, "l_ts", "r_ts",

@@ -93,16 +93,9 @@ class TrainingOpsSpec extends AnyFunSuite {
     manifest.unpersist()
   }
 
-  // Descend AQE wrapper nodes — a plain plan.collect stops at query
-  // stage boundaries and misses Window nodes inside finished stages.
   private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
-      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Seq[T]]): Seq[T] = p.collect {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      collectAll(a.executedPlan)(pf)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      collectAll(q.plan)(pf)
-    case n if pf.isDefinedAt(n) => pf(n)
-  }.flatten
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, Seq[T]]): Seq[T] =
+    graft.PlanWalk.collectAll(p)(pf)
 
   test("sequence packing: no per-language window over the document stream") {
     val manifest = NorthStar.packSequences(spark, dir, seqLen = 256L)
