@@ -109,6 +109,12 @@ object SparkEntry {
     // certifies the sink preserves the exact warehouse the parquet
     // path produces.
     "p06_jdbc_warehouse" -> ((s, _) => cocoaJdbcWarehouse(s)),
+    // p07: CDC — the row-level change set between the two committed
+    // snapshots of the memoized run (v0 = batch 1, v1 = both). The
+    // incremental-consumption primitive: downstream processes |Δ|
+    // rows, not the corpus. Oracled by re-deriving BOTH versions from
+    // the landing CSVs and diffing them in SQL.
+    "p07_version_diff" -> ((s, _) => cocoaVersionDiff(s)),
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
@@ -215,6 +221,19 @@ object SparkEntry {
     spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
       .parquet(Warehouse.versionPath(dirs.warehouse, 0L))
       .orderBy("shipment_id")
+  }
+
+  /** p07: CDC between the run's two committed snapshots. Change
+    * semantics and the one-join scale shape live in
+    * [[Warehouse.diffFrames]]; every batch-2 overlap key surfaces as
+    * an `update` (its LWW winner carries batch 2's processed_at), the
+    * new id range as `insert`s, and this append-only pipeline yields
+    * zero `delete`s — the oracle proves all three classes, the third
+    * by absence. */
+  private def cocoaVersionDiff(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark) // ensure v0 and v1 are committed
+    val dirs = cocoaDirsMemo.get(spark)
+    Warehouse.diff(spark, dirs.warehouse, 0L, 1L).orderBy("shipment_id")
   }
 
   /** Fixed location the oracle SQL reads the landing copies from —
@@ -1466,6 +1485,11 @@ object SparkEntry {
     "p05_time_travel" -> cocoaOracle(
       "SELECT * FROM wh ORDER BY shipment_id",
       batches = Seq("b1" -> "2023-11-14 22:13:20")),
+    // p07: re-derive BOTH versions (v0 = batch 1 alone, v1 = LWW over
+    // both) and diff them column-null-safely — mirrors
+    // Warehouse.diffFrames: inserts/updates carry the NEW row, deletes
+    // (zero in this append-only pipeline, proven by absence) the old.
+    "p07_version_diff" -> cocoaVersionDiffOracleSql,
     // s05: the doubled-then-deduped stream must equal the original
     // event set exactly.
     "s05_streaming_dedup" ->
@@ -1753,17 +1777,55 @@ object SparkEntry {
   /** Wrap a query over the `wh` CTE — the warehouse as re-derived by
     * DuckDB from the dumped landing CSVs of the given batches (both
     * by default; p05's time travel re-derives from batch 1 alone). */
+  /** One landing batch as a DuckDB CTE body (shared by [[cocoaOracle]]
+    * and the p07 diff oracle — both must parse the same files the same
+    * way). */
+  private def cocoaBatchSql(dir: String, processedAt: String): String =
+    s"""SELECT *, TIMESTAMP '$processedAt' AS processed_at
+       |FROM read_csv('$cocoaOracleIn/$dir/*.csv', header=true,
+       |  timestampformat='%Y-%m-%dT%H:%M:%S',
+       |  types={'timestamp':'TIMESTAMP','quality_score':'DOUBLE',
+       |         'shipment_weight_kg':'BIGINT','temperature_celsius':'DOUBLE'})""".stripMargin
+
+  /** p07's oracle: both warehouse versions re-derived from the landing
+    * CSVs, then diffed. The per-column IS NOT DISTINCT FROM chain is
+    * the SQL spelling of the engine's single null-safe struct compare. */
+  private lazy val cocoaVersionDiffOracleSql: String = {
+    def wh(name: String, sources: Seq[String]): String =
+      s"""ranked_$name AS (
+         |  SELECT *, row_number() OVER (PARTITION BY shipment_id
+         |    ORDER BY processed_at DESC, "timestamp" DESC) AS rn
+         |  FROM (${sources.map(s => s"SELECT * FROM $s").mkString(" UNION ALL ")})),
+         |$name AS (
+         |  SELECT shipment_id, "timestamp", farm_id, region, bean_type,
+         |    quality_score, shipment_weight_kg, temperature_celsius,
+         |    shipment_weight_kg * 2.5 AS shipment_value_usd, processed_at
+         |  FROM ranked_$name WHERE rn = 1)""".stripMargin
+    val same = Seq("timestamp", "farm_id", "region", "bean_type",
+        "quality_score", "shipment_weight_kg", "temperature_celsius",
+        "shipment_value_usd", "processed_at")
+      .map(c => s"""n."$c" IS NOT DISTINCT FROM o."$c"""")
+      .mkString(" AND\n    ")
+    s"""WITH b1 AS (${cocoaBatchSql("b1", "2023-11-14 22:13:20")}),
+       |b2 AS (${cocoaBatchSql("b2", "2023-11-14 22:15:00")}),
+       |${wh("wh0", Seq("b1"))},
+       |${wh("wh1", Seq("b1", "b2"))}
+       |SELECT n.*, CASE WHEN o.shipment_id IS NULL THEN 'insert'
+       |  ELSE 'update' END AS change_type
+       |FROM wh1 n LEFT JOIN wh0 o ON n.shipment_id = o.shipment_id
+       |WHERE o.shipment_id IS NULL OR NOT ($same)
+       |UNION ALL
+       |SELECT o.*, 'delete' AS change_type
+       |FROM wh0 o LEFT JOIN wh1 n ON o.shipment_id = n.shipment_id
+       |WHERE n.shipment_id IS NULL
+       |ORDER BY shipment_id""".stripMargin
+  }
+
   private def cocoaOracle(body: String,
       batches: Seq[(String, String)] = Seq(
         "b1" -> "2023-11-14 22:13:20", "b2" -> "2023-11-14 22:15:00")): String = {
-    def batch(dir: String, processedAt: String): String =
-      s"""SELECT *, TIMESTAMP '$processedAt' AS processed_at
-         |FROM read_csv('$cocoaOracleIn/$dir/*.csv', header=true,
-         |  timestampformat='%Y-%m-%dT%H:%M:%S',
-         |  types={'timestamp':'TIMESTAMP','quality_score':'DOUBLE',
-         |         'shipment_weight_kg':'BIGINT','temperature_celsius':'DOUBLE'})""".stripMargin
     val ctes = batches
-      .map { case (d, ts) => s"$d AS (${batch(d, ts)})" }.mkString(",\n")
+      .map { case (d, ts) => s"$d AS (${cocoaBatchSql(d, ts)})" }.mkString(",\n")
     val unioned = batches.map(b => s"SELECT * FROM ${b._1}").mkString(" UNION ALL ")
     s"""WITH $ctes,
        |ranked AS (

@@ -295,6 +295,61 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** CDC: the row-level change set between two committed snapshots of
+    * the SAME warehouse — the incremental-processing primitive the
+    * versioned commit protocol makes possible. The reference's
+    * consumers re-read the whole Postgres table every dashboard
+    * refresh (`README.md:146-151`); at 100 TB a downstream consumer
+    * must instead process |Δ| rows, and this derives Δ from any two
+    * retained versions ([[vacuum]]'s `keepLast`/`minAgeMs` floor is
+    * what guarantees `fromVersion` is still readable).
+    *
+    * Both snapshots are read under the CURRENT schema (additive
+    * evolution: a column added after `fromVersion` reads as null
+    * there, so its arrival surfaces as an `update`). See
+    * [[diffFrames]] for semantics and the scale shape. */
+  def diff(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String] = Seq(CocoaSchema.mergeKey),
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame = {
+    def snap(v: Long) =
+      spark.read.schema(schema).parquet(versionPath(root, v))
+    diffFrames(snap(fromVersion), snap(toVersion), keyCols)
+  }
+
+  /** Classify every key as `insert` (new side only), `delete` (old
+    * side only) or `update` (present in both with ANY column changed,
+    * null-safely — audit columns like `processed_at` count: a re-land
+    * that only touched the stamp IS a change event), dropping
+    * unchanged rows. Inserts/updates carry the NEW row, deletes the
+    * OLD one, plus a `change_type` column.
+    *
+    * Scale shape: ONE full-outer sort-merge join keyed on `keyCols` —
+    * each side shuffles once on the key and the non-key payload rides
+    * as a single struct compared null-safely (`<=>`, codegen'd), so
+    * the change test adds no per-column join width. On a
+    * [[commitBucketed]] table both sides are already bucketed on the
+    * key and the join plans with NO exchange at all. */
+  def diffFrames(from: DataFrame, to: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    require(from.columns.sameElements(to.columns),
+      s"diff expects both snapshots read under one schema, got" +
+        s" [${from.columns.mkString(",")}] vs [${to.columns.mkString(",")}]")
+    val dataCols = to.columns.toSeq.filterNot(keyCols.contains)
+    def packed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
+    packed(from, "__old").join(packed(to, "__new"), keyCols, "full_outer")
+      .filter(!(col("__old") <=> col("__new")))
+      .withColumn("change_type",
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .withColumn("__row", coalesce(col("__new"), col("__old")))
+      .select(keyCols.map(col) ++
+        dataCols.map(c => col(s"__row.`$c`").as(c)) :+ col("change_type"): _*)
+  }
+
   /** Drop old snapshots, subject to a RETENTION FLOOR — the contract
     * that keeps "held readers survive new commits" (and p05-style time
     * travel) true in the presence of maintenance:

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** CDC semantics of [[Warehouse.diff]]: every change class surfaces
+  * exactly once with the right payload side, unchanged rows are
+  * suppressed, and the plan is the one key-partitioned full-outer
+  * join — no cartesian anywhere. */
+class WarehouseDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def batch(seed: Int) =
+    Enrich.enrich(CocoaGen.shipments(spark, 10, seed = seed),
+      new Timestamp(1000000L))
+
+  private def id(n: Int) = f"SHIP-$n%010d"
+
+  test("diff classifies insert/update/delete and drops unchanged rows") {
+    val root = Files.createTempDirectory("wh_diff").toString
+    val v0 = batch(7) // ids 0..9
+    // v1: drop id 9 (delete), bump id 0's quality (update), add id 100
+    // (insert); ids 1..8 land byte-identical (must NOT surface).
+    val insert = Enrich.enrich(
+      CocoaGen.shipments(spark, 1, seed = 8, idOffset = 100L),
+      new Timestamp(2000000L))
+    val v1 = v0.filter(col("shipment_id") =!= id(9))
+      .withColumn("quality_score",
+        when(col("shipment_id") === id(0), lit(9.99))
+          .otherwise(col("quality_score")))
+      .unionByName(insert)
+    assert(Warehouse.commit(spark, root, v0) === 0L)
+    assert(Warehouse.commit(spark, root, v1) === 1L)
+
+    val diff = Warehouse.diff(spark, root, 0L, 1L)
+    val rows = diff.collect().map(r =>
+      r.getAs[String]("shipment_id") -> r.getAs[String]("change_type")).toMap
+    assert(rows === Map(
+      id(0) -> "update", id(9) -> "delete", id(100) -> "insert"))
+
+    // updates/inserts carry the NEW row, deletes the OLD one
+    val byId = diff.collect().map(r => r.getAs[String]("shipment_id") -> r).toMap
+    assert(byId(id(0)).getAs[Double]("quality_score") === 9.99)
+    assert(byId(id(100)).getAs[Timestamp]("processed_at") ===
+      new Timestamp(2000000L))
+    val oldDel = v0.filter(col("shipment_id") === id(9)).collect().head
+    assert(byId(id(9)).getAs[Double]("quality_score") ===
+      oldDel.getAs[Double]("quality_score"))
+  }
+
+  test("a change in ANY column — audit stamp included — is an update") {
+    val v0 = batch(11)
+    val v1 = Enrich.enrich(
+      CocoaGen.shipments(spark, 10, seed = 11), new Timestamp(3000000L))
+    val diff = Warehouse.diffFrames(v0, v1, Seq("shipment_id"))
+    val types = diff.select("change_type").distinct().collect().map(_.getString(0))
+    assert(types.toSeq === Seq("update"), "only processed_at moved => all updates")
+    assert(diff.count() === 10)
+  }
+
+  test("the plan is one full-outer join on the key, no cartesian") {
+    val root = Files.createTempDirectory("wh_diff_plan").toString
+    Warehouse.commit(spark, root, batch(13))
+    Warehouse.commit(spark, root, batch(14))
+    val diff = Warehouse.diff(spark, root, 0L, 1L)
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).size === 1,
+      s"exactly one join expected:\n$plan")
+  }
+}
