@@ -144,6 +144,7 @@ object SparkEntry {
               |FROM documents ORDER BY doc_id""".stripMargin)
     }),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
+    "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
     "d13_neardup_clusters"   -> (NorthStar.nearDupClusters _),
@@ -819,6 +820,33 @@ object SparkEntry {
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
         |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs WHERE floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d28: d07's exhaustive ground truth restricted to pairs touching
+    // the planted increment (every planted id ≥ 100000 > every corpus
+    // id, and pairs are a<b-normalized, so "touches the increment" ≡
+    // "id_b ≥ 100000"). Same band-miss argument as d07 makes the
+    // incremental LSH path exactly this set.
+    "d28_incremental_neardups" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM docs WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id AND b.doc_id >= 100000
         |  GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 >= 0.5

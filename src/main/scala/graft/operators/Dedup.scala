@@ -103,6 +103,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
+  /** INCREMENTAL near-dup detection: the pairs a NEW batch introduces
+    * against an existing corpus (new×old and new×new), never
+    * re-pairing the corpus with itself — the only shape that works
+    * when the corpus is 100 TB and the daily increment is 0.1% of it.
+    * Full re-dedup pays candidate generation over pairs(corpus+Δ);
+    * this pays one banded bucket join of Δ against the corpus index
+    * plus pairs(Δ) — the corpus side is touched once to sketch+band
+    * (and in production that projection `(id, sh, sig)` IS the saved
+    * index artifact, amortized across every increment the way
+    * [[graft.operators.IvfIndex]] saves centroids+assignments).
+    *
+    * Same sketch family, verification, quantized-threshold semantics
+    * and output contract as [[minhashPairs]] (`id_a < id_b`, exact
+    * Jaccard ≥ threshold), so with identical parameters the result
+    * equals `minhashPairs(corpus ∪ increment)` restricted to pairs
+    * touching the increment — the equivalence its spec and DuckDB
+    * oracle both pin.
+    *
+    * Hot-bucket guard: COMBINED (old + new) bucket occupancy above
+    * `maxBucket` drops the bucket on both joins, mirroring the
+    * self-join variant's worst-case task bound. Ids must be globally
+    * unique and mutually ordered across the two inputs. */
+  def incrementalMinhashPairs(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 4000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val scope = new CacheScope
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+        graft.functions.SketchExpressions.shingleHashes(col(textCol), shingleK).as("sh"))
+      .withColumn("sig",
+        graft.functions.SketchExpressions.minhashFromHashes(col("sh"), numHashes))
+    def banded(base: DataFrame) = base.select(col("id"), posexplode(
+        graft.functions.SketchExpressions.bandHashes(col("sig"), bands)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val keys = Seq("band_idx", "band_hash")
+    val keyCols = keys.map(col)
+    val oldBase = scope.pin(prep(corpus))
+    val newBase = scope.pin(prep(increment))
+    // Both banded sides feed the occupancy count AND a join — pin the
+    // 16× explode rather than re-derive it from the sketch cache.
+    val bOld = scope.pin(banded(oldBase))
+    val bNew = scope.pin(banded(newBase))
+    val hot = bOld.select(keyCols: _*).union(bNew.select(keyCols: _*))
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(keyCols: _*)
+    val coolOld = bOld.join(broadcast(hot), keys, "left_anti")
+    val coolNew = bNew.join(broadcast(hot), keys, "left_anti")
+    // new×old: ids-only bucket join — the corpus side never enumerates
+    // its own pairs. Normalized to id_a < id_b like every pair op.
+    val cross = coolOld.select(keyCols :+ col("id").as("__o"): _*)
+      .join(coolNew.select(keyCols :+ col("id").as("__i"): _*), keys)
+      .select(least(col("__o"), col("__i")).as("id_a"),
+        greatest(col("__o"), col("__i")).as("id_b"))
+    // new×new: the increment self-joins with the shared guard applied.
+    val selfCands = bucketSelfJoinPairs(coolNew, keys, Seq("id"), maxBucket, scope)
+    val cands = cross.union(selfCands).dropDuplicates("id_a", "id_b")
+    val allBase = oldBase.union(newBase)
+    val ja = graft.functions.SketchExpressions.sortedLongJaccard(col("sh_a"), col("sh_b"))
+    scope.sealResult(cands
+      .join(allBase.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(allBase.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", graft.functions.Quantize.quantize4(ja))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard")))
+  }
+
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")

@@ -110,6 +110,27 @@ object NorthStar {
       .orderBy("id_a", "id_b")
   }
 
+  /** d28: INCREMENTAL near-dup dedup — the planted batch arrives as a
+    * new increment against the untouched corpus, and only pairs
+    * touching the increment are computed (new×old via one bucket join
+    * against the corpus band index, new×new via the increment's
+    * self-join). Same 128/32 parameters as d07, so the result is
+    * deterministically d07's exact pair set restricted to pairs with
+    * a planted side — which is exactly what the DuckDB oracle
+    * recomputes exhaustively. The corpus never enumerates its own
+    * pairs: this is the 0.1%-daily-increment shape at 100 TB. */
+  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .repartition(widenWidth(s), md5(col("text")))
+    val increment = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftmark")).as("text"))
+    Dedup.incrementalMinhashPairs(docs, increment, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Portable token hash so the DuckDB oracle recomputes identical
     * sketches; the pigeonhole chunk join guarantees exact recall at
     * hamming ≤ 6, so the output is exactly the hamming-≤-6 pair set

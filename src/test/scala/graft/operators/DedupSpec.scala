@@ -54,6 +54,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.5), "all surviving pairs verified >= threshold")
   }
 
+  test("incremental minhash equals the full self-join restricted to increment pairs") {
+    val corpus = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val increment = corpus.filter(col("doc_id") < planted)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftmark")).as("text"))
+    val inc = Dedup.incrementalMinhashPairs(corpus, increment, "doc_id", "text",
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .filter(col("id_b") >= 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === full, "incremental path must equal full-corpus pairs touching the increment")
+    assert(inc.nonEmpty && inc.exists { case (a, b, _) => b == a + 100000 },
+      "planted new-vs-old pairs recovered")
+  }
+
   test("simhash recovers planted near-dup pairs within hamming budget") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
     val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
