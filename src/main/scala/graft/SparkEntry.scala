@@ -145,6 +145,7 @@ object SparkEntry {
     }),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
+    "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
     "d08_simhash_near_dups"  -> (NorthStar.simhashNearDups _),
     "d09_ngram_jaccard_near_dups" -> (NorthStar.ngramJaccardNearDups _),
     "d13_neardup_clusters"   -> (NorthStar.nearDupClusters _),
@@ -851,6 +852,28 @@ object SparkEntry {
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // d29: three planted increment populations — verbatim re-crawls
+    // (dropped by the corpus hash index), new mutated texts (kept),
+    // and higher-id echoes of those texts (collapsed within the
+    // increment, smallest id winning) — recomputed in SQL.
+    "d29_incremental_exact" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |src AS (SELECT doc_id, text FROM documents WHERE doc_id < 40 AND text IS NOT NULL),
+        |inc AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' graftmark' AS text FROM src),
+        |kept AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM inc) WHERE rn = 1)
+        |SELECT k.doc_id, md5(k.text) AS content_hash
+        |FROM kept k
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(k.text))
+        |ORDER BY doc_id""".stripMargin,
     // d08 recomputes the ENTIRE SimHash sketch in SQL: the portable
     // token hash (poly-31 over codepoints + two 32-bit-constant
     // multiply/xorshift rounds; see SketchExpressions.

@@ -38,6 +38,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup: keep only increment rows whose content
+    * is new — not present in the corpus, and not an echo of an earlier
+    * row within the increment itself (smallest id wins, as in
+    * [[exactDedup]]). The corpus contributes ONE distinct-hash
+    * projection (in production the persisted hash index, maintained
+    * additively batch over batch) and is never re-deduped; the
+    * anti-join keys on the 16-byte hash, so corpus text never moves.
+    * Scale shape: one hash-aggregate over Δ + one key-partitioned
+    * anti-join — both AQE-broadcastable when Δ is small, which is the
+    * daily-increment case. */
+  def incrementalExactDedup(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__seen_hash")).distinct()
+    exactDedup(increment, idCol, textCol)
+      .join(seen, md5(col(textCol)) === col("__seen_hash"), "left_anti")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature of the k-word shingle set: `numHashes`

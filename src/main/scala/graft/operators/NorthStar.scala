@@ -131,6 +131,29 @@ object NorthStar {
       .orderBy("id_a", "id_b")
   }
 
+  /** d29: INCREMENTAL exact dedup — a simulated re-crawl batch holds
+    * three planted populations: verbatim copies of corpus docs (must
+    * drop via the corpus hash index), genuinely new texts (the
+    * ' graftmark' mutations — must survive), and a second copy of each
+    * new text at a higher id (must collapse within the increment,
+    * smallest id winning). Only the survivors' (id, content hash)
+    * emerge; the corpus is touched for ONE distinct-hash projection —
+    * the persisted index shape — and never re-deduped. */
+  def incrementalExactDedupNew(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .repartition(widenWidth(s), md5(col("text")))
+    val src = docs.filter(col("doc_id") < 40 && col("text").isNotNull)
+    def shifted(off: Long, t: Column) =
+      src.select((col("doc_id") + off).as("doc_id"), t.as("text"))
+    val increment = shifted(200000L, col("text"))
+      .unionByName(shifted(100000L, concat(col("text"), lit(" graftmark"))))
+      .unionByName(shifted(300000L, concat(col("text"), lit(" graftmark"))))
+    Dedup.incrementalExactDedup(docs, increment, "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Portable token hash so the DuckDB oracle recomputes identical
     * sketches; the pigeonhole chunk join guarantees exact recall at
     * hamming ≤ 6, so the output is exactly the hamming-≤-6 pair set

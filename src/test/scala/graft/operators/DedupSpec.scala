@@ -71,6 +71,21 @@ class DedupSpec extends AnyFunSuite {
       "planted new-vs-old pairs recovered")
   }
 
+  test("incremental exact dedup: corpus echoes drop, new texts survive once") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, "alpha"),  // exact corpus copy -> dropped
+      (11L, "gamma"),  // new -> kept
+      (12L, "gamma"),  // echo within increment -> collapsed into 11
+      (13L, "delta")   // new -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(corpus, increment, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 13L))
+  }
+
   test("simhash recovers planted near-dup pairs within hamming budget") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
     val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)
