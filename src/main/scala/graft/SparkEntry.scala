@@ -163,6 +163,7 @@ object SparkEntry {
     "d25_dup_spans"          -> (NorthStar.dupSpans _),
     "d26_mixture_sample"     -> (NorthStar.mixtureSample _),
     "d27_cluster_reps"       -> (NorthStar.clusterRepresentatives _),
+    "d30_shard_manifest"     -> (NorthStar.shardManifest _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1457,6 +1458,27 @@ object SparkEntry {
         |  FROM sgn s JOIN documents d ON s.doc_id = d.doc_id)
         |SELECT doc_id, source, CAST(u AS BIGINT) AS u, CAST(cut AS BIGINT) AS cut
         |FROM m WHERE u < cut ORDER BY doc_id""".stripMargin,
+    // d30: the shard manifest re-derived from raw text — shard =
+    // pmod(fingerprint, 8) over the shared fingerprint chain, token
+    // counts from the same tokenizer, checksum = sum of
+    // pmod(fingerprint, 10^12). Every cell is independent evidence:
+    // the Spark side aggregated parquet files READ BACK from disk, so
+    // a hash match certifies the persisted shards end to end.
+    "d30_shard_manifest" ->
+      s"""WITH $fingerprintCtesSql,
+        |assigned AS (
+        |  SELECT s.doc_id,
+        |    ((s.fingerprint % 8) + 8) % 8 AS shard,
+        |    ((s.fingerprint % 1000000000000) + 1000000000000) % 1000000000000 AS fpm,
+        |    len(list_filter(regexp_split_to_array(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS ntok
+        |  FROM sgn s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id,
+        |  CAST(sum(fpm) AS BIGINT) AS checksum
+        |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

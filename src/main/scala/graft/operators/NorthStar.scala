@@ -540,6 +540,26 @@ object NorthStar {
       .orderBy("lang", "seq_id", "doc_id")
   }
 
+  /** d30: TRAINING-SHARD writer — the corpus deterministically
+    * shuffled into 8 parquet shards on disk plus the per-shard
+    * manifest a trainer's loader consumes. The manifest aggregates
+    * the READ-BACK shards (like v08's saved-index search, it
+    * certifies the persisted artifact, not the intent), and every
+    * manifest cell — counts, token sums, id ranges, the
+    * fingerprint-sum checksum — is recomputed independently by the
+    * oracle from raw text, so a wrong shard assignment, a dropped
+    * row, or a corrupted write all break the hash. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .repartition(widenWidth(s), md5(col("text")))
+    // shard dirs are deployment artifacts read lazily by the loader
+    // frame — same RunTemp floor rationale as the saved IVF index
+    val outDir = graft.core.RunTemp.dir("graft_shards_", keep = 32)
+    val shards = Sharding.writeShards(docs, "doc_id", "text", nShards = 8, outDir)
+    Sharding.manifest(shards, "doc_id").orderBy("shard")
+  }
+
   /** d16: deterministic train/val/test assignment — bucket = the
     * portable document fingerprint mod 100, split by 80/10/10. The
     * split is a pure per-row expression (no shuffle, no sampling

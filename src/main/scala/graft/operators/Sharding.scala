@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-shard writer: the last stage of a data pipeline — turn a
+  * cleaned corpus into N on-disk shards a trainer streams, plus the
+  * per-shard manifest the trainer's data loader reads first.
+  *
+  * The shard key is the portable content fingerprint mod N, so the
+  * "global shuffle" is DETERMINISTIC: the same corpus always lands in
+  * the same shards in the same within-shard order, independent of
+  * ingest order, partition count, or engine — re-running the writer
+  * after a re-ingest reproduces the training byte stream exactly
+  * (the property that makes training runs reproducible). Content
+  * keying also means the shuffle is a REAL shuffle statistically:
+  * the fingerprint is uniform-ish, so shards are balanced and each
+  * shard is an unbiased sample of the corpus — no source/time
+  * clumping, which is what a trainer needs from "shuffled" data.
+  *
+  * Scale shape: ONE hash exchange on the shard key (explicit
+  * partition count — each shard value lands wholly in one task, so
+  * each shard is ONE file written sorted), per-row fingerprint/token
+  * kernels, and a manifest aggregation over the READ-BACK files —
+  * the manifest certifies what is on disk, not what was meant to be
+  * written. No driver-side row handling anywhere.
+  */
+object Sharding {
+
+  /** Write `docs` into `nShards` parquet shards under `outDir`
+    * (directory layout `shard=K/`), deterministically keyed and
+    * ordered by (portable fingerprint, id); returns the read-back
+    * frame of what was persisted. Rows without tokenizable text are
+    * excluded (they carry nothing to train on and no content to
+    * fingerprint). The persisted schema carries the fingerprint so
+    * downstream consumers (manifest, loaders, resume logic) never
+    * recompute it. */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    docs
+      .filter(col(textCol).isNotNull && TextFunctions.tokenCount(col(textCol)) > 0)
+      .withColumn("fp", TextFunctions.fingerprintPortable64(col(textCol)))
+      .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
+      // Explicit count: opts out of AQE coalescing, and hash
+      // partitioning on the shard value itself sends ALL rows of one
+      // shard to one task — partitionBy below then emits exactly one
+      // sorted file per shard.
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("fp"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+  }
+
+  /** Per-shard manifest over the persisted shards: document count,
+    * token count, id range, and an order-independent content
+    * checksum (sum of fingerprint mod 10^12 — integer-exact, so any
+    * engine reading the same shards derives the same checksum; 10^12
+    * keeps a per-shard sum of ~10^6 docs inside a signed 64-bit
+    * value, and a grown corpus widens to decimal, not to floats). */
+  def manifest(shards: DataFrame, idCol: String): DataFrame =
+    shards
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(pmod(col("fp"), lit(1000000000000L))).as("checksum"))
+}

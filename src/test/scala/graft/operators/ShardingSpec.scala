@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Training-shard writer: conservation (every input doc in exactly
+  * one shard), determinism (re-writing yields a byte-identical
+  * manifest), physical layout (one sorted file per shard), and
+  * manifest-vs-input consistency. */
+class ShardingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = graft.core.Tables.documents(spark, dir)
+    .select("doc_id", "text")
+
+  test("shards conserve the corpus: every tokenizable doc in exactly one shard") {
+    val outDir = graft.core.RunTemp.dir("graft_shards_spec_")
+    val shards = Sharding.writeShards(corpus, "doc_id", "text", 4, outDir)
+    val expected = corpus
+      .filter(col("text").isNotNull && graft.functions.TextFunctions.tokenCount(col("text")) > 0)
+    assert(shards.count() === expected.count())
+    assert(shards.select("doc_id").distinct().count() === expected.count())
+    // shard really is fingerprint mod N
+    val bad = shards.filter(
+      pmod(col("fp"), lit(4L)) =!= col("shard").cast("long")).count()
+    assert(bad === 0L)
+  }
+
+  test("re-writing the same corpus reproduces the manifest exactly") {
+    val m1 = Sharding.manifest(
+      Sharding.writeShards(corpus, "doc_id", "text", 4,
+        graft.core.RunTemp.dir("graft_shards_spec_")), "doc_id")
+      .orderBy("shard").collect().toSeq
+    val m2 = Sharding.manifest(
+      Sharding.writeShards(corpus, "doc_id", "text", 4,
+        graft.core.RunTemp.dir("graft_shards_spec_")), "doc_id")
+      .orderBy("shard").collect().toSeq
+    assert(m1 === m2)
+    assert(m1.nonEmpty)
+  }
+
+  test("each shard is one file, internally sorted by (fp, id)") {
+    val outDir = graft.core.RunTemp.dir("graft_shards_spec_")
+    Sharding.writeShards(corpus, "doc_id", "text", 4, outDir)
+    val shardDirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    for (d <- shardDirs) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName} should hold exactly one file")
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("fp", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows === rows.sorted, s"${d.getName} not sorted by (fp, doc_id)")
+    }
+  }
+
+  test("manifest totals equal the corpus totals") {
+    val outDir = graft.core.RunTemp.dir("graft_shards_spec_")
+    val shards = Sharding.writeShards(corpus, "doc_id", "text", 4, outDir)
+    val m = Sharding.manifest(shards, "doc_id")
+    val Array(docsTotal, toksTotal) =
+      m.agg(sum("n_docs"), sum("n_tokens")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+    val expected = corpus
+      .filter(col("text").isNotNull && graft.functions.TextFunctions.tokenCount(col("text")) > 0)
+      .agg(count(lit(1)), sum(graft.functions.TextFunctions.tokenCount(col("text"))))
+      .head()
+    assert(docsTotal === expected.getLong(0))
+    assert(toksTotal === expected.getLong(1))
+  }
+}
