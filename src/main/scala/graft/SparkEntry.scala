@@ -164,6 +164,7 @@ object SparkEntry {
     "d26_mixture_sample"     -> (NorthStar.mixtureSample _),
     "d27_cluster_reps"       -> (NorthStar.clusterRepresentatives _),
     "d30_shard_manifest"     -> (NorthStar.shardManifest _),
+    "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1479,6 +1480,55 @@ object SparkEntry {
         |  max(doc_id) AS max_id,
         |  CAST(sum(fpm) AS BIGINT) AS checksum
         |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin,
+    // r01: full BM25 recompute — same tokenizer, df/tf over query
+    // terms only, corpus stats, and the scoring formula with every
+    // constant CAST to DOUBLE (bare 1.2/0.75 literals are DECIMALs in
+    // DuckDB and would run the formula in decimal arithmetic, not the
+    // IEEE double chain Spark executes). Association mirrors
+    // Retrieval.bm25TopK exactly; per-term contributions quantize to
+    // integer micro-units BEFORE the sum so the aggregate is
+    // order-independent in both engines.
+    "r01_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tokenized AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+        |doclen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokenized),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+        |queries AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id, unnest(toks[1:4]) AS term
+        |    FROM tokenized WHERE doc_id < 5)),
+        |qterms AS (SELECT DISTINCT term FROM queries),
+        |tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tokenized) u
+        |  WHERE t IN (SELECT term FROM qterms)
+        |  GROUP BY doc_id, t),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT q.query_id, f.doc_id,
+        |    CAST(floor(
+        |      ln(1 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+        |      * ((CAST(f.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+        |         / (CAST(f.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |            * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * (CAST(l.dl AS DOUBLE) / s.avgdl))))
+        |      * 1000000 + 0.5) AS BIGINT) AS c
+        |  FROM tf f
+        |  JOIN dfreq d ON f.term = d.term
+        |  JOIN doclen l ON f.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |  JOIN queries q ON f.term = q.term),
+        |scored AS (
+        |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, score_micro, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

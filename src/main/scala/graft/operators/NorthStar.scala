@@ -540,6 +540,26 @@ object NorthStar {
       .orderBy("lang", "seq_id", "doc_id")
   }
 
+  /** r01: BM25 keyword retrieval — each query is the first four
+    * tokens of one of the first five documents (a deterministic,
+    * corpus-derived query workload the oracle re-derives
+    * identically), scored against the whole corpus, top-5 per query.
+    * Integer micro-unit scores make the ranking engine-portable; the
+    * DuckDB oracle recomputes tokenization, df/tf, corpus stats, and
+    * the full BM25 formula from scratch. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .repartition(widenWidth(s), md5(col("text")))
+    val queries = docs
+      .filter(col("doc_id") < 5 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextFunctions.tokens(col("text")), 1, 4)).as("term"))
+      .distinct()
+    Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** d30: TRAINING-SHARD writer — the corpus deterministically
     * shuffled into 8 parquet shards on disk plus the per-shard
     * manifest a trainer's loader consumes. The manifest aggregates

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** BM25 top-k pinned against an independent plain-Scala recompute
+  * mirroring the operator's exact double association — any drift in
+  * formula, tokenization, quantization, or tie-break surfaces as an
+  * exact mismatch. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana banana"),
+    (4L, "durian"))
+  private val querySet = Seq(
+    (100L, "apple"), (100L, "banana"),
+    (200L, "durian"), (200L, "zzz")) // zzz: in no doc, contributes 0
+
+  /** Mirror of Retrieval.bm25TopK in driver-side Scala. */
+  private def reference(k: Int): Seq[(Long, Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val dl = toks.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val n = toks.size.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    val qterms = querySet.map(_._2).toSet
+    val tf = toks.flatMap { case (id, ts) => ts.filter(qterms).map(t => (id, t)) }
+      .groupBy(identity).map { case ((id, t), hits) => (id, t, hits.size.toLong) }.toSeq
+    val df = tf.groupBy(_._2).map { case (t, rows) => t -> rows.size.toLong }
+    val contrib = for {
+      (qid, term) <- querySet.distinct
+      (docId, t, f) <- tf if t == term
+    } yield {
+      val d = df(term)
+      val idf = math.log(1.0 + ((n - d).toDouble + 0.5) / (d.toDouble + 0.5))
+      val num = f.toDouble * (1.2 + 1.0)
+      val den = f.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl(docId).toDouble / avgdl))
+      ((qid, docId), math.floor(idf * (num / den) * 1000000 + 0.5).toLong)
+    }
+    contrib.groupBy(_._1).toSeq
+      .map { case ((qid, docId), cs) => (qid, docId, cs.map(_._2).sum) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case ((qid, docId, s), i) => (qid, docId, s, i + 1L) }
+      }.sortBy(r => (r._1, r._4))
+  }
+
+  test("bm25 equals the independent recompute bit-for-bit") {
+    import spark.implicits._
+    val got = Retrieval.bm25TopK(
+      corpus.toDF("doc_id", "text"),
+      "doc_id", "text",
+      querySet.toDF("query_id", "term"), k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === reference(3))
+    assert(got.nonEmpty)
+  }
+
+  test("ranks are contiguous and scores non-increasing within a query") {
+    import spark.implicits._
+    val rows = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      querySet.toDF("query_id", "term"), k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).values.foreach { qs =>
+      assert(qs.map(_._3).toSeq === (1L to qs.length).toSeq)
+      assert(qs.map(_._2).toSeq === qs.map(_._2).sortBy(-_).toSeq)
+    }
+  }
+
+  test("only docs containing a query term are scored") {
+    import spark.implicits._
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq((9L, "cherry")).toDF("query_id", "term"), k = 10).collect()
+    assert(got.map(_.getLong(1)).toSet === Set(2L))
+  }
+}
