@@ -164,6 +164,7 @@ object SparkEntry {
     "d26_mixture_sample"     -> (NorthStar.mixtureSample _),
     "d27_cluster_reps"       -> (NorthStar.clusterRepresentatives _),
     "d30_shard_manifest"     -> (NorthStar.shardManifest _),
+    "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
@@ -1529,6 +1530,35 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, doc_id, score_micro, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // d31: the temperature cuts re-derived — per-lang counts, √count
+    // quantized to micro-units before the normalizing sum (the only
+    // order-sensitive step made integer), then the same
+    // exactly-rounded double chain; keep bits from the shared
+    // fingerprint CTE. DOUBLE casts for the same DECIMAL-literal
+    // reason as r01.
+    "d31_temperature_mix" ->
+      s"""WITH $fingerprintCtesSql,
+        |base AS (
+        |  SELECT s.doc_id, d.lang,
+        |    ((s.fingerprint % 10000) + 10000) % 10000 AS u
+        |  FROM sgn s JOIN documents d ON s.doc_id = d.doc_id),
+        |counts AS (
+        |  SELECT lang, count(*) AS c,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS sqc
+        |  FROM base GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(sqc) AS BIGINT) AS s_total,
+        |    CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+        |cuts AS (
+        |  SELECT lang,
+        |    least(CAST(10000 AS BIGINT), CAST(floor(
+        |      (CAST(sqc AS DOUBLE) / CAST(t.s_total AS DOUBLE)
+        |        * (CAST(t.n_total AS DOUBLE) / 2.0)
+        |        / CAST(c AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS cut
+        |  FROM counts CROSS JOIN tot t)
+        |SELECT b.doc_id, b.lang, CAST(b.u AS BIGINT) AS u, k.cut
+        |FROM base b JOIN cuts k ON b.lang = k.lang
+        |WHERE b.u < k.cut ORDER BY b.doc_id""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

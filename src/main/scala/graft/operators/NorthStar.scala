@@ -620,6 +620,50 @@ object NorthStar {
       .filter(col("u") < col("cut"))
       .orderBy("doc_id")
 
+  /** d31: TEMPERATURE-based mixture resampling — the multilingual
+    * data-mix stage (mBERT/XLM-R style): per-language sampling
+    * probability ∝ count^α with α = 0.5, so low-resource languages
+    * are up-weighted relative to their raw share while the dominant
+    * language is down-sampled; the target subcorpus is half the
+    * corpus. Unlike d26's FIXED per-source weights, the cuts here are
+    * DERIVED from the observed language distribution — the operator
+    * the published pipelines actually run.
+    *
+    * Shape at scale: one tiny per-language count aggregate, a
+    * handful-of-rows cut table computed on it and broadcast, then a
+    * pure per-row keep decision (fingerprint mod 10000 vs the
+    * language's cut) — no second corpus shuffle, deterministic under
+    * re-ingest.
+    *
+    * Engine portability: α = 0.5 makes the power a `sqrt` — exactly
+    * rounded under IEEE in every engine, unlike `pow`/`ln` — and the
+    * per-language √counts are quantized to integer micro-units BEFORE
+    * the normalizing sum, so the only cross-engine float ops are
+    * exactly-rounded +,/,*,sqrt on identical inputs. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    val base = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .repartition(widenWidth(s), md5(col("text")))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextFunctions.fingerprintPortable64(col("text")), lit(10000L)).as("u"))
+    val counts = base.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("sqc",
+        floor(sqrt(col("c").cast("double")) * lit(1000000) + lit(0.5)).cast("long"))
+    val tot = counts.agg(sum("sqc").as("s_total"), sum("c").as("n_total"))
+    // keep fraction f_l = (sqc_l/S) * (N/2) / c_l, as a mod-10000 cut
+    val cuts = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("c"),
+        least(lit(10000L), floor(
+          (col("sqc").cast("double") / col("s_total").cast("double")
+            * (col("n_total").cast("double") / lit(2.0))
+            / col("c").cast("double")) * lit(10000) + lit(0.5)).cast("long")).as("cut"))
+    base.join(broadcast(cuts.select("lang", "cut")), Seq("lang"))
+      .filter(col("u") < col("cut"))
+      .select(col("doc_id"), col("lang"), col("u"), col("cut"))
+      .orderBy("doc_id")
+  }
+
   /** d19: DETERMINISTIC stratified sampling — per language, the K
     * documents with the smallest (portable fingerprint, doc_id). The
     * fingerprint is a uniform-ish pseudo-random key derived from

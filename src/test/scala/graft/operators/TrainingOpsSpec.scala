@@ -56,6 +56,30 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"mixture sampling must not shuffle on any key:\n$plan")
   }
 
+  test("temperature mixture: deterministic, up-weights minority languages, targets half the corpus") {
+    val rows = NorthStar.temperatureMixture(spark, dir).collect()
+    assert(rows.toSeq == NorthStar.temperatureMixture(spark, dir).collect().toSeq,
+      "temperature mixture must be deterministic")
+    assert(rows.forall(r => r.getLong(2) < r.getLong(3)), "kept rows honor the cut")
+    val counts = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 0.5: keep FRACTION must be monotonically non-increasing in
+    // language size — the defining property of temperature sampling
+    val cutByLang = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    for {
+      (l1, c1) <- cutByLang.keys.map(l => l -> counts(l))
+      (l2, c2) <- cutByLang.keys.map(l => l -> counts(l))
+      if c1 < c2
+    } assert(cutByLang(l1) >= cutByLang(l2),
+      s"smaller lang $l1($c1) must keep a fraction >= bigger lang $l2($c2)")
+    // target is half the corpus (clamping + fingerprint noise allowed)
+    val n = counts.values.sum.toDouble
+    assert(rows.length > 0.3 * n && rows.length < 0.7 * n,
+      s"kept ${rows.length} of $n — expected about half")
+  }
+
   test("token chunking conserves the token stream") {
     val chunks = NorthStar.tokenChunks(spark, dir)
     val totalChunked = chunks.agg(sum("n_tokens")).head.getLong(0)
