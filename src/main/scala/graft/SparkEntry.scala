@@ -165,6 +165,7 @@ object SparkEntry {
     "d27_cluster_reps"       -> (NorthStar.clusterRepresentatives _),
     "d30_shard_manifest"     -> (NorthStar.shardManifest _),
     "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
+    "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
@@ -1559,6 +1560,31 @@ object SparkEntry {
         |SELECT b.doc_id, b.lang, CAST(b.u AS BIGINT) AS u, k.cut
         |FROM base b JOIN cuts k ON b.lang = k.lang
         |WHERE b.u < k.cut ORDER BY b.doc_id""".stripMargin,
+    // d32: the BPE pair count re-derived — same tokenizer, word
+    // frequencies, per-codepoint split via the shared '(?s).'
+    // extraction, adjacent-pair concat, frequency-weighted sum,
+    // (n DESC, pair ASC) rank. range(1, len) excludes the end, so i
+    // runs 1..len-1 over DuckDB's 1-based list indexes, matching
+    // Spark's element_at(cs, i)/element_at(cs, i+1).
+    "d32_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |wf AS (
+        |  SELECT w, count(*) AS freq
+        |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+        |cs AS (
+        |  SELECT freq, regexp_extract_all(w, '(?s).') AS cs FROM wf
+        |  WHERE len(regexp_extract_all(w, '(?s).')) >= 2),
+        |pairs AS (
+        |  SELECT freq, cs[i] || cs[i + 1] AS pair
+        |  FROM (SELECT freq, cs, unnest(range(1, len(cs))) AS i FROM cs)),
+        |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair),
+        |ranked AS (
+        |  SELECT pair, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+        |  FROM pc)
+        |SELECT pair, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

@@ -620,6 +620,51 @@ object NorthStar {
       .filter(col("u") < col("cut"))
       .orderBy("doc_id")
 
+  /** d32: BPE merge-candidate counts — the first iteration of BPE
+    * tokenizer training: adjacent-character pair frequencies across
+    * the corpus, weighted by word frequency, top-50 candidates. The
+    * published trainers run exactly this loop (count pairs → merge
+    * the winner → recount); one iteration is the representative
+    * kernel and each further round is the same shape over a rewritten
+    * vocab.
+    *
+    * Shape at scale: the corpus-sized pass is ONE token explode into
+    * a hash aggregate (map-side partials shrink it to the vocabulary
+    * before shuffle); everything after — char-pair explode, pair
+    * aggregate, top-k — runs on VOCAB-sized data, orders of magnitude
+    * smaller than the corpus. The top-50 is orderBy+limit
+    * (TakeOrdered, distributed) with the rank window applied to the
+    * already-limited 50 rows. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    bpePairCountsOf(
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(widenWidth(s), md5(col("text"))),
+      "text", topN = 50)
+  }
+
+  /** Corpus-generic form (spec-drivable on constructed frames).
+    * Characters are codepoints in BOTH engines: the `(?s).` extraction
+    * matches one codepoint under Java regex and RE2 alike — the same
+    * portability trick the fingerprint chain uses. */
+  def bpePairCountsOf(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val words = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .withColumn("cs", regexp_extract_all(col("w"), lit("(?s)."), lit(0)))
+      .filter(size(col("cs")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("cs")) - 1),
+        i => concat(element_at(col("cs"), i), element_at(col("cs"), i + 1)))).as("pair"))
+    val counts = pairs.groupBy("pair").agg(sum(col("freq")).as("n"))
+    counts.orderBy(col("n").desc, col("pair")).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .orderBy("rank")
+  }
+
   /** d31: TEMPERATURE-based mixture resampling — the multilingual
     * data-mix stage (mBERT/XLM-R style): per-language sampling
     * probability ∝ count^α with α = 0.5, so low-resource languages

@@ -80,6 +80,23 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"kept ${rows.length} of $n — expected about half")
   }
 
+  test("bpe pair counts: frequency-weighted adjacent pairs, within-word repeats counted") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab"), (2L, "ab"), (3L, "aaa")).toDF("doc_id", "text")
+    // words: aa(1) -> {aa:1}; ab(2) -> {ab:2}; aaa(1) -> {aa:2}
+    val got = NorthStar.bpePairCountsOf(docs, "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("aa", 3L, 1L), ("ab", 2L, 2L)))
+  }
+
+  test("bpe pair counts: deterministic rank under ties breaks by pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "xy yz")).toDF("doc_id", "text")
+    val got = NorthStar.bpePairCountsOf(docs, "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("xy", 1L, 1L), ("yz", 1L, 2L)))
+  }
+
   test("token chunking conserves the token stream") {
     val chunks = NorthStar.tokenChunks(spark, dir)
     val totalChunked = chunks.agg(sum("n_tokens")).head.getLong(0)
