@@ -120,6 +120,7 @@ object SparkEntry {
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
+    "s08_stream_incremental_dedup" -> (StreamingQueries.incrementalDedupStream _),
     "s06_stream_stream_join" -> (StreamingQueries.viewPurchaseJoin _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
     "s03_stateful_sessions" -> ((s, dir) =>
@@ -1674,6 +1675,24 @@ object SparkEntry {
     "s05_streaming_dedup" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // s08: the streaming gate's surviving content-hash set — the
+    // d29 increment populations re-derived, collapsed to distinct
+    // hashes, minus anything already in the corpus. Id-free on
+    // purpose: arrival order decides WHICH echo a stream sees first,
+    // so the deterministic cross-engine contract is the hash set.
+    "s08_stream_incremental_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 40 AND text IS NOT NULL),
+        |inc AS (
+        |  SELECT text FROM src
+        |  UNION ALL SELECT text || ' graftmark' FROM src
+        |  UNION ALL SELECT text || ' graftmark' FROM src)
+        |SELECT DISTINCT md5(i.text) AS content_hash FROM inc i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.text IS NOT NULL AND md5(c.text) = md5(i.text))
+        |ORDER BY content_hash""".stripMargin,
     // s06: stream-stream interval join == the batch range join on
     // µs-truncated event time (Spark's streamed ts is µs by
     // construction; epoch_us truncates DuckDB's nanos identically).

@@ -132,6 +132,54 @@ object StreamingQueries {
       drainViaFileSink(joined, "view_id", "purchase_id")
     }
 
+  /** s08: STREAM-STATIC incremental dedup — the at-ingest gate of a
+    * continuously-crawling pipeline: arriving documents stream
+    * through a within-stream content collapse (`dropDuplicates` on
+    * the content hash) and a LEFT-ANTI join against the STATIC corpus
+    * hash index, so only genuinely-new content lands. The increment
+    * carries d29's three planted populations (verbatim re-crawls,
+    * mutated new texts, in-stream echoes of those texts), built from
+    * per-row transforms of the streamed fixture; the emitted value is
+    * the surviving content-hash SET — id-free, so the result is
+    * independent of file/partition arrival order, which is the
+    * deterministic contract a streaming gate can actually promise
+    * (batch d29 additionally pins smallest-id-wins).
+    *
+    * State at scale: the anti-join side is a static index probed per
+    * micro-batch (broadcast when it fits; at 100 TB the persisted
+    * index is hash-partition-bucketed and the join co-locates);
+    * `dropDuplicates` state is bounded in production with
+    * `dropDuplicatesWithinWatermark` on ingest time — dedup within
+    * the transport's redelivery horizon — while CROSS-batch dups are
+    * exactly what the static-index anti-join removes, so the
+    * unbounded-state variant is never needed on an unbounded
+    * stream. */
+  def incrementalDedupStream(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def docsStream = scoped.readStream.schema(schema)
+        .parquet(s"$dir/documents*.parquet")
+        .filter(col("doc_id") < 40 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val increment = docsStream
+        .select(col("text"))
+        .unionByName(docsStream.select(
+          concat(col("text"), lit(" graftmark")).as("text")))
+        .unionByName(docsStream.select(
+          concat(col("text"), lit(" graftmark")).as("text")))
+      val seen = graft.core.Tables.documents(scoped, dir)
+        .select(md5(col("text")).as("__seen_hash")).distinct()
+      val gated = increment
+        .select(md5(col("text")).as("content_hash"))
+        .dropDuplicates("content_hash")
+        .join(seen, col("content_hash") === col("__seen_hash"), "left_anti")
+        .select("content_hash")
+      drainViaFileSink(gated, "content_hash")
+    }
+
   /** Drain an append-mode stream through a PARQUET FILE SINK and read
     * the result back, sorted. This is the scale-safe drain for
     * ROW-LEVEL streaming results (dedup/join outputs are O(stream),
