@@ -115,6 +115,13 @@ object SparkEntry {
     // rows, not the corpus. Oracled by re-deriving BOTH versions from
     // the landing CSVs and diffing them in SQL.
     "p07_version_diff" -> ((s, _) => cocoaVersionDiff(s)),
+    // p08: COMPACTION — the memoized warehouse re-landed as a
+    // deliberately fragmented snapshot (16 files) in its own root,
+    // then Warehouse.compact rewrites it near the target file size as
+    // a new committed version. The query returns the COMPACTED
+    // snapshot's rows; hash-matching p01's oracle certifies that
+    // compaction changed the physical layout only.
+    "p08_compaction" -> ((s, _) => cocoaCompacted(s)),
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
@@ -241,6 +248,20 @@ object SparkEntry {
     cocoaWarehouse(spark) // ensure v0 and v1 are committed
     val dirs = cocoaDirsMemo.get(spark)
     Warehouse.diff(spark, dirs.warehouse, 0L, 1L).orderBy("shipment_id")
+  }
+
+  /** p08: land the memoized warehouse fragmented in a fresh root,
+    * compact, read the compacted version. Isolated root: the shared
+    * memoized warehouse's version history (p01/p05/p07 contracts)
+    * must not grow a v2 under other queries' feet. */
+  private def cocoaCompacted(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_compact_wh_", keep = 32)
+    Warehouse.commit(spark, root, wh.repartition(16))
+    val v = Warehouse.compact(spark, root).get
+    spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(root, v))
+      .orderBy("shipment_id")
   }
 
   /** Fixed location the oracle SQL reads the landing copies from —
@@ -1670,6 +1691,7 @@ object SparkEntry {
     // Warehouse.diffFrames: inserts/updates carry the NEW row, deletes
     // (zero in this append-only pipeline, proven by absence) the old.
     "p07_version_diff" -> cocoaVersionDiffOracleSql,
+    "p08_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // s05: the doubled-then-deduped stream must equal the original
     // event set exactly.
     "s05_streaming_dedup" ->

@@ -369,6 +369,42 @@ object Warehouse {
     * transaction); `keepLast`/`minAgeMs` are that horizon made
     * explicit. Time travel ([[versionPath]]) is only guaranteed within
     * the retention floor — a pruned version fails loudly at read. */
+  /** COMPACTION: rewrite the current snapshot into ~`targetFileBytes`
+    * files and commit the rewrite as a NEW version — the small-file
+    * maintenance op every long-lived warehouse needs (a year of daily
+    * upsert commits leaves thousands of files whose per-file open/
+    * footer cost dominates scans). Compaction changes the physical
+    * layout ONLY: the new version holds the identical row multiset
+    * (p08 hash-certifies this through the cocoa oracle), and because
+    * it rides [[commit]], it inherits the full lease/fencing protocol
+    * and leaves prior versions untouched — time travel and held
+    * readers survive, and [[vacuum]]'s retention floor governs when
+    * the fragmented ancestors age out.
+    *
+    * The file-count target derives from the snapshot's ON-DISK bytes
+    * (one driver-side metadata listing — bounded, no row data), so
+    * output files land near the scan-optimal size regardless of row
+    * width. The snapshot is the compaction unit here; a 100 TB
+    * deployment partitions the table and compacts per partition with
+    * exactly this routine. Returns the committed version, or None on
+    * a never-committed warehouse. */
+  def compact(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
+    require(targetFileBytes >= 1L,
+      s"targetFileBytes must be >= 1, got $targetFileBytes")
+    currentVersion(spark, root).map { cur =>
+      val fs = Ingest.fs(spark, root)
+      val snap = versionPath(root, cur)
+      val bytes = fs.getContentSummary(new Path(snap)).getLength
+      val n = math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
+      commit(spark, root,
+        spark.read.schema(schema).parquet(snap).repartition(n.toInt),
+        lockTtlMs)
+    }
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
       minAgeMs: Long = 0L): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")

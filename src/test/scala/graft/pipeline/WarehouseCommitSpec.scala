@@ -177,6 +177,35 @@ class WarehouseCommitSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, root).count() === 10)
   }
 
+  test("compact: fewer files, identical rows, history intact") {
+    val root = freshRoot()
+    // a deliberately fragmented snapshot: 8 files of ~1 row each
+    assert(Warehouse.commit(spark, root, batch(41).repartition(8)) === 0L)
+    val fs = hfs(root)
+    def parquetFiles(v: Long) =
+      fs.listStatus(new Path(Warehouse.versionPath(root, v)))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    // round-robin can leave some of the 8 partitions empty (no file
+    // is written for an empty partition) — fragmented is what matters
+    val fragmented = parquetFiles(0L)
+    assert(fragmented >= 4)
+    val before = Warehouse.read(spark, root).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(Warehouse.compact(spark, root) === Some(1L))
+    assert(parquetFiles(1L) === 1, "10 tiny rows must land in one file")
+    val after = Warehouse.read(spark, root).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(after === before, "compaction must not change the row multiset")
+    // the fragmented ancestor is still readable (vacuum governs aging)
+    assert(fs.exists(new Path(Warehouse.versionPath(root, 0L))))
+    assert(spark.read.schema(CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(root, 0L)).count() === 10)
+  }
+
+  test("compact on a never-committed warehouse is a no-op") {
+    assert(Warehouse.compact(spark, freshRoot()) === None)
+  }
+
   test("vacuum minAgeMs refuses to drop young snapshots regardless of position") {
     val root = freshRoot()
     (41 to 44).foreach(s => Warehouse.commit(spark, root, batch(s)))
