@@ -175,6 +175,7 @@ object SparkEntry {
     "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
+    "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1607,6 +1608,35 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
         |  FROM pc)
         |SELECT pair, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // r02: TF-IDF re-derived — same tokenizer, (doc, term) tf, df,
+    // smoothed idf ln((N+1)/(df+1)) + 1, single-product micro-unit
+    // scores (no float sum to order), (score DESC, term ASC) rank
+    // within each doc. DOUBLE casts as in r01.
+    "r02_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tokenized AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+        |stats AS (SELECT count(*) AS n FROM tokenized),
+        |tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tokenized)
+        |  GROUP BY doc_id, t),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT f.doc_id, f.term,
+        |    CAST(floor(
+        |      CAST(f.tf AS DOUBLE)
+        |      * (ln((CAST(s.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0)
+        |      * 1000000 + 0.5) AS BIGINT) AS score_micro
+        |  FROM tf f JOIN dfreq d ON f.term = d.term CROSS JOIN stats s),
+        |ranked AS (
+        |  SELECT doc_id, term, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, score_micro, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

@@ -620,6 +620,18 @@ object NorthStar {
       .filter(col("u") < col("cut"))
       .orderBy("doc_id")
 
+  /** r02: TF-IDF keyword extraction over the corpus — top-3 terms
+    * per document, fully re-derivable by the oracle (single-product
+    * scores, no float summation anywhere). */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    Retrieval.tfidfKeywords(
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(widenWidth(s), md5(col("text"))),
+      "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+  }
+
   /** d32: BPE merge-candidate counts — the first iteration of BPE
     * tokenizer training: adjacent-character pair frequencies across
     * the corpus, weighted by word frequency, top-50 candidates. The

@@ -39,6 +39,43 @@ import graft.functions.TextFunctions
   * independent Scala recompute. */
 object Retrieval {
 
+  /** TF-IDF keyword extraction: the top `k` terms per document by
+    * tf·idf (sklearn-style smoothed idf, `ln((N+1)/(df+1)) + 1`) —
+    * "what is this document about", the per-doc summarization pass
+    * corpus audits and topic browsing run.
+    *
+    * Unlike [[bm25TopK]], this op inherently needs corpus-wide
+    * postings: ONE explode into a map-side-combined (doc, term)
+    * aggregate is the corpus-sized pass, then df and the score join
+    * are vocabulary-keyed (AQE broadcasts df when the vocab fits).
+    * Each score is a single product — no order-sensitive float sum at
+    * all — quantized to integer micro-units, so the oracle recomputes
+    * the exact ranking. Top-k per doc is a doc-partitioned window
+    * (maximally parallel — every document is its own partition);
+    * rank ties break on term, a total order. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tokenized = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tf = tokenized
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tokenized.agg(count(lit(1)).as("n"))
+    val score = col("tf").cast("double") *
+      (log((col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0))) + lit(1.0))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        floor(score * lit(1000000) + lit(0.5)).cast("long").as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** BM25 top-k docs per query. `queries` carries (query_id, term)
     * — terms already normalized like [[TextFunctions.tokens]] output.
     * Returns (query_id, doc_id, score_micro, rank), rank 1..k by

@@ -72,6 +72,29 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf keywords equal the independent recompute bit-for-bit") {
+    import spark.implicits._
+    val got = Retrieval.tfidfKeywords(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = toks.size.toLong
+    val tf = toks.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case ((id, t), hits) => (id, t, hits.size.toLong) }.toSeq
+    val df = tf.groupBy(_._2).map { case (t, rows) => t -> rows.size.toLong }
+    val expected = tf.map { case (id, t, f) =>
+      val score = f.toDouble * (math.log((n.toDouble + 1.0) / (df(t).toDouble + 1.0)) + 1.0)
+      (id, t, math.floor(score * 1000000 + 0.5).toLong)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+        .map { case ((id, t, s), i) => (id, t, s, i + 1L) }
+    }.sortBy(r => (r._1, r._4))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("only docs containing a query term are scored") {
     import spark.implicits._
     val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
