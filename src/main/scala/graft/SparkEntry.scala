@@ -176,6 +176,7 @@ object SparkEntry {
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
+    "g01_pagerank"           -> (NorthStar.pageRankSuppliers _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1513,6 +1514,7 @@ object SparkEntry {
     // Retrieval.bm25TopK exactly; per-term contributions quantize to
     // integer micro-units BEFORE the sum so the aggregate is
     // order-independent in both engines.
+    "g01_pagerank" -> pageRankOracleSql,
     "r01_bm25_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
@@ -1989,6 +1991,46 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
+
+  /** g01's oracle: the integer-exact PageRank unrolled — iteration K
+    * is two CTEs (contribution sum, damped update), all arithmetic
+    * BIGINT floor-division and integer sums, so the SQL reproduces
+    * the engine's fixed-point ranks bit-for-bit. */
+  private lazy val pageRankOracleSql: String = {
+    def iter(k: Int): String =
+      s"""it$k AS (
+         |  SELECT e.dst AS node, sum(p.r // d.deg) AS s
+         |  FROM pr${k - 1} p
+         |  JOIN edges e ON p.node = e.src
+         |  JOIN deg d ON p.node = d.src
+         |  GROUP BY e.dst),
+         |pr$k AS (
+         |  SELECT nd.node,
+         |    CAST((150000000000 // nn.n) + ((85 * coalesce(i.s, 0)) // 100) AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN it$k i ON nd.node = i.node CROSS JOIN nn)"""
+        .stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+       |edges AS (
+       |  SELECT p AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, p AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+       |        FROM nodes CROSS JOIN nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |ranked AS (
+       |  SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       |    CAST(node // 2 AS BIGINT) AS node_id,
+       |    r AS rank_units,
+       |    CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rank
+       |  FROM pr3)
+       |SELECT node_type, node_id, rank_units, rank FROM ranked
+       |WHERE rank <= 100 ORDER BY rank""".stripMargin
+  }
 
   /** The portable per-document fingerprint chain
     * (TextFunctions.fingerprintPortable64) re-derived in SQL — the

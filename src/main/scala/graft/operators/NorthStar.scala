@@ -620,6 +620,33 @@ object NorthStar {
       .filter(col("u") < col("cut"))
       .orderBy("doc_id")
 
+  /** g01: PageRank centrality over the part–supplier bipartite graph
+    * (distinct lineitem (part, supplier) pairs, both directions —
+    * every node has degree ≥ 1, so no dangling mass). Which suppliers
+    * sit at the center of the supply network is the graph-analytics
+    * representative: 3 damped iterations of the integer-exact
+    * formulation ([[Graph.pageRankIntExact]]), top-100 nodes by
+    * (rank desc, node asc) — a total order, and every unit of it
+    * re-derivable by the oracle's unrolled SQL. Node encoding packs
+    * both partitions into one BIGINT key (part → 2k, supplier →
+    * 2k+1), decoded back to (node_type, node_id) for the output. */
+  def pageRankSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("p").as("dst")))
+    val pr = Graph.pageRankIntExact(edges, iters = 3)
+    val w = Window.orderBy(col("rank_units").desc, col("node"))
+    pr.orderBy(col("rank_units").desc, col("node")).limit(100)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("rank_units"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** r02: TF-IDF keyword extraction over the corpus — top-3 terms
     * per document, fully re-derivable by the oracle (single-product
     * scores, no float summation anywhere). */

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Integer-exact PageRank pinned against a plain-Scala mirror of the
+  * fixed-point iteration — determinism is the whole contract. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // 1 - 2 - 3 path, both directions: node 2 is the center
+  private val edgeList = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+
+  private def reference(iters: Int): Map[Long, Long] = {
+    val SCALE = 1000000000000L
+    val deg = edgeList.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = edgeList.map(_._1).distinct
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> SCALE / n).toMap
+    for (_ <- 1 to iters) {
+      val s = edgeList.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(nd => nd -> ((15L * SCALE / 100L) / n + 85L * s.getOrElse(nd, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank equals the integer reference after 3 iterations") {
+    import spark.implicits._
+    val got = Graph.pageRankIntExact(edgeList.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(3))
+    // structure: the center out-ranks the symmetric leaves, which tie
+    assert(got(2L) > got(1L))
+    assert(got(1L) === got(3L))
+  }
+
+  test("zero iterations returns the uniform fixed-point mass") {
+    import spark.implicits._
+    val got = Graph.pageRankIntExact(edgeList.toDF("src", "dst"), iters = 0)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got === Set(1000000000000L / 3))
+  }
+}
