@@ -174,6 +174,7 @@ object SparkEntry {
     "d30_shard_manifest"     -> (NorthStar.shardManifest _),
     "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
+    "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
     "g01_pagerank"           -> (NorthStar.pageRankSuppliers _),
@@ -1639,6 +1640,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, score_micro, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // d33: the bigram LM retrained in SQL — reference slice unigram/
+    // bigram counts, vocab size, add-one-smoothed -ln P per bigram
+    // occurrence quantized to micro-nats BEFORE the per-doc sum,
+    // integer mean, integer threshold compare. range(1, len) mirrors
+    // Spark's sequence(1, size-1) over 1-based list indexes.
+    "d33_perplexity_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |ref AS (SELECT doc_id, toks FROM tok WHERE doc_id < 100),
+        |uni AS (SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(toks) AS w1 FROM ref) GROUP BY w1),
+        |voc AS (SELECT count(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM ref
+        |        WHERE len(toks) >= 2)) GROUP BY w1, w2),
+        |docbg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok
+        |        WHERE len(toks) >= 2)),
+        |sc AS (SELECT d.doc_id,
+        |  CAST(floor(ln(CAST(coalesce(u.c1, 0) + v.v AS DOUBLE)
+        |    / CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c
+        |  FROM docbg d
+        |  LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |  LEFT JOIN uni u ON d.w1 = u.w1 CROSS JOIN voc v),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(c) AS BIGINT) AS nll FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(nll // n_bigrams AS BIGINT) AS avg_nll_micro,
+        |  (nll // n_bigrams) < 3470000 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
     "d17_token_chunks" ->

@@ -620,6 +620,73 @@ object NorthStar {
       .filter(col("u") < col("cut"))
       .orderBy("doc_id")
 
+  /** d33: LM-perplexity quality filtering — the CCNet-style stage
+    * that scores every document by an n-gram language model trained
+    * on a trusted reference slice and keeps the low-perplexity side.
+    * Here the model is an add-one-smoothed bigram LM over the
+    * reference docs (doc_id < 100): score = mean over the doc's
+    * bigrams of -ln P(w2|w1), P = (C(w1,w2)+1)/(C(w1)+V).
+    *
+    * Shape at scale: the trained model IS a broadcast artifact
+    * (bigram counts + unigram counts + vocab size — the KenLM-file
+    * analogy), the corpus pays one bigram explode with two broadcast
+    * joins and one doc-keyed aggregate. Engine portability: each
+    * bigram's -ln P quantizes to integer micro-units (the ln of a
+    * ratio of exact integers) BEFORE the per-doc sum, and the mean is
+    * integer floor-division — the oracle reproduces every score. */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    perplexityFilterOf(
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(widenWidth(s), md5(col("text"))),
+      refBelow = 100L, thresholdMicro = PerplexityThresholdMicro)
+  }
+
+  /** Fixture-calibrated keep threshold (micro-nats of mean bigram
+    * NLL): sits between the reference-like and out-of-domain score
+    * populations so both keep classes are exercised. */
+  private val PerplexityThresholdMicro = 3470000L
+
+  /** Corpus-generic form: `docs` carries (doc_id, text); ids below
+    * `refBelow` train the bigram model; a doc keeps iff its mean
+    * bigram NLL (micro-nats, integer mean) is below
+    * `thresholdMicro`. Docs with fewer than two tokens carry no
+    * bigram evidence and are excluded (as the oracle's empty range
+    * does naturally). */
+  def perplexityFilterOf(docs: DataFrame, refBelow: Long,
+      thresholdMicro: Long): DataFrame = {
+    val tokenized = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val ref = tokenized.filter(col("doc_id") < refBelow)
+    val uni = ref.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    def bigrams(df: DataFrame, keep: Column*) = df
+      .filter(size(col("toks")) >= 2)
+      .select(keep :+ explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"): _*)
+      .select(keep :+ col("bg.w1") :+ col("bg.w2"): _*)
+    val big = bigrams(ref)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bigrams(tokenized, col("doc_id"))
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        floor(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double"))
+          * lit(1000000) + lit(0.5)).cast("long").as("c"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("nll div n_bigrams").as("avg_nll_micro"))
+      .withColumn("keep", col("avg_nll_micro") < thresholdMicro)
+      .orderBy("doc_id")
+  }
+
   /** g01: PageRank centrality over the part–supplier bipartite graph
     * (distinct lineitem (part, supplier) pairs, both directions —
     * every node has degree ≥ 1, so no dangling mass). Which suppliers

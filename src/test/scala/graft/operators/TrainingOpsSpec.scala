@@ -97,6 +97,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got === Seq(("xy", 1L, 1L), ("yz", 1L, 2L)))
   }
 
+  test("perplexity filter: in-domain text scores below gibberish, keep honors the threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the chair"),
+      (200L, "the cat sat on the mat"), // in-domain: every bigram seen
+      (201L, "zz qq ww vv pp kk")       // out-of-domain: nothing seen
+    ).toDF("doc_id", "text")
+    val scores = NorthStar.perplexityFilterOf(docs, refBelow = 100L, thresholdMicro = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(200L) < scores(201L),
+      s"in-domain ${scores(200L)} must beat gibberish ${scores(201L)}")
+    assert(scores(0L) === scores(200L), "identical text scores identically")
+    val mid = (scores(200L) + scores(201L)) / 2
+    val kept = NorthStar.perplexityFilterOf(docs, refBelow = 100L, thresholdMicro = mid)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept(200L) && !kept(201L))
+  }
+
   test("token chunking conserves the token stream") {
     val chunks = NorthStar.tokenChunks(spark, dir)
     val totalChunked = chunks.agg(sum("n_tokens")).head.getLong(0)
