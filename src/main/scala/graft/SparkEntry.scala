@@ -78,6 +78,7 @@ object SparkEntry {
     "q32_full_outer_year_spend" -> (Relational.fullOuterYearSpend _),
     "q35_native_topk" -> (Relational.nativeTopOrders _),
     "q33_percentile_spend"  -> (Relational.percentileSpend _),
+    "q37_stats_moments"     -> (Relational.statsMoments _),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -1797,6 +1798,27 @@ object SparkEntry {
     // q36: the batch bucketized range join answers the SAME question
     // as the streaming interval join — one DuckDB range-join ground
     // truth holds both temporal-join implementations.
+    // q37: exact moments — integer sums (DuckDB auto-widens to
+    // HUGEINT, Spark accumulates decimal), doubles only in the final
+    // correctly-rounded formula chain, association mirrored exactly.
+    "q37_stats_moments" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS BIGINT) AS sum_price_cents,
+        |  (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS avg_price,
+        |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS std_price_cents,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q36_range_join" ->
       """SELECT a.user_id AS user_id, a.event_id AS view_id,
         |  b.event_id AS purchase_id,

@@ -326,6 +326,38 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** q37: second-moment statistics — stddev and correlation per group,
+    * EXACT across engines. The builtin `stddev`/`corr` stream float
+    * sums in execution order and can never hash-match another engine;
+    * here every moment (Σx, Σy, Σx², Σxy, Σy²) is an exact integer
+    * sum over cent/unit-quantized values (decimal accumulation —
+    * order-independent), and only the final formulas touch doubles,
+    * where every op (cast, -, *, /, sqrt) is correctly rounded on
+    * identical inputs. Map-side partial aggregation applies to the
+    * moment sums exactly as to any sum — the one extra cost over a
+    * plain aggregate is the per-row products. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("decimal(20,0)").as("x"),
+      floor(col("l_quantity") + lit(0.5)).cast("decimal(20,0)").as("y"))
+    val a = q.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+    a.select(col("l_returnflag"), col("n"),
+      col("sx").cast("long").as("sum_price_cents"),
+      ((col("sx").cast("double") / col("n").cast("double")) / lit(100.0)).as("avg_price"),
+      sqrt(vx.cast("double") / (col("n") * (col("n") - 1)).cast("double")).as("std_price_cents"),
+      (cxy.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Scalar-function surface: string, date and arithmetic functions in
     * one projection (reference O7/O8 and §2.1 scalar functions). */
   def scalarFunctions(spark: SparkSession, dir: String): DataFrame =

@@ -10,6 +10,26 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("exact moments agree with the builtin float aggregates to 1e-9") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.statsMoments(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val ref = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).as("x"),
+        floor(col("l_quantity") + lit(0.5)).as("y"))
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("x")).as("sd"), corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (flag, (sd, c)) =>
+      assert(math.abs(sd - ref(flag)._1) / ref(flag)._1 < 1e-9,
+        s"$flag stddev exact $sd vs builtin ${ref(flag)._1}")
+      assert(math.abs(c - ref(flag)._2) < 1e-9,
+        s"$flag corr exact $c vs builtin ${ref(flag)._2}")
+    }
+  }
+
   test("approx distinct counts within 5% of exact; percentiles ordered") {
     val exact = Relational.distinctCounts(spark, dir).head
     val approx = Relational.approxStatsRaw(spark, dir).head
