@@ -173,6 +173,7 @@ object SparkEntry {
     "d26_mixture_sample"     -> (NorthStar.mixtureSample _),
     "d27_cluster_reps"       -> (NorthStar.clusterRepresentatives _),
     "d30_shard_manifest"     -> (NorthStar.shardManifest _),
+    "d34_shard_append"       -> (NorthStar.shardAppendManifest _),
     "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
@@ -1508,6 +1509,30 @@ object SparkEntry {
         |  max(doc_id) AS max_id,
         |  CAST(sum(fpm) AS BIGINT) AS checksum
         |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin,
+    // d34: the d30 manifest recomputed over corpus ∪ increment —
+    // a hash match proves the APPEND path equals a full rebuild
+    // (assignment and every aggregated cell depend on content alone,
+    // never on which write landed a row).
+    "d34_shard_append" ->
+      s"""WITH docs_ext AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, text || ' graftshard' AS text
+        |  FROM documents WHERE doc_id >= 40 AND doc_id < 80 AND text IS NOT NULL),
+        |${fingerprintCtes("docs_ext")},
+        |assigned AS (
+        |  SELECT s.doc_id,
+        |    ((s.fingerprint % 8) + 8) % 8 AS shard,
+        |    ((s.fingerprint % 1000000000000) + 1000000000000) % 1000000000000 AS fpm,
+        |    len(list_filter(regexp_split_to_array(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS ntok
+        |  FROM sgn s JOIN docs_ext d ON s.doc_id = d.doc_id)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id,
+        |  CAST(sum(fpm) AS BIGINT) AS checksum
+        |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin,
     // r01: full BM25 recompute — same tokenizer, df/tf over query
     // terms only, corpus stats, and the scoring formula with every
     // constant CAST to DOUBLE (bare 1.2/0.75 literals are DECIMALs in
@@ -2095,11 +2120,15 @@ object SparkEntry {
     * d19's stratified draw): a hash-chain tweak lands in all of them
     * or none, never desynchronized. Interpolate as
     * `s"WITH $fingerprintCtesSql ..."`. */
-  private lazy val fingerprintCtesSql: String =
+  private lazy val fingerprintCtesSql: String = fingerprintCtes("documents")
+
+  /** Source-parameterized form: `src` may be a CTE (d34 runs the
+    * chain over corpus ∪ increment). */
+  private def fingerprintCtes(src: String): String =
     s"""toks AS (
       |  SELECT doc_id, unnest(lt) AS t, generate_subscripts(lt, 1) AS i
       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS lt
-      |        FROM documents WHERE text IS NOT NULL)),
+      |        FROM $src WHERE text IS NOT NULL)),
       |h0 AS (
       |  SELECT doc_id, i, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
       |      list_transform(regexp_extract_all(t, '(?s).'), c -> CAST(unicode(c) AS HUGEINT))),

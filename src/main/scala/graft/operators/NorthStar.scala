@@ -580,6 +580,27 @@ object NorthStar {
     Sharding.manifest(shards, "doc_id").orderBy("shard")
   }
 
+  /** d34: INCREMENTAL shard maintenance — corpus shards built once,
+    * then a new batch (docs 40–79 mutated with ' graftshard', ids
+    * +400000) APPENDED into the existing shard layout; the manifest
+    * aggregates the read-back combined shards. The oracle recomputes
+    * the manifest over corpus ∪ increment from raw text — a hash
+    * match proves append ≡ rebuild, i.e. the incremental path loses
+    * nothing and moves only the increment's bytes. */
+  def shardAppendManifest(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .repartition(widenWidth(s), md5(col("text")))
+    val increment = docs
+      .filter(col("doc_id") >= 40 && col("doc_id") < 80 && col("text").isNotNull)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        concat(col("text"), lit(" graftshard")).as("text"))
+    val outDir = graft.core.RunTemp.dir("graft_shards_", keep = 32)
+    Sharding.writeShards(docs, "doc_id", "text", nShards = 8, outDir)
+    val combined = Sharding.appendShards(increment, "doc_id", "text", 8, outDir)
+    Sharding.manifest(combined, "doc_id").orderBy("shard")
+  }
+
   /** d16: deterministic train/val/test assignment — bucket = the
     * portable document fingerprint mod 100, split by 80/10/10. The
     * split is a pure per-row expression (no shuffle, no sampling

