@@ -1820,9 +1820,6 @@ object SparkEntry {
         | AND epoch_us(b.ts) >= epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
         |ORDER BY view_id, purchase_id""".stripMargin,
-    // q36: the batch bucketized range join answers the SAME question
-    // as the streaming interval join — one DuckDB range-join ground
-    // truth holds both temporal-join implementations.
     // q37: exact moments — integer sums (DuckDB auto-widens to
     // HUGEINT, Spark accumulates decimal), doubles only in the final
     // correctly-rounded formula chain, association mirrored exactly.
@@ -1844,6 +1841,9 @@ object SparkEntry {
         |  CAST(n * sxy - sx * sy AS DOUBLE)
         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // q36: the batch bucketized range join answers the SAME question
+    // as the streaming interval join — one DuckDB range-join ground
+    // truth holds both temporal-join implementations.
     "q36_range_join" ->
       """SELECT a.user_id AS user_id, a.event_id AS view_id,
         |  b.event_id AS purchase_id,

@@ -50,8 +50,13 @@ object Dedup {
     * daily-increment case. */
   def incrementalExactDedup(corpus: DataFrame, increment: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val seen = corpus.select(md5(col(textCol)).as("__seen_hash")).distinct()
-    exactDedup(increment, idCol, textCol)
+    // Null text carries no content to compare: md5(null) is null, the
+    // anti-join condition can never match it, and exactDedup would
+    // collapse all null rows into one "survivor" — a contentless row
+    // sneaking into the corpus as "new". Excluded on both sides.
+    val seen = corpus.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__seen_hash")).distinct()
+    exactDedup(increment.filter(col(textCol).isNotNull), idCol, textCol)
       .join(seen, md5(col(textCol)) === col("__seen_hash"), "left_anti")
   }
 

@@ -682,7 +682,16 @@ object NorthStar {
     val ref = tokenized.filter(col("doc_id") < refBelow)
     val uni = ref.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val voc = uni.agg(count(lit(1)).as("v"))
+    // Materialize the vocab size eagerly: an EMPTY reference slice
+    // would otherwise flow ln(0/1) = -Inf → null through every score
+    // and silently null the whole keep column — an unusable model
+    // must fail loudly instead. The model is driver-visible by design
+    // (the KenLM analogy), so this one tiny aggregate job is in
+    // contract; it also replaces the 1-row broadcast with a literal.
+    val vocabSize = uni.agg(count(lit(1))).head().getLong(0)
+    require(vocabSize > 0,
+      s"perplexity filter: reference slice (doc_id < $refBelow) has no " +
+        "tokens — no language model can be trained from it")
     def bigrams(df: DataFrame, keep: Column*) = df
       .filter(size(col("toks")) >= 2)
       .select(keep :+ explode(transform(
@@ -695,9 +704,8 @@ object NorthStar {
     val scored = bigrams(tokenized, col("doc_id"))
       .join(broadcast(big), Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"), "left")
-      .crossJoin(broadcast(voc))
       .select(col("doc_id"),
-        floor(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+        floor(log((coalesce(col("c1"), lit(0L)) + lit(vocabSize)).cast("double") /
           (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double"))
           * lit(1000000) + lit(0.5)).cast("long").as("c"))
     scored.groupBy("doc_id")

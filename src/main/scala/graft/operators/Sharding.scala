@@ -55,9 +55,33 @@ object Sharding {
       nShards: Int, outDir: String): DataFrame =
     writeInternal(newDocs, idCol, textCol, nShards, outDir, overwrite = false)
 
+  /** Underscore-prefixed (invisible to parquet readers) sidecar
+    * pinning the layout's shard count: `shard == pmod(fp, N)` is the
+    * invariant every loader keys on, and an append with a different N
+    * would corrupt it SILENTLY — rows landing in dirs that satisfy
+    * neither modulus. Written on build, demanded + matched on append. */
+  private val layoutFile = "_graft_shard_layout"
+
   private def writeInternal(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int, outDir: String, overwrite: Boolean): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    val layout = new org.apache.hadoop.fs.Path(outDir, layoutFile)
+    if (!overwrite) {
+      require(fs.exists(layout),
+        s"append into $outDir refused: no $layoutFile — not a shard " +
+          "layout built by writeShards (or a pre-layout legacy dir; rebuild)")
+      val in = fs.open(layout)
+      val persisted =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      require(persisted == nShards,
+        s"append into $outDir refused: layout was built with " +
+          s"nShards=$persisted, caller passed $nShards — appending would " +
+          "corrupt the shard == pmod(fingerprint, N) invariant")
+    }
     docs
       .filter(col(textCol).isNotNull && TextFunctions.tokenCount(col(textCol)) > 0)
       .withColumn("fp", TextFunctions.fingerprintPortable64(col(textCol)))
@@ -70,6 +94,11 @@ object Sharding {
       .sortWithinPartitions(col("shard"), col("fp"), col(idCol))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("shard").parquet(outDir)
+    if (overwrite) {
+      val out = fs.create(layout, true)
+      try out.write(nShards.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     docs.sparkSession.read.parquet(outDir)
   }
 

@@ -211,7 +211,8 @@ object Warehouse {
     * TTL could still double-publish. The TTL is sized orders of
     * magnitude above that gap (milliseconds). */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+      lockTtlMs: Long = DefaultLockTtlMs,
+      expectedCurrent: Option[Option[Long]] = None): Long = {
     val fs = Ingest.fs(spark, root)
     fs.mkdirs(new Path(root))
     val lock = new Path(root, lockFile)
@@ -223,6 +224,18 @@ object Warehouse {
       // fencing comparison below must not be perturbed by our own
       // snapshot dir appearing in completeSnapshots mid-commit.
       val pointerAtAcquire = pointerVersion(fs, root)
+      // Read-modify-write fencing (compact, and any other caller whose
+      // df was DERIVED from a version resolved before this lease):
+      // if the pointer moved past the version the caller based its
+      // write on, publishing would silently drop the interleaved
+      // commit's rows — abort instead.
+      expectedCurrent.foreach { expected =>
+        if (pointerAtAcquire != expected)
+          throw new IllegalStateException(
+            s"commit fenced: caller derived its snapshot from version" +
+              s" $expected but $versionFile now reads $pointerAtAcquire —" +
+              " a commit interleaved; re-derive and retry")
+      }
       val next = (currentVersion(spark, root).toSeq ++
         completeSnapshots(spark, root)).maxOption.map(_ + 1).getOrElse(0L)
       // PRIVATE staging dir: only this holder ever writes it, so a
@@ -390,7 +403,6 @@ object Warehouse {
     * a never-committed warehouse. */
   def compact(spark: SparkSession, root: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
       lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
     require(targetFileBytes >= 1L,
       s"targetFileBytes must be >= 1, got $targetFileBytes")
@@ -399,9 +411,17 @@ object Warehouse {
       val snap = versionPath(root, cur)
       val bytes = fs.getContentSummary(new Path(snap)).getLength
       val n = math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
+      // The snapshot's OWN parquet schema, never a fixed default: a
+      // warehouse widened by additive evolution must come out of
+      // compaction with every column it carries — a forced older
+      // schema here would silently drop evolved columns' data. The
+      // one footer-inference job is the price of layout-only safety.
+      // expectedCurrent pins the read-modify-write: if any commit
+      // lands between resolving `cur` and the lease, publishing would
+      // drop it — commit() aborts instead (lost-update fencing).
       commit(spark, root,
-        spark.read.schema(schema).parquet(snap).repartition(n.toInt),
-        lockTtlMs)
+        spark.read.parquet(snap).repartition(n.toInt),
+        lockTtlMs, expectedCurrent = Some(Some(cur)))
     }
   }
 

@@ -86,6 +86,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(11L, 13L))
   }
 
+  test("incremental exact dedup: null-text rows never pass the gate") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, Option.empty[String].orNull))
+      .toDF("doc_id", "text")
+    val increment = Seq((10L, Option.empty[String].orNull),
+      (11L, Option.empty[String].orNull), (12L, "beta"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(corpus, increment, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L), "contentless rows are not 'new content'")
+  }
+
   test("simhash recovers planted near-dup pairs within hamming budget") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
     val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 100000)

@@ -94,6 +94,24 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("append refuses a mismatched shard count and a non-layout dir") {
+    import org.apache.spark.sql.functions.concat
+    val inc = corpus.filter(col("doc_id") < 5 && col("text").isNotNull)
+      .select((col("doc_id") + 600000L).as("doc_id"),
+        concat(col("text"), lit(" x")).as("text"))
+    val dir8 = graft.core.RunTemp.dir("graft_shards_spec_")
+    Sharding.writeShards(corpus, "doc_id", "text", 8, dir8)
+    val wrongN = intercept[IllegalArgumentException] {
+      Sharding.appendShards(inc, "doc_id", "text", 4, dir8)
+    }
+    assert(wrongN.getMessage.contains("nShards=8"))
+    val notALayout = graft.core.RunTemp.dir("graft_shards_spec_")
+    val noLayout = intercept[IllegalArgumentException] {
+      Sharding.appendShards(inc, "doc_id", "text", 8, notALayout)
+    }
+    assert(noLayout.getMessage.contains("_graft_shard_layout"))
+  }
+
   test("manifest totals equal the corpus totals") {
     val outDir = graft.core.RunTemp.dir("graft_shards_spec_")
     val shards = Sharding.writeShards(corpus, "doc_id", "text", 4, outDir)

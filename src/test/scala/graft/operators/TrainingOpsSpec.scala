@@ -116,6 +116,15 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kept(200L) && !kept(201L))
   }
 
+  test("perplexity filter fails loudly on an empty reference slice") {
+    import spark.implicits._
+    val docs = Seq((200L, "some text here")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      NorthStar.perplexityFilterOf(docs, refBelow = 100L, thresholdMicro = 0L)
+    }
+    assert(ex.getMessage.contains("no language model"))
+  }
+
   test("token chunking conserves the token stream") {
     val chunks = NorthStar.tokenChunks(spark, dir)
     val totalChunked = chunks.agg(sum("n_tokens")).head.getLong(0)

@@ -206,6 +206,21 @@ class WarehouseCommitSpec extends AnyFunSuite {
     assert(Warehouse.compact(spark, freshRoot()) === None)
   }
 
+  test("read-modify-write fencing: a commit interleaving before the lease aborts the writer") {
+    val root = freshRoot()
+    assert(Warehouse.commit(spark, root, batch(51)) === 0L)
+    // writer resolves cur=0 and derives its snapshot ... meanwhile a
+    // concurrent committer lands v1
+    assert(Warehouse.commit(spark, root, batch(52)) === 1L)
+    val ex = intercept[IllegalStateException] {
+      Warehouse.commit(spark, root, batch(51).limit(5),
+        expectedCurrent = Some(Some(0L)))
+    }
+    assert(ex.getMessage.contains("interleaved"))
+    // nothing was published: v1 is still current
+    assert(Warehouse.currentVersion(spark, root) === Some(1L))
+  }
+
   test("vacuum minAgeMs refuses to drop young snapshots regardless of position") {
     val root = freshRoot()
     (41 to 44).foreach(s => Warehouse.commit(spark, root, batch(s)))

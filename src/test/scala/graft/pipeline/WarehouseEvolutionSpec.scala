@@ -26,6 +26,16 @@ class WarehouseEvolutionSpec extends AnyFunSuite {
   // names + types in order
   private def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
 
+  test("compact preserves an evolved column's data (snapshot-own schema)") {
+    val root = Files.createTempDirectory("wh_evo").toString
+    val evolved = batch(7).withColumn("origin_certified", lit(true))
+    assert(Warehouse.commit(spark, root, evolved.repartition(6)) === 0L)
+    assert(Warehouse.compact(spark, root) === Some(1L))
+    val cur = Warehouse.read(spark, root, widened)
+    assert(cur.filter(col("origin_certified") === true).count() === 20,
+      "compaction must carry the evolved column's DATA, not null-fill it")
+  }
+
   test("additive column: commit, time travel both ways, merge null-fill") {
     val root = Files.createTempDirectory("wh_evo").toString
 
