@@ -107,18 +107,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as a raw long
-    * (legacy conf) and truncate to microseconds with integer division
-    * (`div`, not `/`: epoch-nanos exceed 2^53, double math would lose
-    * sub-µs precision). DuckDB oracles must therefore only compare ts
-    * at ≥ms granularity (epoch_ms / CAST AS DATE), where both engines
-    * floor identically. */
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's reader
+    * rejects — [PARQUET_TYPE_ILLEGAL] — so it is read as a raw long
+    * via the legacy conf and truncated to microseconds with integer
+    * division; `div`, not `/`: epoch-nanos exceed 2^53 and double
+    * math would lose sub-µs precision) and plain timestamp[us]
+    * without timezone (which Spark infers as TIMESTAMP_NTZ). Both
+    * normalize here to session-local TIMESTAMP so every downstream
+    * query and oracle sees one logical schema; sessions run UTC, so
+    * the NTZ→LTZ cast is instant-preserving. DuckDB oracles must
+    * still only compare ts at ≥ms granularity (epoch_ms / CAST AS
+    * DATE), where both engines floor identically. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

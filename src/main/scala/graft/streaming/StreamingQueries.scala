@@ -37,22 +37,29 @@ object StreamingQueries {
   }
 
   /** events.parquet read as a stream. Schema must be declared up
-    * front for a streaming file source; ts arrives as raw nanos
-    * (see [[graft.core.Tables.events]]) and is truncated to µs.
-    * Shared by every streaming query (incl. StatefulSessions) so the
+    * front for a streaming file source; the physical ts type has
+    * varied across testdata generations (raw nanos-as-long vs
+    * timestamp[us]/NTZ — see [[graft.core.Tables.events]]), so the
+    * batch loader's footer-derived schema decides which declared
+    * schema and normalization this stream uses. Shared by every
+    * streaming query (incl. StatefulSessions) so the
     * schema/ns-conversion logic lives in one place. */
   private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsPhysical = graft.core.Tables.load(spark, dir, "events").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsPhysical),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // Glob, not a bare file path: the streaming file source requires a
     // directory basePath, and the non-glob prefix of a pattern (the sf
     // dir) satisfies it.
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsPhysical match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Streaming twin of Relational.dailyEventStats — same oracle SQL.
