@@ -79,6 +79,7 @@ object SparkEntry {
     "q35_native_topk" -> (Relational.nativeTopOrders _),
     "q33_percentile_spend"  -> (Relational.percentileSpend _),
     "q37_stats_moments"     -> (Relational.statsMoments _),
+    "q38_global_rank_deciles" -> ((s, dir) => Relational.globalRankDeciles(s, dir)),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -1823,6 +1824,23 @@ object SparkEntry {
     // q37: exact moments — integer sums (DuckDB auto-widens to
     // HUGEINT, Spark accumulates decimal), doubles only in the final
     // correctly-rounded formula chain, association mirrored exactly.
+    // q38: the oracle states the SAME total order through the
+    // engine's own ntile — the Spark side never executes a
+    // global-ordering window (two-phase rank, Relational
+    // .globalRankDeciles); hash-matching the per-decile profile
+    // certifies every bucket boundary of the distributed formulation.
+    "q38_global_rank_deciles" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS decile
+        |  FROM t)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        |  min(cents) AS lo, max(cents) AS hi,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
     "q37_stats_moments" ->
       """WITH q AS (
         |  SELECT l_returnflag,

@@ -27,6 +27,22 @@ object Catalog {
   /** Dialect-common SQL (runs unchanged in Spark and DuckDB) — each is
     * both the engine query and its own oracle. */
   val commonSql: Map[String, String] = Map(
+    // SQL-standard UNPIVOT (wide→long reshape, the inverse of q23's
+    // PIVOT): metric columns fold into (metric, val) rows. Both
+    // engines name the generated columns from the FOR/IN clause
+    // identically; the source is a 3-row aggregate so the reshape
+    // itself costs nothing beyond the upstream groupBy.
+    "sql18_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, metric, val
+        |FROM w UNPIVOT (val FOR metric IN (qty, n_rows, n_orders))
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "sql01_count_by_flag" ->
       """SELECT l_returnflag, count(*) AS n
         |FROM lineitem

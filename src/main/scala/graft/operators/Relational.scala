@@ -550,6 +550,70 @@ object Relational {
           .isNotNull.cast("long")).as("n_not_open2"))
       .orderBy("o_orderpriority")
 
+  /** q38: EXACT GLOBAL RANK + ntile binning WITHOUT a global-ordering
+    * window. `ntile(k) OVER (ORDER BY …)` moves the whole table into
+    * ONE window partition — a sequential single-task sort at scale.
+    * This is the distributed-exact formulation (the d22 prefix-sum
+    * pattern applied to ranks):
+    *
+    *  1. range-partition the (key, tiebreak) projection and
+    *     MATERIALIZE the partition id ([[graft.core.RunTemp]] staging:
+    *     a re-evaluated range exchange may re-sample its bounds, and
+    *     phase 2 must see the same pids phase 1 counted);
+    *  2. per-pid row counts → each pid's global rank offset via a
+    *     cumulative sum over the TINY (≤ shuffle-partitions rows)
+    *     subtotal frame;
+    *  3. partition-LOCAL row_number + broadcast offset = exact global
+    *     rank; SQL-standard ntile is then pure arithmetic on
+    *     (rank, N): the first N mod k buckets take ⌈N/k⌉ rows, the
+    *     rest ⌊N/k⌋ — bit-identical to the engines' ntile given the
+    *     same total order.
+    *
+    * Output is the per-decile profile (count / min / max / sum over
+    * exact cents), which pins every bucket boundary — a single
+    * misplaced rank shifts some bucket's lo/hi/sum. Parallelism is
+    * O(partitions) regardless of value skew (the range partitioner
+    * samples its bounds from the data). */
+  def globalRankDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val t = Tables.orders(spark, dir).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val tmp = graft.core.RunTemp.dir("graft_rank_")
+    t.repartitionByRange(parts, col("cents"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val sub = staged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    // subtotal frame ≤ `parts` rows — the only unpartitioned window
+    // in the plan runs over it, never over the data
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = sub
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val total = sub.agg(sum(col("cnt")).cast("long").as("n_total"))
+    val wLocal = Window.partitionBy("pid").orderBy("cents", "o_orderkey")
+    val ranked = staged.join(broadcast(off), Seq("pid"))
+      .withColumn("rank", col("off") + row_number().over(wLocal).cast("long"))
+      .crossJoin(broadcast(total))
+    // SQL ntile(k): q = N div k, rem = N mod k; bucket sizes q+1 for
+    // the first rem buckets, q after. q = 0 (N < k) degenerates to
+    // bucket = rank. Integer floorDiv via subtract-the-remainder —
+    // dividing an exact multiple is safe where a bare double division
+    // could round across the floor (see RangeJoin.bandOf).
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val q = idiv(col("n_total"), lit(k))
+    val rem = col("n_total") % k
+    val decile = when(lit(k) >= col("n_total"), col("rank"))
+      .when(col("rank") <= rem * (q + 1), idiv(col("rank") - 1, q + 1) + 1)
+      .otherwise(rem + idiv(col("rank") - rem * (q + 1) - 1, q) + 1)
+    ranked.withColumn("decile", decile.cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+        max(col("cents")).as("hi"), sum(col("cents")).as("sum_cents"))
+      .orderBy("decile")
+  }
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
