@@ -849,16 +849,27 @@ object NorthStar {
     * fingerprint is a uniform-ish pseudo-random key derived from
     * content alone, so the draw is (a) unbiased w.r.t. corpus order,
     * (b) stable under re-ingest and engine changes (same property as
-    * [[trainSplit]]), and (c) reproducible in the oracle. The
-    * per-stratum window is the exactness formulation; at 100 TB the
-    * same selection routes through the bounded-heap TopKPerKey node
-    * (one clustered exchange, no per-stratum full sort). */
+    * [[trainSplit]]), and (c) reproducible in the oracle.
+    *
+    * Scale shape: the selection is the bounded-heap
+    * [[graft.plans.TopKPerKey]] node (ascending: smallest fp first) —
+    * one clustered exchange, O(rows·log k) comparisons, memory
+    * O(langs·k) per partition. A real corpus is majority one language,
+    * so the naive `row_number() OVER (PARTITION BY lang)` alternative
+    * would sort the dominant stratum's entire row set in a single
+    * task; the heap streams it once and keeps k rows. The
+    * rank-within-survivors window that follows runs over ≤ k rows per
+    * language on the SAME keyed exchange (the
+    * [[Similarity.rankTopK]] pattern). */
   def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("fp"), col("doc_id"))
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
       .select(col("doc_id"), col("lang"),
         TextFunctions.fingerprintPortable64(col("text")).as("fp"))
+    val pruned = graft.plans.TopK.bottomKPerKey(
+      base, Seq("lang"), "fp", k, tieBreakers = Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("fp"), col("doc_id"))
+    pruned
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
       .select(col("doc_id"), col("lang"), col("sample_rank"))

@@ -334,10 +334,25 @@ object TopK {
     * asc)` — the `row_number <= k` result without the sort. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
       k: Int, tieBreakers: Seq[String] = Seq.empty,
-      maxHeldBytes: Long = defaultMaxHeldBytes): DataFrame = {
+      maxHeldBytes: Long = defaultMaxHeldBytes): DataFrame =
+    kPerKey(df, keyCols, orderCol, k, tieBreakers, ascending = false, maxHeldBytes)
+
+  /** Keep each key's BOTTOM `k` rows — `(orderCol asc, tieBreakers
+    * asc)` — the smallest-first selection (stratified draws, minima
+    * per group) through the same bounded-heap node. */
+  def bottomKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      k: Int, tieBreakers: Seq[String] = Seq.empty,
+      maxHeldBytes: Long = defaultMaxHeldBytes): DataFrame =
+    kPerKey(df, keyCols, orderCol, k, tieBreakers, ascending = true, maxHeldBytes)
+
+  private def kPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      k: Int, tieBreakers: Seq[String], ascending: Boolean,
+      maxHeldBytes: Long): DataFrame = {
     install(df.sparkSession)
+    val dir = if (ascending) Ascending else Descending
+    val nulls = if (ascending) NullsFirst else NullsLast
     val order =
-      SortOrder(UnresolvedAttribute.quoted(orderCol), Descending, NullsLast, Seq.empty) +:
+      SortOrder(UnresolvedAttribute.quoted(orderCol), dir, nulls, Seq.empty) +:
         tieBreakers.map(c =>
           SortOrder(UnresolvedAttribute.quoted(c), Ascending, NullsFirst, Seq.empty))
     Bridge.ofRows(df.sparkSession,

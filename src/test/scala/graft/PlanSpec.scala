@@ -92,6 +92,20 @@ class PlanSpec extends AnyFunSuite {
       "c_custkey <= 500 did not reach the CSV scan")
   }
 
+  test("d19: stratified sample prunes via TopKPerKey before any window sort") {
+    val p = plan("d19_stratified_sample")
+    assert(p.contains("TopKPerKey"),
+      "stratified draw must route through the bounded-heap node")
+    // The rank-within-survivors window (and its Sort) must consume the
+    // PRUNED stream: in the plan string parents print before children,
+    // so TopKPerKey must sit BELOW the Window — the only sorted rows
+    // are the ≤ k-per-language survivors, never the dominant stratum.
+    val wIdx = p.indexOf("Window")
+    val tIdx = p.indexOf("TopKPerKey")
+    assert(wIdx >= 0 && tIdx > wIdx,
+      "window must rank the TopKPerKey survivors, not the full stratum")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE's toString hides the codegen wrapping; ask the codegen
     // debugger how many fused subtrees the executed plan holds.

@@ -98,6 +98,25 @@ class TopKSpec extends AnyFunSuite {
     assert(spilled === df.orderBy("k", "id").collect().map(_.toString).toSeq)
   }
 
+  test("bottomKPerKey equals the ascending window formulation") {
+    val df = Seq(
+      (1L, 10L, Some(5.0)), (1L, 11L, Some(5.0)), (1L, 12L, Some(7.0)),
+      (1L, 13L, None), (2L, 20L, Some(1.0)), (2L, 21L, None), (2L, 22L, Some(0.5)))
+      .toDF("k", "id", "v")
+    val got = TopK.bottomKPerKey(df, Seq("k"), "v", 2, tieBreakers = Seq("id"))
+      .orderBy("k", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ascending with NullsFirst mirrors asc_nulls_first: nulls are the
+    // "smallest" values, then the real minima; ties break on id.
+    val w = Window.partitionBy("k").orderBy(col("v").asc_nulls_first, col("id").asc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .orderBy("k", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === windowed)
+    assert(got === Seq((1L, 10L), (1L, 13L), (2L, 21L), (2L, 22L)))
+  }
+
   test("plans as the custom operator with no sort, one exchange") {
     val o = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
       .select("o_custkey", "o_orderkey", "o_totalprice")
