@@ -191,6 +191,7 @@ object SparkEntry {
     "v08_ivf_saved"          -> (NorthStar.ivfSavedTopK _),
     "v09_int8_knn"           -> (NorthStar.int8Knn _),
     "v10_ivf_int8"           -> (NorthStar.ivfInt8Knn _),
+    "v11_ivf_append"         -> (NorthStar.ivfAppendTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -2075,6 +2076,26 @@ object SparkEntry {
     // v08: searching the saved-and-reloaded IVF index with every cell
     // probed is exact — shares v06's brute-force oracle verbatim.
     "v08_ivf_saved" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v11: append ≡ rebuild. Full-probe search over the appended index
+    // equals exact search over the whole corpus — which is exactly
+    // what a from-scratch rebuild searches: v08's brute-force oracle
+    // verbatim. A lost, duplicated, or mis-normed appended row breaks
+    // the hash.
+    "v11_ivf_append" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

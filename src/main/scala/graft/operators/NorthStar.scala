@@ -1177,6 +1177,36 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** v11: INCREMENTAL index maintenance certified end-to-end — the
+    * vector-index twin of d34's shard append. Build + save the IVF
+    * index on the BASE corpus only (vec_id ≥ 50), [[IvfIndex.append]]
+    * the increment against the saved centroid model (touched cells
+    * gain files; untouched cells keep theirs byte-for-byte), reload,
+    * and search at full probe width. Full-probe search over the
+    * appended index must equal exact search over the whole corpus —
+    * exactly what a REBUILD from scratch would return (v08's
+    * brute-force oracle, verbatim): the append path loses no rows,
+    * duplicates none, and bakes the same norms the builder does. The
+    * limited-probe equivalence (append ≡ rebuild at nProbe < nCells)
+    * plus the O(batch) untouched-files property are spec-pinned in
+    * SimilaritySpec. At 100 TB this is the path that makes corpus
+    * growth O(batch) instead of an O(corpus) re-index. */
+  def ivfAppendTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val base = emb.filter(col("vec_id") >= 50)
+    val increment = emb.filter(col("vec_id") < 50)
+    val (assigned, centroids) = IvfIndex.build(spark, base, "vec_id", "embedding", nCells = 8)
+    val idxDir = graft.core.RunTemp.dir("graft_ivf_append_", keep = 32)
+    IvfIndex.save(assigned, centroids, idxDir)
+    assigned.unpersist()
+    IvfIndex.append(spark, idxDir, increment, "vec_id", "embedding")
+    val (loaded, loadedCentroids) = IvfIndex.load(spark, idxDir)
+    IvfIndex.search(loaded, loadedCentroids, k = 5, nProbe = 8,
+      queries = Some(emb.filter(col("vec_id") < 50)),
+      idCol = "vec_id", vecCol = "embedding")
+      .orderBy("query_id", "rank")
+  }
+
   /** v09: exact kNN over the int8-QUANTIZED corpus — the compressed
     * deployment shape ([[Similarity.quantizeInt8]]: 4× smaller
     * vectors, scale-invariant integer cosine). Hash-oracled: the
