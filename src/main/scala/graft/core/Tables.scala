@@ -100,6 +100,13 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Memoized footer schema of ONE parquet file at an arbitrary path
+    * (same memo + driver-side footer read as [[load]]); for callers
+    * that must inspect sibling files of a glob, e.g. the streaming
+    * source's generation-homogeneity check. */
+  def fileSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.computeIfAbsent(schemaKey(spark, path), _ => footerSchema(spark, path))
+
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
@@ -128,10 +135,31 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType | TimestampType =>
+        // The NTZ→LTZ cast reinterprets the wall-clock fields in the
+        // SESSION time zone; it is instant-preserving only under UTC.
+        // Every entry point sets UTC, but an embedding session that
+        // didn't would silently shift every event timestamp — fail
+        // loudly here instead.
+        requireUtcSession(spark, "events.ts TIMESTAMP_NTZ→TIMESTAMP cast")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(s"unsupported events.ts type: $other")
     }
+  }
+
+  /** Guard for instant-preservation-sensitive casts (events.ts here;
+    * [[graft.streaming.StreamingQueries.eventsStream]] shares it).
+    * Not silently self-healing (no conf.set): a non-UTC session may
+    * already hold cached plans/data resolved under its zone — the
+    * caller must opt into UTC at session build, as every graft entry
+    * point does. */
+  def requireUtcSession(spark: SparkSession, what: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    val utc = tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "+00:00" || tz == "Z"
+    if (!utc) throw new IllegalStateException(
+      s"$what requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the cast reinterprets wall-clock fields in the session zone and " +
+        "would silently shift instants")
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -47,6 +47,22 @@ object StreamingQueries {
   private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsPhysical = graft.core.Tables.load(spark, dir, "events").schema("ts").dataType
+    // The declared schema above is sniffed from events.parquet, but
+    // the stream consumes the whole events*.parquet glob: a directory
+    // mixing testdata GENERATIONS (nanos-as-long file next to a
+    // timestamp[us] file) would read one of them through the wrong
+    // declared type — nulls/garbage, not an error. Assert footer
+    // homogeneity across the glob instead (driver-side, memoized per
+    // file via Tables.fileSchema — no Spark jobs).
+    val globPath = new org.apache.hadoop.fs.Path(s"$dir/events*.parquet")
+    val fs = globPath.getFileSystem(spark.sessionState.newHadoopConf())
+    Option(fs.globStatus(globPath)).getOrElse(Array.empty).foreach { st =>
+      val t = graft.core.Tables.fileSchema(spark, st.getPath.toString)("ts").dataType
+      require(t == tsPhysical,
+        s"events glob is generation-mixed: ${st.getPath} has ts $t, " +
+          s"events.parquet has $tsPhysical — a single declared stream schema " +
+          "cannot read both; split the directory by generation")
+    }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsPhysical),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -58,7 +74,11 @@ object StreamingQueries {
       .parquet(s"$dir/events*.parquet")
     tsPhysical match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _        =>
+        // Instant-preserving only under a UTC session (see
+        // Tables.events — same cast, same guard).
+        graft.core.Tables.requireUtcSession(spark, "streaming events.ts NTZ→TIMESTAMP cast")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
 

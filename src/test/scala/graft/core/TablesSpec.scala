@@ -26,6 +26,18 @@ class TablesSpec extends AnyFunSuite {
     assert(ev.limit(1).count() === 1)
   }
 
+  test("events NTZ/timestamp cast refuses a non-UTC session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tz").toString
+    spark.sql("SELECT 1L AS event_id, timestamp'2024-01-02 03:04:05' AS ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val offZone = spark.newSession()
+    offZone.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalStateException] { Tables.events(offZone, dir) }
+    assert(e.getMessage.contains("timeZone"))
+    // the same table through a UTC session is fine
+    assert(Tables.events(spark, dir).count() === 1)
+  }
+
   test("a directory 'table' falls back to distributed inference") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
     val df = spark.range(10).selectExpr("id", "id * 2 AS v")

@@ -14,6 +14,24 @@ class StreamingQueriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("a generation-mixed events glob fails loudly, not with nulls") {
+    // events.parquet carries a real timestamp; a sibling glob match
+    // carries the OTHER generation's shape (raw nanos-as-long). One
+    // declared stream schema cannot read both — eventsStream must
+    // refuse rather than stream one file through the wrong type.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixed_gen").toString
+    spark.sql("SELECT 1L AS event_id, timestamp'2024-01-02 03:04:05' AS ts, " +
+        "7L AS user_id, 'click' AS event_type, 1.5 AS value, '{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.sql("SELECT 2L AS event_id, 1704164645000000000 AS ts, " +
+        "8L AS user_id, 'view' AS event_type, 2.5 AS value, '{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events_late.parquet")
+    val e = intercept[IllegalArgumentException] {
+      StreamingQueries.eventsStream(spark, dir)
+    }
+    assert(e.getMessage.contains("generation-mixed"))
+  }
+
   test("streaming gate equals the batch-derived new-content hash set") {
     val got = StreamingQueries.incrementalDedupStream(spark, dir)
       .collect().map(_.getString(0)).toSet
