@@ -26,9 +26,25 @@ object Graph {
 
   /** `iters` rounds of damped PageRank (d = 0.85) over `edges`
     * (src, dst) — every node must appear as a src (no dangling
-    * mass). Returns (node, rank_units) with Σ ranks ≈ SCALE. */
-  def pageRankIntExact(edges: DataFrame, iters: Int): DataFrame = {
+    * mass). Returns (node, rank_units) with Σ ranks ≈ SCALE.
+    *
+    * LINEAGE GUARD: the loop extends `pr`'s logical plan every round;
+    * left unchecked, analysis/optimization cost grows quadratically
+    * with iteration count and a deep run re-derives every prior round
+    * on any recompute. At small `iters` the unrolled, uncached plan is
+    * the measured winner (cache experiment rejected with numbers —
+    * docs/PLANS.md), so the fast path is untouched; past
+    * `checkpointThreshold` total iterations the loop truncates lineage
+    * every `checkpointEvery` rounds via eager `localCheckpoint`
+    * (block-manager-backed; zero-config). Checkpointing only
+    * materializes the integer rank table — it cannot change values;
+    * the spec pins checkpointed ≡ unrolled bit-for-bit. On a cluster
+    * where executor loss during a long run matters, prefer a reliable
+    * `checkpoint()` dir — same cadence, durable storage. */
+  def pageRankIntExact(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 6, checkpointThreshold: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkpointEvery > 0, s"checkpointEvery must be > 0, got $checkpointEvery")
     val SCALE = 1000000000000L // 10^12 fixed-point units
     val base = 15L * SCALE / 100L // undamped teleport mass numerator
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -36,7 +52,7 @@ object Graph {
     val nTot = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), expr(s"$SCALE div n").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = pr
         .join(edges, pr("node") === edges("src"))
         .join(deg, "src")
@@ -46,6 +62,8 @@ object Graph {
         .crossJoin(broadcast(nTot))
         .select(col("node"),
           expr(s"($base div n) + ((85 * coalesce(s, 0)) div 100)").as("r"))
+      if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint(true)
     }
     pr.select(col("node"), col("r").as("rank_units"))
   }

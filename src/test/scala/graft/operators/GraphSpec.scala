@@ -37,6 +37,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) === got(3L))
   }
 
+  test("deep iteration runs in bounded time and matches the reference") {
+    // 25 iterations would unroll a quadratically-growing plan without
+    // the lineage guard; with it the run must stay comfortably inside
+    // a wall-clock budget AND stay bit-identical to the plain-Scala
+    // fixed-point reference (checkpointing materializes integer rank
+    // tables — it cannot change a single unit).
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val got = Graph.pageRankIntExact(edgeList.toDF("src", "dst"), iters = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(got === reference(25))
+    assert(dt < 120.0, f"25-iteration run took $dt%.1f s — lineage guard lost?")
+  }
+
+  test("checkpoint cadence does not change ranks (forced on a small run)") {
+    import spark.implicits._
+    val plain = Graph.pageRankIntExact(edgeList.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val checkpointed = Graph.pageRankIntExact(edgeList.toDF("src", "dst"),
+      iters = 5, checkpointEvery = 2, checkpointThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(checkpointed === plain)
+    assert(plain === reference(5))
+  }
+
   test("zero iterations returns the uniform fixed-point mass") {
     import spark.implicits._
     val got = Graph.pageRankIntExact(edgeList.toDF("src", "dst"), iters = 0)
