@@ -33,6 +33,35 @@ class CocoaStreamSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, wh).count() === 300, "LWW merge over streamed batches")
   }
 
+  test("maxFilesPerTrigger throttles the drain into multiple micro-batches") {
+    // The reference processes its landing zone 5 files per parallel
+    // task (BATCH_SIZE=5 — SURVEY §2 O3); the streaming analogue is
+    // the file source's maxFilesPerTrigger. A 10-file landing at 5
+    // files per trigger must drain in >1 micro-batch (AvailableNow
+    // honors the rate limit) and land the same warehouse state a
+    // single-batch drain produces.
+    val root = Files.createTempDirectory("cocoa_throttle").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+    CocoaGen.writeLandingFiles(spark, s"$root/landing", 10, 30, seed = 21)
+    val batches = CocoaStream.runAvailableNow(spark, s"$root/landing",
+      s"$root/wh", s"$root/ckpt", maxFilesPerTrigger = Some(5),
+      processedAt = Some(ts))
+    assert(batches >= 2, s"10 files at 5/trigger drained in $batches micro-batch(es)")
+
+    // same landing, unthrottled, fresh warehouse+checkpoint
+    CocoaGen.writeLandingFiles(spark, s"$root/landing2", 10, 30, seed = 21)
+    val one = CocoaStream.runAvailableNow(spark, s"$root/landing2",
+      s"$root/wh2", s"$root/ckpt2", processedAt = Some(ts))
+    assert(one === 1L, s"unthrottled drain took $one micro-batches")
+
+    val a = Warehouse.read(spark, s"$root/wh").orderBy("shipment_id")
+      .collect().map(_.toString).toSeq
+    val b = Warehouse.read(spark, s"$root/wh2").orderBy("shipment_id")
+      .collect().map(_.toString).toSeq
+    assert(a === b, "throttled and unthrottled drains must land identical state")
+  }
+
   test("streaming daily stats matches the batch computation") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingQueries.dailyEventStats(spark, dir).collect()
