@@ -177,6 +177,68 @@ class WarehouseCommitSpec extends AnyFunSuite {
     assert(Warehouse.read(spark, root).count() === 10)
   }
 
+  test("vacuum vs concurrent reader: correct rows or a loud failure, never silent wrong results") {
+    // Adversarial retention race: a reader resolves and holds
+    // v_{n-1}'s PATH while a writer commits twice and vacuums AT the
+    // retention floor — pruning the held version. The reader's
+    // contract is correct-or-loud: every successful read returns the
+    // snapshot's exact row multiset (a concurrent prune of a
+    // multi-file snapshot must never surface as a silently partial
+    // scan), and once the files are gone the read throws. A result
+    // that is nonempty-but-partial, or empty-without-error, is the
+    // silent-wrong-rows failure mode this pins against.
+    val root = freshRoot()
+    // the loudness contract rides this conf: with ignoreMissingFiles
+    // flipped on, a mid-prune scan would silently drop pruned files —
+    // exactly the wrong-rows mode this test exists to forbid
+    assert(spark.conf.get("spark.sql.files.ignoreMissingFiles") === "false",
+      "warehouse correctness requires ignoreMissingFiles=false")
+    // 40 rows in several files so a mid-prune scan COULD be partial
+    assert(Warehouse.commit(spark, root,
+      Enrich.enrich(CocoaGen.shipments(spark, 40, seed = 51),
+        new Timestamp(1000000L)).repartition(4)) === 0L)
+    assert(Warehouse.commit(spark, root, batch(52)) === 1L)
+    val heldPath = Warehouse.versionPath(root, 0L)
+    val expected = spark.read.schema(CocoaSchema.warehouse).parquet(heldPath)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.size === 40)
+
+    @volatile var silentWrong: Option[String] = None
+    @volatile var sawLoudFailure = false
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && silentWrong.isEmpty) {
+        try {
+          // fresh frame each pass: resolve-then-read, like a time-travel
+          // consumer that pinned the version path
+          val got = spark.read.schema(CocoaSchema.warehouse).parquet(heldPath)
+            .collect().map(_.toString).sorted.toSeq
+          if (got != expected)
+            silentWrong = Some(s"read ${got.size} rows, expected 40, no error raised")
+        } catch {
+          case _: Throwable => sawLoudFailure = true // loud is correct
+        }
+      }
+    })
+    reader.start()
+    try {
+      Warehouse.commit(spark, root, batch(53))
+      // keepLast=1: only the current version survives — the held v0
+      // (and v1) are pruned WHILE the reader loops
+      Warehouse.vacuum(spark, root, keepLast = 1)
+      // give the reader a few more passes against the pruned layout
+      val deadline = System.currentTimeMillis() + 5000
+      while (!sawLoudFailure && silentWrong.isEmpty
+          && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally { stop = true; reader.join(30000) }
+
+    assert(silentWrong.isEmpty, silentWrong.getOrElse(""))
+    assert(sawLoudFailure, "post-prune reads must fail loudly, not hang or succeed")
+    val fs = hfs(root)
+    assert(!fs.exists(new Path(heldPath)), "v0 pruned at keepLast=1")
+    assert(Warehouse.read(spark, root).count() === 10, "writer's current snapshot intact")
+  }
+
   test("compact: fewer files, identical rows, history intact") {
     val root = freshRoot()
     // a deliberately fragmented snapshot: 8 files of ~1 row each
