@@ -80,6 +80,7 @@ object SparkEntry {
     "q33_percentile_spend"  -> (Relational.percentileSpend _),
     "q37_stats_moments"     -> (Relational.statsMoments _),
     "q38_global_rank_deciles" -> ((s, dir) => Relational.globalRankDeciles(s, dir)),
+    "q39_bloom_prefilter"    -> ((s, dir) => Relational.bloomPrefilterFlags(s, dir)),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -1873,6 +1874,33 @@ object SparkEntry {
         |  min(cents) AS lo, max(cents) AS hi,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
+    // q39: the Bloom bitset re-derived from first principles — DuckDB
+    // rebuilds the distinct bit-position set from the build keys
+    // (portable mix over key ⊕ seed_j, masked to mBits) and
+    // re-evaluates every probe's k-way conjunction. One flipped bit
+    // anywhere in build, merge, or probe breaks the hash; false
+    // positives are certified as such, not tolerated as error.
+    "q39_bloom_prefilter" ->
+      s"""WITH seeds(j, s) AS (VALUES
+        |    (0, CAST(11400714819323198485 AS UBIGINT)),
+        |    (1, CAST(4354685564936845354 AS UBIGINT)),
+        |    (2, CAST(15755400384260043839 AS UBIGINT))),
+        |build AS (
+        |  SELECT DISTINCT CAST(o_orderkey AS UBIGINT) AS key
+        |  FROM orders WHERE o_totalprice > 480000),
+        |bits AS (
+        |  SELECT DISTINCT CAST(${mixSqlU("xor(b.key, sd.s)")} % 16384 AS BIGINT) AS p
+        |  FROM build b CROSS JOIN seeds sd),
+        |probes AS (SELECT DISTINCT CAST(l_orderkey AS UBIGINT) AS key FROM lineitem),
+        |pb AS (
+        |  SELECT pr.key, CAST(${mixSqlU("xor(pr.key, sd.s)")} % 16384 AS BIGINT) AS p
+        |  FROM probes pr CROSS JOIN seeds sd),
+        |flags AS (
+        |  SELECT key, bool_and(p IN (SELECT p FROM bits)) AS bloom_pass
+        |  FROM pb GROUP BY key)
+        |SELECT CAST(f.key AS BIGINT) AS l_orderkey, f.bloom_pass,
+        |  (f.key IN (SELECT key FROM build)) AS is_member
+        |FROM flags f ORDER BY l_orderkey""".stripMargin,
     "q37_stats_moments" ->
       """WITH q AS (
         |  SELECT l_returnflag,

@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
 /** Portable Bloom filter over BIGINT keys — the explicit form of the
   * runtime row-level filter (Spark's own
@@ -19,9 +20,12 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
   *
   * Portability: bit positions come from `portableMix64(key ⊕ seed_j)`
   * (32-bit multiplier constants — DuckDB recomputes the chain without
-  * INT128 overflow, see the d08/d12 oracle notes), with
+  * HUGEINT overflow; the SQL spelling is `SparkEntry.mixSqlU`, the
+  * same finalizer the d12 simhash oracle re-derives), with
   * `seed_j = GOLD·(j+1) mod 2^64` inlined as literals in oracle SQL.
-  * mBits is a power of two so `mod` is a mask on both engines.
+  * mBits is a power of two so `mod` is a mask on both engines. The
+  * whole chain is hash-certified end-to-end by the q39 gate query
+  * ([[graft.operators.Relational.bloomPrefilterFlags]]).
   *
   * [[BloomBuildAgg]] is a [[TypedImperativeAggregate]]: map tasks fold
   * their keys into one local bitset and only bitsets cross the
@@ -68,6 +72,12 @@ object BloomExpressions {
 
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = false
+    // analysis-time type error on a non-BIGINT key, not a runtime
+    // ClassCastException in update()
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT key, got ${child.dataType.simpleString}")
 
     override def createAggregationBuffer(): Array[Byte] = new Array[Byte](mBits >>> 3)
 
@@ -110,6 +120,12 @@ object BloomExpressions {
   case class BloomMightContain(left: Expression, right: Expression, mBits: Int, k: Int)
       extends BinaryExpression {
     override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == LongType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY bitset, BIGINT key), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
     override protected def nullSafeEval(bloom: Any, key: Any): Any =
       mightContain(bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[Long], mBits, k)

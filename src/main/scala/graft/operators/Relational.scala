@@ -614,6 +614,42 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** q39: the portable Bloom pre-join filter, CERTIFIED bit-for-bit —
+    * the explicit form of runtime bloom-filter join pruning (what
+    * `spark.sql.optimizer.runtime.bloomFilter` injects): fold the
+    * SMALL side's keys into one bitset
+    * ([[graft.functions.BloomExpressions.BloomBuildAgg]] — map-side
+    * partial bitsets, word-OR merge), broadcast the ~2 KB artifact,
+    * and probe every fact key with a codegen'd per-row expression. At
+    * 100 TB the value is rows dropped BEFORE the join's exchange:
+    * pruned rows never serialize into a shuffle.
+    *
+    * The output emits each probe key's `bloom_pass` bit next to its
+    * true membership — the hash gate then certifies the ENTIRE bit
+    * chain (seed derivation, mix finalizer, masked positions, bitset
+    * OR-fold, probe conjunction): DuckDB rebuilds the bit-position
+    * set from the build keys and re-evaluates every probe, so one
+    * flipped bit anywhere breaks the hash. False positives are
+    * expected (and certified as such) — at the fixture's build-side
+    * density the bitset is deliberately lossy. */
+  def bloomPrefilterFlags(spark: SparkSession, dir: String,
+      mBits: Int = 16384, k: Int = 3): DataFrame = {
+    import graft.functions.BloomExpressions
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 480000)
+      .select(col("o_orderkey").as("key"))
+    val bloom = hot.agg(BloomExpressions.bloomBuild(col("key"), mBits, k).as("bloom"))
+    val probes = Tables.lineitem(spark, dir).select("l_orderkey").distinct()
+    probes.crossJoin(broadcast(bloom))
+      .withColumn("bloom_pass",
+        BloomExpressions.bloomContains(col("bloom"), col("l_orderkey"), mBits, k))
+      .join(hot.select(col("key").as("l_orderkey"), lit(true).as("is_member")),
+        Seq("l_orderkey"), "left")
+      .select(col("l_orderkey"), col("bloom_pass"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
+      .orderBy("l_orderkey")
+  }
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
