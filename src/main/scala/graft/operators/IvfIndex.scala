@@ -229,6 +229,58 @@ object IvfIndex {
     touched
   }
 
+  /** Incrementally SHRINK a saved index: remove `ids` rows by
+    * rewriting only the cell partitions that contain them —
+    * untouched cells keep their files byte-for-byte, the exact
+    * mirror of [[append]]'s O(batch) contract. This is the takedown
+    * path a deployed index needs (licensing removals, opt-outs,
+    * contamination pulls): the work is O(touched cells' rows), never
+    * an O(corpus) re-index, and the quantizer is NOT refit for the
+    * same reason as append — cell assignment of the survivors is
+    * unchanged, so search behavior over them is identical.
+    *
+    * Mechanics: survivors of the touched cells are staged OUTSIDE the
+    * index dir first (a lazy scan must never feed an overwrite of its
+    * own input path), then written back under dynamic partition
+    * overwrite so exactly the touched `cell=` dirs are replaced; a
+    * cell whose every row was deleted yields no staged rows — dynamic
+    * overwrite would leave its stale dir — so emptied cells are
+    * removed explicitly.
+    *
+    * Returns the touched cell ids (sorted). Ids absent from the index
+    * are ignored (idempotent replay, same contract as the warehouse
+    * upsert's). */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Array[Int] = {
+    val cellsPath = s"$dir/cells"
+    val del = ids.select(col(idCol).as("id")).distinct()
+    val cells = spark.read.parquet(cellsPath)
+    val touched = cells.join(del, Seq("id")).select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return touched
+    val stage = graft.core.RunTemp.dir("graft_ivf_delete_", keep = 8)
+    cells.filter(col("cell").isin(touched.map(Int.box): _*))
+      .join(del, Seq("id"), "left_anti")
+      .select(col("id"), col("vec"), col("norm"), col("cell"))
+      .write.mode("overwrite").parquet(stage)
+    val survivors = spark.read.parquet(stage)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val nonEmpty = survivors.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(cellsPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    touched.filterNot(nonEmpty).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(cellsPath, s"cell=$c"), true)
+    }
+    touched
+  }
+
   /** Approximate top-k via cell probing. `queries` defaults to the
     * whole corpus (all-pairs kNN shape); external query frames must
     * carry distinct ids. */

@@ -1217,6 +1217,30 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** v12: the index TAKEDOWN path certified end-to-end — build + save
+    * on the full corpus, [[IvfIndex.delete]] a contiguous id range
+    * (the licensing-removal / opt-out shape), reload, search at full
+    * probe width. The result must equal exact search over the corpus
+    * MINUS the deleted rows — what a rebuild-without-them would
+    * return: a deleted row surviving anywhere (stale file, missed
+    * cell, partial rewrite) or a survivor lost from a rewritten cell
+    * breaks the hash. The O(touched-cells) property and limited-probe
+    * equivalence are spec-pinned in SimilaritySpec. */
+  def ivfDeleteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val (assigned, centroids) = IvfIndex.build(spark, emb, "vec_id", "embedding", nCells = 8)
+    val idxDir = graft.core.RunTemp.dir("graft_ivf_del_", keep = 32)
+    IvfIndex.save(assigned, centroids, idxDir)
+    assigned.unpersist()
+    IvfIndex.delete(spark, idxDir,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), "vec_id")
+    val (loaded, loadedCentroids) = IvfIndex.load(spark, idxDir)
+    IvfIndex.search(loaded, loadedCentroids, k = 5, nProbe = 8,
+      queries = Some(emb.filter(col("vec_id") < 50)),
+      idCol = "vec_id", vecCol = "embedding")
+      .orderBy("query_id", "rank")
+  }
+
   /** v09: exact kNN over the int8-QUANTIZED corpus — the compressed
     * deployment shape ([[Similarity.quantizeInt8]]: 4× smaller
     * vectors, scale-invariant integer cosine). Hash-oracled: the

@@ -135,6 +135,71 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("delete touches only its cells, empties cleanly, searches like a rebuild") {
+    import scala.jdk.CollectionConverters._
+    val emb = Tables.embeddings(spark, dir)
+    val (assigned, centroids) =
+      IvfIndex.build(spark, emb.filter(col("vec_id") < 450), "vec_id", "embedding", nCells = 12)
+    val dirOut = java.nio.file.Files.createTempDirectory("ivf_delete").toString
+    IvfIndex.save(assigned, centroids, dirOut)
+    spark.catalog.clearCache()
+
+    def inventory(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(dirOut, "cells")
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .map(_.getFileName.toString).toSet)
+        .toMap
+    }
+    val before = inventory()
+    // delete ALL of one cell's ids plus a couple from another: exactly
+    // those two cells are touched; the emptied cell's dir must vanish
+    val cellsDf = spark.read.parquet(s"$dirOut/cells")
+    val cellIds = cellsDf.select("cell", "id").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val emptyCell = cellIds.keys.min
+    val otherCell = cellIds.keys.max
+    assert(emptyCell != otherCell)
+    val delIds = cellIds(emptyCell) ++ cellIds(otherCell).take(2)
+    assert(cellIds(otherCell).size > 2, "partner cell must keep survivors")
+    // materialize the expected survivor assignment BEFORE the delete
+    // rewrites the files a lazy cellsDf filter would re-scan
+    val survivorRows = cellsDf.filter(!col("id").isin(delIds.map(Long.box): _*))
+      .collect().toList
+    val survivors = spark.createDataFrame(
+      survivorRows.asJava, cellsDf.schema)
+    import spark.implicits._
+    val touched = IvfIndex.delete(spark, dirOut, delIds.toDF("vec_id"), "vec_id")
+    assert(touched.toSet === Set(emptyCell, otherCell))
+
+    val after = inventory()
+    assert(!after.contains(s"cell=$emptyCell"),
+      "a fully-emptied cell must lose its directory, not keep stale rows")
+    before.foreach { case (d, fs0) =>
+      if (d == s"cell=$emptyCell" || d == s"cell=$otherCell") ()
+      else assert(after(d) === fs0, s"untouched cell $d was rewritten")
+    }
+
+    // idempotent replay: deleting the same ids again touches nothing
+    assert(IvfIndex.delete(spark, dirOut, delIds.toDF("vec_id"), "vec_id").isEmpty)
+
+    // at ANY probe width the shrunk index searches exactly like the
+    // same saved assignment with those rows filtered out (quantizer
+    // unchanged — survivors' cells identical)
+    val qs = emb.filter(col("vec_id") < 50)
+    val (loaded, lc) = IvfIndex.load(spark, dirOut)
+    for (nProbe <- Seq(3, 12)) {
+      val viaDelete = IvfIndex.search(loaded, lc, k = 5, nProbe = nProbe,
+        queries = Some(qs), idCol = "vec_id", vecCol = "embedding").collect().toSet
+      val viaFilter = IvfIndex.search(survivors, lc, k = 5, nProbe = nProbe,
+        queries = Some(qs), idCol = "vec_id", vecCol = "embedding").collect().toSet
+      assert(viaDelete === viaFilter, s"nProbe=$nProbe")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("exhaustive-mode LSH (planes = -1) equals all-pairs brute force") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
