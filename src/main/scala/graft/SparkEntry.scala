@@ -178,6 +178,7 @@ object SparkEntry {
     "d30_shard_manifest"     -> (NorthStar.shardManifest _),
     "d34_shard_append"       -> (NorthStar.shardAppendManifest _),
     "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
+    "d35_containment_pairs"  -> (NorthStar.containmentNearDups _),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
@@ -1051,6 +1052,42 @@ object SparkEntry {
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // d35: directed containment |A∩B|/|A| over the excerpt-planted
+    // corpus — same tokenize/shingle CTEs as d09, the excerpt planted
+    // by the same 25-token slice (DuckDB list slicing is 1-based
+    // inclusive, equal to Spark's slice(toks, 1, 25)), both directions
+    // evaluated from one undirected intersection count.
+    "d35_containment_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')[1:25], ' ') AS text
+        |  FROM documents WHERE doc_id < 30 AND text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM docs WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |directed AS (
+        |  SELECT id_a AS contained_id, id_b AS container_id,
+        |    CAST(inter AS DOUBLE) / sa AS c FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS contained_id, id_a AS container_id,
+        |    CAST(inter AS DOUBLE) / sb AS c FROM pairs)
+        |SELECT contained_id, container_id,
+        |  floor(c * 10000 + 0.5) / 10000.0 AS containment
+        |FROM directed WHERE c >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     // d13: transitive closure of the ≥ 0.4 Jaccard pair graph via a
     // recursive CTE — cluster id = min reachable doc id, exactly the
     // converged min-label propagation the Spark operator runs.

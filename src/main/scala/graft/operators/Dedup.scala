@@ -332,6 +332,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** DIRECTED n-gram CONTAINMENT pairs — the asymmetric twin of the
+    * Jaccard resemblance pairs: C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|,
+    * the fraction of A's shingles that also appear in B. Resemblance
+    * misses doc-in-doc duplication by construction (a 50-line excerpt
+    * inside a 5000-line page has Jaccard ≈ 1%, containment ≈ 100%);
+    * containment is the published remedy (Broder's original
+    * resemblance/containment pair) and the pretraining-dedup shape
+    * for quotes, mirrors-with-chrome, and re-hosted excerpts.
+    *
+    * Emits (contained_id, container_id, containment ≥ threshold) —
+    * DIRECTED rows, both directions evaluated from ONE undirected
+    * intersection count (near-identical docs legitimately emit both).
+    * Scale shape is exactly [[ngramJaccardPairsExhaustive]]'s: 8-byte
+    * shingle hashes, df-pruned postings counted and filtered by one
+    * gh-keyed window that leaves the self-join pre-partitioned on its
+    * key, one partial-aggregated count per surviving pair. The
+    * hot-shingle cap (`maxPosting`) is the same documented guard. No
+    * length prefilter exists for containment (the container may be
+    * arbitrarily larger — that asymmetry is the point). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxPosting: Int = 1000): DataFrame = {
+    val scope = new CacheScope
+    val base = df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.shingleHashes(col(textCol), n).as("sh"))
+      .filter(col("sh").isNotNull)
+      .withColumn("set_size", size(col("sh")))
+    val postings = base
+      .select(col("id"), col("set_size"), explode(col("sh")).as("gh"))
+    val cool = scope.pin(postings
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("__df") >= 2 && col("__df") <= maxPosting)
+      .drop("__df"))
+    // pinned: both directed projections below consume the one
+    // undirected intersection count
+    val counted = scope.pin(
+      cool.select(col("gh"), col("id").as("id_a"), col("set_size").as("sa"))
+        .join(cool.select(col("gh"), col("id").as("id_b"), col("set_size").as("sb")), Seq("gh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(count(lit(1)).as("inter")))
+    def directed(cid: Column, tid: Column, sz: Column) =
+      counted.filter(col("inter") / sz >= threshold)
+        .select(cid.as("contained_id"), tid.as("container_id"),
+          graft.functions.Quantize.quantize4(col("inter") / sz).as("containment"))
+    scope.sealResult(
+      directed(col("id_a"), col("id_b"), col("sa"))
+        .unionByName(directed(col("id_b"), col("id_a"), col("sb"))))
+  }
+
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the
     * AllPairs/PPJoin family): under any global total order on
     * shingles, J(A,B) ≥ t implies the (⌊(1−t)·|A|⌋+1)-prefixes of A

@@ -179,6 +179,37 @@ object NorthStar {
       n = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** documents plus a planted EXCERPT per low-id doc: the first 25
+    * tokens re-joined as a new document at doc_id + 200000 — the
+    * doc-in-doc duplication shape (a quote, a mirrored fragment)
+    * that resemblance metrics structurally miss. Tokenization and
+    * the 25-token slice are engine-portable (lowercase/trim/split +
+    * 1-based inclusive slicing on both engines), so the oracle
+    * re-plants identically. */
+  private[operators] def withPlantedExcerpts(spark: SparkSession, dir: String,
+      n: Int = 30, excerptTokens: Int = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val excerpts = docs.filter(col("doc_id") < n && col("text").isNotNull)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, excerptTokens), " ")
+          .as("text"))
+    docs.unionByName(excerpts)
+      .repartition(widenWidth(spark), md5(col("text")))
+  }
+
+  /** d35: DIRECTED containment pairs over the excerpt-planted corpus
+    * ([[Dedup.containmentPairs]]) — every planted excerpt must
+    * surface as contained in its source (containment 1.0: all of its
+    * shingles are the source's shingles), alongside whatever natural
+    * doc-in-doc duplication the corpus carries. The quantized exact
+    * ratio makes the full pair set hash-oracle-able. */
+  def containmentNearDups(spark: SparkSession, dir: String): DataFrame =
+    // caller's session (AQE on): same posting self-join rationale as
+    // ngramJaccardNearDups
+    Dedup.containmentPairs(withPlantedExcerpts(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .orderBy("contained_id", "container_id")
+
   /** Near-dup clusters: connected components over the exact ≥ 0.4
     * Jaccard pair set — the transitive-closure step that turns pairs
     * into dedup groups. Oracled via a recursive-CTE closure in SQL. */

@@ -196,6 +196,50 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("containment: planted excerpts found at 1.0 where resemblance fails") {
+    val pairs = NorthStar.containmentNearDups(spark, dir).collect()
+    val byContained = pairs.groupBy(_.getLong(0))
+    // every planted excerpt (doc_id + 200000) is contained in its
+    // source at exactly 1.0 — all of its shingles are source shingles
+    val sources = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 30 && col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      val rows = byContained.getOrElse(id + 200000,
+        fail(s"planted excerpt ${id + 200000} not detected"))
+      val toSource = rows.find(_.getLong(1) == id)
+        .getOrElse(fail(s"excerpt ${id + 200000} not linked to source $id"))
+      assert(toSource.getDouble(2) === 1.0)
+    }
+    // directionality: for at least some long source, the reverse
+    // direction (source contained in its 25-token excerpt) must be
+    // absent — the asymmetry is the operator's whole point (short
+    // docs whose excerpt equals the doc legitimately emit both)
+    val reversed = sources.count { id =>
+      pairs.exists(r => r.getLong(0) == id && r.getLong(1) == id + 200000)
+    }
+    assert(reversed < sources.length,
+      "every source reported as contained in its own excerpt — asymmetry lost")
+    // and resemblance genuinely misses these: the excerpt/source
+    // Jaccard sits far below the 0.4 near-dup threshold for docs
+    // long enough that the 25-token excerpt is a small fraction
+    val jacc = Dedup.ngramJaccardPairsExhaustive(
+      NorthStar.withPlantedExcerpts(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missedByJaccard = sources.count { id =>
+      !jacc.contains((id, id + 200000)) && !jacc.contains((id + 200000, id))
+    }
+    // how many depends on fixture doc lengths (short docs give a
+    // 25-token excerpt high resemblance too); what must hold is that
+    // containment catches pairs resemblance cannot
+    assert(missedByJaccard >= 1,
+      s"resemblance missed no excerpt pair ($missedByJaccard/${sources.length}) — " +
+        "the containment operator adds nothing on this fixture")
+    spark.catalog.clearCache()
+  }
+
   test("cluster representatives: one per cluster, a member, counts conserve") {
     val reps = NorthStar.clusterRepresentatives(spark, dir).collect()
     val clusters = NorthStar.nearDupClusters(spark, dir).collect()
