@@ -196,6 +196,7 @@ object SparkEntry {
     "v10_ivf_int8"           -> (NorthStar.ivfInt8Knn _),
     "v11_ivf_append"         -> (NorthStar.ivfAppendTopK _),
     "v12_ivf_delete"         -> (NorthStar.ivfDeleteTopK _),
+    "v13_random_projection"  -> (NorthStar.randomProjectionUnits _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -2187,6 +2188,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v13: the projection re-derived from first principles — sign
+    // matrix from the portable mix (% 2 = bit 0), inputs quantized to
+    // micro-units by the same floor-half-up, coordinates as integer
+    // sums. xor seed = 25214903917 (the Spark-side literal).
+    "v13_random_projection" ->
+      s"""WITH sgn AS (
+        |  SELECT i, j,
+        |    CASE WHEN ${mixSqlU("xor(CAST(i*16 + j AS UBIGINT), CAST(25214903917 AS UBIGINT))")} % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |px AS (
+        |  SELECT vec_id, i, qv[i + 1] AS qx
+        |  FROM q CROSS JOIN range(64) t(i))
+        |SELECT px.vec_id, CAST(s.j AS BIGINT) AS dim_j,
+        |  CAST(sum(px.qx * s.s) AS BIGINT) AS y_units
+        |FROM px JOIN sgn s ON s.i = px.i
+        |GROUP BY 1, 2 ORDER BY vec_id, dim_j""".stripMargin,
     // v12: delete ≡ rebuild-without-deleted. Full-probe search over
     // the shrunk index equals exact search over the corpus minus the
     // removed id range — a stale deleted row or a lost survivor

@@ -600,4 +600,14 @@ object SketchExpressions {
     toColumn(FloatVectorDot(toExpression(a), toExpression(b)))
   def signLshBucket(vec: Column, planes: Int, table: Int): Column =
     toColumn(SignLshBucket(toExpression(vec), planes, table))
+
+  /** The ±1 sign matrix of the seeded random projection
+    * ([[graft.operators.Similarity.randomProjection]]): sign(j)(i) =
+    * bit 0 of `portableMix64((i·outDim + j) ⊕ seed)`. Derived from
+    * the portable finalizer so a SQL oracle re-derives the identical
+    * matrix from first principles (mixSqlU % 2) — the model is a
+    * deterministic function of (dims, seed), no stored state. */
+  def projectionSigns(inDim: Int, outDim: Int, seed: Long): Array[Array[Int]] =
+    Array.tabulate(outDim)(j => Array.tabulate(inDim)(i =>
+      if ((portableMix64((i.toLong * outDim + j) ^ seed) & 1L) == 1L) 1 else -1))
 }

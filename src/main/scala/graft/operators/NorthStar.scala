@@ -1272,6 +1272,18 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** v13: seeded random projection of the embedding corpus
+    * ([[Similarity.randomProjection]] — 64 → 16 dims), emitted as
+    * exploded integer micro-unit coordinates. The oracle re-derives
+    * the ±1 sign matrix from the portable mix (mixSqlU % 2) and the
+    * integer sums from the same quantized inputs — bit-exact, so a
+    * single flipped sign or reordered summation breaks the hash. */
+  def randomProjectionUnits(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(
+      Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id")),
+      "vec_id", "embedding")
+      .orderBy("vec_id", "dim_j")
+
   /** v09: exact kNN over the int8-QUANTIZED corpus — the compressed
     * deployment shape ([[Similarity.quantizeInt8]]: 4× smaller
     * vectors, scale-invariant integer cosine). Hash-oracled: the

@@ -118,6 +118,44 @@ object Similarity {
     * identically (plain `round` disagrees across engines on halves),
     * which is what lets the quantized search be hash-oracled (v09).
     * Zero vectors quantize to zeros (no 0/0). */
+  /** Seeded ±1 RANDOM PROJECTION (Johnson–Lindenstrauss / Achlioptas
+    * sign variant) from `inDim` to `outDim` dimensions — the
+    * shrink-before-index step of an embedding pipeline: a 4×-smaller
+    * vector preserves pairwise angles to ~1/√outDim, and every
+    * downstream ANN/near-dup stage pays proportionally less compute,
+    * shuffle, and storage. Per-row array expressions, zero shuffle,
+    * zero stored model: the sign matrix is a pure function of
+    * (inDim, outDim, seed) via the portable mix
+    * ([[SketchExpressions.projectionSigns]]).
+    *
+    * INTEGER-EXACT on purpose: inputs quantize to micro-units
+    * (floor-half-up at 1e-6 — far below embedding noise), and each
+    * output coordinate is an INTEGER sum of signed micro-units —
+    * order-independent under any parallelism and bit-reproducible in
+    * the DuckDB oracle, the same contract as the exact-moments and
+    * PageRank formulations. Output is EXPLODED (id, dim_j, y_units):
+    * one row per projected coordinate, hash-comparable without
+    * cross-engine array-equality semantics. Downstream consumers
+    * re-assemble with collect_list over dim_j or divide by
+    * (1e6·√outDim) for the float view. Rows whose vector is null or
+    * not exactly `inDim` wide are excluded (dim-homogeneous corpus
+    * contract, same as every vector operator here). */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int = 64, outDim: Int = 16, seed: Long = 25214903917L): DataFrame = {
+    val signs = SketchExpressions.projectionSigns(inDim, outDim, seed)
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
+      .select(col(idCol), qv.as("__qv"))
+      .select(col(idCol), posexplode(array((0 until outDim).map { j =>
+        aggregate(
+          zip_with(col("__qv"), typedLit(signs(j).toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)))
+      .select(col(idCol), col("pos").cast("long").as("dim_j"),
+        col("col").as("y_units"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.filter(col(vecCol).isNotNull)
       .withColumn("__ma", array_max(transform(col(vecCol), x => abs(x))).cast("double"))

@@ -200,6 +200,42 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("random projection: exact vs Scala reference, and angles survive") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = Similarity.randomProjection(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // plain-Scala mirror of the integer formulation
+    val signs = graft.functions.SketchExpressions.projectionSigns(64, 16, 25214903917L)
+    val vecs = emb.filter(col("embedding").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      .filter(_._2.length == 64)
+    assert(vecs.nonEmpty)
+    vecs.foreach { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      (0 until 16).foreach { j =>
+        val y = (0 until 64).map(i => q(i) * signs(j)(i)).sum
+        assert(got((id, j.toLong)) === y, s"vec $id dim $j")
+      }
+    }
+
+    // JL sanity at 16 dims: cosine error on sampled pairs is bounded
+    // (~1/sqrt(16) scale) — the projection must still rank neighbors
+    val ids = vecs.keys.toSeq.sorted.take(30)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d > 0) a.zip(b).map { case (x, y) => x * y }.sum / d else 0.0
+    }
+    val projected = ids.map(id => id ->
+      (0 until 16).map(j => got((id, j.toLong)).toDouble).toArray).toMap
+    val errs = for (a <- ids; b <- ids if a < b) yield math.abs(
+      cos(vecs(a).map(_.toDouble), vecs(b).map(_.toDouble)) -
+        cos(projected(a), projected(b)))
+    val mean = errs.sum / errs.size
+    assert(mean < 0.30, f"mean cosine distortion $mean%.3f too high for 16 dims")
+    spark.catalog.clearCache()
+  }
+
   test("exhaustive-mode LSH (planes = -1) equals all-pairs brute force") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
