@@ -179,6 +179,7 @@ object SparkEntry {
     "d34_shard_append"       -> (NorthStar.shardAppendManifest _),
     "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
     "d35_containment_pairs"  -> (NorthStar.containmentNearDups _),
+    "d36_weighted_sample"    -> ((s, dir) => NorthStar.weightedSample(s, dir)),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
@@ -1547,6 +1548,56 @@ object SparkEntry {
         |      ORDER BY s.fingerprint, s.doc_id) AS BIGINT) AS sample_rank
         |  FROM sgn s JOIN documents d ON s.doc_id = d.doc_id)
         |SELECT doc_id, lang, sample_rank FROM ranked
+        |WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
+    // d36: Efraimidis–Spirakis weighted draw re-derived end-to-end —
+    // d04's quality chain gives the weight, the shared fingerprint
+    // CTE gives the uniform (53 bits over 2^53: both engines feed ln
+    // the IDENTICAL double), ln(u)/w quantized to integer micro-nats
+    // (floor-half-up), per-language top-k by score DESC.
+    "d36_weighted_sample" ->
+      s"""WITH $fingerprintCtesSql,
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks,
+        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS cjk
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, n_chars, punct, cjk,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CASE WHEN len(toks) > 0
+        |         THEN CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','a','is','that','it','for','on','with','as','this'], x))) AS DOUBLE) / len(toks)
+        |         ELSE 0.0 END AS sw_en
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, n_tok,
+        |    least(n_chars / 200.0, 1.0) AS len_score,
+        |    1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10.0, 1.0) AS punct_score,
+        |    least(greatest(sw_en, cjk) * 5.0, 1.0) AS sw_score,
+        |    CASE WHEN (CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END AS wl_score
+        |  FROM r),
+        |q AS (
+        |  SELECT doc_id, n_tok,
+        |    floor((len_score * 0.3 + punct_score * 0.2 + sw_score * 0.3 + wl_score * 0.2) * 10000 + 0.5) / 10000.0 AS w
+        |  FROM s),
+        |sc AS (
+        |  SELECT q.doc_id, d.lang, q.w,
+        |    CAST(floor(ln(CAST((sg.fingerprint & 9007199254740991) + 1 AS DOUBLE) / 9007199254740992.0)
+        |      / q.w * 1000000 + 0.5) AS BIGINT) AS score_units
+        |  FROM q
+        |  JOIN sgn sg ON sg.doc_id = q.doc_id
+        |  JOIN documents d ON d.doc_id = q.doc_id
+        |  WHERE q.n_tok > 0 AND q.w > 0),
+        |ranked AS (
+        |  SELECT doc_id, lang, w,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY score_units DESC, doc_id) AS BIGINT) AS sample_rank
+        |  FROM sc)
+        |SELECT doc_id, lang, w, sample_rank FROM ranked
         |WHERE sample_rank <= 20
         |ORDER BY lang, sample_rank""".stripMargin,
     // d26: the mixture keep-bits re-derived from the shared

@@ -917,6 +917,44 @@ object NorthStar {
       .orderBy("lang", "sample_rank")
   }
 
+  /** d36: QUALITY-WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis scheme: each doc draws key u^(1/w) (u a
+    * uniform derived from its portable content fingerprint, w its
+    * quantized quality score) and the k largest keys per language
+    * win, which selects with probability proportional to quality —
+    * the "sample better data more" step between pure-random (d19)
+    * and hard temperature cuts (d31). Ranking by ln(u)/w is
+    * monotone-equivalent; quantized to integer micro-nats (the d33
+    * technique: u is exactly representable — a 53-bit integer over
+    * 2^53 — so both engines feed ln the identical double, and the
+    * one libm call is floor-half-up quantized; residual cross-libm
+    * exposure ~1e-10 per value, documented and accepted).
+    *
+    * Scale shape = d19's: selection through the bounded-heap
+    * [[graft.plans.TopKPerKey]] (top-k by score DESC), rank window
+    * over survivors only; everything upstream is per-row kernels. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Quantize.quantize4(
+          TextFunctions.qualityScore(col("text"))).as("w"),
+        TextFunctions.fingerprintPortable64(col("text")).as("fp"))
+      .filter(col("w") > 0)
+      .withColumn("u",
+        (col("fp").bitwiseAND(lit(9007199254740991L)) + lit(1L)).cast("double")
+          / 9007199254740992.0)
+      .withColumn("score_units",
+        floor(log(col("u")) / col("w") * 1e6 + lit(0.5)).cast("long"))
+    val pruned = graft.plans.TopK.topKPerKey(
+      base, Seq("lang"), "score_units", k, tieBreakers = Seq("doc_id"))
+    val win = Window.partitionBy("lang").orderBy(col("score_units").desc, col("doc_id"))
+    pruned.withColumn("sample_rank", row_number().over(win).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("lang"), col("w"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+  }
+
   /** d17: sequence packing — explode each document into fixed-size
     * token windows (chunk size 32, stride = size: non-overlapping),
     * the pre-tokenizer chunking step of an LLM training pipeline.

@@ -80,6 +80,34 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"kept ${rows.length} of $n — expected about half")
   }
 
+  test("weighted sample: quality-tilted, deterministic, pruned via TopKPerKey") {
+    val sample = NorthStar.weightedSample(spark, dir).collect()
+    assert(sample.nonEmpty)
+    // per-language rank sequences are dense from 1
+    sample.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq, lang)
+    }
+    // the whole point: sampled mean quality must exceed the corpus
+    // mean (selection probability rises with w)
+    val corpusMeanW = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .select(graft.functions.Quantize.quantize4(
+        TextFunctions.qualityScore(col("text"))).as("w"))
+      .filter(col("w") > 0)
+      .agg(avg("w")).head.getDouble(0)
+    val sampleMeanW = sample.map(_.getDouble(2)).sum / sample.length
+    assert(sampleMeanW > corpusMeanW,
+      f"sampled mean quality $sampleMeanW%.4f must beat corpus mean $corpusMeanW%.4f")
+    // re-run stability (content-derived draw, no RNG state)
+    val again = NorthStar.weightedSample(spark, dir).collect()
+    assert(again.map(_.toString).toSeq === sample.map(_.toString).toSeq)
+    // selection rides the bounded-heap node, not a full-stratum sort
+    val p = NorthStar.weightedSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "weighted draw must prune via TopKPerKey")
+    spark.catalog.clearCache()
+  }
+
   test("bpe pair counts: frequency-weighted adjacent pairs, within-word repeats counted") {
     import spark.implicits._
     val docs = Seq((1L, "aa ab"), (2L, "ab"), (3L, "aaa")).toDF("doc_id", "text")
