@@ -650,6 +650,39 @@ object Relational {
       .orderBy("l_orderkey")
   }
 
+  /** q40: FUNNEL analysis — per user, the deepest strictly-ordered
+    * view → click → purchase sequence, computed by iterated
+    * earliest-qualifying-step aggregation: t1 = first view,
+    * t2 = first click after t1, t3 = first purchase after t2. The
+    * product-analytics staple the warehouse's analytics surface
+    * (SURVEY §2 O19 family) would serve from the events table.
+    *
+    * Scale shape: three user-keyed aggregations, each a map-side-
+    * combined min over a type-filtered slice (filters reach the
+    * scan), joined back on the SAME user_id key — no per-user event
+    * sort, no window over the raw stream, state O(users). Timestamps
+    * compare as µs epochs on both engines (the s06/q36 contract:
+    * Spark's events ts is µs-truncated at read; DuckDB's epoch_us
+    * truncates identically). */
+  def funnelDepth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1_us"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("us") > col("t1_us"))
+      .groupBy("user_id").agg(min("us").as("t2_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("us") > col("t2_us"))
+      .groupBy("user_id").agg(min("us").as("t3_us"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L)
+          + when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("depth"),
+        col("t1_us"), col("t2_us"), col("t3_us"))
+      .orderBy("user_id")
+  }
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {

@@ -48,6 +48,34 @@ class RelationalSpec extends AnyFunSuite {
       s"certificate column $i (${cert.schema.fieldNames(i)}) is false"))
   }
 
+  test("funnel depth equals a per-user greedy scan of the sorted stream") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.funnelDepth(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val steps = Seq("view", "click", "purchase")
+    val ref = events.groupBy(_._1).flatMap { case (user, evs) =>
+      val sorted = evs.sortBy(_._3)
+      var depth = 0
+      var lastTs = Long.MinValue
+      // greedy earliest-qualifying scan — strictly increasing ts
+      steps.foreach { step =>
+        if (depth == steps.indexOf(step)) {
+          sorted.find(e => e._2 == step && e._3 > lastTs).foreach { e =>
+            depth += 1; lastTs = e._3
+          }
+        }
+      }
+      if (depth >= 1) Some(user -> depth.toLong) else None
+    }
+    assert(got === ref)
+    assert(got.nonEmpty && got.values.exists(_ == 3L),
+      "fixture should contain at least one full-funnel user")
+    spark.catalog.clearCache()
+  }
+
   test("nation revenues aggregate to region revenues") {
     val byNation = Relational.revenueByNation(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("revenue")).head.getDouble(0)
