@@ -82,6 +82,8 @@ object SparkEntry {
     "q38_global_rank_deciles" -> ((s, dir) => Relational.globalRankDeciles(s, dir)),
     "q39_bloom_prefilter"    -> ((s, dir) => Relational.bloomPrefilterFlags(s, dir)),
     "q40_funnel_depth"       -> (Relational.funnelDepth _),
+    "q41_value_outliers"     -> (Relational.valueOutliers _),
+    "q42_cohort_retention"   -> (Relational.cohortRetention _),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -2266,6 +2268,44 @@ object SparkEntry {
         |LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    // q41: the 3σ predicate in pure integers (q37's moment technique
+    // applied to a WHERE clause): (n−1)(n·x−sx)² > 9n(n·sxx−sx²),
+    // HUGEINT products mirroring Spark's DECIMAL(38,0).
+    "q41_value_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(v_cents) AS sx, sum(CAST(v_cents AS HUGEINT) * v_cents) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.v_cents
+        |FROM e JOIN m USING (event_type)
+        |WHERE m.n > 1
+        |  AND CAST(m.n - 1 AS HUGEINT)
+        |        * (CAST(m.n AS HUGEINT) * e.v_cents - m.sx)
+        |        * (CAST(m.n AS HUGEINT) * e.v_cents - m.sx)
+        |      > 9 * CAST(m.n AS HUGEINT)
+        |        * (CAST(m.n AS HUGEINT) * m.sxx - CAST(m.sx AS HUGEINT) * m.sx)
+        |ORDER BY e.event_id""".stripMargin,
+    // q42: ISO-Monday week buckets on both engines (UTC sessions);
+    // offsets as exact integer arithmetic on µs epochs of the
+    // truncated weeks.
+    "q42_cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events)
+        |SELECT c.cohort_week,
+        |  CAST((epoch_us(a.week) - epoch_us(c.cohort_week)) // 604800000000 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |WHERE a.week >= c.cohort_week
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     // v13: the projection re-derived from first principles — sign
     // matrix from the portable mix (% 2 = bit 0), inputs quantized to
     // micro-units by the same floor-half-up, coordinates as integer

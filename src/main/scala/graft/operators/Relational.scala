@@ -683,6 +683,64 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q41: 3σ OUTLIER detection per event_type, INTEGER-EXACT — the
+    * data-quality monitor a pipeline runs over incoming metrics. The
+    * test |x − μ| > 3σ is evaluated without ever computing μ or σ in
+    * floats: with integer cent sums (n, sx, sxx), it is equivalent to
+    *   (n−1)·(n·x − sx)² > 9·n·(n·sxx − sx²)
+    * — both sides exact integers (DECIMAL(38,0) here, HUGEINT in the
+    * oracle), so the flag is bit-portable where a float σ comparison
+    * would flip on boundary values (the q37 exact-moments technique
+    * applied to a predicate). Scale shape: one map-side-combined
+    * moments aggregate (5 rows), broadcast back over the stream —
+    * per-row codegen'd arithmetic, no second shuffle. */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
+    val moments = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("v_cents").as("sx"),
+      sum(col("v_cents") * col("v_cents")).as("sxx"))
+    // cast BEFORE multiplying: sx² and n·sxx overflow Int64 well
+    // below the 100 TB regime (ANSI mode would throw; the oracle's
+    // BIGINT would too) — all products run in DECIMAL(38,0)/HUGEINT
+    def big(c: Column) = c.cast("decimal(38,0)")
+    val dev = big(col("n")) * big(col("v_cents")) - big(col("sx"))
+    val lhs = (big(col("n")) - 1) * dev * dev
+    val rhs = big(lit(9)) * big(col("n")) *
+      (big(col("n")) * big(col("sxx")) - big(col("sx")) * big(col("sx")))
+    ev.join(broadcast(moments), "event_type")
+      .filter(col("n") > 1 && lhs > rhs)
+      .select(col("event_id"), col("event_type"), col("v_cents"))
+      .orderBy("event_id")
+  }
+
+  /** q42: COHORT RETENTION — users grouped by signup week, counted in
+    * each subsequent week they produced any event: the
+    * product-analytics retention matrix. Week buckets come from
+    * date_trunc('week') (ISO Monday start on both engines, UTC
+    * sessions), and the offset is exact integer arithmetic on µs
+    * epochs of the truncated weeks — no calendar math in doubles.
+    * Scale shape: one user-keyed min (signup), one distinct over
+    * (user, week), one broadcast-joinable cohort map back onto the
+    * activity stream, one (cohort, offset) count — state O(users +
+    * user-weeks). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+      .select(col("user_id"), date_trunc("week", col("signup_ts")).as("cohort_week"))
+    val activity = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("week")).distinct()
+    val wk = 7L * 86400L * 1000000L
+    activity.join(cohorts, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        ((unix_micros(col("week")) - unix_micros(col("cohort_week"))) / wk).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {

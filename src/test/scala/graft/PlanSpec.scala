@@ -106,6 +106,15 @@ class PlanSpec extends AnyFunSuite {
       "window must rank the TopKPerKey survivors, not the full stratum")
   }
 
+  test("q41: moments broadcast back onto the stream — one keyed shuffle only") {
+    val p = plan("q41_value_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-row moments frame must broadcast, not shuffle the stream again")
+    val keyedExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(keyedExchanges <= 1,
+      s"expected at most one keyed exchange (the moments groupBy), found $keyedExchanges")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE's toString hides the codegen wrapping; ask the codegen
     // debugger how many fused subtrees the executed plan holds.
