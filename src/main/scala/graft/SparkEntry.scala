@@ -134,6 +134,7 @@ object SparkEntry {
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
     "s08_stream_incremental_dedup" -> (StreamingQueries.incrementalDedupStream _),
+    "s09_streaming_outliers" -> (StreamingQueries.streamingValueOutliers _),
     "s06_stream_stream_join" -> (StreamingQueries.viewPurchaseJoin _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
     "s03_stateful_sessions" -> ((s, dir) =>
@@ -2272,6 +2273,26 @@ object SparkEntry {
     // applied to a WHERE clause): (n−1)(n·x−sx)² > 9n(n·sxx−sx²),
     // HUGEINT products mirroring Spark's DECIMAL(38,0).
     "q41_value_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(v_cents) AS sx, sum(CAST(v_cents AS HUGEINT) * v_cents) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.v_cents
+        |FROM e JOIN m USING (event_type)
+        |WHERE m.n > 1
+        |  AND CAST(m.n - 1 AS HUGEINT)
+        |        * (CAST(m.n AS HUGEINT) * e.v_cents - m.sx)
+        |        * (CAST(m.n AS HUGEINT) * e.v_cents - m.sx)
+        |      > 9 * CAST(m.n AS HUGEINT)
+        |        * (CAST(m.n AS HUGEINT) * m.sxx - CAST(m.sx AS HUGEINT) * m.sx)
+        |ORDER BY e.event_id""".stripMargin,
+    // s09: the streaming drain is stateless stream-static enrichment,
+    // so it must equal the batch outlier query — q41's oracle verbatim.
+    "s09_streaming_outliers" ->
       """WITH e AS (
         |  SELECT event_id, event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents

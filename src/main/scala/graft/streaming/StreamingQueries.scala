@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -157,6 +157,39 @@ object StreamingQueries {
             .as("gap_us"))
       // row-level result (O(matches) rows) → file sink, never memory
       drainViaFileSink(joined, "view_id", "purchase_id")
+    }
+
+  /** s09: STREAMING 3σ outlier gate — the at-ingest monitoring shape:
+    * arriving events score against a STATIC moments table derived
+    * from the batch corpus (one tiny broadcast-joinable frame per
+    * event_type) and only the integer-exact outlier predicate's
+    * survivors land ([[graft.operators.Relational.valueOutliers]]'s
+    * arithmetic verbatim — DECIMAL(38,0), no float μ/σ anywhere).
+    * Stream-static enrichment keeps zero streaming state: the model
+    * is a broadcast, the stream is stateless row filtering, so the
+    * drain ≡ the batch query — q41's oracle certifies it. At scale
+    * the moments table would refresh on a cadence (CDC/compaction
+    * family); the scoring path is unchanged. */
+  def streamingValueOutliers(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val momentsStatic = graft.core.Tables.events(scoped, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("v_cents").as("sx"),
+          sum(col("v_cents") * col("v_cents")).as("sxx"))
+      val stream = eventsStream(scoped, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
+      def big(c: Column) = c.cast("decimal(38,0)")
+      val dev = big(col("n")) * big(col("v_cents")) - big(col("sx"))
+      val lhs = (big(col("n")) - 1) * dev * dev
+      val rhs = big(lit(9)) * big(col("n")) *
+        (big(col("n")) * big(col("sxx")) - big(col("sx")) * big(col("sx")))
+      val flagged = stream.join(broadcast(momentsStatic), "event_type")
+        .filter(col("n") > 1 && lhs > rhs)
+        .select(col("event_id"), col("event_type"), col("v_cents"))
+      drainViaFileSink(flagged, "event_id")
     }
 
   /** s08: STREAM-STATIC incremental dedup — the at-ingest gate of a

@@ -32,6 +32,15 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("generation-mixed"))
   }
 
+  test("streaming outlier gate equals the batch outlier query") {
+    val streamed = StreamingQueries.streamingValueOutliers(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Relational.valueOutliers(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must contain outliers for the gate to prove anything")
+  }
+
   test("streaming gate equals the batch-derived new-content hash set") {
     val got = StreamingQueries.incrementalDedupStream(spark, dir)
       .collect().map(_.getString(0)).toSet
