@@ -202,6 +202,7 @@ object SparkEntry {
     "v11_ivf_append"         -> (NorthStar.ivfAppendTopK _),
     "v12_ivf_delete"         -> (NorthStar.ivfDeleteTopK _),
     "v13_random_projection"  -> (NorthStar.randomProjectionUnits _),
+    "v14_ivf_compact"        -> (NorthStar.ivfCompactTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -2349,6 +2350,25 @@ object SparkEntry {
         |  CAST(sum(px.qx * s.s) AS BIGINT) AS y_units
         |FROM px JOIN sgn s ON s.i = px.i
         |GROUP BY 1, 2 ORDER BY vec_id, dim_j""".stripMargin,
+    // v14: build → append ×2 → compact → search at full probe is
+    // exact over the whole corpus — v08's brute-force oracle
+    // verbatim; a row lost/duplicated by the compaction rewrite (or a
+    // stale pre-compact file) breaks the hash.
+    "v14_ivf_compact" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v12: delete ≡ rebuild-without-deleted. Full-probe search over
     // the shrunk index equals exact search over the corpus minus the
     // removed id range — a stale deleted row or a lost survivor

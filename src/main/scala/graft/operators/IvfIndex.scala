@@ -281,6 +281,56 @@ object IvfIndex {
     touched
   }
 
+  /** COMPACT cells fragmented by repeated [[append]]s: every cell
+    * holding more than `maxFilesPerCell` parquet files is rewritten
+    * into ONE file; all other cells keep their files byte-for-byte.
+    * The index twin of the warehouse's compaction — append keeps
+    * ingest O(batch) by landing new files per touched cell, and this
+    * is the periodic maintenance that stops per-cell file counts
+    * (and thus probe-time open/seek overhead) from growing without
+    * bound. Row content is untouched: search over the compacted
+    * index is identical at any probe width (spec-pinned; v14
+    * hash-certifies the full-probe equality through a
+    * fragment-then-compact lifecycle).
+    *
+    * Fragmentation is measured driver-side from the cell directory
+    * listing — bounded by nCells, no Spark job. The rewrite stages
+    * survivors outside the index dir (no scan-feeding-overwrite),
+    * repartitions BY CELL so each rewritten cell lands as exactly one
+    * task's one file, and republishes under dynamic partition
+    * overwrite. Returns the compacted cell ids (sorted). */
+  def compact(spark: SparkSession, dir: String,
+      maxFilesPerCell: Int = 4): Array[Int] = {
+    require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
+    val cellsPath = s"$dir/cells"
+    val root = new org.apache.hadoop.fs.Path(cellsPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val frag = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter { s =>
+        fs.listStatus(s.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCell
+      }
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      .sorted.toArray
+    if (frag.isEmpty) return frag
+    val stage = graft.core.RunTemp.dir("graft_ivf_compact_", keep = 8)
+    spark.read.parquet(cellsPath)
+      .filter(col("cell").isin(frag.map(Int.box): _*))
+      .select(col("id"), col("vec"), col("norm"), col("cell"))
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+      .repartition(frag.length, col("cell"))
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    frag
+  }
+
   /** Approximate top-k via cell probing. `queries` defaults to the
     * whole corpus (all-pairs kNN shape); external query frames must
     * carry distinct ids. */

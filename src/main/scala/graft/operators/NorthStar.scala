@@ -1310,6 +1310,34 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** v14: the full index-maintenance LIFECYCLE certified — build +
+    * save on the base corpus, TWO appends (each landing new files in
+    * its touched cells: genuine fragmentation), [[IvfIndex.compact]]
+    * at the tightest threshold, reload, search at full probe width.
+    * The result must equal exact search over the whole corpus: a row
+    * lost or duplicated by the rewrite — or a stale pre-compact file
+    * surviving — breaks the hash. The file-count and
+    * untouched-cells-byte-identical properties are spec-pinned in
+    * SimilaritySpec. */
+  def ivfCompactTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val base = emb.filter(col("vec_id") >= 50)
+    val (assigned, centroids) = IvfIndex.build(spark, base, "vec_id", "embedding", nCells = 8)
+    val idxDir = graft.core.RunTemp.dir("graft_ivf_compact_q_", keep = 32)
+    IvfIndex.save(assigned, centroids, idxDir)
+    assigned.unpersist()
+    IvfIndex.append(spark, idxDir,
+      emb.filter(col("vec_id") < 25), "vec_id", "embedding")
+    IvfIndex.append(spark, idxDir,
+      emb.filter(col("vec_id") >= 25 && col("vec_id") < 50), "vec_id", "embedding")
+    IvfIndex.compact(spark, idxDir, maxFilesPerCell = 1)
+    val (loaded, loadedCentroids) = IvfIndex.load(spark, idxDir)
+    IvfIndex.search(loaded, loadedCentroids, k = 5, nProbe = 8,
+      queries = Some(emb.filter(col("vec_id") < 50)),
+      idCol = "vec_id", vecCol = "embedding")
+      .orderBy("query_id", "rank")
+  }
+
   /** v13: seeded random projection of the embedding corpus
     * ([[Similarity.randomProjection]] — 64 → 16 dims), emitted as
     * exploded integer micro-unit coordinates. The oracle re-derives

@@ -200,6 +200,56 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("compact collapses fragmented cells to one file; search unchanged") {
+    import scala.jdk.CollectionConverters._
+    val emb = Tables.embeddings(spark, dir)
+    val (assigned, centroids) =
+      IvfIndex.build(spark, emb.filter(col("vec_id") >= 100), "vec_id", "embedding", nCells = 8)
+    val dirOut = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    IvfIndex.save(assigned, centroids, dirOut)
+    spark.catalog.clearCache()
+    // two appends fragment their touched cells
+    IvfIndex.append(spark, dirOut, emb.filter(col("vec_id") < 50), "vec_id", "embedding")
+    IvfIndex.append(spark, dirOut,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), "vec_id", "embedding")
+
+    def files(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(dirOut, "cells")
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = files()
+    assert(before.values.exists(_.size > 1), "appends must have fragmented some cell")
+
+    val qs = emb.filter(col("vec_id") < 30)
+    val (l0, c0) = IvfIndex.load(spark, dirOut)
+    val preCompact = IvfIndex.search(l0, c0, k = 5, nProbe = 3,
+      queries = Some(qs), idCol = "vec_id", vecCol = "embedding").collect().toSet
+
+    val compacted = IvfIndex.compact(spark, dirOut, maxFilesPerCell = 1)
+    val after = files()
+    assert(compacted.nonEmpty)
+    compacted.foreach { c =>
+      assert(after(s"cell=$c").size === 1, s"cell $c not collapsed to one file")
+    }
+    before.foreach { case (d, fs0) =>
+      if (!compacted.map(c => s"cell=$c").contains(d))
+        assert(after(d) === fs0, s"untouched cell $d was rewritten")
+    }
+    // idempotent: nothing is fragmented anymore
+    assert(IvfIndex.compact(spark, dirOut, maxFilesPerCell = 1).isEmpty)
+
+    val (l1, c1) = IvfIndex.load(spark, dirOut)
+    val postCompact = IvfIndex.search(l1, c1, k = 5, nProbe = 3,
+      queries = Some(qs), idCol = "vec_id", vecCol = "embedding").collect().toSet
+    assert(postCompact === preCompact, "compaction changed search results")
+    spark.catalog.clearCache()
+  }
+
   test("random projection: exact vs Scala reference, and angles survive") {
     val emb = Tables.embeddings(spark, dir)
     val got = Similarity.randomProjection(emb, "vec_id", "embedding")
