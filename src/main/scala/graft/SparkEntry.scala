@@ -84,6 +84,7 @@ object SparkEntry {
     "q40_funnel_depth"       -> (Relational.funnelDepth _),
     "q41_value_outliers"     -> (Relational.valueOutliers _),
     "q42_cohort_retention"   -> (Relational.cohortRetention _),
+    "q43_forward_fill"       -> (Relational.forwardFillDaily _),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -2328,6 +2329,31 @@ object SparkEntry {
         |FROM a JOIN c USING (user_id)
         |WHERE a.week >= c.cohort_week
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // q43: IGNORE NULLS forward fill over the generated daily spine;
+    // exact cents, day buckets cast back to TIMESTAMP (DuckDB's
+    // date_trunc day yields DATE).
+    "q43_forward_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 101 = 0),
+        |daily AS (
+        |  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.event_type, s.day, d.cents
+        |  FROM spine s LEFT JOIN daily d USING (event_type, day))
+        |SELECT event_type, day,
+        |  CAST(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_filled,
+        |  cents IS NOT NULL AS is_observed
+        |FROM j ORDER BY event_type, day""".stripMargin,
     // v13: the projection re-derived from first principles — sign
     // matrix from the portable mix (% 2 = bit 0), inputs quantized to
     // micro-units by the same floor-half-up, coordinates as integer

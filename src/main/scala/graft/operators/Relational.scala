@@ -741,6 +741,39 @@ object Relational {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q43: time-series GAP FILL — last-observation-carried-forward
+    * over a per-type daily spine, the standard warehouse treatment of
+    * sparse metrics before charting/joining. The series is a
+    * deterministic sparse slice of events (event_id % 101 — the
+    * planting philosophy: the raw fixture is gap-free, so the
+    * operator must provably fill REAL gaps); per type the spine spans
+    * [first, last] observed day, missing days inherit the last
+    * observed daily total (exact cents — no floats to fill with) and
+    * are flagged.
+    *
+    * Scale shape: the daily aggregate is map-side-combined; bounds
+    * are one tiny per-type row; the spine explode is
+    * O(types·days) — calendar-bounded, NOT data-bounded; the fill
+    * window partitions by type over that calendar-sized frame, never
+    * over raw events. */
+  def forwardFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_id") % 101 === 0)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"),
+        col("cents").isNotNull.as("is_observed"))
+      .orderBy("event_type", "day")
+  }
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {

@@ -76,6 +76,25 @@ class RelationalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("forward fill: real gaps exist and inherit the last observed value") {
+    val rows = Relational.forwardFillDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val gaps = rows.filterNot(_._4)
+    assert(gaps.nonEmpty, "fixture slice must contain real gaps or the fill is vacuous")
+    // every filled day carries exactly the most recent observed value
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val sorted = series.sortBy(_._2.getTime)
+      assert(sorted.head._4, "spine starts at the first OBSERVED day")
+      var lastObserved = sorted.head._3
+      sorted.foreach { case (_, _, v, observed) =>
+        if (observed) lastObserved = v
+        else assert(v === lastObserved, "gap day must inherit the last observed value")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("nation revenues aggregate to region revenues") {
     val byNation = Relational.revenueByNation(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("revenue")).head.getDouble(0)
