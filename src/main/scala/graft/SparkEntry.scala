@@ -185,6 +185,7 @@ object SparkEntry {
     "d31_temperature_mix"    -> (NorthStar.temperatureMixture _),
     "d35_containment_pairs"  -> (NorthStar.containmentNearDups _),
     "d36_weighted_sample"    -> ((s, dir) => NorthStar.weightedSample(s, dir)),
+    "d37_edit_distance_pairs" -> (NorthStar.editDistanceNearDups _),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
@@ -1059,6 +1060,36 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // d37: q-gram-filtered Levenshtein join re-derived — same titles,
+    // same typo plant (1-based inclusive slicing both engines), same
+    // shared-bigram candidate generation (a df=1 bigram cannot pair,
+    // so the oracle's unpruned join equals the operator's df-pruned
+    // one), levenshtein verified exactly in both engines.
+    "d37_edit_distance_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')[1:5], ' ') AS title
+        |  FROM documents WHERE text IS NOT NULL),
+        |docs AS (
+        |  SELECT doc_id, title FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    substr(title, 1, 2) || 'z' || substr(title, 4, 1000000) AS title
+        |  FROM base WHERE doc_id < 30),
+        |s AS (SELECT doc_id, title FROM docs WHERE length(title) >= 8),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, length(title)), i -> title[i:i+1]))) AS g
+        |  FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
+        |FROM cand c
+        |JOIN s x ON x.doc_id = c.id_a
+        |JOIN s y ON y.doc_id = c.id_b
+        |WHERE levenshtein(x.title, y.title) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     // d35: directed containment |A∩B|/|A| over the excerpt-planted
     // corpus — same tokenize/shingle CTEs as d09, the excerpt planted

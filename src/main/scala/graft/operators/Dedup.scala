@@ -381,6 +381,54 @@ object Dedup {
         .unionByName(directed(col("id_b"), col("id_a"), col("sb"))))
   }
 
+  /** EDIT-DISTANCE similarity join — the record-linkage / fuzzy-match
+    * family: all pairs of strings within Levenshtein distance
+    * `maxDist`, found without an all-pairs product. Candidates come
+    * from a character-BIGRAM posting self-join (the q-gram filter of
+    * the string-join literature): ≤ `maxDist` edits leave the
+    * shorter string's untouched characters in at most `maxDist + 1`
+    * intact segments, so some segment has length
+    * ≥ ⌈(L − maxDist)/(maxDist+1)⌉ — ≥ 2 chars whenever
+    * L ≥ 3·maxDist + 2 — and an intact 2-char segment is a bigram
+    * BOTH strings contain: every true pair shares a candidate
+    * bucket (exact recall); `levenshtein` verification gives exact
+    * precision. Strings shorter than the theorem's bound are
+    * excluded (documented contract — short-string linkage needs a
+    * length-bucket join instead).
+    *
+    * Scale shape: distinct per-string bigrams explode (≤ L per row),
+    * one df-pruned posting window (same fused count-and-prune as the
+    * Jaccard path, leaving the self-join pre-partitioned on its
+    * key), DISTINCT candidate pairs, then one verify join — the
+    * quadratic stage only ever sees same-bucket candidates, with the
+    * shared hot-bucket cap (`maxPosting`) guarding skew. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2, maxPosting: Int = 1000): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val minLen = 3 * maxDist + 2
+    val scope = new CacheScope
+    val base = scope.pin(df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= minLen))
+    val grams = base.select(col("id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(col("s")) - 1),
+        i => col("s").substr(i, lit(2))))).as("g"))
+    val cool = grams
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("__df") >= 2 && col("__df") <= maxPosting)
+      .drop("__df")
+    val cands = cool.select(col("g"), col("id").as("id_a"))
+      .join(cool.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    scope.sealResult(cands
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist"))
+  }
+
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (the
     * AllPairs/PPJoin family): under any global total order on
     * shingles, J(A,B) ≥ t implies the (⌊(1−t)·|A|⌋+1)-prefixes of A

@@ -210,6 +210,38 @@ object NorthStar {
       n = 3, threshold = 0.8)
       .orderBy("contained_id", "container_id")
 
+  /** Per-doc TITLES (first five tokens re-joined) plus a planted
+    * one-character TYPO copy per low-id doc at doc_id + 300000
+    * (character 3 replaced with 'z') — the dirty-entity shape record
+    * linkage exists for. Token slicing and the substitution are
+    * engine-portable string ops, so the oracle re-plants
+    * identically. */
+  private[operators] def withPlantedTypos(spark: SparkSession, dir: String,
+      n: Int = 30): DataFrame = {
+    val titles = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 5), " ").as("title"))
+    val typos = titles.filter(col("doc_id") < n)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(substring(col("title"), 1, 2), lit("z"),
+          expr("substr(title, 4, 1000000)")).as("title"))
+    titles.unionByName(typos)
+      .repartition(widenWidth(spark), col("doc_id"))
+  }
+
+  /** d37: EDIT-DISTANCE pairs over the typo-planted titles
+    * ([[Dedup.editDistancePairs]]) — every planted typo must link
+    * back to its source at distance ≤ 1, alongside the corpus's
+    * natural near-identical titles. `maxPosting` is raised past any
+    * fixture bigram frequency so the oracle (which, like the
+    * operator, only pairs strings sharing a bigram) is exact at the
+    * certified SFs; the default cap remains the production guard. */
+  def editDistanceNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(withPlantedTypos(spark, dir), "doc_id", "title",
+      maxDist = 2, maxPosting = 1000000)
+      .orderBy("id_a", "id_b")
+
   /** Near-dup clusters: connected components over the exact ≥ 0.4
     * Jaccard pair set — the transitive-closure step that turns pairs
     * into dedup groups. Oracled via a recursive-CTE closure in SQL. */

@@ -240,6 +240,25 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("edit-distance join: planted typos link back, no cartesian product") {
+    val df = NorthStar.editDistanceNearDups(spark, dir)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sources = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 30 && col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      val link = pairs.find(p => p._1 == id && p._2 == id + 300000)
+        .getOrElse(fail(s"typo ${id + 300000} not linked to source $id"))
+      assert(link._3 <= 1L, s"one-char substitution must be distance <= 1, got ${link._3}")
+    }
+    assert(pairs.forall(_._3 <= 2L))
+    // the q-gram filter must keep the verify stage off an all-pairs plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "edit-distance join planned a cross product")
+    spark.catalog.clearCache()
+  }
+
   test("cluster representatives: one per cluster, a member, counts conserve") {
     val reps = NorthStar.clusterRepresentatives(spark, dir).collect()
     val clusters = NorthStar.nearDupClusters(spark, dir).collect()
