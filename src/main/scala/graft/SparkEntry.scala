@@ -85,6 +85,7 @@ object SparkEntry {
     "q41_value_outliers"     -> (Relational.valueOutliers _),
     "q42_cohort_retention"   -> (Relational.cohortRetention _),
     "q43_forward_fill"       -> (Relational.forwardFillDaily _),
+    "q44_table_checksums"    -> (Relational.tableChecksums _),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -2385,6 +2386,28 @@ object SparkEntry {
         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_filled,
         |  cents IS NOT NULL AS is_observed
         |FROM j ORDER BY event_type, day""".stripMargin,
+    // q44: the reconciliation checksum recomputed by the second
+    // engine — same canonical projections (cents, µs epochs, '|'
+    // separators, concat_ws null skipping), same md5-prefix hash,
+    // same mod-2^48 order-independent sum.
+    "q44_table_checksums" ->
+      s"""${checksumSql("customer",
+           "concat_ws('|', c_custkey, c_name, c_nationkey, " +
+             "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), c_mktsegment)")}
+        |UNION ALL
+        |${checksumSql("lineitem",
+           "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+             "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), l_returnflag, " +
+             "epoch_us(l_shipdate))")}
+        |UNION ALL
+        |${checksumSql("nation", "concat_ws('|', n_nationkey, n_name, n_regionkey)")}
+        |UNION ALL
+        |${checksumSql("orders",
+           "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), epoch_us(o_orderdate))")}
+        |UNION ALL
+        |${checksumSql("region", "concat_ws('|', r_regionkey, r_name)")}
+        |ORDER BY table_name""".stripMargin,
     // v13: the projection re-derived from first principles — sign
     // matrix from the portable mix (% 2 = bit 0), inputs quantized to
     // micro-units by the same floor-half-up, coordinates as integer
@@ -2537,6 +2560,23 @@ object SparkEntry {
       |sgn AS (SELECT doc_id,
       |  CAST(CASE WHEN f >= 9223372036854775808 THEN CAST(f AS HUGEINT) - 18446744073709551616
       |            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fingerprint FROM fp)""".stripMargin
+
+  /** q44's row hash spelled in SQL: the first 12 hex chars of md5
+    * parsed to a 48-bit BIGINT by a per-char fold (DuckDB has no
+    * hex-string→int cast), equal to Spark's `conv(substr(md5,1,12),
+    * 16, 10)`. */
+  private def hex48Sql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(regexp_extract_all(substr(md5($v), 1, 12), '.'),
+       |      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+       |    (a, b) -> a * 16 + b)""".stripMargin
+
+  /** One q44 per-table checksum row (shared shape across the five
+    * tables' UNION ALL). */
+  private def checksumSql(table: String, canon: String): String =
+    s"""SELECT '$table' AS table_name, count(*) AS n_rows,
+       |  CAST(sum(CAST(${hex48Sql("s")} AS HUGEINT)) % 281474976710656 AS BIGINT) AS checksum48
+       |FROM (SELECT $canon AS s FROM $table)""".stripMargin
 
   /** The portable 64-bit finalizer (SketchExpressions.portableMix64)
     * spelled in SQL over a UBIGINT operand: 128-bit intermediates for

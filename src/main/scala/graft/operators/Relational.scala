@@ -774,6 +774,49 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** q44: TABLE CHECKSUMS — the anti-entropy / reconciliation
+    * primitive: per table, the row count and an ORDER-INDEPENDENT
+    * 48-bit content checksum (sum of per-row md5-prefix hashes mod
+    * 2^48) over a canonical projection. Two replicas — or two
+    * engines — agreeing on (n_rows, checksum48) agree on the row
+    * multiset without shipping any data; the DuckDB oracle IS the
+    * second engine, so the gate certifies the whole canonicalization
+    * (separators, cent quantization, µs epochs, null skipping) is
+    * engine-portable.
+    *
+    * Scale shape: embarrassingly parallel map + one 2-column
+    * map-side-combined aggregate per table — the cheapest possible
+    * full-table pass; the mod-2^48 sum rides DECIMAL(38,0) (a raw
+    * long sum overflows at ~30k rows). Doubles never enter the
+    * hash: money quantizes to cents, timestamps to µs epochs, so no
+    * engine float-formatting ambiguity exists. */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val M = 281474976710656L // 2^48
+    def cents(c: Column) = floor(c * 100 + lit(0.5)).cast("long")
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    def hash48(s: Column) = conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    def check(name: String, df: DataFrame, canon: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        pmod(sum(hash48(canon).cast("decimal(38,0)")), lit(M))
+          .cast("long").as("checksum48"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum48"))
+    check("customer", Tables.customer(spark, dir),
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")), col("c_mktsegment")))
+      .unionByName(check("lineitem", Tables.lineitem(spark, dir),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), cents(col("l_extendedprice")), col("l_returnflag"),
+          us(col("l_shipdate")))))
+      .unionByName(check("nation", Tables.nation(spark, dir),
+        concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+      .unionByName(check("orders", Tables.orders(spark, dir),
+        concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")), us(col("o_orderdate")))))
+      .unionByName(check("region", Tables.region(spark, dir),
+        concat_ws("|", col("r_regionkey"), col("r_name"))))
+      .orderBy("table_name")
+  }
+
   /** Correlated scalar-aggregate pattern: each order against its
     * customer's average order value (join back an aggregate). */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {

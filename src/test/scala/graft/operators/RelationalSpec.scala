@@ -95,6 +95,27 @@ class RelationalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("table checksum: order-independent, sensitive to one mutated cent") {
+    import org.apache.spark.sql.functions._
+    val M = 281474976710656L
+    def sum48(df: org.apache.spark.sql.DataFrame): Long = {
+      val canon = concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"), col("c_mktsegment"))
+      df.agg(pmod(sum(conv(substring(md5(canon), 1, 12), 16, 10)
+        .cast("long").cast("decimal(38,0)")), lit(M)).cast("long"))
+        .head.getLong(0)
+    }
+    val cust = graft.core.Tables.customer(spark, dir)
+    val base = sum48(cust)
+    // row order and partitioning must not matter
+    assert(sum48(cust.repartition(7).sortWithinPartitions(col("c_name").desc)) === base)
+    // a single cent on a single row must flip the checksum
+    val mutated = cust.withColumn("c_acctbal",
+      when(col("c_custkey") === 1, col("c_acctbal") + 0.01).otherwise(col("c_acctbal")))
+    assert(sum48(mutated) !== base, "one-cent mutation went undetected")
+    spark.catalog.clearCache()
+  }
+
   test("nation revenues aggregate to region revenues") {
     val byNation = Relational.revenueByNation(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("revenue")).head.getDouble(0)
