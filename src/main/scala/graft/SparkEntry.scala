@@ -1062,11 +1062,13 @@ object SparkEntry {
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
-    // d37: q-gram-filtered Levenshtein join re-derived — same titles,
-    // same typo plant (1-based inclusive slicing both engines), same
-    // shared-bigram candidate generation (a df=1 bigram cannot pair,
-    // so the oracle's unpruned join equals the operator's df-pruned
-    // one), levenshtein verified exactly in both engines.
+    // d37: canonicalize-then-link re-derived — same titles, same typo
+    // plant (1-based inclusive slicing both engines), exact dedup to
+    // min-id representatives, candidates from ANY shared 5-gram (a
+    // SUPERSET of the operator's prefix-filtered candidates; both
+    // have exact recall at len >= 17, and exact levenshtein
+    // verification makes the final pair set independent of the
+    // candidate route), length-band prune, verified in both engines.
     "d37_edit_distance_pairs" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -1078,14 +1080,16 @@ object SparkEntry {
         |  SELECT doc_id + 300000 AS doc_id,
         |    substr(title, 1, 2) || 'z' || substr(title, 4, 1000000) AS title
         |  FROM base WHERE doc_id < 30),
-        |s AS (SELECT doc_id, title FROM docs WHERE length(title) >= 8),
+        |s0 AS (SELECT min(doc_id) AS doc_id, title FROM docs GROUP BY title),
+        |s AS (SELECT doc_id, title, length(title) AS len FROM s0 WHERE length(title) >= 17),
         |g AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(list_transform(range(1, length(title)), i -> title[i:i+1]))) AS g
+        |  SELECT doc_id, len,
+        |    unnest(list_distinct(list_transform(range(1, length(title) - 3), i -> title[i:i+4]))) AS g
         |  FROM s),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    AND abs(a.len - b.len) <= 2)
         |SELECT c.id_a, c.id_b, CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
         |FROM cand c
         |JOIN s x ON x.doc_id = c.id_a

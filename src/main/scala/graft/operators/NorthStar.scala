@@ -231,16 +231,21 @@ object NorthStar {
   }
 
   /** d37: EDIT-DISTANCE pairs over the typo-planted titles
-    * ([[Dedup.editDistancePairs]]) — every planted typo must link
-    * back to its source at distance ≤ 1, alongside the corpus's
-    * natural near-identical titles. `maxPosting` is raised past any
-    * fixture bigram frequency so the oracle (which, like the
-    * operator, only pairs strings sharing a bigram) is exact at the
-    * certified SFs; the default cap remains the production guard. */
-  def editDistanceNearDups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(withPlantedTypos(spark, dir), "doc_id", "title",
-      maxDist = 2, maxPosting = 1000000)
+    * ([[Dedup.editDistancePairs]]), run the way real record linkage
+    * runs: exact-duplicate titles collapse to one representative
+    * (min doc_id) FIRST — the fixture's tiny vocabulary makes raw
+    * titles collide heavily, and fuzzy-matching identical strings is
+    * wasted quadratic work — then the fuzzy join links distinct
+    * strings within distance 2. Every planted typo that survives as
+    * its own representative links back to its source; the oracle
+    * mirrors the dedup + candidate + verify chain exactly, and the
+    * spec pins the operator to an all-pairs Levenshtein mirror. */
+  def editDistanceNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val reps = withPlantedTypos(spark, dir)
+      .groupBy("title").agg(min("doc_id").as("doc_id"))
+    Dedup.editDistancePairs(reps, "doc_id", "title", maxDist = 2)
       .orderBy("id_a", "id_b")
+  }
 
   /** Near-dup clusters: connected components over the exact ≥ 0.4
     * Jaccard pair set — the transitive-closure step that turns pairs

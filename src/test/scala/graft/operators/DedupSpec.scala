@@ -240,20 +240,40 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("edit-distance join: planted typos link back, no cartesian product") {
+  test("edit-distance join equals all-pairs Levenshtein, typos link, no cartesian") {
     val df = NorthStar.editDistanceNearDups(spark, dir)
-    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val sources = graft.core.Tables.documents(spark, dir)
-      .filter(col("doc_id") < 30 && col("text").isNotNull)
-      .select("doc_id").collect().map(_.getLong(0))
-    assert(sources.nonEmpty)
-    sources.foreach { id =>
-      val link = pairs.find(p => p._1 == id && p._2 == id + 300000)
-        .getOrElse(fail(s"typo ${id + 300000} not linked to source $id"))
-      assert(link._3 <= 1L, s"one-char substitution must be distance <= 1, got ${link._3}")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // independent mirror: plain-Scala Levenshtein over ALL pairs of
+    // the deduped representative titles — the ground truth the
+    // prefix-filtered candidate route must reproduce exactly
+    val reps = NorthStar.withPlantedTypos(spark, dir)
+      .groupBy("title").agg(min("doc_id").as("doc_id"))
+      .collect().map(r => r.getLong(1) -> r.getString(0))
+      .filter(_._2.length >= 17)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
     }
-    assert(pairs.forall(_._3 <= 2L))
-    // the q-gram filter must keep the verify stage off an all-pairs plan
+    val expected = (for {
+      (ia, sa) <- reps; (ib, sb) <- reps if ia < ib
+      if math.abs(sa.length - sb.length) <= 2
+      dist = lev(sa, sb) if dist <= 2
+    } yield (ia, ib, dist.toLong)).toSet
+    assert(got === expected)
+
+    // planted typos that survived as their own representative link back
+    val typoLinks = got.count { case (a, b, d) => b >= 300000 && d <= 1 }
+    assert(typoLinks >= 20, s"only $typoLinks typo links recovered")
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "edit-distance join planned a cross product")
     spark.catalog.clearCache()
