@@ -217,6 +217,8 @@ object SparkEntry {
     "m03_thumbnails"         -> (NorthStar.thumbnails _),
     "m04_binary_asset_source" -> ((s, dir) =>
       graft.multimodal.Multimodal.binaryAssetSource(s, dir)),
+    "m05_video_metadata"     -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoMetadata(s, dir)),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -1523,6 +1525,23 @@ object SparkEntry {
         |FROM s JOIN ent ON s.asset_id = ent.asset_id
         |JOIN tot ON s.asset_id = tot.asset_id
         |ORDER BY s.asset_id""".stripMargin,
+    // m05: the planned movie metadata re-derived from content-length
+    // arithmetic (the Spark side PARSES it back out of real ISO BMFF
+    // bytes; 136 = ftyp + moov/mvhd prefix), duration_ms by exact
+    // integer division.
+    "m05_video_metadata" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_content
+        |  FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        |s AS (SELECT asset_id, n_content,
+        |        (n_content * 2654435761) % 1000003 AS h FROM d)
+        |SELECT asset_id,
+        |  CAST(n_content + 136 AS BIGINT) AS n_bytes,
+        |  CAST([600, 1000, 24000, 90000][CAST(h % 4 AS INT) + 1] AS INT) AS timescale,
+        |  CAST(n_content * 3 + 7 AS BIGINT) AS duration_ticks,
+        |  CAST(((n_content * 3 + 7) * 1000) // [600, 1000, 24000, 90000][CAST(h % 4 AS INT) + 1] AS BIGINT) AS duration_ms,
+        |  TRUE AS header_ok
+        |FROM s ORDER BY asset_id""".stripMargin,
     // m04: the binary store round-trip must preserve every byte — the
     // oracle recomputes size + md5 from the originating table.
     "m04_binary_asset_source" ->

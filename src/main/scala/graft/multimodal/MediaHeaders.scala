@@ -17,11 +17,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MediaHeaders {
 
-  /** Parsed container metadata: pixel dims (images) or sample rate
-    * (audio), plus where the header ends (content offset for the
-    * fixture's header‖content layout). */
+  /** Parsed container metadata: pixel dims (images), sample rate
+    * (audio), or movie timescale/duration (video), plus where the
+    * header ends (content offset for the fixture's header‖content
+    * layout). The video fields default so image/audio construction
+    * sites are untouched. */
   final case class Media(kind: String, width: Int, height: Int,
-      sampleRate: Int, headerLen: Int)
+      sampleRate: Int, headerLen: Int,
+      timescale: Int = 0, durationTicks: Long = 0L)
 
   // ------------------------------------------------------------- PNG
 
@@ -162,8 +165,88 @@ object MediaHeaders {
     None
   }
 
+  // ------------------------------------------------------------- MP4
+
+  private def putAscii(b: ByteBuffer, s: String): Unit =
+    b.put(s.getBytes("US-ASCII"))
+
+  /** ISO BMFF (MP4) prefix: `ftyp` (major brand isom) + `moov`
+    * holding one version-0 `mvhd` — 136 bytes of real big-endian box
+    * structure per ISO/IEC 14496-12 (sizes, fourcc types, unity
+    * matrix, 1.0 rate). Any MP4 metadata reader recovers the movie
+    * timescale and duration from it. Duration must fit u32 (the v0
+    * field); the parser additionally understands v1 (u64). */
+  def mp4Header(timescale: Int, durationTicks: Long): Array[Byte] = {
+    require(timescale > 0, s"timescale must be positive, got $timescale")
+    require(durationTicks >= 0 && durationTicks <= 0xffffffffL,
+      s"v0 mvhd duration must fit u32, got $durationTicks")
+    val b = ByteBuffer.allocate(136).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(20); putAscii(b, "ftyp")                    // ftyp box
+    putAscii(b, "isom"); b.putInt(0); putAscii(b, "isom")
+    b.putInt(116); putAscii(b, "moov")                   // moov box
+    b.putInt(108); putAscii(b, "mvhd")                   // mvhd v0
+    b.putInt(0)                                          // version + flags
+    b.putInt(0).putInt(0)                                // creation, modification
+    b.putInt(timescale)
+    b.putInt(durationTicks.toInt)
+    b.putInt(0x00010000)                                 // rate 1.0
+    b.putShort(0x0100.toShort)                           // volume 1.0
+    b.putShort(0)                                        // reserved
+    b.putLong(0L)                                        // reserved[2]
+    b.putInt(0x00010000); b.putInt(0); b.putInt(0)       // unity matrix
+    b.putInt(0); b.putInt(0x00010000); b.putInt(0)
+    b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+    (1 to 6).foreach(_ => b.putInt(0))                   // pre_defined
+    b.putInt(2)                                          // next_track_ID
+    b.array()
+  }
+
+  /** Walk top-level ISO BMFF boxes to `moov`, then its children to
+    * `mvhd`; reads both v0 (u32 times) and v1 (u64) layouts. Stops at
+    * the first unrecognizable box boundary (the fixture's
+    * header‖content layout puts raw content right after `moov`), so
+    * a torn or non-MP4 prefix fails the parse rather than yielding
+    * garbage metadata. */
+  def parseMp4(bytes: Array[Byte]): Option[Media] = {
+    def ascii(off: Int, s: String) =
+      off + s.length <= bytes.length &&
+        s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => bytes(off + i) == c }
+    if (bytes.length < 16 || !ascii(4, "ftyp")) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var i = 0
+    while (i + 8 <= bytes.length) {
+      val size = b.getInt(i)
+      if (size < 8 || i.toLong + size > bytes.length) return None
+      if (ascii(i + 4, "moov")) {
+        var j = i + 8
+        val moovEnd = i + size
+        while (j + 8 <= moovEnd) {
+          val csize = b.getInt(j)
+          if (csize < 8 || j + csize > moovEnd) return None
+          if (ascii(j + 4, "mvhd")) {
+            val version = bytes(j + 8) & 0xff
+            return version match {
+              case 0 if csize >= 28 =>
+                Some(Media("video", 0, 0, 0, moovEnd,
+                  b.getInt(j + 20), b.getInt(j + 24).toLong & 0xffffffffL))
+              case 1 if csize >= 40 =>
+                Some(Media("video", 0, 0, 0, moovEnd,
+                  b.getInt(j + 28), b.getLong(j + 32)))
+              case _ => None
+            }
+          }
+          j += csize
+        }
+        return None // moov without mvhd is not a playable movie header
+      }
+      i += size
+    }
+    None
+  }
+
   /** Sniff + parse: tries each container by signature. */
   def parse(bytes: Array[Byte]): Option[Media] =
     if (bytes == null) None
     else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseWav(bytes))
+      .orElse(parseMp4(bytes))
 }

@@ -131,6 +131,54 @@ object Multimodal {
     }
   }
 
+  /** m05 row: movie metadata recovered by PARSING the MP4 header
+    * bytes ([[MediaHeaders.parseMp4]]) — never echoed from the
+    * planning arithmetic, which only the oracle re-derives. */
+  final case class VideoMeta(asset_id: Long, n_bytes: Long, timescale: Int,
+      duration_ticks: Long, duration_ms: Long, header_ok: Boolean)
+
+  /** The fixture's deterministic video metadata (what the "camera"
+    * recorded), content-keyed like [[plannedDims]] so the SQL oracle
+    * re-derives it without parsing bytes. */
+  private[multimodal] def plannedVideo(contentBytes: Long): (Int, Long) = {
+    val h = (contentBytes * 2654435761L) % 1000003L
+    val timescale = Seq(600, 1000, 24000, 90000)((h % 4).toInt)
+    (timescale, contentBytes * 3 + 7)
+  }
+
+  /** m05: VIDEO metadata extraction — document text wrapped in a real
+    * ISO BMFF prefix (ftyp + moov/mvhd), then the per-partition
+    * decode walks the box structure and reads timescale + duration
+    * out of the BYTES; duration_ms is exact integer arithmetic on
+    * the parsed values. Same certification shape as m01: the oracle
+    * re-derives the planned metadata from content-length arithmetic,
+    * so parse(encode(planned)) ≠ planned anywhere breaks the hash. */
+  def videoMetadata(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (ts, dur) = plannedVideo(content.length.toLong)
+        Asset(id, "video", MediaHeaders.mp4Header(ts, dur) ++ content)
+      }
+      .mapPartitions { it =>
+        it.map { a =>
+          MediaHeaders.parseMp4(a.payload) match {
+            case Some(m) =>
+              VideoMeta(a.asset_id, a.payload.length.toLong, m.timescale,
+                m.durationTicks, m.durationTicks * 1000L / m.timescale, header_ok = true)
+            case None =>
+              VideoMeta(a.asset_id, a.payload.length.toLong, 0, 0L, 0L, header_ok = false)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("asset_id")
+  }
+
   /** The `binaryFile` SOURCE path: one opaque file per asset on the
     * content store, ingested by Spark's built-in binary-file reader
     * (path, length, content) — the real shape of image/audio

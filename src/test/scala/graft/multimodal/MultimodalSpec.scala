@@ -59,6 +59,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.parseWav(shortFmt).isEmpty, "short fmt chunk parsed")
   }
 
+  test("MP4 box walk reads timescale and duration; corruption rejected") {
+    for ((ts, dur) <- Seq((600, 0L), (1000, 1L), (90000, 0xfffffffeL), (24000, 123456L))) {
+      val bytes = MediaHeaders.mp4Header(ts, dur) ++ Array[Byte](9, 8, 7)
+      val m = MediaHeaders.parseMp4(bytes).get
+      assert((m.kind, m.timescale, m.durationTicks, m.headerLen) === (("video", ts, dur, 136)))
+    }
+    // a v1 mvhd (u64 times) built by hand must parse too
+    val v1 = {
+      val b = java.nio.ByteBuffer.allocate(20 + 8 + 8 + 4 + 8 + 8 + 4 + 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(20); b.put("ftyp".getBytes("US-ASCII"))
+      b.put("isom".getBytes("US-ASCII")); b.putInt(0); b.put("isom".getBytes("US-ASCII"))
+      val mvhdSize = 8 + 4 + 8 + 8 + 4 + 8
+      b.putInt(8 + mvhdSize); b.put("moov".getBytes("US-ASCII"))
+      b.putInt(mvhdSize); b.put("mvhd".getBytes("US-ASCII"))
+      b.putInt(0x01000000)      // version 1
+      b.putLong(0L)             // creation (u64)
+      b.putLong(0L)             // modification (u64)
+      b.putInt(48000)           // timescale
+      b.putLong(10000000000L)   // duration > u32
+      b.array()
+    }
+    val mv1 = MediaHeaders.parseMp4(v1).get
+    assert((mv1.timescale, mv1.durationTicks) === ((48000, 10000000000L)))
+    // corruption: broken box size, missing mvhd, truncation
+    val good = MediaHeaders.mp4Header(600, 42L)
+    val badSize = good.clone(); badSize(23) = 0x02 // moov size now overruns
+    assert(MediaHeaders.parseMp4(badSize).isEmpty, "overrunning box size parsed")
+    assert(MediaHeaders.parseMp4(good.take(100)).isEmpty, "truncated moov parsed")
+    assert(MediaHeaders.parseMp4("notmp4".getBytes).isEmpty)
+  }
+
+  test("video metadata query parses planned values out of real bytes") {
+    val rows = Multimodal.videoMetadata(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"asset ${r.getLong(0)} failed header parse")
+      val nContent = r.getLong(1) - 136
+      val (ts, dur) = Multimodal.plannedVideo(nContent)
+      assert(r.getInt(2) === ts)
+      assert(r.getLong(3) === dur)
+      assert(r.getLong(4) === dur * 1000L / ts)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("sniffing dispatches by signature") {
     assert(MediaHeaders.parse(MediaHeaders.pngHeader(2, 3)).get.kind === "image")
     assert(MediaHeaders.parse(MediaHeaders.jpegHeader(2, 3)).get.kind === "image")
