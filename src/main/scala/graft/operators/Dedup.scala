@@ -350,7 +350,9 @@ object Dedup {
     * key, one partial-aggregated count per surviving pair. The
     * hot-shingle cap (`maxPosting`) is the same documented guard. No
     * length prefilter exists for containment (the container may be
-    * arbitrarily larger — that asymmetry is the point). */
+    * arbitrarily larger — that asymmetry is the point); the scale
+    * route is [[containmentPairsPrefix]]'s asymmetric rare-shingle
+    * prefix filter, spec-pinned equivalent. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxPosting: Int = 1000): DataFrame = {
     val scope = new CacheScope
@@ -379,6 +381,53 @@ object Dedup {
     scope.sealResult(
       directed(col("id_a"), col("id_b"), col("sa"))
         .unionByName(directed(col("id_b"), col("id_a"), col("sb"))))
+  }
+
+  /** PREFIX-FILTERED twin of [[containmentPairs]] — the 100 TB route
+    * (same exhaustive-vs-prefix trade as the Jaccard pair): the
+    * asymmetric prefix theorem says C(A,B) ≥ t means fewer than
+    * (1−t)·|A| + 1 of A's shingles fall outside B, so among A's
+    * ⌊(1−t)·|A|⌋+1 globally RAREST shingles at least one is in B —
+    * only contained-side prefixes generate candidates, probed by the
+    * container side's FULL shingle postings (the Ed-Join asymmetric
+    * index/probe shape), then exact set intersection verifies. On
+    * zipfian text the prefix postings are rare-shingle-sized; on the
+    * uniform fixture vocabulary it degenerates like d09's (measured
+    * trade documented there). Equivalence with the exhaustive
+    * formulation is spec-asserted. */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxPosting: Int = 1000): DataFrame = {
+    val scope = new CacheScope
+    val base = scope.pin(df.select(col(idCol).as("id"),
+      graft.functions.SketchExpressions.shingleHashes(col(textCol), n).as("sh"))
+      .filter(col("sh").isNotNull)
+      .withColumn("set_size", size(col("sh"))))
+    val postings = base.select(col("id"), col("set_size"), explode(col("sh")).as("gh"))
+    // global df fused into one gh-keyed window; df=1 shingles cannot
+    // be shared, and the hot-bucket cap guards the probe side
+    val counted = scope.pin(postings
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("__df") >= 2 && col("__df") <= maxPosting))
+    val prefix = counted
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df").asc, col("gh").asc)))
+      // epsilon lengthens only — same guard as ngramJaccardPairs
+      .filter(col("__rank") <=
+        floor((lit(1.0) - threshold) * col("set_size") + lit(1e-9)) + 1)
+      .select(col("gh"), col("id").as("contained_id"))
+    val cands = prefix
+      .join(counted.select(col("gh"), col("id").as("container_id")), Seq("gh"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .select("contained_id", "container_id").distinct()
+    scope.sealResult(cands
+      .join(base.select(col("id").as("contained_id"), col("sh").as("sh_a"),
+        col("set_size").as("sa")), Seq("contained_id"))
+      .join(base.select(col("id").as("container_id"), col("sh").as("sh_b")),
+        Seq("container_id"))
+      .withColumn("__c", size(array_intersect(col("sh_a"), col("sh_b"))) / col("sa"))
+      .filter(col("__c") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        graft.functions.Quantize.quantize4(col("__c")).as("containment")))
   }
 
   /** EDIT-DISTANCE similarity join — the record-linkage / fuzzy-match

@@ -240,6 +240,18 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("prefix-filtered containment equals the exhaustive formulation") {
+    val corpus = NorthStar.withPlantedExcerpts(spark, dir)
+    val exhaustive = Dedup.containmentPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8).collect().map(_.toString).sorted.toSeq
+    val prefix = Dedup.containmentPairsPrefix(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8, maxPosting = 1000000).collect()
+      .map(_.toString).sorted.toSeq
+    assert(prefix === exhaustive)
+    assert(prefix.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("edit-distance join equals all-pairs Levenshtein, typos link, no cartesian") {
     val df = NorthStar.editDistanceNearDups(spark, dir)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
