@@ -41,7 +41,8 @@ object SparkEntry {
     * [[Verify]]. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v02_ann_production" -> (NorthStar.annTopKProduction _),
-    "v04_ivf_production" -> (NorthStar.ivfTopKProduction _))
+    "v04_ivf_production" -> (NorthStar.ivfTopKProduction _),
+    "v15_ivfpq_production" -> (NorthStar.ivfPqTopKProduction _))
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (Relational.pricingSummary _),
@@ -188,6 +189,7 @@ object SparkEntry {
     "d36_weighted_sample"    -> ((s, dir) => NorthStar.weightedSample(s, dir)),
     "d37_edit_distance_pairs" -> (NorthStar.editDistanceNearDups _),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
+    "d38_bpe_vocab"          -> (NorthStar.bpeTrainMerges _),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
@@ -206,6 +208,7 @@ object SparkEntry {
     "v12_ivf_delete"         -> (NorthStar.ivfDeleteTopK _),
     "v13_random_projection"  -> (NorthStar.randomProjectionUnits _),
     "v14_ivf_compact"        -> (NorthStar.ivfCompactTopK _),
+    "v15_ivf_pq"             -> (NorthStar.ivfPqTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -256,14 +259,54 @@ object SparkEntry {
     (SparkSession, String),
     (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
 
+  /** Driver-memory ceiling for the memoized cluster assignment. The
+    * assignment is one row per doc in a ≥ threshold pair — tiny on any
+    * realistic corpus — but a duplicate-SATURATED corpus makes it one
+    * row per doc, and collecting that to the driver unbounded is the
+    * classic silent OOM. Above the ceiling we skip the memo and serve
+    * the operator's own cached frame directly: d27 then re-pays the
+    * pair stage, which is the correct trade (slower, never fatal). */
+  private val clustersMemoMaxRows = 1000000L
+
+  /** Crude map-size bound: the memo key is (session, dir) and entries
+    * were never evicted; a long-lived session touching many corpus
+    * dirs would accrete one collected assignment per dir. Eight
+    * distinct (session, dir) pairs is far above what one verify/bench
+    * round touches, so wholesale clear at the bound is simpler and
+    * safer than LRU bookkeeping. */
+  private val clustersMemoMaxEntries = 8
+
   private def sharedClusters(spark: SparkSession, dir: String): DataFrame = {
-    val (schema, rows) = clustersMemo.computeIfAbsent((spark, dir), _ => {
+    val cached = clustersMemo.get((spark, dir))
+    if (cached != null) {
+      spark.createDataFrame(java.util.Arrays.asList(cached._2: _*), cached._1)
+    } else {
       val df = NorthStar.nearDupClustersFrame(spark, dir)
-      val collected = df.collect()
-      df.unpersist() // CC returns a cached handle; the memo replaces it
-      (df.schema, collected)
-    })
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // CC returns a cached, fully-materialized handle, so this count
+      // is free; gate the driver-side collect on it.
+      if (df.count() <= clustersMemoMaxRows) {
+        val collected = df.collect()
+        df.unpersist() // the memo replaces the cached handle
+        if (clustersMemo.size >= clustersMemoMaxEntries) clustersMemo.clear()
+        clustersMemo.put((spark, dir), (df.schema, collected))
+        spark.createDataFrame(java.util.Arrays.asList(collected: _*), df.schema)
+      } else df // duplicate-saturated corpus: no driver copy, no memo
+    }
+  }
+
+  /** Drop every per-session memo (the cocoa pipeline runs and the
+    * shared cluster assignment). Bench calls this between suite
+    * passes so pass N pays exactly the work pass 1 paid and the
+    * per-query minima stay comparable round-over-round; without it a
+    * second pass of p01/s04/d13 measures a memo lookup, not the
+    * pipeline. Not part of the library surface. */
+  def resetMemos(): Unit = {
+    cocoaMemo.clear()
+    clustersMemo.clear()
+    cocoaDirsMemo.clear()
+    cocoaStreamMemo.clear()
+    cocoaStreamJdbcMemo.clear()
+    cocoaJdbcMemo.clear()
   }
 
   /** Warehouse root of the memoized pipeline run — lets p05 time-travel
@@ -1822,6 +1865,7 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
         |  FROM pc)
         |SELECT pair, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "d38_bpe_vocab" -> bpeVocabOracleSql,
     // r02: TF-IDF re-derived — same tokenizer, (doc, term) tf, df,
     // smoothed idf ln((N+1)/(df+1)) + 1, single-product micro-unit
     // scores (no float sum to order), (score DESC, term ASC) rank
@@ -2234,6 +2278,26 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
         |  TRUE AS ivf_recall_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v15: IVF-PQ certified exactly like v02/v04 — brute-force truth
+    // rows (the PQ models are Spark-side k-means constructions, not
+    // DuckDB-recomputable) plus one recall@5 >= 0.6 certificate
+    // computed distributively against the live ADC search.
+    "v15_ivf_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
+        |  TRUE AS ivfpq_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v09: the int8 quantization (floor-half-up, engine-portable) and
     // the integer cosine recomputed exactly — the compressed corpus's
     // ranking is hash-compared, not approximated.
@@ -2514,6 +2578,57 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   ) ++ graft.core.Catalog.commonSql
+
+  /** d38's oracle: the BPE merge loop UNROLLED (the g01 pattern) —
+    * iteration k is three generated CTEs: pair counts over the
+    * previous segmentation, the (n DESC, a, b) winner, and the
+    * re-segmentation via literal `replace` on the U+001F-wrapped
+    * symbol string (per-symbol wrapping means adjacent matches never
+    * share separator chars, so leftmost-non-overlapping replace IS
+    * the single-pass BPE merge — both engines' replace() semantics).
+    * The result is the 30 winner rows UNION ALL'd in merge order. */
+  private lazy val bpeVocabOracleSql: String = {
+    val S = "chr(31)"
+    val nMerges = 30
+    // AS MATERIALIZED is load-bearing: every seg$k is referenced
+    // twice (pair counts and the next re-segmentation), so DuckDB's
+    // default CTE inlining doubles the plan per iteration — 2^30
+    // scans of documents.parquet exhausts file descriptors before a
+    // single row flows. Materializing pins each iteration to one
+    // evaluation, the same linear shape the Spark loop executes.
+    def iter(k: Int): String =
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT cs[i] AS a, cs[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT freq, cs, unnest(range(1, len(cs))) AS i FROM (
+         |      SELECT freq, str_split(s[2:length(s) - 1], $S || $S) AS cs
+         |      FROM seg${k - 1}) WHERE len(cs) >= 2)
+         |  GROUP BY a, b),
+         |win$k AS MATERIALIZED (SELECT a, b, n FROM pc$k ORDER BY n DESC, a, b LIMIT 1),
+         |seg$k AS MATERIALIZED (
+         |  SELECT freq, replace(s, $S || w.a || $S || $S || w.b || $S,
+         |    $S || w.a || w.b || $S) AS s
+         |  FROM seg${k - 1} CROSS JOIN win$k w)"""
+        .stripMargin
+    val unions = (1 to nMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, n FROM win$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |wf AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(toks) AS w FROM tok)
+       |  WHERE w NOT LIKE '%' || $S || '%'
+       |  GROUP BY w),
+       |seg0 AS MATERIALIZED (
+       |  SELECT freq, regexp_replace(w, '(?s)(.)', $S || '\\1' || $S, 'g') AS s
+       |  FROM wf),
+       |${(1 to nMerges).map(iter).mkString(",\n")}
+       |SELECT merge_rank, left_sym, right_sym, merged, n FROM (
+       |$unions
+       |) ORDER BY merge_rank""".stripMargin
+  }
 
   /** g01's oracle: the integer-exact PageRank unrolled — iteration K
     * is two CTEs (contribution sum, damped update), all arithmetic

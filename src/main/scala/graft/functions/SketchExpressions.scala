@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{column => _}
@@ -569,6 +569,130 @@ object SketchExpressions {
     override protected def withNewChildInternal(c: Expression): TopCells = copy(child = c)
   }
 
+  /** PQ ENCODE — the M sub-quantizer code ids of a vector's RESIDUAL
+    * against its coarse cell centroid (classic IVF-PQ: Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+    * Children are (vec, cell); the models ride inside the expression
+    * like [[TopCells]]' centroid table — tiny, driver-fit, broadcast
+    * with the plan. One tight loop per row: m × ks × subDim flops,
+    * emits array<int> of length m (stored instead of the vector —
+    * that compression is the entire point of PQ at trillion-vector
+    * scale). */
+  case class PqEncode(vec: Expression, cell: Expression,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = vec
+    override def right: Expression = cell
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(v: Any, c: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val cent = centroids(c.asInstanceOf[Int])
+      val m = codebooks.length
+      val sub = cent.length / m
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val book = codebooks(s)
+        var bestJ = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < book.length) {
+          val e = book(j)
+          var d = 0.0
+          var i = 0
+          val n = math.min(sub, math.min(arr.numElements() - s * sub, e.length))
+          while (i < n) {
+            val r = arr.getFloat(s * sub + i).toDouble - cent(s * sub + i) - e(i)
+            d += r * r
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestJ = j }
+          j += 1
+        }
+        out(s) = bestJ
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+      copy(vec = l, cell = r)
+  }
+
+  /** PQ ADC LOOKUP TABLE — for one (query, probed cell) pair, the
+    * m × ks table of squared L2 distances from the query's residual
+    * sub-vectors to every codebook entry: LUT[s·ks + j] =
+    * ‖(q − centroid)ₛ − bookₛⱼ‖². Computed ONCE per (query, cell) on
+    * the probe frame, so scoring a candidate inside the cell is an
+    * O(m) table sum ([[PqLutScore]]) instead of O(dim) arithmetic —
+    * the asymmetric-distance-computation shape that makes PQ search
+    * cheap. Emits array<double> of length m·ks — 16 KB per probe row
+    * at the default 8×256 geometry, 64 KB at the certified 32×256:
+    * bounded per PROBE row (|q|·nProbe of them), never
+    * per-candidate. */
+  case class PqLut(vec: Expression, cell: Expression,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = vec
+    override def right: Expression = cell
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(v: Any, c: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val cent = centroids(c.asInstanceOf[Int])
+      val m = codebooks.length
+      val ks = codebooks(0).length
+      val sub = cent.length / m
+      val out = new Array[Double](m * ks)
+      var s = 0
+      while (s < m) {
+        val book = codebooks(s)
+        var j = 0
+        while (j < ks) {
+          val e = book(j)
+          var d = 0.0
+          var i = 0
+          val n = math.min(sub, math.min(arr.numElements() - s * sub, e.length))
+          while (i < n) {
+            val r = arr.getFloat(s * sub + i).toDouble - cent(s * sub + i) - e(i)
+            d += r * r
+            i += 1
+          }
+          out(s * ks + j) = d
+          j += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLut =
+      copy(vec = l, cell = r)
+  }
+
+  /** PQ ADC SCORE — Σₛ LUT[s·ks + codeₛ]: the approximate squared L2
+    * distance of a PQ-coded candidate to the query whose LUT this is.
+    * O(m) per candidate pair; ks is derived from the operand lengths
+    * so the expression carries no model state at all. */
+  case class PqLutScore(lut: Expression, codes: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = lut
+    override def right: Expression = codes
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(l: Any, c: Any): Any = {
+      val lutA = l.asInstanceOf[ArrayData]
+      val codeA = c.asInstanceOf[ArrayData]
+      val m = codeA.numElements()
+      val ks = lutA.numElements() / m
+      var d = 0.0
+      var s = 0
+      while (s < m) {
+        d += lutA.getDouble(s * ks + codeA.getInt(s))
+        s += 1
+      }
+      d
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLutScore =
+      copy(lut = l, codes = r)
+  }
+
   // Column-API wrappers (Spark 4: Column wraps a ColumnNode, so the
   // classic converter — reached via GraftColumnBridge — bridges
   // to/from catalyst Expressions)
@@ -594,6 +718,14 @@ object SketchExpressions {
     toColumn(SortedLongJaccard(toExpression(a), toExpression(b)))
   def topCells(vec: Column, centroids: Array[Array[Float]], m: Int): Column =
     toColumn(TopCells(toExpression(vec), centroids, m))
+  def pqEncode(vec: Column, cell: Column, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): Column =
+    toColumn(PqEncode(toExpression(vec), toExpression(cell), centroids, codebooks))
+  def pqLut(vec: Column, cell: Column, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): Column =
+    toColumn(PqLut(toExpression(vec), toExpression(cell), centroids, codebooks))
+  def pqLutScore(lut: Column, codes: Column): Column =
+    toColumn(PqLutScore(toExpression(lut), toExpression(codes)))
   def bandHashes(sig: Column, bands: Int): Column =
     toColumn(BandHashes(toExpression(sig), bands))
   def floatDot(a: Column, b: Column): Column =

@@ -408,6 +408,19 @@ object Dedup {
     val counted = scope.pin(postings
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh")))
       .filter(col("__df") >= 2 && col("__df") <= maxPosting))
+    // EQUIVALENCE WITH THE EXHAUSTIVE TWIN on every corpus: the
+    // exhaustive formulation counts intersections only over shingles
+    // with df in [2, maxPosting], so the verify stage here must
+    // exclude df > maxPosting shingles from its set intersection too
+    // (df = 1 shingles can never be shared — no exclusion needed).
+    // The hot set is collected into ONE broadcast row: its size is
+    // bounded by |postings| / maxPosting and in practice by the
+    // handful of stop-word-grade shingles a real vocabulary has; a
+    // corpus pathological enough to overflow that row is the
+    // documented caveat of every hot-bucket guard in this file.
+    val hot = postings.groupBy("gh").agg(count(lit(1)).as("__hdf"))
+      .filter(col("__hdf") > maxPosting)
+      .agg(collect_set(col("gh")).as("__hot"))
     val prefix = counted
       .withColumn("__rank", row_number().over(
         Window.partitionBy("id").orderBy(col("__df").asc, col("gh").asc)))
@@ -424,7 +437,9 @@ object Dedup {
         col("set_size").as("sa")), Seq("contained_id"))
       .join(base.select(col("id").as("container_id"), col("sh").as("sh_b")),
         Seq("container_id"))
-      .withColumn("__c", size(array_intersect(col("sh_a"), col("sh_b"))) / col("sa"))
+      .crossJoin(broadcast(hot)) // one row: the hot-shingle exclusion set
+      .withColumn("__c", size(array_except(
+        array_intersect(col("sh_a"), col("sh_b")), col("__hot"))) / col("sa"))
       .filter(col("__c") >= threshold)
       .select(col("contained_id"), col("container_id"),
         graft.functions.Quantize.quantize4(col("__c")).as("containment")))

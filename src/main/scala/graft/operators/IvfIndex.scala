@@ -241,11 +241,24 @@ object IvfIndex {
     *
     * Mechanics: survivors of the touched cells are staged OUTSIDE the
     * index dir first (a lazy scan must never feed an overwrite of its
-    * own input path), then written back under dynamic partition
-    * overwrite so exactly the touched `cell=` dirs are replaced; a
-    * cell whose every row was deleted yields no staged rows — dynamic
-    * overwrite would leave its stale dir — so emptied cells are
-    * removed explicitly.
+    * own input path); cells whose every row was deleted are removed
+    * BEFORE the republish (dynamic overwrite writes no files for an
+    * empty partition, so a post-publish removal left a crash window
+    * in which a "completed-looking" index silently served every
+    * deleted row of those cells); then the survivors are written back
+    * under WRITE-SCOPED dynamic partition overwrite so exactly the
+    * non-empty touched `cell=` dirs are replaced.
+    *
+    * Crash contract (documented non-transactional window): a death
+    * between the emptied-cell removal and the republish leaves the
+    * remaining touched cells holding their PRE-delete files — a
+    * stale-but-consistent index in which no completed delete is
+    * half-visible, and REPLAYING the same delete finishes the job
+    * (ids already gone are ignored). The failure mode the old order
+    * allowed — deleted rows served after an apparently successful
+    * publish — cannot occur. True multi-writer atomicity needs the
+    * warehouse's versioned-commit protocol; an index is a derived
+    * artifact, so replay-to-repair is the right cost point.
     *
     * Returns the touched cell ids (sorted). Ids absent from the index
     * are ignored (idempotent replay, same contract as the warehouse
@@ -264,20 +277,19 @@ object IvfIndex {
       .select(col("id"), col("vec"), col("norm"), col("cell"))
       .write.mode("overwrite").parquet(stage)
     val survivors = spark.read.parquet(stage)
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
-    finally prior match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     val nonEmpty = survivors.select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
     val fs = new org.apache.hadoop.fs.Path(cellsPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // emptied cells first — see the crash contract above
     touched.filterNot(nonEmpty).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(cellsPath, s"cell=$c"), true)
     }
+    // write-scoped override: mutating the shared session conf raced
+    // against concurrent writers in the same session
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(cellsPath)
     touched
   }
 
@@ -321,13 +333,15 @@ object IvfIndex {
       .write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)
       .repartition(frag.length, col("cell"))
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try staged.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
-    finally prior match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // write-scoped override: mutating the shared session conf raced
+    // against concurrent writers in the same session. Compaction
+    // rewrites every touched cell with identical rows, so the crash
+    // window here is benign — a died republish leaves some cells
+    // compacted and some not, both fully readable; re-running
+    // compact() converges.
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(cellsPath)
     frag
   }
 
@@ -390,5 +404,131 @@ object IvfIndex {
       .select(col("query_id"), col("nbr_id"),
         graft.functions.Quantize.quantize4(col("cosine")).as("cosine"),
         col("rank").cast("long").as("rank"))
+  }
+
+  // ───────────────────────── IVF-PQ ─────────────────────────
+  // Cell-residual product quantization (Jégou et al., TPAMI 2011) —
+  // the component that makes a trillion-vector index RAM-resident:
+  // each vector is stored as its cell id plus m sub-quantizer codes
+  // (m·log2(ks) bits — 8 bytes at the default 8×256 geometry, the
+  // classic 8-bit PQ) instead of dim·4 bytes of floats — 32× smaller
+  // at dim 64, and the ratio GROWS with dim. Search never touches
+  // raw vectors: ADC scores
+  // candidates from a per-(query, cell) lookup table in O(m) per
+  // pair. Training follows the fitCentroids division of labor: all
+  // models (coarse centroids + m residual codebooks) fit driver-side
+  // on one bounded sample — on 100 TB you fit on a sample regardless
+  // and the full model is nCells·dim + m·ks·(dim/m) floats (~12 KB
+  // default), a plan-embedded broadcast like the centroid table.
+
+  /** The trained IVF-PQ model: coarse centroids + per-subspace
+    * residual codebooks (`codebooks(s)(j)` is entry j of subspace s,
+    * each of length dim/m). */
+  final case class PqModel(centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def ks: Int = codebooks(0).length
+  }
+
+  /** Fit the coarse quantizer AND the m residual sub-codebooks from
+    * ONE bounded, hash-ordered sample (the [[trainQuantizer]] draw):
+    * sample → coarse k-means → per-sample residual against its
+    * nearest centroid → per-subspace k-means over residual slices.
+    * Distinct seeds per subspace keep codebooks independent. */
+  private[operators] def trainPq(df: DataFrame, vecCol: String, nCells: Int,
+      m: Int, ks: Int, seed: Long = 42L, maxSample: Int = 100000): PqModel = {
+    val sample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot fit a PQ model on an empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    val centroids = fitCentroids(sample, nCells, seed)
+    val residuals = sample.map { v =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < dim) { val t = v(i).toDouble - cent(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cent = centroids(best)
+      Array.tabulate(dim)(i => v(i) - cent(i))
+    }
+    val codebooks = Array.tabulate(m)(s =>
+      fitCentroids(residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)), ks, seed + 1 + s))
+    PqModel(centroids, codebooks)
+  }
+
+  /** Build the PQ-coded index: one distributed scan assigning each
+    * vector its cell and its m residual codes. The artifact carries
+    * (id, cell, codes) ONLY — no vectors — which is what makes the
+    * index small enough to live in memory at any corpus size. */
+  def buildPq(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int = 8, ks: Int = 256, seed: Long = 42L)
+      : (DataFrame, PqModel) = {
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val model = trainPq(base, "vec", nCells, m, ks, seed)
+    val encoded = base
+      .withColumn("cell",
+        SketchExpressions.topCells(col("vec"), model.centroids, 1).getItem(0))
+      .withColumn("codes",
+        SketchExpressions.pqEncode(col("vec"), col("cell"),
+          model.centroids, model.codebooks))
+      .select("id", "cell", "codes")
+      .cache()
+    (encoded, model)
+  }
+
+  /** ADC search over a PQ-coded index: queries pick `nProbe` cells
+    * ([[SketchExpressions.TopCells]], per-row expression, no
+    * crossJoin), compute ONE distance lookup table per (query, cell)
+    * probe row, join candidates inside probed cells, and score each
+    * candidate as an O(m) table sum over its codes — raw vectors are
+    * never read. Ranking is ascending approximate distance with the
+    * bounded-heap [[graft.plans.TopKPerKey]] route (scores negated so
+    * the shared descending top-k applies). Lower-bound caveat baked
+    * into the contract: ADC distance is approximate, so the result is
+    * certified by recall against exact truth (the v04 pattern), not
+    * hash equality. */
+  def searchPq(encoded: DataFrame, model: PqModel, k: Int, nProbe: Int,
+      queries: DataFrame, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val probes = q
+      .withColumn("cell",
+        explode(SketchExpressions.topCells(col("vec"), model.centroids, nProbe)))
+      .withColumn("lut",
+        SketchExpressions.pqLut(col("vec"), col("cell"),
+          model.centroids, model.codebooks))
+      .select(col("id").as("query_id"), col("cell"), col("lut"))
+    val scored = probes.join(
+        encoded.select(col("cell"), col("id").as("nbr_id"), col("codes")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (-SketchExpressions.pqLutScore(col("lut"), col("codes"))).as("score"))
+    Similarity.rankTopK(scored, "query_id", "score", "nbr_id", k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Self-contained IVF-PQ top-k (the [[topK]] demo shape): build the
+    * coded index over `df`, ADC-search it, release the index cache. */
+  def pqTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 10, m: Int = 8, ks: Int = 256, nProbe: Int = 4,
+      queries: Option[DataFrame] = None): DataFrame = {
+    val (encoded, model) = buildPq(spark, df, idCol, vecCol, nCells, m, ks)
+    val out = searchPq(encoded, model, k, nProbe,
+      queries.getOrElse(df), idCol, vecCol).cache()
+    out.count()
+    encoded.unpersist()
+    out
   }
 }

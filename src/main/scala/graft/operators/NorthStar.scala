@@ -52,6 +52,26 @@ object NorthStar {
   private def widenWidth(spark: SparkSession): Int =
     math.min(8, spark.sessionState.conf.numShufflePartitions)
 
+  /** Gate-fixture guard for the hot-posting caps. The DuckDB oracles
+    * for d09/d35/d37 count over ALL shared shingles/grams, while the
+    * operators drop postings hotter than `maxPosting` — the two agree
+    * exactly only while no fixture shingle/gram exceeds the cap. That
+    * agreement was previously data-dependent and SILENT; this assert
+    * makes it loud the moment fixture scale grows past the cap (the
+    * correct-or-loud pattern the warehouse vacuum uses). One tiny
+    * aggregation over the fixture-layer corpus per gate call — never
+    * part of the library operators themselves, whose caps are a
+    * documented approximation contract, not an oracle contract. */
+  private def requireMaxDfBelow(df: DataFrame, elems: Column, cap: Int,
+      what: String): Unit = {
+    val maxDf = df.select(explode(elems).as("__e"))
+      .groupBy("__e").agg(count(lit(1)).as("__df"))
+      .agg(max(col("__df")).as("m")).collect()(0).getLong(0)
+    require(maxDf <= cap,
+      s"$what: fixture max posting df $maxDf exceeds maxPosting=$cap — the " +
+        "operator's hot-posting cap would silently diverge from the oracle")
+  }
+
   /** Below this corpus size, multi-stage compositions plan WITHOUT
     * AQE: at fixture scale every AQE exchange materialization is its
     * own Spark job (~0.2 s scheduling floor each), and a composite
@@ -171,13 +191,18 @@ object NorthStar {
     * (measured 1.7× slower here). On zipfian real text the
     * prefix-filtered [[Dedup.ngramJaccardPairs]] is the scale path —
     * equivalence of the two is spec-asserted. */
-  def ngramJaccardNearDups(spark: SparkSession, dir: String): DataFrame =
+  def ngramJaccardNearDups(spark: SparkSession, dir: String): DataFrame = {
     // caller's session (AQE on): the posting self-join is the one pair
     // stage where AQE's runtime broadcast/coalesce decisions beat the
     // static plan even at fixture scale (measured ~1.5-2x)
-    Dedup.ngramJaccardPairsExhaustive(withPlantedNearDups(spark, dir), "doc_id", "text",
+    val corpus = withPlantedNearDups(spark, dir)
+    requireMaxDfBelow(corpus,
+      graft.functions.SketchExpressions.shingleHashes(col("text"), 3), 1000,
+      "d09 ngram Jaccard")
+    Dedup.ngramJaccardPairsExhaustive(corpus, "doc_id", "text",
       n = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
+  }
 
   /** documents plus a planted EXCERPT per low-id doc: the first 25
     * tokens re-joined as a new document at doc_id + 200000 — the
@@ -203,12 +228,17 @@ object NorthStar {
     * shingles are the source's shingles), alongside whatever natural
     * doc-in-doc duplication the corpus carries. The quantized exact
     * ratio makes the full pair set hash-oracle-able. */
-  def containmentNearDups(spark: SparkSession, dir: String): DataFrame =
+  def containmentNearDups(spark: SparkSession, dir: String): DataFrame = {
     // caller's session (AQE on): same posting self-join rationale as
     // ngramJaccardNearDups
-    Dedup.containmentPairs(withPlantedExcerpts(spark, dir), "doc_id", "text",
+    val corpus = withPlantedExcerpts(spark, dir)
+    requireMaxDfBelow(corpus,
+      graft.functions.SketchExpressions.shingleHashes(col("text"), 3), 1000,
+      "d35 containment")
+    Dedup.containmentPairs(corpus, "doc_id", "text",
       n = 3, threshold = 0.8)
       .orderBy("contained_id", "container_id")
+  }
 
   /** Per-doc TITLES (first five tokens re-joined) plus a planted
     * one-character TYPO copy per low-id doc at doc_id + 300000
@@ -243,6 +273,14 @@ object NorthStar {
   def editDistanceNearDups(spark: SparkSession, dir: String): DataFrame = {
     val reps = withPlantedTypos(spark, dir)
       .groupBy("title").agg(min("doc_id").as("doc_id"))
+    // mirror editDistancePairs' gram construction (5-grams of strings
+    // long enough to participate) for the oracle-agreement guard: a
+    // prefix gram hotter than the cap would DROP pairs the oracle keeps
+    requireMaxDfBelow(reps.filter(length(col("title")) >= 5 * (2 + 1) + 2),
+      array_distinct(transform(
+        sequence(lit(1), length(col("title")) - 5 + 1),
+        i => col("title").substr(i, lit(5)))), 1000,
+      "d37 edit distance")
     Dedup.editDistancePairs(reps, "doc_id", "title", maxDist = 2)
       .orderBy("id_a", "id_b")
   }
@@ -878,6 +916,166 @@ object NorthStar {
       .orderBy("rank")
   }
 
+  /** Symbol-boundary separator for the BPE training loop's wrapped
+    * string representation (U+001F unit separator). Words containing
+    * it are excluded up front — documented contract, mirrored in the
+    * oracle — so the representation is unambiguous. */
+  private val BpeSep = "\u001f"
+
+  /** d38: ITERATED BPE merge-loop training — the full tokenizer-
+    * training loop d32 runs one step of: count adjacent-symbol pair
+    * frequencies (word-frequency weighted) → merge the winner →
+    * re-segment → repeat, emitting the ordered MERGE TABLE (the BPE
+    * model artifact; the vocab is the initial codepoints plus these
+    * merged symbols). nMerges = 30 over the documents corpus.
+    *
+    * The re-segmentation trick that keeps this portable AND cheap:
+    * each word's segmentation is ONE string with every symbol wrapped
+    * in U+001F separators (`␟a␟␟b␟…`), so applying merge (a,b) is a
+    * literal leftmost-non-overlapping `replace(s, "␟a␟␟b␟", "␟ab␟")`
+    * — identical semantics in Java, Spark SQL, and DuckDB, no custom
+    * expression, and the oracle unrolls the loop as generated CTEs
+    * (the g01 PageRank pattern). Wrapping per symbol means adjacent
+    * matches never share separator chars, so leftmost-continue
+    * replacement IS the classic single-pass BPE merge.
+    *
+    * Scale shape: the corpus-sized pass is the ONE word-frequency
+    * aggregate (map-side combined); the merge loop runs on
+    * VOCAB-sized data. Two spec-pinned-equal execution paths, the
+    * d13 capped-probe pattern: at or below `driverVocabCap` distinct
+    * words the loop runs driver-local (a tokenizer trainer's word
+    * table is the model input — the HF/GPT-2 trainers are exactly
+    * this shape); above it, each iteration is a distributed pair
+    * aggregate + one-row winner collect + a `replace` map, with a
+    * re-cache every `cacheEvery` iterations to bound lineage (the
+    * PageRank checkpoint-cadence discipline). */
+  def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    bpeTrainMergesOf(
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(widenWidth(s), md5(col("text"))),
+      "text", nMerges = 30)
+  }
+
+  /** Corpus-generic form (spec-drivable on constructed frames). */
+  def bpeTrainMergesOf(docs: DataFrame, textCol: String, nMerges: Int,
+      driverVocabCap: Long = 1000000L, cacheEvery: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains(BpeSep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .cache()
+    // one-job probe (the d13 pattern): the count picks the path AND
+    // materializes the cache both paths consume
+    val vocabSize = words.count()
+    val merges =
+      if (vocabSize <= driverVocabCap)
+        bpeMergesDriver(
+          words.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      else bpeMergesDistributed(words, nMerges, cacheEvery)
+    words.unpersist()
+    import spark.implicits._
+    merges.toDF("merge_rank", "left_sym", "right_sym", "merged", "n")
+      .orderBy("merge_rank")
+  }
+
+  /** UTF-8 byte order — what Spark's UTF8String and DuckDB's VARCHAR
+    * comparisons both use; Java String.compareTo (UTF-16 code units)
+    * differs for supplementary-plane text, so the driver path must
+    * not use it for the winner tiebreak. */
+  private def utf8Less(x: String, y: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  private def bpeWrap(w: String): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      sb.append(BpeSep).appendCodePoint(cp).append(BpeSep)
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Driver-local merge loop over the collected word table — exact
+    * and single-pass-identical to the distributed twin (spec-pinned):
+    * same wrapped-string representation, same leftmost-non-overlap
+    * `String.replace`, same (n DESC, left, right) UTF-8 tiebreak. */
+  private[operators] def bpeMergesDriver(words: Array[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    val sep2 = BpeSep + BpeSep
+    var seg = words.map { case (w, f) => (bpeWrap(w), f) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    for (k <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seg.foreach { case (s, f) =>
+        val syms = s.substring(1, s.length - 1).split(sep2, -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty, s"BPE ran dry at merge $k: no adjacent pairs remain")
+      var best: ((String, String), Long) = null
+      counts.foreach { case (p, n) =>
+        if (best == null || n > best._2 ||
+          (n == best._2 && (utf8Less(p._1, best._1._1) ||
+            (p._1 == best._1._1 && utf8Less(p._2, best._1._2))))) best = (p, n)
+      }
+      val ((a, b), n) = best
+      out += ((k.toLong, a, b, a + b, n))
+      val search = BpeSep + a + BpeSep + BpeSep + b + BpeSep
+      val repl = BpeSep + a + b + BpeSep
+      seg = seg.map { case (s, f) => (s.replace(search, repl), f) }
+    }
+    out.toList
+  }
+
+  /** Distributed merge loop: per iteration one vocab-sized pair
+    * aggregate, a ONE-ROW winner collect (model-sized driver traffic,
+    * the IVF-centroid discipline), and a narrow `replace` map; the
+    * segmentation re-caches every `cacheEvery` iterations so lineage
+    * depth stays bounded. */
+  private[operators] def bpeMergesDistributed(words: DataFrame, nMerges: Int,
+      cacheEvery: Int): Seq[(Long, String, String, String, Long)] = {
+    val sep2 = BpeSep + BpeSep
+    var seg = words.select(col("freq"),
+      regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep).as("s")).cache()
+    seg.count()
+    var lastCached = seg
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    for (k <- 1 to nMerges) {
+      val win = seg
+        .withColumn("cs", split(col("s").substr(lit(2), length(col("s")) - 2), sep2))
+        .filter(size(col("cs")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("cs")) - 1),
+          i => struct(element_at(col("cs"), i).as("a"),
+            element_at(col("cs"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      require(win.nonEmpty, s"BPE ran dry at merge $k: no adjacent pairs remain")
+      val (a, b, n) = (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+      out += ((k.toLong, a, b, a + b, n))
+      seg = seg.withColumn("s", call_function("replace", col("s"),
+        lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep), lit(BpeSep + a + b + BpeSep)))
+      if (k % cacheEvery == 0 && k < nMerges) {
+        val c = seg.cache()
+        c.count()
+        lastCached.unpersist()
+        lastCached = c
+      }
+    }
+    lastCached.unpersist()
+    out.toList
+  }
+
   /** d31: TEMPERATURE-based mixture resampling — the multilingual
     * data-mix stage (mBERT/XLM-R style): per-language sampling
     * probability ∝ count^α with α = 0.5, so low-resource languages
@@ -1237,6 +1435,55 @@ object NorthStar {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5),
       IvfIndex.topK(spark, emb, "vec_id", "embedding", k = 5, nCells = 10, nProbe = 4),
       minRecall = 0.6, okCol = "ivf_recall_ok")
+  }
+
+  /** v15: IVF-PQ — cell-residual product quantization, the missing
+    * standard component of a trillion-vector ANN stack (codes, not
+    * vectors, in the index: 8 bytes/vector at the 8×16 default vs 256
+    * raw — see [[IvfIndex.buildPq]]). Certified the v02/v04 way:
+    * output is the brute-force cosine truth top-k plus
+    * `ivfpq_recall_ok`, the distributed recall@5 certificate over the
+    * full query set. Vectors are unit-normalized BEFORE indexing so
+    * ADC's L2-over-residuals ranking is exactly cosine ranking
+    * (‖a−b‖² = 2 − 2·cos on unit vectors); cosine truth is
+    * normalization-invariant, so the raw-corpus truth side matches.
+    * Geometry: m=32 two-dim subspaces × 256 codes (32 B/vector, 8×
+    * compression at dim 64; the ratio grows with dim). The fixture
+    * vectors are near-RANDOM (max pairwise cosine ~0.51), the
+    * documented worst case for PQ — neighbor margins are tiny, so
+    * quantization distortion costs recall that structured real
+    * embeddings would keep: measured sweep m=8/ks=16 0.24, 8/256
+    * 0.51, 16/256 0.65, 32/256 0.73 at (sf0.01, nProbe=4). Certified
+    * configuration (nCells=10, nProbe=5, m=32, ks=256): recall@5
+    * 0.80/0.77/0.73 at sf0.001/0.01/0.1 — ≥ 0.13 margin over the 0.6
+    * bar, the v04 margin discipline. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val unit = emb
+      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    certifyRecall(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5),
+      IvfIndex.pqTopK(spark, unit, "vec_id", "embedding", k = 5,
+        nCells = 10, m = 32, ks = 256, nProbe = 5),
+      minRecall = 0.6, okCol = "ivfpq_recall_ok")
+  }
+
+  /** BENCH-ONLY twin of v15: the PQ build + ADC search alone, without
+    * the certificate's truth side — see [[annTopKProduction]]. */
+  def ivfPqTopKProduction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val unit = emb
+      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    IvfIndex.pqTopK(spark, unit, "vec_id", "embedding", k = 5,
+      nCells = 10, m = 32, ks = 256, nProbe = 5)
   }
 
   /** v06: the IVF index driven to EXACTNESS — nProbe = nCells probes

@@ -695,15 +695,17 @@ object Relational {
     * moments aggregate (5 rows), broadcast back over the stream —
     * per-row codegen'd arithmetic, no second shuffle. */
   def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // cast BEFORE multiplying: every overflow-prone product — the
+    // per-row square feeding sxx included — runs in DECIMAL(38,0)
+    // to mirror the oracle's HUGEINT. A Long sxx would silently wrap
+    // after ~9e6 rows per event_type at v_cents ~1e6 (non-ANSI mode),
+    // flipping flags well below the 100 TB regime.
+    def big(c: Column) = c.cast("decimal(38,0)")
     val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"),
       floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
     val moments = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum("v_cents").as("sx"),
-      sum(col("v_cents") * col("v_cents")).as("sxx"))
-    // cast BEFORE multiplying: sx² and n·sxx overflow Int64 well
-    // below the 100 TB regime (ANSI mode would throw; the oracle's
-    // BIGINT would too) — all products run in DECIMAL(38,0)/HUGEINT
-    def big(c: Column) = c.cast("decimal(38,0)")
+      sum(big(col("v_cents")) * col("v_cents")).as("sxx"))
     val dev = big(col("n")) * big(col("v_cents")) - big(col("sx"))
     val lhs = (big(col("n")) - 1) * dev * dev
     val rhs = big(lit(9)) * big(col("n")) *

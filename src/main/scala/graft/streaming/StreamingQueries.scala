@@ -172,16 +172,18 @@ object StreamingQueries {
     * family); the scoring path is unchanged. */
   def streamingValueOutliers(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 4) { scoped =>
+      def big(c: Column) = c.cast("decimal(38,0)")
+      // the per-row square feeding sxx runs in DECIMAL(38,0) too — a
+      // Long sum wraps after ~9e6 rows per type (q41's contract)
       val momentsStatic = graft.core.Tables.events(scoped, dir)
         .select(col("event_type"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
         .groupBy("event_type").agg(
           count(lit(1)).as("n"), sum("v_cents").as("sx"),
-          sum(col("v_cents") * col("v_cents")).as("sxx"))
+          sum(big(col("v_cents")) * col("v_cents")).as("sxx"))
       val stream = eventsStream(scoped, dir)
         .select(col("event_id"), col("event_type"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
-      def big(c: Column) = c.cast("decimal(38,0)")
       val dev = big(col("n")) * big(col("v_cents")) - big(col("sx"))
       val lhs = (big(col("n")) - 1) * dev * dev
       val rhs = big(lit(9)) * big(col("n")) *

@@ -242,14 +242,35 @@ class DedupSpec extends AnyFunSuite {
 
   test("prefix-filtered containment equals the exhaustive formulation") {
     val corpus = NorthStar.withPlantedExcerpts(spark, dir)
-    val exhaustive = Dedup.containmentPairs(corpus, "doc_id", "text",
-      n = 3, threshold = 0.8).collect().map(_.toString).sorted.toSeq
-    val prefix = Dedup.containmentPairsPrefix(corpus, "doc_id", "text",
-      n = 3, threshold = 0.8, maxPosting = 1000000).collect()
-      .map(_.toString).sorted.toSeq
-    assert(prefix === exhaustive)
-    assert(prefix.nonEmpty)
+    // SAME maxPosting on both sides — the equivalence claim is for
+    // any cap, not just caps no fixture shingle reaches: the prefix
+    // twin's verify stage excludes hot shingles from its set
+    // intersection exactly as the exhaustive twin's posting filter
+    // does. Checked at the default cap AND at a cap low enough that
+    // the fixture genuinely has hot shingles, so the exclusion path
+    // is exercised rather than vacuously empty.
+    for (cap <- Seq(1000, 5)) {
+      val exhaustive = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.8, maxPosting = cap).collect()
+        .map(_.toString).sorted.toSeq
+      val prefix = Dedup.containmentPairsPrefix(corpus, "doc_id", "text",
+        n = 3, threshold = 0.8, maxPosting = cap).collect()
+        .map(_.toString).sorted.toSeq
+      assert(prefix === exhaustive, s"maxPosting=$cap")
+      assert(prefix.nonEmpty, s"maxPosting=$cap")
+    }
     spark.catalog.clearCache()
+  }
+
+  test("the low-cap containment run genuinely exercises hot-shingle exclusion") {
+    // guard for the test above: at cap=5 the fixture must HAVE
+    // shingles with df > 5, or the equivalence check at that cap
+    // proves nothing about the exclusion path
+    val corpus = NorthStar.withPlantedExcerpts(spark, dir)
+    val maxDf = corpus.select(explode(
+      graft.functions.SketchExpressions.shingleHashes(col("text"), 3)).as("gh"))
+      .groupBy("gh").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf > 5, s"fixture max shingle df $maxDf <= 5")
   }
 
   test("edit-distance join equals all-pairs Levenshtein, typos link, no cartesian") {

@@ -394,4 +394,106 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - expect) < 1e-6)
     }
   }
+
+  // ── IVF-PQ ──
+
+  /** Unit-normalized fixture (the cosine-as-L2 contract the PQ gate
+    * uses) plus a small built index shared by the PQ tests. */
+  private lazy val pqFixture = {
+    val emb = Tables.embeddings(spark, dir).repartition(8, col("vec_id"))
+    val unit = emb
+      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    val (encoded, model) = IvfIndex.buildPq(spark, unit,
+      "vec_id", "embedding", nCells = 6, m = 8, ks = 16)
+    val unitVecs = unit.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    (unit, encoded, model, unitVecs)
+  }
+
+  test("PQ encode: every stored code is the argmin sub-quantizer entry (driver recompute)") {
+    val (_, encoded, model, unitVecs) = pqFixture
+    val rows = encoded.collect()
+    assert(rows.nonEmpty)
+    val dim = model.centroids(0).length
+    val sub = dim / model.m
+    rows.foreach { r =>
+      val v = unitVecs(r.getLong(0))
+      val cell = r.getInt(1)
+      val codes = r.getSeq[Int](2)
+      assert(codes.length === model.m)
+      for (s <- 0 until model.m) {
+        val dists = (0 until model.ks).map { j =>
+          val e = model.codebooks(s)(j)
+          var d = 0.0
+          for (i <- 0 until sub) {
+            val t = v(s * sub + i).toDouble - model.centroids(cell)(s * sub + i) - e(i)
+            d += t * t
+          }
+          d
+        }
+        assert(dists(codes(s)) === dists.min,
+          s"vec ${r.getLong(0)} subspace $s: code ${codes(s)} is not an argmin")
+      }
+    }
+  }
+
+  test("PQ ADC search equals driver-side ADC recompute at full probe width") {
+    // nProbe = nCells makes the candidate set exhaustive, so the ONLY
+    // machinery under test is the LUT construction + O(m) table-sum
+    // scoring + ranking — pinned against the same arithmetic done
+    // longhand on the driver (identical double operations in
+    // identical order ⇒ exact equality, no tolerance).
+    val (unit, encoded, model, unitVecs) = pqFixture
+    val queries = unit.filter(col("vec_id") < 5)
+    val got = IvfIndex.searchPq(encoded, model, k = 5, nProbe = 6,
+      queries, "vec_id", "embedding").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq).toMap
+    val cellOf = encoded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codesOf = encoded.collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val dim = model.centroids(0).length
+    val sub = dim / model.m
+    (0L until 5L).foreach { q =>
+      val qv = unitVecs(q)
+      def adc(nbr: Long): Double = {
+        val cent = model.centroids(cellOf(nbr))
+        val codes = codesOf(nbr)
+        var d = 0.0
+        for (s <- 0 until model.m) {
+          val e = model.codebooks(s)(codes(s))
+          var ds = 0.0
+          for (i <- 0 until sub) {
+            val t = qv(s * sub + i).toDouble - cent(s * sub + i) - e(i)
+            ds += t * t
+          }
+          d += ds
+        }
+        d
+      }
+      val expected = cellOf.keys.filter(_ != q).toSeq
+        .map(id => (id, adc(id)))
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+      assert(got(q) === expected, s"query $q")
+    }
+  }
+
+  test("IVF-PQ certified configuration keeps >=60% recall@5 vs brute force") {
+    val (unit, _, _, _) = pqFixture
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = IvfIndex.pqTopK(spark, unit, "vec_id", "embedding", k = 5,
+      nCells = 10, m = 32, ks = 256, nProbe = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      pq.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"IVF-PQ mean recall@5 = $mean%.3f")
+    spark.catalog.clearCache()
+  }
 }

@@ -125,6 +125,60 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got === Seq(("xy", 1L, 1L), ("yz", 1L, 2L)))
   }
 
+  test("bpe merge loop: hand-computed merges on a toy corpus, driver path") {
+    import spark.implicits._
+    // words: abab(freq 2), ab(freq 1)
+    // iter 1 pairs: (a,b) = 2·2 + 1 = 5, (b,a) = 2 → merge (a,b) n=5
+    //   abab -> [ab, ab], ab -> [ab]
+    // iter 2 pairs: (ab,ab) = 2 → merge (ab,ab) n=2 -> abab
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val got = NorthStar.bpeTrainMergesOf(docs, "text", nMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, "a", "b", "ab", 5L), (2L, "ab", "ab", "abab", 2L)))
+  }
+
+  test("bpe merge loop: winner ties break by (left, right) symbol order") {
+    import spark.implicits._
+    // xy and yz both count 1; tiebreak picks (x,y) first. After that
+    // merge, remaining pairs: (y,z) = 1 -> second merge.
+    val docs = Seq((1L, "xy yz")).toDF("doc_id", "text")
+    val got = NorthStar.bpeTrainMergesOf(docs, "text", nMerges = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(("x", "y"), ("y", "z")))
+  }
+
+  test("bpe merge loop: overlapping repeats merge left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaa": pairs (a,a) = 2; merge (a,a) must produce [aa, a], not [aa, aa]
+    // second merge: (aa,a) = 1 beats nothing else -> aaa
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = NorthStar.bpeTrainMergesOf(docs, "text", nMerges = 2)
+      .collect().map(r => (r.getString(3), r.getLong(4))).toSeq
+    assert(got === Seq(("aa", 2L), ("aaa", 1L)))
+  }
+
+  test("bpe merge loop: distributed path equals driver path on the fixture corpus") {
+    val docs = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val viaDriver = NorthStar.bpeTrainMergesOf(docs, "text", nMerges = 15)
+      .collect().map(_.toString).toSeq
+    val viaCluster = NorthStar.bpeTrainMergesOf(docs, "text", nMerges = 15,
+      driverVocabCap = 0L, cacheEvery = 4) // cap 0 forces the distributed loop
+      .collect().map(_.toString).toSeq
+    assert(viaCluster === viaDriver)
+    assert(viaDriver.size === 15)
+    spark.catalog.clearCache()
+  }
+
+  test("bpe merge loop runs dry loudly, never silently short") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text") // one pair total
+    val e = intercept[IllegalArgumentException] {
+      NorthStar.bpeTrainMergesOf(docs, "text", nMerges = 3).collect()
+    }
+    assert(e.getMessage.contains("ran dry"))
+  }
+
   test("perplexity filter: in-domain text scores below gibberish, keep honors the threshold") {
     import spark.implicits._
     val docs = Seq(
