@@ -1570,7 +1570,8 @@ object SparkEntry {
         |ORDER BY s.asset_id""".stripMargin,
     // m05: the planned movie metadata re-derived from content-length
     // arithmetic (the Spark side PARSES it back out of real ISO BMFF
-    // bytes; 136 = ftyp + moov/mvhd prefix), duration_ms by exact
+    // bytes; 357 = ftyp + moov{mvhd + trak{… stsd}} prefix, codec
+    // fourcc from the stsd sample entry), duration_ms by exact
     // integer division.
     "m05_video_metadata" ->
       """WITH d AS (
@@ -1579,10 +1580,11 @@ object SparkEntry {
         |s AS (SELECT asset_id, n_content,
         |        (n_content * 2654435761) % 1000003 AS h FROM d)
         |SELECT asset_id,
-        |  CAST(n_content + 136 AS BIGINT) AS n_bytes,
+        |  CAST(n_content + 357 AS BIGINT) AS n_bytes,
         |  CAST([600, 1000, 24000, 90000][CAST(h % 4 AS INT) + 1] AS INT) AS timescale,
         |  CAST(n_content * 3 + 7 AS BIGINT) AS duration_ticks,
         |  CAST(((n_content * 3 + 7) * 1000) // [600, 1000, 24000, 90000][CAST(h % 4 AS INT) + 1] AS BIGINT) AS duration_ms,
+        |  ['avc1', 'hev1', 'mp4a', 'av01'][CAST((h // 4) % 4 AS INT) + 1] AS codec,
         |  TRUE AS header_ok
         |FROM s ORDER BY asset_id""".stripMargin,
     // m04: the binary store round-trip must preserve every byte — the

@@ -24,7 +24,8 @@ object MediaHeaders {
     * sites are untouched. */
   final case class Media(kind: String, width: Int, height: Int,
       sampleRate: Int, headerLen: Int,
-      timescale: Int = 0, durationTicks: Long = 0L)
+      timescale: Int = 0, durationTicks: Long = 0L,
+      codec: String = "")
 
   // ------------------------------------------------------------- PNG
 
@@ -184,6 +185,11 @@ object MediaHeaders {
     b.putInt(20); putAscii(b, "ftyp")                    // ftyp box
     putAscii(b, "isom"); b.putInt(0); putAscii(b, "isom")
     b.putInt(116); putAscii(b, "moov")                   // moov box
+    putMvhd(b, timescale, durationTicks)
+    b.array()
+  }
+
+  private def putMvhd(b: ByteBuffer, timescale: Int, durationTicks: Long): Unit = {
     b.putInt(108); putAscii(b, "mvhd")                   // mvhd v0
     b.putInt(0)                                          // version + flags
     b.putInt(0).putInt(0)                                // creation, modification
@@ -198,21 +204,113 @@ object MediaHeaders {
     b.putInt(0); b.putInt(0); b.putInt(0x40000000)
     (1 to 6).foreach(_ => b.putInt(0))                   // pre_defined
     b.putInt(2)                                          // next_track_ID
+  }
+
+  /** MP4 prefix WITH one track carrying a codec identity: ftyp +
+    * moov{ mvhd + trak{ tkhd + mdia{ mdhd + hdlr + minf{ stbl{
+    * stsd{ <codec sample entry> } } } } } } — 357 bytes of real
+    * ISO/IEC 14496-12 box nesting, including the sibling boxes
+    * (tkhd, mdhd, hdlr) a real file carries, so the parser's stsd
+    * walk has to SKIP siblings rather than assume stbl comes first.
+    * The sample entry is the 16-byte base SampleEntry (6 reserved
+    * bytes + data_reference_index = 1) under the given fourcc —
+    * what every codec-identification reader keys on. */
+  def mp4HeaderWithTrack(timescale: Int, durationTicks: Long,
+      codec: String): Array[Byte] = {
+    require(timescale > 0, s"timescale must be positive, got $timescale")
+    require(durationTicks >= 0 && durationTicks <= 0xffffffffL,
+      s"v0 mvhd duration must fit u32, got $durationTicks")
+    require(codec.length == 4 && codec.forall(c => c >= 0x20 && c < 0x7f),
+      s"codec must be a 4-char printable fourcc, got '$codec'")
+    val b = ByteBuffer.allocate(357).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(20); putAscii(b, "ftyp")
+    putAscii(b, "isom"); b.putInt(0); putAscii(b, "isom")
+    b.putInt(337); putAscii(b, "moov")
+    putMvhd(b, timescale, durationTicks)
+    b.putInt(221); putAscii(b, "trak")
+    b.putInt(92); putAscii(b, "tkhd")                    // tkhd v0
+    b.putInt(0x00000007)                                 // v0, flags: enabled|in_movie|in_preview
+    b.putInt(0).putInt(0)                                // creation, modification
+    b.putInt(1)                                          // track_ID
+    b.putInt(0)                                          // reserved
+    b.putInt(durationTicks.toInt)
+    b.putLong(0L)                                        // reserved[2]
+    b.putShort(0).putShort(0).putShort(0).putShort(0)    // layer, alt_group, volume, reserved
+    b.putInt(0x00010000); b.putInt(0); b.putInt(0)       // unity matrix
+    b.putInt(0); b.putInt(0x00010000); b.putInt(0)
+    b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+    b.putInt(0).putInt(0)                                // width, height (16.16)
+    b.putInt(121); putAscii(b, "mdia")
+    b.putInt(32); putAscii(b, "mdhd")                    // mdhd v0
+    b.putInt(0)                                          // version + flags
+    b.putInt(0).putInt(0)                                // creation, modification
+    b.putInt(timescale)
+    b.putInt(durationTicks.toInt)
+    b.putShort(0x55c4.toShort)                           // language 'und'
+    b.putShort(0)                                        // pre_defined
+    b.putInt(33); putAscii(b, "hdlr")                    // hdlr
+    b.putInt(0)                                          // version + flags
+    b.putInt(0)                                          // pre_defined
+    putAscii(b, "vide")                                  // handler_type
+    b.putInt(0).putInt(0).putInt(0)                      // reserved[3]
+    b.put(0.toByte)                                      // empty NUL name
+    b.putInt(48); putAscii(b, "minf")
+    b.putInt(40); putAscii(b, "stbl")
+    b.putInt(32); putAscii(b, "stsd")                    // stsd fullbox
+    b.putInt(0)                                          // version + flags
+    b.putInt(1)                                          // entry_count
+    b.putInt(16); putAscii(b, codec)                     // base SampleEntry
+    b.putInt(0).putShort(0)                              // 6 reserved bytes
+    b.putShort(1)                                        // data_reference_index
     b.array()
   }
 
-  /** Walk top-level ISO BMFF boxes to `moov`, then its children to
-    * `mvhd`; reads both v0 (u32 times) and v1 (u64) layouts. Stops at
-    * the first unrecognizable box boundary (the fixture's
-    * header‖content layout puts raw content right after `moov`), so
-    * a torn or non-MP4 prefix fails the parse rather than yielding
-    * garbage metadata. */
+  /** Walk top-level ISO BMFF boxes to `moov`, then its children:
+    * `mvhd` (v0 u32 / v1 u64 layouts) for timescale/duration, and
+    * every `trak`'s mdia → minf → stbl → stsd chain for the per-track
+    * codec fourcc (what a video-corpus pipeline filters on; multiple
+    * tracks join comma-separated in track order). Stops at the first
+    * unrecognizable box boundary (the fixture's header‖content layout
+    * puts raw content right after `moov`), and any MALFORMED box —
+    * overrunning size, stsd with zero entries, truncated sample entry
+    * — fails the whole parse rather than yielding partial garbage:
+    * the torn-header contract every parser in this file follows. A
+    * moov with no trak at all parses with codec "" (mvhd-only
+    * prefixes are still valid movie headers — the pre-track encoder's
+    * output and m04's fixtures). */
   def parseMp4(bytes: Array[Byte]): Option[Media] = {
     def ascii(off: Int, s: String) =
       off + s.length <= bytes.length &&
         s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => bytes(off + i) == c }
     if (bytes.length < 16 || !ascii(4, "ftyp")) return None
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+
+    // First stsd sample-entry fourcc of one trak's stbl, or None on
+    // any malformed box in the chain. `lo`/`hi` bound the child walk
+    // at each nesting level (the same boundary discipline as moov's).
+    def trakCodec(lo: Int, hi: Int): Option[String] = {
+      def findChild(lo: Int, hi: Int, fourcc: String): Option[(Int, Int)] = {
+        var j = lo
+        while (j + 8 <= hi) {
+          val csize = b.getInt(j)
+          if (csize < 8 || j + csize > hi) return None
+          if (ascii(j + 4, fourcc)) return Some((j + 8, j + csize))
+          j += csize
+        }
+        None
+      }
+      for {
+        (mdiaLo, mdiaHi) <- findChild(lo, hi, "mdia")
+        (minfLo, minfHi) <- findChild(mdiaLo, mdiaHi, "minf")
+        (stblLo, stblHi) <- findChild(minfLo, minfHi, "stbl")
+        (stsdLo, stsdHi) <- findChild(stblLo, stblHi, "stsd")
+        // fullbox (ver/flags + entry_count) + 8-byte entry header
+        if stsdLo + 16 <= stsdHi && b.getInt(stsdLo + 4) >= 1
+        entrySize = b.getInt(stsdLo + 8)
+        if entrySize >= 16 && stsdLo + 8 + entrySize <= stsdHi
+      } yield new String(bytes, stsdLo + 12, 4, "US-ASCII")
+    }
+
     var i = 0
     while (i + 8 <= bytes.length) {
       val size = b.getInt(i)
@@ -220,24 +318,31 @@ object MediaHeaders {
       if (ascii(i + 4, "moov")) {
         var j = i + 8
         val moovEnd = i + size
+        var mvhd: Option[(Int, Long)] = None
+        val codecs = scala.collection.mutable.ListBuffer.empty[String]
         while (j + 8 <= moovEnd) {
           val csize = b.getInt(j)
           if (csize < 8 || j + csize > moovEnd) return None
           if (ascii(j + 4, "mvhd")) {
             val version = bytes(j + 8) & 0xff
-            return version match {
+            version match {
               case 0 if csize >= 28 =>
-                Some(Media("video", 0, 0, 0, moovEnd,
-                  b.getInt(j + 20), b.getInt(j + 24).toLong & 0xffffffffL))
+                mvhd = Some((b.getInt(j + 20), b.getInt(j + 24).toLong & 0xffffffffL))
               case 1 if csize >= 40 =>
-                Some(Media("video", 0, 0, 0, moovEnd,
-                  b.getInt(j + 28), b.getLong(j + 32)))
-              case _ => None
+                mvhd = Some((b.getInt(j + 28), b.getLong(j + 32)))
+              case _ => return None
+            }
+          } else if (ascii(j + 4, "trak")) {
+            trakCodec(j + 8, j + csize) match {
+              case Some(c) => codecs += c
+              case None    => return None // malformed track = torn header
             }
           }
           j += csize
         }
-        return None // moov without mvhd is not a playable movie header
+        return mvhd.map { case (ts, dur) =>
+          Media("video", 0, 0, 0, moovEnd, ts, dur, codecs.mkString(","))
+        } // moov without mvhd is not a playable movie header
       }
       i += size
     }

@@ -135,24 +135,31 @@ object Multimodal {
     * bytes ([[MediaHeaders.parseMp4]]) — never echoed from the
     * planning arithmetic, which only the oracle re-derives. */
   final case class VideoMeta(asset_id: Long, n_bytes: Long, timescale: Int,
-      duration_ticks: Long, duration_ms: Long, header_ok: Boolean)
+      duration_ticks: Long, duration_ms: Long, codec: String,
+      header_ok: Boolean)
 
   /** The fixture's deterministic video metadata (what the "camera"
     * recorded), content-keyed like [[plannedDims]] so the SQL oracle
-    * re-derives it without parsing bytes. */
-  private[multimodal] def plannedVideo(contentBytes: Long): (Int, Long) = {
+    * re-derives it without parsing bytes. Codec fourcc drawn from the
+    * same content hash as the timescale (independent residues). */
+  private[multimodal] def plannedVideo(contentBytes: Long): (Int, Long, String) = {
     val h = (contentBytes * 2654435761L) % 1000003L
     val timescale = Seq(600, 1000, 24000, 90000)((h % 4).toInt)
-    (timescale, contentBytes * 3 + 7)
+    val codec = Seq("avc1", "hev1", "mp4a", "av01")(((h / 4) % 4).toInt)
+    (timescale, contentBytes * 3 + 7, codec)
   }
 
   /** m05: VIDEO metadata extraction — document text wrapped in a real
-    * ISO BMFF prefix (ftyp + moov/mvhd), then the per-partition
-    * decode walks the box structure and reads timescale + duration
-    * out of the BYTES; duration_ms is exact integer arithmetic on
-    * the parsed values. Same certification shape as m01: the oracle
-    * re-derives the planned metadata from content-length arithmetic,
-    * so parse(encode(planned)) ≠ planned anywhere breaks the hash. */
+    * ISO BMFF prefix (ftyp + moov{mvhd + trak{tkhd mdia{mdhd hdlr
+    * minf{stbl{stsd}}}}}), then the per-partition decode walks the
+    * box structure and reads timescale + duration out of mvhd and
+    * the codec fourcc out of the trak's stsd sample entry — the
+    * field a video-corpus pipeline filters on; duration_ms is exact
+    * integer arithmetic on the parsed values. Same certification
+    * shape as m01: the oracle re-derives the planned metadata from
+    * content-length arithmetic, so parse(encode(planned)) ≠ planned
+    * anywhere — including one wrong byte in the five-level box walk —
+    * breaks the hash. */
   def videoMetadata(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
     import spark.implicits._
     graft.core.Tables.documents(spark, dir)
@@ -161,17 +168,19 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val (ts, dur) = plannedVideo(content.length.toLong)
-        Asset(id, "video", MediaHeaders.mp4Header(ts, dur) ++ content)
+        val (ts, dur, codec) = plannedVideo(content.length.toLong)
+        Asset(id, "video", MediaHeaders.mp4HeaderWithTrack(ts, dur, codec) ++ content)
       }
       .mapPartitions { it =>
         it.map { a =>
           MediaHeaders.parseMp4(a.payload) match {
             case Some(m) =>
               VideoMeta(a.asset_id, a.payload.length.toLong, m.timescale,
-                m.durationTicks, m.durationTicks * 1000L / m.timescale, header_ok = true)
+                m.durationTicks, m.durationTicks * 1000L / m.timescale,
+                m.codec, header_ok = true)
             case None =>
-              VideoMeta(a.asset_id, a.payload.length.toLong, 0, 0L, 0L, header_ok = false)
+              VideoMeta(a.asset_id, a.payload.length.toLong, 0, 0L, 0L, "",
+                header_ok = false)
           }
         }
       }

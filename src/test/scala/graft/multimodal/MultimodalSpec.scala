@@ -89,18 +89,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.parseMp4(badSize).isEmpty, "overrunning box size parsed")
     assert(MediaHeaders.parseMp4(good.take(100)).isEmpty, "truncated moov parsed")
     assert(MediaHeaders.parseMp4("notmp4".getBytes).isEmpty)
+    // the mvhd-only prefix remains a valid movie header: codec empty
+    assert(MediaHeaders.parseMp4(good).get.codec === "")
+  }
+
+  test("MP4 trak walk reads the stsd codec fourcc; malformed tracks rejected") {
+    for (codec <- Seq("avc1", "hev1", "mp4a", "av01")) {
+      val bytes = MediaHeaders.mp4HeaderWithTrack(90000, 123L, codec) ++
+        Array[Byte](9, 8, 7)
+      val m = MediaHeaders.parseMp4(bytes).get
+      assert((m.kind, m.timescale, m.durationTicks, m.codec, m.headerLen) ===
+        (("video", 90000, 123L, codec, 357)))
+    }
+    val good = MediaHeaders.mp4HeaderWithTrack(600, 42L, "avc1")
+    // the walk tolerates nothing torn: an stsd whose entry_count says
+    // one but whose entry size overruns the box must fail the parse
+    val overrunEntry = good.clone()
+    // entry size field sits 8 bytes into stsd's payload; stsd payload
+    // starts at 357 - 24 (16-byte entry + 8-byte fullbox prefix)
+    val entrySizeOff = 357 - 24 + 8
+    assert(good(entrySizeOff + 3) === 16.toByte, "test offset drifted")
+    overrunEntry(entrySizeOff + 3) = 64 // declared entry size > box
+    assert(MediaHeaders.parseMp4(overrunEntry).isEmpty, "overrunning sample entry parsed")
+    // stsd declaring zero entries is not a playable track
+    val zeroEntries = good.clone()
+    val entryCountOff = 357 - 24 + 4
+    assert(good(entryCountOff + 3) === 1.toByte, "test offset drifted")
+    zeroEntries(entryCountOff + 3) = 0
+    assert(MediaHeaders.parseMp4(zeroEntries).isEmpty, "zero-entry stsd parsed")
+    // a trak whose child box size overruns the trak is torn
+    val tornTrak = good.clone()
+    val trakPayload = 20 + 8 + 108 + 8 // ftyp + moov hdr + mvhd + trak hdr
+    // tkhd size (92) -> 0xff: overruns the trak
+    tornTrak(trakPayload + 3) = 0xff.toByte
+    assert(MediaHeaders.parseMp4(tornTrak).isEmpty, "overrunning tkhd parsed")
   }
 
   test("video metadata query parses planned values out of real bytes") {
     val rows = Multimodal.videoMetadata(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getBoolean(5), s"asset ${r.getLong(0)} failed header parse")
-      val nContent = r.getLong(1) - 136
-      val (ts, dur) = Multimodal.plannedVideo(nContent)
+      assert(r.getBoolean(6), s"asset ${r.getLong(0)} failed header parse")
+      val nContent = r.getLong(1) - 357
+      val (ts, dur, codec) = Multimodal.plannedVideo(nContent)
       assert(r.getInt(2) === ts)
       assert(r.getLong(3) === dur)
       assert(r.getLong(4) === dur * 1000L / ts)
+      assert(r.getString(5) === codec)
     }
     spark.catalog.clearCache()
   }
