@@ -42,7 +42,17 @@ object SparkEntry {
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v02_ann_production" -> (NorthStar.annTopKProduction _),
     "v04_ivf_production" -> (NorthStar.ivfTopKProduction _),
-    "v15_ivfpq_production" -> (NorthStar.ivfPqTopKProduction _))
+    "v15_ivfpq_production" -> (NorthStar.ivfPqTopKProduction _),
+    // z-rows: exhaustive-vs-prefix pair routes timed on a seeded
+    // ZIPFIAN corpus (real text's vocabulary shape, where the prefix
+    // theorems claim their win — the driver fixture's uniform
+    // vocabulary can't measure it). Fixed-size synthetic input; no
+    // oracle by design (equivalence of the routes is spec-pinned on
+    // both corpus shapes; these rows exist to be timed).
+    "z01_zipf_jaccard_exhaustive" -> (NorthStar.zipfJaccardExhaustive _),
+    "z02_zipf_jaccard_prefix" -> (NorthStar.zipfJaccardPrefix _),
+    "z03_zipf_containment_exhaustive" -> (NorthStar.zipfContainmentExhaustive _),
+    "z04_zipf_containment_prefix" -> (NorthStar.zipfContainmentPrefix _))
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (Relational.pricingSummary _),

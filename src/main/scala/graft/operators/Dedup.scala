@@ -390,11 +390,16 @@ object Dedup {
     * ⌊(1−t)·|A|⌋+1 globally RAREST shingles at least one is in B —
     * only contained-side prefixes generate candidates, probed by the
     * container side's FULL shingle postings (the Ed-Join asymmetric
-    * index/probe shape), then exact set intersection verifies. On
-    * zipfian text the prefix postings are rare-shingle-sized; on the
-    * uniform fixture vocabulary it degenerates like d09's (measured
-    * trade documented there). Equivalence with the exhaustive
-    * formulation is spec-asserted. */
+    * index/probe shape), then a posting-band counting join verifies.
+    * MEASURED (z03/z04 bench rows, 8k-doc boilerplate-zipfian
+    * corpus): 3.1× faster than the exhaustive counting join — the
+    * asymmetric probe is viable precisely because the prefix ranks
+    * over the FULL shingle set (globally-unique shingles fill prefix
+    * slots for free) and verification never ships arrays; both were
+    * measured blowups before this formulation (57 s and 63 s
+    * variants vs 8.3 s exhaustive on the same corpus). Equivalence
+    * with the exhaustive formulation is spec-asserted on both corpus
+    * shapes. */
   def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxPosting: Int = 1000): DataFrame = {
     val scope = new CacheScope
@@ -403,25 +408,27 @@ object Dedup {
       .filter(col("sh").isNotNull)
       .withColumn("set_size", size(col("sh"))))
     val postings = base.select(col("id"), col("set_size"), explode(col("sh")).as("gh"))
-    // global df fused into one gh-keyed window; df=1 shingles cannot
-    // be shared, and the hot-bucket cap guards the probe side
-    val counted = scope.pin(postings
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh")))
-      .filter(col("__df") >= 2 && col("__df") <= maxPosting))
-    // EQUIVALENCE WITH THE EXHAUSTIVE TWIN on every corpus: the
-    // exhaustive formulation counts intersections only over shingles
-    // with df in [2, maxPosting], so the verify stage here must
-    // exclude df > maxPosting shingles from its set intersection too
-    // (df = 1 shingles can never be shared — no exclusion needed).
-    // The hot set is collected into ONE broadcast row: its size is
-    // bounded by |postings| / maxPosting and in practice by the
-    // handful of stop-word-grade shingles a real vocabulary has; a
-    // corpus pathological enough to overflow that row is the
-    // documented caveat of every hot-bucket guard in this file.
-    val hot = postings.groupBy("gh").agg(count(lit(1)).as("__hdf"))
-      .filter(col("__hdf") > maxPosting)
-      .agg(collect_set(col("gh")).as("__hot"))
-    val prefix = counted
+    // global df fused into one gh-keyed window over ALL postings; the
+    // cool band [2, maxPosting] feeds the candidate probe and the
+    // intersection count (df=1 cannot be shared; hot is capped)
+    val dfd = scope.pin(postings
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh"))))
+    val counted = dfd.filter(col("__df") >= 2 && col("__df") <= maxPosting)
+    // The PREFIX ranks over the FULL shingle set — df = 1 shingles
+    // included. They are the theorem's ideal prefix members: globally
+    // unique, so they occupy prefix slots while generating ZERO
+    // candidates (nothing to join in `counted`). The first
+    // formulation ranked over the cool band only, which silently
+    // promoted mid-band shingles into every prefix and exploded the
+    // asymmetric probe (prefix × full postings) ~6× past the
+    // exhaustive route on a boilerplate-heavy corpus (z03/z04 bench
+    // rows). Recall stays exact w.r.t. the capped containment
+    // metric: the pigeonhole needs only SOME size-⌊(1−t)|A|⌋+1
+    // subset of A's shingles, and a cool shingle shared with B is in
+    // `counted`, so the candidate surfaces whichever slots the
+    // unique shingles fill. (ngramJaccardPairs always ranked over
+    // the full set — this aligns the two.)
+    val prefix = dfd
       .withColumn("__rank", row_number().over(
         Window.partitionBy("id").orderBy(col("__df").asc, col("gh").asc)))
       // epsilon lengthens only — same guard as ngramJaccardPairs
@@ -432,14 +439,30 @@ object Dedup {
       .join(counted.select(col("gh"), col("id").as("container_id")), Seq("gh"))
       .filter(col("contained_id") =!= col("container_id"))
       .select("contained_id", "container_id").distinct()
-    scope.sealResult(cands
-      .join(base.select(col("id").as("contained_id"), col("sh").as("sh_a"),
-        col("set_size").as("sa")), Seq("contained_id"))
-      .join(base.select(col("id").as("container_id"), col("sh").as("sh_b")),
-        Seq("container_id"))
-      .crossJoin(broadcast(hot)) // one row: the hot-shingle exclusion set
-      .withColumn("__c", size(array_except(
-        array_intersect(col("sh_a"), col("sh_b")), col("__hot"))) / col("sa"))
+    // VERIFY BY COUNTING, NOT ARRAYS. The intersection is re-counted
+    // over the SAME cool posting band [2, maxPosting] the exhaustive
+    // twin counts — candidate pairs explode into narrow (pair, gh)
+    // rows against the contained side's postings, the container side
+    // joins co-keyed on (container_id, gh), one pair-keyed count.
+    // Structural equivalence with the exhaustive formulation at any
+    // cap falls out (hot shingles are simply not in `counted`), and
+    // the verify shuffle is candidates × |A's cool postings| × 24 B
+    // instead of candidates × 2·|sh| full ARRAY payloads — the array
+    // attach measured 4-5× the exhaustive route's entire cost on a
+    // boilerplate-heavy zipfian corpus (z03/z04 bench rows) before
+    // this rewrite; counting brings the probe-side asymmetry the
+    // containment theorem forces back under the prefix win.
+    val inter = cands
+      .join(counted.select(col("id").as("contained_id"), col("gh")),
+        Seq("contained_id"))
+      .join(counted.select(col("id").as("container_id"), col("gh")),
+        Seq("container_id", "gh"))
+      .groupBy("contained_id", "container_id")
+      .agg(count(lit(1)).as("__inter"))
+    scope.sealResult(inter
+      .join(base.select(col("id").as("contained_id"), col("set_size").as("sa")),
+        Seq("contained_id"))
+      .withColumn("__c", col("__inter") / col("sa"))
       .filter(col("__c") >= threshold)
       .select(col("contained_id"), col("container_id"),
         graft.functions.Quantize.quantize4(col("__c")).as("containment")))
@@ -527,8 +550,20 @@ object Dedup {
     * `maxPosting` is dropped, same caveat as every candidate
     * generator here); no false positives by verification.
     * Candidate volume drops from Σ|posting|² over all shingles to
-    * Σ|prefix-posting|² over rare ones — a win on zipfian corpora,
-    * a loss on uniform ones (see NorthStar.ngramJaccardNearDups). */
+    * Σ|prefix-posting|² over rare ones.
+    *
+    * MEASURED route selection (z01/z02 bench rows, 8k-doc corpora):
+    * the prefix route wins when mid-band posting mass dominates —
+    * boilerplate-heavy zipfian text (the real-crawl shape: shared
+    * footers/chrome under the hot cap) runs 2.2× faster prefix than
+    * exhaustive. When cool-band sharing is thin — the uniform
+    * fixture vocabulary (1.7×) and even a PURE zipf corpus with no
+    * boilerplate band (~2.5×) — the exhaustive counting join wins:
+    * counting co-occurrences through one 8-byte-hash aggregate is so
+    * cheap that prefix+verify overhead only pays for itself once
+    * Σdf² explodes. Threshold matters too: at t = 0.4 the prefix
+    * keeps ⌊0.6·|A|⌋+1 shingles — structurally weak pruning at any
+    * corpus shape; the theorem's leverage is at high thresholds. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
     val scope = new CacheScope

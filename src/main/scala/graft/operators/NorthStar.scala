@@ -188,9 +188,12 @@ object NorthStar {
   /** Uses the exhaustive counting join: the fixture's docs all share
     * one tiny vocabulary, so no shingle is rare and prefix filtering
     * prunes nothing while paying array-verification per candidate
-    * (measured 1.7× slower here). On zipfian real text the
-    * prefix-filtered [[Dedup.ngramJaccardPairs]] is the scale path —
-    * equivalence of the two is spec-asserted. */
+    * (measured 1.7× slower here). On boilerplate-heavy zipfian text
+    * (the crawl shape, measured via the z01/z02 bench rows) the
+    * prefix-filtered [[Dedup.ngramJaccardPairs]] wins 2.2× and is
+    * the scale path; route selection guidance lives in its scaladoc.
+    * Equivalence of the two is spec-asserted on both corpus
+    * shapes. */
   def ngramJaccardNearDups(spark: SparkSession, dir: String): DataFrame = {
     // caller's session (AQE on): the posting self-join is the one pair
     // stage where AQE's runtime broadcast/coalesce decisions beat the
@@ -203,6 +206,88 @@ object NorthStar {
       n = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
   }
+
+  /** Seeded ZIPFIAN-vocabulary corpus — the BENCH fixture that
+    * measures the prefix-filter scale claims. The driver testdata's
+    * documents share one tiny uniform vocabulary, where prefix
+    * filtering provably loses (no shingle is rare — the measured
+    * 1.7× trade documented at [[ngramJaccardNearDups]]); real text is
+    * zipfian, where the PPJoin/Ed-Join prefix theorems say the rare-
+    * shingle prefixes carry almost no posting mass. This generator
+    * makes that corpus shape on demand: token j of doc i draws word
+    * rank ⌊V^u⌋ (u uniform from a seeded xxhash64 — the inverse-CDF
+    * draw for zipf s=1), giving P(rank r) ∝ 1/r over a `vocab`-word
+    * vocabulary. Deterministic, distributed, no RNG state; NOT
+    * oracle'd (it exists to be timed, not hash-matched — doubles in
+    * the draw are fine). */
+  private[operators] def zipfianDocs(spark: SparkSession, nDocs: Int,
+      tokensPerDoc: Int = 60, vocab: Int = 20000, seed: Long = 77L,
+      bpPhrases: Int = 0, bpLen: Int = 26): DataFrame = {
+    val zipfPart = array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)), j =>
+      concat(lit("w"), floor(pow(lit(vocab.toDouble),
+        pmod(xxhash64(col("id") * tokensPerDoc + j + lit(seed)),
+          lit(1000000007L)).cast("double") / 1e9 / 1.000000007))
+        .cast("long").cast("string"))), " ")
+    // BOILERPLATE band: every doc carries one of `bpPhrases` fixed
+    // multi-token phrases (licence footers, site chrome, templated
+    // intros — what real crawled text is full of). Phrase tokens are
+    // phrase-unique, so each phrase contributes bpLen−2 shingles with
+    // df ≈ nDocs/bpPhrases — the mid-band posting mass whose Σdf²
+    // the exhaustive counting join pays and prefix filtering skips.
+    val text =
+      if (bpPhrases <= 0) zipfPart
+      else {
+        val pid = pmod(xxhash64(col("id") + lit(seed + 1)), lit(bpPhrases.toLong))
+        concat(zipfPart, lit(" "),
+          array_join(transform(sequence(lit(0), lit(bpLen - 1)), t =>
+            concat(lit("bp"), pid.cast("string"), lit("x"), t.cast("string"))), " "))
+      }
+    spark.range(0, nDocs).select(col("id").as("doc_id"), text.as("text"))
+      .repartition(widenWidth(spark), col("doc_id"))
+  }
+
+  /** Zipfian corpus with planted near-dup pairs (one appended token,
+    * the [[withPlantedNearDups]] shape) — input for the z01/z02
+    * jaccard bench twins. */
+  private[operators] def zipfianWithNearDups(spark: SparkSession,
+      nDocs: Int = 8000, planted: Int = 200, bpPhrases: Int = 12): DataFrame = {
+    val base = zipfianDocs(spark, nDocs, bpPhrases = bpPhrases)
+    val dups = base.filter(col("doc_id") < planted)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzplanted")).as("text"))
+    base.unionByName(dups).repartition(widenWidth(spark), col("doc_id"))
+  }
+
+  /** Zipfian corpus with planted excerpts (first 25 tokens re-joined,
+    * the [[withPlantedExcerpts]] shape) — input for the z03/z04
+    * containment bench twins. */
+  private[operators] def zipfianWithExcerpts(spark: SparkSession,
+      nDocs: Int = 8000, planted: Int = 200, bpPhrases: Int = 12): DataFrame = {
+    val base = zipfianDocs(spark, nDocs, bpPhrases = bpPhrases)
+    val excerpts = base.filter(col("doc_id") < planted)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 25), " ").as("text"))
+    base.unionByName(excerpts).repartition(widenWidth(spark), col("doc_id"))
+  }
+
+  // z01–z04: BENCH-ONLY twins measuring exhaustive vs prefix pair
+  // routes on the zipfian corpus — the numbers behind the scale story
+  // at Dedup.scala's prefix operators. Fixed-size synthetic input
+  // (the `dir` argument is unused): these exist to compare the two
+  // routes on the corpus shape real text has, at a size where the
+  // difference is visible but bounded in the bench wall.
+  def zipfJaccardExhaustive(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsExhaustive(zipfianWithNearDups(spark),
+      "doc_id", "text", n = 3, threshold = 0.8)
+  def zipfJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(zipfianWithNearDups(spark),
+      "doc_id", "text", n = 3, threshold = 0.8)
+  def zipfContainmentExhaustive(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(zipfianWithExcerpts(spark),
+      "doc_id", "text", n = 3, threshold = 0.8)
+  def zipfContainmentPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsPrefix(zipfianWithExcerpts(spark),
+      "doc_id", "text", n = 3, threshold = 0.8)
 
   /** documents plus a planted EXCERPT per low-id doc: the first 25
     * tokens re-joined as a new document at doc_id + 200000 — the

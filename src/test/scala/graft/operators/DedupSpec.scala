@@ -262,6 +262,27 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("prefix routes equal exhaustive routes on the zipfian corpus shape too") {
+    // the bench z-rows compare the two routes' SPEED on zipfian text;
+    // this pins that they compute the same thing there (the
+    // equivalence specs above run on the uniform-vocabulary fixture)
+    val jd = NorthStar.zipfianWithNearDups(spark, nDocs = 400, planted = 30)
+    val jExh = Dedup.ngramJaccardPairsExhaustive(jd, "doc_id", "text",
+      n = 3, threshold = 0.4).collect().map(_.toString).sorted.toSeq
+    val jPre = Dedup.ngramJaccardPairs(jd, "doc_id", "text",
+      n = 3, threshold = 0.4).collect().map(_.toString).sorted.toSeq
+    assert(jPre === jExh)
+    assert(jExh.nonEmpty, "no zipfian jaccard pairs — fixture broken")
+    val cd = NorthStar.zipfianWithExcerpts(spark, nDocs = 400, planted = 30)
+    val cExh = Dedup.containmentPairs(cd, "doc_id", "text",
+      n = 3, threshold = 0.8).collect().map(_.toString).sorted.toSeq
+    val cPre = Dedup.containmentPairsPrefix(cd, "doc_id", "text",
+      n = 3, threshold = 0.8).collect().map(_.toString).sorted.toSeq
+    assert(cPre === cExh)
+    assert(cExh.nonEmpty, "no zipfian containment pairs — fixture broken")
+    spark.catalog.clearCache()
+  }
+
   test("the low-cap containment run genuinely exercises hot-shingle exclusion") {
     // guard for the test above: at cap=5 the fixture must HAVE
     // shingles with df > 5, or the equivalence check at that cap
