@@ -200,6 +200,7 @@ object SparkEntry {
     "d37_edit_distance_pairs" -> (NorthStar.editDistanceNearDups _),
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "d38_bpe_vocab"          -> (NorthStar.bpeTrainMerges _),
+    "d39_bpe_symbols"        -> (NorthStar.bpeSymbols _),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "v13_random_projection"  -> (NorthStar.randomProjectionUnits _),
     "v14_ivf_compact"        -> (NorthStar.ivfCompactTopK _),
     "v15_ivf_pq"             -> (NorthStar.ivfPqTopK _),
+    "v16_ivfpq_saved"        -> (NorthStar.ivfPqSavedTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -1878,6 +1880,7 @@ object SparkEntry {
         |  FROM pc)
         |SELECT pair, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "d38_bpe_vocab" -> bpeVocabOracleSql,
+    "d39_bpe_symbols" -> bpeSymbolsOracleSql,
     // r02: TF-IDF re-derived — same tokenizer, (doc, term) tf, df,
     // smoothed idf ln((N+1)/(df+1)) + 1, single-product micro-unit
     // scores (no float sum to order), (score DESC, term ASC) rank
@@ -2310,6 +2313,24 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
         |  TRUE AS ivfpq_recall_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v16: same certificate through the saved-then-loaded PQ artifact
+    // (the spec pins loaded search byte-equal to in-memory search).
+    "v16_ivfpq_saved" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
+        |  TRUE AS ivfpq_saved_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v09: the int8 quantization (floor-half-up, engine-portable) and
     // the integer cosine recomputed exactly — the compressed corpus's
     // ranking is hash-compared, not approximated.
@@ -2600,8 +2621,35 @@ object SparkEntry {
     * the single-pass BPE merge — both engines' replace() semantics).
     * The result is the 30 winner rows UNION ALL'd in merge order. */
   private lazy val bpeVocabOracleSql: String = {
+    val unions = (1 to bpeNMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, n FROM win$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeLoopCtesSql
+       |SELECT merge_rank, left_sym, right_sym, merged, n FROM (
+       |$unions
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** d39's oracle: the same unrolled loop ([[bpeLoopCtesSql]]), final
+    * segmentation aggregated into the trained symbol inventory. */
+  private lazy val bpeSymbolsOracleSql: String = {
     val S = "chr(31)"
-    val nMerges = 30
+    s"""WITH $bpeLoopCtesSql
+       |SELECT cs AS symbol, CAST(sum(freq) AS BIGINT) AS n,
+       |  CAST(length(cs) AS BIGINT) AS n_chars
+       |FROM (SELECT freq, unnest(str_split(s[2:length(s) - 1], $S || $S)) AS cs
+       |      FROM seg$bpeNMerges)
+       |GROUP BY cs ORDER BY symbol""".stripMargin
+  }
+
+  private val bpeNMerges = 30
+
+  /** The WITH-body shared by the d38/d39 oracles: word-frequency
+    * table, wrapped seg0, and the merge loop unrolled to
+    * seg[[bpeNMerges]]. */
+  private lazy val bpeLoopCtesSql: String = {
+    val S = "chr(31)"
+    val nMerges = bpeNMerges
     // AS MATERIALIZED is load-bearing: every seg$k is referenced
     // twice (pair counts and the next re-segmentation), so DuckDB's
     // default CTE inlining doubles the plan per iteration — 2^30
@@ -2622,10 +2670,7 @@ object SparkEntry {
          |    $S || w.a || w.b || $S) AS s
          |  FROM seg${k - 1} CROSS JOIN win$k w)"""
         .stripMargin
-    val unions = (1 to nMerges).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, n FROM win$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
        |  FROM documents WHERE text IS NOT NULL),
        |wf AS (
@@ -2636,10 +2681,7 @@ object SparkEntry {
        |seg0 AS MATERIALIZED (
        |  SELECT freq, regexp_replace(w, '(?s)(.)', $S || '\\1' || $S, 'g') AS s
        |  FROM wf),
-       |${(1 to nMerges).map(iter).mkString(",\n")}
-       |SELECT merge_rank, left_sym, right_sym, merged, n FROM (
-       |$unions
-       |) ORDER BY merge_rank""".stripMargin
+       |${(1 to nMerges).map(iter).mkString(",\n")}""".stripMargin
   }
 
   /** g01's oracle: the integer-exact PageRank unrolled — iteration K

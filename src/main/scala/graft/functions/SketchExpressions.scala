@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{column => _}
@@ -618,79 +618,52 @@ object SketchExpressions {
       copy(vec = l, cell = r)
   }
 
-  /** PQ ADC LOOKUP TABLE — for one (query, probed cell) pair, the
-    * m × ks table of squared L2 distances from the query's residual
-    * sub-vectors to every codebook entry: LUT[s·ks + j] =
-    * ‖(q − centroid)ₛ − bookₛⱼ‖². Computed ONCE per (query, cell) on
-    * the probe frame, so scoring a candidate inside the cell is an
-    * O(m) table sum ([[PqLutScore]]) instead of O(dim) arithmetic —
-    * the asymmetric-distance-computation shape that makes PQ search
-    * cheap. Emits array<double> of length m·ks — 16 KB per probe row
-    * at the default 8×256 geometry, 64 KB at the certified 32×256:
-    * bounded per PROBE row (|q|·nProbe of them), never
-    * per-candidate. */
-  case class PqLut(vec: Expression, cell: Expression,
+  /** PQ ADC DISTANCE — the approximate squared L2 distance of a
+    * PQ-coded candidate to a query: Σₛ ‖(q − centroid[cell])ₛ −
+    * bookₛ[codeₛ]‖², computed DIRECTLY per (query, candidate) pair in
+    * one O(dim) loop over the residual. The textbook ADC lookup-table
+    * variant (precompute m·ks sub-distances per (query, cell), score
+    * candidates in O(m)) was implemented first and MEASURED 5-8×
+    * slower end-to-end: a LUT is m·ks doubles — 64 KB per probe row
+    * at the certified 32×256 geometry — and riding the probe→cell
+    * shuffle it cost ~6.4 GB of exchange at 20k queries where the
+    * direct path ships the 256 B query vector. The LUT trick is a
+    * cache-locality optimization for a single machine scanning one
+    * cell; across a shuffle boundary the bytes dominate the flops
+    * (128 vs 32 per pair — noise next to the exchange). */
+  case class PqAdcDistance(vec: Expression, cell: Expression, codes: Expression,
       centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
-      extends BinaryExpression with CodegenFallback {
-    override def left: Expression = vec
-    override def right: Expression = cell
-    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-    override protected def nullSafeEval(v: Any, c: Any): Any = {
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = vec
+    override def second: Expression = cell
+    override def third: Expression = codes
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any, c: Any, k: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val cent = centroids(c.asInstanceOf[Int])
+      val codeA = k.asInstanceOf[ArrayData]
       val m = codebooks.length
-      val ks = codebooks(0).length
       val sub = cent.length / m
-      val out = new Array[Double](m * ks)
-      var s = 0
-      while (s < m) {
-        val book = codebooks(s)
-        var j = 0
-        while (j < ks) {
-          val e = book(j)
-          var d = 0.0
-          var i = 0
-          val n = math.min(sub, math.min(arr.numElements() - s * sub, e.length))
-          while (i < n) {
-            val r = arr.getFloat(s * sub + i).toDouble - cent(s * sub + i) - e(i)
-            d += r * r
-            i += 1
-          }
-          out(s * ks + j) = d
-          j += 1
-        }
-        s += 1
-      }
-      new GenericArrayData(out)
-    }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLut =
-      copy(vec = l, cell = r)
-  }
-
-  /** PQ ADC SCORE — Σₛ LUT[s·ks + codeₛ]: the approximate squared L2
-    * distance of a PQ-coded candidate to the query whose LUT this is.
-    * O(m) per candidate pair; ks is derived from the operand lengths
-    * so the expression carries no model state at all. */
-  case class PqLutScore(lut: Expression, codes: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def left: Expression = lut
-    override def right: Expression = codes
-    override def dataType: DataType = DoubleType
-    override protected def nullSafeEval(l: Any, c: Any): Any = {
-      val lutA = l.asInstanceOf[ArrayData]
-      val codeA = c.asInstanceOf[ArrayData]
-      val m = codeA.numElements()
-      val ks = lutA.numElements() / m
       var d = 0.0
       var s = 0
       while (s < m) {
-        d += lutA.getDouble(s * ks + codeA.getInt(s))
+        val e = codebooks(s)(codeA.getInt(s))
+        var ds = 0.0
+        var i = 0
+        val n = math.min(sub, math.min(arr.numElements() - s * sub, e.length))
+        while (i < n) {
+          val r = arr.getFloat(s * sub + i).toDouble - cent(s * sub + i) - e(i)
+          ds += r * r
+          i += 1
+        }
+        d += ds
         s += 1
       }
       d
     }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLutScore =
-      copy(lut = l, codes = r)
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): PqAdcDistance =
+      copy(vec = f, cell = s, codes = t)
   }
 
   // Column-API wrappers (Spark 4: Column wraps a ColumnNode, so the
@@ -721,11 +694,10 @@ object SketchExpressions {
   def pqEncode(vec: Column, cell: Column, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]]): Column =
     toColumn(PqEncode(toExpression(vec), toExpression(cell), centroids, codebooks))
-  def pqLut(vec: Column, cell: Column, centroids: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]]): Column =
-    toColumn(PqLut(toExpression(vec), toExpression(cell), centroids, codebooks))
-  def pqLutScore(lut: Column, codes: Column): Column =
-    toColumn(PqLutScore(toExpression(lut), toExpression(codes)))
+  def pqAdcDistance(vec: Column, cell: Column, codes: Column,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]]): Column =
+    toColumn(PqAdcDistance(toExpression(vec), toExpression(cell),
+      toExpression(codes), centroids, codebooks))
   def bandHashes(sig: Column, bands: Int): Column =
     toColumn(BandHashes(toExpression(sig), bands))
   def floatDot(a: Column, b: Column): Column =

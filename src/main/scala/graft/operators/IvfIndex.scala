@@ -413,8 +413,8 @@ object IvfIndex {
   // (m·log2(ks) bits — 8 bytes at the default 8×256 geometry, the
   // classic 8-bit PQ) instead of dim·4 bytes of floats — 32× smaller
   // at dim 64, and the ratio GROWS with dim. Search never touches
-  // raw vectors: ADC scores
-  // candidates from a per-(query, cell) lookup table in O(m) per
+  // raw CORPUS vectors: ADC scores candidates directly from (query
+  // vector, cell centroid, codes) in one O(dim) residual loop per
   // pair. Training follows the fitCentroids division of labor: all
   // models (coarse centroids + m residual codebooks) fit driver-side
   // on one bounded sample — on 100 TB you fit on a sample regardless
@@ -460,9 +460,14 @@ object IvfIndex {
       val cent = centroids(best)
       Array.tabulate(dim)(i => v(i) - cent(i))
     }
-    val codebooks = Array.tabulate(m)(s =>
-      fitCentroids(residuals.map(r =>
-        java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)), ks, seed + 1 + s))
+    // the m sub-fits are independent — run them on the driver's cores
+    // (at ks = 256 over a full 100k sample a serial loop is tens of
+    // seconds of single-threaded k-means; the fits dominate buildPq)
+    val codebooks = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+      codebooks(s) = fitCentroids(residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)), ks, seed + 1 + s)
+    }
     PqModel(centroids, codebooks)
   }
 
@@ -489,15 +494,17 @@ object IvfIndex {
 
   /** ADC search over a PQ-coded index: queries pick `nProbe` cells
     * ([[SketchExpressions.TopCells]], per-row expression, no
-    * crossJoin), compute ONE distance lookup table per (query, cell)
-    * probe row, join candidates inside probed cells, and score each
-    * candidate as an O(m) table sum over its codes — raw vectors are
-    * never read. Ranking is ascending approximate distance with the
-    * bounded-heap [[graft.plans.TopKPerKey]] route (scores negated so
-    * the shared descending top-k applies). Lower-bound caveat baked
-    * into the contract: ADC distance is approximate, so the result is
-    * certified by recall against exact truth (the v04 pattern), not
-    * hash equality. */
+    * crossJoin), join candidates inside probed cells, and score each
+    * candidate DIRECTLY from (query vector, cell, codes) in one
+    * O(dim) residual loop ([[SketchExpressions.PqAdcDistance]] — see
+    * its scaladoc for why the textbook per-(query, cell) lookup
+    * table, tried first, lost 5-8× to its own shuffle bytes) — raw
+    * CORPUS vectors are never read. Ranking is ascending approximate
+    * distance with the bounded-heap [[graft.plans.TopKPerKey]] route
+    * (scores negated so the shared descending top-k applies).
+    * Lower-bound caveat baked into the contract: ADC distance is
+    * approximate, so the result is certified by recall against exact
+    * truth (the v04 pattern), not hash equality. */
   def searchPq(encoded: DataFrame, model: PqModel, k: Int, nProbe: Int,
       queries: DataFrame, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val q = queries.filter(col(vecCol).isNotNull)
@@ -505,18 +512,53 @@ object IvfIndex {
     val probes = q
       .withColumn("cell",
         explode(SketchExpressions.topCells(col("vec"), model.centroids, nProbe)))
-      .withColumn("lut",
-        SketchExpressions.pqLut(col("vec"), col("cell"),
-          model.centroids, model.codebooks))
-      .select(col("id").as("query_id"), col("cell"), col("lut"))
+      .select(col("id").as("query_id"), col("vec").as("query_vec"), col("cell"))
     val scored = probes.join(
         encoded.select(col("cell"), col("id").as("nbr_id"), col("codes")),
         Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        (-SketchExpressions.pqLutScore(col("lut"), col("codes"))).as("score"))
+        (-SketchExpressions.pqAdcDistance(col("query_vec"), col("cell"),
+          col("codes"), model.centroids, model.codebooks)).as("score"))
     Similarity.rankTopK(scored, "query_id", "score", "nbr_id", k)
       .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Persist a PQ-coded index: codes partitioned by cell (probe-time
+    * partition pruning, [[save]]'s on-disk contract) plus the two
+    * tiny model tables (coarse centroids; sub-quantizer codebooks as
+    * (subspace, code, entry) rows). The deployment artifact at
+    * trillion-vector scale IS this: ~8-32 B of codes per vector on
+    * disk, models measured in KB. */
+  def savePq(encoded: DataFrame, model: PqModel, dir: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.select(col("id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    (for {
+      s <- model.codebooks.indices
+      j <- model.codebooks(s).indices
+    } yield (s, j, model.codebooks(s)(j).toSeq)).toDF("subspace", "code", "entry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a persisted PQ index: (coded assignments, model). Model
+    * load is bounded driver traffic (KB). */
+  def loadPq(spark: SparkSession, dir: String): (DataFrame, PqModel) = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val books = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2))
+      .toArray
+    (spark.read.parquet(s"$dir/cells"), PqModel(centroids, books))
   }
 
   /** Self-contained IVF-PQ top-k (the [[topK]] demo shape): build the

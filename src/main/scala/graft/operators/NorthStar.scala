@@ -1046,6 +1046,55 @@ object NorthStar {
   def bpeTrainMergesOf(docs: DataFrame, textCol: String, nMerges: Int,
       driverVocabCap: Long = 1000000L, cacheEvery: Int = 8): DataFrame = {
     val spark = docs.sparkSession
+    val (merges, _, release) =
+      bpeTrainFullOf(docs, textCol, nMerges, driverVocabCap, cacheEvery)
+    release()
+    import spark.implicits._
+    merges.toDF("merge_rank", "left_sym", "right_sym", "merged", "n")
+      .orderBy("merge_rank")
+  }
+
+  /** d39: the TRAINED symbol table — run the d38 merge loop, then
+    * aggregate the final segmentation into the post-training symbol
+    * inventory (symbol, weighted occurrence count, codepoint length):
+    * the "final vocab" a tokenizer ships alongside its merge list,
+    * and the table whose tail you inspect to decide the next vocab
+    * size. One extra vocab-sized aggregate on top of training; the
+    * oracle reuses d38's unrolled loop CTEs and reads seg_N. */
+  def bpeSymbols(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    bpeSymbolsOf(
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(widenWidth(s), md5(col("text"))),
+      "text", nMerges = 30)
+  }
+
+  /** Corpus-generic form of [[bpeSymbols]]. */
+  def bpeSymbolsOf(docs: DataFrame, textCol: String, nMerges: Int,
+      driverVocabCap: Long = 1000000L, cacheEvery: Int = 8): DataFrame = {
+    val (_, seg, release) =
+      bpeTrainFullOf(docs, textCol, nMerges, driverVocabCap, cacheEvery)
+    val out = seg
+      .withColumn("symbol", explode(split(
+        col("s").substr(lit(2), length(col("s")) - 2), BpeSep + BpeSep)))
+      .groupBy("symbol").agg(sum("freq").as("n"))
+      .withColumn("n_chars", length(col("symbol")).cast("long"))
+      .orderBy("symbol")
+      .cache()
+    out.count()
+    release()
+    out
+  }
+
+  /** Shared training core: word-frequency aggregate (the one
+    * corpus-sized pass), then the merge loop on the chosen path —
+    * returns the ordered merges, the FINAL segmentation as a
+    * (freq, s) frame (wrapped-string representation), and a release
+    * hook for its cache. */
+  private def bpeTrainFullOf(docs: DataFrame, textCol: String, nMerges: Int,
+      driverVocabCap: Long, cacheEvery: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame, () => Unit) = {
+    val spark = docs.sparkSession
     val words = docs.filter(col(textCol).isNotNull)
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(!col("w").contains(BpeSep))
@@ -1054,15 +1103,17 @@ object NorthStar {
     // one-job probe (the d13 pattern): the count picks the path AND
     // materializes the cache both paths consume
     val vocabSize = words.count()
-    val merges =
-      if (vocabSize <= driverVocabCap)
-        bpeMergesDriver(
-          words.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
-      else bpeMergesDistributed(words, nMerges, cacheEvery)
-    words.unpersist()
-    import spark.implicits._
-    merges.toDF("merge_rank", "left_sym", "right_sym", "merged", "n")
-      .orderBy("merge_rank")
+    if (vocabSize <= driverVocabCap) {
+      val (merges, seg) = bpeMergesDriver(
+        words.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      words.unpersist()
+      import spark.implicits._
+      (merges, seg.toSeq.toDF("s", "freq").select("freq", "s"), () => ())
+    } else {
+      val (merges, seg) = bpeMergesDistributed(words, nMerges, cacheEvery)
+      words.unpersist()
+      (merges, seg, () => { seg.unpersist(); () })
+    }
   }
 
   /** UTF-8 byte order — what Spark's UTF8String and DuckDB's VARCHAR
@@ -1090,7 +1141,7 @@ object NorthStar {
     * same wrapped-string representation, same leftmost-non-overlap
     * `String.replace`, same (n DESC, left, right) UTF-8 tiebreak. */
   private[operators] def bpeMergesDriver(words: Array[(String, Long)],
-      nMerges: Int): Seq[(Long, String, String, String, Long)] = {
+      nMerges: Int): (Seq[(Long, String, String, String, Long)], Array[(String, Long)]) = {
     val sep2 = BpeSep + BpeSep
     var seg = words.map { case (w, f) => (bpeWrap(w), f) }
     val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
@@ -1118,7 +1169,7 @@ object NorthStar {
       val repl = BpeSep + a + b + BpeSep
       seg = seg.map { case (s, f) => (s.replace(search, repl), f) }
     }
-    out.toList
+    (out.toList, seg)
   }
 
   /** Distributed merge loop: per iteration one vocab-sized pair
@@ -1127,7 +1178,7 @@ object NorthStar {
     * segmentation re-caches every `cacheEvery` iterations so lineage
     * depth stays bounded. */
   private[operators] def bpeMergesDistributed(words: DataFrame, nMerges: Int,
-      cacheEvery: Int): Seq[(Long, String, String, String, Long)] = {
+      cacheEvery: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val sep2 = BpeSep + BpeSep
     var seg = words.select(col("freq"),
       regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep).as("s")).cache()
@@ -1157,8 +1208,12 @@ object NorthStar {
         lastCached = c
       }
     }
-    lastCached.unpersist()
-    out.toList
+    // hand the FINAL segmentation back cached (callers aggregate the
+    // symbol table from it or release it immediately)
+    val segFinal = seg.cache()
+    segFinal.count()
+    if (!(lastCached eq segFinal)) lastCached.unpersist()
+    (out.toList, segFinal)
   }
 
   /** d31: TEMPERATURE-based mixture resampling — the multilingual
@@ -1555,6 +1610,40 @@ object NorthStar {
       IvfIndex.pqTopK(spark, unit, "vec_id", "embedding", k = 5,
         nCells = 10, m = 32, ks = 256, nProbe = 5),
       minRecall = 0.6, okCol = "ivfpq_recall_ok")
+  }
+
+  /** v16: the PQ index SAVED then LOADED then searched — the
+    * deployment shape (build once, query many times from codes on
+    * disk; [[IvfIndex.savePq]]/[[IvfIndex.loadPq]]). Certified like
+    * v15: brute-force truth + recall@5 ≥ 0.6 over the loaded
+    * artifact's ADC search; the spec additionally pins
+    * search(load(save(build))) byte-equal to the in-memory search,
+    * so the gate certifies persistence end-to-end, not a second
+    * search path. */
+  def ivfPqSavedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val unit = emb
+      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    val (encoded, model) = IvfIndex.buildPq(spark, unit,
+      "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
+    // deployment-artifact dir: loaded frames read it lazily well
+    // after this query returns (the v08 RunTemp keep rationale)
+    val idxDir = graft.core.RunTemp.dir("graft_ivfpq_index_", keep = 32)
+    IvfIndex.savePq(encoded, model, idxDir)
+    encoded.unpersist()
+    val (loaded, loadedModel) = IvfIndex.loadPq(spark, idxDir)
+    // 50-query external frame — the v08/v11 saved-index gate shape;
+    // the full-query-set recall bar is v15's job
+    certifyRecall(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+        queries = Some(emb.filter(col("vec_id") < 50))),
+      IvfIndex.searchPq(loaded, loadedModel, k = 5, nProbe = 5,
+        unit.filter(col("vec_id") < 50), "vec_id", "embedding"),
+      minRecall = 0.6, okCol = "ivfpq_saved_recall_ok")
   }
 
   /** BENCH-ONLY twin of v15: the PQ build + ADC search alone, without

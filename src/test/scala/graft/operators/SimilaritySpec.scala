@@ -443,10 +443,10 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("PQ ADC search equals driver-side ADC recompute at full probe width") {
     // nProbe = nCells makes the candidate set exhaustive, so the ONLY
-    // machinery under test is the LUT construction + O(m) table-sum
-    // scoring + ranking — pinned against the same arithmetic done
-    // longhand on the driver (identical double operations in
-    // identical order ⇒ exact equality, no tolerance).
+    // machinery under test is the per-pair residual ADC scoring +
+    // ranking — pinned against the same arithmetic done longhand on
+    // the driver (identical double operations in identical order ⇒
+    // exact equality, no tolerance).
     val (unit, encoded, model, unitVecs) = pqFixture
     val queries = unit.filter(col("vec_id") < 5)
     val got = IvfIndex.searchPq(encoded, model, k = 5, nProbe = 6,
@@ -479,6 +479,23 @@ class SimilaritySpec extends AnyFunSuite {
         .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
       assert(got(q) === expected, s"query $q")
     }
+  }
+
+  test("PQ index persists and reloads: loaded search equals in-memory search exactly") {
+    val (unit, encoded, model, _) = pqFixture
+    val direct = IvfIndex.searchPq(encoded, model, k = 5, nProbe = 6,
+      unit, "vec_id", "embedding").collect().map(_.toString).sorted.toSeq
+    val idxDir = graft.core.RunTemp.dir("graft_ivfpq_spec_", keep = 8)
+    IvfIndex.savePq(encoded, model, idxDir)
+    val (loaded, loadedModel) = IvfIndex.loadPq(spark, idxDir)
+    // model survives the round-trip bit-for-bit
+    assert(loadedModel.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    assert(loadedModel.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val viaDisk = IvfIndex.searchPq(loaded, loadedModel, k = 5, nProbe = 6,
+      unit, "vec_id", "embedding").collect().map(_.toString).sorted.toSeq
+    assert(viaDisk === direct)
+    spark.catalog.clearCache()
   }
 
   test("IVF-PQ certified configuration keeps >=60% recall@5 vs brute force") {

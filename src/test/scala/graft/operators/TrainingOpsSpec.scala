@@ -170,6 +170,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bpe symbols: trained inventory on the toy corpus") {
+    import spark.implicits._
+    // after merges (a,b)->ab then (ab,ab)->abab:
+    //   abab(freq 2) -> [abab], ab(freq 1) -> [ab]
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val syms = NorthStar.bpeSymbolsOf(docs, "text", nMerges = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(syms === Set(("abab", 2L, 4L), ("ab", 1L, 2L)))
+  }
+
+  test("bpe symbols: character conservation and path equality on the fixture") {
+    val docs = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val viaDriver = NorthStar.bpeSymbolsOf(docs, "text", nMerges = 10)
+    val rows = viaDriver.collect().map(_.toString).sorted.toSeq
+    val viaCluster = NorthStar.bpeSymbolsOf(docs, "text", nMerges = 10,
+      driverVocabCap = 0L, cacheEvery = 4).collect().map(_.toString).sorted.toSeq
+    assert(viaCluster === rows)
+    // merging never creates or destroys characters: Σ n·n_chars over
+    // the trained symbols equals the raw token stream's total chars
+    val symChars = viaDriver
+      .agg(sum(col("n") * col("n_chars"))).head.getLong(0)
+    val tokChars = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .agg(sum(length(col("w")).cast("long"))).head.getLong(0)
+    assert(symChars === tokChars)
+    spark.catalog.clearCache()
+  }
+
   test("bpe merge loop runs dry loudly, never silently short") {
     import spark.implicits._
     val docs = Seq((1L, "ab")).toDF("doc_id", "text") // one pair total
