@@ -43,6 +43,7 @@ object SparkEntry {
     "v02_ann_production" -> (NorthStar.annTopKProduction _),
     "v04_ivf_production" -> (NorthStar.ivfTopKProduction _),
     "v15_ivfpq_production" -> (NorthStar.ivfPqTopKProduction _),
+    "v17_filtered_production" -> (NorthStar.filteredAnnProduction _),
     // z-rows: exhaustive-vs-prefix pair routes timed on a seeded
     // ZIPFIAN corpus (real text's vocabulary shape, where the prefix
     // theorems claim their win — the driver fixture's uniform
@@ -201,6 +202,7 @@ object SparkEntry {
     "d32_bpe_pairs"          -> (NorthStar.bpePairCounts _),
     "d38_bpe_vocab"          -> (NorthStar.bpeTrainMerges _),
     "d39_bpe_symbols"        -> (NorthStar.bpeSymbols _),
+    "d40_bpe_encode"         -> (NorthStar.bpeEncodeCounts _),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
@@ -221,6 +223,7 @@ object SparkEntry {
     "v14_ivf_compact"        -> (NorthStar.ivfCompactTopK _),
     "v15_ivf_pq"             -> (NorthStar.ivfPqTopK _),
     "v16_ivfpq_saved"        -> (NorthStar.ivfPqSavedTopK _),
+    "v17_filtered_ann"       -> (NorthStar.filteredAnnTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -1881,6 +1884,7 @@ object SparkEntry {
         |SELECT pair, n, rank FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "d38_bpe_vocab" -> bpeVocabOracleSql,
     "d39_bpe_symbols" -> bpeSymbolsOracleSql,
+    "d40_bpe_encode" -> bpeEncodeOracleSql,
     // r02: TF-IDF re-derived — same tokenizer, (doc, term) tf, df,
     // smoothed idf ln((N+1)/(df+1)) + 1, single-product micro-unit
     // scores (no float sum to order), (score DESC, term ASC) rank
@@ -2293,6 +2297,26 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
         |  TRUE AS ivf_recall_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v17: the v01/v04 oracle with the label equality moved INTO the
+    // join — each query's candidate scope is its own label's rows,
+    // mirroring the filtered truth side of the certificate.
+    "v17_filtered_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q JOIN e c ON q.label = c.label
+        |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
+        |  TRUE AS filtered_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v15: IVF-PQ certified exactly like v02/v04 — brute-force truth
     // rows (the PQ models are Spark-side k-means constructions, not
     // DuckDB-recomputable) plus one recall@5 >= 0.6 certificate
@@ -2640,6 +2664,26 @@ object SparkEntry {
        |FROM (SELECT freq, unnest(str_split(s[2:length(s) - 1], $S || $S)) AS cs
        |      FROM seg$bpeNMerges)
        |GROUP BY cs ORDER BY symbol""".stripMargin
+  }
+
+  /** d40's oracle: the same unrolled loop, final segmentation
+    * unwrapped to a (word → symbol count) table and joined to the
+    * exploded token stream — per-document token counts under the
+    * TRAINED tokenizer. The `tok` CTE of [[bpeLoopCtesSql]] already
+    * carries (doc_id, toks); the inner join mirrors the engine's
+    * trainer-exclusion contract (separator-bearing words drop). */
+  private lazy val bpeEncodeOracleSql: String = {
+    val S = "chr(31)"
+    s"""WITH $bpeLoopCtesSql,
+       |wsyms AS (
+       |  SELECT replace(s, $S, '') AS w,
+       |    CAST(len(str_split(s[2:length(s) - 1], $S || $S)) AS BIGINT) AS n_syms
+       |  FROM seg$bpeNMerges),
+       |dt AS (SELECT doc_id, unnest(toks) AS w FROM tok)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ws.n_syms) AS BIGINT) AS n_tokens
+       |FROM dt d JOIN wsyms ws USING (w)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   private val bpeNMerges = 30

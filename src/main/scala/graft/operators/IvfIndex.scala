@@ -138,13 +138,22 @@ object IvfIndex {
     fitCentroids(sample, nCells, seed)
   }
 
-  /** Build cell assignments (the distributed index artifact). */
+  /** Build cell assignments (the distributed index artifact).
+    *
+    * `attrCols` names metadata columns of `df` carried INTO the index
+    * rows (tenant / category / language labels) so [[search]] can
+    * constrain candidates to matching-attribute rows — filtered vector
+    * search, the production shape where every query runs inside a
+    * metadata scope. Stored alongside id/vec/norm/cell, they ride the
+    * same partitioned persistence and cost nothing when unused. */
   def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Float]]) = {
+      nCells: Int, seed: Long = 42L,
+      attrCols: Seq[String] = Nil): (DataFrame, Array[Array[Float]]) = {
     // null embeddings excluded — see Similarity.bruteForceTopK's
     // contract note (a null vector can't be assigned a cell anyway)
     val base = df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        attrCols.map(col): _*)
     val centroids = trainQuantizer(base, "vec", nCells, seed)
     // Materialize the index: cell assignment + per-row norm is the
     // build artifact (production persists it partitioned by cell).
@@ -168,7 +177,13 @@ object IvfIndex {
   def save(assigned: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    assigned.select(col("id"), col("vec"), col("norm"), col("cell"))
+    // id/vec/norm/cell first, then any filterable attribute columns
+    // the build carried (they persist with the index so a loaded
+    // index supports the same filtered searches as the in-memory one)
+    val attrs = assigned.columns
+      .filterNot(Set("id", "vec", "norm", "cell")).toSeq
+    assigned.select((Seq("id", "vec", "norm").map(col) ++
+        attrs.map(col) :+ col("cell")): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -215,13 +230,22 @@ object IvfIndex {
   def append(spark: SparkSession, dir: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Array[Int] = {
     val centroids = loadCentroids(spark, dir)
+    // Attribute columns the saved index carries (filtered-search
+    // metadata, see build's attrCols) must ride every appended row
+    // too, or the cell files diverge in schema and filtered searches
+    // silently lose the new rows; deriving the set from the saved
+    // schema makes a batch missing one fail at analysis — loudly.
+    val attrs = spark.read.parquet(s"$dir/cells").columns
+      .filterNot(Set("id", "vec", "norm", "cell")).toSeq
     val assigned = newVectors.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        attrs.map(col): _*)
       .withColumn("cell",
         SketchExpressions.topCells(col("vec"), centroids, 1).getItem(0))
       .withColumn("norm", Similarity.l2Norm(col("vec")))
       .cache() // two actions below: the partitioned write + touched-cell agg
-    assigned.select(col("id"), col("vec"), col("norm"), col("cell"))
+    assigned.select((Seq("id", "vec", "norm").map(col) ++
+        attrs.map(col) :+ col("cell")): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
     val touched = assigned.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -272,9 +296,10 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return touched
     val stage = graft.core.RunTemp.dir("graft_ivf_delete_", keep = 8)
+    // no column select: survivors keep the full index schema,
+    // including any filtered-search attribute columns (build attrCols)
     cells.filter(col("cell").isin(touched.map(Int.box): _*))
       .join(del, Seq("id"), "left_anti")
-      .select(col("id"), col("vec"), col("norm"), col("cell"))
       .write.mode("overwrite").parquet(stage)
     val survivors = spark.read.parquet(stage)
     val nonEmpty = survivors.select("cell").distinct()
@@ -327,9 +352,9 @@ object IvfIndex {
       .sorted.toArray
     if (frag.isEmpty) return frag
     val stage = graft.core.RunTemp.dir("graft_ivf_compact_", keep = 8)
+    // full index schema kept (attribute columns included) — see delete
     spark.read.parquet(cellsPath)
       .filter(col("cell").isin(frag.map(Int.box): _*))
-      .select(col("id"), col("vec"), col("norm"), col("cell"))
       .write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)
       .repartition(frag.length, col("cell"))
@@ -363,20 +388,35 @@ object IvfIndex {
     out
   }
 
-  /** Search a (built or loaded) index. */
+  /** Search a (built or loaded) index.
+    *
+    * `attrCols` (must have been carried into the index by [[build]]'s
+    * `attrCols`, and be present on the query frame) constrain
+    * candidates to rows whose attributes EQUAL the query's — filtered
+    * ANN. The filter composes into the candidate JOIN KEY, so it is
+    * enforced at the cell scan (on a persisted index Catalyst pushes
+    * the equality to the parquet reader), never as a post-ranking
+    * filter that silently returns < k rows: every candidate scored is
+    * in-scope. Queries should raise `nProbe` in proportion to filter
+    * selectivity — in-scope candidate density per probed cell drops by
+    * the selectivity factor. */
   def search(assigned: DataFrame, centroids: Array[Array[Float]],
       k: Int, nProbe: Int, queries: Option[DataFrame] = None,
-      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+      idCol: String = "id", vecCol: String = "vec",
+      attrCols: Seq[String] = Nil): DataFrame = {
 
     // External queries compute their own norms; the all-pairs default
     // reuses the norm baked into the build artifact. Null query
     // vectors are excluded like everywhere else (contract note in
     // Similarity.bruteForceTopK).
     val q = queries
-      .map(_.filter(col(vecCol).isNotNull)
-        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .map(qf => qf.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+          attrCols.map(col): _*)
         .withColumn("qnorm", Similarity.l2Norm(col("vec"))))
-      .getOrElse(assigned.select(col("id"), col("vec"), col("norm").as("qnorm")))
+      .getOrElse(assigned.select(
+        col("id") +: col("vec") +: col("norm").as("qnorm") +:
+          attrCols.map(col): _*))
 
     // Probe selection is one expression evaluation per query row —
     // the centroid table lives inside the expression, so there is no
@@ -384,16 +424,17 @@ object IvfIndex {
     val probes = q
       .withColumn("cell",
         explode(SketchExpressions.topCells(col("vec"), centroids, nProbe)))
-      .select(col("id").as("query_id"), col("vec").as("query_vec"),
-        col("qnorm"), col("cell"))
+      .select(col("id").as("query_id") +: col("vec").as("query_vec") +:
+        col("qnorm") +: col("cell") +: attrCols.map(col): _*)
 
     // Candidate join inside probed cells only, then exact cosine top-k
     // (norms precomputed per row, not per pair). No pair dedup needed:
     // a neighbor lives in exactly one cell, so (query, nbr) is unique.
     val cands = probes.join(
-        assigned.select(col("cell"), col("id").as("nbr_id"),
-          col("vec").as("nbr_vec"), col("norm").as("nnorm")),
-        Seq("cell"))
+        assigned.select(col("cell") +: col("id").as("nbr_id") +:
+          col("vec").as("nbr_vec") +: col("norm").as("nnorm") +:
+          attrCols.map(col): _*),
+        "cell" +: attrCols)
       .filter(col("query_id") =!= col("nbr_id"))
     val scored = cands
       .withColumn("cosine", Similarity.cosineWithNorms(

@@ -1086,6 +1086,57 @@ object NorthStar {
     out
   }
 
+  /** d40: ENCODE the corpus with the TRAINED tokenizer — the loop
+    * closes train → encode: run the d38 merge loop, then charge every
+    * document its token count under the resulting segmentation. This
+    * is the "how many tokens is my corpus, under MY tokenizer"
+    * pass every training-data pipeline runs before packing/pricing
+    * (d11/d17 count under a fixed regex proxy; this counts under the
+    * trained model).
+    *
+    * The scale trick: a word's encoding is a pure function of the
+    * word, and the training loop ALREADY holds the final segmentation
+    * of every distinct corpus word — so encoding is not a per-document
+    * re-application of 30 merges but ONE broadcast join: unwrap the
+    * segmentation table to (word → n_syms) (vocab-sized — it is the
+    * model artifact, and models broadcast: the d05/d33 discipline) and
+    * join it to the exploded token stream. The corpus-sized side never
+    * shuffles; the per-doc aggregate map-side combines. Words the
+    * trainer excluded (the U+001F contract) drop from the count —
+    * inner join, mirrored in the oracle. */
+  def bpeEncodeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    bpeEncodeCountsOf(
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(widenWidth(s), md5(col("text"))),
+      "text", nMerges = 30)
+  }
+
+  /** Corpus-generic form of [[bpeEncodeCounts]]. */
+  def bpeEncodeCountsOf(docs: DataFrame, textCol: String, nMerges: Int,
+      driverVocabCap: Long = 1000000L, cacheEvery: Int = 8): DataFrame = {
+    val (_, seg, release) =
+      bpeTrainFullOf(docs, textCol, nMerges, driverVocabCap, cacheEvery)
+    // (word, token count) from the final segmentation: the word is the
+    // wrapped string with separators stripped (exact inverse — words
+    // containing the separator were excluded up front), the count is
+    // its symbol-list length. One row per distinct word.
+    val wordSyms = seg.select(
+      call_function("replace", col("s"), lit(BpeSep), lit("")).as("w"),
+      size(split(col("s").substr(lit(2), length(col("s")) - 2),
+        BpeSep + BpeSep)).cast("long").as("n_syms"))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val out = toks.join(broadcast(wordSyms), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_tokens"))
+      .orderBy("doc_id")
+      .cache()
+    out.count()
+    release()
+    out
+  }
+
   /** Shared training core: word-frequency aggregate (the one
     * corpus-sized pass), then the merge loop on the chosen path —
     * returns the ordered merges, the FINAL segmentation as a
@@ -1673,6 +1724,88 @@ object NorthStar {
       k = 5, nCells = 8, nProbe = 8,
       queries = Some(emb.filter(col("vec_id") < 50)))
       .orderBy("query_id", "rank")
+  }
+
+  /** Filtered brute-force truth: exact top-k where each query's
+    * candidate scope is rows sharing its `label` — the metadata-scoped
+    * search (tenant / category / language) every production vector
+    * store serves. Unlike the unfiltered truth this is an EQUI-join on
+    * the label, not a cross join: the filter is part of the join key
+    * on the truth side exactly as it is in the index path. Same
+    * output shape + quantization as [[Similarity.bruteForceTopK]], so
+    * the v01-family DuckDB oracle (with the label equality added)
+    * reproduces it hash-exactly. */
+  private def filteredKnnTruth(emb: DataFrame): DataFrame = {
+    val corpus = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec"), col("label"))
+      .withColumn("nbr_norm", Similarity.l2Norm(col("nbr_vec")))
+    val q = emb.filter(col("vec_id") < 50 && col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"), col("label"))
+      .withColumn("query_norm", Similarity.l2Norm(col("query_vec")))
+    val scored = q.join(corpus, Seq("label"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        Similarity.dot(col("query_vec"), col("nbr_vec")),
+        col("query_norm"), col("nbr_norm")))
+      .select(col("query_id"), col("nbr_id"), col("cosine"))
+    Similarity.rankTopK(scored, "query_id", "cosine", "nbr_id", 5)
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.Quantize.quantize4(col("cosine")).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** The v17 index path: IVF built WITH the label carried as an index
+    * attribute ([[IvfIndex.build]] attrCols), searched with the label
+    * in the candidate join key ([[IvfIndex.search]] attrCols) — the
+    * filter is enforced at the cell scan, never post-ranking, so a
+    * scoped query can never return out-of-scope rows or silently
+    * fewer than k in-scope ones. nProbe = 7 of 10: the label thins
+    * in-scope candidate density per cell ~10×, so the probe budget
+    * rises vs v04's unfiltered 4. Measured recall@5 sweep
+    * (sf0.001/0.01/0.1): nProbe=4 0.62/0.61/0.62, 5 0.73/0.72/0.74,
+    * 6 0.83/0.78/0.79, 7 0.90/0.85/0.87, 8 0.94/0.90/0.93 — 7 gives
+    * ≥ 0.25 margin over the 0.6 bar at every SF (the v04 margin
+    * discipline; 4, the unfiltered budget, sits inside noise of the
+    * bar, which is exactly the "filtered search needs a bigger probe
+    * budget" production lesson). */
+  private def filteredIvfSearch(spark: SparkSession, emb: DataFrame,
+      nProbe: Int): DataFrame = {
+    val (assigned, centroids) = IvfIndex.build(spark, emb,
+      "vec_id", "embedding", nCells = 10, attrCols = Seq("label"))
+    val out = IvfIndex.search(assigned, centroids, k = 5, nProbe = nProbe,
+      queries = Some(emb.filter(col("vec_id") < 50)),
+      idCol = "vec_id", vecCol = "embedding", attrCols = Seq("label")).cache()
+    out.count()
+    assigned.unpersist()
+    out
+  }
+
+  /** v17: FILTERED ANN, certified — metadata-scoped vector search
+    * (every query retrieves only within its own `label`), the
+    * production shape of multi-tenant / category-scoped retrieval.
+    * Output is the filtered brute-force truth top-5 (DuckDB-exact:
+    * the v01 oracle with the label equality in the join) plus
+    * `filtered_recall_ok`, the distributed recall@5 ≥ 0.6 certificate
+    * over the 50-query set ([[certifyRecall]]). The index path
+    * enforces the label INSIDE the candidate join (see
+    * [[filteredIvfSearch]]); a post-filter over an unfiltered search
+    * would be both slower (scores out-of-scope rows) and wrong
+    * (returns < k in-scope rows when scope survivors fall outside the
+    * unfiltered top-k). */
+  def filteredAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    certifyRecall(
+      filteredKnnTruth(emb),
+      filteredIvfSearch(spark, emb, nProbe = 7),
+      minRecall = 0.6, okCol = "filtered_recall_ok")
+  }
+
+  /** BENCH-ONLY twin of v17: the filtered IVF build + search alone,
+    * without the certificate's truth side — see
+    * [[annTopKProduction]]. */
+  def filteredAnnProduction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    filteredIvfSearch(spark, emb, nProbe = 7)
   }
 
   /** v07: the sign-LSH ANN driven to EXHAUSTIVENESS — `planes = -1`

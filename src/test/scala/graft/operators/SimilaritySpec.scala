@@ -513,4 +513,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.6, f"IVF-PQ mean recall@5 = $mean%.3f")
     spark.catalog.clearCache()
   }
+
+  private lazy val labels: Map[Long, Int] =
+    Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+  /** Driver-side filtered exact reference: each query's scope is rows
+    * sharing its label; top-k by (-cosine, id). */
+  private def filteredRef(q: Long, k: Int): Seq[Long] =
+    vecs.toSeq
+      .filter { case (id, _) => id != q && labels(id) == labels(q) }
+      .map { case (id, v) => (id, cosineRef(vecs(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  test("filtered search: in-scope only, and exact at full probe width") {
+    val emb = Tables.embeddings(spark, dir)
+    val (assigned, centroids) = IvfIndex.build(spark, emb,
+      "vec_id", "embedding", nCells = 10, attrCols = Seq("label"))
+    val got = IvfIndex.search(assigned, centroids, k = 5, nProbe = 10,
+      queries = Some(emb.filter(col("vec_id") < 50)),
+      idCol = "vec_id", vecCol = "embedding", attrCols = Seq("label"))
+      .collect()
+    assigned.unpersist()
+    // scope: every returned neighbor shares its query's label
+    got.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"out-of-scope neighbor ${r.getLong(1)} for query ${r.getLong(0)}")
+    }
+    // exactness at nProbe = nCells: equals the filtered brute force
+    val byQuery = got.groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    (0L until 50L).foreach { q =>
+      assert(byQuery(q) === filteredRef(q, 5), s"query $q")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("filtered attributes survive save, append, delete: searches stay scoped and exact") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") >= 50)
+    val (assigned, centroids) = IvfIndex.build(spark, base,
+      "vec_id", "embedding", nCells = 10, attrCols = Seq("label"))
+    val idxDir = graft.core.RunTemp.dir("graft_ivf_attr_spec_")
+    IvfIndex.save(assigned, centroids, idxDir)
+    assigned.unpersist()
+    // append the held-out rows: attr columns are derived from the
+    // saved schema and must ride the appended files
+    IvfIndex.append(spark, idxDir, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding")
+    val (loaded, loadedCentroids) = IvfIndex.load(spark, idxDir)
+    assert(loaded.columns.contains("label"), "label column lost on append/save")
+    val got = IvfIndex.search(loaded, loadedCentroids, k = 5, nProbe = 10,
+      queries = Some(emb.filter(col("vec_id") < 50)),
+      idCol = "vec_id", vecCol = "embedding", attrCols = Seq("label"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    (0L until 50L).foreach { q =>
+      assert(got(q) === filteredRef(q, 5), s"appended-index query $q")
+    }
+    // delete a few ids: the touched-cell rewrite must keep the attrs
+    import spark.implicits._
+    IvfIndex.delete(spark, idxDir, Seq(0L, 1L, 2L).toDF("vec_id"), "vec_id")
+    val (afterDel, delCentroids) = IvfIndex.load(spark, idxDir)
+    assert(afterDel.columns.contains("label"), "label column lost on delete rewrite")
+    val q3 = IvfIndex.search(afterDel, delCentroids, k = 5, nProbe = 10,
+      queries = Some(emb.filter(col("vec_id") === 3L)),
+      idCol = "vec_id", vecCol = "embedding", attrCols = Seq("label"))
+      .collect().sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+    val refMinusDeleted = vecs.toSeq
+      .filter { case (id, _) => id != 3L && labels(id) == labels(3L) && !Set(0L, 1L, 2L).contains(id) }
+      .map { case (id, v) => (id, cosineRef(vecs(3L), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(q3 === refMinusDeleted, "post-delete filtered search")
+    spark.catalog.clearCache()
+  }
 }

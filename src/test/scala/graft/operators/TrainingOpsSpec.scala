@@ -198,6 +198,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bpe encode: per-doc token counts under the trained merges on a toy corpus") {
+    import spark.implicits._
+    // merges learned from the corpus: (a,b)->ab then (ab,ab)->abab.
+    // doc 1 tokens: abab->1 sym, abab->1, ab->1; doc 2: ba stays
+    // unmerged (2 syms: the (b,a) pair was never the winner), ab->1.
+    val docs = Seq((1L, "abab abab ab"), (2L, "ba ab")).toDF("doc_id", "text")
+    val got = NorthStar.bpeEncodeCountsOf(docs, "text", nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 3L), (2L, 2L, 3L)))
+  }
+
+  test("bpe encode: corpus total equals the trained symbol mass; paths agree") {
+    val docs = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val enc = NorthStar.bpeEncodeCountsOf(docs, "text", nMerges = 10)
+    val rows = enc.collect().map(_.toString).toSeq
+    // Σ per-doc tokens == Σ n over the d39 symbol inventory: both
+    // count the corpus token stream under the same final segmentation
+    val encTotal = enc.agg(sum(col("n_tokens"))).head.getLong(0)
+    val symTotal = NorthStar.bpeSymbolsOf(docs, "text", nMerges = 10)
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(encTotal === symTotal)
+    spark.catalog.clearCache()
+    // distributed-loop path byte-equal
+    val viaCluster = NorthStar.bpeEncodeCountsOf(docs, "text", nMerges = 10,
+      driverVocabCap = 0L, cacheEvery = 4).collect().map(_.toString).toSeq
+    assert(viaCluster === rows)
+    spark.catalog.clearCache()
+  }
+
   test("bpe merge loop runs dry loudly, never silently short") {
     import spark.implicits._
     val docs = Seq((1L, "ab")).toDF("doc_id", "text") // one pair total
