@@ -517,10 +517,11 @@ object IvfIndex {
     * (id, cell, codes) ONLY — no vectors — which is what makes the
     * index small enough to live in memory at any corpus size. */
   def buildPq(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, m: Int = 8, ks: Int = 256, seed: Long = 42L)
-      : (DataFrame, PqModel) = {
+      nCells: Int, m: Int = 8, ks: Int = 256, seed: Long = 42L,
+      attrCols: Seq[String] = Nil): (DataFrame, PqModel) = {
     val base = df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        attrCols.map(col): _*)
     val model = trainPq(base, "vec", nCells, m, ks, seed)
     val encoded = base
       .withColumn("cell",
@@ -528,7 +529,7 @@ object IvfIndex {
       .withColumn("codes",
         SketchExpressions.pqEncode(col("vec"), col("cell"),
           model.centroids, model.codebooks))
-      .select("id", "cell", "codes")
+      .select(("id" +: "cell" +: "codes" +: attrCols).map(col): _*)
       .cache()
     (encoded, model)
   }
@@ -547,16 +548,26 @@ object IvfIndex {
     * approximate, so the result is certified by recall against exact
     * truth (the v04 pattern), not hash equality. */
   def searchPq(encoded: DataFrame, model: PqModel, k: Int, nProbe: Int,
-      queries: DataFrame, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+      queries: DataFrame, idCol: String = "id", vecCol: String = "vec",
+      attrCols: Seq[String] = Nil): DataFrame = {
+    // attrCols: same filtered-search contract as [[search]] — the
+    // attribute equality rides the candidate join key, so the scope
+    // filter is enforced at the cell scan. Filtered ADC search over
+    // attribute L is STRUCTURALLY the unfiltered search over the
+    // label-L sub-index with the same model (spec-pinned): codes and
+    // cell assignments are per-row, unaffected by the filter.
     val q = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        attrCols.map(col): _*)
     val probes = q
       .withColumn("cell",
         explode(SketchExpressions.topCells(col("vec"), model.centroids, nProbe)))
-      .select(col("id").as("query_id"), col("vec").as("query_vec"), col("cell"))
+      .select(col("id").as("query_id") +: col("vec").as("query_vec") +:
+        col("cell") +: attrCols.map(col): _*)
     val scored = probes.join(
-        encoded.select(col("cell"), col("id").as("nbr_id"), col("codes")),
-        Seq("cell"))
+        encoded.select(col("cell") +: col("id").as("nbr_id") +:
+          col("codes") +: attrCols.map(col): _*),
+        "cell" +: attrCols)
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (-SketchExpressions.pqAdcDistance(col("query_vec"), col("cell"),
@@ -574,7 +585,12 @@ object IvfIndex {
   def savePq(encoded: DataFrame, model: PqModel, dir: String): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    encoded.select(col("id"), col("codes"), col("cell"))
+    // attribute columns (filtered-search metadata) persist with the
+    // codes, same contract as [[save]]
+    val attrs = encoded.columns
+      .filterNot(Set("id", "codes", "cell")).toSeq
+    encoded.select((Seq("id", "codes").map(col) ++
+        attrs.map(col) :+ col("cell")): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     model.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq

@@ -549,6 +549,41 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("filtered PQ search equals unfiltered PQ search over each label's sub-index") {
+    val emb = Tables.embeddings(spark, dir)
+    // tiny geometry: the pin is STRUCTURAL (same candidates, same ADC
+    // arithmetic), so model quality is irrelevant to it
+    val (encoded, model) = IvfIndex.buildPq(spark, emb, "vec_id", "embedding",
+      nCells = 10, m = 8, ks = 16, attrCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 30)
+    val filtered = IvfIndex.searchPq(encoded, model, k = 5, nProbe = 4,
+      queries, "vec_id", "embedding", attrCols = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // scope: neighbors share their query's label
+    filtered.foreach { case (q, n, _) =>
+      assert(labels(n) == labels(q), s"out-of-scope PQ neighbor $n for query $q")
+    }
+    // per label, filtered search over the full index must equal the
+    // unfiltered search over that label's sub-index with the SAME
+    // model — codes and cell assignments are per-row, so the filter
+    // only thins the candidate set, exactly like the sub-index does
+    val qLabels = (0L until 30L).map(labels).distinct
+    val expected = qLabels.flatMap { l =>
+      IvfIndex.searchPq(encoded.filter(col("label") === l), model,
+        k = 5, nProbe = 4, queries.filter(col("label") === l),
+        "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(filtered === expected)
+    // attrs persist with the codes
+    val idxDir = graft.core.RunTemp.dir("graft_ivfpq_attr_spec_")
+    IvfIndex.savePq(encoded, model, idxDir)
+    val (loaded, _) = IvfIndex.loadPq(spark, idxDir)
+    assert(loaded.columns.contains("label"), "label column lost on savePq")
+    encoded.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("filtered attributes survive save, append, delete: searches stay scoped and exact") {
     val emb = Tables.embeddings(spark, dir)
     val base = emb.filter(col("vec_id") >= 50)
