@@ -230,6 +230,7 @@ object SparkEntry {
     "io02_json_roundtrip"    -> (graft.sources.Formats.jsonRoundtripOrders _),
     "io03_partitioned_prune" -> (graft.sources.Formats.partitionedEventsPrune _),
     "io04_csv_roundtrip"     -> (graft.sources.Formats.csvRoundtripCustomer _),
+    "io05_zorder_cluster"    -> (graft.sources.Formats.zorderClusterEvents _),
     "m01_multimodal_features" -> (NorthStar.multimodalFeatures _),
     "m02_frame_samples"      -> (NorthStar.frameSamples _),
     "m03_thumbnails"         -> (NorthStar.thumbnails _),
@@ -2177,6 +2178,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey <= 500
         |ORDER BY c_custkey""".stripMargin,
+    // io05: the Z-ordered rewrite is layout-only, so the oracle is
+    // the SOURCE table — any row lost, duplicated, or mutated by the
+    // clustering write breaks the hash. µs epochs on both sides (the
+    // s06 cross-engine time rule).
+    "io05_zorder_cluster" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // v05: transitive closure over v03's exhaustively-recomputed
     // ≥ 0.95 cosine pair graph (recursive CTE, min reachable id) —
     // the vector twin of d13's closure oracle.

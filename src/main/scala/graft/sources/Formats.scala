@@ -90,6 +90,29 @@ object Formats {
     * directory (partition pruning; asserted in PlansSpec). This is
     * the layout/query pattern that carries 100 TB tables: partition
     * on the coarse predicate column, prune before any byte is read. */
+  /** Z-ORDER clustered rewrite + read-back: events rewritten in
+    * Morton order over (user_id, ts) — the multi-column data-skipping
+    * layout ([[graft.operators.Zorder]]) — then read back and
+    * returned row-level, so the oracle hash-match certifies the
+    * rewrite is content-preserving (the p08 compaction discipline:
+    * physical layout changed, rows untouched). The skipping property
+    * itself — per-file min/max stats tight on BOTH dimensions, a
+    * fraction of the files candidate for a 2-dim box predicate vs a
+    * single-column sort — is measured in ZorderSpec, where layouts
+    * can be compared side by side. */
+  def zorderClusterEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("events_zorder")
+    val src = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    graft.operators.Zorder.cluster(src, "user_id", "ts", nFiles = 16)
+      .write.mode("overwrite").parquet(path)
+    spark.read.schema(src.schema).parquet(path)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   def partitionedEventsPrune(spark: SparkSession, dir: String): DataFrame = {
     val path = stage("events_by_type")
     Tables.events(spark, dir)
