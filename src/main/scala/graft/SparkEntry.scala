@@ -142,6 +142,13 @@ object SparkEntry {
     // snapshot's rows; hash-matching p01's oracle certifies that
     // compaction changed the physical layout only.
     "p08_compaction" -> ((s, _) => cocoaCompacted(s)),
+    // p09: INCREMENTAL AGGREGATE MAINTENANCE — the v0 value-by-region
+    // aggregate maintained to v1 by absorbing only the pre/post-image
+    // change feed (never re-scanning v1), hash-certified against the
+    // oracle's direct recompute over the final warehouse. The
+    // materialized-view refresh primitive: at 100 TB the refresh pays
+    // |Δ| + group-cardinality, not the corpus.
+    "p09_incremental_agg" -> ((s, _) => cocoaIncrementalAgg(s)),
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
@@ -374,6 +381,35 @@ object SparkEntry {
     spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
       .parquet(Warehouse.versionPath(root, v))
       .orderBy("shipment_id")
+  }
+
+  /** p09: maintain v0's value-by-region aggregate to v1 using ONLY
+    * the pre/post-image change feed between the snapshots — the
+    * incremental twin of p02's recompute (which the oracle performs
+    * directly over the final warehouse; the hash match IS the
+    * maintenance ≡ recompute certificate). Money is summed in exact
+    * half-USD longs (value = integral kg × 2.50 USD, so 2× value is
+    * an exact integer) and divided back once at the end — retraction
+    * by subtraction demands associative-exact addition. */
+  private def cocoaIncrementalAgg(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark) // ensure v0 and v1 are committed
+    val dirs = cocoaDirsMemo.get(spark)
+    def snap(v: Long) = spark.read
+      .schema(graft.pipeline.CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(dirs.warehouse, v))
+    def halfUsd(value: org.apache.spark.sql.Column) =
+      floor(value * 2 + lit(0.5)).cast("long")
+    val agg0 = snap(0).groupBy(col("region"))
+      .agg(fsum(halfUsd(col("shipment_value_usd"))).as("value_half"),
+        count(lit(1)).as("n_shipments"))
+    val changes = Warehouse.diffImages(snap(0), snap(1), Seq("shipment_id"))
+    graft.operators.IncrementalAgg
+      .maintain(agg0, changes, "region",
+        Seq("value_half" -> (img => halfUsd(img.getField("shipment_value_usd")))),
+        "n_shipments")
+      .select(col("region"), (col("value_half") / 2.0).as("total_value_usd"),
+        col("n_shipments"))
+      .orderBy("region")
   }
 
   /** Fixed location the oracle SQL reads the landing copies from —
@@ -2033,6 +2069,14 @@ object SparkEntry {
     // (zero in this append-only pipeline, proven by absence) the old.
     "p07_version_diff" -> cocoaVersionDiffOracleSql,
     "p08_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // p09: the oracle RECOMPUTES the aggregate from the final
+    // warehouse; the Spark side never reads v1's rows outside the
+    // change feed — a hash match certifies incremental maintenance
+    // ≡ full recompute.
+    "p09_incremental_agg" -> cocoaOracle(
+      """SELECT region, sum(shipment_value_usd) AS total_value_usd,
+        |  count(*) AS n_shipments
+        |FROM wh GROUP BY region ORDER BY region""".stripMargin),
     // s05: the doubled-then-deduped stream must equal the original
     // event set exactly.
     "s05_streaming_dedup" ->

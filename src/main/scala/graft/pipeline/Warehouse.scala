@@ -345,6 +345,26 @@ object Warehouse {
   def diffFrames(from: DataFrame, to: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    val dataCols = to.columns.toSeq.filterNot(keyCols.contains)
+    diffImages(from, to, keyCols)
+      .withColumn("__row", coalesce(col("new_image"), col("old_image")))
+      .select(keyCols.map(col) ++
+        dataCols.map(c => col(s"__row.`$c`").as(c)) :+ col("change_type"): _*)
+  }
+
+  /** CDC with FULL pre/post images: [[diffFrames]]'s classification,
+    * but each change row keeps BOTH sides — `old_image` (null for
+    * inserts) and `new_image` (null for deletes) as structs of the
+    * non-key columns, alongside the keys and `change_type`. This is
+    * the change-feed shape incremental consumers that must RETRACT
+    * need (a maintained aggregate subtracts the pre-image and adds
+    * the post-image; a single-image feed cannot express "this row's
+    * group moved"). Same one-join scale shape as [[diffFrames]] —
+    * the images are the join's own packed structs, so keeping both
+    * costs no extra exchange or width. */
+  def diffImages(from: DataFrame, to: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "diff needs at least one key column")
     require(from.columns.sameElements(to.columns),
       s"diff expects both snapshots read under one schema, got" +
@@ -352,15 +372,12 @@ object Warehouse {
     val dataCols = to.columns.toSeq.filterNot(keyCols.contains)
     def packed(df: DataFrame, as: String) =
       df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
-    packed(from, "__old").join(packed(to, "__new"), keyCols, "full_outer")
-      .filter(!(col("__old") <=> col("__new")))
+    packed(from, "old_image").join(packed(to, "new_image"), keyCols, "full_outer")
+      .filter(!(col("old_image") <=> col("new_image")))
       .withColumn("change_type",
-        when(col("__old").isNull, lit("insert"))
-          .when(col("__new").isNull, lit("delete"))
+        when(col("old_image").isNull, lit("insert"))
+          .when(col("new_image").isNull, lit("delete"))
           .otherwise(lit("update")))
-      .withColumn("__row", coalesce(col("__new"), col("__old")))
-      .select(keyCols.map(col) ++
-        dataCols.map(c => col(s"__row.`$c`").as(c)) :+ col("change_type"): _*)
   }
 
   /** Drop old snapshots, subject to a RETENTION FLOOR — the contract
