@@ -214,6 +214,11 @@ object SparkEntry {
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
     "g01_pagerank"           -> (NorthStar.pageRankSuppliers _),
+    // g02: per-part triangle counts on the co-order graph. The Spark
+    // side counts via degree-ordered orientation (O(m^1.5) wedge
+    // bound, skew-proof); the oracle recounts with the canonical
+    // id-ordered 3-way join — algorithm-independent agreement.
+    "g02_triangle_counts"    -> (NorthStar.triangleCoOrder _),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -1824,6 +1829,26 @@ object SparkEntry {
     // integer micro-units BEFORE the sum so the aggregate is
     // order-independent in both engines.
     "g01_pagerank" -> pageRankOracleSql,
+    // g02: triangle recount by the canonical id-orientation (pairs
+    // are stored u < v, so each triangle a < b < c closes exactly one
+    // wedge) — deliberately NOT the Spark side's degree-ordered
+    // algorithm, so the hash match certifies count correctness
+    // independently of orientation choice.
+    "g02_triangle_counts" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY part_id""".stripMargin,
     "r01_bm25_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks

@@ -944,6 +944,27 @@ object NorthStar {
       .orderBy("rank")
   }
 
+  /** g02: per-part triangle counts over the CO-ORDER graph — parts
+    * are adjacent when some order contains both (the co-purchase
+    * graph driving "bought together" analytics). Edge derivation is
+    * a self-equi-join on the order key (order sizes are bounded, so
+    * pair fan-out is a constant factor on lineitem) collapsed to the
+    * canonical distinct (u < v) edge list; counting rides
+    * [[Graph.triangleCounts]]'s degree-ordered orientation. The
+    * oracle recounts via the INDEPENDENT canonical id-orientation
+    * 3-way join — two different algorithms agreeing on every
+    * per-node count is the certificate. */
+  def triangleCoOrder(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    Graph.triangleCounts(edges)
+      .select(col("node").as("part_id"), col("n_triangles"))
+      .orderBy("part_id")
+  }
+
   /** r02: TF-IDF keyword extraction over the corpus — top-3 terms
     * per document, fully re-derivable by the oracle (single-product
     * scores, no float summation anywhere). */

@@ -69,4 +69,58 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).toSet
     assert(got === Set(1000000000000L / 3))
   }
+
+  /** Brute-force triangle truth: every id-ordered vertex triple whose
+    * three edges are all present. */
+  private def naiveTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val set = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && set((a, b))
+      c <- nodes if b < c && set((b, c)) && set((a, c))
+    } yield (a, b, c)
+    tris.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def countTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: K4 gives every vertex 3, and matches brute force") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val got = countTriangles(k4)
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got === naiveTriangles(k4))
+  }
+
+  test("triangles: a triangle-free path graph yields no rows") {
+    assert(countTriangles(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("triangles: hub graph — degree orientation still counts exactly") {
+    // hub 1 connects to 2..8; rim edges close SOME wedges only:
+    // (2,3), (4,5), (5,6) → triangles {1,2,3}, {1,4,5}, {1,5,6}.
+    // The hub is the HIGH-degree endpoint of every spoke, so the
+    // orientation points spokes AT it — exactly the case where a
+    // naive id-orientation (hub has the smallest id) would enumerate
+    // all C(7,2) wedges at the hub; the count must not care.
+    val edges = (2L to 8L).map(x => (1L, x)) ++
+      Seq((2L, 3L), (4L, 5L), (5L, 6L))
+    val got = countTriangles(edges)
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 1L,
+      4L -> 1L, 5L -> 2L, 6L -> 1L))
+    assert(got === naiveTriangles(edges))
+  }
+
+  test("triangles: degree ties broken by id — overlapping triangles exact") {
+    // two triangles sharing edge (2,3): all of 1,2,3,4 have degree
+    // ties somewhere in the orientation order
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = countTriangles(edges)
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    assert(got === naiveTriangles(edges))
+  }
 }
