@@ -210,6 +210,10 @@ object SparkEntry {
     "d38_bpe_vocab"          -> (NorthStar.bpeTrainMerges _),
     "d39_bpe_symbols"        -> (NorthStar.bpeSymbols _),
     "d40_bpe_encode"         -> (NorthStar.bpeEncodeCounts _),
+    // d41: SemDeDup-shaped semantic-cell capped sampling — projection
+    // sign cells + portable per-cell uniform cap through the
+    // bounded-heap TopKPerKey; dense regions capped, sparse kept.
+    "d41_semantic_sample"    -> ((s, dir) => NorthStar.semanticSample(s, dir)),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
@@ -1947,6 +1951,38 @@ object SparkEntry {
     "d38_bpe_vocab" -> bpeVocabOracleSql,
     "d39_bpe_symbols" -> bpeSymbolsOracleSql,
     "d40_bpe_encode" -> bpeEncodeOracleSql,
+    // d41: full first-principles re-derivation — the seeded ±1 sign
+    // matrix (mixSqlU bit 0), integer projection coordinates, sign
+    // cell bits, md5-prefix draw, per-cell rank ≤ k. No model state
+    // crosses engines; a single flipped sign bit breaks the hash.
+    "d41_semantic_sample" ->
+      s"""WITH sgn AS (
+        |  SELECT i, j,
+        |    CASE WHEN ${mixSqlU("xor(CAST(i*6 + j AS UBIGINT), CAST(25214903917 AS UBIGINT))")} % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(64) t1(i) CROSS JOIN range(6) t2(j)),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |px AS (
+        |  SELECT vec_id, i, qv[i + 1] AS qx
+        |  FROM q CROSS JOIN range(64) t(i)),
+        |y AS (
+        |  SELECT px.vec_id, s.j, CAST(sum(px.qx * s.s) AS BIGINT) AS y_units
+        |  FROM px JOIN sgn s ON s.i = px.i GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN y_units > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS cell
+        |  FROM y GROUP BY vec_id),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |    CAST(row_number() OVER (PARTITION BY cell
+        |      ORDER BY ${hex48Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS BIGINT) AS cell_rank
+        |  FROM cells)
+        |SELECT vec_id, cell, cell_rank FROM ranked WHERE cell_rank <= 4
+        |ORDER BY cell, cell_rank""".stripMargin,
     // r02: TF-IDF re-derived — same tokenizer, (doc, term) tf, df,
     // smoothed idf ln((N+1)/(df+1)) + 1, single-product micro-unit
     // scores (no float sum to order), (score DESC, term ASC) rank

@@ -1364,6 +1364,46 @@ object NorthStar {
       .orderBy("lang", "sample_rank")
   }
 
+  /** d41: SEMANTIC-CELL capped sampling — the SemDeDup-shaped
+    * curation step: embeddings bucket into sign cells of the seeded
+    * random projection (v13's integer-exact y_units, so the cell id
+    * is GEOMETRY — cosine-close vectors share cells), and each cell
+    * keeps at most `k` survivors by a portable uniform draw. Dense
+    * semantic regions get capped; sparse regions survive whole —
+    * rebalancing a redundant corpus toward coverage, which is what
+    * the published embedding-dedup pipelines do between exact dedup
+    * and quality filtering.
+    *
+    * Every ingredient is engine-portable: the projection signs derive
+    * from the portable finalizer (no stored model), cell bits are
+    * integer signs, and the draw is the md5-prefix hash of the id —
+    * the oracle re-derives all of it from first principles.
+    *
+    * Scale shape: per-row projection kernel (zero shuffle), one
+    * vec-keyed aggregate for the 6 coordinate rows, then d19's
+    * bounded-heap [[graft.plans.TopK.bottomKPerKey]] prune BEFORE the
+    * ranking window — a hot cell streams through a k-row heap, never
+    * a full per-cell sort; the window runs over ≤ k·cells rows. */
+  def semanticSample(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val proj = Similarity.randomProjection(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      inDim = 64, outDim = 6)
+    val cells = proj.groupBy(col("vec_id"))
+      .agg(sum(when(col("y_units") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim_j AS INT))"))
+        .otherwise(lit(0L))).as("cell"))
+    val base = cells.withColumn("pri",
+      conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("long"))
+    val pruned = graft.plans.TopK.bottomKPerKey(
+      base, Seq("cell"), "pri", k, tieBreakers = Seq("vec_id"))
+    val w = Window.partitionBy("cell").orderBy(col("pri"), col("vec_id"))
+    pruned.withColumn("cell_rank", row_number().over(w).cast("long"))
+      .filter(col("cell_rank") <= k)
+      .select(col("vec_id"), col("cell"), col("cell_rank"))
+      .orderBy("cell", "cell_rank")
+  }
+
   /** d36: QUALITY-WEIGHTED sampling without replacement — the
     * Efraimidis–Spirakis scheme: each doc draws key u^(1/w) (u a
     * uniform derived from its portable content fingerprint, w its
