@@ -247,6 +247,10 @@ object SparkEntry {
     "io03_partitioned_prune" -> (graft.sources.Formats.partitionedEventsPrune _),
     "io04_csv_roundtrip"     -> (graft.sources.Formats.csvRoundtripCustomer _),
     "io05_zorder_cluster"    -> (graft.sources.Formats.zorderClusterEvents _),
+    // io06: additive schema evolution — two physical generations
+    // reconciled by name on read; old files surface the new column
+    // as null without a byte rewritten.
+    "io06_schema_evolution"  -> (graft.sources.Formats.schemaEvolutionOrders _),
     "m01_multimodal_features" -> (NorthStar.multimodalFeatures _),
     "m02_frame_samples"      -> (NorthStar.frameSamples _),
     "m03_thumbnails"         -> (NorthStar.thumbnails _),
@@ -2290,6 +2294,15 @@ object SparkEntry {
     "io05_zorder_cluster" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // io06: union-by-name semantics re-derived from the source table
+    // — generation 1 rows surface the evolved column as NULL.
+    "io06_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey <= 20000 AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 20000 AND o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     // v05: transitive closure over v03's exhaustively-recomputed
     // ≥ 0.95 cosine pair graph (recursive CTE, min reachable id) —
     // the vector twin of d13's closure oracle.

@@ -113,6 +113,31 @@ object Formats {
       .orderBy("event_id")
   }
 
+  /** io06: ADDITIVE SCHEMA EVOLUTION on read — generation 1 files
+    * carry (o_orderkey, o_custkey); generation 2 adds o_totalprice.
+    * `mergeSchema` reconciles by NAME and old files surface the new
+    * column as null — the lakehouse evolution contract: adding a
+    * column never rewrites a byte of existing data (at 100 TB a
+    * rewrite-on-evolve would be the single most expensive operation
+    * in the system; readers filling nulls is what makes evolution
+    * metadata-only). Footer merging is Spark's distributed respect
+    * job over file footers, not row data. The oracle reproduces the
+    * union-by-name semantics from the source table: a dropped row,
+    * a misaligned column, or a non-null backfill breaks the hash. */
+  def schemaEvolutionOrders(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("orders_evolve")
+    val src = Tables.orders(spark, dir).filter(col("o_orderkey") <= 20000)
+    src.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    src.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/gen=1", s"$path/gen=2")
+      .orderBy("o_orderkey")
+  }
+
   def partitionedEventsPrune(spark: SparkSession, dir: String): DataFrame = {
     val path = stage("events_by_type")
     Tables.events(spark, dir)

@@ -53,4 +53,17 @@ class FormatsSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(fromOrc.toSeq == fromParquet.toSeq)
   }
+
+  test("schema evolution: old-generation rows fill the new column with null") {
+    val merged = Formats.schemaEvolutionOrders(spark, dir)
+    assert(merged.columns.toSet ===
+      Set("o_orderkey", "o_custkey", "o_totalprice"))
+    val src = Tables.orders(spark, dir).filter(col("o_orderkey") <= 20000)
+    // every gen-1 (even-key) row null, every gen-2 (odd-key) row backfilled
+    assert(merged.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_totalprice").isNotNull).count() === 0)
+    assert(merged.filter(col("o_orderkey") % 2 === 1 &&
+      col("o_totalprice").isNull).count() === 0)
+    assert(merged.count() === src.count())
+  }
 }
