@@ -98,6 +98,10 @@ object SparkEntry {
     "q42_cohort_retention"   -> (Relational.cohortRetention _),
     "q43_forward_fill"       -> (Relational.forwardFillDaily _),
     "q44_table_checksums"    -> (Relational.tableChecksums _),
+    // q46: persisted HLL sketch-table rollup — distinct-count cube
+    // cells answered by merging stored KB-scale sketches, the raw
+    // events never rescanned; certificate vs exact counts.
+    "q46_sketch_rollup"      -> (Relational.hllSketchRollup _),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -2678,6 +2682,13 @@ object SparkEntry {
         |UNION ALL
         |${checksumSql("region", "concat_ws('|', r_regionkey, r_name)")}
         |ORDER BY table_name""".stripMargin,
+    // q46: exact distinct counts recomputed; the sketch-persistence
+    // and accuracy booleans are Spark-side certificates DuckDB
+    // affirms as literal TRUE (the q22 pattern).
+    "q46_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS rollup_consistent, TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // v13: the projection re-derived from first principles — sign
     // matrix from the portable mix (% 2 = bit 0), inputs quantized to
     // micro-units by the same floor-half-up, coordinates as integer

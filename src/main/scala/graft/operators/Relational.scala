@@ -479,6 +479,43 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
 
+  /** q46: PERSISTED SKETCH-TABLE ROLLUP — the 100 TB distinct-count
+    * architecture: per-(event_type, day) HyperLogLog sketches are
+    * materialized to a parquet sketch table (KB-scale binary rows),
+    * and the per-type distinct-user rollup is computed by MERGING the
+    * stored sketches — the raw events are never rescanned at query
+    * time. This is what q22's in-flight sketches become when they
+    * need to survive between runs: daily jobs append sketch rows;
+    * any cube cell (type, month, all-time) is a union over stored
+    * sketches, O(cells) not O(events).
+    *
+    * Certificate shape (the q22/v02 discipline): the oracle
+    * recomputes the EXACT distinct counts; the Spark side emits them
+    * plus two distributively-computed booleans — the stored-sketch
+    * rollup estimate must agree with the direct one-pass estimate
+    * (persistence + merge lose nothing), and the estimate must sit
+    * within 5% of exact (lgK=12's 1.6% RSE, three-sigma margin).
+    * DuckDB affirms literal TRUE. */
+  def hllSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val path = graft.core.RunTemp.dir("graft_hll_daily_")
+    ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      .write.mode("overwrite").parquet(path)
+    val rolled = spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_rollup"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(direct, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (col("est_rollup") === col("est_direct")).as("rollup_consistent"),
+        (abs(col("est_rollup") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("est_ok"))
+      .orderBy("event_type")
+  }
+
   /** Pivot: quantity totals per linestatus pivoted by returnflag —
     * oracle-expressed as CASE aggregation (identical output columns
     * A/N/R in both engines). */

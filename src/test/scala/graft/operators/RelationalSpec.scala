@@ -142,4 +142,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(top.length > 0 && top.length <= 50)
     assert(top.head.getLong(1) >= top.last.getLong(1), "sorted by count desc")
   }
+
+  test("q46: stored-sketch rollup is consistent and within tolerance") {
+    val rows = Relational.hllSketchRollup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: persisted-merge estimate " +
+        "must equal the direct one-pass estimate")
+      assert(r.getBoolean(3), s"${r.getString(0)}: estimate outside 5% of exact")
+    }
+  }
 }
