@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, date_trunc, floor, lit, sum => fsum}
+import org.apache.spark.sql.functions.{coalesce, col, count, date_trunc, floor, lit, sum => fsum}
 
 import graft.operators.{NorthStar, Relational}
 import graft.pipeline.{CocoaGen, CocoaPipeline, Warehouse}
@@ -146,6 +146,12 @@ object SparkEntry {
     // snapshot's rows; hash-matching p01's oracle certifies that
     // compaction changed the physical layout only.
     "p08_compaction" -> ((s, _) => cocoaCompacted(s)),
+    // p10: PERSISTED CHANGE FEED — the v0→v1 transition materialized
+    // as a durable artifact at publish time (the Delta CDF shape);
+    // consumers read the stored feed instead of re-diffing two
+    // snapshots each. Projected to p07's flat change shape and held
+    // to p07's oracle: stored ≡ derived, hash-exact.
+    "p10_change_feed" -> ((s, _) => cocoaChangeFeed(s)),
     // p09: INCREMENTAL AGGREGATE MAINTENANCE — the v0 value-by-region
     // aggregate maintained to v1 by absorbing only the pre/post-image
     // change feed (never re-scanning v1), hash-certified against the
@@ -400,6 +406,24 @@ object SparkEntry {
       .orderBy("shipment_id")
   }
 
+  /** p10: publish the v1 change feed once (idempotent), read the
+    * STORED rows back, and flatten pre/post images to p07's change
+    * shape (inserts/updates carry the new row, deletes the old). The
+    * hash match against p07's diff oracle certifies that what was
+    * persisted is exactly the transition's change set. */
+  private def cocoaChangeFeed(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark) // ensure v0 and v1 are committed
+    val dirs = cocoaDirsMemo.get(spark)
+    Warehouse.publishChangeFeed(spark, dirs.warehouse, 1L)
+    val dataCols = graft.pipeline.CocoaSchema.warehouse.fieldNames.toSeq
+      .filterNot(_ == "shipment_id")
+    Warehouse.readChangeFeed(spark, dirs.warehouse, 1L)
+      .withColumn("__row", coalesce(col("new_image"), col("old_image")))
+      .select(col("shipment_id") +:
+        dataCols.map(c => col(s"__row.`$c`").as(c)) :+ col("change_type"): _*)
+      .orderBy("shipment_id")
+  }
+
   /** p09: maintain v0's value-by-region aggregate to v1 using ONLY
     * the pre/post-image change feed between the snapshots — the
     * incremental twin of p02's recompute (which the oracle performs
@@ -419,7 +443,10 @@ object SparkEntry {
     val agg0 = snap(0).groupBy(col("region"))
       .agg(fsum(halfUsd(col("shipment_value_usd"))).as("value_half"),
         count(lit(1)).as("n_shipments"))
-    val changes = Warehouse.diffImages(snap(0), snap(1), Seq("shipment_id"))
+    // consume the STORED feed (p10's artifact, published idempotently)
+    // — the maintenance pass reads |Δ| rows, never snapshot v1
+    Warehouse.publishChangeFeed(spark, dirs.warehouse, 1L)
+    val changes = Warehouse.readChangeFeed(spark, dirs.warehouse, 1L)
     graft.operators.IncrementalAgg
       .maintain(agg0, changes, "region",
         Seq("value_half" -> (img => halfUsd(img.getField("shipment_value_usd")))),
@@ -2137,6 +2164,9 @@ object SparkEntry {
     // Warehouse.diffFrames: inserts/updates carry the NEW row, deletes
     // (zero in this append-only pipeline, proven by absence) the old.
     "p07_version_diff" -> cocoaVersionDiffOracleSql,
+    // p10: the STORED change feed must carry exactly the change set
+    // p07 derives — same oracle, so persisted ≡ derived is the gate.
+    "p10_change_feed" -> cocoaVersionDiffOracleSql,
     "p08_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p09: the oracle RECOMPUTES the aggregate from the final
     // warehouse; the Spark side never reads v1's rows outside the

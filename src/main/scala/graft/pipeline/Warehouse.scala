@@ -352,6 +352,61 @@ object Warehouse {
         dataCols.map(c => col(s"__row.`$c`").as(c)) :+ col("change_type"): _*)
   }
 
+  /** Path of version `v`'s PERSISTED change feed. Lives under an
+    * underscore-prefixed dir, so snapshot readers (Hadoop's hidden-
+    * path filter) never see feed files as table data. */
+  def changePath(root: String, v: Long): String = s"$root/_changes/v$v"
+
+  /** Materialize version `v`'s change feed (the [[diffImages]] rows
+    * for the v-1 → v transition) as a durable artifact — Delta's
+    * change-data-feed made explicit. Consumers ([[graft.operators.
+    * IncrementalAgg]], downstream sync jobs) read the STORED feed:
+    * the two-snapshot diff is computed once, at publish time, instead
+    * of once per consumer — at 100 TB that is the difference between
+    * one maintenance pass and every consumer rescanning two full
+    * snapshots.
+    *
+    * Idempotent without a lease: both input snapshots are immutable,
+    * so the feed is a pure function of (root, v) — any two publishers
+    * derive identical content, the atomic no-overwrite rename picks
+    * one winner, and the loser just discards its staging dir. A crash
+    * mid-publish leaves an incomplete dir with no `_SUCCESS`, which
+    * the next publisher clears and rewrites. `keepLast` vacuuming
+    * governs how far back `v-1` stays readable — publish feeds before
+    * the retention floor passes the transition. */
+  def publishChangeFeed(spark: SparkSession, root: String, v: Long,
+      keyCols: Seq[String] = Seq(CocoaSchema.mergeKey),
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): String = {
+    require(v >= 1, s"change feed needs a predecessor; got v$v")
+    val fs = Ingest.fs(spark, root)
+    val target = new Path(changePath(root, v))
+    def complete = fs.exists(new Path(target, "_SUCCESS"))
+    if (complete) return target.toString
+    def snap(x: Long) =
+      spark.read.schema(schema).parquet(versionPath(root, x))
+    val stage = new Path(
+      s"$root/_changes/.v${v}_${java.util.UUID.randomUUID().toString}")
+    diffImages(snap(v - 1), snap(v), keyCols)
+      .write.mode("overwrite").parquet(stage.toString)
+    if (complete) { fs.delete(stage, true); return target.toString }
+    if (fs.exists(target)) fs.delete(target, true) // incomplete orphan
+    if (!fs.rename(stage, target)) fs.delete(stage, true) // racer won
+    require(fs.exists(new Path(target, "_SUCCESS")),
+      s"change feed publish failed for $target")
+    target.toString
+  }
+
+  /** Read version `v`'s stored change feed; loud when it was never
+    * published (or only partially) — a missing feed must never read
+    * as "no changes". */
+  def readChangeFeed(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val p = changePath(root, v)
+    val fs = Ingest.fs(spark, root)
+    require(fs.exists(new Path(p, "_SUCCESS")),
+      s"no complete change feed at $p — publishChangeFeed(v=$v) first")
+    spark.read.parquet(p)
+  }
+
   /** CDC with FULL pre/post images: [[diffFrames]]'s classification,
     * but each change row keeps BOTH sides — `old_image` (null for
     * inserts) and `new_image` (null for deletes) as structs of the

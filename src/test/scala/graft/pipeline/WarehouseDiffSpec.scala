@@ -74,4 +74,44 @@ class WarehouseDiffSpec extends AnyFunSuite {
     assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).size === 1,
       s"exactly one join expected:\n$plan")
   }
+
+  test("persisted change feed: stored rows equal the derived diff; publish idempotent") {
+    val root = Files.createTempDirectory("wh_feed").toString
+    val v0 = batch(21)
+    val v1 = v0.filter(col("shipment_id") =!= id(3))
+      .unionByName(Enrich.enrich(
+        CocoaGen.shipments(spark, 2, seed = 22, idOffset = 200L),
+        new Timestamp(3000000L)))
+    Warehouse.commit(spark, root, v0)
+    Warehouse.commit(spark, root, v1)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+
+    val p1 = Warehouse.publishChangeFeed(spark, root, 1L)
+    val stored = canon(Warehouse.readChangeFeed(spark, root, 1L))
+    val derived = canon(Warehouse.diffImages(
+      spark.read.schema(CocoaSchema.warehouse)
+        .parquet(Warehouse.versionPath(root, 0L)),
+      spark.read.schema(CocoaSchema.warehouse)
+        .parquet(Warehouse.versionPath(root, 1L)),
+      Seq("shipment_id")))
+    assert(stored === derived)
+    assert(stored.nonEmpty)
+
+    // second publish is a no-op returning the same artifact
+    assert(Warehouse.publishChangeFeed(spark, root, 1L) === p1)
+    assert(canon(Warehouse.readChangeFeed(spark, root, 1L)) === stored)
+
+    // the feed dir is hidden from snapshot readers: re-reading v1
+    // as table data still yields exactly v1's rows
+    assert(spark.read.schema(CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(root, 1L)).count() === v1.count())
+
+    // unpublished feed reads fail loudly, never as "no changes"
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.readChangeFeed(spark, root, 99L)
+    }
+    assert(e.getMessage.contains("publishChangeFeed"))
+  }
 }
