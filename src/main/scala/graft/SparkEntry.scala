@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, date_trunc, floor, lit, sum => fsum}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, date_trunc, expr, floor, lit, sum => fsum}
 
 import graft.operators.{NorthStar, Relational}
 import graft.pipeline.{CocoaGen, CocoaPipeline, Warehouse}
@@ -146,6 +146,11 @@ object SparkEntry {
     // snapshot's rows; hash-matching p01's oracle certifies that
     // compaction changed the physical layout only.
     "p08_compaction" -> ((s, _) => cocoaCompacted(s)),
+    // p11: SQL-standard conditional MERGE INTO — delete / update /
+    // insert clauses with conditions, standard clause precedence,
+    // and the duplicate-source-match error, re-derived row-for-row
+    // by the oracle's classification joins.
+    "p11_merge_into" -> ((s, _) => cocoaMergeInto(s)),
     // p10: PERSISTED CHANGE FEED — the v0→v1 transition materialized
     // as a durable artifact at publish time (the Delta CDF shape);
     // consumers read the stored feed instead of re-diffing two
@@ -421,6 +426,31 @@ object SparkEntry {
       .withColumn("__row", coalesce(col("new_image"), col("old_image")))
       .select(col("shipment_id") +:
         dataCols.map(c => col(s"__row.`$c`").as(c)) :+ col("change_type"): _*)
+      .orderBy("shipment_id")
+  }
+
+  /** p11: conditional MERGE INTO over the warehouse. The source is a
+    * deterministic "re-inspection" batch derived from the warehouse
+    * itself (so the oracle rebuilds it): every 3rd shipment re-graded
+    * (+1.0 quality, stamp advanced 1h) and every 7th re-landed under
+    * a new `-R` id. Clauses exercise all three actions AND the
+    * null-condition rule (10% of temperatures are null → neither
+    * delete nor update fires; the row keeps its target image):
+    * re-grades pushing quality past 10.0 are culled, cool-chain rows
+    * (< 22°C) take the update, non-Criollo new ids insert. */
+  private def cocoaMergeInto(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val idNum = expr("CAST(substring(shipment_id, 6) AS BIGINT)")
+    val upd = wh.filter(idNum % 3 === 0)
+      .withColumn("quality_score", col("quality_score") + lit(1.0))
+      .withColumn("processed_at", col("processed_at") + expr("INTERVAL 1 HOUR"))
+    val ins = wh.filter(idNum % 7 === 0)
+      .withColumn("shipment_id", concat(col("shipment_id"), lit("-R")))
+    graft.pipeline.Merge.mergeInto(
+      wh, upd.unionByName(ins), Seq("shipment_id"),
+      matchedDelete = Some(col("s.quality_score") > 10.0),
+      matchedUpdate = Some(col("s.temperature_celsius") < 22.0),
+      notMatchedInsert = Some(col("s.bean_type") =!= "Criollo"))
       .orderBy("shipment_id")
   }
 
@@ -2167,6 +2197,36 @@ object SparkEntry {
     // p10: the STORED change feed must carry exactly the change set
     // p07 derives — same oracle, so persisted ≡ derived is the gate.
     "p10_change_feed" -> cocoaVersionDiffOracleSql,
+    // p11: MERGE INTO re-derived — rebuild the same source batch,
+    // classify every matched key by the standard's first-matching-
+    // clause rule (delete before update; a null condition fires
+    // nothing), then assemble survivors from the three populations.
+    "p11_merge_into" -> cocoaOracle(
+      """, src AS (
+        |  SELECT shipment_id, "timestamp", farm_id, region, bean_type,
+        |    quality_score + 1.0 AS quality_score, shipment_weight_kg,
+        |    temperature_celsius, shipment_value_usd,
+        |    processed_at + INTERVAL 1 HOUR AS processed_at
+        |  FROM wh WHERE CAST(substring(shipment_id, 6) AS BIGINT) % 3 = 0
+        |  UNION ALL
+        |  SELECT shipment_id || '-R', "timestamp", farm_id, region, bean_type,
+        |    quality_score, shipment_weight_kg, temperature_celsius,
+        |    shipment_value_usd, processed_at
+        |  FROM wh WHERE CAST(substring(shipment_id, 6) AS BIGINT) % 7 = 0),
+        |cls AS (
+        |  SELECT t.shipment_id,
+        |    CASE WHEN s.shipment_id IS NULL THEN 'keep'
+        |         WHEN coalesce(s.quality_score > 10.0, FALSE) THEN 'delete'
+        |         WHEN coalesce(s.temperature_celsius < 22.0, FALSE) THEN 'update'
+        |         ELSE 'keep' END AS action
+        |  FROM wh t LEFT JOIN src s USING (shipment_id))
+        |SELECT t.* FROM wh t JOIN cls c USING (shipment_id) WHERE c.action = 'keep'
+        |UNION ALL
+        |SELECT s.* FROM src s JOIN cls c USING (shipment_id) WHERE c.action = 'update'
+        |UNION ALL
+        |SELECT s.* FROM src s LEFT JOIN wh t ON s.shipment_id = t.shipment_id
+        |WHERE t.shipment_id IS NULL AND s.bean_type <> 'Criollo'
+        |ORDER BY shipment_id""".stripMargin),
     "p08_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p09: the oracle RECOMPUTES the aggregate from the final
     // warehouse; the Spark side never reads v1's rows outside the

@@ -103,6 +103,65 @@ object Merge {
       target.unionByName(alignTo(updates, target.schema)),
       key, ord, tieBreakers)
 
+  /** SQL-standard conditional MERGE INTO — the general form of which
+    * [[upsert]] is the unconditional special case: per matched key,
+    * WHEN MATCHED AND <delete-cond> THEN DELETE, else WHEN MATCHED
+    * AND <update-cond> THEN UPDATE (take the source row), else keep
+    * the target row; per unmatched source key, WHEN NOT MATCHED AND
+    * <insert-cond> THEN INSERT. Clause order (delete before update)
+    * follows the standard's first-matching-clause rule. Conditions
+    * see both rows as struct columns `t` and `s` (`col("t.x")`,
+    * `col("s.y")`); a None condition means the clause is absent.
+    *
+    * The SQL standard makes a key matched by MORE THAN ONE source row
+    * an error (non-deterministic merge) — enforced here DISTRIBUTED,
+    * via a per-row `raise_error` behind a source-side window count:
+    * the guard costs one window over the (small) source batch and
+    * fires at execution, not after a silent wrong answer.
+    *
+    * Scale shape: ONE full-outer sort-merge join on the key with both
+    * payloads packed as single structs (the [[Warehouse.diffImages]]
+    * layout — no per-column join width), then a per-row codegen'd
+    * CASE picks the surviving image. On a bucketed target the join
+    * plans with no exchange on the big side; the source-side dup
+    * guard and pack shuffle only the batch. */
+  def mergeInto(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+      matchedDelete: Option[Column] = None,
+      matchedUpdate: Option[Column] = None,
+      notMatchedInsert: Option[Column] = Some(lit(true))): DataFrame = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(target.columns.sameElements(source.columns),
+      s"mergeInto expects identical schemas, got" +
+        s" [${target.columns.mkString(",")}] vs [${source.columns.mkString(",")}]")
+    val cols = target.columns.toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(cols.map(col): _*).as(as): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val src = packed(source, "s").withColumn("__nsrc", count(lit(1)).over(w))
+      .withColumn("s",
+        when(col("__nsrc") > 1, raise_error(concat(
+          lit("MERGE source has duplicate key rows for ("),
+          concat_ws(",", keyCols.map(k => col(k).cast("string")): _*),
+          lit(") — a key matched by more than one source row is non-deterministic"))))
+          .otherwise(col("s")))
+      .drop("__nsrc")
+    val joined = packed(target, "t").join(src, keyCols, "full_outer")
+    val matched = col("t").isNotNull && col("s").isNotNull
+    val deleteHit = matchedDelete.map(matched && _).getOrElse(lit(false))
+    val updateHit = matchedUpdate.map(matched && !deleteHit && _).getOrElse(lit(false))
+    val insertHit = notMatchedInsert
+      .map(col("t").isNull && _).getOrElse(lit(false))
+    val survivor =
+      when(deleteHit, lit(null))
+        .when(updateHit, col("s"))
+        .when(col("t").isNotNull, col("t"))
+        .when(insertHit, col("s"))
+        .otherwise(lit(null))
+    joined.select(survivor.as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
+  }
+
   /** The cocoa-specific instantiation: key = shipment_id, recency =
     * processed_at, deterministic tie-break on the event timestamp.
     * `broadcastKeys` reaches every pipeline entry (batch runBatch,

@@ -99,4 +99,55 @@ class MergeSpec extends AnyFunSuite {
     assert(asMap(ab) === asMap(ba))
     assert(asMap(ab)("a") === (20L, 7.0), "greatest ord wins regardless of batch order")
   }
+
+  // --- conditional MERGE INTO ---
+
+  private def simple(rows: Seq[(String, Long)]): DataFrame =
+    rows.toDF("k", "v")
+
+  private def asSimpleMap(d: DataFrame): Map[String, Long] =
+    d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("mergeInto: clause precedence, conditions, and pass-through") {
+    val target = simple(Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+    val source = simple(Seq(
+      ("a", 100L), // matched, v>=50 → delete (even though update cond also true)
+      ("b", 20L),  // matched, update cond v%2==0 → take source
+      ("c", 21L),  // matched, neither cond → keep target
+      ("x", 10L),  // unmatched, insert cond → insert
+      ("y", 11L))) // unmatched, insert cond fails → dropped
+    val out = Merge.mergeInto(target, source, Seq("k"),
+      matchedDelete = Some(col("s.v") >= 50),
+      matchedUpdate = Some(col("s.v") % 2 === 0),
+      notMatchedInsert = Some(col("s.v") % 2 === 0))
+    assert(asSimpleMap(out) ===
+      Map("b" -> 20L, "c" -> 3L, "d" -> 4L, "x" -> 10L))
+  }
+
+  test("mergeInto: null conditions fire nothing; absent clauses are inert") {
+    val target = Seq(("a", Some(1L)), ("b", Some(2L))).toDF("k", "v")
+    val source = Seq(("a", Option.empty[Long]), ("z", Option.empty[Long])).toDF("k", "v")
+    // conditions reference s.v (null) → never true → matched row kept,
+    // unmatched row NOT inserted
+    val out = Merge.mergeInto(target, source, Seq("k"),
+      matchedDelete = Some(col("s.v") > 0),
+      matchedUpdate = Some(col("s.v") > 0),
+      notMatchedInsert = Some(col("s.v") > 0))
+    assert(out.collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+    // no clauses at all (insert defaulted off) → merge is the identity
+    val id = Merge.mergeInto(target, source, Seq("k"),
+      notMatchedInsert = None)
+    assert(id.collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("mergeInto: a key matched by two source rows fails loudly") {
+    val target = simple(Seq(("a", 1L)))
+    val source = simple(Seq(("a", 2L), ("a", 3L)))
+    val e = intercept[Exception] {
+      Merge.mergeInto(target, source, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate key rows")), e.getMessage)
+  }
 }
