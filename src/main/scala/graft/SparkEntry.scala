@@ -170,6 +170,11 @@ object SparkEntry {
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
     "s08_stream_incremental_dedup" -> (StreamingQueries.incrementalDedupStream _),
+    // s10: streaming incremental-view maintenance — each micro-batch
+    // folds into a warehouse-committed aggregate via the p09
+    // machinery; final view ≡ whole-history aggregate.
+    "s10_stream_incremental_agg" ->
+      ((s, d) => StreamingQueries.incrementalAggStream(s, d)),
     "s09_streaming_outliers" -> (StreamingQueries.streamingValueOutliers _),
     "s06_stream_stream_join" -> (StreamingQueries.viewPurchaseJoin _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
@@ -2772,6 +2777,13 @@ object SparkEntry {
         |UNION ALL
         |${checksumSql("region", "concat_ws('|', r_regionkey, r_name)")}
         |ORDER BY table_name""".stripMargin,
+    // s10: the maintained streaming view must equal the aggregate
+    // over the whole event history — recomputed directly.
+    "s10_stream_incremental_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q46: exact distinct counts recomputed; the sketch-persistence
     // and accuracy booleans are Spark-side certificates DuckDB
     // affirms as literal TRUE (the q22 pattern).

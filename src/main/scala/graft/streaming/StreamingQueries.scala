@@ -293,6 +293,73 @@ object StreamingQueries {
     drainMemorySink(spark, sink).coalesce(1).sortWithinPartitions(
       cols.map(col): _*)
 
+  /** s10: STREAMING INCREMENTAL-VIEW MAINTENANCE — the streaming twin
+    * of the p09/p10 batch architecture, composed from the same parts:
+    * each micro-batch becomes a change feed (insert images), and
+    * `foreachBatch` folds it into a WAREHOUSE-COMMITTED aggregate
+    * view via [[graft.operators.IncrementalAgg.maintain]] — per
+    * batch, the work is |Δ| + group-cardinality; the event history is
+    * never rescanned, and every intermediate view version is an
+    * atomic, time-travelable commit (a consumer reading mid-stream
+    * sees a consistent snapshot, never a torn update).
+    *
+    * The fixture is staged as 4 parquet files consumed at
+    * `maxFilesPerTrigger=1`, so the maintenance genuinely iterates
+    * (the spec pins ≥ 4 view versions); exactly-once here comes from
+    * the commit protocol's fencing plus the file source's offset log.
+    * The final view must equal the whole-history aggregate — the
+    * DuckDB oracle recomputes exactly that. */
+  def incrementalAggStream(spark: SparkSession, dir: String,
+      viewRootOverride: Option[String] = None): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val staged = graft.core.RunTemp.dir("graft_s10_src_")
+      graft.core.Tables.events(scoped, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
+        .repartition(4).write.mode("overwrite").parquet(staged)
+      val viewRoot = viewRootOverride.getOrElse(
+        graft.core.RunTemp.dir("graft_s10_view_"))
+      val imgType = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("v_cents", LongType)))
+      val aggSchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("total_cents", LongType),
+        StructField("n_events", LongType)))
+      val stream = scoped.readStream
+        .schema(StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("v_cents", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val s = batch.sparkSession
+          val changes = batch.select(
+            lit(null).cast(imgType).as("old_image"),
+            struct(col("event_type"), col("v_cents")).as("new_image"),
+            lit("insert").as("change_type"))
+          val agg0 = graft.pipeline.Warehouse.currentVersion(s, viewRoot)
+            .map(v => s.read.schema(aggSchema).parquet(
+              graft.pipeline.Warehouse.versionPath(viewRoot, v)))
+            .getOrElse(s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), aggSchema))
+          val next = graft.operators.IncrementalAgg.maintain(
+            agg0, changes, "event_type",
+            Seq("total_cents" -> (img => img.getField("v_cents"))), "n_events")
+          graft.pipeline.Warehouse.commit(s, viewRoot, next)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val v = graft.pipeline.Warehouse.currentVersion(scoped, viewRoot)
+        .getOrElse(sys.error(s"s10: no view version committed under $viewRoot"))
+      scoped.read.schema(aggSchema)
+        .parquet(graft.pipeline.Warehouse.versionPath(viewRoot, v))
+        .orderBy("event_type")
+    }
+
   /** Watermarked sliding-window throughput over the event stream —
     * the watermark/event-time-window surface the reference lacks
     * entirely (SURVEY.md §2.1 streaming). 6h tumbling windows; with

@@ -61,4 +61,33 @@ class StreamingQueriesSpec extends AnyFunSuite {
     val corpusSet = corpus.collect().map(_.getString(0)).toSet
     assert(got.intersect(corpusSet).isEmpty)
   }
+
+  test("s10: view maintenance genuinely iterates and ends at the batch truth") {
+    val viewRoot = java.nio.file.Files.createTempDirectory("graft_s10_spec").toString
+    val got = StreamingQueries.incrementalAggStream(spark, dir, Some(viewRoot))
+      .collect().map(_.toString).toSeq
+
+    // one committed view version per micro-batch: 4 staged files at
+    // maxFilesPerTrigger=1 → versions v0..v3 (a single-pass shortcut
+    // would leave exactly one)
+    val v = graft.pipeline.Warehouse.currentVersion(spark, viewRoot)
+    assert(v === Some(3L), s"expected 4 maintenance commits, got version $v")
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("total_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+      .collect().map(_.toString).toSeq
+    assert(got === batch)
+
+    // intermediate versions are time-travelable partial states:
+    // monotone event counts, final version dominating
+    val counts = (0L to 3L).map { ver =>
+      spark.read.parquet(graft.pipeline.Warehouse.versionPath(viewRoot, ver))
+        .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    }
+    assert(counts === counts.sorted, s"event mass must grow monotonically: $counts")
+    assert(counts.last === Tables.events(spark, dir).count())
+  }
 }
