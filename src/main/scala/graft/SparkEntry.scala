@@ -237,6 +237,10 @@ object SparkEntry {
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
+    // r03: hybrid retrieval — BM25 + vector rankings fused by
+    // integer-exact reciprocal rank; both chains recomputed from
+    // scratch by the oracle.
+    "r03_hybrid_rrf"         -> (NorthStar.hybridRrf _),
     "g01_pagerank"           -> (NorthStar.pageRankSuppliers _),
     // g02: per-part triangle counts on the co-order graph. The Spark
     // side counts via degree-ordered orientation (O(m^1.5) wedge
@@ -1963,6 +1967,77 @@ object SparkEntry {
         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT query_id, doc_id, score_micro, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // r03: BOTH retrieval chains recomputed from first principles —
+    // r01's BM25 pipeline and v01's cosine pipeline, each to depth
+    // 20 over query ids < 5 — then fused with the same integer RRF
+    // arithmetic (1e6 // (60 + rank), summed, ties by item id). A
+    // one-rank slip in either modality reorders the fused page and
+    // breaks the hash.
+    "r03_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tokenized AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+        |doclen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tokenized),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+        |queries AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id, unnest(toks[1:4]) AS term
+        |    FROM tokenized WHERE doc_id < 5)),
+        |qterms AS (SELECT DISTINCT term FROM queries),
+        |tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tokenized) u
+        |  WHERE t IN (SELECT term FROM qterms)
+        |  GROUP BY doc_id, t),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT q.query_id, f.doc_id,
+        |    CAST(floor(
+        |      ln(1 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+        |      * ((CAST(f.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+        |         / (CAST(f.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |            * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * (CAST(l.dl AS DOUBLE) / s.avgdl))))
+        |      * 1000000 + 0.5) AS BIGINT) AS c
+        |  FROM tf f
+        |  JOIN dfreq d ON f.term = d.term
+        |  JOIN doclen l ON f.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |  JOIN queries q ON f.term = q.term),
+        |lexscored AS (
+        |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |lexranked AS (
+        |  SELECT query_id, doc_id AS item_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r
+        |  FROM lexscored),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |vecscored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |vecranked AS (
+        |  SELECT query_id, nbr_id AS item_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS r
+        |  FROM vecscored),
+        |pooled AS (
+        |  SELECT query_id, item_id,
+        |    CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_units
+        |  FROM (SELECT * FROM lexranked WHERE r <= 20
+        |        UNION ALL SELECT * FROM vecranked WHERE r <= 20)
+        |  GROUP BY query_id, item_id),
+        |fused AS (
+        |  SELECT query_id, item_id, rrf_units,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_units DESC, item_id) AS BIGINT) AS rank
+        |  FROM pooled)
+        |SELECT query_id, item_id, rrf_units, rank FROM fused
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // d31: the temperature cuts re-derived — per-lang counts, √count
     // quantized to micro-units before the normalizing sum (the only

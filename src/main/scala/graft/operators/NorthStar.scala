@@ -761,6 +761,34 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** r03: HYBRID RETRIEVAL — BM25 lexical ranking and brute-force
+    * cosine vector ranking over the SAME item space (doc_id ≡
+    * vec_id in the fixtures), fused by reciprocal rank
+    * ([[Retrieval.rrfFuse]]) into one top-5. This is the modern
+    * search-stack shape: each modality retrieves top-`depth`
+    * independently (each already certified by its own gate — r01 and
+    * v01), and fusion is rank-arithmetic on the pruned candidate
+    * pools — integer-exact, so the DuckDB oracle recomputes both
+    * chains from scratch and must land the identical fused page. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val s = kernelSession(spark, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .repartition(widenWidth(s), md5(col("text")))
+    val queries = docs
+      .filter(col("doc_id") < 5 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextFunctions.tokens(col("text")), 1, 4)).as("term"))
+      .distinct()
+    val lex = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 20)
+      .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+    val emb = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 20,
+      queries = Some(emb.filter(col("vec_id") < 5)))
+      .select(col("query_id"), col("nbr_id").as("item_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, vec), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** d30: TRAINING-SHARD writer — the corpus deterministically
     * shuffled into 8 parquet shards on disk plus the per-shard
     * manifest a trainer's loader consumes. The manifest aggregates

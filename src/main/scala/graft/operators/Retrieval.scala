@@ -134,4 +134,38 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** RECIPROCAL-RANK FUSION — the standard way production search
+    * combines heterogeneous rankings (lexical BM25 + vector ANN +
+    * anything else): each ranking contributes 1/(c + rank) per item
+    * and the sums re-rank. Rank-based, so incomparable score scales
+    * (BM25 micro-units vs cosine) fuse without calibration — the
+    * reason RRF beats score interpolation in practice (Cormack et
+    * al.'s TREC result).
+    *
+    * Inputs are (query_id, item_id, rank) frames — the output shape
+    * of [[bm25TopK]] and [[graft.operators.Similarity.bruteForceTopK]]
+    * (and any other ranker). Weights are INTEGER micro-units
+    * (`1e6 div (c + rank)`) so the fused ordering is exact and
+    * engine-portable — ties broken by item id.
+    *
+    * Scale shape: a union of the (already top-depth-pruned) ranking
+    * frames, one map-side-combined sum keyed on (query, item), one
+    * per-query window. The window partition is bounded by
+    * modalities × depth BY CONSTRUCTION (each input carries ≤ depth
+    * rows per query), so no bounded-heap prune is needed at any
+    * query count — the prune already happened inside each ranker. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val pooled = rankings
+      .map(_.select(col("query_id"), col("item_id"),
+        expr(s"CAST(1000000 div ($c + rank) AS BIGINT)").as("w")))
+      .reduce(_ unionByName _)
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("w")).as("rrf_units"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_units").desc, col("item_id"))
+    pooled.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -101,4 +101,24 @@ class RetrievalSpec extends AnyFunSuite {
       Seq((9L, "cherry")).toDF("query_id", "term"), k = 10).collect()
     assert(got.map(_.getLong(1)).toSet === Set(2L))
   }
+
+  test("rrf fusion: consensus beats a single #1; singletons still surface") {
+    import spark.implicits._
+    // item 10: rank 2 in both lists → 2·(1e6 div 62) = 32256
+    // item 11: rank 1 lexical only  → 1e6 div 61     = 16393
+    // item 12: rank 1 vector only   → same            = 16393 (tie → id order)
+    // item 13: rank 3 lexical only  → 1e6 div 63     = 15873
+    val lex = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 13L, 3L))
+      .toDF("query_id", "item_id", "rank")
+    val vec = Seq((1L, 12L, 1L), (1L, 10L, 2L))
+      .toDF("query_id", "item_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (10L, 2L * (1000000L / 62), 1L),
+      (11L, 1000000L / 61, 2L),
+      (12L, 1000000L / 61, 3L),
+      (13L, 1000000L / 63, 4L)))
+  }
 }
