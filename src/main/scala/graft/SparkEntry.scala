@@ -98,6 +98,9 @@ object SparkEntry {
     "q42_cohort_retention"   -> (Relational.cohortRetention _),
     "q43_forward_fill"       -> (Relational.forwardFillDaily _),
     "q44_table_checksums"    -> (Relational.tableChecksums _),
+    // q47: declarative constraint audit — row predicates in one scan
+    // per table, pk uniqueness, fk integrity; exact violation counts.
+    "q47_constraint_audit"   -> (Relational.constraintAudit _),
     // q46: persisted HLL sketch-table rollup — distinct-count cube
     // cells answered by merging stored KB-scale sketches, the raw
     // events never rescanned; certificate vs exact counts.
@@ -2859,6 +2862,38 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q47: every constraint recounted directly (CASE null semantics
+    // mirror Spark's `when`: a NULL predicate is not a violation;
+    // null FKs exempt per MATCH SIMPLE).
+    "q47_constraint_audit" ->
+      """SELECT 'customer_acctbal_nonneg' AS constraint_name,
+        |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM customer
+        |UNION ALL
+        |SELECT 'documents_text_present',
+        |  CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk', CAST(count(*) AS BIGINT)
+        |FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_price_positive',
+        |  CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range',
+        |  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_shipdate_notnull',
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_pk_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |ORDER BY constraint_name""".stripMargin,
     // q46: exact distinct counts recomputed; the sketch-persistence
     // and accuracy booleans are Spark-side certificates DuckDB
     // affirms as literal TRUE (the q22 pattern).

@@ -479,6 +479,32 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
 
+  /** q47: DATA-QUALITY CONSTRAINT AUDIT — the post-load dbt-test
+    * report over the star schema: row predicates folded into one scan
+    * per table, key uniqueness, referential integrity. The fixture's
+    * negative account balances make a real non-zero row (a report of
+    * all zeros would prove only that nothing was checked); the zero
+    * rows pin that clean constraints stay clean. */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    import Audit.RowCheck
+    val li = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    Audit.rowChecks(li, Seq(
+        RowCheck("lineitem_quantity_range",
+          !(col("l_quantity") >= 1 && col("l_quantity") <= 50)),
+        RowCheck("lineitem_price_positive", !(col("l_extendedprice") > 0)),
+        RowCheck("lineitem_shipdate_notnull", col("l_shipdate").isNull)))
+      .unionByName(Audit.rowChecks(Tables.customer(spark, dir), Seq(
+        RowCheck("customer_acctbal_nonneg", col("c_acctbal") < 0))))
+      .unionByName(Audit.rowChecks(Tables.documents(spark, dir), Seq(
+        RowCheck("documents_text_present",
+          col("text").isNull || length(trim(col("text"))) === 0))))
+      .unionByName(Audit.uniqueKey(orders, Seq("o_orderkey"), "orders_pk_unique"))
+      .unionByName(Audit.refIntegrity(li, Seq("l_orderkey"),
+        orders, Seq("o_orderkey"), "lineitem_orders_fk"))
+      .orderBy("constraint_name")
+  }
+
   /** q46: PERSISTED SKETCH-TABLE ROLLUP — the 100 TB distinct-count
     * architecture: per-(event_type, day) HyperLogLog sketches are
     * materialized to a parquet sketch table (KB-scale binary rows),
