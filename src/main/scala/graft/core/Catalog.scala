@@ -103,6 +103,28 @@ object Catalog {
         |  CAST(sum(n) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
         |FROM daily ORDER BY day""".stripMargin,
+    // Distribution + value window functions (sql09 covers the rank
+    // family): percent_rank/cume_dist are double-valued — both
+    // engines compute the same (rank-1)/(n-1)-style rationals through
+    // the same IEEE ops, micro-quantized anyway for hash safety;
+    // first/nth ride the default frame, last_value needs the
+    // UNBOUNDED FOLLOWING frame explicitly (the default frame stops
+    // at CURRENT ROW — identical trap in both engines, pinned here).
+    // Named WINDOW clause exercised on both parsers.
+    "sql19_distribution_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pct_rank_micro,
+        |  CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cume_micro,
+        |  first_value(o_orderkey) OVER w AS best_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst_key
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // Ranking-function suite beyond row_number (q06/sql03): rank,
     // dense_rank, ntile, lag/lead — all int-typed in Spark vs BIGINT
     // in DuckDB, so every ranking is cast explicitly (the SAME string

@@ -115,6 +115,48 @@ class PlanSpec extends AnyFunSuite {
       s"expected at most one keyed exchange (the moments groupBy), found $keyedExchanges")
   }
 
+  test("p09: the maintenance plan reads v0 + the stored feed, never snapshot v1") {
+    // The whole point of incremental maintenance: v1's rows reach the
+    // view only THROUGH the |Δ|-sized change feed. A v1 file scan in
+    // this plan means someone reintroduced the full-recompute path.
+    val df = SparkEntry.queries("p09_incremental_agg")(spark, dir)
+    val scans = PlanWalk.collectAll(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }
+    assert(scans.exists(_.contains("/v0")), s"expected a v0 scan in $scans")
+    assert(scans.exists(_.contains("_changes")), s"expected a feed scan in $scans")
+    assert(!scans.exists(p => p.contains("/v1") && !p.contains("_changes")),
+      s"maintenance must never scan snapshot v1: $scans")
+  }
+
+  test("g02: triangle counting plans equi hash joins only — no cartesian") {
+    val p = plan("g02_triangle_counts")
+    assert(!p.contains("CartesianProduct"),
+      "triangle counting must never plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "all joins must be equi-keyed (orientation makes the closing edge's key known)")
+  }
+
+  test("p11: MERGE INTO is one full-outer join, key-partitioned") {
+    val p = plan("p11_merge_into")
+    assert(p.contains("FullOuter"), "expected the one struct-packed full-outer join")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("r03: rank fusion plans no join — union, aggregate, bounded window") {
+    // fusion itself is rank arithmetic; the only joins in the whole
+    // query belong to the upstream BM25 scorer (term joins). The
+    // fused candidate pool per query is bounded by construction, so
+    // a per-query sort is over ≤ modalities × depth rows.
+    val df = SparkEntry.queries("r03_hybrid_rrf")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), "expected the modality union")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("nbr_vec"), // the vector brute-force certificate side is a documented cross join
+      s"unexpected cartesian outside the vector scorer:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE's toString hides the codegen wrapping; ask the codegen
     // debugger how many fused subtrees the executed plan holds.
