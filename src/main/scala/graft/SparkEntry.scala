@@ -285,6 +285,11 @@ object SparkEntry {
       graft.multimodal.Multimodal.binaryAssetSource(s, dir)),
     "m05_video_metadata"     -> ((s, dir) =>
       graft.multimodal.Multimodal.videoMetadata(s, dir)),
+    // m06: PCM sample-level audio stats — real Int16 LE decode behind
+    // the RIFF walk; every stat re-derived by the oracle from the
+    // waveform generator formula.
+    "m06_audio_pcm_stats"    -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioPcmStats(s, dir)),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -1706,6 +1711,42 @@ object SparkEntry {
         |FROM s JOIN ent ON s.asset_id = ent.asset_id
         |JOIN tot ON s.asset_id = tot.asset_id
         |ORDER BY s.asset_id""".stripMargin,
+    // m06: the waveform regenerated from the content-hash formula and
+    // every integer stat recomputed in SQL — the Spark side must
+    // recover the identical signal from the BYTES it wrote.
+    "m06_audio_pcm_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id,
+        |    (coalesce(octet_length(encode(text)), 0) * 2654435761) % 1000003 AS h
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200),
+        |par AS (
+        |  SELECT asset_id, h, 64 + (h % 192) AS n,
+        |    [8000, 16000, 22050, 44100][CAST(h % 4 AS INT) + 1] AS sample_rate
+        |  FROM d),
+        |samples AS (
+        |  -- n < 256 always (64 + h%192); constant range + filter
+        |  -- because DuckDB's range() takes no lateral column args
+        |  SELECT p.asset_id, t.i, ((p.h * (t.i + 1)) % 65536) - 32768 AS s
+        |  FROM par p CROSS JOIN range(256) t(i) WHERE t.i < p.n),
+        |zc AS (
+        |  SELECT asset_id,
+        |    CAST(sum(CASE WHEN (s < 0) <> (prev_s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS z
+        |  FROM (SELECT asset_id, s,
+        |          lag(s) OVER (PARTITION BY asset_id ORDER BY i) AS prev_s
+        |        FROM samples)
+        |  WHERE prev_s IS NOT NULL GROUP BY asset_id),
+        |stats AS (
+        |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |    CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |    CAST(max(abs(s)) AS BIGINT) AS peak
+        |  FROM samples GROUP BY asset_id)
+        |SELECT p.asset_id, CAST(p.sample_rate AS BIGINT) AS sample_rate,
+        |  st.n_samples, st.sum_abs, st.sum_sq, st.peak,
+        |  coalesce(zc.z, 0) AS zero_crossings
+        |FROM par p JOIN stats st ON p.asset_id = st.asset_id
+        |LEFT JOIN zc ON p.asset_id = zc.asset_id
+        |ORDER BY p.asset_id""".stripMargin,
     // m05: the planned movie metadata re-derived from content-length
     // arithmetic (the Spark side PARSES it back out of real ISO BMFF
     // bytes; 357 = ftyp + moov{mvhd + trak{… stsd}} prefix, codec

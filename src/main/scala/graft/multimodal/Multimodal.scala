@@ -57,6 +57,69 @@ object Multimodal {
     }
   }
 
+  /** m06: PCM SAMPLE-LEVEL audio features — past the header into the
+    * signal itself: synthesize real 16-bit little-endian mono WAVs
+    * (samples a portable integer function of the doc's content hash,
+    * so the oracle regenerates the exact waveform), then DECODE THE
+    * BYTES BACK — RIFF chunk walk to the data offset, Int16 LE
+    * sample reads — and reduce each asset to integer signal stats:
+    * sample count, Σ|s|, Σs² (the integer RMS numerator), peak, and
+    * zero crossings. The oracle recomputes every stat from the
+    * generator formula alone; a one-byte slip in the header walk or
+    * sample decode (endianness, off-by-one at the data offset, sign
+    * extension) shifts every downstream value and breaks the hash.
+    *
+    * Scale shape: pure per-partition kernels — synth and decode are
+    * one `mapPartitions` pass each, no shuffle until the final tiny
+    * sort; exactly the batch shape a Pandas-UDF decode has in
+    * PySpark, with the codec context per task. */
+  def audioPcmStats(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
+    import spark.implicits._
+    val assets = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 1 && col("doc_id") < maxId)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val nContent = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        val h = nContent * 2654435761L % 1000003L
+        val n = (64 + h % 192).toInt
+        val sr = Seq(8000, 16000, 22050, 44100)((h % 4).toInt)
+        val pcm = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          pcm.putShort(((h * (i + 1)) % 65536L - 32768L).toShort)
+          i += 1
+        }
+        (id, MediaHeaders.wavHeader(sr, n * 2) ++ pcm.array())
+      }
+    assets.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val m = MediaHeaders.parseWav(bytes).getOrElse(
+          sys.error(s"m06: asset $id failed the WAV parse"))
+        val b = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = (bytes.length - m.headerLen) / 2
+        var sumAbs = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val s = b.getShort(m.headerLen + i * 2).toLong
+          val a = math.abs(s)
+          sumAbs += a; sumSq += s * s; if (a > peak) peak = a
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        (id, m.sampleRate.toLong, n.toLong, sumAbs, sumSq, peak, zc)
+      }
+    }.toDF("asset_id", "sample_rate", "n_samples", "sum_abs", "sum_sq",
+        "peak", "zero_crossings")
+      .orderBy("asset_id")
+  }
+
   /** Demo asset source: wrap the documents table's text bytes in real
     * container headers — PNG for doc_id ≡ 0 (mod 4), JPEG for ≡ 2,
     * WAV for odd ids — so every parser in [[MediaHeaders]] is

@@ -169,4 +169,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mismatched === 0, s"$mismatched assets decoded dims != planned dims")
     feats.unpersist()
   }
+
+  test("m06: PCM stats recover a hand-computed waveform exactly") {
+    // samples [100, -200, 0, 300]: sumAbs 600, sumSq 140000, peak 300,
+    // crossings: 100→-200 (1), -200→0 (2: 0 is non-negative), 0→300 (no)
+    val pcm = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(100, -200, 0, 300).foreach(s => pcm.putShort(s.toShort))
+    val bytes = MediaHeaders.wavHeader(16000, 8) ++ pcm.array()
+    val m = MediaHeaders.parseWav(bytes).get
+    assert(m.sampleRate === 16000)
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val samples = (0 until 4).map(i => b.getShort(m.headerLen + i * 2).toInt)
+    assert(samples === Seq(100, -200, 0, 300),
+      "Int16 LE decode behind the RIFF walk must be byte-exact")
+  }
+
+  test("m06: the query's stats survive the full synth->parse round trip") {
+    val rows = Multimodal.audioPcmStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_samples")
+      assert(n >= 64 && n < 256, "sample count outside the generator band")
+      assert(r.getAs[Long]("peak") <= 32768L)
+      assert(r.getAs[Long]("sum_abs") <= n * 32768L)
+      assert(r.getAs[Long]("zero_crossings") < n)
+    }
+  }
 }
