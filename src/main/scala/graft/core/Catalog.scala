@@ -103,6 +103,56 @@ object Catalog {
         |  CAST(sum(n) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
         |FROM daily ORDER BY day""".stripMargin,
+    // The classic TPC-H analytic shapes, adapted to the fixture
+    // schema (priority stands in for shippriority; dates are
+    // timestamps here) with revenue quantized to exact cents per row
+    // BEFORE the sum — the q-series money discipline, so the 3-to-6-
+    // table join plans are exercised with zero float-sum exposure.
+    // Q3: shipping-priority revenue ranking.
+    "sql20_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // Q10: returned-item revenue by customer with the nation dim.
+    "sql21_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // Q5: local-supplier volume — the 6-table join with the
+    // customer-nation = supplier-nation equality that makes it the
+    // classic join-order stress test.
+    "sql22_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
     // Distribution + value window functions (sql09 covers the rank
     // family): percent_rank/cume_dist are double-valued — both
     // engines compute the same (rank-1)/(n-1)-style rationals through
