@@ -105,6 +105,11 @@ object SparkEntry {
     // cells answered by merging stored KB-scale sketches, the raw
     // events never rescanned; certificate vs exact counts.
     "q46_sketch_rollup"      -> (Relational.hllSketchRollup _),
+    // q48: persisted KMV bottom-k quantile sketch table, merged per
+    // type; merge ≡ direct-build is structural (monotone selection),
+    // so the oracle's one-pass re-derivation hash-certifies the whole
+    // two-phase pipeline.
+    "q48_quantile_rollup"    -> ((s, dir) => Relational.quantileSketchRollup(s, dir)),
     "q34_asof_clicks"       -> (Relational.asofClicks _),
     "q36_range_join"        -> (NorthStar.rangeJoinViewPurchase _),
     // Cocoa pipeline parity (O1-O18): the engine generates its own
@@ -149,6 +154,14 @@ object SparkEntry {
     // snapshot's rows; hash-matching p01's oracle certifies that
     // compaction changed the physical layout only.
     "p08_compaction" -> ((s, _) => cocoaCompacted(s)),
+    // p12: ROW-LEVEL DELETE via merge-on-read deletion vectors — two
+    // cumulative deleteWhere calls publish KB-scale (file, pos) lists
+    // against an 8-file snapshot whose data files are never rewritten;
+    // the read applies them as a broadcast anti join. The oracle
+    // re-derives the warehouse and applies the predicates as WHERE
+    // NOT, so a position off-by-one, a file-identity slip, or a DV
+    // part lost between the two calls all break the hash.
+    "p12_deletion_vectors" -> ((s, _) => cocoaDvDeleted(s)),
     // p11: SQL-standard conditional MERGE INTO — delete / update /
     // insert clauses with conditions, standard clause precedence,
     // and the duplicate-source-match error, re-derived row-for-row
@@ -238,6 +251,9 @@ object SparkEntry {
     // bounded-heap TopKPerKey; dense regions capped, sparse kept.
     "d41_semantic_sample"    -> ((s, dir) => NorthStar.semanticSample(s, dir)),
     "d33_perplexity_filter"  -> (NorthStar.perplexityFilter _),
+    // d42: DSIR-shaped hashed-feature importance scoring toward the
+    // corpus' English slice; integer micro-nat model, binary features.
+    "d42_dsir_importance"    -> ((s, dir) => NorthStar.dsirImportance(s, dir)),
     "r01_bm25_topk"          -> (NorthStar.bm25TopK _),
     "r02_tfidf_keywords"     -> (NorthStar.tfidfKeywords _),
     // r03: hybrid retrieval — BM25 + vector rankings fused by
@@ -250,6 +266,9 @@ object SparkEntry {
     // bound, skew-proof); the oracle recounts with the canonical
     // id-ordered 3-way join — algorithm-independent agreement.
     "g02_triangle_counts"    -> (NorthStar.triangleCoOrder _),
+    // g03: communities via 4 deterministic synchronous LPA rounds on
+    // the same co-order graph; oracle unrolls the loop round by round.
+    "g03_label_propagation"  -> ((s, dir) => NorthStar.lpaCoOrder(s, dir)),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -290,6 +309,10 @@ object SparkEntry {
     // waveform generator formula.
     "m06_audio_pcm_stats"    -> ((s, dir) =>
       graft.multimodal.Multimodal.audioPcmStats(s, dir)),
+    // m07: EXIF metadata — real APP1/TIFF IFD walk in both byte
+    // orders, ISO reached through the Exif sub-IFD pointer.
+    "m07_exif_metadata"      -> ((s, dir) =>
+      graft.multimodal.Multimodal.exifMetadata(s, dir)),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -426,6 +449,24 @@ object SparkEntry {
     spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
       .parquet(Warehouse.versionPath(root, v))
       .orderBy("shipment_id")
+  }
+
+  /** p12: land the memoized warehouse as a fresh 8-file snapshot, run
+    * two cumulative merge-on-read deletes (a quality cut, then a
+    * region takedown — the second evaluated on the LIVE view with the
+    * first's DV already applied), and read the snapshot with both
+    * deletion vectors applied. Isolated root, as with p08: the shared
+    * warehouse's version history must not change under other gates.
+    * Delete semantics are SQL DELETE's: rows where the predicate is
+    * TRUE go; FALSE and NULL stay — the oracle mirrors this with
+    * WHERE NOT coalesce(pred, FALSE). */
+  private def cocoaDvDeleted(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_dv_wh_", keep = 32)
+    Warehouse.commit(spark, root, wh.repartition(8))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    Warehouse.deleteWhere(spark, root, col("region") === lit("Volta"))
+    Warehouse.readWithDv(spark, root).orderBy("shipment_id")
   }
 
   /** p10: publish the v1 change feed once (idempotent), read the
@@ -1766,6 +1807,21 @@ object SparkEntry {
         |  ['avc1', 'hev1', 'mp4a', 'av01'][CAST((h // 4) % 4 AS INT) + 1] AS codec,
         |  TRUE AS header_ok
         |FROM s ORDER BY asset_id""".stripMargin,
+    // m07: the planned EXIF fields re-derived from content-length
+    // arithmetic — the hash certifies the full encode(planned) →
+    // TIFF-IFD-walk → parsed round trip in both byte orders.
+    "m07_exif_metadata" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        |s AS (SELECT asset_id, (n * 2654435761) % 1000003 AS h FROM d)
+        |SELECT asset_id,
+        |  ['GraftCam', 'Nikon', 'Canon', 'OnePlus'][CAST(h % 4 AS INT) + 1] AS make,
+        |  CAST((h // 4) % 8 + 1 AS INT) AS orientation,
+        |  CAST([100, 200, 400, 800, 1600, 3200][CAST((h // 32) % 6 AS INT) + 1] AS INT) AS iso,
+        |  CASE WHEN (h // 192) % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        |  TRUE AS header_ok
+        |FROM s ORDER BY asset_id""".stripMargin,
     // m04: the binary store round-trip must preserve every byte — the
     // oracle recomputes size + md5 from the originating table.
     "m04_binary_asset_source" ->
@@ -1971,6 +2027,35 @@ object SparkEntry {
         |      UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |GROUP BY node ORDER BY part_id""".stripMargin,
+    // g03: the 4 LPA rounds unrolled — each round is the same
+    // (neighbor-label count → per-node argmax by count desc, label
+    // asc) pair of CTEs the Spark loop folds as max(struct(c,-label)).
+    "g03_label_propagation" -> {
+      def round(prev: String, n: Int): String =
+        s"""n$n AS (
+          |  SELECT d.dst AS node, l.label, count(*) AS c
+          |  FROM dirx d JOIN $prev l ON l.node = d.src
+          |  GROUP BY d.dst, l.label),
+          |l$n AS (
+          |  SELECT node, label FROM (
+          |    SELECT node, label,
+          |      row_number() OVER (PARTITION BY node
+          |        ORDER BY c DESC, label ASC) AS rn
+          |    FROM n$n) WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey),
+        |dirx AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |         UNION ALL SELECT v, u FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dirx),
+        |${round("l0", 1)},
+        |${round("l1", 2)},
+        |${round("l2", 3)},
+        |${round("l3", 4)}
+        |SELECT node AS part_id, label AS community
+        |FROM l4 ORDER BY part_id""".stripMargin
+    },
     "r01_bm25_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
@@ -2236,6 +2321,31 @@ object SparkEntry {
         |FROM agg ORDER BY doc_id""".stripMargin,
     // d17: non-overlapping 32-token windows; DuckDB list slices are
     // 1-based inclusive, matching Spark's slice(start, length).
+    // d42: the DSIR importance model re-derived from first principles —
+    // per-token portable hashes (the d06/d07 oracle spelling) folded to
+    // 4096 buckets by low bits, document frequencies co-counted for the
+    // 'en' target slice and the whole corpus in one grouped pass, each
+    // log-prob micro-nat-quantized BEFORE the difference (identical
+    // IEEE doubles feed ln on both engines), per-doc score = integer
+    // sum over distinct buckets.
+    "d42_dsir_importance" ->
+      s"""WITH $fingerprintCtesSql,
+        |pb AS (SELECT DISTINCT doc_id, CAST(h & 4095 AS BIGINT) AS b FROM th),
+        |pl AS (SELECT p.doc_id, p.b, d.lang FROM pb p JOIN documents d USING (doc_id)),
+        |nd AS (SELECT count(*) AS nr, count(*) FILTER (WHERE lang = 'en') AS nt
+        |       FROM (SELECT DISTINCT doc_id, lang FROM pl)),
+        |df AS (SELECT b, count(*) AS dfr,
+        |         count(*) FILTER (WHERE lang = 'en') AS dft
+        |       FROM pl GROUP BY b),
+        |lr AS (SELECT b,
+        |    CAST(floor(ln(CAST(dft + 1 AS DOUBLE) / CAST(nt + 2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |  - CAST(floor(ln(CAST(dfr + 1 AS DOUBLE) / CAST(nr + 2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS units
+        |  FROM df CROSS JOIN nd),
+        |sc AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |         CAST(sum(l.units) AS BIGINT) AS score_units
+        |       FROM pb p JOIN lr l USING (b) GROUP BY p.doc_id)
+        |SELECT doc_id, n_features, score_units, score_units > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "d17_token_chunks" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
@@ -2352,6 +2462,12 @@ object SparkEntry {
         |WHERE t.shipment_id IS NULL AND s.bean_type <> 'Criollo'
         |ORDER BY shipment_id""".stripMargin),
     "p08_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // p12: the derived warehouse minus the two delete predicates —
+    // NULL-predicate rows survive, as under SQL DELETE.
+    "p12_deletion_vectors" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
+        |ORDER BY shipment_id""".stripMargin),
     // p09: the oracle RECOMPUTES the aggregate from the final
     // warehouse; the Spark side never reads v1's rows outside the
     // change feed — a hash match certifies incremental maintenance
@@ -2942,6 +3058,29 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS rollup_consistent, TRUE AS est_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q48: the KMV sample re-derived in ONE pass (bottom-256 md5 keys
+    // per type) — equal to Spark's per-day-then-merge build because
+    // bottom-k of a union is the bottom-k of per-part bottom-k's;
+    // discrete quantiles at integer ceil(q*n) ranks.
+    "q48_quantile_rollup" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    md5(CAST(event_id AS VARCHAR)) AS skey,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        |  FROM events),
+        |bk AS (
+        |  SELECT event_type, v_cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY skey, event_id) AS rn
+        |  FROM ev),
+        |agg AS (
+        |  SELECT event_type, list_sort(list(v_cents)) AS vs, count(*) AS n
+        |  FROM bk WHERE rn <= 256 GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+        |  vs[CAST((n + 1) // 2 AS INT)] AS p50_est,
+        |  vs[CAST((9 * n + 9) // 10 AS INT)] AS p90_est,
+        |  vs[CAST((99 * n + 99) // 100 AS INT)] AS p99_est
+        |FROM agg ORDER BY event_type""".stripMargin,
     // v13: the projection re-derived from first principles — sign
     // matrix from the portable mix (% 2 = bit 0), inputs quantized to
     // micro-units by the same floor-half-up, coordinates as integer

@@ -349,6 +349,141 @@ object MediaHeaders {
     None
   }
 
+  // ------------------------------------------------------------ EXIF
+
+  /** Parsed EXIF metadata: camera make (IFD0 ASCII tag 0x010F),
+    * orientation (0x0112), ISO speed (Exif-sub-IFD tag 0x8827 —
+    * reached through the 0x8769 IFD pointer, the mechanism that makes
+    * EXIF a WALK, not a flat scan), and the TIFF byte order the file
+    * declared ("II" little / "MM" big). */
+  final case class Exif(make: String, orientation: Int, iso: Int,
+      endian: String)
+
+  /** A real JPEG with a real EXIF APP1 segment: SOI + APP1("Exif\0\0"
+    * + TIFF block) + SOF0. The TIFF block is written per spec in the
+    * REQUESTED byte order — II and MM files both occur in the wild,
+    * and a reader that hardcodes one silently corrupts every field of
+    * the other — with IFD0 {Make(ASCII, out-of-line), Orientation
+    * (SHORT, inline), ExifIFDPointer(LONG)} sorted by tag as the spec
+    * demands, and the pointed-to Exif IFD carrying ISOSpeedRatings. */
+  def exifJpegHeader(width: Int, height: Int, make: String,
+      orientation: Int, iso: Int, littleEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    val makeBytes = make.getBytes("US-ASCII")
+    val makeCount = makeBytes.length + 1            // ASCII count includes NUL
+    val makePadded = makeCount + (makeCount & 1)    // word-align next IFD
+    val tiffLen = 8 + 2 + 3 * 12 + 4 + makePadded + (2 + 12 + 4)
+    val t = ByteBuffer.allocate(tiffLen)
+      .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    t.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    t.putShort(42).putInt(8)                        // magic + IFD0 offset
+    val makeOff = 8 + 2 + 3 * 12 + 4                // string data after IFD0
+    val exifIfdOff = makeOff + makePadded
+    t.putShort(3)                                   // IFD0: 3 entries
+    t.putShort(0x010f.toShort).putShort(2).putInt(makeCount).putInt(makeOff)
+    t.putShort(0x0112.toShort).putShort(3).putInt(1)
+    t.putShort(orientation.toShort).putShort(0)     // SHORT inline, 2B pad
+    t.putShort(0x8769.toShort).putShort(4).putInt(1).putInt(exifIfdOff)
+    t.putInt(0)                                     // no next IFD
+    t.put(makeBytes).put(0.toByte)
+    if ((makeCount & 1) == 1) t.put(0.toByte)
+    t.putShort(1)                                   // Exif IFD: 1 entry
+    t.putShort(0x8827.toShort).putShort(3).putInt(1)
+    t.putShort(iso.toShort).putShort(0)
+    t.putInt(0)
+    val app1Payload = "Exif".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ t.array()
+    val b = ByteBuffer.allocate(2 + 4 + app1Payload.length + 20)
+      .order(ByteOrder.BIG_ENDIAN)
+    b.putShort(0xffd8.toShort)                      // SOI
+    b.putShort(0xffe1.toShort)                      // APP1
+    b.putShort((2 + app1Payload.length).toShort)
+    b.put(app1Payload)
+    b.putShort(0xffc0.toShort).putShort(17)         // SOF0, len 17
+    b.put(8.toByte)
+    b.putShort(height.toShort).putShort(width.toShort)
+    b.put(3.toByte)
+    for (c <- 1 to 3) { b.put(c.toByte).put(0x11.toByte).put(0.toByte) }
+    b.array()
+  }
+
+  /** Walk JPEG markers to the EXIF APP1 segment and parse its TIFF
+    * block: declared byte order, magic 42, IFD0 entries (Make ASCII —
+    * inline or via value offset — and Orientation), then FOLLOW the
+    * 0x8769 pointer into the Exif sub-IFD for ISO. Any structural
+    * violation (bad magic, entry/IFD out of the segment's bounds,
+    * missing required tag) returns None — torn headers must be
+    * detected, never misread. */
+  def parseExif(bytes: Array[Byte]): Option[Exif] = {
+    if (bytes.length < 4 || bytes(0) != 0xff.toByte || bytes(1) != 0xd8.toByte)
+      return None
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      if (bytes(i) != 0xff.toByte) return None
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xff) { i += 1 }
+      else if (marker == 0xd9 || marker == 0xda) return None
+      else {
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > bytes.length) return None
+        if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+            new String(bytes, i + 4, 4, "US-ASCII") == "Exif" &&
+            bytes(i + 8) == 0 && bytes(i + 9) == 0)
+          return parseTiff(bytes, i + 10, i + 2 + len)
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** The TIFF block of an EXIF APP1: `base` is the first byte of the
+    * byte-order mark, `end` one past the segment. */
+  private def parseTiff(bytes: Array[Byte], base: Int, end: Int): Option[Exif] = {
+    if (base + 8 > end) return None
+    val endian = new String(bytes, base, 2, "US-ASCII")
+    val order = endian match {
+      case "II" => ByteOrder.LITTLE_ENDIAN
+      case "MM" => ByteOrder.BIG_ENDIAN
+      case _    => return None
+    }
+    val b = ByteBuffer.wrap(bytes).order(order)
+    def u16(off: Int): Int = b.getShort(off) & 0xffff
+    def u32(off: Int): Long = b.getInt(off).toLong & 0xffffffffL
+    if (u16(base + 2) != 42) return None
+    // (tag → (type, count, valueFieldOffset)) of one IFD, or None on
+    // any bound violation
+    def ifd(off: Long): Option[Map[Int, (Int, Long, Int)]] = {
+      val o = base + off
+      if (o < base || o + 2 > end) return None
+      val n = u16(o.toInt)
+      if (o + 2 + n * 12 + 4 > end) return None
+      Some((0 until n).map { k =>
+        val e = (o + 2 + k * 12).toInt
+        u16(e) -> ((u16(e + 2), u32(e + 4), e + 8))
+      }.toMap)
+    }
+    def ascii(entry: (Int, Long, Int)): Option[String] = entry match {
+      case (2, count, vf) if count >= 1 =>
+        val off = if (count <= 4) vf.toLong - base else u32(vf)
+        val lo = base + off
+        if (lo < base || lo + count > end) None
+        else Some(new String(bytes, lo.toInt, count.toInt - 1, "US-ASCII"))
+      case _ => None
+    }
+    def short(entry: (Int, Long, Int)): Option[Int] = entry match {
+      case (3, 1L, vf) => Some(u16(vf))
+      case _           => None
+    }
+    for {
+      ifd0 <- ifd(u32(base + 4))
+      make <- ifd0.get(0x010f).flatMap(ascii)
+      orientation <- ifd0.get(0x0112).flatMap(short)
+      exifPtr <- ifd0.get(0x8769).collect { case (4, 1L, vf) => u32(vf) }
+      exifIfd <- ifd(exifPtr)
+      iso <- exifIfd.get(0x8827).flatMap(short)
+    } yield Exif(make, orientation, iso, endian)
+  }
+
   /** Sniff + parse: tries each container by signature. */
   def parse(bytes: Array[Byte]): Option[Media] =
     if (bytes == null) None

@@ -251,6 +251,53 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  final case class ExifMeta(asset_id: Long, make: String, orientation: Int,
+      iso: Int, endian: String, header_ok: Boolean)
+
+  /** The fixture's deterministic EXIF metadata, content-keyed like
+    * [[plannedVideo]]; the byte order alternates so BOTH TIFF
+    * endiannesses are exercised across the corpus. */
+  private[multimodal] def plannedExif(contentBytes: Long): (String, Int, Int, Boolean) = {
+    val h = (contentBytes * 2654435761L) % 1000003L
+    val make = Seq("GraftCam", "Nikon", "Canon", "OnePlus")((h % 4).toInt)
+    val orientation = ((h / 4) % 8).toInt + 1
+    val iso = Seq(100, 200, 400, 800, 1600, 3200)(((h / 32) % 6).toInt)
+    (make, orientation, iso, (h / 192) % 2 == 0)
+  }
+
+  /** m07: EXIF metadata extraction — document text behind a real JPEG
+    * carrying a real EXIF APP1 (TIFF block in the planned byte order,
+    * IFD0 Make/Orientation + the 0x8769 pointer into the Exif sub-IFD
+    * for ISO), decoded by [[MediaHeaders.parseExif]]'s actual IFD
+    * walk. Same certification shape as m05: the oracle re-derives the
+    * planned fields from content-length arithmetic, so any slip in
+    * the two-endian TIFF encode/decode round trip breaks the hash. */
+  def exifMetadata(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (make, orientation, iso, little) = plannedExif(content.length.toLong)
+        Asset(id, "image",
+          MediaHeaders.exifJpegHeader(640, 480, make, orientation, iso, little)
+            ++ content)
+      }
+      .mapPartitions { it =>
+        it.map { a =>
+          MediaHeaders.parseExif(a.payload) match {
+            case Some(e) => ExifMeta(a.asset_id, e.make, e.orientation,
+              e.iso, e.endian, header_ok = true)
+            case None => ExifMeta(a.asset_id, "", 0, 0, "", header_ok = false)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("asset_id")
+  }
+
   /** The `binaryFile` SOURCE path: one opaque file per asset on the
     * content store, ingested by Spark's built-in binary-file reader
     * (path, length, content) — the real shape of image/audio

@@ -68,6 +68,50 @@ object Graph {
     pr.select(col("node"), col("r").as("rank_units"))
   }
 
+  /** SYNCHRONOUS label propagation (community detection) over an
+    * undirected graph — `iters` rounds of "adopt the most frequent
+    * label among your neighbors", the Raghavan/Albert/Kumara LPA made
+    * DETERMINISTIC for cross-engine oracle-ability: updates are
+    * synchronous (round t+1 reads only round t — no order-dependent
+    * in-place adoption) and ties break to the SMALLEST label. The
+    * classic caveat applies and is part of the contract: sync LPA can
+    * oscillate on near-bipartite structures, so the result is "labels
+    * after exactly `iters` rounds", not a fixed point — identical in
+    * every engine, which is what lets the oracle unroll the loop.
+    *
+    * Input `edges` is the canonical undirected edge list (u < v, one
+    * row per edge); output is (node, label) for every non-isolated
+    * node, label = node id seeding.
+    *
+    * Scale shape per round: one hash join of the O(nodes) label table
+    * to the directed edge list on src (the edge side can be bucketed
+    * on src so only labels move), one map-side-combined (dst, label)
+    * count, and one map-side-combined per-node argmax folded as
+    * max(struct(count, -label)) — an aggregate, never a window, so no
+    * per-node sort materializes. State is O(nodes); lineage is
+    * checkpoint-truncated on the PageRank cadence for deep runs. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 6, checkpointThreshold: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dirEdges = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+    var labels = dirEdges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to iters) {
+      val nbr = dirEdges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = nbr
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Per-node TRIANGLE counts over an undirected graph — the core of
     * clustering-coefficient / community-density analytics. Input is
     * the canonical distinct edge list (`u` < `v`, one row per

@@ -993,6 +993,23 @@ object NorthStar {
       .orderBy("part_id")
   }
 
+  /** g03: communities on the co-order graph — 4 synchronous
+    * label-propagation rounds over g02's edge set (parts are linked
+    * when some order contains both). Four rounds is past this graph's
+    * mixing point for the dense cores while keeping the oracle's
+    * unrolled CTE chain readable; the round count is the contract
+    * (see [[Graph.labelPropagation]]). */
+  def lpaCoOrder(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val edges = a.join(b, "ok").filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    Graph.labelPropagation(edges, iters)
+      .select(col("node").as("part_id"), col("label").as("community"))
+      .orderBy("part_id")
+  }
+
   /** r02: TF-IDF keyword extraction over the corpus — top-3 terms
     * per document, fully re-derivable by the oracle (single-product
     * scores, no float summation anywhere). */
@@ -1468,6 +1485,59 @@ object NorthStar {
       .filter(col("sample_rank") <= k)
       .select(col("doc_id"), col("lang"), col("w"), col("sample_rank"))
       .orderBy("lang", "sample_rank")
+  }
+
+  /** d42: DSIR-shaped importance scoring — rank corpus documents by
+    * how target-like their hashed-feature profile is (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * the hashed-n-gram variant with binary presence features). The
+    * target here is the corpus' `targetLang` slice; the raw
+    * distribution is the whole corpus. Per bucket b of the portable
+    * token-hash space folded to `buckets` cells, the model carries
+    *   units(b) = Q(ln (df_t+1)/(N_t+2)) − Q(ln (df_r+1)/(N_r+2))
+    * with Q the established micro-nat quantization (d33/d36): each
+    * log-prob is quantized to an integer BEFORE the difference, so
+    * every engine sums identical integers and the per-doc score is
+    * associative-exact under any execution order. A document's score
+    * is the sum over its DISTINCT feature buckets; keep = score > 0
+    * (more target-like than corpus-average).
+    *
+    * Scale shape: the model is ≤ `buckets` rows NO MATTER the corpus
+    * size — built by one map-side-combined count over exploded
+    * (doc, bucket) pairs, then broadcast back onto the same pair
+    * stream; per-doc distinct-bucket dedup happens ARRAY-side
+    * (array_distinct over the already-distinct sorted token hashes),
+    * so the only exchanges are the two bounded aggregations. No
+    * all-pairs anything; target/raw co-counted in one pass via a
+    * boolean, not two scans. */
+  def dsirImportance(spark: SparkSession, dir: String,
+      buckets: Int = 4096, targetLang: String = "en"): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two (bucket = hash & (buckets-1)), got $buckets")
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && TextFunctions.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), (col("lang") === targetLang).as("is_target"),
+        graft.functions.SketchExpressions
+          .portableShingleHashes(col("text"), 1).as("hs"))
+    val mask = lit((buckets - 1).toLong)
+    val pairs = docs.select(col("doc_id"), col("is_target"),
+      explode(array_distinct(transform(col("hs"), h => h.bitwiseAND(mask)))).as("b"))
+    val nd = docs.agg(count(lit(1)).as("nr"),
+      count(when(col("is_target"), 1)).as("nt"))
+    val dfCounts = pairs.groupBy("b").agg(
+      count(lit(1)).as("dfr"),
+      count(when(col("is_target"), 1)).as("dft"))
+    def q(num: Column, den: Column) =
+      floor(log(num.cast("double") / den.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    val model = dfCounts.crossJoin(broadcast(nd))
+      .select(col("b"),
+        (q(col("dft") + 1, col("nt") + 2) - q(col("dfr") + 1, col("nr") + 2)).as("units"))
+    pairs.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum(col("units")).as("score_units"))
+      .select(col("doc_id"), col("n_features"), col("score_units"),
+        (col("score_units") > 0).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** d17: sequence packing — explode each document into fixed-size

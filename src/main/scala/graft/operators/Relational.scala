@@ -542,6 +542,51 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q48: persisted MERGEABLE QUANTILE sketch table — the quantile
+    * twin of q46's HLL rollup. The sketch is a KMV/bottom-k uniform
+    * row sample (the k smallest md5(event_id) keys per cell, carrying
+    * their values): mergeable by "union the samples, keep the global
+    * bottom-k" — a monotone selection, so merging per-day sketches
+    * yields EXACTLY the sketch a direct one-pass build produces, and
+    * the whole two-phase pipeline is hash-certifiable against a SQL
+    * re-derivation (unlike interpolation-based sketches, whose merge
+    * is lossy and engine-specific). Quantile estimates are the
+    * sample's exact discrete quantiles at integer-arithmetic ranks
+    * ceil(q·n) — no float positions anywhere. Sample error is the
+    * standard uniform-sample bound (rank error O(1/√k)); the spec
+    * asserts the estimates against the exact quantiles.
+    *
+    * Scale shape: per-day sketches build through the bounded-heap
+    * TopKPerKey (no per-cell sort materializes); the stored sketch
+    * table is O(cells · k) — the rollup never rescans events. */
+  def quantileSketchRollup(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      date_trunc("day", col("ts")).as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"),
+      md5(col("event_id").cast("string")).as("skey"))
+    val path = graft.core.RunTemp.dir("graft_kmv_daily_")
+    graft.plans.TopK.bottomKPerKey(ev, Seq("event_type", "day"), "skey", k,
+        tieBreakers = Seq("event_id"))
+      .groupBy("event_type", "day")
+      .agg(sort_array(collect_list(struct(col("skey"), col("v_cents")))).as("sample"))
+      .write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+      .select(col("event_type"), explode(col("sample")).as("s"))
+      .select(col("event_type"), col("s.skey").as("skey"), col("s.v_cents").as("v_cents"))
+    val merged = graft.plans.TopK.bottomKPerKey(
+      stored, Seq("event_type"), "skey", k, tieBreakers = Seq("v_cents"))
+    def at(rankExpr: String) = expr(s"vs[CAST(($rankExpr) AS INT) - 1]")
+    merged.groupBy("event_type")
+      .agg(sort_array(collect_list(col("v_cents"))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n").as("n_sample"),
+        at("(n + 1) div 2").as("p50_est"),
+        at("(9 * n + 9) div 10").as("p90_est"),
+        at("(99 * n + 99) div 100").as("p99_est"))
+      .orderBy("event_type")
+  }
+
   /** Pivot: quantity totals per linestatus pivoted by returnflag —
     * oracle-expressed as CASE aggregation (identical output columns
     * A/N/R in both engines). */

@@ -435,6 +435,149 @@ object Warehouse {
           .otherwise(lit("update")))
   }
 
+  // ------------------------------------------------------------------
+  // Row-level DELETE via DELETION VECTORS (merge-on-read)
+  // ------------------------------------------------------------------
+
+  /** Directory holding the deletion vectors scoped to snapshot `v`. */
+  def dvPath(root: String, v: Long): String = s"$root/_dv/v$v"
+
+  private val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The current snapshot with each row's PHYSICAL identity attached:
+    * `_dv_file` (the parquet part-file NAME — unique within a snapshot
+    * dir, and stable across a snapshot-dir move, unlike the full URI)
+    * and `_dv_pos` (the row's ordinal within that file, from the
+    * parquet reader's `_metadata.row_index`). (file, pos) is the
+    * row-id deletion vectors address — no key column needed, so DV
+    * deletes work on keyless tables too. */
+  private def snapshotWithPos(spark: SparkSession, root: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.schema(schema).parquet(versionPath(root, v))
+      .select(col("*"),
+        substring_index(col("_metadata.file_path"), "/", -1).as("_dv_file"),
+        col("_metadata.row_index").as("_dv_pos"))
+  }
+
+  /** All COMPLETE deletion-vector parts for snapshot `v` (each
+    * `d_{uuid}` dir published by one [[deleteWhere]] call), unioned.
+    * None when no delete has ever run against `v`. */
+  private def dvFrame(spark: SparkSession, root: String, v: Long): Option[DataFrame] = {
+    val fs = Ingest.fs(spark, root)
+    val dir = new Path(dvPath(root, v))
+    if (!fs.exists(dir)) None
+    else {
+      val parts = fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d_") &&
+          fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+      if (parts.isEmpty) None
+      else Some(spark.read.schema(dvSchema).parquet(parts: _*))
+    }
+  }
+
+  /** Row-level DELETE as a MERGE-ON-READ deletion vector — the
+    * Delta/Iceberg v2 position-delete shape on plain parquet. Deleting
+    * a handful of rows out of a 100 TB snapshot costs ONE predicate
+    * scan (data-column filters still push down to parquet) plus a
+    * KB-scale write of (file, pos) row ids under `_dv/v{n}/d_{uuid}` —
+    * the data files are never rewritten and the snapshot stays
+    * immutable (held readers and time travel are untouched; a
+    * DV-unaware reader of `v{n}` sees the PRE-delete image, which is
+    * exactly the time-travel contract).
+    *
+    * Concurrency: DV parts compose by SET UNION (deletes of disjoint
+    * or overlapping row sets commute), so each call publishes its own
+    * `d_{uuid}` dir — staged dot-prefixed, made visible by one atomic
+    * rename, complete iff `_SUCCESS` exists — and concurrent deleters
+    * need no lock at all. The predicate is evaluated against the LIVE
+    * view (prior DVs applied), so re-running a delete is a no-op that
+    * publishes an empty part.
+    *
+    * Returns the number of newly deleted rows (counted from the
+    * KB-scale published part, never by rescanning data). */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): Long = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"deleteWhere: no committed snapshot under $root"))
+    val base = snapshotWithPos(spark, root, v, schema)
+    val live = dvFrame(spark, root, v) match {
+      case Some(dv) => base.join(dv,
+        base("_dv_file") === dv("file") && base("_dv_pos") === dv("pos"),
+        "left_anti")
+      case None => base
+    }
+    val doomed = live.filter(predicate)
+      .select(col("_dv_file").as("file"), col("_dv_pos").as("pos"))
+    val fs = Ingest.fs(spark, root)
+    val dvDir = new Path(dvPath(root, v))
+    fs.mkdirs(dvDir)
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = new Path(dvDir, s".stage_d_$id")
+    doomed.write.mode("overwrite").parquet(stage.toString)
+    val target = new Path(dvDir, s"d_$id")
+    if (!fs.rename(stage, target))
+      throw new IllegalStateException(
+        s"deleteWhere: could not publish deletion vector $target")
+    spark.read.schema(dvSchema).parquet(target.toString).count()
+  }
+
+  /** Read the current snapshot with its deletion vectors APPLIED — the
+    * merge-on-read path. The big side streams straight off the parquet
+    * scan; the DV side is the union of KB-scale position lists, hinted
+    * broadcast while its on-disk footprint stays under
+    * `broadcastDvMaxBytes` (one driver metadata listing — no job), so
+    * the anti join adds NO shuffle of the data. Past the bound the
+    * hint is dropped and the join plans as a regular shuffled anti
+    * join — correct at any DV size; [[applyDv]] is the maintenance op
+    * that folds an overgrown DV set back into a clean snapshot. */
+  def readWithDv(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      broadcastDvMaxBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    currentVersion(spark, root) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(v) => dvFrame(spark, root, v) match {
+        case None => spark.read.schema(schema).parquet(versionPath(root, v))
+        case Some(dv0) =>
+          val fs = Ingest.fs(spark, root)
+          val dvBytes = fs.getContentSummary(new Path(dvPath(root, v))).getLength
+          val dv = if (dvBytes <= broadcastDvMaxBytes) broadcast(dv0) else dv0
+          val base = snapshotWithPos(spark, root, v, schema)
+          base.join(dv,
+              base("_dv_file") === dv("file") && base("_dv_pos") === dv("pos"),
+              "left_anti")
+            .drop("_dv_file", "_dv_pos")
+      }
+    }
+  }
+
+  /** Fold the current snapshot's deletion vectors into a NEW committed
+    * version (merge-on-read → copy-on-write): the rewrite [[deleteWhere]]
+    * deferred, run once DVs grow past the point where the read-side
+    * anti join earns its keep. Rides [[commit]] with read-modify-write
+    * fencing (`expectedCurrent`), so an interleaved commit aborts this
+    * application instead of being silently dropped. The new version
+    * starts DV-free; the old version and ITS DVs remain readable until
+    * [[vacuum]] ages them out. Returns the committed version, or None
+    * when there is no snapshot or nothing to apply. */
+  def applyDv(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs): Option[Long] =
+    currentVersion(spark, root).flatMap { v =>
+      dvFrame(spark, root, v).map { _ =>
+        commit(spark, root, readWithDv(spark, root, schema),
+          lockTtlMs, expectedCurrent = Some(Some(v)))
+      }
+    }
+
   /** Drop old snapshots, subject to a RETENTION FLOOR — the contract
     * that keeps "held readers survive new commits" (and p05-style time
     * travel) true in the presence of maintenance:
@@ -511,7 +654,14 @@ object Warehouse {
         .sortBy(-_._1)
         .drop(keepLast)                 // the retention floor
         .filter { case (_, s) => now - s.getModificationTime >= minAgeMs }
-        .foreach { case (_, s) => fs.delete(s.getPath, true) }
+        .foreach { case (v, s) =>
+          fs.delete(s.getPath, true)
+          // a snapshot's deletion vectors are scoped to it — prune
+          // them with it (orphan DVs would leak forever otherwise);
+          // surviving snapshots keep their DVs untouched
+          val dv = new Path(dvPath(root, v))
+          if (fs.exists(dv)) fs.delete(dv, true)
+        }
     }
   }
 }

@@ -197,4 +197,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("zero_crossings") < n)
     }
   }
+
+  test("m07: EXIF round-trips in BOTH TIFF byte orders") {
+    for (little <- Seq(true, false)) {
+      val bytes = MediaHeaders.exifJpegHeader(640, 480, "Nikon", 6, 800, little)
+      val e = MediaHeaders.parseExif(bytes)
+        .getOrElse(fail(s"parseExif failed (littleEndian=$little)"))
+      assert(e.make === "Nikon")
+      assert(e.orientation === 6)
+      assert(e.iso === 800)
+      assert(e.endian === (if (little) "II" else "MM"))
+      // the plain JPEG dimension walk must skip the APP1 and still
+      // find SOF0 — EXIF presence can't break image decoding
+      val m = MediaHeaders.parseJpeg(bytes).get
+      assert((m.width, m.height) === ((640, 480)))
+    }
+  }
+
+  test("m07: torn EXIF headers fail loudly, never misread") {
+    val good = MediaHeaders.exifJpegHeader(8, 8, "Canon", 1, 100, littleEndian = true)
+    // corrupt the TIFF magic (42 → 43): APP1 starts at 2, TIFF block
+    // at 2+4+6, magic at +2 (little-endian, low byte first)
+    val badMagic = good.clone(); badMagic(2 + 4 + 6 + 2) = 43.toByte
+    assert(MediaHeaders.parseExif(badMagic) === None)
+    // IFD0 offset pointing past the segment
+    val badIfd = good.clone(); badIfd(2 + 4 + 6 + 4) = 0xff.toByte
+    assert(MediaHeaders.parseExif(badIfd) === None)
+    // truncation mid-IFD
+    assert(MediaHeaders.parseExif(good.take(30)) === None)
+    // a plain JPEG with no APP1 has no EXIF
+    assert(MediaHeaders.parseExif(MediaHeaders.jpegHeader(8, 8)) === None)
+  }
+
+  test("m07: the query decodes every asset with planned fields") {
+    val rows = Multimodal.exifMetadata(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("header_ok")))
+    // both endiannesses must actually occur across the corpus
+    val endians = rows.map(_.getAs[String]("endian")).toSet
+    assert(endians === Set("II", "MM"),
+      s"fixture should exercise both byte orders, got $endians")
+  }
 }

@@ -123,4 +123,51 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
     assert(got === naiveTriangles(edges))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(edges.toDF("u", "v"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Plain-Scala synchronous LPA mirror: min-label tie-break, labels
+    * after exactly `iters` rounds. */
+  private def naiveLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val dirx = edges ++ edges.map(_.swap)
+    val nbrs = dirx.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var l = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      l = nbrs.map { case (n, ns) =>
+        val counts = ns.map(l).groupBy(identity).map { case (lab, xs) => (lab, xs.size) }
+        n -> counts.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    l
+  }
+
+  test("LPA: two triangles joined by a bridge settle into two communities") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val got = lpa(edges, 4)
+    assert(got === naiveLpa(edges, 4))
+    // community structure: each triangle shares one label, and the
+    // bridge does not merge them
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(Set(got(4L), got(5L), got(6L)).size === 1)
+    assert(got(1L) !== got(4L))
+  }
+
+  test("LPA: synchronous rounds match the mirror at every depth (incl. oscillation)") {
+    // a 4-cycle is bipartite — sync LPA oscillates; the contract is
+    // "after exactly k rounds", so every k must match the mirror
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 5L))
+    for (k <- 0 to 5) assert(lpa(edges, k) === naiveLpa(edges, k),
+      s"mismatch at iters=$k")
+  }
+
+  test("LPA: deep run (checkpoint cadence) equals the mirror bit-for-bit") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (7L, 8L))
+    assert(lpa(edges, 12) === naiveLpa(edges, 12))
+  }
 }

@@ -152,4 +152,28 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getBoolean(3), s"${r.getString(0)}: estimate outside 5% of exact")
     }
   }
+
+  test("q48: KMV quantile sketch is deterministic and exact when the sample covers") {
+    import org.apache.spark.sql.functions._
+    val r1 = Relational.quantileSketchRollup(spark, dir).collect()
+    assert(r1.toSeq == Relational.quantileSketchRollup(spark, dir).collect().toSeq)
+    // at sf0.001 each type has < 256 events, so the bottom-k sample IS
+    // the population: estimates must equal exact discrete quantiles
+    val byType = graft.core.Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sorted }
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      val vs = byType(r.getString(0))
+      val n = vs.length
+      assert(n < 256, "fixture premise: the sample covers the population")
+      assert(r.getLong(1) === n.toLong)
+      def exact(num: Int, den: Int) = vs(((n.toLong * num + den - 1) / den).toInt - 1)
+      assert(r.getLong(2) === exact(1, 2), "p50")
+      assert(r.getLong(3) === exact(9, 10), "p90")
+      assert(r.getLong(4) === exact(99, 100), "p99")
+    }
+  }
 }

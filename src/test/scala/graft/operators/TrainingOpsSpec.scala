@@ -371,4 +371,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(flagged.keySet == Set(12L), s"expected only doc 12 flagged, got $flagged")
     assert(flagged(12L) == 4, "8 tokens -> 4 distinct 5-gram shingles, all shared")
   }
+
+  test("DSIR importance: deterministic, covers every tokenful doc, ranks target-like up") {
+    val r1 = NorthStar.dsirImportance(spark, dir).collect()
+    assert(r1.toSeq == NorthStar.dsirImportance(spark, dir).collect().toSeq,
+      "importance scores must be deterministic")
+    val n = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        TextFunctions.tokenCount(col("text")) > 0).count()
+    assert(r1.length.toLong == n, "every tokenful doc gets a score")
+    // keep is exactly the sign of the score
+    assert(r1.forall(r => r.getBoolean(3) == (r.getLong(2) > 0L)))
+    // the point of the operator: the target slice scores higher than
+    // the rest ON AVERAGE (English docs share the English buckets)
+    val lang = Tables.documents(spark, dir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = r1.partition(r => lang(r.getLong(0)) == "en")
+    assert(en.nonEmpty && other.nonEmpty, "fixture must carry both slices")
+    def mean(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getLong(2).toDouble).sum / xs.length
+    assert(mean(en) > mean(other),
+      s"en mean ${mean(en)} must exceed non-target mean ${mean(other)}")
+  }
 }

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{PlanWalk, SparkTestSession}
+
+/** Merge-on-read deletion vectors: deletes never rewrite data files,
+  * compose cumulatively, evaluate their predicate on the LIVE view,
+  * read back as a broadcast anti join, fold into a clean snapshot via
+  * applyDv, and age out with their snapshot under vacuum. */
+class DeletionVectorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String = Files.createTempDirectory("wh_dv").toString
+  private def batch(seed: Int, n: Int = 40) =
+    Enrich.enrich(CocoaGen.shipments(spark, n, seed = seed), new Timestamp(1000000L))
+  private def hfs(root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("shipment_id").collect().map(_.getString(0)).toSet
+
+  private def dataFileInventory(root: String, v: Long): Seq[(String, Long)] = {
+    val fs = hfs(root)
+    fs.listStatus(new Path(Warehouse.versionPath(root, v))).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
+  }
+
+  test("delete removes exactly the predicate-true rows and rewrites no data file") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(1).repartition(4))
+    val before = Warehouse.read(spark, root)
+    val expectGone = ids(before.filter(col("quality_score") < 8.3))
+    assert(expectGone.nonEmpty, "fixture must exercise a non-empty delete")
+    val inventoryBefore = dataFileInventory(root, 0L)
+
+    val nDeleted = Warehouse.deleteWhere(spark, root, col("quality_score") < 8.3)
+    assert(nDeleted === expectGone.size.toLong)
+    assert(dataFileInventory(root, 0L) === inventoryBefore,
+      "merge-on-read: the snapshot's data files must be untouched")
+
+    val live = Warehouse.readWithDv(spark, root)
+    assert(ids(live) === ids(before) -- expectGone)
+    // survivors are byte-identical, not merely id-identical
+    assert(live.exceptAll(before.filter(!coalesce(col("quality_score") < 8.3,
+      lit(false)))).count() === 0)
+  }
+
+  test("second delete composes and is evaluated on the live view") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(2).repartition(4))
+    val before = Warehouse.read(spark, root)
+    Warehouse.deleteWhere(spark, root, col("quality_score") < 8.3)
+    // overlapping predicate: rows already deleted must not be
+    // re-counted by the second call (its predicate runs post-DV)
+    val expectSecond = ids(before.filter(
+      col("quality_score") >= 8.3 && col("bean_type") === "Criollo"))
+    val n2 = Warehouse.deleteWhere(spark, root, col("bean_type") === "Criollo")
+    assert(n2 === expectSecond.size.toLong)
+    val live = Warehouse.readWithDv(spark, root)
+    assert(ids(live) === ids(before.filter(
+      col("quality_score") >= 8.3 && col("bean_type") =!= "Criollo")))
+  }
+
+  test("a no-match delete publishes an empty part and changes nothing") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(3).repartition(2))
+    val before = Warehouse.readWithDv(spark, root).collect().toSeq
+    assert(Warehouse.deleteWhere(spark, root, col("region") === "Atlantis") === 0L)
+    assert(Warehouse.readWithDv(spark, root).collect().toSeq.sortBy(_.getString(0))
+      === before.sortBy(_.getString(0)))
+  }
+
+  test("applyDv folds DVs into a clean snapshot equal to the merge-on-read view") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(4).repartition(4))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < 8.3)
+    val mor = Warehouse.readWithDv(spark, root).collect().toSeq.sortBy(_.getString(0))
+    val v1 = Warehouse.applyDv(spark, root)
+    assert(v1 === Some(1L))
+    // the new snapshot is DV-free: plain read == readWithDv == the
+    // pre-apply merge-on-read view
+    val plain = Warehouse.read(spark, root).collect().toSeq.sortBy(_.getString(0))
+    val live = Warehouse.readWithDv(spark, root).collect().toSeq.sortBy(_.getString(0))
+    assert(plain === mor)
+    assert(live === mor)
+    // time travel: v0 still carries the PRE-delete image
+    val v0 = spark.read.schema(CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(root, 0L))
+    assert(v0.count() > mor.size)
+    // nothing left to apply
+    assert(Warehouse.applyDv(spark, root) === None)
+  }
+
+  test("applyDv on a DV-free warehouse is None; delete on empty root is loud") {
+    val root = freshRoot()
+    assert(Warehouse.applyDv(spark, root) === None)
+    val err = intercept[IllegalStateException] {
+      Warehouse.deleteWhere(spark, root, lit(true))
+    }
+    assert(err.getMessage.contains("no committed snapshot"))
+    Warehouse.commit(spark, root, batch(5))
+    assert(Warehouse.applyDv(spark, root) === None,
+      "no deletes ever ran — nothing to apply")
+  }
+
+  test("vacuum prunes a pruned snapshot's DVs and keeps survivors' DVs") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(6).repartition(2)) // v0
+    Warehouse.deleteWhere(spark, root, col("quality_score") < 8.3) // DVs on v0
+    Warehouse.commit(spark, root, batch(7).repartition(2)) // v1
+    Warehouse.deleteWhere(spark, root, col("quality_score") < 8.0) // DVs on v1
+    Warehouse.commit(spark, root, batch(8)) // v2
+    val fs = hfs(root)
+    Warehouse.vacuum(spark, root, keepLast = 2)
+    assert(!fs.exists(new Path(Warehouse.versionPath(root, 0L))))
+    assert(!fs.exists(new Path(Warehouse.dvPath(root, 0L))),
+      "v0's deletion vectors must be pruned with v0")
+    assert(fs.exists(new Path(Warehouse.dvPath(root, 1L))),
+      "v1 is retained — its deletion vectors must survive")
+  }
+
+  test("merge-on-read plan: the DV side joins as a broadcast anti join") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(9).repartition(2))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < 8.3)
+    val live = Warehouse.readWithDv(spark, root)
+    live.collect()
+    val anti = PlanWalk.collectAll(live.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => Seq(b.joinType.toString)
+    }
+    assert(anti.exists(_.toLowerCase.contains("anti")),
+      s"expected a broadcast LeftAnti join applying the DV, got: $anti")
+  }
+}

@@ -99,7 +99,11 @@ class WarehouseCommitSpec extends AnyFunSuite {
             // queue for MINUTES behind other suites' stages, and the
             // loser retries through all of it — size the deadline for
             // the worst queuing observed, not for a healthy run
-            val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+            // (300 s was observed EXCEEDED once on a contended host,
+            // r8: the winner's write sat behind the streaming suites;
+            // this is a liveness backstop against a real deadlock,
+            // so err far on the large side)
+            val deadline = System.nanoTime() + 900L * 1000 * 1000 * 1000
             while (out < 0) {
               try out = Warehouse.commit(spark, root, batch(seed))
               catch {
