@@ -265,10 +265,12 @@ object SparkEntry {
     // side counts via degree-ordered orientation (O(m^1.5) wedge
     // bound, skew-proof); the oracle recounts with the canonical
     // id-ordered 3-way join — algorithm-independent agreement.
-    "g02_triangle_counts"    -> (NorthStar.triangleCoOrder _),
+    "g02_triangle_counts"    -> ((s, dir) =>
+      NorthStar.triangleCoOrderFrom(sharedCoOrderEdges(s, dir))),
     // g03: communities via 4 deterministic synchronous LPA rounds on
     // the same co-order graph; oracle unrolls the loop round by round.
-    "g03_label_propagation"  -> ((s, dir) => NorthStar.lpaCoOrder(s, dir)),
+    "g03_label_propagation"  -> ((s, dir) =>
+      NorthStar.lpaCoOrderFrom(sharedCoOrderEdges(s, dir))),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -398,7 +400,20 @@ object SparkEntry {
     cocoaStreamMemo.clear()
     cocoaStreamJdbcMemo.clear()
     cocoaJdbcMemo.clear()
+    coOrderEdgesMemo.clear()
   }
+
+  /** Shared checkpointed co-order edge list: g02 and g03 run over the
+    * SAME derived graph, and the derivation (lineitem self-join +
+    * distinct) is the expensive half of either query — one pass pays
+    * it once (the d13/d27 harness-level sharing pattern). A bounded
+    * handle: O(edges) in the block manager, dropped by resetMemos. */
+  private val coOrderEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sharedCoOrderEdges(spark: SparkSession, dir: String): DataFrame =
+    coOrderEdgesMemo.computeIfAbsent((spark, dir),
+      _ => NorthStar.coOrderEdges(spark, dir).localCheckpoint(true))
 
   /** Warehouse root of the memoized pipeline run — lets p05 time-travel
     * to an older committed snapshot of the SAME run p01 read. */

@@ -93,8 +93,17 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int,
       checkpointEvery: Int = 6, checkpointThreshold: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val dirEdges = edges.select(col("u").as("src"), col("v").as("dst"))
+    val dirEdges0 = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+    // Materialize the directed edge list ONCE when it will be read
+    // every round: the unrolled loop plan repeats the edge subtree
+    // per iteration and Spark does not share common subplans across
+    // it — with a derived edge list (e.g. the co-order DISTINCT
+    // self-join) each round would re-pay the derivation (measured
+    // 4×-ish on g03 at sf0.1). localCheckpoint = block-manager-backed;
+    // a cluster run that must survive executor loss swaps in a
+    // reliable checkpoint dir, same cadence note as pageRank's.
+    val dirEdges = if (iters > 1) dirEdges0.localCheckpoint(true) else dirEdges0
     var labels = dirEdges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iters) {
