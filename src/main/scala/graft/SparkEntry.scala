@@ -295,6 +295,9 @@ object SparkEntry {
     "io03_partitioned_prune" -> (graft.sources.Formats.partitionedEventsPrune _),
     "io04_csv_roundtrip"     -> (graft.sources.Formats.csvRoundtripCustomer _),
     "io05_zorder_cluster"    -> (graft.sources.Formats.zorderClusterEvents _),
+    // io07: zone-map file skipping — a range scan served through the
+    // per-file min/max index; pruned path ≡ full-scan filter.
+    "io07_zonemap_prune"     -> (graft.sources.Formats.zoneMapPrunedEvents _),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -2643,6 +2646,12 @@ object SparkEntry {
     "io05_zorder_cluster" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // io07: the pruned range scan must equal the plain filter — the
+    // zone map is a superset filter, never a truth source.
+    "io07_zonemap_prune" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE user_id BETWEEN 3 AND 7
+        |ORDER BY event_id""".stripMargin,
     // io06: union-by-name semantics re-derived from the source table
     // — generation 1 rows surface the evolved column as NULL.
     "io06_schema_evolution" ->

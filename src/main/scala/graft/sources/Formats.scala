@@ -113,6 +113,30 @@ object Formats {
       .orderBy("event_id")
   }
 
+  /** io07: ZONE-MAP FILE SKIPPING — events range-partitioned and
+    * sorted on user_id into 16 files (the clustered layout a real
+    * table maintains), a [[ZoneMap]] built over (user_id), then a
+    * selective range scan THROUGH the index: only files whose
+    * [min, max] intersects [3, 7] are ever opened. The oracle is the
+    * plain full-scan filter — the hash match certifies the pruned
+    * path returns exactly the unpruned answer (zone map as superset
+    * filter + residual predicate), while ZoneMapSpec asserts the
+    * files-skipped property itself. */
+  def zoneMapPrunedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("events_zonemap")
+    val src = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    src.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(path)
+    ZoneMap.build(spark, path, src.schema, Seq("user_id"))
+    ZoneMap.prunedRead(spark, path, src.schema, "user_id", lit(3L), lit(7L))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** io06: ADDITIVE SCHEMA EVOLUTION on read — generation 1 files
     * carry (o_orderkey, o_custkey); generation 2 adds o_totalprice.
     * `mergeSchema` reconciles by NAME and old files surface the new

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** FILE-LEVEL zone-map index (min/max statistics per data file) — the
+  * data-skipping layer Delta/Iceberg keep in their table metadata,
+  * here as a small parquet sidecar on a plain-parquet table.
+  *
+  * Parquet footers already carry row-group min/max, but the reader
+  * only consults them AFTER a task has been scheduled and the footer
+  * opened — at 100 TB that is millions of task launches and footer
+  * reads just to discover "nothing here". A zone map moves the same
+  * statistics to one O(files) table consulted BEFORE planning: a
+  * selective range query on a clustered layout (sorted or Z-ordered,
+  * io05) schedules tasks only for the files that can match.
+  *
+  * Correct-or-loud staleness contract: the index records the file set
+  * it summarized; [[prunedRead]] re-lists the table (one driver
+  * metadata op) and REFUSES to serve if any current data file is
+  * missing from the index — a stale zone map silently dropping a new
+  * file's rows is the one failure mode this design must never have.
+  * Rebuild after every batch append (one map-side-combined pass over
+  * the new files' rows would suffice; build() rescans for simplicity
+  * since the index build is itself a single aggregate scan). */
+object ZoneMap {
+
+  def indexPath(tablePath: String): String = s"$tablePath/_zonemap"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def dataFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    fs(spark, tablePath).listStatus(new Path(tablePath)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+
+  /** One aggregate pass over the table → per-file (min, max, n_rows)
+    * for each of `cols`, written under `_zonemap` (underscore-hidden
+    * from parquet readers of the table itself). Nulls are ignored by
+    * min/max per SQL semantics; an all-null file carries null stats
+    * and is DROPPED by range pruning — sound, because a range
+    * predicate never matches null. */
+  def build(spark: SparkSession, tablePath: String, schema: StructType,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"zone-map columns absent from schema: $missing")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.schema(schema).parquet(tablePath)
+      .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(indexPath(tablePath))
+  }
+
+  /** The file names whose [min, max] interval on `colName` intersects
+    * [lo, hi] — the candidate set a range scan must read. Loud on a
+    * missing index, a column the index does not cover, and a STALE
+    * index (any current data file unknown to it). */
+  def selectFiles(spark: SparkSession, tablePath: String, colName: String,
+      lo: Column, hi: Column): Seq[String] = {
+    val idxDir = indexPath(tablePath)
+    require(fs(spark, tablePath).exists(new Path(idxDir, "_SUCCESS")),
+      s"no zone map at $idxDir — ZoneMap.build first")
+    val idx = spark.read.parquet(idxDir)
+    require(idx.columns.contains(s"min_$colName"),
+      s"zone map at $idxDir does not cover column '$colName'" +
+        s" (has: ${idx.columns.mkString(",")})")
+    val indexed = idx.select("file").collect().map(_.getString(0)).toSet
+    val current = dataFiles(spark, tablePath)
+    val unknown = current.filterNot(indexed.contains)
+    require(unknown.isEmpty,
+      s"stale zone map at $idxDir: data files not summarized: " +
+        s"${unknown.take(3).mkString(",")}… — rebuild before pruning")
+    idx.filter(col(s"min_$colName") <= hi && col(s"max_$colName") >= lo)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Range scan THROUGH the zone map: read only the candidate files,
+    * then apply the exact predicate as the residual filter (the zone
+    * map is a superset filter, never a truth source). Equivalent to
+    * the full-scan filter by construction; the win is the files never
+    * opened. */
+  def prunedRead(spark: SparkSession, tablePath: String, schema: StructType,
+      colName: String, lo: Column, hi: Column): DataFrame = {
+    val files = selectFiles(spark, tablePath, colName, lo, hi)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(files.map(f => s"$tablePath/$f"): _*)
+        .filter(col(colName) >= lo && col(colName) <= hi)
+  }
+}
