@@ -192,6 +192,10 @@ object SparkEntry {
     "s10_stream_incremental_agg" ->
       ((s, d) => StreamingQueries.incrementalAggStream(s, d)),
     "s09_streaming_outliers" -> (StreamingQueries.streamingValueOutliers _),
+    // s11: late-data dead-letter capture — sub-watermark rows landed
+    // in a quarantine table instead of silently dropped; the oracle
+    // replays the watermark rule batch-by-batch in integer µs.
+    "s11_late_data_dlq" -> (StreamingQueries.lateDataDlq _),
     "s06_stream_stream_join" -> (StreamingQueries.viewPurchaseJoin _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
     "s03_stateful_sessions" -> ((s, dir) =>
@@ -2952,6 +2956,30 @@ object SparkEntry {
         |      > 9 * CAST(m.n AS HUGEINT)
         |        * (CAST(m.n AS HUGEINT) * m.sxx - CAST(m.sx AS HUGEINT) * m.sx)
         |ORDER BY e.event_id""".stripMargin,
+    // s11: the watermark rule replayed in SQL — batches are equal
+    // time quartiles (integer µs floor-div), the planted cohort
+    // (event_id % 17) arrives 2 batches late, and a row is in the DLQ
+    // iff its event time is below (running max of PRIOR batches' max
+    // event time) − 48 h. Window max over batch order = the running
+    // watermark; the first batch has no prior max and flags nothing.
+    "s11_late_data_dlq" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        |bd AS (SELECT min(ts_us) AS tmin,
+        |         (max(ts_us) - min(ts_us)) // 4 + 1 AS band FROM ev),
+        |b AS (SELECT event_id, ts_us,
+        |        CAST(CASE WHEN event_id % 17 = 0 THEN least(bb + 2, 3)
+        |             ELSE bb END AS INT) AS batch
+        |      FROM (SELECT event_id, ts_us, (ts_us - tmin) // band AS bb
+        |            FROM ev CROSS JOIN bd)),
+        |pm AS (SELECT batch, max(ts_us) AS bmax FROM b GROUP BY batch),
+        |wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |       FROM pm)
+        |SELECT b.event_id, b.ts_us, b.batch
+        |FROM b JOIN wm USING (batch)
+        |WHERE wm.prevmax IS NOT NULL
+        |  AND b.ts_us < wm.prevmax - 172800000000
+        |ORDER BY event_id""".stripMargin,
     // s09: the streaming drain is stateless stream-static enrichment,
     // so it must equal the batch outlier query — q41's oracle verbatim.
     "s09_streaming_outliers" ->

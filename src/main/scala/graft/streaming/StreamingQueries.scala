@@ -360,6 +360,88 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** s11: LATE-DATA DEAD-LETTER CAPTURE — the production contract
+    * Spark's watermark only half-provides: rows behind the watermark
+    * are DROPPED from windowed aggregates silently; a real pipeline
+    * must land them in a quarantine table (count them, re-drive a
+    * backfill) instead of losing them. The stream replays the event
+    * table as 4 time-ordered micro-batches (equal time-quartile
+    * files, mtimes pinned so the file source's oldest-first order is
+    * the defined order) with a planted late cohort: every 17th event
+    * ships 2 batches after its quartile while keeping its original
+    * timestamp. foreachBatch applies EXACTLY Spark's watermark rule —
+    * wm = (max event time seen in PRIOR batches) − delay, updated
+    * after each batch — and appends the sub-watermark rows, tagged
+    * with their arrival batch, to the DLQ table. Everything (batch
+    * assignment, running max, the 48 h delay) is integer µs
+    * arithmetic, so the oracle re-derives the DLQ row-for-row.
+    *
+    * Scale shape: per batch, one filter + one 1-row max aggregate;
+    * DLQ writes are |late| only; driver state is ONE long. */
+  def lateDataDlq(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val delayUs = 48L * 3600L * 1000000L
+      val ev = graft.core.Tables.events(scoped, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val bounds = ev.agg(min("ts_us").as("tmin"),
+        expr("(max(ts_us) - min(ts_us)) div 4 + 1").as("band"))
+      val batched = ev.crossJoin(broadcast(bounds))
+        .withColumn("bb", expr("(ts_us - tmin) div band"))
+        .withColumn("batch",
+          when(col("event_id") % 17 === 0, least(col("bb") + 2, lit(3L)))
+            .otherwise(col("bb")).cast("int"))
+        .select("event_id", "ts_us", "batch")
+      // stage: one file per batch, named and mtime-pinned in batch
+      // order (the file source takes oldest-first)
+      val staged = graft.core.RunTemp.dir("graft_s11_src_")
+      val fs = new org.apache.hadoop.fs.Path(staged)
+        .getFileSystem(scoped.sessionState.newHadoopConf())
+      val t0 = System.currentTimeMillis()
+      for (k <- 0 to 3) {
+        val tmp = graft.core.RunTemp.dir(s"graft_s11_tmp${k}_")
+        batched.filter(col("batch") === k).select("event_id", "ts_us")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .find(_.getPath.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"s11: no part file staged for batch $k")).getPath
+        val dst = new org.apache.hadoop.fs.Path(staged, f"b$k%02d.parquet")
+        if (!fs.rename(part, dst)) sys.error(s"s11: could not stage $dst")
+        fs.setTimes(dst, t0 + k * 60000L, -1)
+      }
+      val dlq = graft.core.RunTemp.dir("graft_s11_dlq_")
+      val dlqSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("batch", IntegerType)))
+      // ONE long of driver state: the running max event time. The
+      // foreachBatch body runs on the driver, so plain closure state
+      // is the idiomatic carrier (a restartable deployment persists
+      // it in the checkpoint via the commit log instead).
+      var seenMaxUs = Long.MinValue
+      val q = scoped.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts_us", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val wmUs = if (seenMaxUs == Long.MinValue) Long.MinValue
+            else seenMaxUs - delayUs
+          batch.filter(col("ts_us") < lit(wmUs))
+            .select(col("event_id"), col("ts_us"),
+              lit(bid).cast("int").as("batch"))
+            .write.mode("append").parquet(dlq)
+          val mx = batch.agg(max("ts_us")).collect()(0)
+          if (!mx.isNullAt(0))
+            seenMaxUs = math.max(seenMaxUs, mx.getLong(0))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      scoped.read.schema(dlqSchema).parquet(dlq)
+        .coalesce(1).sortWithinPartitions("event_id")
+    }
+
   /** Watermarked sliding-window throughput over the event stream —
     * the watermark/event-time-window surface the reference lacks
     * entirely (SURVEY.md §2.1 streaming). 6h tumbling windows; with

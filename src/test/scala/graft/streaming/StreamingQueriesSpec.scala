@@ -90,4 +90,19 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(counts === counts.sorted, s"event mass must grow monotonically: $counts")
     assert(counts.last === Tables.events(spark, dir).count())
   }
+
+  test("s11: late rows land in the DLQ, all from the planted cohort, deterministically") {
+    val rows = StreamingQueries.lateDataDlq(spark, dir).collect()
+    assert(rows.nonEmpty, "the planted cohort must produce late arrivals")
+    // the batches are equal time quartiles (~7.5 d band) and the delay
+    // is 48 h, so in-quartile rows can never be late: every DLQ row
+    // must be a planted (2-batches-late) event
+    assert(rows.forall(_.getLong(0) % 17 == 0),
+      "only the planted cohort can fall behind the watermark")
+    // a late row's arrival batch strictly follows its time quartile
+    assert(rows.forall(r => r.getInt(2) >= 2), "planted rows arrive in batch 2+")
+    // the capture is replay-deterministic
+    val again = StreamingQueries.lateDataDlq(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
