@@ -97,6 +97,9 @@ object SparkEntry {
     "q41_value_outliers"     -> (Relational.valueOutliers _),
     "q42_cohort_retention"   -> (Relational.cohortRetention _),
     "q43_forward_fill"       -> (Relational.forwardFillDaily _),
+    // q49: linear-interpolation gap fill — integer-exact weighted
+    // average between the bracketing observations.
+    "q49_interpolate"        -> (Relational.interpolateDaily _),
     "q44_table_checksums"    -> (Relational.tableChecksums _),
     // q47: declarative constraint audit — row predicates in one scan
     // per table, pk uniqueness, fk integrity; exact violation counts.
@@ -3042,6 +3045,47 @@ object SparkEntry {
         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_filled,
         |  cents IS NOT NULL AS is_observed
         |FROM j ORDER BY event_type, day""".stripMargin,
+    // q49: the interpolant re-derived with the same non-negative
+    // integer weighted average — // and div agree above zero.
+    "q49_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 101 = 0),
+        |daily AS (
+        |  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.event_type, s.day, d.cents,
+        |    epoch_us(s.day) // 86400000000 AS di
+        |  FROM spine s LEFT JOIN daily d USING (event_type, day)),
+        |w AS (
+        |  SELECT event_type, day, cents, di,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN di END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d0,
+        |    last_value(cents IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN di END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1,
+        |    first_value(cents IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+        |  FROM j)
+        |SELECT event_type, day,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000
+        |       ELSE (v0 * 1000 * (d1 - di) + v1 * 1000 * (di - d0)) // (d1 - d0)
+        |       END AS BIGINT) AS milli_cents,
+        |  cents IS NOT NULL AS is_observed
+        |FROM w ORDER BY event_type, day""".stripMargin,
     // q44: the reconciliation checksum recomputed by the second
     // engine — same canonical projections (cents, µs epochs, '|'
     // separators, concat_ws null skipping), same md5-prefix hash,

@@ -153,6 +153,37 @@ object Catalog {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    // Q6: the forecasting-revenue-change scan — no join at all, the
+    // pure predicate-pushdown + single-agg shape (at 100 TB this is
+    // the query where scan pruning IS the runtime).
+    "sql23_tpch_q6" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q14: promo-revenue share. The ratio is emitted as integer basis
+    // points via floor(double division) — both engines feed the same
+    // exact integers to the same IEEE divide; the summands themselves
+    // are per-row-quantized cents like every money column here.
+    "sql24_tpch_q14" ->
+      """WITH m AS (
+        |  SELECT
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS promo_cents,
+        |    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-12-01 00:00:00')
+        |SELECT CAST(promo_cents AS BIGINT) AS promo_cents,
+        |  CAST(total_cents AS BIGINT) AS total_cents,
+        |  CAST(floor(CAST(promo_cents AS DOUBLE) * 10000.0
+        |    / CAST(total_cents AS DOUBLE)) AS BIGINT) AS promo_bp
+        |FROM m""".stripMargin,
     // Distribution + value window functions (sql09 covers the rank
     // family): percent_rank/cume_dist are double-valued — both
     // engines compute the same (rank-1)/(n-1)-style rationals through

@@ -884,6 +884,50 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** q49: LINEAR-INTERPOLATION gap fill — q43's spine, but interior
+    * gaps take the straight line between the bracketing observations
+    * instead of holding the last value (the time-series resampling
+    * default for continuous measures). INTEGER-EXACT: the interpolant
+    * is the weighted average
+    *   (v0·(d1−d) + v1·(d−d0)) div (d1−d0)
+    * in milli-cents with day indices as epoch-day integers — every
+    * term is non-negative (values are cents ≥ 0 and d0 ≤ d ≤ d1), so
+    * truncating and flooring division agree and both engines produce
+    * the identical integer; no float ever enters. Bracketing
+    * observations ride two frame-bounded window folds (last/first
+    * IGNORE NULLS), O(series) with no self-join; the spine runs
+    * min..max observed day per series, so every interior day has both
+    * brackets by construction. */
+  def interpolateDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_id") % 101 === 0)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    val past = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dayIdx = expr("unix_micros(day) div 86400000000")
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("d", dayIdx)
+      .withColumn("od", when(col("cents").isNotNull, col("d")))
+      .withColumn("d0", last(col("od"), ignoreNulls = true).over(past))
+      .withColumn("v0", last(col("cents"), ignoreNulls = true).over(past))
+      .withColumn("d1", first(col("od"), ignoreNulls = true).over(future))
+      .withColumn("v1", first(col("cents"), ignoreNulls = true).over(future))
+      .select(col("event_type"), col("day"),
+        when(col("cents").isNotNull, col("cents") * 1000)
+          .otherwise(expr(
+            "(v0 * 1000 * (d1 - d) + v1 * 1000 * (d - d0)) div (d1 - d0)"))
+          .as("milli_cents"),
+        col("cents").isNotNull.as("is_observed"))
+      .orderBy("event_type", "day")
+  }
+
   /** q44: TABLE CHECKSUMS — the anti-entropy / reconciliation
     * primitive: per table, the row count and an ORDER-INDEPENDENT
     * 48-bit content checksum (sum of per-row md5-prefix hashes mod

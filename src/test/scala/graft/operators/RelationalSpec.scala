@@ -176,4 +176,35 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(4) === exact(99, 100), "p99")
     }
   }
+
+  test("q49: interpolated gaps lie between their brackets; observed rows match q43") {
+    val locf = Relational.forwardFillDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.get(1).toString) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val rows = Relational.interpolateDaily(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(!_.getBoolean(3)), "fixture must contain real gaps")
+    // per-series scan: observed rows are exact cents*1000; gap rows sit
+    // within [min, max] of the bracketing observations
+    rows.groupBy(_.getString(0)).foreach { case (_, series) =>
+      val s = series.sortBy(_.get(1).toString)
+      var prevObs = Option.empty[Long]
+      s.zipWithIndex.foreach { case (r, i) =>
+        val v = r.getLong(2)
+        if (r.getBoolean(3)) {
+          val (cents, obs) = locf((r.getString(0), r.get(1).toString))
+          assert(obs && v === cents * 1000, "observed rows carry exact cents*1000")
+          prevObs = Some(v)
+        } else {
+          val next = s.drop(i + 1).find(_.getBoolean(3)).map(_.getLong(2))
+          (prevObs, next) match {
+            case (Some(a), Some(b)) =>
+              assert(v >= math.min(a, b) && v <= math.max(a, b),
+                s"interpolant $v outside bracket [$a, $b]")
+            case _ => fail("gap row without both brackets — spine contract broken")
+          }
+        }
+      }
+    }
+  }
 }
