@@ -157,6 +157,38 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected cartesian outside the vector scorer:\n$p")
   }
 
+  test("d42: the DSIR model broadcasts back onto the pair stream — no sort-merge join") {
+    val p = plan("d42_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤buckets-row model must broadcast onto the (doc, bucket) stream")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the importance pipeline may shuffle-join the corpus")
+  }
+
+  test("q48: the sketch build prunes through the bounded-heap TopKPerKey node") {
+    val p = plan("q48_quantile_rollup")
+    assert(p.contains("TopKPerKey"),
+      "the KMV bottom-k must route through the bounded-heap node, not a window sort")
+  }
+
+  test("g03: label propagation plans equi hash joins only — no cartesian") {
+    val p = plan("g03_label_propagation")
+    assert(!p.contains("CartesianProduct"),
+      "LPA must never plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "every per-round join is equi-keyed on src")
+    // argmax folds as an aggregate, never a per-node ranking window
+    assert(!p.contains("Window"),
+      "per-node argmax must be max(struct), not a window sort")
+  }
+
+  test("s11/q49 prerequisites: events interpolation spine has no self-join") {
+    val p = plan("q49_interpolate")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "the daily/spine join at fixture scale should broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the spine join")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE's toString hides the codegen wrapping; ask the codegen
     // debugger how many fused subtrees the executed plan holds.
