@@ -43,6 +43,7 @@ object SparkEntry {
     "v02_ann_production" -> (NorthStar.annTopKProduction _),
     "v04_ivf_production" -> (NorthStar.ivfTopKProduction _),
     "v15_ivfpq_production" -> (NorthStar.ivfPqTopKProduction _),
+    "v18_rerank_production" -> (NorthStar.ivfPqRerankProduction _),
     "v17_filtered_production" -> (NorthStar.filteredAnnProduction _),
     // z-rows: exhaustive-vs-prefix pair routes timed on a seeded
     // ZIPFIAN corpus (real text's vocabulary shape, where the prefix
@@ -295,6 +296,9 @@ object SparkEntry {
     "v15_ivf_pq"             -> (NorthStar.ivfPqTopK _),
     "v16_ivfpq_saved"        -> (NorthStar.ivfPqSavedTopK _),
     "v17_filtered_ann"       -> (NorthStar.filteredAnnTopK _),
+    // v18: PQ search + exact rerank of the candidate set — certified
+    // at 0.75 (vs ADC's 0.6): rerank recovers ADC's ranking errors.
+    "v18_pq_rerank"          -> (NorthStar.ivfPqRerankTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -2827,6 +2831,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
         |  TRUE AS ivfpq_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v18: same truth rows; the harder 0.75 bar is Spark-side — the
+    // oracle affirms the certificate literal as always.
+    "v18_pq_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
+        |  TRUE AS rerank_recall_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v16: same certificate through the saved-then-loaded PQ artifact
     // (the spec pins loaded search byte-equal to in-memory search).

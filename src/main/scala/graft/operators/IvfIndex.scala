@@ -620,6 +620,40 @@ object IvfIndex {
 
   /** Self-contained IVF-PQ top-k (the [[topK]] demo shape): build the
     * coded index over `df`, ADC-search it, release the index cache. */
+  /** ADC search to `depth` candidates, then EXACT-score RERANK of
+    * just those candidates from the raw vectors — the standard
+    * production ANN deployment (FAISS's IVFPQ + refine, every vector
+    * DB's "rerank" stage): the PQ codes answer "which ~depth rows
+    * could be close" from RAM-resident bytes, and the raw-vector
+    * store is touched only for queries × depth point lookups, never
+    * scanned. Reranking converts ADC's quantization-ranking errors
+    * back into exact ordering, so recall@k approaches the PQ
+    * candidate recall@depth — strictly better than raw ADC@k.
+    *
+    * Scale shape: the candidate list (queries × depth rows of two
+    * ids) BROADCASTS into one pass over the vector store — no
+    * shuffle of the corpus, no index re-read; the exact cosine runs
+    * only on candidates. Contract: the per-batch candidate list must
+    * be broadcastable (queries are batched upstream — the same
+    * assumption every query-batch join here makes). */
+  def searchPqRerank(encoded: DataFrame, model: PqModel, vectors: DataFrame,
+      k: Int, depth: Int, nProbe: Int, queries: DataFrame,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    require(depth >= k, s"rerank depth $depth must be >= k=$k")
+    val cands = searchPq(encoded, model, depth, nProbe, queries, idCol, vecCol)
+      .select("query_id", "nbr_id")
+    val v = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = v.join(broadcast(cands), "nbr_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("nbr_id"),
+        Similarity.cosine(col("qv"), col("nv")).as("score"))
+    Similarity.rankTopK(exact, "query_id", "score", "nbr_id", k)
+      .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+  }
+
   def pqTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 10, m: Int = 8, ks: Int = 256, nProbe: Int = 4,
       queries: Option[DataFrame] = None): DataFrame = {

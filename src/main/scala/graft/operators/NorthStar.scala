@@ -1866,6 +1866,55 @@ object NorthStar {
       minRecall = 0.6, okCol = "ivfpq_saved_recall_ok")
   }
 
+  /** v18: PQ search + EXACT RERANK — the full production retrieval
+    * stack (codes answer "which ~50 could be close", raw vectors are
+    * point-looked-up for just those candidates and re-scored
+    * exactly). Certified at a HIGHER bar than raw ADC (v15's 0.6):
+    * reranking recovers ADC's RANKING errors — probe misses it
+    * cannot fix, which is why the budget is nProbe = 7 (the v17
+    * lesson). Measured recall@5 across sf0.001/0.01/0.1 at
+    * depth 50 / nProbe 7: rerank 0.914/0.912/0.904 vs raw ADC
+    * 0.880/0.878/0.817 — the bar sits at 0.75 with ≥ 0.15 margin,
+    * and the rerank-beats-ADC property is what the higher bar
+    * certifies (raw ADC at sf0.1 would sit inside noise of it). */
+  def ivfPqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val unit = emb
+      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    val (encoded, model) = IvfIndex.buildPq(spark, unit,
+      "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
+    val out = certifyRecall(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5),
+      IvfIndex.searchPqRerank(encoded, model, unit, k = 5, depth = 50,
+        nProbe = 7, queries = unit, idCol = "vec_id", vecCol = "embedding"),
+      minRecall = 0.75, okCol = "rerank_recall_ok")
+    encoded.unpersist()
+    out
+  }
+
+  /** BENCH-ONLY twin of v18 — build + ADC + rerank without the truth
+    * side. */
+  def ivfPqRerankProduction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val unit = emb
+      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    val (encoded, model) = IvfIndex.buildPq(spark, unit,
+      "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
+    val out = IvfIndex.searchPqRerank(encoded, model, unit, k = 5, depth = 50,
+      nProbe = 7, queries = unit, idCol = "vec_id", vecCol = "embedding").cache()
+    out.count()
+    encoded.unpersist()
+    out
+  }
+
   /** BENCH-ONLY twin of v15: the PQ build + ADC search alone, without
     * the certificate's truth side — see [[annTopKProduction]]. */
   def ivfPqTopKProduction(spark: SparkSession, dir: String): DataFrame = {

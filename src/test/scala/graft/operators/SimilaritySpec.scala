@@ -514,6 +514,48 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("PQ rerank at exhaustive candidates equals brute force exactly (v18 shape)") {
+    // depth >= corpus and nProbe = nCells make the candidate set
+    // exhaustive; rerank scores are EXACT cosine on raw vectors, so
+    // the result must equal brute force row-for-row — the only
+    // approximation left in the production stack is candidate
+    // generation, which this pins out.
+    val (unit, encoded, model, _) = pqFixture
+    val n = unit.count().toInt
+    val got = IvfIndex.searchPqRerank(encoded, model, unit, k = 5, depth = n,
+        nProbe = model.centroids.length, queries = unit,
+        idCol = "vec_id", vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val brute = Similarity.bruteForceTopK(unit, "vec_id", "embedding", k = 5)
+      .select("query_id", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === brute.toSeq)
+  }
+
+  test("PQ rerank beats raw ADC recall at the certified configuration") {
+    val (unit, _, _, _) = pqFixture
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (encoded, model) = IvfIndex.buildPq(spark, unit,
+      "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val by = df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.keys.toSeq.map(q =>
+        by.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5)
+      rs.sum / rs.size
+    }
+    val adc = meanRecall(IvfIndex.searchPq(encoded, model, 5, 7,
+      unit, "vec_id", "embedding"))
+    val rr = meanRecall(IvfIndex.searchPqRerank(encoded, model, unit, 5, 50, 7,
+      unit, "vec_id", "embedding"))
+    assert(rr >= 0.75, f"rerank recall $rr%.3f under the certified bar")
+    assert(rr >= adc, f"rerank ($rr%.3f) must not lose to raw ADC ($adc%.3f)")
+    encoded.unpersist()
+    spark.catalog.clearCache()
+  }
+
   private lazy val labels: Map[Long, Int] =
     Tables.embeddings(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
