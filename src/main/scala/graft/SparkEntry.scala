@@ -101,6 +101,8 @@ object SparkEntry {
     // q49: linear-interpolation gap fill — integer-exact weighted
     // average between the bracketing observations.
     "q49_interpolate"        -> (Relational.interpolateDaily _),
+    // q50: co-purchase support + integer-micro lift, top-50 pairs.
+    "q50_basket_lift"        -> ((s, dir) => Relational.basketLift(s, dir)),
     "q44_table_checksums"    -> (Relational.tableChecksums _),
     // q47: declarative constraint audit — row predicates in one scan
     // per table, pk uniqueness, fk integrity; exact violation counts.
@@ -3067,6 +3069,21 @@ object SparkEntry {
         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_filled,
         |  cents IS NOT NULL AS is_observed
         |FROM j ORDER BY event_type, day""".stripMargin,
+    // q50: support and lift recomputed over the distinct order/part
+    // relation; all-positive integer products, // == div.
+    "q50_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |cu AS (SELECT p, count(*) AS n_item FROM li GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT u, v, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(x.n_item AS BIGINT) AS n_u, CAST(y.n_item AS BIGINT) AS n_v,
+        |  CAST((n.n_orders * n_both * 1000000) // (x.n_item * y.n_item) AS BIGINT) AS lift_micro
+        |FROM pairs JOIN cu x ON x.p = u JOIN cu y ON y.p = v CROSS JOIN n
+        |ORDER BY n_both DESC, u, v LIMIT 50""".stripMargin,
     // q49: the interpolant re-derived with the same non-negative
     // integer weighted average — // and div agree above zero.
     "q49_interpolate" ->

@@ -884,6 +884,36 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** q50: MARKET-BASKET association — co-purchase support and LIFT
+    * over the order/part bipartite relation (the "frequently bought
+    * together" rule miner; one-pass pairwise A-Priori at itemset
+    * size 2). lift(u,v) = P(u,v)/(P(u)·P(v)) is emitted in exact
+    * integer micro-units via the non-negative product form
+    * (N·c_uv·10^6) div (c_u·c_v) — no float, no engine divergence.
+    *
+    * Scale shape: the pair space materializes per order (order sizes
+    * are bounded, so the self-join fan-out is a constant factor on
+    * lineitem) into one map-side-combined (u, v) count; the per-item
+    * counts are a dimension-sized table broadcast back; top-k by
+    * support is a deterministic total order (n_both desc, u, v). */
+  def basketLift(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val orders = li.agg(countDistinct("ok").as("n_orders"))
+    val cu = li.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val a = li.select(col("ok"), col("p").as("u"))
+    val b = li.select(col("ok"), col("p").as("v"))
+    a.join(b, "ok").filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(cu.select(col("p").as("u"), col("n_item").as("n_u"))), "u")
+      .join(broadcast(cu.select(col("p").as("v"), col("n_item").as("n_v"))), "v")
+      .crossJoin(broadcast(orders))
+      .select(col("u"), col("v"), col("n_both"), col("n_u"), col("n_v"),
+        expr("(n_orders * n_both * 1000000) div (n_u * n_v)").as("lift_micro"))
+      .orderBy(col("n_both").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   /** q49: LINEAR-INTERPOLATION gap fill — q43's spine, but interior
     * gaps take the straight line between the bracketing observations
     * instead of holding the last value (the time-series resampling
