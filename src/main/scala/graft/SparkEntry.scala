@@ -168,6 +168,10 @@ object SparkEntry {
     // NOT, so a position off-by-one, a file-identity slip, or a DV
     // part lost between the two calls all break the hash.
     "p12_deletion_vectors" -> ((s, _) => cocoaDvDeleted(s)),
+    // p13: RESTORE — an earlier snapshot re-committed as the NEW
+    // current version (forward-only history, auditable, fenced);
+    // oracled by the batch-1-only re-derivation, p05's truth.
+    "p13_restore" -> ((s, _) => cocoaRestored(s)),
     // p11: SQL-standard conditional MERGE INTO — delete / update /
     // insert clauses with conditions, standard clause precedence,
     // and the duplicate-source-match error, re-derived row-for-row
@@ -236,6 +240,10 @@ object SparkEntry {
     "d16_train_split"        -> (NorthStar.trainSplit _),
     "d17_token_chunks"       -> ((s, dir) => NorthStar.tokenChunks(s, dir)),
     "d18_decontamination"    -> ((s, dir) => NorthStar.decontamination(s, dir)),
+    // d43: the published decontamination rule — overlap FRACTION in
+    // basis points with planted true contamination firing the flag.
+    "d43_decontamination_fraction" ->
+      ((s, dir) => NorthStar.decontaminationFraction(s, dir)),
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
@@ -498,6 +506,25 @@ object SparkEntry {
     Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
     Warehouse.deleteWhere(spark, root, col("region") === lit("Volta"))
     Warehouse.readWithDv(spark, root).orderBy("shipment_id")
+  }
+
+  /** p13: two-version isolated root (v0 = the run's batch-1 snapshot,
+    * v1 = the full warehouse), then RESTORE to v0 — the rollback a
+    * bad deploy needs. The result is the v2 the restore committed;
+    * hash-matching p05's batch-1 oracle certifies content; history
+    * stays forward-only (spec: v1 remains readable, pointer at 2). */
+  private def cocoaRestored(spark: SparkSession): DataFrame = {
+    val whFull = cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    val v0 = spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(dirs.warehouse, 0L))
+    val root = graft.core.RunTemp.dir("graft_restore_wh_", keep = 32)
+    Warehouse.commit(spark, root, v0)
+    Warehouse.commit(spark, root, whFull)
+    val v = Warehouse.restore(spark, root, 0L)
+    spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(root, v))
+      .orderBy("shipment_id")
   }
 
   /** p10: publish the v1 change feed once (idempotent), read the
@@ -2405,6 +2432,35 @@ object SparkEntry {
         |FROM post p JOIN bench b ON p.g = b.g
         |WHERE p.doc_id >= 10
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // d43: the fraction rule re-derived with the contamination
+    // re-planted in SQL (benchmark docs + ' graftmark', ids +200000);
+    // integer basis points, // == div above zero.
+    "d43_decontamination_fraction" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' graftmark' FROM base WHERE doc_id < 5),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM all_docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM post WHERE doc_id < 10),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM post WHERE doc_id >= 10 GROUP BY doc_id),
+        |shr AS (SELECT p.doc_id, count(*) AS n_shared FROM post p JOIN bench b ON p.g = b.g
+        |        WHERE p.doc_id >= 10 GROUP BY p.doc_id)
+        |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST((coalesce(s.n_shared, 0) * 10000) // t.n_shingles AS BIGINT) AS overlap_bp,
+        |  (coalesce(s.n_shared, 0) * 10000) // t.n_shingles >= 5000 AS contaminated
+        |FROM tot t LEFT JOIN shr s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "m02_frame_samples" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,
@@ -2452,6 +2508,10 @@ object SparkEntry {
     // p05: snapshot v0 must equal the warehouse derived from batch 1
     // ALONE — time travel reads are immutable history.
     "p05_time_travel" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq("b1" -> "2023-11-14 22:13:20")),
+    // p13: restore-to-v0 must reproduce the batch-1 warehouse exactly.
+    "p13_restore" -> cocoaOracle(
       "SELECT * FROM wh ORDER BY shipment_id",
       batches = Seq("b1" -> "2023-11-14 22:13:20")),
     // p07: re-derive BOTH versions (v0 = batch 1 alone, v1 = LWW over

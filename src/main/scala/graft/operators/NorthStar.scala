@@ -1583,6 +1583,53 @@ object NorthStar {
     decontaminationOf(
       Tables.documents(spark, dir).select("doc_id", "text"), n, benchBelow)
 
+  /** d43: decontamination by OVERLAP FRACTION — the published rule
+    * (GPT-3/PaLM-style) flags a document when the FRACTION of its
+    * distinct n-gram shingles shared with the benchmark crosses a
+    * threshold, not on any single collision (d18's any-overlap count
+    * is the audit view; incidental shared phrases in a web corpus
+    * make it a terrible removal rule). Fractions are integer basis
+    * points — (n_shared · 10⁴) div n_shingles, all non-negative, so
+    * both engines floor identically. The gate corpus plants true
+    * contamination (benchmark docs re-hosted with one appended
+    * token, the near-dup planting pattern) so `contaminated` fires
+    * for real and the threshold's both sides are exercised.
+    * Scale shape is d18's: the benchmark shingle set broadcasts;
+    * the corpus side is one explode + two map-side-combined counts —
+    * no corpus-vs-corpus pair space. */
+  def decontaminationFraction(spark: SparkSession, dir: String,
+      n: Int = 5, benchBelow: Long = 10L, plantBelow: Long = 5L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(col("text").isNotNull)
+    val planted = docs.filter(col("doc_id") < plantBelow)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftmark")).as("text"))
+    decontaminationFractionOf(
+      docs.unionByName(planted)
+        .repartition(widenWidth(spark), md5(col("text"))), n, benchBelow)
+  }
+
+  /** Corpus-generic fraction form (see [[decontaminationFraction]]);
+    * every non-benchmark doc reports, zero-overlap included. */
+  def decontaminationFractionOf(docs: DataFrame, n: Int, benchBelow: Long,
+      thresholdBp: Int = 5000): DataFrame = {
+    val posting = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col("text"), n)).as("g"))
+    val corpus = posting.filter(col("doc_id") >= benchBelow)
+    val bench = posting.filter(col("doc_id") < benchBelow).select("g").distinct()
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = corpus.join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_bp", expr("(n_shared * 10000) div n_shingles"))
+      .withColumn("contaminated", col("overlap_bp") >= thresholdBp)
+      .orderBy("doc_id")
+  }
+
   /** Corpus-generic form: `docs` carries (doc_id, text); ids below
     * `benchBelow` form the benchmark. Split out so tests drive the
     * REAL operator on constructed frames. */

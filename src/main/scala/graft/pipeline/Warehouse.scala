@@ -435,6 +435,45 @@ object Warehouse {
           .otherwise(lit("update")))
   }
 
+  /** RESTORE: make an earlier retained snapshot the table's current
+    * content again — as a NEW commit, never by moving the pointer
+    * backwards (Delta's RESTORE semantics). Rolling the pointer back
+    * would fork history: version numbers already handed to readers
+    * and change feeds would be reused with different content. As a
+    * forward commit, the restore itself is auditable ([[diff]] shows
+    * exactly what it undid), the bad version stays time-travelable
+    * for the post-mortem, and the read-modify-write fence aborts if
+    * anything commits between resolving the current version and the
+    * lease. Restoring the current version is a loud no-op request.
+    * The restored snapshot is read DV-applied ([[readWithDv]]'s
+    * rule): what you restore is what a reader of that version saw. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"restore: no committed snapshot under $root"))
+    require(toVersion != cur,
+      s"restore: v$toVersion is already the current version")
+    val fs = Ingest.fs(spark, root)
+    val src = new Path(versionPath(root, toVersion))
+    if (!fs.exists(new Path(src, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"restore: no complete snapshot v$toVersion under $root" +
+          " (vacuumed past the retention floor?)")
+    val base = spark.read.schema(schema).parquet(src.toString)
+    val content = dvFrame(spark, root, toVersion) match {
+      case None => base
+      case Some(dv) =>
+        import org.apache.spark.sql.functions._
+        val withPos = snapshotWithPos(spark, root, toVersion, schema)
+        withPos.join(dv,
+            withPos("_dv_file") === dv("file") && withPos("_dv_pos") === dv("pos"),
+            "left_anti")
+          .drop("_dv_file", "_dv_pos")
+    }
+    commit(spark, root, content, lockTtlMs, expectedCurrent = Some(Some(cur)))
+  }
+
   // ------------------------------------------------------------------
   // Row-level DELETE via DELETION VECTORS (merge-on-read)
   // ------------------------------------------------------------------

@@ -58,6 +58,50 @@ object ZoneMap {
       .write.mode("overwrite").parquet(indexPath(tablePath))
   }
 
+  /** INCREMENTAL index maintenance: summarize ONLY the data files the
+    * index has not seen and merge them into the sidecar — the
+    * after-every-append refresh costs O(new files' rows), never a
+    * table rescan (the [[build]] scaladoc's simplicity concession,
+    * retired). Returns the number of newly summarized files (0 = the
+    * index was already current). The index parquet itself is tiny
+    * (O(files) rows), so rewriting it wholesale is the cheap part.
+    * Loud on a missing index or on columns differing from the
+    * indexed set — a refresh that silently summarized different
+    * columns would poison every later prune. */
+  def refresh(spark: SparkSession, tablePath: String, schema: StructType,
+      cols: Seq[String]): Int = {
+    val idxDir = indexPath(tablePath)
+    require(fs(spark, tablePath).exists(new Path(idxDir, "_SUCCESS")),
+      s"no zone map at $idxDir — ZoneMap.build first")
+    val idx = spark.read.parquet(idxDir)
+    val expected = ("file" +: cols.flatMap(c => Seq(s"min_$c", s"max_$c")) :+ "n_rows").sorted
+    require(idx.columns.sorted.sameElements(expected),
+      s"refresh cols $cols do not match the indexed set" +
+        s" (index has: ${idx.columns.mkString(",")})")
+    val indexed = idx.select("file").collect().map(_.getString(0)).toSet
+    val fresh = dataFiles(spark, tablePath).filterNot(indexed.contains)
+    if (fresh.isEmpty) return 0
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val freshStats = spark.read.schema(schema)
+      .parquet(fresh.map(f => s"$tablePath/$f"): _*)
+      .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // stage-then-swap into a SEPARATE dir: overwriting the dir the
+    // union lazily reads from would race the read (cache eviction →
+    // recompute from a half-overwritten source). The rename window
+    // leaves no index rather than a torn one — readers fail loud.
+    val f = fs(spark, tablePath)
+    val stage = new Path(tablePath, "._zonemap_stage")
+    idx.unionByName(freshStats.select(idx.columns.map(col): _*))
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    f.delete(new Path(idxDir), true)
+    if (!f.rename(stage, new Path(idxDir)))
+      throw new IllegalStateException(s"zone-map refresh: could not publish $idxDir")
+    fresh.size
+  }
+
   /** The file names whose [min, max] interval on `colName` intersects
     * [lo, hi] — the candidate set a range scan must read. Loud on a
     * missing index, a column the index does not cover, and a STALE

@@ -372,6 +372,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(flagged(12L) == 4, "8 tokens -> 4 distinct 5-gram shingles, all shared")
   }
 
+  test("fraction decontamination: verbatim copy flags, light overlap does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // benchmark
+      (12L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim copy
+      (15L, "alpha beta gamma delta epsilon completely different words here now ok"),
+      (20L, "totally unrelated words nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val got = NorthStar.decontaminationFractionOf(docs, n = 5, benchBelow = 10L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(12L, 15L, 20L), "benchmark rows never report")
+    assert(got(12L) === ((4L, 4L, 10000L, true)), "verbatim copy: full overlap")
+    // 11 tokens -> 7 shingles, exactly the first one shared -> 1428 bp
+    assert(got(15L) === ((7L, 1L, 1428L, false)), "light overlap stays under 50%")
+    assert(got(20L)._2 === 0L && !got(20L)._4)
+  }
+
   test("DSIR importance: deterministic, covers every tokenful doc, ranks target-like up") {
     val r1 = NorthStar.dsirImportance(spark, dir).collect()
     assert(r1.toSeq == NorthStar.dsirImportance(spark, dir).collect().toSeq,

@@ -126,6 +126,23 @@ class DeletionVectorSpec extends AnyFunSuite {
       "v1 is retained — its deletion vectors must survive")
   }
 
+  test("restore re-commits an old snapshot forward, DV-applied; history stays intact") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(10).repartition(2)) // v0
+    Warehouse.deleteWhere(spark, root, col("quality_score") < 8.3)
+    val v0Live = ids(Warehouse.readWithDv(spark, root))
+    Warehouse.commit(spark, root, batch(11)) // v1
+    val v2 = Warehouse.restore(spark, root, 0L)
+    assert(v2 === 2L, "restore is a forward commit, never a pointer rollback")
+    assert(ids(Warehouse.read(spark, root)) === v0Live,
+      "restore reproduces v0 AS A READER SAW IT — deletion vectors applied")
+    // the undone version stays time-travelable for the post-mortem
+    assert(hfs(root).exists(new Path(Warehouse.versionPath(root, 1L))))
+    // loud: restoring the current version; restoring a missing one
+    intercept[IllegalArgumentException] { Warehouse.restore(spark, root, 2L) }
+    intercept[IllegalStateException] { Warehouse.restore(spark, root, 99L) }
+  }
+
   test("merge-on-read plan: the DV side joins as a broadcast anti join") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(9).repartition(2))

@@ -75,6 +75,25 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("does not cover"))
   }
 
+  test("refresh summarizes only the new files and keeps pruning exact") {
+    import spark.implicits._
+    val (path, schema) = stagedTable()
+    ZoneMap.build(spark, path, schema, Seq("k"))
+    assert(ZoneMap.refresh(spark, path, schema, Seq("k")) === 0,
+      "a current index refreshes as a no-op")
+    Seq((9999L, 15L, "t0")).toDF("id", "k", "tag")
+      .coalesce(1).write.mode("append").parquet(path)
+    assert(ZoneMap.refresh(spark, path, schema, Seq("k")) === 1,
+      "exactly the one appended file is summarized")
+    val got = ZoneMap.prunedRead(spark, path, schema, "k", lit(15L), lit(15L))
+      .collect().map(_.getLong(0))
+    assert(got.contains(9999L), "the refreshed index serves the appended row")
+    val err = intercept[IllegalArgumentException] {
+      ZoneMap.refresh(spark, path, schema, Seq("id"))
+    }
+    assert(err.getMessage.contains("do not match"))
+  }
+
   test("all-null stats files are dropped — sound for range predicates") {
     import spark.implicits._
     val path = Files.createTempDirectory("zonemap_null").toString
