@@ -319,6 +319,9 @@ object SparkEntry {
     // io07: zone-map file skipping — a range scan served through the
     // per-file min/max index; pruned path ≡ full-scan filter.
     "io07_zonemap_prune"     -> (graft.sources.Formats.zoneMapPrunedEvents _),
+    // io08: per-file bloom sidecar serving point lookups on a
+    // hash-distributed layout; pruned reads ≡ the plain IN filter.
+    "io08_bloom_point"       -> (graft.sources.Formats.bloomPointEvents _),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -2719,6 +2722,12 @@ object SparkEntry {
     "io05_zorder_cluster" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // io08: the bloom-served point probes must equal the plain
+    // IN-list filter — no false negatives, residual kills the rest.
+    "io08_bloom_point" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE event_id IN (7, 107, 207, 307, 407)
+        |ORDER BY event_id""".stripMargin,
     // io07: the pruned range scan must equal the plain filter — the
     // zone map is a superset filter, never a truth source.
     "io07_zonemap_prune" ->

@@ -137,6 +137,30 @@ object Formats {
       .orderBy("event_id")
   }
 
+  /** io08: BLOOM-INDEX POINT LOOKUP — events hash-distributed into 16
+    * files (the layout where min/max zone maps prune NOTHING: every
+    * file spans the full key range), a per-file bloom sidecar built
+    * on event_id, then five point probes served THROUGH the index:
+    * only bloom-admitted files are opened (≈ 1 per key + the fp
+    * rate), the exact equality re-applied as the residual. Oracle is
+    * the plain IN-list filter; ZoneMapSpec asserts the pruning and
+    * the no-false-negative guarantee. */
+  def bloomPointEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("events_bloomidx")
+    val src = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    src.repartition(16, col("event_id"))
+      .write.mode("overwrite").parquet(path)
+    ZoneMap.buildBloom(spark, path, src.schema, "event_id")
+    val keys = Seq(7L, 107L, 207L, 307L, 407L)
+    keys.map(k => ZoneMap.pointRead(spark, path, src.schema, "event_id", k))
+      .reduce(_ unionByName _)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** io06: ADDITIVE SCHEMA EVOLUTION on read — generation 1 files
     * carry (o_orderkey, o_custkey); generation 2 adds o_totalprice.
     * `mergeSchema` reconciles by NAME and old files surface the new

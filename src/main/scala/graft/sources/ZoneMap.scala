@@ -125,6 +125,75 @@ object ZoneMap {
       .select("file").collect().map(_.getString(0)).toSeq.sorted
   }
 
+  // ---------------------------------------------------------- bloom
+
+  def bloomIndexPath(tablePath: String): String = s"$tablePath/_bloomidx"
+
+  /** Per-file BLOOM sidecar for a long key column — the point-lookup
+    * complement of the min/max zone map: on a hash-distributed layout
+    * every file spans the whole key range, so intervals prune
+    * NOTHING, while a per-file bloom pins an equality probe to ~1
+    * file (plus the filter's false-positive rate). This is Delta's
+    * bloom-filter index on plain parquet, built with the same
+    * portable kernel q39 certifies cross-engine
+    * ([[graft.functions.BloomExpressions]]). One map-side-combined
+    * aggregate pass; the sidecar stores (file, bloom bytes) plus the
+    * geometry so readers never guess parameters. */
+  def buildBloom(spark: SparkSession, tablePath: String, schema: StructType,
+      colName: String, mBits: Int = 1 << 17, k: Int = 5): Unit = {
+    require(schema.fieldNames.contains(colName),
+      s"bloom-index column '$colName' absent from schema")
+    spark.read.schema(schema).parquet(tablePath)
+      .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("file"))
+      .agg(graft.functions.BloomExpressions
+        .bloomBuild(col(colName), mBits, k).as("bloom"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("col_name", lit(colName))
+      .withColumn("m_bits", lit(mBits))
+      .withColumn("k_hashes", lit(k))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomIndexPath(tablePath))
+  }
+
+  /** Candidate files for `colName = key` — every file whose bloom
+    * admits the key. No false negatives (the bloom guarantee: the
+    * owning file is ALWAYS selected); false positives only cost an
+    * extra file read, corrected by the residual filter. Same loud
+    * staleness/coverage contract as [[selectFiles]]. */
+  def selectFilesByKey(spark: SparkSession, tablePath: String,
+      colName: String, key: Long): Seq[String] = {
+    val idxDir = bloomIndexPath(tablePath)
+    require(fs(spark, tablePath).exists(new Path(idxDir, "_SUCCESS")),
+      s"no bloom index at $idxDir — ZoneMap.buildBloom first")
+    val idx = spark.read.parquet(idxDir)
+    val head = idx.select("col_name", "m_bits", "k_hashes").head()
+    require(head.getString(0) == colName,
+      s"bloom index at $idxDir covers '${head.getString(0)}', not '$colName'")
+    val (mBits, k) = (head.getInt(1), head.getInt(2))
+    val indexed = idx.select("file").collect().map(_.getString(0)).toSet
+    val unknown = dataFiles(spark, tablePath).filterNot(indexed.contains)
+    require(unknown.isEmpty,
+      s"stale bloom index at $idxDir: data files not summarized: " +
+        s"${unknown.take(3).mkString(",")}… — rebuild before pruning")
+    idx.filter(graft.functions.BloomExpressions
+        .bloomContains(col("bloom"), lit(key), mBits, k))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Equality probe THROUGH the bloom index: read only the admitted
+    * files, re-apply the exact predicate. */
+  def pointRead(spark: SparkSession, tablePath: String, schema: StructType,
+      colName: String, key: Long): DataFrame = {
+    val files = selectFilesByKey(spark, tablePath, colName, key)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(files.map(f => s"$tablePath/$f"): _*)
+        .filter(col(colName) === key)
+  }
+
   /** Range scan THROUGH the zone map: read only the candidate files,
     * then apply the exact predicate as the residual filter (the zone
     * map is a superset filter, never a truth source). Equivalent to

@@ -94,6 +94,49 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(err.getMessage.contains("do not match"))
   }
 
+  test("bloom index: point probes prune to ~1 file and never miss the owner") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("bloomidx").toString
+    val df = (0L until 2000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    // hash layout: every file spans the whole id range — min/max
+    // cannot discriminate, the bloom must
+    df.repartition(8, col("id")).write.mode("overwrite").parquet(path)
+    ZoneMap.buildBloom(spark, path, df.schema, "id")
+    // no false negatives, exact results, real pruning, across many keys
+    var filesOpened = 0
+    for (key <- 0L until 200L by 13L) {
+      val files = ZoneMap.selectFilesByKey(spark, path, "id", key)
+      filesOpened += files.size
+      val got = ZoneMap.pointRead(spark, path, df.schema, "id", key)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((key, s"p$key")), s"key $key must round-trip")
+    }
+    val probes = (0L until 200L by 13L).size
+    assert(filesOpened < probes * 3,
+      s"bloom should pin probes to ~1 of 8 files, opened $filesOpened/$probes probes")
+    // absent key: usually zero files, never a wrong row
+    assert(ZoneMap.pointRead(spark, path, df.schema, "id", 999999L).count() === 0L)
+    // wrong column is loud
+    val err = intercept[IllegalArgumentException] {
+      ZoneMap.selectFilesByKey(spark, path, "payload", 1L)
+    }
+    assert(err.getMessage.contains("covers"))
+  }
+
+  test("bloom index: staleness (file appended after build) refuses to serve") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("bloomidx_stale").toString
+    val df = (0L until 100L).map(i => (i, s"p$i")).toDF("id", "payload")
+    df.repartition(2, col("id")).write.mode("overwrite").parquet(path)
+    ZoneMap.buildBloom(spark, path, df.schema, "id")
+    Seq((5000L, "new")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(path)
+    val err = intercept[IllegalArgumentException] {
+      ZoneMap.selectFilesByKey(spark, path, "id", 5000L)
+    }
+    assert(err.getMessage.contains("stale bloom index"))
+  }
+
   test("all-null stats files are dropped — sound for range predicates") {
     import spark.implicits._
     val path = Files.createTempDirectory("zonemap_null").toString
