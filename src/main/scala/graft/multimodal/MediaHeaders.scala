@@ -393,7 +393,11 @@ object MediaHeaders {
     t.putInt(0)
     val app1Payload = "Exif".getBytes("US-ASCII") ++
       Array[Byte](0, 0) ++ t.array()
-    val b = ByteBuffer.allocate(2 + 4 + app1Payload.length + 20)
+    // exact size: SOI(2) + APP1 marker+len(4) + payload + SOF0(19 =
+    // marker 2 + the 17-byte segment whose declared length includes
+    // its own two length bytes) — over-allocating would leave a stray
+    // zero byte between header and the content appended after it
+    val b = ByteBuffer.allocate(2 + 4 + app1Payload.length + 19)
       .order(ByteOrder.BIG_ENDIAN)
     b.putShort(0xffd8.toShort)                      // SOI
     b.putShort(0xffe1.toShort)                      // APP1

@@ -9,6 +9,15 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // FAIR job scheduling: suites share this session and run
+      // CONCURRENTLY, and under the default FIFO a tiny job (e.g. the
+      // racing-committers' snapshot write) queues behind every heavy
+      // job submitted before it — measured starving past 900 s in a
+      // full parallel run, failing a liveness deadline that no real
+      // contention should reach. FAIR gives each concurrent job a
+      // share of the 4 cores; results are value-deterministic either
+      // way, scheduling order never decides an assertion.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
