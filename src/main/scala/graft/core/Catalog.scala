@@ -184,6 +184,23 @@ object Catalog {
         |  CAST(floor(CAST(promo_cents AS DOUBLE) * 10000.0
         |    / CAST(total_cents AS DOUBLE)) AS BIGINT) AS promo_bp
         |FROM m""".stripMargin,
+    // Q19: the discounted-revenue OR-of-ANDs join — the classic
+    // disjunctive-predicate stress (each disjunct pairs a brand with
+    // its own size and quantity bands; the optimizer must keep the
+    // join an equi hash join and evaluate the disjunction as a
+    // residual, not fall back to a nested loop).
+    "sql25_tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE
+        |  (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity >= 1 AND l_quantity <= 20)
+        |  OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity >= 10 AND l_quantity <= 35)
+        |  OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
     // Distribution + value window functions (sql09 covers the rank
     // family): percent_rank/cume_dist are double-valued — both
     // engines compute the same (rank-1)/(n-1)-style rationals through

@@ -189,6 +189,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian in the spine join")
   }
 
+  test("sql25: the OR-of-ANDs predicate never demotes the equi join") {
+    val p = plan("sql25_tpch_q19")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the disjunction must evaluate as a residual on an equi join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "expected a hash-family join")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE's toString hides the codegen wrapping; ask the codegen
     // debugger how many fused subtrees the executed plan holds.
