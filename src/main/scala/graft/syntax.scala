@@ -81,6 +81,37 @@ object syntax {
       RangeJoin.intervalJoin(df, right, leftTs, rightTs, lowerUs, upperUs,
         equiKeys, bandUs)
 
+    // ------------------------------------------------------------ graph
+    /** Damped integer-exact PageRank over this (src, dst) edge frame
+      * (every node must appear as a src; see
+      * [[graft.operators.Graph.pageRankIntExact]]). */
+    def pageRank(iters: Int): DataFrame =
+      graft.operators.Graph.pageRankIntExact(df, iters)
+
+    /** Per-node triangle counts over this canonical (u < v) edge
+      * frame. */
+    def triangleCounts(): DataFrame =
+      graft.operators.Graph.triangleCounts(df)
+
+    /** Community labels after `iters` synchronous min-label LPA
+      * rounds over this canonical (u < v) edge frame. */
+    def labelPropagation(iters: Int): DataFrame =
+      graft.operators.Graph.labelPropagation(df, iters)
+
+    // --------------------------------------------------- decontamination
+    /** Any-overlap decontamination audit: non-benchmark docs (ids ≥
+      * `benchBelow`) with their count of n-gram shingles shared with
+      * the benchmark slice. */
+    def decontaminationFlags(n: Int, benchBelow: Long): DataFrame =
+      graft.operators.NorthStar.decontaminationOf(df, n, benchBelow)
+
+    /** The published removal rule: overlap FRACTION in basis points
+      * plus the `contaminated` flag at `thresholdBp`. */
+    def decontaminationFractions(n: Int, benchBelow: Long,
+        thresholdBp: Int = 5000): DataFrame =
+      graft.operators.NorthStar.decontaminationFractionOf(df, n, benchBelow,
+        thresholdBp)
+
     // ------------------------------------------------- text enrichment
     def withTokenCount(textCol: String, out: String = "n_tokens"): DataFrame =
       df.withColumn(out, TextFunctions.tokenCount(col(textCol)))

@@ -109,5 +109,17 @@ class GraftSqlSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val knn = emb.knnTopK("vec_id", "embedding", 1)
     assert(knn.filter(col("query_id") === 0 && col("nbr_id") === 1).count() === 1)
+    // graph + decontamination facades: two triangles and a bridge
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    assert(edges.triangleCounts().count() === 6)
+    assert(edges.labelPropagation(4)
+      .select("label").distinct().count() === 2)
+    assert(edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      .pageRank(2).count() === 6)
+    val frac = docs.decontaminationFractions(n = 2, benchBelow = 1L)
+    assert(frac.filter(col("doc_id") === 1L).head().getBoolean(4),
+      "doc 1 duplicates the benchmark doc verbatim")
   }
 }
