@@ -427,6 +427,10 @@ object SparkEntry {
     cocoaStreamMemo.clear()
     cocoaStreamJdbcMemo.clear()
     cocoaJdbcMemo.clear()
+    // The co-order memo holds an eagerly localCheckpointed handle —
+    // clear() alone would strand its blocks in the block manager
+    // until the ContextCleaner GCs the DataFrame; release them now.
+    coOrderEdgesMemo.values().forEach(df => df.unpersist(false))
     coOrderEdgesMemo.clear()
   }
 

@@ -50,6 +50,7 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val nTot = nodes.agg(count(lit(1)).as("n"))
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var pr = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), expr(s"$SCALE div n").as("r"))
     for (i <- 1 to iters) {
@@ -62,11 +63,30 @@ object Graph {
         .crossJoin(broadcast(nTot))
         .select(col("node"),
           expr(s"($base div n) + ((85 * coalesce(s, 0)) div 100)").as("r"))
-      if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters)
+      if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters) {
         pr = pr.localCheckpoint(true)
+        ckpts += pr
+      }
     }
-    pr.select(col("node"), col("r").as("rank_units"))
+    releaseAfter(pr.select(col("node"), col("r").as("rank_units")), ckpts.toSeq)
   }
+
+  /** Lineage-guard block hygiene: when a loop left eager
+    * `localCheckpoint` intermediates in the block manager, cut the
+    * result over to its OWN (single, O(result)-sized) checkpoint and
+    * unpersist the intermediates immediately. Without this, every
+    * call in a long-lived session parks its per-round tables in
+    * storage until the ContextCleaner happens to GC the handles.
+    * Safe by construction: the final eager checkpoint copies the
+    * result into fresh blocks, so nothing downstream reads the
+    * released ones. */
+  private def releaseAfter(result: DataFrame, ckpts: Seq[DataFrame]): DataFrame =
+    if (ckpts.isEmpty) result
+    else {
+      val out = result.localCheckpoint(true)
+      ckpts.foreach(_.unpersist(false))
+      out
+    }
 
   /** SYNCHRONOUS label propagation (community detection) over an
     * undirected graph — `iters` rounds of "adopt the most frequent
@@ -103,7 +123,10 @@ object Graph {
     // 4×-ish on g03 at sf0.1). localCheckpoint = block-manager-backed;
     // a cluster run that must survive executor loss swaps in a
     // reliable checkpoint dir, same cadence note as pageRank's.
-    val dirEdges = if (iters > 1) dirEdges0.localCheckpoint(true) else dirEdges0
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val dirEdges = if (iters > 1) {
+      val h = dirEdges0.localCheckpoint(true); ckpts += h; h
+    } else dirEdges0
     var labels = dirEdges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iters) {
@@ -115,10 +138,12 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters)
+      if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters) {
         labels = labels.localCheckpoint(true)
+        ckpts += labels
+      }
     }
-    labels
+    releaseAfter(labels, ckpts.toSeq)
   }
 
   /** Per-node TRIANGLE counts over an undirected graph — the core of

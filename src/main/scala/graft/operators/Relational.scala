@@ -909,7 +909,17 @@ object Relational {
       .join(broadcast(cu.select(col("p").as("v"), col("n_item").as("n_v"))), "v")
       .crossJoin(broadcast(orders))
       .select(col("u"), col("v"), col("n_both"), col("n_u"), col("n_v"),
-        expr("(n_orders * n_both * 1000000) div (n_u * n_v)").as("lift_micro"))
+        // The numerator is N·c_uv·10^6: at corpus scale (N and c_uv
+        // both ~10^8-10^9) a 64-bit product wraps SILENTLY under
+        // Spark's non-ANSI long arithmetic while the DuckDB oracle
+        // errors loudly — a silent cross-engine divergence. Route the
+        // products through decimal(38,0) (exact integers to 10^38,
+        // far past any corpus bound: 10^9·10^9·10^6 = 10^24); `div`
+        // on decimals is still integral division and lands back on
+        // BIGINT, so the result type and every in-range value are
+        // unchanged.
+        expr("(cast(n_orders as decimal(38,0)) * n_both * 1000000)" +
+          " div (cast(n_u as decimal(38,0)) * n_v)").as("lift_micro"))
       .orderBy(col("n_both").desc, col("u"), col("v"))
       .limit(k)
   }

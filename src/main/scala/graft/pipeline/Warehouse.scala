@@ -501,21 +501,26 @@ object Warehouse {
         col("_metadata.row_index").as("_dv_pos"))
   }
 
-  /** All COMPLETE deletion-vector parts for snapshot `v` (each
-    * `d_{uuid}` dir published by one [[deleteWhere]] call), unioned.
+  /** Paths of all COMPLETE deletion-vector part dirs for snapshot `v`
+    * (each `d_{uuid}` published by one [[deleteWhere]] call). Excludes
+    * in-flight `.stage_d_*` staging dirs and parts without `_SUCCESS`,
+    * so this is exactly the set a DV read consumes. */
+  private def dvPartDirs(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      v: Long): Seq[Path] = {
+    val dir = new Path(dvPath(root, v))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d_") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath)
+  }
+
+  /** All COMPLETE deletion-vector parts for snapshot `v`, unioned.
     * None when no delete has ever run against `v`. */
   private def dvFrame(spark: SparkSession, root: String, v: Long): Option[DataFrame] = {
-    val fs = Ingest.fs(spark, root)
-    val dir = new Path(dvPath(root, v))
-    if (!fs.exists(dir)) None
-    else {
-      val parts = fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d_") &&
-          fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
-      if (parts.isEmpty) None
-      else Some(spark.read.schema(dvSchema).parquet(parts: _*))
-    }
+    val parts = dvPartDirs(Ingest.fs(spark, root), root, v).map(_.toString)
+    if (parts.isEmpty) None
+    else Some(spark.read.schema(dvSchema).parquet(parts: _*))
   }
 
   /** Row-level DELETE as a MERGE-ON-READ deletion vector — the
@@ -531,10 +536,25 @@ object Warehouse {
     * Concurrency: DV parts compose by SET UNION (deletes of disjoint
     * or overlapping row sets commute), so each call publishes its own
     * `d_{uuid}` dir — staged dot-prefixed, made visible by one atomic
-    * rename, complete iff `_SUCCESS` exists — and concurrent deleters
+    * rename, complete iff `_SUCCESS` exists — so concurrent DELETERS
     * need no lock at all. The predicate is evaluated against the LIVE
     * view (prior DVs applied), so re-running a delete is a no-op that
     * publishes an empty part.
+    *
+    * Deleter-vs-WRITER is the conflict that DOES need a fence: if a
+    * [[commit]] or [[applyDv]] lands between the version resolution
+    * above and the part publish, this delete attaches to the
+    * now-superseded snapshot and its rows silently reappear in the
+    * new current version — the classic lost update, which Delta
+    * resolves with commit-time conflict detection. Same remedy here:
+    * after publishing, re-read `currentVersion`; if it moved, RETRACT
+    * the just-published part (it was never observable to a reader of
+    * the new version — DVs are resolved per version) and fail loudly
+    * with a retry instruction. The residual window after the re-check
+    * is the writer's problem by construction: a commit that starts
+    * after our publish either derives from a DV-applied read (sees
+    * the delete) or is an independent overwrite whose fencing is
+    * `commit(expectedCurrent)`'s contract.
     *
     * Returns the number of newly deleted rows (counted from the
     * KB-scale published part, never by rescanning data). */
@@ -554,6 +574,15 @@ object Warehouse {
     }
     val doomed = live.filter(predicate)
       .select(col("_dv_file").as("file"), col("_dv_pos").as("pos"))
+    publishDvPart(spark, root, v, doomed)
+  }
+
+  /** Stage → rename → FENCE → count: the publish tail of
+    * [[deleteWhere]], split out so the fence path is deterministically
+    * testable (the spec hands it a `v` a concurrent commit has already
+    * superseded — the exact interleaving the fence exists for). */
+  private[pipeline] def publishDvPart(spark: SparkSession, root: String,
+      v: Long, doomed: DataFrame): Long = {
     val fs = Ingest.fs(spark, root)
     val dvDir = new Path(dvPath(root, v))
     fs.mkdirs(dvDir)
@@ -564,6 +593,17 @@ object Warehouse {
     if (!fs.rename(stage, target))
       throw new IllegalStateException(
         s"deleteWhere: could not publish deletion vector $target")
+    // Read-modify-write fence (see scaladoc): a commit/applyDv that
+    // landed since `v` was resolved makes this part a lost update —
+    // retract it and fail instead of silently resurrecting the rows.
+    val now = currentVersion(spark, root)
+    if (now != Some(v)) {
+      fs.delete(target, true)
+      throw new java.util.ConcurrentModificationException(
+        s"deleteWhere: version moved v$v -> ${now.fold("none")("v" + _)} " +
+          "during the delete; the deletion vector was retracted — retry " +
+          "against the new current version")
+    }
     spark.read.schema(dvSchema).parquet(target.toString).count()
   }
 
@@ -587,7 +627,12 @@ object Warehouse {
         case None => spark.read.schema(schema).parquet(versionPath(root, v))
         case Some(dv0) =>
           val fs = Ingest.fs(spark, root)
-          val dvBytes = fs.getContentSummary(new Path(dvPath(root, v))).getLength
+          // Size ONLY the complete d_* parts the read consumes — a
+          // whole-dir content summary would also count in-flight
+          // `.stage_d_*` staging dirs from concurrent deleteWhere
+          // calls and overstate the broadcast side.
+          val dvBytes = dvPartDirs(fs, root, v)
+            .map(p => fs.getContentSummary(p).getLength).sum
           val dv = if (dvBytes <= broadcastDvMaxBytes) broadcast(dv0) else dv0
           val base = snapshotWithPos(spark, root, v, schema)
           base.join(dv,

@@ -182,10 +182,15 @@ class PlanSpec extends AnyFunSuite {
       "per-node argmax must be max(struct), not a window sort")
   }
 
-  test("s11/q49 prerequisites: events interpolation spine has no self-join") {
+  test("s11/q49 prerequisites: the spine/daily fill join broadcasts") {
     val p = plan("q49_interpolate")
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      "the daily/spine join at fixture scale should broadcast")
+    // The ONLY join in q49 is spine ⋈ daily, so plan-wide negatives
+    // pin that specific join (a disjunction like "no SMJ OR some BHJ
+    // exists" would pass vacuously whenever any broadcast join
+    // appears anywhere).
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the daily side is an aggregate of a filtered slice — it must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "expected the broadcast fill join")
     assert(!p.contains("CartesianProduct"), "no cartesian in the spine join")
   }
 

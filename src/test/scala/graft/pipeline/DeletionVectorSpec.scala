@@ -143,6 +143,51 @@ class DeletionVectorSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Warehouse.restore(spark, root, 99L) }
   }
 
+  test("fence: a commit landing mid-delete retracts the DV part and fails loudly") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(12).repartition(2)) // v0
+    val doomed = Warehouse.readWithDv(spark, root)
+      .filter(col("quality_score") < 8.3)
+      .select(substring_index(col("_metadata.file_path"), "/", -1).as("file"),
+        col("_metadata.row_index").as("pos"))
+    // the race, made deterministic: current moves v0 -> v1 between
+    // the deleter's version resolution and its part publish
+    Warehouse.commit(spark, root, batch(13)) // v1
+    val err = intercept[java.util.ConcurrentModificationException] {
+      Warehouse.publishDvPart(spark, root, 0L, doomed)
+    }
+    assert(err.getMessage.contains("v0 -> v1"))
+    // the lost-update part must not be left visible: v0 readers (time
+    // travel) still see the pre-delete image, v1 readers are untouched
+    val fs = hfs(root)
+    val parts = fs.listStatus(new Path(Warehouse.dvPath(root, 0L)))
+      .filter(_.getPath.getName.startsWith("d_"))
+    assert(parts.isEmpty, "retraction must remove the published part")
+    assert(Warehouse.readWithDv(spark, root).count()
+      === Warehouse.read(spark, root).count())
+  }
+
+  test("readWithDv sizes the broadcast decision from complete parts only") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(14).repartition(2))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < 8.3)
+    // plant an in-flight staging dir big enough to blow any sane
+    // bound; a whole-dir content summary would count it and drop the
+    // broadcast hint even though the read never touches it
+    val fs = hfs(root)
+    val junk = new Path(Warehouse.dvPath(root, 0L), ".stage_d_inflight")
+    fs.mkdirs(junk)
+    val out = fs.create(new Path(junk, "blob"))
+    out.write(new Array[Byte](512 * 1024)); out.close()
+    val live = Warehouse.readWithDv(spark, root, broadcastDvMaxBytes = 256 * 1024)
+    live.collect()
+    val bhj = PlanWalk.collectAll(live.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => Seq(b.joinType.toString)
+    }
+    assert(bhj.exists(_.toLowerCase.contains("anti")),
+      s"staging junk must not defeat the KB-scale DV broadcast, got: $bhj")
+  }
+
   test("merge-on-read plan: the DV side joins as a broadcast anti join") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(9).repartition(2))
