@@ -332,5 +332,285 @@ object Catalog {
         |    FILTER (WHERE year(o_orderdate) = 1995) AS BIGINT) AS cents_1995
         |FROM orders
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin)
+        |ORDER BY o_orderstatus""".stripMargin) ++ tpchRest
+
+  /** The remaining TPC-H shapes (Q1/Q3/Q5/Q6/Q10/Q14/Q19 live above
+    * and in the q-series), completing the 22-query suite. The fixture
+    * schema is TPC-H-ish, not TPC-H: no partsupp, no l_commitdate /
+    * l_receiptdate / l_shipmode, no comments/phones. Each query keeps
+    * its original's OPTIMIZER STRESS (the join topology, subquery
+    * shape, and aggregation structure the published query exists to
+    * exercise) and adapts the predicates:
+    *   - lateness (Q4/Q21): l_shipdate > o_orderdate + 60 days stands
+    *     in for l_commitdate < l_receiptdate;
+    *   - partsupp (Q2): derived as min(extendedprice-cents) per
+    *     (partkey, suppkey) from lineitem;
+    *   - supply cost (Q9): p_retailprice·quantity as the cost leg;
+    *   - shipmode buckets (Q12): order-priority urgency classes;
+    *   - country codes (Q22): c_nationkey, phone prefixes not existing.
+    * Money follows the house discipline — per-row cent quantization
+    * before any sum, ratios as floor(double-div) basis points, and
+    * value-share thresholds in the SCALE-FREE "k x the per-group
+    * average" form (an absolute fraction like Q11's 0.0001/SF goes
+    * empty or degenerate as SF moves; x-times-average survives any
+    * corpus size). Every aggregate/extract is cast so Spark and DuckDB
+    * agree on column width (count/sum/year: BIGINT). */
+  // A def, not a val: commonSql's initializer above runs first, and a
+  // forward val reference would still be null at class-init time.
+  private def tpchRest: Map[String, String] = Map(
+    // Q4: order-priority checking — the EXISTS → left-semi-join probe
+    // per order, with the lateness adaptation.
+    "sql26_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // Q7: volume shipping between two nations — the double-role nation
+    // dimension (joined once for the supplier side, once for the
+    // customer side) with the symmetric pair predicate.
+    "sql27_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(vol_cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS vol_cents
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q8: national market share — the 8-relation join (nation twice)
+    // feeding a conditional-sum ratio per year; share as basis points
+    // through one IEEE-identical floor-divide over exact cent sums.
+    "sql28_tpch_q8" ->
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(sum(vol) AS BIGINT) AS total_cents,
+        |  CAST(floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+        |    * 10000.0 / CAST(sum(vol) AS DOUBLE)) AS BIGINT) AS share_bp
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS vol,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |) all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q9: product-type profit — LIKE-filtered part join with a
+    // revenue-minus-cost measure (retailprice·qty as the cost leg),
+    // grouped by supplier nation and order year. All-integer amounts,
+    // so the profit sum is order-independent-exact.
+    "sql29_tpch_q9" ->
+      """SELECT nation, o_year, CAST(sum(amount) AS BIGINT) AS profit_cents
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |      - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT) AS amount
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%'
+        |) profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11: important value concentration — group-by with a HAVING
+    // threshold against a whole-relation scalar subquery. The
+    // threshold is the scale-free "2x the average per-part value"
+    // (value·n_parts > 2·total, all in decimal(38,0) so no engine
+    // widens differently); Q11's absolute 0.0001/SF fraction thins to
+    // empty as the part count grows.
+    "sql30_tpch_q11" ->
+      """WITH t AS (
+        |  SELECT l_partkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |g AS (
+        |  SELECT l_partkey AS ps_partkey, CAST(sum(val) AS BIGINT) AS value_cents
+        |  FROM t GROUP BY l_partkey)
+        |SELECT ps_partkey, value_cents FROM g
+        |WHERE CAST(value_cents AS DECIMAL(38,0)) * (SELECT count(*) FROM g)
+        |      > 2 * (SELECT CAST(sum(value_cents) AS DECIMAL(38,0)) FROM g)
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+    // Q12: shipmode line counts — the order/lineitem join with
+    // urgency-class CASE sums (order priority standing in for the
+    // absent l_shipmode).
+    "sql31_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // Q13: customer order-count distribution — the left outer join
+    // with an ON-clause (not WHERE) filter, aggregated twice: per
+    // customer, then the histogram of counts. Customers with zero
+    // qualifying orders MUST surface in the 0 bucket, which is the
+    // whole point of the ON-side placement.
+    "sql32_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15: top supplier — a named revenue view consumed twice (join
+    // source and argmax scalar subquery); ties all surface, which is
+    // why the equality form beats LIMIT 1.
+    "sql33_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q16: supplier diversity per part attribute — NOT IN anti join
+    // against a filtered supplier set under a per-group DISTINCT
+    // count, with the IN-list size filter.
+    "sql34_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q17: small-quantity-order revenue — the per-part correlated
+    // average, INTEGER-EXACT: qty·k·count < sum replaces
+    // qty < k·avg (avg's double would put boundary rows at the mercy
+    // of each engine's summation), one correlated COUNT and one
+    // correlated SUM, both decorrelated to aggregate joins.
+    "sql35_tpch_q17" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13' AND p_size <= 10
+        |  AND CAST(floor(l_quantity) AS BIGINT) * 2
+        |      * (SELECT CAST(count(*) AS BIGINT) FROM lineitem l2
+        |         WHERE l2.l_partkey = p_partkey)
+        |    < (SELECT CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |       FROM lineitem l3 WHERE l3.l_partkey = p_partkey)""".stripMargin,
+    // Q18: large-volume customers — IN over a grouped HAVING subquery
+    // on the fact table itself, then the 3-way join re-aggregates the
+    // surviving orders.
+    "sql36_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 250)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice_cents DESC, o_orderkey""".stripMargin,
+    // Q20: part promotion — the nested IN chain (supplier ← lineitem
+    // ← part) with a grouped HAVING quantity floor.
+    "sql37_tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q21: suppliers who kept orders waiting — EXISTS (another
+    // supplier shipped the same order) AND NOT EXISTS (another
+    // supplier was ALSO late): one semi and one anti join with a
+    // non-equi correlated term riding the equi orderkey, under the
+    // lateness adaptation.
+    "sql38_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    // Q22: global sales opportunity — NOT EXISTS anti join (customers
+    // with no urgent order; nobody is order-free in this fixture)
+    // plus the above-average-balance scalar comparison in the
+    // integer-exact bal·n > sum form; country code = nationkey.
+    "sql39_tpch_q22" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM customer
+        |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |    * (SELECT CAST(count(*) AS BIGINT) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |    > (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |       FROM customer c3 WHERE c3.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
+    // Q2: minimum-cost supplier — partsupp derived from lineitem as
+    // min cents per (part, supplier); the correlated min subquery
+    // re-walks the same 4-relation join per part, the classic
+    // decorrelation stress. The CTE is consumed by both the outer
+    // join tree and the subquery.
+    "sql40_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS supplycost_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+        |  s_name, n_name, p_partkey, supplycost_cents
+        |FROM part
+        |JOIN ps ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND supplycost_cents = (
+        |    SELECT min(ps2.supplycost_cents) FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey""".stripMargin)
 }

@@ -194,6 +194,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian in the spine join")
   }
 
+  test("sql26/sql38: EXISTS / NOT EXISTS plan as hash semi/anti joins") {
+    val p4 = plan("sql26_tpch_q4")
+    assert(p4.contains("Semi"), "Q4's EXISTS must plan as a semi join")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      "the lateness correlation rides the equi orderkey, never a nested loop")
+    val p21 = plan("sql38_tpch_q21")
+    assert(p21.contains("Semi") && p21.contains("Anti"),
+      "Q21 needs BOTH the other-supplier semi join and the also-late anti join")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      "non-equi lateness terms must ride the equi orderkey as residuals")
+  }
+
+  test("sql35/sql40: correlated aggregates decorrelate to aggregate joins") {
+    for (name <- Seq("sql35_tpch_q17", "sql40_tpch_q2")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: the correlated subquery must decorrelate onto the partkey equi join")
+      assert(p.contains("Aggregate") || p.contains("HashAggregate"),
+        s"$name: expected the decorrelated aggregate")
+    }
+  }
+
   test("sql25: the OR-of-ANDs predicate never demotes the equi join") {
     val p = plan("sql25_tpch_q19")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
