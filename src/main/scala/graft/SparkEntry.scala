@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, date_trunc, expr, floor, lit, sum => fsum}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, date_trunc, expr, floor, lit, when, sum => fsum}
 
 import graft.operators.{NorthStar, Relational}
 import graft.pipeline.{CocoaGen, CocoaPipeline, Warehouse}
@@ -45,6 +45,7 @@ object SparkEntry {
     "v15_ivfpq_production" -> (NorthStar.ivfPqTopKProduction _),
     "v18_rerank_production" -> (NorthStar.ivfPqRerankProduction _),
     "v17_filtered_production" -> (NorthStar.filteredAnnProduction _),
+    "v20_mips_production" -> (NorthStar.mipsAnnProduction _),
     // z-rows: exhaustive-vs-prefix pair routes timed on a seeded
     // ZIPFIAN corpus (real text's vocabulary shape, where the prefix
     // theorems claim their win — the driver fixture's uniform
@@ -172,6 +173,11 @@ object SparkEntry {
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
     "p13_restore" -> ((s, _) => cocoaRestored(s)),
+    // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
+    // audited, and rejected (no version ever appears); the clean one
+    // publishes. Reading v0 pins "the bad batch never landed" into
+    // the hash itself.
+    "p14_wap" -> ((s, _) => cocoaWapPublished(s)),
     // p11: SQL-standard conditional MERGE INTO — delete / update /
     // insert clauses with conditions, standard clause precedence,
     // and the duplicate-source-match error, re-derived row-for-row
@@ -309,6 +315,12 @@ object SparkEntry {
     // v18: PQ search + exact rerank of the candidate set — certified
     // at 0.75 (vs ADC's 0.6): rerank recovers ADC's ranking errors.
     "v18_pq_rerank"          -> (NorthStar.ivfPqRerankTopK _),
+    // v19: exact maximum-inner-product top-k — fully oracle-able
+    // (positional dot, no norm divide, 1e-4 quantization).
+    "v19_mips"               -> (NorthStar.mipsExact _),
+    // v20: MIPS→cosine order-preserving augmentation over the
+    // asymmetric sign-LSH index, recall@5-certified against v19.
+    "v20_mips_ann"           -> (NorthStar.mipsAnnCertified _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -531,6 +543,38 @@ object SparkEntry {
     val v = Warehouse.restore(spark, root, 0L)
     spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
       .parquet(Warehouse.versionPath(root, v))
+      .orderBy("shipment_id")
+  }
+
+  /** p14: WRITE-AUDIT-PUBLISH. A poisoned copy of the warehouse
+    * (every 5th shipment's quality nulled) is staged first and MUST
+    * be rejected by the audit — then the clean snapshot commits under
+    * the same checks. The query reads VERSION 0 explicitly, so if the
+    * poisoned stage had published anything, v0 would hold nulls and
+    * the p01-oracle hash would break; the match certifies both the
+    * audit gate (bad data never became a version) and the pass-through
+    * (auditing changed no byte of the good data). */
+  private def cocoaWapPublished(spark: SparkSession): DataFrame = {
+    import graft.operators.Audit.RowCheck
+    val whFull = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_wap_wh_", keep = 32)
+    val idNum = expr("CAST(substring(shipment_id, 6) AS BIGINT)")
+    val poisoned = whFull.withColumn("quality_score",
+      when(idNum % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("quality_score")))
+    val checks = Seq(
+      RowCheck("quality_not_null", col("quality_score").isNull),
+      RowCheck("quality_in_range",
+        col("quality_score") < 0.0 || col("quality_score") > 10.0),
+      RowCheck("weight_positive", col("shipment_weight_kg") <= 0.0))
+    val rejected =
+      try { Warehouse.commitAudited(spark, root, poisoned, checks,
+        Some(Seq("shipment_id"))); false }
+      catch { case _: Warehouse.WapAuditException => true }
+    require(rejected, "p14: the poisoned snapshot must fail its audit")
+    Warehouse.commitAudited(spark, root, whFull, checks, Some(Seq("shipment_id")))
+    spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
+      .parquet(Warehouse.versionPath(root, 0L))
       .orderBy("shipment_id")
   }
 
@@ -2490,6 +2534,10 @@ object SparkEntry {
     // weight × 2.5 is exact in doubles (halves), so no rounding is
     // involved anywhere.
     "p01_cocoa_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // p14: the WAP-published v0 must be byte-identical to the clean
+    // warehouse derivation — same oracle as p01; any leak of the
+    // rejected poisoned stage into v0 breaks the hash.
+    "p14_wap" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p06: the JDBC (Derby) landing of the same batches must preserve
     // the exact warehouse — same oracle as p01.
     "p06_jdbc_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
@@ -2906,6 +2954,38 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
         |  TRUE AS ivfpq_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v19: exact MIPS — the inner product IS the score (no norm
+    // divide), so the oracle is one positional dot per pair, ranked.
+    "v19_mips" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    list_dot_product(q.v, c.v) AS ip
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, ip,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(ip * 10000 + 0.5) / 10000.0 AS dot, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v20: v19's truth rows + the certificate literal — the
+    // augmentation/asymmetric-LSH machinery must actually clear the
+    // recall bar for the Spark side to emit TRUE.
+    "v20_mips_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    list_dot_product(q.v, c.v) AS ip
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, ip,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(ip * 10000 + 0.5) / 10000.0 AS dot, rank,
+        |  TRUE AS mips_recall_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v18: same truth rows; the harder 0.75 bar is Spark-side — the
     // oracle affirms the certificate literal as always.

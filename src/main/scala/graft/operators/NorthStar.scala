@@ -1766,6 +1766,43 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** v19: EXACT maximum-inner-product top-k (the recommender /
+    * unnormalized-embedding scoring rule — no norm divide) for the
+    * first 50 vectors against the corpus. Fully DuckDB-recomputable:
+    * positional list_dot_product, 1e-4 quantization, deterministic
+    * (dot DESC, nbr_id) order. */
+  def mipsExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    Similarity.mipsTopK(emb, "vec_id", "embedding", k = 5,
+      queries = emb.filter(col("vec_id") < 50))
+      .orderBy("query_id", "rank")
+  }
+
+  /** v20: the MIPS-to-cosine order-preserving augmentation driving
+    * the asymmetric sign-LSH index, certified — output is v19's exact
+    * truth plus `mips_recall_ok`, the distributed recall@5 ≥ 0.6
+    * certificate over the full query set (the v02 construction). The
+    * augmentation, asymmetric bucketing, hot-bucket guard, and
+    * exact-rescore pipeline all run for real; the certificate is only
+    * green when candidate recall actually clears the bar. */
+  def mipsAnnCertified(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val queries = emb.filter(col("vec_id") < 50)
+    certifyRecall(
+      Similarity.mipsTopK(emb, "vec_id", "embedding", k = 5, queries = queries),
+      Similarity.mipsAnnTopK(emb, "vec_id", "embedding", k = 5, queries = queries),
+      minRecall = 0.6, okCol = "mips_recall_ok")
+  }
+
+  /** BENCH-ONLY twin of v20: the augmented-LSH MIPS path alone,
+    * without the certificate's brute-force truth side — see
+    * [[annTopKProduction]]'s rationale. */
+  def mipsAnnProduction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    Similarity.mipsAnnTopK(emb, "vec_id", "embedding", k = 5,
+      queries = emb.filter(col("vec_id") < 50))
+  }
+
   /** v02: the production sign-LSH ANN configuration, certified — the
     * output is the brute-force truth top-k plus `ann_recall_ok`, the
     * distributed recall@5 ≥ 0.6 certificate over the FULL query set

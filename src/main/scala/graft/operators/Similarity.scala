@@ -107,6 +107,100 @@ object Similarity {
     }
   }
 
+  /** Exact top-k by INNER PRODUCT — maximum-inner-product search
+    * (MIPS), the scoring rule of recommender user×item retrieval and
+    * unnormalized embedding stores, where a long vector SHOULD beat a
+    * well-aligned short one and cosine's norm divide is wrong. Brute
+    * force O(|q|·n): the correctness baseline; [[mipsAnnTopK]] is the
+    * 100 TB path. Scores quantized to 1e-4 like every vector surface
+    * here so the DuckDB oracle (positional list_dot_product, same
+    * IEEE accumulation) hash-matches. */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queries: DataFrame): DataFrame = {
+    val corpus = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = q.crossJoin(corpus)
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        dot(col("query_vec"), col("nbr_vec")).as("ip"))
+    rankTopK(scored, "query_id", "ip", "nbr_id", k)
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.Quantize.quantize4(col("ip")).as("dot"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Approximate MIPS via the ORDER-PRESERVING AUGMENTATION
+    * (Bachrach et al., RecSys'14 "Speeding up the Xbox recommender";
+    * Shrivastava & Li, NIPS'14 asymmetric LSH — both public
+    * literature): with M = max corpus norm, map corpus x ↦
+    * [x, √(M²−‖x‖²)] and query q ↦ [q, 0]. Every augmented corpus
+    * vector then has norm exactly M, so for a fixed query
+    * cos(q̃, x̃) = (q·x)/(‖q‖·M) is MONOTONE in the inner product —
+    * cosine neighbor order IS inner-product order, and the whole
+    * sign-LSH machinery built for cosine applies unchanged to a
+    * problem it could not otherwise index (random hyperplanes are
+    * blind to magnitude).
+    *
+    * Scale shape: M is one broadcast scalar off a map-side-combined
+    * max; augmentation is a per-row projection (no shuffle); buckets
+    * are ASYMMETRIC — the corpus is indexed once, queries probe the
+    * same hyperplanes — and the only exchanges are the bucket join
+    * keyed on (table, bucket) and the top-k's query-keyed exchange
+    * (bounded-heap pruned). Hot buckets are capped at `maxBucket`
+    * corpus members (dropped LOUDLY in the count, like every bucketed
+    * candidate generator here). Candidates are re-scored with the
+    * EXACT inner product on the ORIGINAL vectors, so any augmentation
+    * rounding affects only candidate generation, never final order:
+    * output ≡ [[mipsTopK]] restricted to candidate hits — recall is
+    * the only approximation, which is exactly what the v20 gate
+    * certificate measures. */
+  def mipsAnnTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queries: DataFrame, tables: Int = 10, maxBucket: Int = 2000): DataFrame = {
+    val scope = new CacheScope
+    val corpus = scope.pin(df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("sqn", SketchExpressions.floatDot(col("nbr_vec"), col("nbr_vec"))))
+    val q = scope.pin(queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val m2 = broadcast(corpus.agg(max(col("sqn")).as("m2")))
+    // occupancy-64 plane sizing, same rationale as lshBuckets
+    val n = corpus.count().max(1)
+    val p = math.max(4, math.ceil(math.log(n.toDouble / 64) / math.log(2)).toInt)
+    def tableBuckets(aug: Column, idC: Column, idName: String, src: DataFrame) =
+      src.select(idC.as(idName), explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), lshBucket(aug, p, t).as("b"))): _*)).as("tb"))
+        .select(col(idName), col("tb.t").as("table_idx"), col("tb.b").as("bucket"))
+    val corpusAug = concat(col("nbr_vec"),
+      array(sqrt(greatest(col("m2") - col("sqn"), lit(0.0))).cast("float")))
+    val cBuckets = tableBuckets(corpusAug, col("nbr_id"), "nbr_id",
+      corpus.crossJoin(m2))
+    val qAug = concat(col("query_vec"), array(lit(0.0f)))
+    val qBuckets = tableBuckets(qAug, col("query_id"), "query_id", q)
+    // cap pathological buckets by CORPUS occupancy before the probe —
+    // an aggregate + anti join (the overflow list is tiny), never a
+    // window sort over the full bucket stream
+    val hot = cBuckets.groupBy("table_idx", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("table_idx", "bucket")
+    val keptBuckets = cBuckets.join(broadcast(hot),
+      Seq("table_idx", "bucket"), "left_anti")
+    val cand = qBuckets.join(keptBuckets, Seq("table_idx", "bucket"))
+      .select(col("query_id"), col("nbr_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .distinct()
+    val scored = cand
+      .join(q, "query_id")
+      .join(corpus.select(col("nbr_id"), col("nbr_vec")), "nbr_id")
+      .select(col("query_id"), col("nbr_id"),
+        dot(col("query_vec"), col("nbr_vec")).as("ip"))
+    scope.sealResult(rankTopK(scored, "query_id", "ip", "nbr_id", k)
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.Quantize.quantize4(col("ip")).as("dot"),
+        col("rank").cast("long").as("rank")))
+  }
+
   /** Symmetric per-vector int8 quantization — the 4× embedding
     * compression a 100 TB vector corpus wants for storage/IO/cache
     * (float32 → int8 + one float scale per vector). Cosine is

@@ -212,7 +212,8 @@ object Warehouse {
     * magnitude above that gap (milliseconds). */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       lockTtlMs: Long = DefaultLockTtlMs,
-      expectedCurrent: Option[Option[Long]] = None): Long = {
+      expectedCurrent: Option[Option[Long]] = None,
+      audit: Option[DataFrame => Unit] = None): Long = {
     val fs = Ingest.fs(spark, root)
     fs.mkdirs(new Path(root))
     val lock = new Path(root, lockFile)
@@ -245,6 +246,15 @@ object Warehouse {
       val stage = new Path(root, s".v${next}_$holderId")
       staging = Some(stage)
       df.write.mode("overwrite").parquet(stage.toString)
+      // WRITE-AUDIT-PUBLISH seam (the Iceberg WAP pattern): the audit
+      // runs against a re-read of the STAGED files — exactly the
+      // bytes that would publish, not the logical plan that produced
+      // them — so even a nondeterministic upstream cannot slip
+      // unaudited data past it. A throw here aborts the commit; the
+      // finally block deletes the staging dir and no version, pointer,
+      // or partial state is ever visible to a reader.
+      audit.foreach(check =>
+        check(spark.read.schema(df.schema).parquet(stage.toString)))
       // fencing: publish only while the lease is still OURS and nobody
       // committed underneath us (lost lease ⇒ a breaker judged us
       // crashed and may be mid-commit itself).
@@ -291,6 +301,43 @@ object Warehouse {
         fs.delete(lock, false)
     }
   }
+
+  /** Thrown by [[commitAudited]] when the staged snapshot fails its
+    * audit; carries the non-zero (constraint_name, n_violations)
+    * rows. The staged data is already deleted when this propagates —
+    * the warehouse is exactly as it was before the call. */
+  final class WapAuditException(val report: Seq[(String, Long)])
+    extends RuntimeException(
+      "write-audit-publish: staged snapshot failed audit — " +
+        report.map { case (n, c) => s"$n=$c" }.mkString(", "))
+
+  /** WRITE-AUDIT-PUBLISH: commit `df` only if the STAGED files pass
+    * every row [[graft.operators.Audit.RowCheck]] (and, when given,
+    * the key-uniqueness check) with ZERO violations; otherwise the
+    * staging dir is destroyed and [[WapAuditException]] carries the
+    * violation report. This is the Iceberg/Delta WAP production
+    * pattern — a load job cannot publish garbage, and a reader can
+    * never observe a half-validated snapshot, because validation
+    * happens between the (private, invisible) staging write and the
+    * atomic publish rename.
+    *
+    * Scale shape: all row checks fold into ONE scan of the staged
+    * data (a single conditional-count aggregate), uniqueness is one
+    * key-grouped count; the driver collects only the per-check count
+    * rows (bounded by the number of checks, never by data size). */
+  def commitAudited(spark: SparkSession, root: String, df: DataFrame,
+      checks: Seq[graft.operators.Audit.RowCheck],
+      uniqueKeyCols: Option[Seq[String]] = None,
+      lockTtlMs: Long = DefaultLockTtlMs): Long =
+    commit(spark, root, df, lockTtlMs, audit = Some { staged =>
+      val rowReport = graft.operators.Audit.rowChecks(staged, checks)
+      val full = uniqueKeyCols.fold(rowReport)(keys =>
+        rowReport.unionByName(
+          graft.operators.Audit.uniqueKey(staged, keys, "unique_key")))
+      val bad = full.collect()
+        .map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0L).toSeq
+      if (bad.nonEmpty) throw new WapAuditException(bad)
+    })
 
   /** Bucketed variant: commit the snapshot as a catalog table bucketed
     * + sorted on the merge key. A bucketed target joins updates

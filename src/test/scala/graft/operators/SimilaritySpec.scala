@@ -38,6 +38,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("MIPS: exact top-k matches reference inner products; norms matter") {
+    val emb = Tables.embeddings(spark, dir)
+    def ipRef(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    val got = Similarity.mipsTopK(emb, "vec_id", "embedding", k = 3,
+      queries = emb.filter(col("vec_id") < 10)).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      }
+    (0L until 10L).foreach { q =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, ipRef(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      assert(got(q) === expected, s"query $q")
+    }
+    // Norm-sensitivity, pinned on a constructed corpus (the fixture's
+    // near-uniform norms make MIPS and cosine order coincide there):
+    // vs query [1,0], a=[0.9,0] wins on cosine (1.0 vs 0.707) but
+    // b=[10,10] wins on inner product (10 vs 0.9) — the divergence
+    // that makes MIPS its own operator.
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.0f)),
+      (2L, Array(10.0f, 10.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.mipsTopK(tiny, "vec_id", "embedding", k = 1,
+      queries = tiny.filter(col("vec_id") === 0L)).collect()
+    assert(top.length === 1 && top.head.getLong(1) === 2L,
+      "MIPS must rank the long vector first where cosine would not")
+  }
+
+  test("MIPS ANN: augmented-LSH candidates reach >=60% recall@5 vs exact MIPS") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val truth = Similarity.mipsTopK(emb, "vec_id", "embedding", k = 5, queries)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.mipsAnnTopK(emb, "vec_id", "embedding", k = 5, queries)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.6, f"MIPS ANN recall@5 = $recall%.3f")
+    // every approximate hit must be a REAL corpus pair scored with the
+    // exact dot — ranks beyond recall cannot invent neighbors
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
   test("ANN top-k reaches >=60% recall@5 vs brute force on clustered fixture") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5).collect()
