@@ -250,6 +250,9 @@ object SparkEntry {
     // basis points with planted true contamination firing the flag.
     "d43_decontamination_fraction" ->
       ((s, dir) => NorthStar.decontaminationFraction(s, dir)),
+    // d44: Gopher-style rule-based quality gate — per-doc bitmask of
+    // failed published rules + keep verdict, all integer-exact.
+    "d44_gopher_rules"       -> (NorthStar.gopherRules _),
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
@@ -2483,6 +2486,43 @@ object SparkEntry {
         |FROM post p JOIN bench b ON p.g = b.g
         |WHERE p.doc_id >= 10
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // d44: every rule re-derived in SQL with the same integer count
+    // comparisons — the bitmask is a sum of powers of two, so one
+    // flipped rule anywhere breaks the hash.
+    "d44_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+        |    regexp_split_to_array(text, '\n') AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','be','to','of','and','that','have','with','a','in'], x))) AS BIGINT) AS n_stop,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%')) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ell
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+        |    + (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 0 ELSE 2 END)
+        |    + (CASE WHEN 10 * n_symbols <= n_words THEN 0 ELSE 4 END)
+        |    + (CASE WHEN 10 * n_bullet <= n_lines THEN 0 ELSE 8 END)
+        |    + (CASE WHEN 10 * n_ell <= 3 * n_lines THEN 0 ELSE 16 END)
+        |    + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 0 ELSE 32 END)
+        |    + (CASE WHEN n_stop >= 2 THEN 0 ELSE 64 END) AS BIGINT) AS fail_mask,
+        |  ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+        |    + (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 0 ELSE 2 END)
+        |    + (CASE WHEN 10 * n_symbols <= n_words THEN 0 ELSE 4 END)
+        |    + (CASE WHEN 10 * n_bullet <= n_lines THEN 0 ELSE 8 END)
+        |    + (CASE WHEN 10 * n_ell <= 3 * n_lines THEN 0 ELSE 16 END)
+        |    + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 0 ELSE 32 END)
+        |    + (CASE WHEN n_stop >= 2 THEN 0 ELSE 64 END)) = 0 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // d43: the fraction rule re-derived with the contamination
     // re-planted in SQL (benchmark docs + ' graftmark', ids +200000);
     // integer basis points, // == div above zero.

@@ -1704,6 +1704,64 @@ object NorthStar {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** d44: GOPHER-STYLE RULE FILTER — the published rule-based document
+    * quality gate (Rae et al. 2021, "Scaling Language Models: Methods,
+    * Analysis & Insights from Training Gopher", appendix A — public
+    * literature; the same family C4/RefinedWeb/Dolma use), distinct
+    * from d04's continuous score: each document gets a BITMASK of
+    * failed rules plus the keep verdict, so a pipeline can report WHY
+    * mass was dropped per rule, not just how much. Rules, all
+    * INTEGER-EXACT (count·k ≤ count·m forms — no ratio ever touches a
+    * float, so both engines agree bit-for-bit):
+    *   bit 0 — word count outside [50, 100000]
+    *   bit 1 — mean word length outside [3, 10]
+    *   bit 2 — symbol-to-word ratio (# and …) > 1/10
+    *   bit 3 — > 1/10 of lines start with a bullet (- or *)
+    *   bit 4 — > 3/10 of lines end with an ellipsis
+    *   bit 5 — < 4/5 of words contain an alphabetic character
+    *   bit 6 — fewer than 2 stopword hits
+    * On this fixture (single-line, symbol-free synthetic text) bits
+    * 2–5 never fire and the corpus splits on word count and stopwords;
+    * the constructed-string spec exercises every bit.
+    *
+    * Scale shape: embarrassingly parallel — one projection over the
+    * scan, no shuffle at all before the gate's ORDER BY; counts fold
+    * inside the same codegen stage as the tokenizer. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The rule kernel over any (doc_id, text) frame — see
+    * [[gopherRules]] for the rule list and exactness contract. */
+  def gopherRulesOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
+        (length(col("text")) - length(translate(col("text"), "#", ""))).cast("long")
+          .+(expr("(length(text) - length(replace(text, '...'))) div 3"))
+          .as("n_symbols"),
+        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long").as("n_alpha"),
+        expr("size(filter(toks, x -> array_contains(" +
+          "array('the','be','to','of','and','that','have','with','a','in'), x)))")
+          .cast("long").as("n_stop"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr("size(filter(lines, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'))")
+          .cast("long").as("n_bullet"),
+        expr("size(filter(lines, l -> l LIKE '%...'))").cast("long").as("n_ell"))
+      .select(col("doc_id"), col("n_words"),
+        (when(col("n_words").between(50L, 100000L), 0L).otherwise(1L)
+          + when(lit(3L) * col("n_words") <= col("sum_len") &&
+              col("sum_len") <= lit(10L) * col("n_words"), 0L).otherwise(2L)
+          + when(lit(10L) * col("n_symbols") <= col("n_words"), 0L).otherwise(4L)
+          + when(lit(10L) * col("n_bullet") <= col("n_lines"), 0L).otherwise(8L)
+          + when(lit(10L) * col("n_ell") <= lit(3L) * col("n_lines"), 0L).otherwise(16L)
+          + when(lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"), 0L).otherwise(32L)
+          + when(col("n_stop") >= 2L, 0L).otherwise(64L)).as("fail_mask"))
+      .select(col("doc_id"), col("n_words"), col("fail_mask"),
+        (col("fail_mask") === 0L).as("keep"))
+
   /** Language ID vs the fixture's labeled lang column; accuracy is
     * asserted ≥0.9 in TextSpec. */
   def langIdPredictions(spark: SparkSession, dir: String): DataFrame =

@@ -20,6 +20,37 @@ class TextSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L, 0L, 1L, 2L, 3L))
   }
 
+  test("gopher rules: every bit fires on its constructed violation") {
+    // Each case is built so EXACTLY its target rule fires (the other
+    // six verified clean by construction — e.g. mean word length kept
+    // inside [3,10] wherever the violation is elsewhere).
+    val clean = (1 to 50).map(i => s"the a of and words$i").mkString(" ")
+    val longLine = "there with many fine words here again more text lines go now"
+    val cases = Seq(
+      (clean, 0L),                                                // keeps
+      ("the a short doc", 1L),                                    // bit0: < 50 words
+      ((1 to 60).map(_ => "supercalifragilistic").mkString(" ")
+        + " the a", 2L),                                          // bit1: mean len > 10
+      ((1 to 60).map(_ => "#there and with of").mkString(" "), 4L), // bit2: 60 '#' / 240 words
+      (((1 to 12).map(_ => "- there with morewords")
+        ++ (1 to 48).map(_ => "there with goodline words"))
+        .mkString("\n"), 8L),                                     // bit3: 12/60 bullet lines
+      (((1 to 7).map(_ => longLine + "...")
+        ++ (1 to 13).map(_ => longLine)).mkString("\n"), 16L),    // bit4: 7/20 ellipsis ends
+      ((1 to 60).map(_ => "12345678 87654321 there with").mkString(" "), 32L), // bit5
+      ((1 to 60).map(i => s"word$i stuff$i").mkString(" "), 64L)) // bit6: no stopwords
+    val df = cases.zipWithIndex.map { case ((t, _), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = NorthStar.gopherRulesOn(df).orderBy("doc_id").collect()
+      .map(r => r.getLong(2)).toSeq
+    assert(got === cases.map(_._2),
+      s"fail masks diverged; got $got for ${cases.map(_._2)}")
+    // keep is exactly mask==0
+    val keeps = NorthStar.gopherRulesOn(df).orderBy("doc_id").collect()
+      .map(r => r.getBoolean(3)).toSeq
+    assert(keeps === cases.map(_._2 == 0L))
+  }
+
   test("word shingles: correct count and short-doc fallback") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(size(TextFunctions.wordShingles(col("text"), 3)).as("n"))
