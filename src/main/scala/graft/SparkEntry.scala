@@ -253,6 +253,15 @@ object SparkEntry {
     // d44: Gopher-style rule-based quality gate — per-doc bitmask of
     // failed published rules + keep verdict, all integer-exact.
     "d44_gopher_rules"       -> (NorthStar.gopherRules _),
+    // d45: C4-style line-granular cleaning rules over a
+    // deterministically line-structured page (plant-then-recover:
+    // the fixture is single-line, so the construction is part of the
+    // certified contract — see NorthStar.c4Rules).
+    "d45_c4_rules"           -> (NorthStar.c4Rules _),
+    // d46: SemDeDup — sign-cell clustering + within-cell quantized
+    // cosine + greedy min-id keep; whole chain re-derived by the
+    // oracle including the hot-cell guard.
+    "d46_semantic_dedup"     -> ((s, dir) => NorthStar.semanticDedup(s, dir)),
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
@@ -2523,6 +2532,46 @@ object SparkEntry {
         |    + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 0 ELSE 32 END)
         |    + (CASE WHEN n_stop >= 2 THEN 0 ELSE 64 END)) = 0 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // d45: the page construction AND every C4 rule re-derived in SQL
+    // — 8-word lines, the punct cycle, the javascript/lorem/brace
+    // stripes — so the hash certifies rule firing, not plumbing.
+    "d45_c4_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |ln AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, (len(toks) + 7) // 8), g -> concat(
+        |      CASE WHEN (doc_id * 7 + g) % 11 = 0 THEN 'javascript ' ELSE '' END,
+        |      array_to_string(toks[g*8+1 : g*8+8], ' '),
+        |      CASE WHEN (g + doc_id) % 4 = 0 THEN ''
+        |           WHEN (g + doc_id) % 4 = 3 THEN '!' ELSE '.' END)) AS lines
+        |  FROM t),
+        |al AS (
+        |  SELECT doc_id,
+        |    list_concat(list_concat(lines,
+        |      CASE WHEN doc_id % 23 = 0 THEN ['curabitur lorem ipsum dolor.'] ELSE [] END),
+        |      CASE WHEN doc_id % 29 = 0 THEN ['function() { return 0; }'] ELSE [] END) AS all_lines
+        |  FROM ln),
+        |k AS (
+        |  SELECT doc_id, all_lines,
+        |    list_filter(all_lines, l ->
+        |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        |      AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+        |      AND NOT l LIKE '%javascript%') AS kept
+        |  FROM al),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(all_lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    CAST(coalesce(list_sum(list_transform(kept,
+        |      l -> length(l) - length(translate(l, '.!?', '')))), 0) AS BIGINT) AS n_sentences,
+        |    len(list_filter(all_lines, l -> l LIKE '%lorem ipsum%')) > 0 AS has_lorem,
+        |    len(list_filter(all_lines, l -> l LIKE '%{%')) > 0 AS has_brace
+        |  FROM k)
+        |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+        |  n_kept >= 1 AND n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // d43: the fraction rule re-derived with the contamination
     // re-planted in SQL (benchmark docs + ' graftmark', ids +200000);
     // integer basis points, // == div above zero.
@@ -2865,6 +2914,54 @@ object SparkEntry {
         |  SELECT g.src, reach.r FROM edges g JOIN reach ON g.dst = reach.id)
         |SELECT id AS vec_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // d46: the full SemDeDup chain in SQL — planted corpus, ±1
+    // projection signs (mixSqlU bit 0, i*10+j keying at outDim 10),
+    // integer projection, sign-bitmask cells, hot-cell guard (n <=
+    // 4000), quantized in-cell cosine, min-id keep rule.
+    "d46_semantic_dedup" ->
+      s"""WITH planted AS (
+        |  SELECT vec_id + 100000 AS pid,
+        |    list_transform(embedding, (x, i) ->
+        |      CAST(x + CAST(CAST(((((vec_id + 100000) * 2654435761 + (i - 1) * 40503) % 2001) - 1000) AS DOUBLE) / 20000.0 AS FLOAT) AS FLOAT)) AS emb
+        |  FROM embeddings WHERE vec_id < 40),
+        |corpus AS (
+        |  SELECT vec_id, embedding AS emb FROM embeddings
+        |  UNION ALL SELECT pid AS vec_id, emb FROM planted),
+        |f AS (
+        |  SELECT vec_id, emb FROM corpus
+        |  WHERE emb IS NOT NULL AND len(emb) = 64),
+        |sgn AS (
+        |  SELECT i, j,
+        |    CASE WHEN ${mixSqlU("xor(CAST(i*10 + j AS UBIGINT), CAST(25214903917 AS UBIGINT))")} % 2 = 1
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(64) t1(i) CROSS JOIN range(10) t2(j)),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(emb::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM f),
+        |px AS (SELECT vec_id, i, qv[i + 1] AS qx FROM q CROSS JOIN range(64) t(i)),
+        |y AS (
+        |  SELECT px.vec_id, s.j, CAST(sum(px.qx * s.s) AS BIGINT) AS y_units
+        |  FROM px JOIN sgn s ON s.i = px.i GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN y_units > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS cell
+        |  FROM y GROUP BY vec_id),
+        |cnt AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+        |e AS (
+        |  SELECT c.vec_id, c.cell, f.emb::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(f.emb::DOUBLE[], f.emb::DOUBLE[])) AS nrm
+        |  FROM cells c JOIN f USING (vec_id)),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    floor((CASE WHEN a.nrm * b.nrm > 0 THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS cosine
+        |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN cnt ON cnt.cell = a.cell AND cnt.n <= 4000),
+        |dups AS (SELECT DISTINCT id_b FROM p WHERE cosine >= 0.95)
+        |SELECT c.vec_id, c.cell,
+        |  d.id_b IS NOT NULL AS is_dup, d.id_b IS NULL AS keep
+        |FROM cells c LEFT JOIN dups d ON d.id_b = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     // v06: probing every IVF cell is exact, so the index search
     // shares v01's brute-force oracle verbatim.
     "v06_ivf_exact" ->

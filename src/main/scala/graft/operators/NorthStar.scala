@@ -2401,4 +2401,124 @@ object NorthStar {
       .select(col("asset_id"), col("media_type"),
         col("frame_idx").cast("long").as("frame_idx"), col("frame_size"))
       .orderBy("asset_id", "frame_idx")
+
+  /** d45: C4-style page/line heuristic filter (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning with a Unified
+    * Text-to-Text Transformer", §2.2's cleaning rules) — the
+    * line-granular sibling of d44's word-granular Gopher gate:
+    *   - keep only lines that end in terminal punctuation (. ! ? ")
+    *   - drop lines with fewer than 5 words
+    *   - drop lines containing the word "javascript"
+    *   - drop the whole page if it contains "lorem ipsum" or "{"
+    *   - drop pages with fewer than 3 sentences surviving the line
+    *     filter (sentence count = terminal-punctuation chars on kept
+    *     lines)
+    *
+    * The fixture corpus is single-line and punctuation-free, so the
+    * rules would be degenerately all-fail on it; per the established
+    * plant-then-recover contract (see [[withPlantedNearDups]]) the
+    * operator first DERIVES a line-structured page deterministically
+    * from each document's tokens — 8-word lines, a terminal-punct
+    * cycle keyed on (doc_id + line), a planted "javascript " prefix
+    * on every 11th (doc_id·7 + line) stripe, and planted
+    * lorem-ipsum / curly-brace trailer lines on the doc_id % 23 / 29
+    * stripes — every step integer/string-exact and re-derived
+    * verbatim by the DuckDB oracle, so the gate hash-checks rule
+    * FIRING, not just plumbing.
+    *
+    * Scale shape: embarrassingly parallel — construction and kernel
+    * are one projection with higher-order array functions inside a
+    * single codegen stage; no shuffle before the gate's ORDER BY. */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4RulesOn(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The construction + rule kernel over any (doc_id, text) frame —
+    * see [[c4Rules]] for the rule list and exactness contract. */
+  def c4RulesOn(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("lines", expr(
+        """transform(sequence(0, int((size(toks) + 7) div 8) - 1), g -> concat(
+          |  IF((doc_id * 7 + g) % 11 = 0, 'javascript ', ''),
+          |  array_join(slice(toks, int(g) * 8 + 1, 8), ' '),
+          |  CASE (g + doc_id) % 4 WHEN 0 THEN '' WHEN 3 THEN '!' ELSE '.' END))"""
+          .stripMargin))
+      .withColumn("all_lines", expr(
+        """concat(lines,
+          |  IF(doc_id % 23 = 0, array('curabitur lorem ipsum dolor.'), array()),
+          |  IF(doc_id % 29 = 0, array('function() { return 0; }'), array()))"""
+          .stripMargin))
+      .withColumn("kept", expr(
+        """filter(all_lines, l ->
+          |  (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+          |  AND size(filter(split(l, ' '), x -> x != '')) >= 5
+          |  AND NOT l LIKE '%javascript%')""".stripMargin))
+      .select(col("doc_id"),
+        size(col("all_lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("aggregate(kept, 0L, (a, l) -> a + length(l) - length(translate(l, '.!?', '')))")
+          .as("n_sentences"),
+        expr("exists(all_lines, l -> l LIKE '%lorem ipsum%')").as("has_lorem"),
+        expr("exists(all_lines, l -> l LIKE '%{%')").as("has_brace"))
+      .withColumn("keep",
+        col("n_kept") >= 1L && col("n_sentences") >= 3L &&
+          !col("has_lorem") && !col("has_brace"))
+
+  /** d46: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the embedding space into clusters,
+    * compute pairwise cosine only WITHIN each cluster, and keep one
+    * representative (the minimum id) from every group of semantic
+    * duplicates — the embedding-space sibling of d07/d09's lexical
+    * near-dup keep rules.
+    *
+    * Clustering here is the d41 sign-cell construction (seeded ±1
+    * random projection to `outDim` dims, cell = sign bitmask) rather
+    * than k-means: it is integer-exact and re-derivable in SQL, so
+    * the gate certifies the WHOLE chain — cell assignment, in-cell
+    * pair generation with the hot-cell guard, quantized cosine,
+    * and the greedy min-id keep rule — not just the final flags.
+    * Within-cell-only comparison is the SemDeDup contract (cross-cell
+    * duplicates are out of scope by design, there as here); planted
+    * near-dup copies ([[withPlantedNearDupVectors]]) land in their
+    * original's cell unless projection noise flips a sign, and both
+    * engines agree either way.
+    *
+    * Scale shape: 2^outDim cells ⇒ expected occupancy n/2^outDim;
+    * in-cell pairing rides [[Dedup.bucketSelfJoinPairs]] with its
+    * hot-cell guard (guarded cells contribute no pairs — mirrored by
+    * the oracle), so candidate volume stays O(n · occupancy), never
+    * all-pairs. One shuffle for cells, one for pairs. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      outDim: Int = 10, threshold: Double = 0.95, maxCell: Int = 4000): DataFrame = {
+    val corpus = withPlantedNearDupVectors(kernelSession(spark, dir, "embeddings"), dir)
+    val proj = Similarity.randomProjection(corpus, "vec_id", "embedding",
+      inDim = 64, outDim = outDim)
+    val cells = proj.groupBy(col("vec_id"))
+      .agg(sum(when(col("y_units") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim_j AS INT))"))
+        .otherwise(lit(0L))).as("cell"))
+    val scope = new graft.core.CacheScope
+    val base = scope.pin(corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .join(cells, "vec_id")
+      .select(col("vec_id").as("id"), col("cell"),
+        col("embedding").as("vec"),
+        Similarity.l2Norm(col("embedding")).as("norm")))
+    val dupIds = Dedup.bucketSelfJoinPairs(base, Seq("cell"),
+        Seq("id", "vec", "norm"), maxCell, scope)
+      .withColumn("cosine", graft.functions.Quantize.quantize4(
+        Similarity.cosineWithNorms(
+          Similarity.dot(col("vec_a"), col("vec_b")),
+          col("norm_a"), col("norm_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("is_dup", lit(true))
+    scope.sealResult(base.join(dupIds, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        (!coalesce(col("is_dup"), lit(false))).as("keep"))
+      .orderBy("vec_id"))
+  }
 }

@@ -115,4 +115,76 @@ class TextSpec extends AnyFunSuite {
     assert(frames.count() === 500 * 4)
     assert(frames.agg(max("frame_size")).head.getLong(0) <= 32)
   }
+
+  test("c4 rules: each planted stripe fires its rule on the fixture") {
+    val out = NorthStar.c4Rules(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // lorem/brace trailers fire exactly on their doc_id stripes
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Boolean]("has_lorem") === (id % 23 == 0), s"lorem at $id")
+      assert(r.getAs[Boolean]("has_brace") === (id % 29 == 0), s"brace at $id")
+      if (id % 23 == 0 || id % 29 == 0)
+        assert(!r.getAs[Boolean]("keep"), s"contaminated doc $id kept")
+      // kept lines are a subset of all lines, sentences only on kept
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines"))
+      assert(r.getAs[Long]("n_sentences") >= r.getAs[Long]("n_kept") - 1,
+        "every kept line ends in exactly one terminal punct by construction")
+    }
+    // both verdicts occur — the rules discriminate, not rubber-stamp
+    assert(out.count(_.getAs[Boolean]("keep")) > 50)
+    assert(out.count(r => !r.getAs[Boolean]("keep")) > 50)
+    assert(byId.nonEmpty)
+  }
+
+  test("c4 kernel: javascript lines and short lines never survive") {
+    import spark.implicits._
+    // doc 0: line stripe (0*7+g)%11==0 ⇒ g=0 gets the javascript
+    // prefix; with 24 tokens ⇒ 3 lines, punct cycle (g+0)%4 ⇒ g=0
+    // no punct anyway. Use doc_id 1: g=... (1*7+g)%11==0 ⇒ g=4 — only
+    // 3 lines, so no javascript; all lines end punct for g+1 in
+    // {1,2,3} mod 4 ⇒ g=3 would be '!'. 24 words ⇒ g∈{0,1,2}: '.','.','!'?
+    // (g+1)%4: 1→'.', 2→'.', 3→'!'. All kept (8 words each).
+    val df = Seq((1L, (1 to 24).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r = NorthStar.c4RulesOn(df).head
+    assert(r.getAs[Long]("n_lines") === 3L)
+    assert(r.getAs[Long]("n_kept") === 3L)
+    assert(r.getAs[Long]("n_sentences") === 3L)
+    assert(r.getAs[Boolean]("keep"))
+    // doc 4: (4*7+g)%11==0 ⇒ g=5 javascript line dropped; 48 words ⇒
+    // 6 lines g∈0..5; punct (g+4)%4=0 at g∈{0,4} unterminated ⇒ kept
+    // = 6 - 2(unpunct) - 1(javascript, g=5 has punct '.') = 3
+    val df4 = Seq((4L, (1 to 48).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r4 = NorthStar.c4RulesOn(df4).head
+    assert(r4.getAs[Long]("n_lines") === 6L)
+    assert(r4.getAs[Long]("n_kept") === 3L)
+    // short final line (< 5 words) dropped even when punctuated:
+    // 10 words at doc 1 ⇒ lines of 8 and 2; second line has 2 words
+    val dfs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rs = NorthStar.c4RulesOn(dfs).head
+    assert(rs.getAs[Long]("n_lines") === 2L)
+    assert(rs.getAs[Long]("n_kept") === 1L)
+    assert(!rs.getAs[Boolean]("keep"), "single surviving sentence < 3")
+  }
+
+  test("semantic dedup: planted copies sharing a cell are dropped, originals kept") {
+    val out = NorthStar.semanticDedup(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val planted = out.filter(_.getLong(0) >= 100000L)
+    assert(planted.length === 40)
+    var sameCellDups = 0
+    planted.foreach { p =>
+      val orig = byId(p.getLong(0) - 100000L)
+      if (p.getLong(1) == orig.getLong(1)) { // same cell ⇒ cosine ~0.999 ⇒ dup
+        assert(p.getAs[Boolean]("is_dup"), s"planted ${p.getLong(0)} in same cell not flagged")
+        assert(!p.getAs[Boolean]("keep"))
+        assert(orig.getAs[Boolean]("keep"), s"original ${orig.getLong(0)} dropped — min-id rule broken")
+        sameCellDups += 1
+      }
+    }
+    assert(sameCellDups >= 10, s"projection split nearly all planted pairs ($sameCellDups)")
+    // non-planted corpus rows are pairwise non-similar ⇒ all kept
+    val corpusDropped = out.filter(r => r.getLong(0) < 100000L && !r.getAs[Boolean]("keep"))
+    assert(corpusDropped.isEmpty, s"false-positive dups: ${corpusDropped.map(_.getLong(0)).toSeq}")
+  }
 }
