@@ -333,6 +333,10 @@ object SparkEntry {
     // v20: MIPS→cosine order-preserving augmentation over the
     // asymmetric sign-LSH index, recall@5-certified against v19.
     "v20_mips_ann"           -> (NorthStar.mipsAnnCertified _),
+    // v21: radius (range) search — all neighbors within a cosine
+    // radius of each query; broadcast scan = the production plan for
+    // a bounded query set, exact ⇒ fully oracled, no certificate.
+    "v21_range_search"       -> (NorthStar.rangeSearchQuery _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -3094,6 +3098,28 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v19: exact MIPS — the inner product IS the score (no norm
     // divide), so the oracle is one positional dot per pair, ranked.
+    // v21: the radius predicate recomputed exhaustively over the
+    // re-planted corpus — quantize-then-compare on both engines so
+    // the threshold cuts the identical set.
+    "v21_range_search" ->
+      """WITH planted AS (
+        |  SELECT vec_id + 100000 AS pid,
+        |    list_transform(embedding, (x, i) ->
+        |      CAST(x + CAST(CAST(((((vec_id + 100000) * 2654435761 + (i - 1) * 40503) % 2001) - 1000) AS DOUBLE) / 20000.0 AS FLOAT) AS FLOAT)) AS emb
+        |  FROM embeddings WHERE vec_id < 40),
+        |corpus AS (
+        |  SELECT vec_id, embedding AS emb FROM embeddings
+        |  UNION ALL SELECT pid AS vec_id, emb FROM planted),
+        |e AS (
+        |  SELECT vec_id, emb::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(emb::DOUBLE[], emb::DOUBLE[])) AS nrm
+        |  FROM corpus WHERE emb IS NOT NULL),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    floor((CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS cosine
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, nbr_id, cosine FROM scored
+        |WHERE cosine >= 0.30 ORDER BY query_id, nbr_id""".stripMargin,
     "v19_mips" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

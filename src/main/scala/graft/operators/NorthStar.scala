@@ -1939,6 +1939,20 @@ object NorthStar {
       minRecall = 0.6, okCol = "ivf_recall_ok")
   }
 
+  /** v21: radius search over the planted corpus — all neighbors with
+    * cosine ≥ 0.30 of the first 50 vectors (p99 of the fixture's
+    * random-pair cosine is ~0.29, so the radius cuts a sparse
+    * non-trivial set, plus the planted ~0.999 copies). Exact by
+    * construction — the broadcast scan is the production plan at this
+    * regime, see [[Similarity.rangeSearch]] — so the oracle recomputes
+    * the full set, no certificate needed. */
+  def rangeSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedNearDupVectors(kernelSession(spark, dir, "embeddings"), dir)
+    Similarity.rangeSearch(corpus, "vec_id", "embedding", minCosine = 0.30,
+      queries = corpus.filter(col("vec_id") < 50))
+      .orderBy("query_id", "nbr_id")
+  }
+
   /** v15: IVF-PQ — cell-residual product quantization, the missing
     * standard component of a trillion-vector ANN stack (codes, not
     * vectors, in the index: 8 bytes/vector at the 8×16 default vs 256

@@ -371,6 +371,38 @@ object Similarity {
     * 0.95-cosine pairs at the tuning SF — the pair set is
     * deterministically the exact ≥ t set in practice, which is what
     * lets the DuckDB exhaustive-cosine oracle hash-match it. */
+  /** v21: RADIUS (range) search — every corpus row whose cosine to a
+    * query is ≥ `minCosine`, the "all neighbors within ε" predicate
+    * (dedup radii, retrieval cutoffs, clustering ε-neighborhoods) as
+    * opposed to top-k's fixed fan-out. Shape: the bounded query set
+    * broadcasts and the corpus streams past it ONCE — no shuffle, no
+    * candidate index, linear in n and embarrassingly parallel, which
+    * IS the production plan for a bounded query set at any corpus
+    * size (the scan is the floor every index must beat, and at low
+    * thresholds sign-LSH can't: collision probability per plane for
+    * cosine 0.3 is ~0.6, so auto-sized tables lose most true
+    * neighbors once planes grow with n — measured in the round-7
+    * z-fixture work. The HIGH-similarity radius regime (τ ≥ 0.95) is
+    * served by the LSH pair route, [[cosineNearDupPairs]]/v03.)
+    * Cosine quantized at 1e-4 (engine-portable) BEFORE the threshold
+    * compare so both engines cut the identical set. */
+  def rangeSearch(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, queries: DataFrame): DataFrame = {
+    // null embeddings excluded — see bruteForceTopK's contract note
+    val corpus = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("nbr_norm", l2Norm(col("nbr_vec")))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("query_norm", l2Norm(col("query_vec")))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", graft.functions.Quantize.quantize4(cosineWithNorms(
+        dot(col("query_vec"), col("nbr_vec")), col("query_norm"), col("nbr_norm"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("nbr_id"), col("cosine"))
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 0, tables: Int = 16,
       maxBucket: Int = 2000): DataFrame = {

@@ -713,4 +713,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q3 === refMinusDeleted, "post-delete filtered search")
     spark.catalog.clearCache()
   }
+
+  test("range search: exact radius set vs driver-side reference, broadcast plan") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.rangeSearch(emb, "vec_id", "embedding",
+      minCosine = 0.25, queries = emb.filter(col("vec_id") < 20))
+    // reference: every (q < 20, c) pair with quantized cosine >= 0.25
+    val ref = (for {
+      (q, qv) <- vecs.toSeq if q < 20
+      (c, cv) <- vecs.toSeq if c != q
+      cos = math.floor(cosineRef(qv, cv) * 10000 + 0.5) / 10000.0
+      if cos >= 0.25
+    } yield (q, c)).toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === ref, s"radius set diverged: extra=${got -- ref} missing=${ref -- got}")
+    // the query side must broadcast — a shuffle here would be the
+    // wrong plan at any corpus size
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "range scan must not shuffle the corpus")
+  }
 }
