@@ -307,6 +307,10 @@ object SparkEntry {
     // the same co-order graph; oracle unrolls the loop round by round.
     "g03_label_propagation"  -> ((s, dir) =>
       NorthStar.lpaCoOrderFrom(sharedCoOrderEdges(s, dir))),
+    // g04: multi-source BFS distances (≤ 3 hops, min-seed tiebreak)
+    // on the same memoized co-order edges; oracle unrolls the levels.
+    "g04_bfs_distances"      -> ((s, dir) =>
+      NorthStar.bfsCoOrderFrom(sharedCoOrderEdges(s, dir))),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -2180,6 +2184,39 @@ object SparkEntry {
         |${round("l3", 4)}
         |SELECT node AS part_id, label AS community
         |FROM l4 ORDER BY part_id""".stripMargin
+    },
+    // g04: the BFS levels unrolled — each level joins the previous
+    // frontier to the directed edges, takes min seed per reached
+    // node, and drops already-settled nodes; levels MATERIALIZED
+    // (each is read twice: expansion + NOT IN).
+    "g04_bfs_distances" -> {
+      def level(n: Int): String = {
+        val prevUnion = (0 until n).map(i => s"SELECT node FROM d$i").mkString(" UNION ALL ")
+        s"""r$n AS (
+          |  SELECT d.dst AS node, min(p.nearest_seed) AS nearest_seed
+          |  FROM dirx d JOIN d${n - 1} p ON p.node = d.src
+          |  GROUP BY d.dst),
+          |d$n AS MATERIALIZED (
+          |  SELECT node, CAST($n AS BIGINT) AS dist, nearest_seed
+          |  FROM r$n WHERE node NOT IN ($prevUnion))""".stripMargin
+      }
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey),
+        |dirx AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |         UNION ALL SELECT v, u FROM pairs),
+        |d0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist,
+        |    src AS nearest_seed
+        |  FROM dirx WHERE src <= 20),
+        |${level(1)},
+        |${level(2)},
+        |${level(3)}
+        |SELECT node AS part_id, dist, nearest_seed
+        |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+        |      UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |ORDER BY part_id""".stripMargin
     },
     "r01_bm25_topk" ->
       """WITH tok AS (

@@ -210,4 +210,55 @@ object Graph {
       .groupBy(col("x.node").as("node"))
       .agg(sum(col("x.w")).as("n_triangles"))
   }
+
+  /** Multi-source BFS shortest-hop distances over an undirected graph,
+    * bounded to `maxDepth` levels — the reachability/proximity kernel
+    * (nearest-warehouse, blast-radius, "within N hops of a flagged
+    * node" analytics). Output: (node, dist, nearest_seed) for every
+    * node within `maxDepth` hops of the seed set, where dist is the
+    * TRUE minimum hop count (synchronous level-at-a-time expansion —
+    * a node is claimed by the FIRST level that reaches it) and
+    * nearest_seed deterministically breaks ties as the minimum seed
+    * id among the frontier parents that reach it at that level.
+    * Bounded depth is the contract, not a shortcut: it is what makes
+    * the loop unrollable by a SQL oracle and what bounds the job DAG.
+    *
+    * Scale shape per level: one hash join of the O(frontier) table to
+    * the directed edge list on src, one map-side-combined min-seed
+    * aggregate, one broadcast-able anti-join against the settled set.
+    * Frontiers only ever carry (node, seed) — no paths materialize.
+    * The directed edge list is localCheckpoint'd once when looping
+    * (the same re-derivation guard as [[labelPropagation]]); settled
+    * state is O(reached nodes). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val dirEdges0 = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val dirEdges = if (maxDepth > 1) {
+      val h = dirEdges0.localCheckpoint(true); ckpts += h; h
+    } else dirEdges0
+    var settled = seeds.select(col("node"), lit(0L).as("dist"),
+      col("node").as("nearest_seed"))
+    var frontier = settled
+    for (d <- 1 to maxDepth) {
+      val reached = dirEdges
+        .join(frontier.select(col("node").as("src"), col("nearest_seed")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("nearest_seed")).as("nearest_seed"))
+      frontier = reached
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("dist"), col("nearest_seed"))
+      settled = settled.unionByName(frontier)
+      // settle each level before the next expands: the anti-join must
+      // see a STABLE settled set, and checkpointing it also keeps the
+      // lineage linear instead of doubling per level
+      if (d < maxDepth) {
+        settled = settled.localCheckpoint(true)
+        ckpts += settled
+        frontier = settled.filter(col("dist") === d.toLong)
+      }
+    }
+    releaseAfter(settled, ckpts.toSeq)
+  }
 }

@@ -1020,6 +1020,21 @@ object NorthStar {
       .select(col("node").as("part_id"), col("label").as("community"))
       .orderBy("part_id")
 
+  /** g04: multi-source BFS proximity on the co-order graph — minimum
+    * hop distance (≤ 3) and deterministic nearest seed for every part
+    * within 3 hops of the low-id seed parts. Bounded depth is the
+    * oracle-unrollable contract ([[Graph.bfsDistances]]); rides the
+    * same memoized co-order edge handle as g02/g03. */
+  def bfsCoOrderFrom(edges: DataFrame, maxSeed: Long = 20L,
+      maxDepth: Int = 3): DataFrame = {
+    val seeds = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .filter(col("node") <= maxSeed).distinct()
+    Graph.bfsDistances(edges, seeds, maxDepth)
+      .select(col("node").as("part_id"), col("dist"), col("nearest_seed"))
+      .orderBy("part_id")
+  }
+
   /** r02: TF-IDF keyword extraction over the corpus — top-3 terms
     * per document, fully re-derivable by the oracle (single-product
     * scores, no float summation anywhere). */

@@ -170,4 +170,29 @@ class GraphSpec extends AnyFunSuite {
       (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (7L, 8L))
     assert(lpa(edges, 12) === naiveLpa(edges, 12))
   }
+
+  test("BFS: level claiming, min-seed tiebreak, depth bound, unreachable excluded") {
+    import spark.implicits._
+    // two seeds 1, 2; path 1-3-4-5-...  and 2-4 shortcut:
+    //   1-3, 3-4, 2-4, 4-5, 5-6, 6-7, and isolated island 90-91
+    val edges = Seq((1L, 3L), (3L, 4L), (2L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (90L, 91L)).toDF("u", "v")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val got = Graph.bfsDistances(edges, seeds, maxDepth = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === (0L, 1L) && got(2L) === (0L, 2L))
+    assert(got(3L) === (1L, 1L), "3 is 1 hop from seed 1")
+    // 4 is reachable at hop 1 from seed 2 AND hop 2 from seed 1:
+    // first level wins, so dist 1 via seed 2
+    assert(got(4L) === (1L, 2L), "first level claims the node")
+    assert(got(5L) === (2L, 2L))
+    assert(got(6L) === (3L, 2L))
+    assert(!got.contains(7L), "beyond maxDepth")
+    assert(!got.contains(90L) && !got.contains(91L), "unreachable island")
+    // min-seed tiebreak: both seeds reach 40 at the same level
+    val tie = Graph.bfsDistances(
+      Seq((1L, 40L), (2L, 40L)).toDF("u", "v"), seeds, maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tie(40L) === (1L, 1L), "equal-level tie breaks to the smaller seed")
+  }
 }
