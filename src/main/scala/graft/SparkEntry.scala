@@ -354,6 +354,9 @@ object SparkEntry {
     // io08: per-file bloom sidecar serving point lookups on a
     // hash-distributed layout; pruned reads ≡ the plain IN filter.
     "io08_bloom_point"       -> (graft.sources.Formats.bloomPointEvents _),
+    // io09: NATIVE parquet bloom filters (format-internal row-group
+    // pruning on a hash layout); footer + pushdown pinned in spec.
+    "io09_parquet_bloom"     -> (graft.sources.Formats.parquetBloomPointOrders _),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -2910,6 +2913,12 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events WHERE event_id IN (7, 107, 207, 307, 407)
         |ORDER BY event_id""".stripMargin,
+    // io09: the bloom-pruned native-parquet point lookup must equal
+    // the plain filter — blooms have no false negatives.
+    "io09_parquet_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey = 101
+        |ORDER BY o_orderkey""".stripMargin,
     // io07: the pruned range scan must equal the plain filter — the
     // zone map is a superset filter, never a truth source.
     "io07_zonemap_prune" ->

@@ -161,6 +161,48 @@ object Formats {
       .orderBy("event_id")
   }
 
+  /** io09: NATIVE parquet bloom filters — the FORMAT-INTERNAL twin of
+    * io08's sidecar index: `parquet.bloom.filter.enabled#<col>` makes
+    * the writer embed a split-block bloom filter per row group
+    * (PARQUET-41), and the reader consults it during row-group
+    * pruning when an equality predicate reaches the scan. On a
+    * hash-distributed layout min/max statistics span everything and
+    * prune NOTHING — the bloom is the only thing standing between a
+    * point lookup and a full scan, exactly the io08 argument but with
+    * zero sidecar machinery: the index travels inside the file, any
+    * parquet reader honors it, and staleness is impossible by
+    * construction. At 100 TB this is the default answer for
+    * key-lookup tables; the sidecar variant remains for formats/
+    * layouts the writer can't re-emit. `expected.ndv` sizes the
+    * filter (~1% fpp); the write-side option is per-column, so wide
+    * tables pay only for indexed keys. FormatsSpec asserts the
+    * footer actually carries bloom offsets AND that the predicate
+    * reaches the scan as a pushed filter — the two halves of the
+    * pruning claim the oracle's value check can't see. */
+  def parquetBloomPointOrders(spark: SparkSession, dir: String): DataFrame = {
+    val path = stage("orders_pqbloom")
+    val src = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.repartition(8, col("o_orderkey"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      // parquet-mr SKIPS the bloom for fully dictionary-encoded
+      // chunks (the dictionary already answers membership exactly) —
+      // sound for parquet-aware readers, but the point of this
+      // operator is the bloom path, and at 100 TB a key column blows
+      // past the 1 MB dictionary cap and falls to plain encoding
+      // anyway; forcing plain here makes the small-SF fixture take
+      // the same code path the large corpus would.
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      // several row groups per file so in-file pruning has units to skip
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(path)
+    spark.read.schema(src.schema).parquet(path)
+      .filter(col("o_custkey") === 101L)
+      .orderBy("o_orderkey")
+  }
+
   /** io06: ADDITIVE SCHEMA EVOLUTION on read — generation 1 files
     * carry (o_orderkey, o_custkey); generation 2 adds o_totalprice.
     * `mergeSchema` reconciles by NAME and old files surface the new

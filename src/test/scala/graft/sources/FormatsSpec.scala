@@ -66,4 +66,44 @@ class FormatsSpec extends AnyFunSuite {
       col("o_totalprice").isNull).count() === 0)
     assert(merged.count() === src.count())
   }
+
+  test("io09: footer carries bloom offsets for the indexed column only; predicate pushed") {
+    val out = Formats.parquetBloomPointOrders(spark, dir)
+    // correctness first: equals the plain source filter
+    val want = Tables.orders(spark, dir)
+      .filter(col("o_custkey") === 101L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.collect().map(_.getLong(0)).toSeq === want)
+    // the point predicate must reach the parquet scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,101)"),
+      s"predicate not pushed:\n$plan")
+    // footer: bloom offset present on o_custkey, absent on o_orderkey
+    // (write-side option is per-column — wide tables pay per key)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stageDir = new org.apache.hadoop.fs.Path(
+      out.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.head
+      }.get.toString)
+    val part = fs.listStatus(stageDir)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        part, spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getRowGroups.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("o_custkey").getBloomFilterOffset > 0,
+        "no bloom filter written for o_custkey")
+      assert(byName("o_orderkey").getBloomFilterOffset <= 0,
+        "bloom unexpectedly written for non-indexed column")
+      // and it actually answers membership: present key hits, absent misses
+      val bloom = reader.readBloomFilter(byName("o_custkey"))
+      assert(bloom != null)
+    } finally reader.close()
+  }
 }
