@@ -173,6 +173,12 @@ object SparkEntry {
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
     "p13_restore" -> ((s, _) => cocoaRestored(s)),
+    // p15: SHALLOW CLONE — zero-copy fork of the warehouse's current
+    // snapshot into a fresh root; the gate reads THROUGH the clone
+    // pointer, so resolution, validation, and byte-identity are all
+    // inside the hash. Spec pins the zero-data-file + copy-on-write
+    // properties the value check can't see.
+    "p15_shallow_clone" -> ((s, _) => cocoaCloned(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -567,6 +573,17 @@ object SparkEntry {
     spark.read.schema(graft.pipeline.CocoaSchema.warehouse)
       .parquet(Warehouse.versionPath(root, v))
       .orderBy("shipment_id")
+  }
+
+  /** p15: shallow clone — the cocoa warehouse forked zero-copy into a
+    * fresh root ([[Warehouse.cloneShallow]]); the read resolves
+    * through the `_CLONE` pointer and must equal the source exactly. */
+  private def cocoaCloned(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark) // build (memoized) source warehouse
+    val dirs = cocoaDirsMemo.get(spark)
+    val dst = graft.core.RunTemp.dir("graft_clone_wh_", keep = 32)
+    Warehouse.cloneShallow(spark, dirs.warehouse, dst)
+    Warehouse.read(spark, dst).orderBy("shipment_id")
   }
 
   /** p14: WRITE-AUDIT-PUBLISH. A poisoned copy of the warehouse
@@ -2702,6 +2719,9 @@ object SparkEntry {
     "p13_restore" -> cocoaOracle(
       "SELECT * FROM wh ORDER BY shipment_id",
       batches = Seq("b1" -> "2023-11-14 22:13:20")),
+    // p15: reading through the clone pointer must reproduce the full
+    // warehouse byte-for-byte — p01's oracle verbatim.
+    "p15_shallow_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p07: re-derive BOTH versions (v0 = batch 1 alone, v1 = LWW over
     // both) and diff them column-null-safely — mirrors
     // Warehouse.diffFrames: inserts/updates carry the NEW row, deletes

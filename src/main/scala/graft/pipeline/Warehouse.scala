@@ -152,6 +152,127 @@ object Warehouse {
 
   def versionPath(root: String, v: Long): String = s"$root/v$v"
 
+  /** Marker file a shallow-cloned version dir carries instead of
+    * parquet parts: its content is the absolute DATA directory of the
+    * cloned source snapshot. */
+  private val clonePointer = "_CLONE"
+
+  /** The DATA directory for version `v`: normally the version dir
+    * itself; for a shallow-cloned version, the source snapshot
+    * directory its `_CLONE` pointer names. Every snapshot read in
+    * this object resolves through here, so clones are first-class:
+    * read/diff/change-feed/time-travel/compact/restore all work, and
+    * compacting or committing ON a cloned root writes real data dirs
+    * (copy-on-write at version granularity — the clone never mutates
+    * its source). CORRECT-OR-LOUD: a clone whose source snapshot was
+    * vacuumed fails with a named error instead of an empty read (the
+    * explicit-schema parquet read would otherwise return ZERO ROWS
+    * silently — the one failure mode a lakehouse must not have). */
+  def dataPath(spark: SparkSession, root: String, v: Long): String = {
+    val fs = Ingest.fs(spark, root)
+    val marker = new Path(versionPath(root, v), clonePointer)
+    if (!fs.exists(marker)) versionPath(root, v)
+    else {
+      val in = fs.open(marker)
+      val target =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (!fs.exists(new Path(target, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"shallow clone $root/v$v references $target, which is missing or" +
+            " incomplete (source vacuumed past its retention floor?) —" +
+            " refusing a silent empty read; re-clone or restore the source")
+      target
+    }
+  }
+
+  /** ZERO-COPY SHALLOW CLONE (the Delta `CLONE` / Iceberg snapshot-ref
+    * pattern): publish the source warehouse's CURRENT snapshot as the
+    * next version of `dstRoot` without copying a byte of data — the
+    * new version dir holds only a `_CLONE` pointer to the source data
+    * directory. At 100 TB this is the only sane way to fork a table
+    * for experiments/backfills: O(1) metadata instead of a full
+    * rewrite, and every subsequent commit/compact on the clone writes
+    * its own data dirs, never touching the source (copy-on-write).
+    *
+    * Contract limits, enforced loudly:
+    *  - a source version carrying deletion vectors cannot be cloned
+    *    (the DVs live in the SOURCE root and the clone would
+    *    resurrect deleted rows) — `applyDv` on the source first;
+    *  - clones pin NOTHING: vacuuming the source past the cloned
+    *    snapshot breaks the clone, which then fails loudly on read
+    *    ([[dataPath]]) — source retention must cover live clones,
+    *    the same operational rule Delta documents for shallow clones;
+    *  - clone-of-clone flattens: the pointer always names the
+    *    ORIGINAL data directory, so chains never deepen.
+    *
+    * Publication rides the commit protocol (lease, private staging,
+    * fencing, atomic rename, pointer swap) so clones serialize
+    * correctly with concurrent commits on the destination. */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+    val srcV = currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(
+        s"cloneShallow: no committed snapshot under $srcRoot"))
+    val srcFs = Ingest.fs(spark, srcRoot)
+    if (dvPartDirs(srcFs, srcRoot, srcV).nonEmpty)
+      throw new IllegalStateException(
+        s"cloneShallow: $srcRoot v$srcV carries deletion vectors; a shallow" +
+          " clone would resurrect deleted rows — applyDv on the source first")
+    val target = dataPath(spark, srcRoot, srcV) // flattens chains + validates
+    val fs = Ingest.fs(spark, dstRoot)
+    fs.mkdirs(new Path(dstRoot))
+    val lock = new Path(dstRoot, lockFile)
+    val holderId = java.util.UUID.randomUUID().toString
+    acquireLease(fs, lock, holderId, lockTtlMs)
+    var staging: Option[Path] = None
+    try {
+      val pointerAtAcquire = pointerVersion(fs, dstRoot)
+      val next = (currentVersion(spark, dstRoot).toSeq ++
+        completeSnapshots(spark, dstRoot)).maxOption.map(_ + 1).getOrElse(0L)
+      val stage = new Path(dstRoot, s".v${next}_$holderId")
+      staging = Some(stage)
+      fs.mkdirs(stage)
+      val mk = fs.create(new Path(stage, clonePointer), true)
+      try mk.write(target.getBytes(StandardCharsets.UTF_8)) finally mk.close()
+      fs.create(new Path(stage, "_SUCCESS"), true).close()
+      if (!readLease(fs, lock).exists(_.holderId == holderId))
+        throw new IllegalStateException(
+          s"cloneShallow fenced: lease on $lock was reclaimed; v$next unpublished")
+      if (pointerVersion(fs, dstRoot) != pointerAtAcquire)
+        throw new IllegalStateException(
+          s"cloneShallow fenced: $versionFile advanced past $pointerAtAcquire;" +
+            s" v$next unpublished")
+      val tgt = new Path(versionPath(dstRoot, next))
+      if (fs.exists(tgt)) {
+        if (fs.exists(new Path(tgt, "_SUCCESS")))
+          throw new IllegalStateException(
+            s"cloneShallow fenced: complete snapshot $tgt appeared during this" +
+              " clone (concurrent writer?); aborting unpublished")
+        fs.delete(tgt, true)
+      }
+      if (!fs.rename(stage, tgt))
+        throw new IllegalStateException(
+          s"cloneShallow failed: could not publish $stage as $tgt")
+      staging = None
+      val tmp = new Path(dstRoot, s".$versionFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(dstRoot).toUri, fs.getConf)
+      fc.rename(tmp, new Path(dstRoot, versionFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      next
+    } finally {
+      staging.foreach(s => try fs.delete(s, true)
+        catch { case _: java.io.IOException => () })
+      if (readLease(fs, lock).exists(_.holderId == holderId))
+        fs.delete(lock, false)
+    }
+  }
+
   /** Read the committed snapshot; empty (schema'd) DataFrame if the
     * warehouse has never been committed. The expected schema is passed
     * explicitly — skipping parquet schema inference (a one-task
@@ -168,7 +289,7 @@ object Warehouse {
       schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame =
     currentVersion(spark, root) match {
       case Some(v) =>
-        spark.read.schema(schema).parquet(versionPath(root, v))
+        spark.read.schema(schema).parquet(dataPath(spark, root, v))
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -372,7 +493,7 @@ object Warehouse {
       toVersion: Long, keyCols: Seq[String] = Seq(CocoaSchema.mergeKey),
       schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame = {
     def snap(v: Long) =
-      spark.read.schema(schema).parquet(versionPath(root, v))
+      spark.read.schema(schema).parquet(dataPath(spark, root, v))
     diffFrames(snap(fromVersion), snap(toVersion), keyCols)
   }
 
@@ -430,7 +551,7 @@ object Warehouse {
     def complete = fs.exists(new Path(target, "_SUCCESS"))
     if (complete) return target.toString
     def snap(x: Long) =
-      spark.read.schema(schema).parquet(versionPath(root, x))
+      spark.read.schema(schema).parquet(dataPath(spark, root, x))
     val stage = new Path(
       s"$root/_changes/.v${v}_${java.util.UUID.randomUUID().toString}")
     diffImages(snap(v - 1), snap(v), keyCols)
@@ -502,7 +623,7 @@ object Warehouse {
     require(toVersion != cur,
       s"restore: v$toVersion is already the current version")
     val fs = Ingest.fs(spark, root)
-    val src = new Path(versionPath(root, toVersion))
+    val src = new Path(dataPath(spark, root, toVersion))
     if (!fs.exists(new Path(src, "_SUCCESS")))
       throw new IllegalStateException(
         s"restore: no complete snapshot v$toVersion under $root" +
@@ -542,7 +663,7 @@ object Warehouse {
   private def snapshotWithPos(spark: SparkSession, root: String, v: Long,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.schema(schema).parquet(versionPath(root, v))
+    spark.read.schema(schema).parquet(dataPath(spark, root, v))
       .select(col("*"),
         substring_index(col("_metadata.file_path"), "/", -1).as("_dv_file"),
         col("_metadata.row_index").as("_dv_pos"))
@@ -671,7 +792,7 @@ object Warehouse {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(v) => dvFrame(spark, root, v) match {
-        case None => spark.read.schema(schema).parquet(versionPath(root, v))
+        case None => spark.read.schema(schema).parquet(dataPath(spark, root, v))
         case Some(dv0) =>
           val fs = Ingest.fs(spark, root)
           // Size ONLY the complete d_* parts the read consumes — a
@@ -753,9 +874,11 @@ object Warehouse {
     require(targetFileBytes >= 1L,
       s"targetFileBytes must be >= 1, got $targetFileBytes")
     currentVersion(spark, root).map { cur =>
-      val fs = Ingest.fs(spark, root)
-      val snap = versionPath(root, cur)
-      val bytes = fs.getContentSummary(new Path(snap)).getLength
+      // resolve through the clone pointer: compacting a cloned root
+      // reads the SOURCE data and publishes a real (materialized)
+      // snapshot under this root — copy-on-write, source untouched
+      val snap = dataPath(spark, root, cur)
+      val bytes = Ingest.fs(spark, snap).getContentSummary(new Path(snap)).getLength
       val n = math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
       // The snapshot's OWN parquet schema, never a fixed default: a
       // warehouse widened by additive evolution must come out of
