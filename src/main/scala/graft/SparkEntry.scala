@@ -317,6 +317,11 @@ object SparkEntry {
     // on the same memoized co-order edges; oracle unrolls the levels.
     "g04_bfs_distances"      -> ((s, dir) =>
       NorthStar.bfsCoOrderFrom(sharedCoOrderEdges(s, dir))),
+    // g05: bounded k-core peel (3 rounds, scale-free p10-quantile
+    // threshold from the degree histogram) on the same memoized
+    // co-order edges; oracle unrolls the peel round by round.
+    "g05_kcore"              -> ((s, dir) =>
+      NorthStar.kcoreCoOrderFrom(sharedCoOrderEdges(s, dir))),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -2237,6 +2242,43 @@ object SparkEntry {
         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
         |      UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
         |ORDER BY part_id""".stripMargin
+    },
+    // g05: the 3 peel rounds unrolled. k replicates the Spark side's
+    // histogram form exactly: smallest degree whose cumulative node
+    // count reaches ceil(n/10) (cum·10 ≥ n — integer ceil, no float
+    // quantile anywhere). Each round recomputes degrees over the
+    // surviving edge set and keeps both-endpoint survivors.
+    "g05_kcore" -> {
+      def peel(prev: String, n: Int): String =
+        s"""s$n AS (
+          |  SELECT node FROM (
+          |    SELECT node, count(*) AS deg
+          |    FROM (SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+          |    GROUP BY node), kv
+          |  WHERE deg >= k),
+          |e$n AS MATERIALIZED (
+          |  SELECT u, v FROM $prev
+          |  WHERE u IN (SELECT node FROM s$n) AND v IN (SELECT node FROM s$n))""".stripMargin
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey),
+        |deg0 AS (
+        |  SELECT node, count(*) AS deg
+        |  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY node),
+        |stats AS (SELECT count(*) AS n FROM deg0),
+        |hist AS (SELECT deg, count(*) AS c FROM deg0 GROUP BY deg),
+        |kv AS (
+        |  SELECT min(deg) AS k FROM (
+        |    SELECT deg, sum(c) OVER (ORDER BY deg) AS cum FROM hist), stats
+        |  WHERE cum * 10 >= n),
+        |${peel("pairs", 1)},
+        |${peel("e1", 2)},
+        |${peel("e2", 3)}
+        |SELECT node AS part_id, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY node ORDER BY part_id""".stripMargin
     },
     "r01_bm25_topk" ->
       """WITH tok AS (

@@ -261,4 +261,82 @@ object Graph {
     }
     releaseAfter(settled, ckpts.toSeq)
   }
+
+  /** Bounded K-CORE PEELING — `rounds` rounds of "drop every node
+    * whose degree in the SURVIVING subgraph is below k", the
+    * dense-subgraph filter behind core decomposition (graph curation:
+    * keep the well-connected center of a co-occurrence graph, shed
+    * the sparse fringe). Bounded rounds is the contract, exactly like
+    * [[bfsDistances]]' bounded depth: the result is "the subgraph
+    * after exactly `rounds` peels" — deterministic, engine-agnostic,
+    * and SQL-unrollable; on a graph whose peeling converges within
+    * the bound it IS the k-core, and on one that hasn't converged yet
+    * (the dense co-order fixture is still shedding at round 4) it is
+    * an honest intermediate the spec pins against a driver mirror
+    * round by round.
+    *
+    * `k` is SCALE-FREE: the smallest degree whose cumulative node
+    * count reaches `rankNum/rankDen` of all nodes (the exact
+    * lower-tail degree quantile, integer ceil rank). A fixed absolute
+    * k is useless across corpus sizes — on the dense co-order graph
+    * it either no-ops (k below the degree floor) or annihilates the
+    * graph in one round; the quantile form peels the same FRACTION of
+    * fringe at any scale. Computed from the degree HISTOGRAM: a
+    * map-side-combined (deg → node count) aggregate — O(distinct
+    * degrees) rows — then one tiny cumulative window and a min. The
+    * full degree table is never sorted and no per-node rank window
+    * ever runs (the 100 TB trap an exact-quantile-by-sort would be).
+    *
+    * Scale shape per round: one map-side-combined degree aggregate
+    * over surviving edges and two semi-joins of the edge list against
+    * the O(nodes) survivor set (broadcast-able while survivors are
+    * small; plain hash semi joins beyond). The edge set shrinks
+    * monotonically, so every round costs at most the first. Output is
+    * (node, deg) — each surviving node's degree inside the final
+    * surviving subgraph. */
+  def kCorePeel(edges: DataFrame, rounds: Int,
+      rankNum: Int = 1, rankDen: Int = 10,
+      checkpointEvery: Int = 6, checkpointThreshold: Int = 8): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(rankNum > 0 && rankDen > 0 && rankNum <= rankDen,
+      s"rank fraction must sit in (0, 1], got $rankNum/$rankDen")
+    import org.apache.spark.sql.expressions.Window
+    def degrees(e: DataFrame): DataFrame = e
+      .select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val deg0 = degrees(edges)
+    val hist = deg0.groupBy("deg").agg(count(lit(1)).as("c"))
+    // cum ≥ ceil(n·num/den)  ⟺  cum·den ≥ n·num (integer-exact ceil)
+    val cumW = Window.orderBy("deg")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // k is a MODEL PARAMETER, resolved once with one bounded job (the
+    // IVF-centroid pattern: driver-side scalars are fine when they are
+    // O(1), data rows are not): one histogram aggregate + a 1-row
+    // head. Inlining it as a literal keeps every round's filter a
+    // plain codegen'd comparison and the returned frame fully lazy —
+    // no checkpoint has to hide the peel plan from downstream
+    // optimization (or from the plan-shape specs).
+    val kRow = hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
+      .filter(col("cum") * rankDen >= col("n") * rankNum)
+      .agg(min(col("deg")).as("k"))
+      .head()
+    val k: Long = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var e = edges.select("u", "v")
+    for (r <- 1 to rounds) {
+      val survivors = degrees(e)
+        .filter(col("deg") >= lit(k))
+        .select("node")
+      e = e
+        .join(survivors.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
+      if (rounds > checkpointThreshold && r % checkpointEvery == 0 && r < rounds) {
+        e = e.localCheckpoint(true)
+        ckpts += e
+      }
+    }
+    releaseAfter(degrees(e), ckpts.toSeq)
+  }
 }

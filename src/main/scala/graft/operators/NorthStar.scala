@@ -1035,6 +1035,18 @@ object NorthStar {
       .orderBy("part_id")
   }
 
+  /** g05: bounded k-core peel of the co-order graph — 3 rounds of
+    * dropping nodes below the scale-free degree threshold (the p10
+    * degree quantile), keeping the well-connected center of the
+    * co-purchase graph. Output is each survivor's degree INSIDE the
+    * surviving subgraph. Bounded rounds is the oracle-unrollable
+    * contract ([[Graph.kCorePeel]]); rides the same memoized co-order
+    * edge handle as g02–g04. */
+  def kcoreCoOrderFrom(edges: DataFrame, rounds: Int = 3): DataFrame =
+    Graph.kCorePeel(edges, rounds)
+      .select(col("node").as("part_id"), col("deg").as("core_deg"))
+      .orderBy("part_id")
+
   /** r02: TF-IDF keyword extraction over the corpus — top-3 terms
     * per document, fully re-derivable by the oracle (single-product
     * scores, no float summation anywhere). */

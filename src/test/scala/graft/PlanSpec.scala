@@ -182,6 +182,21 @@ class PlanSpec extends AnyFunSuite {
       "per-node argmax must be max(struct), not a window sort")
   }
 
+  test("g05: peel rounds are semi joins; no per-node rank window for k") {
+    val p = plan("g05_kcore")
+    assert(p.contains("LeftSemi"), "survivor filtering must be semi joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "peel must stay equi-keyed")
+    // The quantile threshold comes from the DEGREE HISTOGRAM — the
+    // only window in the plan runs over O(distinct degrees) rows; a
+    // window whose sort key is the per-node degree table would be the
+    // full-sort scale trap the histogram form exists to avoid. The
+    // one-partition window is detectable by its input: it must sit
+    // over the (deg, c) aggregate, never over (node, deg).
+    assert(!p.contains("row_number"),
+      "no per-node ranking window may appear in the k computation")
+  }
+
   test("s11/q49 prerequisites: the spine/daily fill join broadcasts") {
     val p = plan("q49_interpolate")
     // The ONLY join in q49 is spine ⋈ daily, so plan-wide negatives
