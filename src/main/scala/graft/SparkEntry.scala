@@ -104,6 +104,19 @@ object SparkEntry {
     "q49_interpolate"        -> (Relational.interpolateDaily _),
     // q50: co-purchase support + integer-micro lift, top-50 pairs.
     "q50_basket_lift"        -> ((s, dir) => Relational.basketLift(s, dir)),
+    // q51: Misra–Gries heavy hitters per event type — gate runs the
+    // sketch's exact regime (users ≪ capacity); bound regime is
+    // spec-pinned.
+    "q51_heavy_hitters"      -> ((s, dir) => Relational.heavyHitters(s, dir)),
+    // q52: KMV sketch set-algebra — per-type-pair distinct-user
+    // union/intersection from persisted bottom-k sketches; exact
+    // while the union fits in k (it does at every fixture SF).
+    "q52_kmv_set_ops"        -> ((s, dir) => Relational.kmvSetOps(s, dir)),
+    // q53: 2-D skyline from per-date aggregates; oracle is the O(n²)
+    // dominance NOT EXISTS.
+    "q53_pareto_frontier"    -> (Relational.paretoFrontier _),
+    // q54: integer total-variation drift between half-month slices.
+    "q54_distribution_drift" -> (Relational.distributionDrift _),
     "q44_table_checksums"    -> (Relational.tableChecksums _),
     // q47: declarative constraint audit — row predicates in one scan
     // per table, pk uniqueness, fk integrity; exact violation counts.
@@ -3508,6 +3521,90 @@ object SparkEntry {
         |  CAST((n.n_orders * n_both * 1000000) // (x.n_item * y.n_item) AS BIGINT) AS lift_micro
         |FROM pairs JOIN cu x ON x.p = u JOIN cu y ON y.p = v CROSS JOIN n
         |ORDER BY n_both DESC, u, v LIMIT 50""".stripMargin,
+    // q51: the gate runs the Misra–Gries sketch in its EXACT regime
+    // (capacity 256 ≫ the fixture's distinct users per type), where
+    // the counters are plain per-(type, user) counts — so the oracle
+    // recomputes them as GROUP BY + row_number. The decrement/merge
+    // bound regime is spec-pinned (MisraGriesSpec), not oracled.
+    "q51_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt_lb
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, user_id, cnt_lb,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt_lb DESC, user_id) AS rn
+        |  FROM c)
+        |SELECT event_type, user_id, cnt_lb, CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 10 ORDER BY event_type, rank""".stripMargin,
+    // q52: exact-regime KMV set algebra — the union of any type pair
+    // fits in k = 4096 at every fixture SF, so the sketch holds the
+    // full 48-bit-hash set and both estimates are exact distinct
+    // HASH counts (counted on the same md5-prefix hash as Spark, so
+    // even a collision — ~2^-49 at fixture scale — cannot split the
+    // engines).
+    "q52_kmv_set_ops" ->
+      s"""WITH t AS (
+        |  SELECT DISTINCT event_type,
+        |    ${hex48Sql("CAST(user_id AS VARCHAR)")} AS skey
+        |  FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM types a JOIN types b ON a.event_type < b.event_type),
+        |uni AS (
+        |  SELECT p.type_a, p.type_b, count(DISTINCT t.skey) AS est_union
+        |  FROM pr p JOIN t ON t.event_type IN (p.type_a, p.type_b)
+        |  GROUP BY p.type_a, p.type_b),
+        |inter AS (
+        |  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+        |    count(*) AS c
+        |  FROM t ta JOIN t tb
+        |    ON ta.skey = tb.skey AND ta.event_type < tb.event_type
+        |  GROUP BY 1, 2)
+        |SELECT u.type_a, u.type_b, CAST(u.est_union AS BIGINT) AS est_union,
+        |  CAST(coalesce(i.c, 0) AS BIGINT) AS est_inter
+        |FROM uni u LEFT JOIN inter i
+        |  ON u.type_a = i.type_a AND u.type_b = i.type_b
+        |ORDER BY u.type_a, u.type_b""".stripMargin,
+    // q53: dominance spelled as the O(n²) NOT EXISTS — deliberately
+    // NOT the engine's per-date-aggregate algorithm, so the hash
+    // match certifies the frontier independently of the rewrite.
+    "q53_pareto_frontier" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderdate, price_cents FROM o a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o b
+        |  WHERE b.price_cents <= a.price_cents
+        |    AND b.o_orderdate >= a.o_orderdate
+        |    AND (b.price_cents < a.price_cents
+        |         OR b.o_orderdate > a.o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin,
+    // q54: the same integer basis-point arithmetic re-derived (floor
+    // division on positive operands is identical in both engines).
+    "q54_distribution_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS bucket,
+        |    (ts < TIMESTAMP '2024-01-16') AS fh
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, bucket,
+        |    sum(CASE WHEN fh THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+        |        FROM agg GROUP BY 1)
+        |SELECT a.event_type, CAST(t.na AS BIGINT) AS n_first,
+        |  CAST(t.nb AS BIGINT) AS n_second,
+        |  CAST(sum(abs(a.ca * 10000 // t.na - a.cb * 10000 // t.nb)) // 2
+        |    AS BIGINT) AS tv_bp
+        |FROM agg a JOIN tot t ON a.event_type = t.event_type
+        |GROUP BY a.event_type, t.na, t.nb
+        |ORDER BY a.event_type""".stripMargin,
     // q49: the interpolant re-derived with the same non-negative
     // integer weighted average — // and div agree above zero.
     "q49_interpolate" ->

@@ -587,6 +587,160 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q51: HEAVY HITTERS per event type — the top users by activity,
+    * answered from a [[graft.functions.MisraGriesAgg]] Misra–Gries
+    * sketch (capacity 256) rather than a full (type, user) count
+    * table. At 100 TB the difference is structural: the full count
+    * table is O(types × users) and shuffles every event's key; the
+    * sketch is ≤ capacity pairs per type, map-side combined, with a
+    * deterministic n/(k+1) undercount bound. The gate runs in the
+    * sketch's EXACT regime (fixture user count ≪ capacity, so the
+    * counters are true counts and the DuckDB oracle recomputes them
+    * as plain GROUP BY); the decrement/merge bound regime is pinned
+    * by MisraGriesSpec. Final top-10 ranking windows over ≤ capacity
+    * rows per type — post-sketch, never over raw events. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      capacity: Int = 256, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.MisraGriesAgg.mgSketch(col("user_id"), capacity).as("sk"))
+      .select(col("event_type"), explode(col("sk")).as("h"))
+      .select(col("event_type"), col("h.item").as("user_id"),
+        col("h.cnt_lb").as("cnt_lb"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cnt_lb").desc, col("user_id").asc)
+    sk.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .orderBy("event_type", "rank")
+  }
+
+  /** q52: audience SET OPERATIONS from persisted KMV sketches —
+    * distinct-user union and intersection for every event-type PAIR,
+    * answered entirely from per-type bottom-k sketches (k smallest
+    * 48-bit md5 hashes of user_id), never by re-joining raw events.
+    * This is the sketch-algebra the q46/q48 rollups stop short of:
+    * KMV sketches compose under set ops (union = bottom-k of the
+    * merged sample; intersection via the matched fraction of the
+    * union sample — Beyer et al., SIGMOD'07), so N audiences yield
+    * N·(N−1)/2 overlap cells from N KB-scale sketches.
+    *
+    * Exactness regime (the gate's): while a pair's true union fits in
+    * k, the merged sketch IS the full hash set, both estimates are
+    * exact, and the DuckDB oracle recomputes them as plain distinct
+    * counts — the fixture's 150–1500 users sit far under k = 4096 at
+    * every SF, bench included. Past k the estimator branch takes over
+    * (integer floor arithmetic on the k-th smallest hash:
+    * est = (k−1)·2^48 div h_k; intersection scaled by the matched
+    * fraction) — pinned against exact truth within KMV's relative
+    * error in the spec, not the gate (estimates depend on k alone, so
+    * they stay deterministic, but writing a DuckDB twin of the whole
+    * estimator would certify arithmetic, not the operator).
+    *
+    * Scale shape: the sketch build is the bounded-heap TopKPerKey (no
+    * per-type sort); the pair stage crossJoins the O(types) one-row-
+    * per-type sketch table — bounded by design, the whole point of
+    * sketch algebra. */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 4096): DataFrame = {
+    val hashSpace = 1L << 48
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("skey"))
+      .distinct()
+    val path = graft.core.RunTemp.dir("graft_kmv_users_")
+    graft.plans.TopK.bottomKPerKey(ev, Seq("event_type"), "skey", k)
+      .write.mode("overwrite").parquet(path)
+    val sk = spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("skey"))).as("hs"))
+    val a = sk.select(col("event_type").as("type_a"), col("hs").as("ha"))
+    val b = sk.select(col("event_type").as("type_b"), col("hs").as("hb"))
+    val merged = a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .withColumn("m_all", sort_array(array_union(col("ha"), col("hb"))))
+      .withColumn("m", slice(col("m_all"), 1, k))
+      .withColumn("common",
+        size(array_intersect(array_intersect(col("m"), col("ha")), col("hb")))
+          .cast("long"))
+    merged.select(
+      col("type_a"), col("type_b"),
+      when(size(col("m_all")) < k, size(col("m_all")).cast("long"))
+        .otherwise(expr(s"(${k - 1}L * ${hashSpace}L) div element_at(m, $k)"))
+        .as("est_union"),
+      when(size(col("m_all")) < k, col("common"))
+        .otherwise(expr(s"(common * ((${k - 1}L * ${hashSpace}L) div element_at(m, $k))) div $k"))
+        .as("est_inter"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q53: 2-D SKYLINE (Pareto frontier) — the orders no other order
+    * beats on BOTH dimensions (price ≤, order date ≥, one strict):
+    * "cheapest for its recency". The naive formulation is the O(n²)
+    * dominance NOT EXISTS (that stays the oracle); the engine
+    * computes it from PER-DATE AGGREGATES instead: an order is on the
+    * frontier iff it carries its date's minimum price AND that price
+    * is strictly below every STRICTLY-LATER date's minimum (same-date
+    * cheaper rows dominate via strict price; later equal-price rows
+    * dominate via strict date; equal (price, date) twins don't
+    * dominate each other and all survive — exactly the NOT EXISTS
+    * semantics, proven case by case in RelationalSpec).
+    *
+    * Scale shape: one map-side-combined (date → min price) aggregate
+    * — O(distinct dates) rows, the calendar — one tiny suffix-min
+    * window over those dates, and one broadcast join back to the
+    * scan. Nothing pairwise ever materializes; the frontier of 100 TB
+    * of orders costs one aggregate + one broadcast probe. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_cents"))
+    val daily = o.groupBy("o_orderdate").agg(min("price_cents").as("dmin"))
+    // strictly-later suffix min: window over O(distinct dates) rows
+    val w = Window.orderBy(col("o_orderdate").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = daily.withColumn("min_later", min(col("dmin")).over(w))
+    o.join(broadcast(frontier), "o_orderdate")
+      .filter(col("price_cents") === col("dmin") &&
+        (col("min_later").isNull || col("price_cents") < col("min_later")))
+      .select("o_orderkey", "o_orderdate", "price_cents")
+      .orderBy("o_orderkey")
+  }
+
+  /** q54: DISTRIBUTION DRIFT between two time slices — per event
+    * type, the total-variation distance (in integer basis points)
+    * between the first and second half-month's distribution over
+    * `props.k` deciles, plus both slice populations. This is the
+    * data-quality monitor a recurring ingest needs (did this crawl's
+    * feature distribution shift against the last one?), kept fully
+    * integer — per-bucket shares floor to basis points, TV = Σ|Δ|/2 —
+    * so the statistic is bit-identical in any engine (the float-PSI
+    * ln() this replaces is not even order-independent).
+    *
+    * Scale shape: one map-side-combined (type, bucket) aggregate
+    * carrying both halves as conditional sums (no second scan, no
+    * join of two filtered passes), a per-type total, and a broadcast
+    * join — O(types × buckets) rows after the first aggregate. */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").as("bucket"),
+      (col("ts") < to_timestamp(lit("2024-01-16 00:00:00"))).as("fh"))
+    val agg = ev.groupBy("event_type", "bucket").agg(
+      sum(when(col("fh"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("fh"), 1L).otherwise(0L)).as("cb"))
+    val tot = agg.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    agg.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("na"), col("nb"),
+        abs(expr("ca * 10000 div na") - expr("cb * 10000 div nb")).as("d"))
+      .groupBy("event_type", "na", "nb")
+      .agg(expr("sum(d) div 2").as("tv_bp"))
+      .select(col("event_type"), col("na").as("n_first"),
+        col("nb").as("n_second"), col("tv_bp"))
+      .orderBy("event_type")
+  }
+
   /** Pivot: quantity totals per linestatus pivoted by returnflag —
     * oracle-expressed as CASE aggregation (identical output columns
     * A/N/R in both engines). */

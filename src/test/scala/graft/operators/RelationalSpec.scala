@@ -207,4 +207,72 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q53: per-date-aggregate skyline equals the pairwise dominance definition") {
+    // Hand-built frame exercising every case the rewrite must honor:
+    // same-date cheaper dominates, later equal-price dominates, equal
+    // (price, date) twins both survive, and the latest date survives
+    // unconditionally at its date-minimum.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      // (key, date, price)
+      (1L, "1995-01-01", 500L), (2L, "1995-01-01", 300L), // 1 dominated same-date
+      (3L, "1995-02-01", 300L),                           // dominates 2 (later, equal)
+      (4L, "1995-02-01", 300L),                           // twin of 3: both survive? no —
+                                                          // 3 and 4 are same date+price: neither dominates
+      (5L, "1995-03-01", 400L),                           // above 3's price but latest… dominated? no:
+                                                          // nothing later, but 3 has earlier date — no dominator ⇒ 5 needs
+                                                          // price < min_later(none) ⇒ survives iff date-min
+      (6L, "1995-03-01", 450L))                           // not its date's min ⇒ dominated by 5
+    val df = rows.toDF("o_orderkey", "d", "o_totalprice_c")
+      .select(col("o_orderkey"),
+        to_timestamp(col("d")).as("o_orderdate"),
+        (col("o_totalprice_c") / 100.0).as("o_totalprice"))
+    val tmp = graft.core.RunTemp.dir("graft_pareto_spec_")
+    df.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // reuse the real fixture's other tables? not needed — paretoFrontier
+    // only reads orders
+    val got = Relational.paretoFrontier(spark, tmp).collect()
+      .map(_.getLong(0)).toSet
+    // pairwise mirror
+    val dominated = rows.filter { a =>
+      rows.exists(b => b._3 <= a._3 && b._2 >= a._2 &&
+        (b._3 < a._3 || b._2 > a._2))
+    }.map(_._1).toSet
+    assert(got === rows.map(_._1).toSet -- dominated)
+    assert(got === Set(3L, 4L, 5L), "expected frontier {3,4,5}")
+  }
+
+  test("q52: KMV estimator regime stays within the standard relative error") {
+    // Force the estimator branch with a tiny k on the real fixture:
+    // union estimates must land within ~3/√k of exact truth, and the
+    // intersection estimate within the same band of the true overlap
+    // (looser in absolute terms — it scales the union estimate).
+    import org.apache.spark.sql.functions._
+    // sf0.01: 150 distinct users per type, so k = 64 < |union| forces
+    // the estimator on every pair (sf0.001's 15 users would stay exact)
+    val dir = "/root/testdata/sf0.01"
+    val k = 64
+    val est = Relational.kmvSetOps(spark, dir, k = k).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val t = graft.core.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val a = t.select(col("event_type").as("ta"), col("user_id"))
+    val b = t.select(col("event_type").as("tb"), col("user_id"))
+    val truth = a.join(b, Seq("user_id")).filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(countDistinct("user_id").as("inter"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val unions = a.select(col("ta"), col("user_id"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    est.foreach { case ((ta, tb), (eu, ei)) =>
+      val exactU = (unions(ta) ++ unions(tb)).size.toLong
+      val exactI = truth.getOrElse((ta, tb), 0L)
+      val tol = math.max(3.0 / math.sqrt(k) * exactU, 2.0)
+      assert(math.abs(eu - exactU) <= tol,
+        s"($ta,$tb): union est $eu vs exact $exactU beyond ±$tol")
+      assert(math.abs(ei - exactI) <= tol,
+        s"($ta,$tb): inter est $ei vs exact $exactI beyond ±$tol")
+    }
+  }
 }
