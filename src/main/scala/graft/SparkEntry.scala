@@ -233,6 +233,10 @@ object SparkEntry {
     "s11_late_data_dlq" -> (StreamingQueries.lateDataDlq _),
     "s06_stream_stream_join" -> (StreamingQueries.viewPurchaseJoin _),
     "s02_streaming_windowed_counts" -> (StreamingQueries.windowedEventCounts _),
+    // s12: native session_window + watermark (append) — the built-in
+    // merging-session-state twin of s03; oracle replays the gap rule
+    // and the final-watermark emission cut.
+    "s12_session_window" -> ((s, dir) => StreamingQueries.sessionWindowStream(s, dir)),
     "s03_stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionize(s, dir)),
     // North-star: dedup / text analysis / similarity / multimodal
@@ -2951,6 +2955,34 @@ object SparkEntry {
         |SELECT make_timestamp(ws_us) AS window_start, event_type, count(*) AS n
         |FROM w, wm WHERE ws_us + 21600000000 <= wm_us
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s12: gap sessionization with session_window's semantics — split
+    // at gap ≥ 30 min (end-exclusive windows), session end = last
+    // event + gap, and only sessions the final watermark (max ts −
+    // 1 h) has passed are emitted in append mode (the s02 rule).
+    "s12_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id
+        |                                 ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS BIGINT) AS sid
+        |  FROM s),
+        |agg AS (
+        |  SELECT user_id, min(us) AS start_us,
+        |    max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |  FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT max(us) - 3600000000 AS wm_us FROM ev)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM agg, wm WHERE end_us <= wm_us
+        |ORDER BY user_id, start_us""".stripMargin,
     // io round-trips: the oracle reads the ORIGINAL parquet tables —
     // a hash match therefore certifies the write→read round-trip
     // through each format was lossless, not just the final query.

@@ -44,7 +44,8 @@ object StreamingQueries {
     * schema and normalization this stream uses. Shared by every
     * streaming query (incl. StatefulSessions) so the
     * schema/ns-conversion logic lives in one place. */
-  private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[streaming] def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsPhysical = graft.core.Tables.load(spark, dir, "events").schema("ts").dataType
     // The declared schema above is sniffed from events.parquet, but
@@ -70,8 +71,9 @@ object StreamingQueries {
     // Glob, not a bare file path: the streaming file source requires a
     // directory basePath, and the non-glob prefix of a pattern (the sf
     // dir) satisfies it.
-    val raw = spark.readStream.schema(schema)
-      .parquet(s"$dir/events*.parquet")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(s"$dir/events*.parquet")
     tsPhysical match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        =>
@@ -449,6 +451,49 @@ object StreamingQueries {
     * watermark emit, which is exactly the late-data semantics a
     * continuous deployment would see. Not oracle-compared (DuckDB has
     * no watermark notion); asserted structurally in tests. */
+  /** s12: NATIVE session windows — `session_window(ts, gap)` with a
+    * watermark in append mode, the engine-built twin of s03's
+    * hand-rolled `flatMapGroupsWithState` sessionizer. Both exist on
+    * purpose: s03 demonstrates the custom-state surface (arbitrary
+    * per-session logic, counters, sentinels), this demonstrates that
+    * plain gap sessionization needs NONE of it — the built-in merging
+    * session state (dynamic-gap capable, state-store-evicted by the
+    * watermark) carries the whole query, and at 100 TB that is the
+    * version to run: no JVM object state per group, no custom
+    * timeout logic to get wrong.
+    *
+    * Emission semantics mirrored by the oracle exactly: a session is
+    * [min ts, last ts + gap) (overlap-merge ⟺ split when the gap to
+    * the previous event is ≥ 30 min — note `≥`, session_window's
+    * end-exclusive boundary, vs q19's `>` contract), and append mode
+    * emits precisely the sessions whose END the final watermark
+    * (global max ts − 1 h) has passed — the s02/s11 watermark-rule
+    * pattern. */
+  def sessionWindowStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val sink = s"stream_session_window_${nameCounter.incrementAndGet()}"
+      // spec knob: replay a multi-file fixture one file per micro-batch
+      // so sessions SPAN batches and the merge runs in the state store
+      val agg = eventsStream(scoped, dir, maxFilesPerTrigger)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainSorted(scoped, sink, "user_id", "start_us")
+    }
+
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 4) { scoped =>
       val sink = s"stream_windowed_counts_${nameCounter.incrementAndGet()}"

@@ -105,4 +105,53 @@ class StreamingQueriesSpec extends AnyFunSuite {
     val again = StreamingQueries.lateDataDlq(spark, dir).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("s12: sessions spanning micro-batch boundaries merge in the state store") {
+    // Split the fixture into two time-halves at the global MEDIAN
+    // event (so the cut lands mid-session for active users), replay
+    // one file per micro-batch in time order, and the emitted
+    // sessions must equal the single-batch run byte for byte — the
+    // cross-batch case is exactly what session_window's merging
+    // state exists for, and the single-file gate never exercises it.
+    val root = java.nio.file.Files.createTempDirectory("graft_s12_split").toString
+    val ev = Tables.events(spark, dir).orderBy("ts", "event_id").localCheckpoint(true)
+    val n = ev.count()
+    val cutUs = ev.select(unix_micros(col("ts")).as("us"))
+      .orderBy("us").limit((n / 2).toInt + 1)
+      .agg(max("us")).head().getLong(0)
+    val raw = spark.read.parquet(s"$dir/events.parquet") // physical rows, stream schema
+    val tsUs: org.apache.spark.sql.Column =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000") // nanos-as-long generation
+      else unix_micros(col("ts").cast("timestamp"))
+    raw.filter(tsUs <= cutUs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    raw.filter(tsUs > cutUs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/events_b.parquet")
+    // pin mtimes so the file source replays halves in time order
+    def touch(p: String, t: Long): Unit = {
+      val d = new java.io.File(p)
+      (d +: Option(d.listFiles()).getOrElse(Array.empty).toSeq)
+        .foreach(f => f.setLastModified(t))
+    }
+    val base = System.currentTimeMillis() - 120000
+    touch(s"$root/events.parquet", base)
+    touch(s"$root/events_b.parquet", base + 60000)
+    val multi = StreamingQueries
+      .sessionWindowStream(spark, root, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val single = StreamingQueries.sessionWindowStream(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(multi === single, "cross-batch session merge diverged from single-batch run")
+    // the cut must actually have split sessions: some user has events
+    // on both sides of cutUs closer than the 30-minute gap
+    val spanning = ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(max(when(col("us") <= cutUs, col("us"))).as("lastA"),
+        min(when(col("us") > cutUs, col("us"))).as("firstB"))
+      .filter(col("firstB") - col("lastA") < 1800000000L)
+      .count()
+    assert(spanning > 0, "fixture cut produced no cross-batch session — test proves nothing")
+    ev.unpersist(false)
+  }
 }
