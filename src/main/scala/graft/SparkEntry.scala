@@ -285,6 +285,10 @@ object SparkEntry {
     // cosine + greedy min-id keep; whole chain re-derived by the
     // oracle including the hot-cell guard.
     "d46_semantic_dedup"     -> ((s, dir) => NorthStar.semanticDedup(s, dir)),
+    // d47: cross-table fuzzy join (prefix-filtered R-S route) —
+    // planted queries vs the corpus; oracle is the exhaustive cross
+    // join, certifying the prefix route's exact recall on R-S.
+    "d47_fuzzy_join"         -> (NorthStar.fuzzyJoinPlanted _),
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
@@ -1462,6 +1466,45 @@ object SparkEntry {
         |SELECT id_a, id_b, floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // d47: the exhaustive R-S cross join — query side is the planted
+    // mutation table, corpus side the raw documents; same shingle
+    // construction and 4-dp quantization as d09. Algorithm-independent
+    // of the engine's prefix-filtered route, so the hash match is an
+    // exact-recall certificate for the R-S prefix path.
+    "d47_fuzzy_join" ->
+      """WITH q AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text
+        |  FROM documents WHERE doc_id < 40),
+        |c AS (SELECT doc_id, text FROM documents),
+        |tq AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM q WHERE text IS NOT NULL),
+        |tc AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM c WHERE text IS NOT NULL),
+        |sq AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tq),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tc),
+        |pq AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sq),
+        |pc AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sc),
+        |pairs AS (
+        |  SELECT a.doc_id AS query_id, b.doc_id AS corpus_id,
+        |    a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM pq a JOIN pc b ON a.g = b.g
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT query_id, corpus_id,
+        |  floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
+        |ORDER BY query_id, corpus_id""".stripMargin,
     // d37: canonicalize-then-link re-derived — same titles, same typo
     // plant (1-based inclusive slicing both engines), exact dedup to
     // min-id representatives, candidates from ANY shared 5-gram (a

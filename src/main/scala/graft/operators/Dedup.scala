@@ -564,6 +564,79 @@ object Dedup {
     * Σdf² explodes. Threshold matters too: at t = 0.4 the prefix
     * keeps ⌊0.6·|A|⌋+1 shingles — structurally weak pruning at any
     * corpus shape; the theorem's leverage is at high thresholds. */
+  /** CROSS-TABLE similarity join (R-S, not self): every (query,
+    * corpus) pair with shingle-Jaccard ≥ `threshold` — the fuzzy
+    * lookup behind record linkage, fuzzy enrichment, and
+    * query-against-corpus contamination checks, where the two sides
+    * are DIFFERENT tables and the self-join's `id_a < id_b`
+    * normalization doesn't apply (a query matches a corpus row, never
+    * another query).
+    *
+    * Scale shape — the PPJoin prefix principle in its R-S form: both
+    * sides index only the ⌊(1−t)·|X|⌋+1 globally-rarest shingles of
+    * each row (rarity = document frequency over the UNION of both
+    * sides, so the total order is consistent across sides — an
+    * inconsistent order voids the theorem), candidates come from one
+    * equi-join of the two prefix posting lists, and exact Jaccard
+    * verifies. Per-side prefix length ⌊(1−t)|X|⌋+1 is recall-exact
+    * for the cross join too: a match needs overlap ≥ t/(1+t)·(|A|+|B|)
+    * ≥ ⌈t·|X|⌉ for either side, so skipping beyond that bound on
+    * both sides cannot erase every shared shingle (same bound the
+    * d09/z02 self-join gate certifies). Shingles whose combined
+    * prefix-posting count exceeds `maxPosting` are dropped before the
+    * join — the documented hot-bucket trade (d09's): at fixture scale
+    * nothing trips it (the exhaustive oracle certifies exact recall);
+    * at 100 TB it is the quadratic-blowup valve.
+    *
+    * Output: (query_id, corpus_id, jaccard) — jaccard quantized to
+    * 4 dp exactly like the self-join surface. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
+    val scope = new CacheScope
+    def prep(df: DataFrame) = scope.pin(df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("set_size", size(col("shingles"))))
+    val l = prep(left)
+    val r = prep(right)
+    def postings(base: DataFrame) = base
+      .select(col("id"), col("set_size"), explode(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val pl = postings(l)
+    val pr = postings(r)
+    // one consistent rarity order across BOTH sides
+    val dfreq = pl.select("sh").unionByName(pr.select("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("__df"))
+    def prefix(p: DataFrame) = p.join(dfreq, Seq("sh"))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df").asc, col("sh").asc)))
+      // epsilon: same float-floor guard as the self-join route
+      .filter(col("__rank") <=
+        floor((lit(1.0) - threshold) * col("set_size") + lit(1e-9)) + 1)
+      .select(col("id"), col("sh"))
+    val lp = prefix(pl)
+    val rp = prefix(pr)
+    val hot = lp.select("sh").unionByName(rp.select("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPosting)
+      .select("sh")
+    val cands = lp.join(broadcast(hot), Seq("sh"), "left_anti")
+      .select(col("id").as("query_id"), col("sh"))
+      .join(rp.join(broadcast(hot), Seq("sh"), "left_anti")
+        .select(col("id").as("corpus_id"), col("sh")), Seq("sh"))
+      .select("query_id", "corpus_id")
+      .dropDuplicates("query_id", "corpus_id")
+    val withSets = cands
+      .join(l.select(col("id").as("query_id"), col("shingles").as("sh_a")),
+        Seq("query_id"))
+      .join(r.select(col("id").as("corpus_id"), col("shingles").as("sh_b")),
+        Seq("corpus_id"))
+    scope.sealResult(withSets
+      .withColumn("__j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("__j") >= threshold)
+      .withColumn("jaccard", graft.functions.Quantize.quantize4(col("__j")))
+      .select("query_id", "corpus_id", "jaccard"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.4, maxPosting: Int = 1000): DataFrame = {
     val scope = new CacheScope

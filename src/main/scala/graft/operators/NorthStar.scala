@@ -194,6 +194,26 @@ object NorthStar {
     * the scale path; route selection guidance lives in its scaladoc.
     * Equivalence of the two is spec-asserted on both corpus
     * shapes. */
+  /** d47: cross-table FUZZY JOIN — the mutated copies of the first 40
+    * docs (the planted near-dup set, as a standalone QUERY table)
+    * matched against the whole original corpus by 3-gram Jaccard ≥
+    * 0.4 through [[Dedup.fuzzyJoin]]'s prefix-filtered R-S route. The
+    * oracle is the EXHAUSTIVE cross join, so the hash match certifies
+    * the prefix route's exact recall on the R-S shape (d09 certifies
+    * the self-join shape); each planted query must at minimum recover
+    * its own original. */
+  def fuzzyJoinPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graftmark")).as("text"))
+      .repartition(widenWidth(spark), md5(col("text")))
+    val corpus = docs.repartition(widenWidth(spark), md5(col("text")))
+    Dedup.fuzzyJoin(queries, corpus, "doc_id", "text",
+      n = 3, threshold = 0.4)
+      .orderBy("query_id", "corpus_id")
+  }
+
   def ngramJaccardNearDups(spark: SparkSession, dir: String): DataFrame = {
     // caller's session (AQE on): the posting self-join is the one pair
     // stage where AQE's runtime broadcast/coalesce decisions beat the

@@ -399,4 +399,55 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fuzzyJoin: R-S semantics — brute-force equal, no query-query pairs, planted recovery") {
+    import spark.implicits._
+    // queries vs corpus with known overlaps; q2 and q3 are near-dups
+    // of each OTHER but must never pair (R-S, not self-join)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally unrelated content goes right here")).toDF("doc_id", "text")
+    val queries = Seq(
+      (11L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (12L, "one two three four five six seven"),    // exact dup of 2
+      (13L, "one two three four five six eight")).toDF("doc_id", "text") // near 2 AND 12
+    val got = Dedup.fuzzyJoin(queries, corpus, "doc_id", "text",
+      n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force mirror on word 3-shingles
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val expect = (for {
+      q <- Seq((11L, "alpha beta gamma delta epsilon eta"),
+        (12L, "one two three four five six seven"),
+        (13L, "one two three four five six eight"))
+      c <- Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six seven"),
+        (3L, "totally unrelated content goes right here"))
+      a = sh(q._2); b = sh(c._2)
+      j = a.intersect(b).size.toDouble / a.union(b).size
+      if j >= 0.4
+    } yield (q._1, c._1)).toSet
+    assert(got === expect)
+    assert(got.contains((12L, 2L)) && got.contains((11L, 1L)))
+    assert(!got.exists(p => p._1 > 10 && p._2 > 10), "no query-query pairs may appear")
+  }
+
+  test("fuzzyJoin: every planted query recovers its own original at high similarity") {
+    val got = NorthStar.fuzzyJoinPlanted(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(docs.nonEmpty)
+    docs.foreach { id =>
+      val j = got.get((id + 100000, id))
+      assert(j.exists(_ >= 0.4), s"planted query ${id + 100000} failed to recover doc $id")
+    }
+  }
 }
