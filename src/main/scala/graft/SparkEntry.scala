@@ -192,6 +192,10 @@ object SparkEntry {
     // inside the hash. Spec pins the zero-data-file + copy-on-write
     // properties the value check can't see.
     "p15_shallow_clone" -> ((s, _) => cocoaCloned(s)),
+    // p16: zero-copy column rename (column mapping) — logical names
+    // applied at read over unmoved bytes; oracle aliases the same
+    // columns.
+    "p16_column_rename" -> ((s, _) => cocoaRenamed(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -610,6 +614,24 @@ object SparkEntry {
     val dst = graft.core.RunTemp.dir("graft_clone_wh_", keep = 32)
     Warehouse.cloneShallow(spark, dirs.warehouse, dst)
     Warehouse.read(spark, dst).orderBy("shipment_id")
+  }
+
+  /** p16: METADATA-ONLY COLUMN RENAME. Clone the memoized warehouse
+    * (protecting the shared fixture), rename two columns — including
+    * the reserved-word-shaped `timestamp` — as a zero-copy mapped
+    * commit, and read under logical names. The p01-oracle hash with
+    * aliased columns certifies both that the mapping applied and that
+    * no byte of data moved; a second rename on the SAME root composes
+    * maps (never stacks), exercised in WarehouseSpec. */
+  private def cocoaRenamed(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    val dst = graft.core.RunTemp.dir("graft_rename_wh_", keep = 32)
+    Warehouse.cloneShallow(spark, dirs.warehouse, dst)
+    Warehouse.renameColumns(spark, dst, Map(
+      "shipment_value_usd" -> "trade_value_usd",
+      "timestamp" -> "event_ts"))
+    Warehouse.readMapped(spark, dst).orderBy("shipment_id")
   }
 
   /** p14: WRITE-AUDIT-PUBLISH. A poisoned copy of the warehouse
@@ -2824,6 +2846,12 @@ object SparkEntry {
     // p15: reading through the clone pointer must reproduce the full
     // warehouse byte-for-byte — p01's oracle verbatim.
     "p15_shallow_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "p16_column_rename" -> cocoaOracle(
+      """SELECT shipment_id, "timestamp" AS event_ts, farm_id, region,
+        |  bean_type, quality_score, shipment_weight_kg,
+        |  temperature_celsius, shipment_value_usd AS trade_value_usd,
+        |  processed_at
+        |FROM wh ORDER BY shipment_id""".stripMargin),
     // p07: re-derive BOTH versions (v0 = batch 1 alone, v1 = LWW over
     // both) and diff them column-null-safely — mirrors
     // Warehouse.diffFrames: inserts/updates carry the NEW row, deletes

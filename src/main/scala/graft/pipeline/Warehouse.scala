@@ -273,6 +273,158 @@ object Warehouse {
     }
   }
 
+  /** Marker file a column-mapped version dir carries alongside its
+    * `_CLONE` pointer: tab-separated `physical<TAB>logical` lines,
+    * one per renamed column. */
+  private val mappingFile = "_MAPPING"
+
+  /** RENAME COLUMNS as a METADATA-ONLY commit — Delta's column-mapping
+    * rename without rewriting a byte: the new version is a shallow
+    * pointer to the current snapshot's data directory plus a
+    * physical→logical name map applied at read time ([[readMapped]]).
+    * At 100 TB a rename that rewrites is an outage; this is O(1).
+    *
+    * Era semantics match the additive-evolution contract: the map
+    * belongs to the VERSION. Time travel to a pre-rename version
+    * shows the old names; the mapped version shows new names over the
+    * same bytes; a LATER commit writes its (logical) names as
+    * physical ones and carries no map — so maps never chain past one
+    * hop ([[renameColumns]] composes an existing map instead of
+    * stacking a second, exactly like clone-of-clone flattening).
+    *
+    * Refused loudly when the current version carries deletion vectors
+    * (the DV set is keyed by version; the mapped version would
+    * resurrect deleted rows — applyDv first; same rule as
+    * [[cloneShallow]]). `renames` keys are CURRENT LOGICAL names;
+    * unknown keys and target collisions fail before anything
+    * publishes. Publication rides the full commit protocol (lease,
+    * private staging, fencing, atomic rename, pointer swap). */
+  def renameColumns(spark: SparkSession, root: String,
+      renames: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+    require(renames.nonEmpty, "renameColumns: empty rename set")
+    val fs = Ingest.fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"renameColumns: no committed snapshot under $root"))
+    if (dvPartDirs(fs, root, cur).nonEmpty)
+      throw new IllegalStateException(
+        s"renameColumns: $root v$cur carries deletion vectors; the mapped" +
+          " version would resurrect deleted rows — applyDv first")
+    val existing = columnMapping(fs, root, cur) // physical → logical
+    val physicalNames = schema.fieldNames.toSeq
+    val logicalOf: Map[String, String] =
+      physicalNames.map(p => p -> existing.getOrElse(p, p)).toMap
+    val logicalNames = physicalNames.map(logicalOf)
+    renames.keys.foreach(k => require(logicalNames.contains(k),
+      s"renameColumns: no column named '$k' (logical columns:" +
+        s" ${logicalNames.mkString(", ")})"))
+    val composed: Map[String, String] = physicalNames.map { p =>
+      val l = logicalOf(p)
+      p -> renames.getOrElse(l, l)
+    }.toMap
+    val finalNames = physicalNames.map(composed)
+    require(finalNames.distinct.size == finalNames.size,
+      s"renameColumns: rename set collides — resulting columns" +
+        s" ${finalNames.mkString(", ")} are not distinct")
+    val target = dataPath(spark, root, cur) // flattens clone chains + validates
+    fs.mkdirs(new Path(root))
+    val lock = new Path(root, lockFile)
+    val holderId = java.util.UUID.randomUUID().toString
+    acquireLease(fs, lock, holderId, lockTtlMs)
+    var staging: Option[Path] = None
+    try {
+      val pointerAtAcquire = pointerVersion(fs, root)
+      if (pointerAtAcquire != Some(cur))
+        throw new IllegalStateException(
+          s"renameColumns fenced: derived from v$cur but $versionFile reads" +
+            s" $pointerAtAcquire — a commit interleaved; retry")
+      val next = (currentVersion(spark, root).toSeq ++
+        completeSnapshots(spark, root)).maxOption.map(_ + 1).getOrElse(0L)
+      val stage = new Path(root, s".v${next}_$holderId")
+      staging = Some(stage)
+      fs.mkdirs(stage)
+      val mk = fs.create(new Path(stage, clonePointer), true)
+      try mk.write(target.getBytes(StandardCharsets.UTF_8)) finally mk.close()
+      val mp = fs.create(new Path(stage, mappingFile), true)
+      try mp.write(composed.filter { case (p, l) => p != l }.toSeq.sorted
+        .map { case (p, l) => s"$p\t$l" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally mp.close()
+      fs.create(new Path(stage, "_SUCCESS"), true).close()
+      if (!readLease(fs, lock).exists(_.holderId == holderId))
+        throw new IllegalStateException(
+          s"renameColumns fenced: lease on $lock was reclaimed; v$next unpublished")
+      if (pointerVersion(fs, root) != pointerAtAcquire)
+        throw new IllegalStateException(
+          s"renameColumns fenced: $versionFile advanced past $pointerAtAcquire;" +
+            s" v$next unpublished")
+      val tgt = new Path(versionPath(root, next))
+      if (fs.exists(tgt)) {
+        if (fs.exists(new Path(tgt, "_SUCCESS")))
+          throw new IllegalStateException(
+            s"renameColumns fenced: complete snapshot $tgt appeared during this" +
+              " rename (concurrent writer?); aborting unpublished")
+        fs.delete(tgt, true)
+      }
+      if (!fs.rename(stage, tgt))
+        throw new IllegalStateException(
+          s"renameColumns failed: could not publish $stage as $tgt")
+      staging = None
+      val tmp = new Path(root, s".$versionFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(root).toUri, fs.getConf)
+      fc.rename(tmp, new Path(root, versionFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      next
+    } finally {
+      staging.foreach(s => try fs.delete(s, true)
+        catch { case _: java.io.IOException => () })
+      if (readLease(fs, lock).exists(_.holderId == holderId))
+        fs.delete(lock, false)
+    }
+  }
+
+  /** Version `v`'s physical→logical column map; empty when the
+    * version was never renamed (then logical ≡ physical). */
+  private def columnMapping(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Map[String, String] = {
+    val p = new Path(versionPath(root, v), mappingFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(phys, logical) = line.split("\t", 2)
+        phys -> logical
+      }.toMap
+    }
+  }
+
+  /** Read version `v` (default: current) under its LOGICAL column
+    * names — the data files' physical schema plus the version's
+    * rename map. Reading a version with no map is exactly [[read]]. */
+  def readMapped(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val m = columnMapping(Ingest.fs(spark, root), root, v)
+    val raw = spark.read.schema(schema).parquet(dataPath(spark, root, v))
+    if (m.isEmpty) raw
+    else raw.select(schema.fieldNames.toSeq
+      .map(p => col(s"`$p`").as(m.getOrElse(p, p))): _*)
+  }
+
   /** Read the committed snapshot; empty (schema'd) DataFrame if the
     * warehouse has never been committed. The expected schema is passed
     * explicitly — skipping parquet schema inference (a one-task
