@@ -196,6 +196,10 @@ object SparkEntry {
     // applied at read over unmoved bytes; oracle aliases the same
     // columns.
     "p16_column_rename" -> ((s, _) => cocoaRenamed(s)),
+    // p17: SCD Type-2 history merge — overlapping batches close and
+    // reopen validity intervals; every interval re-derived by the
+    // oracle from the landing CSVs.
+    "p17_scd2_history" -> ((s, _) => cocoaScd2(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -882,6 +886,54 @@ object SparkEntry {
     // Read the committed snapshot on the CALLER's session: the result
     // feeds p02-p04's analytics, which should plan with its conf.
     Warehouse.read(spark, dirs.warehouse).orderBy("shipment_id")
+  }
+
+  /** p17: SCD TYPE-2 dimension history. Two landing batches with
+    * OVERLAPPING key ranges (ids 0–499 then 250–749, different seeds
+    * so every overlapping row's business image changes): batch 1
+    * bootstraps the history, batch 2 closes the 250 changed rows and
+    * opens their new images plus the 250 brand-new keys, all through
+    * [[graft.pipeline.Merge.scd2Merge]], committed as warehouse
+    * versions. The oracle re-derives every validity interval from the
+    * same landing CSVs. Runs AFTER the memoized p01 pipeline (which
+    * wipes the shared oracle-input dir) so its s1/s2 CSV copies
+    * survive until the DuckDB compare. */
+  private val scd2Schema = org.apache.spark.sql.types.StructType(
+    graft.pipeline.CocoaSchema.warehouse.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("valid_from_ms",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("valid_to_ms",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("is_current",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+
+  private def cocoaScd2(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark) // force the memoized run (and its input-dir wipe) FIRST
+    val scoped = pipelineSession(spark)
+    val root = Files.createTempDirectory("cocoa_scd2").toString
+    CocoaGen.writeLandingFiles(scoped, s"$root/l1", 2, 250, seed = 61, idOffset = 0)
+    copyCsvs(s"$root/l1", s"$cocoaOracleIn/s1")
+    CocoaGen.writeLandingFiles(scoped, s"$root/l2", 2, 250, seed = 62, idOffset = 250)
+    copyCsvs(s"$root/l2", s"$cocoaOracleIn/s2")
+    val t1 = 1700000000000L
+    val t2 = 1700000100000L
+    def enriched(landing: String, ms: Long) = {
+      val (df, _) = graft.pipeline.Ingest.ingest(scoped, landing)
+      graft.pipeline.Enrich.enrich(df.get, new Timestamp(ms))
+    }
+    val cmp = graft.pipeline.CocoaSchema.input.fieldNames.filterNot(_ == "shipment_id").toSeq :+
+      "shipment_value_usd"
+    val whRoot = s"$root/scd2wh"
+    val v0 = graft.pipeline.Merge.scd2Init(enriched(s"$root/l1", t1),
+      graft.pipeline.CocoaSchema.mergeKey, t1, col("processed_at"), Seq(col("timestamp")))
+    Warehouse.commit(scoped, whRoot, v0)
+    val v1 = graft.pipeline.Merge.scd2Merge(
+      Warehouse.read(scoped, whRoot, scd2Schema),
+      enriched(s"$root/l2", t2),
+      graft.pipeline.CocoaSchema.mergeKey, cmp, t2, col("processed_at"), Seq(col("timestamp")))
+    Warehouse.commit(scoped, whRoot, v1)
+    Warehouse.read(spark, whRoot, scd2Schema)
+      .orderBy("shipment_id", "valid_from_ms")
   }
 
   /** d15's oracle, with the aggregate's permutation seeds inlined as
@@ -2846,6 +2898,51 @@ object SparkEntry {
     // p15: reading through the clone pointer must reproduce the full
     // warehouse byte-for-byte — p01's oracle verbatim.
     "p15_shallow_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // p17: every SCD2 validity interval re-derived from the landing
+    // CSVs — per-batch LWW enrichment, null-safe business compare to
+    // find the changed keys, then the three interval classes (closed,
+    // carried-open, newly-opened) as explicit unions.
+    "p17_scd2_history" -> {
+      def enrich(name: String, src: String): String =
+        s"""$name AS (
+           |  SELECT shipment_id, "timestamp", farm_id, region, bean_type,
+           |    quality_score, shipment_weight_kg, temperature_celsius,
+           |    shipment_weight_kg * 2.5 AS shipment_value_usd, processed_at
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY shipment_id
+           |          ORDER BY processed_at DESC, "timestamp" DESC) AS rn
+           |        FROM $src) WHERE rn = 1)""".stripMargin
+      val same = Seq("timestamp", "farm_id", "region", "bean_type",
+          "quality_score", "shipment_weight_kg", "temperature_celsius",
+          "shipment_value_usd")
+        .map(c => s"""a."$c" IS NOT DISTINCT FROM b."$c"""")
+        .mkString(" AND\n      ")
+      val cols = """shipment_id, "timestamp", farm_id, region, bean_type,
+                   |  quality_score, shipment_weight_kg, temperature_celsius,
+                   |  shipment_value_usd, processed_at""".stripMargin
+      s"""WITH s1 AS (${cocoaBatchSql("s1", "2023-11-14 22:13:20")}),
+         |s2 AS (${cocoaBatchSql("s2", "2023-11-14 22:15:00")}),
+         |${enrich("e1", "s1")},
+         |${enrich("e2", "s2")},
+         |chg AS (
+         |  SELECT a.shipment_id FROM e1 a JOIN e2 b USING (shipment_id)
+         |  WHERE NOT ($same))
+         |SELECT * FROM (
+         |  SELECT $cols,
+         |    CAST(1700000000000 AS BIGINT) AS valid_from_ms,
+         |    CAST(1700000100000 AS BIGINT) AS valid_to_ms,
+         |    FALSE AS is_current
+         |  FROM e1 WHERE shipment_id IN (SELECT shipment_id FROM chg)
+         |  UNION ALL
+         |  SELECT $cols,
+         |    CAST(1700000000000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |  FROM e1 WHERE shipment_id NOT IN (SELECT shipment_id FROM chg)
+         |  UNION ALL
+         |  SELECT $cols,
+         |    CAST(1700000100000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |  FROM e2 WHERE shipment_id IN (SELECT shipment_id FROM chg)
+         |     OR shipment_id NOT IN (SELECT shipment_id FROM e1))
+         |ORDER BY shipment_id, valid_from_ms""".stripMargin
+    },
     "p16_column_rename" -> cocoaOracle(
       """SELECT shipment_id, "timestamp" AS event_ts, farm_id, region,
         |  bean_type, quality_score, shipment_weight_kg,

@@ -171,4 +171,89 @@ object Merge {
       broadcastKeys: Boolean = true): DataFrame =
     upsert(target, updates, CocoaSchema.mergeKey,
       col("processed_at"), Seq(col("timestamp")), broadcastKeys = broadcastKeys)
+
+  /** SLOWLY-CHANGING-DIMENSION TYPE 2 merge — the history-preserving
+    * alternative to [[upsert]]'s last-writer-wins: instead of
+    * overwriting a changed row, the open row is CLOSED (its
+    * `valid_to_ms` stamped with the batch time) and the new image
+    * opens a fresh interval. The result is a full validity-interval
+    * history ("what did this dimension row say at time T?" answers
+    * with one `valid_from_ms <= T < coalesce(valid_to_ms, ∞)`
+    * predicate), which LWW destroys by construction.
+    *
+    * Semantics per batch (applied atomically, `batchMs` = the batch's
+    * audit time):
+    *  - the batch is LWW-deduped WITHIN itself by `ord`/`tieBreakers`
+    *    first (same rule as [[lastWriterWins]]);
+    *  - an open row whose key is absent from the batch: untouched
+    *    (absence is not deletion — SCD2 deletions are an explicit
+    *    soft-close, out of this operator's scope);
+    *  - an open row whose batch image is BUSINESS-identical (every
+    *    `compareCols` equal, null-safely): untouched — a re-land that
+    *    only refreshed the audit stamp must not mint history;
+    *  - changed: the open row closes (`valid_to_ms = batchMs`,
+    *    `is_current = false`) and the batch image opens
+    *    (`valid_from_ms = batchMs`, open-ended, current);
+    *  - brand-new key: opens at `batchMs`;
+    *  - already-closed history rows pass through untouched.
+    *
+    * Scale shape: one hash join of the OPEN slice against the deduped
+    * batch on the key (the closed history never joins — it unions
+    * straight through; on a [[Warehouse.commitBucketed]] layout even
+    * that join is exchange-free), with the change test one null-safe
+    * packed-struct compare, the [[Warehouse.diffImages]] trick — no
+    * per-column join width, no window over the history. */
+  def scd2Merge(target: DataFrame, batch: DataFrame, key: String,
+      compareCols: Seq[String], batchMs: Long, ord: Column,
+      tieBreakers: Seq[Column] = Seq.empty): DataFrame = {
+    require(compareCols.nonEmpty, "scd2Merge needs at least one compare column")
+    val bizCols = batch.columns.toSeq
+    require(!bizCols.exists(Seq("valid_from_ms", "valid_to_ms", "is_current").contains),
+      "batch must carry business columns only — validity columns are the operator's")
+    require(compareCols.forall(bizCols.contains),
+      s"compareCols ${compareCols.mkString(",")} must all be batch columns")
+    require(target.columns.toSet ==
+      (bizCols ++ Seq("valid_from_ms", "valid_to_ms", "is_current")).toSet,
+      s"target must be batch columns + validity triple, got" +
+        s" [${target.columns.mkString(",")}] vs batch [${bizCols.mkString(",")}]")
+    val deduped = lastWriterWins(batch, key, ord, tieBreakers)
+    val closedHistory = target.filter(!col("is_current"))
+    val open = target.filter(col("is_current"))
+    // open ⟕ batch on the key; batch rows carry their full image twice
+    // (compare struct + columns) so no second join re-attaches them
+    val b = deduped.select(col(key).as("__bk"),
+      struct(compareCols.map(col): _*).as("__bcmp"),
+      struct(bizCols.map(col): _*).as("__bimg"))
+    val o = open.select(col("*"), struct(compareCols.map(col): _*).as("__ocmp"))
+    val j = o.join(b, o(key) === b("__bk"), "full_outer")
+    val matchedChanged = col("__bk").isNotNull && col(key).isNotNull &&
+      !(col("__ocmp") <=> col("__bcmp"))
+    val openKept = j.filter(col(key).isNotNull &&
+        (col("__bk").isNull || (col("__ocmp") <=> col("__bcmp"))))
+      .select(target.columns.map(col): _*)
+    val closedNow = j.filter(matchedChanged)
+      .select(target.columns.map {
+        case "valid_to_ms" => lit(batchMs).as("valid_to_ms")
+        case "is_current"  => lit(false).as("is_current")
+        case c             => col(c)
+      }: _*)
+    val openedNow = j.filter(col("__bk").isNotNull &&
+        (col(key).isNull || matchedChanged))
+      .select(bizCols.map(c => col(s"__bimg.`$c`").as(c)) ++ Seq(
+        lit(batchMs).as("valid_from_ms"),
+        lit(null).cast("long").as("valid_to_ms"),
+        lit(true).as("is_current")): _*)
+      .select(target.columns.map(col): _*)
+    closedHistory.unionByName(openKept).unionByName(closedNow)
+      .unionByName(openedNow)
+  }
+
+  /** Bootstrap an SCD2 table from a first batch: every (LWW-deduped)
+    * row opens at `batchMs`. */
+  def scd2Init(batch: DataFrame, key: String, batchMs: Long, ord: Column,
+      tieBreakers: Seq[Column] = Seq.empty): DataFrame =
+    lastWriterWins(batch, key, ord, tieBreakers)
+      .withColumn("valid_from_ms", lit(batchMs))
+      .withColumn("valid_to_ms", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
 }

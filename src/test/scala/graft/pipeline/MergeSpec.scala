@@ -150,4 +150,74 @@ class MergeSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
     assert(messages(e).exists(_.contains("duplicate key rows")), e.getMessage)
   }
+
+  // ---- SCD Type-2 ----
+
+  private def scd2Rows(df: DataFrame): Set[(String, Double, Long, Option[Long], Boolean)] =
+    df.collect().map(r => (r.getString(0), r.getDouble(2),
+      r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      r.getBoolean(5))).toSet
+
+  test("scd2: change closes the old interval and opens a new one; new keys open; absent keys persist") {
+    val b1 = Seq(("a", 1L, 10.0), ("b", 1L, 20.0), ("c", 1L, 30.0)).toDF("k", "ord", "v")
+    val t0 = Merge.scd2Init(b1, "k", 100L, col("ord"))
+    // batch 2: a changes, b absent, c unchanged (new ord but same v), d new
+    val b2 = Seq(("a", 2L, 11.0), ("c", 2L, 30.0), ("d", 2L, 40.0)).toDF("k", "ord", "v")
+    val t1 = Merge.scd2Merge(t0, b2, "k", Seq("v"), 200L, col("ord"))
+    assert(scd2Rows(t1) === Set(
+      ("a", 10.0, 100L, Some(200L), false), // closed
+      ("a", 11.0, 200L, None, true),        // reopened with the new image
+      ("b", 20.0, 100L, None, true),        // absent from batch: untouched
+      ("c", 30.0, 100L, None, true),        // business-identical: no history minted
+      ("d", 40.0, 200L, None, true)))       // new key opens at t2
+  }
+
+  test("scd2: a third batch stacks history; closed rows pass through untouched") {
+    val t0 = Merge.scd2Init(Seq(("a", 1L, 1.0)).toDF("k", "ord", "v"), "k", 10L, col("ord"))
+    val t1 = Merge.scd2Merge(t0, Seq(("a", 2L, 2.0)).toDF("k", "ord", "v"),
+      "k", Seq("v"), 20L, col("ord"))
+    val t2 = Merge.scd2Merge(t1, Seq(("a", 3L, 3.0)).toDF("k", "ord", "v"),
+      "k", Seq("v"), 30L, col("ord"))
+    assert(scd2Rows(t2) === Set(
+      ("a", 1.0, 10L, Some(20L), false),
+      ("a", 2.0, 20L, Some(30L), false),
+      ("a", 3.0, 30L, None, true)))
+    // as-of reads resolve each era with one interval predicate
+    def asOf(t: Long): Double = t2.filter(col("valid_from_ms") <= t &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > t))
+      .head().getDouble(2)
+    assert(asOf(15L) === 1.0 && asOf(25L) === 2.0 && asOf(35L) === 3.0)
+  }
+
+  test("scd2: within-batch LWW dedup applies before the merge") {
+    val t0 = Merge.scd2Init(Seq(("a", 1L, 1.0)).toDF("k", "ord", "v"), "k", 10L, col("ord"))
+    // two images of `a` in one batch: only the latest (ord=3) lands
+    val t1 = Merge.scd2Merge(t0,
+      Seq(("a", 2L, 98.0), ("a", 3L, 99.0)).toDF("k", "ord", "v"),
+      "k", Seq("v"), 20L, col("ord"))
+    assert(scd2Rows(t1) === Set(
+      ("a", 1.0, 10L, Some(20L), false),
+      ("a", 99.0, 20L, None, true)))
+  }
+
+  test("scd2: null-safe business compare — null → value and value → null both mint history") {
+    val b1 = Seq(("a", 1L, Some(1.0)), ("b", 1L, Option.empty[Double]))
+      .toDF("k", "ord", "v")
+    val t0 = Merge.scd2Init(b1, "k", 10L, col("ord"))
+    val b2 = Seq(("a", 2L, Option.empty[Double]), ("b", 2L, Some(2.0)))
+      .toDF("k", "ord", "v")
+    val t1 = Merge.scd2Merge(t0, b2, "k", Seq("v"), 20L, col("ord"))
+    val cur = t1.filter(col("is_current")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(cur === Map("a" -> None, "b" -> Some(2.0)))
+    assert(t1.filter(!col("is_current")).count() === 2)
+  }
+
+  test("scd2: schema misuse fails loudly") {
+    val t0 = Merge.scd2Init(Seq(("a", 1L, 1.0)).toDF("k", "ord", "v"), "k", 10L, col("ord"))
+    val e = intercept[IllegalArgumentException] {
+      Merge.scd2Merge(t0, t0, "k", Seq("v"), 20L, col("ord"))
+    }
+    assert(e.getMessage.contains("business columns only"))
+  }
 }
