@@ -192,8 +192,15 @@ object Graph {
     // inside each task's array intersection here.
     val adj = oriented.groupBy(col("src").as("node"))
       .agg(collect_list(col("dst")).as("nbrs"))
-    val withAdj = oriented
-      .join(adj.select(col("node").as("src"), col("nbrs").as("na")), "src")
+    // Re-derive each (src, dst) edge by EXPLODING the adjacency row
+    // itself: the src side's array rides the explode for free, so
+    // only ONE m-row array-carrying join remains (attaching the dst
+    // side) instead of two — the edge list never joins back to its
+    // own adjacency index. Oriented edges are distinct, so the
+    // explode reproduces the edge set exactly.
+    val withAdj = adj
+      .select(col("node").as("src"), col("nbrs").as("na"),
+        explode(col("nbrs")).as("dst"))
       .join(adj.select(col("node").as("dst"), col("nbrs").as("nb")), "dst")
       .select(col("src"), col("dst"),
         array_intersect(col("na"), col("nb")).as("common"))
