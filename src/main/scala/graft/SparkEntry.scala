@@ -200,6 +200,9 @@ object SparkEntry {
     // reopen validity intervals; every interval re-derived by the
     // oracle from the landing CSVs.
     "p17_scd2_history" -> ((s, _) => cocoaScd2(s)),
+    // p18: clustered compaction (OPTIMIZE ZORDER + zone-map sidecar)
+    // — layout-only rewrite, content hash-pinned to the p01 oracle.
+    "p18_clustered_compaction" -> ((s, _) => cocoaClusteredCompaction(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -245,6 +248,9 @@ object SparkEntry {
     // merging-session-state twin of s03; oracle replays the gap rule
     // and the final-watermark emission cut.
     "s12_session_window" -> ((s, dir) => StreamingQueries.sessionWindowStream(s, dir)),
+    // s13: stream-static broadcast enrichment — the stateless third
+    // join topology; oracle is the plain batch join.
+    "s13_stream_static_join" -> (StreamingQueries.segmentEnrichedCounts _),
     "s03_stateful_sessions" -> ((s, dir) =>
       graft.streaming.StatefulSessions.sessionize(s, dir)),
     // North-star: dedup / text analysis / similarity / multimodal
@@ -934,6 +940,22 @@ object SparkEntry {
     Warehouse.commit(scoped, whRoot, v1)
     Warehouse.read(spark, whRoot, scd2Schema)
       .orderBy("shipment_id", "valid_from_ms")
+  }
+
+  /** p18: CLUSTERED COMPACTION (OPTIMIZE + ZORDER + zone-map). Clone
+    * the memoized warehouse, rewrite it z-ordered on (quality_score,
+    * shipment_weight_kg) at a file size that forces a real multi-file
+    * layout, and read the result — the p01-oracle hash certifies the
+    * rewrite moved bytes but changed none. The selectivity win the
+    * layout exists for is measured in ClusteredCompactionSpec. */
+  private def cocoaClusteredCompaction(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    val dst = graft.core.RunTemp.dir("graft_cluster_wh_", keep = 32)
+    Warehouse.cloneShallow(spark, dirs.warehouse, dst)
+    Warehouse.compactClustered(spark, dst,
+      "quality_score", "shipment_weight_kg", targetFileBytes = 16L * 1024)
+    Warehouse.read(spark, dst).orderBy("shipment_id")
   }
 
   /** d15's oracle, with the aggregate's permutation seeds inlined as
@@ -2898,6 +2920,7 @@ object SparkEntry {
     // p15: reading through the clone pointer must reproduce the full
     // warehouse byte-for-byte — p01's oracle verbatim.
     "p15_shallow_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "p18_clustered_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p17: every SCD2 validity interval re-derived from the landing
     // CSVs — per-batch LWW enrichment, null-safe business compare to
     // find the changed keys, then the three interval classes (closed,
@@ -3123,6 +3146,15 @@ object SparkEntry {
         |SELECT make_timestamp(ws_us) AS window_start, event_type, count(*) AS n
         |FROM w, wm WHERE ws_us + 21600000000 <= wm_us
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s13: the enrichment join recomputed as a plain batch join —
+    // exact integer cents quantized per row before the sum.
+    "s13_stream_static_join" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type
+        |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
     // s12: gap sessionization with session_window's semantics — split
     // at gap ≥ 30 min (end-exclusive windows), session end = last
     // event + gap, and only sessions the final watermark (max ts −

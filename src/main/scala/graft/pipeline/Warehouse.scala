@@ -1046,6 +1046,44 @@ object Warehouse {
     }
   }
 
+  /** CLUSTERED COMPACTION — [[compact]]'s layout rewrite upgraded to
+    * the full maintenance op a 100 TB table actually schedules
+    * (Delta's `OPTIMIZE ... ZORDER BY`): the snapshot is rewritten
+    * Z-ORDERED on two query columns (range-partitioned on the Morton
+    * interleave, sorted within files — [[graft.operators.Zorder
+    * .cluster]]) and the published version immediately gets a
+    * [[graft.sources.ZoneMap]] sidecar over those columns. Content is
+    * byte-identical (layout only — the p18 gate hashes it against the
+    * pre-compaction oracle); what changes is SELECTIVITY: on a
+    * z-clustered layout each file covers a narrow (colA, colB)
+    * rectangle, so the zone map prunes range scans to a handful of
+    * files where the unclustered layout reads all of them (measured
+    * in RenameSpec's sibling ClusteredCompactionSpec). Same
+    * read-modify-write fencing as [[compact]]; the zone map is built
+    * AFTER publish, so a reader between publish and index lands on
+    * the plain (index-less) path, never a stale index (build is
+    * create-only; [[graft.sources.ZoneMap.refresh]] maintains it
+    * across appends). */
+  def compactClustered(spark: SparkSession, root: String,
+      colA: String, colB: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
+    require(targetFileBytes >= 1L,
+      s"targetFileBytes must be >= 1, got $targetFileBytes")
+    currentVersion(spark, root).map { cur =>
+      val snap = dataPath(spark, root, cur)
+      val bytes = Ingest.fs(spark, snap).getContentSummary(new Path(snap)).getLength
+      val n = math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
+      val df = spark.read.parquet(snap)
+      val v = commit(spark, root,
+        graft.operators.Zorder.cluster(df, colA, colB, n.toInt),
+        lockTtlMs, expectedCurrent = Some(Some(cur)))
+      graft.sources.ZoneMap.build(spark, dataPath(spark, root, v),
+        df.schema, Seq(colA, colB))
+      v
+    }
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
       minAgeMs: Long = 0L): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")

@@ -494,6 +494,35 @@ object StreamingQueries {
       drainSorted(scoped, sink, "user_id", "start_us")
     }
 
+  /** s13: STREAM-STATIC enrichment join — the third join topology
+    * (s06 covers stream-stream, the dedup/gate queries cover
+    * stream-vs-broadcast-set): an unbounded event stream joined to a
+    * bounded dimension table (customers) that Spark re-plans per
+    * micro-batch as a plain broadcast hash join with NO join state at
+    * all. That statelessness is the point at 100 TB/day: enriching a
+    * firehose against a dimension costs exactly one broadcast per
+    * batch, no watermark, no store. Aggregated per (market segment,
+    * event type) with exact integer cents. */
+  def segmentEnrichedCounts(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val sink = s"stream_segment_counts_${nameCounter.incrementAndGet()}"
+      val dim = graft.core.Tables.customer(scoped, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(scoped, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("value_cents"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainSorted(scoped, sink, "c_mktsegment", "event_type")
+    }
+
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark, 4) { scoped =>
       val sink = s"stream_windowed_counts_${nameCounter.incrementAndGet()}"
