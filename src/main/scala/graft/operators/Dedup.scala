@@ -604,8 +604,8 @@ object Dedup {
     val pl = postings(l)
     val pr = postings(r)
     // one consistent rarity order across BOTH sides
-    val dfreq = pl.select("sh").unionByName(pr.select("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("__df"))
+    val dfreq = scope.pin(pl.select("sh").unionByName(pr.select("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("__df")))
     def prefix(p: DataFrame) = p.join(dfreq, Seq("sh"))
       .withColumn("__rank", row_number().over(
         Window.partitionBy("id").orderBy(col("__df").asc, col("sh").asc)))
@@ -613,8 +613,10 @@ object Dedup {
       .filter(col("__rank") <=
         floor((lit(1.0) - threshold) * col("set_size") + lit(1e-9)) + 1)
       .select(col("id"), col("sh"))
-    val lp = prefix(pl)
-    val rp = prefix(pr)
+    // each side's prefix is read twice (hot-bucket census + candidate
+    // join) — pin both, or the join+window chain runs twice per side
+    val lp = scope.pin(prefix(pl))
+    val rp = scope.pin(prefix(pr))
     val hot = lp.select("sh").unionByName(rp.select("sh"))
       .groupBy("sh").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxPosting)
