@@ -423,6 +423,10 @@ object SparkEntry {
     // orders, ISO reached through the Exif sub-IFD pointer.
     "m07_exif_metadata"      -> ((s, dir) =>
       graft.multimodal.Multimodal.exifMetadata(s, dir)),
+    // m08: ID3v2.3 + MPEG-1 Layer III metadata — real tag walk
+    // (syncsafe size, text frames) + frame-header bit decode.
+    "m08_audio_tags"         -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioTagMetadata(s, dir)),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -2132,6 +2136,26 @@ object SparkEntry {
         |  CASE WHEN (h // 192) % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
         |  TRUE AS header_ok
         |FROM s ORDER BY asset_id""".stripMargin,
+    // m08: the planned tag + frame fields re-derived from
+    // content-length arithmetic; n_bytes additionally certifies the
+    // byte-exact tag layout (10 tag header + two 11-byte-overhead
+    // text frames + 4 frame-header bytes + content).
+    "m08_audio_tags" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        |s AS (SELECT asset_id, n, (n * 2654435761) % 1000003 AS h FROM d),
+        |p AS (SELECT asset_id, n, h,
+        |        'TRACK-' || CAST(h % 997 AS VARCHAR) AS title,
+        |        ['Alpha', 'Beta', 'Gamma', 'Delta'][CAST((h // 36) % 4 AS INT) + 1] AS artist
+        |      FROM s)
+        |SELECT asset_id,
+        |  CAST(n + 36 + length(title) + length(artist) AS BIGINT) AS n_bytes,
+        |  CAST([128, 192, 256, 320][CAST(h % 4 AS INT) + 1] AS INT) AS bitrate_kbps,
+        |  CAST([44100, 48000, 32000][CAST((h // 4) % 3 AS INT) + 1] AS INT) AS sample_rate,
+        |  ['stereo', 'joint', 'mono'][CAST((h // 12) % 3 AS INT) + 1] AS mode,
+        |  title, artist, TRUE AS header_ok
+        |FROM p ORDER BY asset_id""".stripMargin,
     // m04: the binary store round-trip must preserve every byte — the
     // oracle recomputes size + md5 from the originating table.
     "m04_binary_asset_source" ->

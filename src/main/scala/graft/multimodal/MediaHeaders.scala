@@ -493,4 +493,93 @@ object MediaHeaders {
     if (bytes == null) None
     else parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseWav(bytes))
       .orElse(parseMp4(bytes))
+
+  // ------------------------------------------------------------- MP3
+
+  final case class Mp3(title: String, artist: String, bitrateKbps: Int,
+      sampleRate: Int, mode: String, headerLen: Int)
+
+  /** MPEG-1 Layer III bitrate table (public spec, index 1–14; 0 is
+    * free-format and 15 is forbidden — both rejected at parse). */
+  private val mp3Bitrates = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val mp3SampleRates = Array(44100, 48000, 32000) // index 3 reserved
+  private val mp3Modes = Array("stereo", "joint", "dual", "mono")
+
+  private def syncsafe(n: Int): Array[Byte] = Array(
+    ((n >>> 21) & 0x7f).toByte, ((n >>> 14) & 0x7f).toByte,
+    ((n >>> 7) & 0x7f).toByte, (n & 0x7f).toByte)
+
+  /** ID3v2.3 tag (TIT2 title + TPE1 artist, ISO-8859-1 frames with
+    * plain 32-bit v2.3 frame sizes and the syncsafe tag size the spec
+    * mandates) followed by one MPEG-1 Layer III frame header with the
+    * requested bitrate/sample-rate/channel-mode bits. */
+  def mp3Header(bitrateKbps: Int, sampleRate: Int, mode: String,
+      title: String, artist: String): Array[Byte] = {
+    val bi = mp3Bitrates.indexOf(bitrateKbps)
+    val si = mp3SampleRates.indexOf(sampleRate)
+    val mi = mp3Modes.indexOf(mode)
+    require(bi >= 1, s"unsupported MPEG1-L3 bitrate $bitrateKbps")
+    require(si >= 0, s"unsupported MPEG1 sample rate $sampleRate")
+    require(mi >= 0, s"unsupported channel mode $mode")
+    def frame(id: String, text: String): Array[Byte] = {
+      val body = 0.toByte +: text.getBytes("ISO-8859-1") // encoding 0x00
+      val b = ByteBuffer.allocate(10 + body.length)
+      putAscii(b, id); b.putInt(body.length); b.putShort(0)
+      b.put(body); b.array()
+    }
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist)
+    val b = ByteBuffer.allocate(10 + frames.length + 4)
+    putAscii(b, "ID3"); b.put(3.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.put(syncsafe(frames.length))
+    b.put(frames)
+    // frame sync (11 bits) | MPEG1 (11) | Layer III (01) | no CRC (1)
+    b.put(0xff.toByte); b.put(0xfb.toByte)
+    b.put((((bi & 0xf) << 4) | ((si & 0x3) << 2)).toByte)
+    b.put(((mi & 0x3) << 6).toByte)
+    b.array()
+  }
+
+  /** Walk the ID3v2.3 tag (syncsafe tag size; per-frame plain 32-bit
+    * sizes) collecting TIT2/TPE1, then decode the MPEG audio frame
+    * header that must follow the tag. None on: bad magic, truncated
+    * tag or frames, missing frame sync, non-MPEG1-Layer-III version/
+    * layer bits, free-format (0) or forbidden (15) bitrate index,
+    * reserved sample-rate index. */
+  def parseMp3(bytes: Array[Byte]): Option[Mp3] = {
+    if (bytes == null || bytes.length < 14) return None
+    if (!(bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')) return None
+    if (bytes(3) != 3) return None // ID3v2.3 only
+    val b = ByteBuffer.wrap(bytes)
+    val tagLen = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val tagEnd = 10 + tagLen
+    if (tagEnd + 4 > bytes.length) return None
+    var off = 10
+    var title: Option[String] = None
+    var artist: Option[String] = None
+    while (off + 10 <= tagEnd) {
+      val id = new String(bytes, off, 4, "ISO-8859-1")
+      val len = b.getInt(off + 4)
+      if (len < 1 || off + 10 + len > tagEnd) return None
+      val text = new String(bytes, off + 11, len - 1, "ISO-8859-1")
+      if (id == "TIT2") title = Some(text)
+      if (id == "TPE1") artist = Some(text)
+      off += 10 + len
+    }
+    // MPEG frame header directly after the tag
+    val h1 = bytes(tagEnd) & 0xff
+    val h2 = bytes(tagEnd + 1) & 0xff
+    if (h1 != 0xff || (h2 & 0xe0) != 0xe0) return None
+    if (((h2 >> 3) & 0x3) != 0x3) return None // MPEG1
+    if (((h2 >> 1) & 0x3) != 0x1) return None // Layer III
+    val h3 = bytes(tagEnd + 2) & 0xff
+    val bi = (h3 >> 4) & 0xf
+    val si = (h3 >> 2) & 0x3
+    if (bi == 0 || bi == 15 || si == 3) return None
+    val mi = ((bytes(tagEnd + 3) & 0xff) >> 6) & 0x3
+    for (t <- title; a <- artist)
+      yield Mp3(t, a, mp3Bitrates(bi), mp3SampleRates(si), mp3Modes(mi),
+        tagEnd + 4)
+  }
 }

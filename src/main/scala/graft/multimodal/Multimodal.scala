@@ -298,6 +298,59 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  final case class Mp3Meta(asset_id: Long, n_bytes: Long, bitrate_kbps: Int,
+      sample_rate: Int, mode: String, title: String, artist: String,
+      header_ok: Boolean)
+
+  /** The fixture's deterministic MP3 tag + frame metadata,
+    * content-keyed like [[plannedVideo]]; title carries a per-asset
+    * numeric suffix so the text-frame decode is certified per row,
+    * not just per vocabulary. */
+  private[multimodal] def plannedMp3(contentBytes: Long): (Int, Int, String, String, String) = {
+    val h = (contentBytes * 2654435761L) % 1000003L
+    val bitrate = Seq(128, 192, 256, 320)((h % 4).toInt)
+    val sampleRate = Seq(44100, 48000, 32000)(((h / 4) % 3).toInt)
+    val mode = Seq("stereo", "joint", "mono")(((h / 12) % 3).toInt)
+    val title = s"TRACK-${h % 997}"
+    val artist = Seq("Alpha", "Beta", "Gamma", "Delta")(((h / 36) % 4).toInt)
+    (bitrate, sampleRate, mode, title, artist)
+  }
+
+  /** m08: AUDIO TAG + FRAME metadata extraction — document text behind
+    * a real ID3v2.3 tag (TIT2/TPE1 ISO-8859-1 text frames, syncsafe
+    * tag size) and an MPEG-1 Layer III frame header, decoded by
+    * [[MediaHeaders.parseMp3]]'s actual tag walk + header-bit decode
+    * (public-spec bitrate/sample-rate tables). Same certification
+    * shape as m05/m07: the oracle re-derives every planned field from
+    * content-length arithmetic, so any slip in the syncsafe size, the
+    * v2.3 frame sizes, or the header bit packing breaks the hash. */
+  def audioTagMetadata(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (br, sr, mode, title, artist) = plannedMp3(content.length.toLong)
+        Asset(id, "audio",
+          MediaHeaders.mp3Header(br, sr, mode, title, artist) ++ content)
+      }
+      .mapPartitions { it =>
+        it.map { a =>
+          MediaHeaders.parseMp3(a.payload) match {
+            case Some(m) => Mp3Meta(a.asset_id, a.payload.length.toLong,
+              m.bitrateKbps, m.sampleRate, m.mode, m.title, m.artist,
+              header_ok = true)
+            case None => Mp3Meta(a.asset_id, a.payload.length.toLong,
+              0, 0, "", "", "", header_ok = false)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("asset_id")
+  }
+
   /** The `binaryFile` SOURCE path: one opaque file per asset on the
     * content store, ingested by Spark's built-in binary-file reader
     * (path, length, content) — the real shape of image/audio

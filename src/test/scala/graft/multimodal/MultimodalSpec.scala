@@ -238,4 +238,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(endians === Set("II", "MM"),
       s"fixture should exercise both byte orders, got $endians")
   }
+
+  test("m08: MP3 header round-trips every planned field") {
+    for (br <- Seq(128, 192, 256, 320); sr <- Seq(44100, 48000, 32000);
+         mode <- Seq("stereo", "joint", "mono")) {
+      val bytes = MediaHeaders.mp3Header(br, sr, mode, "A Song", "The Band")
+      val m = MediaHeaders.parseMp3(bytes ++ Array.fill(9)(0x55.toByte))
+      assert(m.exists(x => x.bitrateKbps == br && x.sampleRate == sr &&
+        x.mode == mode && x.title == "A Song" && x.artist == "The Band"),
+        s"round trip failed for ($br, $sr, $mode): $m")
+    }
+  }
+
+  test("m08: torn MP3 headers fail loudly, never misread") {
+    val good = MediaHeaders.mp3Header(192, 44100, "joint", "T", "A")
+    assert(MediaHeaders.parseMp3(good).nonEmpty)
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(MediaHeaders.parseMp3(badMagic).isEmpty)
+    // ID3v2.4 (unsupported version byte) refuses rather than misparsing
+    val v4 = good.clone(); v4(3) = 4.toByte
+    assert(MediaHeaders.parseMp3(v4).isEmpty)
+    // truncated mid-tag
+    assert(MediaHeaders.parseMp3(good.take(16)).isEmpty)
+    // frame sync destroyed
+    val noSync = good.clone(); noSync(good.length - 4) = 0x00.toByte
+    assert(MediaHeaders.parseMp3(noSync).isEmpty)
+    // free-format bitrate index (0) is out of contract
+    val freeBr = good.clone(); freeBr(good.length - 2) =
+      (freeBr(good.length - 2) & 0x0f).toByte
+    assert(MediaHeaders.parseMp3(freeBr).isEmpty)
+    // reserved sample-rate index (3)
+    val badSr = good.clone(); badSr(good.length - 2) =
+      (badSr(good.length - 2) | 0x0c).toByte
+    assert(MediaHeaders.parseMp3(badSr).isEmpty)
+    // a frame size overrunning the tag is torn, not read past the end
+    val overrun = good.clone(); overrun(14) = 0x7f.toByte
+    assert(MediaHeaders.parseMp3(overrun).isEmpty)
+  }
+
+  test("m08: the query decodes every asset with planned fields") {
+    val got = graft.multimodal.Multimodal
+      .audioTagMetadata(spark, dir, maxId = 40).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getBoolean(7)), "every asset must parse")
+    val modes = got.map(_.getString(4)).toSet
+    assert(modes.subsetOf(Set("stereo", "joint", "mono")) && modes.size >= 2,
+      s"fixture should exercise multiple channel modes, got $modes")
+    assert(got.forall(_.getString(5).startsWith("TRACK-")))
+  }
 }
