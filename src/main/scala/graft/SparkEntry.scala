@@ -403,6 +403,10 @@ object SparkEntry {
     // io09: NATIVE parquet bloom filters (format-internal row-group
     // pruning on a hash layout); footer + pushdown pinned in spec.
     "io09_parquet_bloom"     -> (graft.sources.Formats.parquetBloomPointOrders _),
+    // io10: partition evolution — the layout belongs to the version;
+    // the partitioned re-commit is content-identical (p01 oracle) and
+    // prunes on the partition column (plan-pinned).
+    "io10_partition_evolution" -> ((s, _) => cocoaPartitionEvolution(s)),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -959,6 +963,22 @@ object SparkEntry {
     Warehouse.cloneShallow(spark, dirs.warehouse, dst)
     Warehouse.compactClustered(spark, dst,
       "quality_score", "shipment_weight_kg", targetFileBytes = 16L * 1024)
+    Warehouse.read(spark, dst).orderBy("shipment_id")
+  }
+
+  /** io10: PARTITION EVOLUTION. v0 of the clone is the flat layout
+    * (shallow pointer); v1 re-commits the same content
+    * hive-partitioned by region. The gate reads the CURRENT
+    * (partitioned) version and hash-matches the p01 oracle — layout
+    * changed, content didn't; pruning is plan-pinned in
+    * PartitionEvolutionSpec. */
+  private def cocoaPartitionEvolution(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    val dst = graft.core.RunTemp.dir("graft_partevo_wh_", keep = 32)
+    Warehouse.cloneShallow(spark, dirs.warehouse, dst)
+    Warehouse.commitPartitioned(spark, dst,
+      Warehouse.read(spark, dst), Seq("region"))
     Warehouse.read(spark, dst).orderBy("shipment_id")
   }
 
@@ -2945,6 +2965,7 @@ object SparkEntry {
     // warehouse byte-for-byte — p01's oracle verbatim.
     "p15_shallow_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "p18_clustered_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "io10_partition_evolution" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p17: every SCD2 validity interval re-derived from the landing
     // CSVs — per-batch LWW enrichment, null-safe business compare to
     // find the changed keys, then the three interval classes (closed,

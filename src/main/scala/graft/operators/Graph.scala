@@ -124,8 +124,14 @@ object Graph {
     // a cluster run that must survive executor loss swaps in a
     // reliable checkpoint dir, same cadence note as pageRank's.
     val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Materialize the edge list ALREADY HASH-PARTITIONED on the join
+    // key: localCheckpoint preserves outputPartitioning in the
+    // LogicalRDD, so every round's labels⋈edges join reuses it and
+    // only the O(nodes) label table moves — without this the O(edges)
+    // side re-shuffles on src once per round (measured ~35% of g03).
     val dirEdges = if (iters > 1) {
-      val h = dirEdges0.localCheckpoint(true); ckpts += h; h
+      val h = dirEdges0.repartition(col("src")).localCheckpoint(true)
+      ckpts += h; h
     } else dirEdges0
     var labels = dirEdges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -242,8 +248,11 @@ object Graph {
     val dirEdges0 = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
     val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // same pre-partitioned checkpoint as labelPropagation: each
+    // level's frontier⋈edges join moves only the frontier
     val dirEdges = if (maxDepth > 1) {
-      val h = dirEdges0.localCheckpoint(true); ckpts += h; h
+      val h = dirEdges0.repartition(col("src")).localCheckpoint(true)
+      ckpts += h; h
     } else dirEdges0
     var settled = seeds.select(col("node"), lit(0L).as("dist"),
       col("node").as("nearest_seed"))

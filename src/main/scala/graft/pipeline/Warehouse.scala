@@ -441,7 +441,13 @@ object Warehouse {
       schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame =
     currentVersion(spark, root) match {
       case Some(v) =>
+        // normalize to declared column ORDER: a hive-partitioned
+        // version ([[commitPartitioned]]) surfaces its partition
+        // columns appended last regardless of the declared schema —
+        // the projection restores the contract and collapses to a
+        // no-op on flat layouts
         spark.read.schema(schema).parquet(dataPath(spark, root, v))
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -486,7 +492,8 @@ object Warehouse {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       lockTtlMs: Long = DefaultLockTtlMs,
       expectedCurrent: Option[Option[Long]] = None,
-      audit: Option[DataFrame => Unit] = None): Long = {
+      audit: Option[DataFrame => Unit] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val fs = Ingest.fs(spark, root)
     fs.mkdirs(new Path(root))
     val lock = new Path(root, lockFile)
@@ -518,7 +525,9 @@ object Warehouse {
       // completeSnapshots and to parquet readers.
       val stage = new Path(root, s".v${next}_$holderId")
       staging = Some(stage)
-      df.write.mode("overwrite").parquet(stage.toString)
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.isEmpty) writer
+       else writer.partitionBy(partitionBy: _*)).parquet(stage.toString)
       // WRITE-AUDIT-PUBLISH seam (the Iceberg WAP pattern): the audit
       // runs against a re-read of the STAGED files — exactly the
       // bytes that would publish, not the logical plan that produced
@@ -1044,6 +1053,36 @@ object Warehouse {
         spark.read.parquet(snap).repartition(n.toInt),
         lockTtlMs, expectedCurrent = Some(Some(cur)))
     }
+  }
+
+  /** PARTITION EVOLUTION — commit the next snapshot HIVE-PARTITIONED
+    * on `partitionCols` while every earlier (flat or differently
+    * partitioned) version stays readable as-is: the layout belongs to
+    * the VERSION, exactly like the schema era and the rename map.
+    * This is how a table's physical organization migrates without a
+    * stop-the-world rewrite of history — commit N switches the
+    * layout, time travel before N sees the old one, and maintenance
+    * ops (compact/clustered-compact) read through partition discovery
+    * transparently.
+    *
+    * At 100 TB the point is PRUNING: a predicate on a partition
+    * column plans as `PartitionFilters` and skips whole directories
+    * before any footer is opened — coarser but cheaper than the
+    * zone-map sidecar (no index to maintain; the spec pins the plan
+    * shape). Partition columns must exist in `df`; their values
+    * become directory names (Spark's own hive-layout rules, nulls
+    * included), and [[read]]'s explicit schema resolves them back by
+    * name, so round-trip content is byte-identical — the io10 gate
+    * hashes it. */
+  def commitPartitioned(spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String],
+      lockTtlMs: Long = DefaultLockTtlMs,
+      expectedCurrent: Option[Option[Long]] = None): Long = {
+    require(partitionCols.nonEmpty, "commitPartitioned needs partition columns")
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"partition columns absent from frame: $missing")
+    commit(spark, root, df, lockTtlMs, expectedCurrent,
+      partitionBy = partitionCols)
   }
 
   /** CLUSTERED COMPACTION — [[compact]]'s layout rewrite upgraded to
