@@ -203,6 +203,9 @@ object SparkEntry {
     // p18: clustered compaction (OPTIMIZE ZORDER + zone-map sidecar)
     // — layout-only rewrite, content hash-pinned to the p01 oracle.
     "p18_clustered_compaction" -> ((s, _) => cocoaClusteredCompaction(s)),
+    // p19: as-of aggregate over the SCD2 history — one interval
+    // predicate answers "state at T"; oracle re-aggregates batch 1.
+    "p19_scd2_asof" -> ((s, _) => cocoaScd2AsOf(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -231,6 +234,10 @@ object SparkEntry {
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
+    // s14: dropDuplicatesWithinWatermark — ts-free key, first-sighting
+    // state TTL; dedups re-stamped redeliveries s05's form passes.
+    "s14_dedup_within_watermark" ->
+      (StreamingQueries.dedupedEventsWithinWatermark _),
     "s08_stream_incremental_dedup" -> (StreamingQueries.incrementalDedupStream _),
     // s10: streaming incremental-view maintenance — each micro-batch
     // folds into a warehouse-committed aggregate via the p09
@@ -516,6 +523,7 @@ object SparkEntry {
     cocoaStreamMemo.clear()
     cocoaStreamJdbcMemo.clear()
     cocoaJdbcMemo.clear()
+    scd2RootMemo.clear()
     // The co-order memo holds an eagerly localCheckpointed handle —
     // clear() alone would strand its blocks in the block manager
     // until the ContextCleaner GCs the DataFrame; release them now.
@@ -921,33 +929,58 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("is_current",
         org.apache.spark.sql.types.BooleanType, nullable = false)))
 
-  private def cocoaScd2(spark: SparkSession): DataFrame = {
-    cocoaWarehouse(spark) // force the memoized run (and its input-dir wipe) FIRST
-    val scoped = pipelineSession(spark)
-    val root = Files.createTempDirectory("cocoa_scd2").toString
-    CocoaGen.writeLandingFiles(scoped, s"$root/l1", 2, 250, seed = 61, idOffset = 0)
-    copyCsvs(s"$root/l1", s"$cocoaOracleIn/s1")
-    CocoaGen.writeLandingFiles(scoped, s"$root/l2", 2, 250, seed = 62, idOffset = 250)
-    copyCsvs(s"$root/l2", s"$cocoaOracleIn/s2")
-    val t1 = 1700000000000L
-    val t2 = 1700000100000L
-    def enriched(landing: String, ms: Long) = {
-      val (df, _) = graft.pipeline.Ingest.ingest(scoped, landing)
-      graft.pipeline.Enrich.enrich(df.get, new Timestamp(ms))
-    }
-    val cmp = graft.pipeline.CocoaSchema.input.fieldNames.filterNot(_ == "shipment_id").toSeq :+
-      "shipment_value_usd"
-    val whRoot = s"$root/scd2wh"
-    val v0 = graft.pipeline.Merge.scd2Init(enriched(s"$root/l1", t1),
-      graft.pipeline.CocoaSchema.mergeKey, t1, col("processed_at"), Seq(col("timestamp")))
-    Warehouse.commit(scoped, whRoot, v0)
-    val v1 = graft.pipeline.Merge.scd2Merge(
-      Warehouse.read(scoped, whRoot, scd2Schema),
-      enriched(s"$root/l2", t2),
-      graft.pipeline.CocoaSchema.mergeKey, cmp, t2, col("processed_at"), Seq(col("timestamp")))
-    Warehouse.commit(scoped, whRoot, v1)
-    Warehouse.read(spark, whRoot, scd2Schema)
+  private val scd2RootMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  private def scd2Root(spark: SparkSession): String =
+    scd2RootMemo.computeIfAbsent(spark, { s =>
+      cocoaWarehouse(s) // force the memoized run (and its input-dir wipe) FIRST
+      val scoped = pipelineSession(s)
+      val root = Files.createTempDirectory("cocoa_scd2").toString
+      CocoaGen.writeLandingFiles(scoped, s"$root/l1", 2, 250, seed = 61, idOffset = 0)
+      copyCsvs(s"$root/l1", s"$cocoaOracleIn/s1")
+      CocoaGen.writeLandingFiles(scoped, s"$root/l2", 2, 250, seed = 62, idOffset = 250)
+      copyCsvs(s"$root/l2", s"$cocoaOracleIn/s2")
+      val t1 = 1700000000000L
+      val t2 = 1700000100000L
+      def enriched(landing: String, ms: Long) = {
+        val (df, _) = graft.pipeline.Ingest.ingest(scoped, landing)
+        graft.pipeline.Enrich.enrich(df.get, new Timestamp(ms))
+      }
+      val cmp = graft.pipeline.CocoaSchema.input.fieldNames.filterNot(_ == "shipment_id").toSeq :+
+        "shipment_value_usd"
+      val whRoot = s"$root/scd2wh"
+      val v0 = graft.pipeline.Merge.scd2Init(enriched(s"$root/l1", t1),
+        graft.pipeline.CocoaSchema.mergeKey, t1, col("processed_at"), Seq(col("timestamp")))
+      Warehouse.commit(scoped, whRoot, v0)
+      val v1 = graft.pipeline.Merge.scd2Merge(
+        Warehouse.read(scoped, whRoot, scd2Schema),
+        enriched(s"$root/l2", t2),
+        graft.pipeline.CocoaSchema.mergeKey, cmp, t2, col("processed_at"), Seq(col("timestamp")))
+      Warehouse.commit(scoped, whRoot, v1)
+      whRoot
+    })
+
+  private def cocoaScd2(spark: SparkSession): DataFrame =
+    Warehouse.read(spark, scd2Root(spark), scd2Schema)
       .orderBy("shipment_id", "valid_from_ms")
+
+  /** p19: TEMPORAL AS-OF aggregate over the SCD2 history — "value by
+    * region as it stood at T" answered with ONE interval predicate
+    * (valid_from ≤ T < valid_to-or-open) over p17's history table, at
+    * a T between the two batch stamps, so the answer is exactly the
+    * batch-1 state even though batch 2 has long since landed. This is
+    * the query the validity intervals exist to serve; the oracle
+    * re-aggregates the first batch directly. */
+  private def cocoaScd2AsOf(spark: SparkSession): DataFrame = {
+    val t = 1700000050000L // between the two batch stamps
+    Warehouse.read(spark, scd2Root(spark), scd2Schema)
+      .filter(col("valid_from_ms") <= t &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > t))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_shipments"),
+        fsum(col("shipment_value_usd")).as("total_value_usd"))
+      .orderBy("region")
   }
 
   /** p18: CLUSTERED COMPACTION (OPTIMIZE + ZORDER + zone-map). Clone
@@ -2966,6 +2999,19 @@ object SparkEntry {
     "p15_shallow_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "p18_clustered_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "io10_partition_evolution" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // p19: the as-of point sits between the batch stamps, so the
+    // as-of state IS enriched batch 1 — re-aggregated directly.
+    "p19_scd2_asof" -> {
+      s"""WITH s1 AS (${cocoaBatchSql("s1", "2023-11-14 22:13:20")}),
+         |e1 AS (
+         |  SELECT shipment_id, region, shipment_weight_kg * 2.5 AS v
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY shipment_id
+         |          ORDER BY processed_at DESC, "timestamp" DESC) AS rn
+         |        FROM s1) WHERE rn = 1)
+         |SELECT region, count(*) AS n_shipments,
+         |  sum(v) AS total_value_usd
+         |FROM e1 GROUP BY region ORDER BY region""".stripMargin
+    },
     // p17: every SCD2 validity interval re-derived from the landing
     // CSVs — per-batch LWW enrichment, null-safe business compare to
     // find the changed keys, then the three interval classes (closed,
@@ -3073,6 +3119,12 @@ object SparkEntry {
     // s05: the doubled-then-deduped stream must equal the original
     // event set exactly.
     "s05_streaming_dedup" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // s14: same truth as s05 — on verbatim echoes the within-watermark
+    // dedup reconstructs exactly the original event set; the
+    // re-stamped-redelivery distinction is spec-pinned, not oracled.
+    "s14_dedup_within_watermark" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     // s08: the streaming gate's surviving content-hash set — the

@@ -127,6 +127,30 @@ object StreamingQueries {
       drainViaFileSink(doubled, "event_id")
     }
 
+  /** s14: [[dedupedEvents]]' dedup with the NEWER state contract —
+    * `dropDuplicatesWithinWatermark` (Spark 3.5+): the key set
+    * excludes the event-time column entirely, and state for a key is
+    * held only for the watermark delay after its FIRST sighting. The
+    * semantic difference from s05's `dropDuplicates(key, ts)` is the
+    * contract an at-least-once transport actually needs: a redelivery
+    * whose event time was re-stamped (broker retry, producer clock
+    * wobble) still dedups — same key, different ts — where the
+    * ts-in-key form would pass the duplicate through. On the doubled
+    * fixture (verbatim echoes) both agree with the batch distinct,
+    * which is the oracle; the re-stamped-redelivery behavior is the
+    * spec's job. State is O(keys within the delay window), exactly
+    * like s05's. */
+  def dedupedEventsWithinWatermark(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val doubled = eventsStream(scoped, dir)
+        .unionByName(eventsStream(scoped, dir))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), col("event_type"), col("value"))
+      drainViaFileSink(doubled, "event_id")
+    }
+
   /** Watermarked STREAM-STREAM interval join — the two-sided-state
     * streaming surface (neither input is a static table): every
     * `view` event joined to the same user's `purchase` events within

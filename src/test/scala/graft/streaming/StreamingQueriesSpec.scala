@@ -106,6 +106,27 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("s14 vs s05: a re-stamped redelivery dedups only under the within-watermark contract") {
+    // fixture: event 1 delivered twice with DIFFERENT event times (the
+    // broker-retry re-stamp), event 2 clean
+    val root = java.nio.file.Files.createTempDirectory("graft_s14").toString
+    spark.sql(
+      "SELECT * FROM VALUES " +
+        "(1L, timestamp'2024-01-02 03:04:05', 7L, 'click', 1.5D, '{}')," +
+        "(1L, timestamp'2024-01-02 03:04:06', 7L, 'click', 1.5D, '{}')," +
+        "(2L, timestamp'2024-01-02 03:05:00', 8L, 'view', 2.5D, '{}')" +
+        " AS t(event_id, ts, user_id, event_type, value, props)")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/events.parquet")
+    val s14 = StreamingQueries.dedupedEventsWithinWatermark(spark, root)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(s14 === Seq(1L, 2L),
+      s"within-watermark dedup must collapse the re-stamped redelivery, got $s14")
+    val s05 = StreamingQueries.dedupedEvents(spark, root)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(s05 === Seq(1L, 1L, 2L),
+      s"the ts-in-key form keeps both stamps (that's its contract), got $s05")
+  }
+
   test("s12: sessions spanning micro-batch boundaries merge in the state store") {
     // Split the fixture into two time-halves at the global MEDIAN
     // event (so the cut lands mid-session for active users), replay
