@@ -310,6 +310,9 @@ object SparkEntry {
     // planted queries vs the corpus; oracle is the exhaustive cross
     // join, certifying the prefix route's exact recall on R-S.
     "d47_fuzzy_join"         -> (NorthStar.fuzzyJoinPlanted _),
+    // d48: minimal 99%-coverage vocabulary + per-doc UNK rates — the
+    // vocab-size decision query; integer-exact prefix rule.
+    "d48_vocab_coverage"     -> ((s, dir) => NorthStar.vocabCoverage(s, dir)),
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
@@ -1658,6 +1661,32 @@ object SparkEntry {
         |  floor(CAST(inter AS DOUBLE) / (sa + sb - inter) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4
         |ORDER BY query_id, corpus_id""".stripMargin,
+    // d48: the same prefix rule re-derived — rank by (count desc,
+    // token asc), keep tokens whose PRECEDING cumulative mass is
+    // short of ceil(total*0.99), then per-doc UNK floor basis points.
+    "d48_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t FROM counts),
+        |ranked AS (
+        |  SELECT tok, c, sum(c) OVER (ORDER BY c DESC, tok) AS cum FROM counts),
+        |vocab AS (
+        |  SELECT tok FROM ranked, tot WHERE (cum - c) * 10000 < t * 9900),
+        |vs AS (SELECT count(*) AS vsize FROM vocab),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+        |        THEN 1 ELSE 0 END) AS n_unk
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_unk AS BIGINT) AS n_unk,
+        |  CAST(n_unk * 10000 // n_tokens AS BIGINT) AS unk_bp,
+        |  CAST(vs.vsize AS BIGINT) AS vocab_size
+        |FROM per, vs ORDER BY doc_id""".stripMargin,
     // d37: canonicalize-then-link re-derived — same titles, same typo
     // plant (1-based inclusive slicing both engines), exact dedup to
     // min-id representatives, candidates from ANY shared 5-gram (a

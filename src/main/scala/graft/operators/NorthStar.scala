@@ -1746,6 +1746,47 @@ object NorthStar {
       length(col("text")).cast("long").as("n_chars_text"))
       .orderBy("doc_id")
 
+  /** d48: VOCABULARY COVERAGE — the tokenizer-engineering decision
+    * query: the MINIMAL frequency-ranked vocabulary covering
+    * `coverBp` basis points of corpus token mass, plus every
+    * document's UNK rate under that vocabulary. This is how a vocab
+    * size is actually chosen (and how OOV damage is audited per
+    * document) before committing to a tokenizer build.
+    *
+    * Integer-exact by construction: the vocabulary is every token
+    * whose PRECEDING cumulative mass (rank order = count desc, token
+    * asc — a total order, so ties can't flip engines) is still short
+    * of ceil(total·coverBp/10⁴), i.e. the prefix that first reaches
+    * coverage; UNK rates are floor basis points. Scale shape: one
+    * map-side token count, one cumulative window over O(vocab) rows
+    * (the degree-histogram pattern — never a window over tokens), and
+    * one broadcast-able anti-join of the token stream against the
+    * vocabulary. */
+  def vocabCoverage(spark: SparkSession, dir: String, coverBp: Int = 9900): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val cumW = Window.orderBy(col("c").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vocab = counts
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("t"))))
+      .filter((col("cum") - col("c")) * 10000 < col("t") * coverBp)
+      .select("tok")
+    val unk = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unk"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(unk, Seq("doc_id"), "left")
+      .withColumn("n_unk", coalesce(col("n_unk"), lit(0L)))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("vocab_size"))))
+      .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+        expr("n_unk * 10000 div n_tokens").as("unk_bp"), col("vocab_size"))
+      .orderBy("doc_id")
+  }
+
   /** Punctuation counts — the DuckDB-expressible slice of quality
     * scoring, oracle-checked. */
   def punctCounts(spark: SparkSession, dir: String): DataFrame =

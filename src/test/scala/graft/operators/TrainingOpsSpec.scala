@@ -412,4 +412,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(mean(en) > mean(other),
       s"en mean ${mean(en)} must exceed non-target mean ${mean(other)}")
   }
+
+  test("d48: the vocabulary is the MINIMAL coverage prefix; UNK rates are exact") {
+    // corpus token mass: a×8, b×5, c×4, d×2, e×1 (total 20). At 90%
+    // coverage (18 tokens) the rank order is a(8) b(5) c(4) → cum 17
+    // short of ceil(18), so d joins (cum-с rule includes the crossing
+    // token); e stays OOV. Docs are built to give distinct UNK rates.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a b b"),        // no unks
+      (2L, "b b b c c c c d d"),         // no unks (d is in-vocab)
+      (3L, "e"))                          // 100% unk
+      .toDF("doc_id", "text")
+    val tmp = graft.core.RunTemp.dir("graft_vocab_spec_")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = NorthStar.vocabCoverage(spark, tmp, coverBp = 9000).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) === ((10L, 0L, 0L, 4L)))
+    assert(got(2L) === ((9L, 0L, 0L, 4L)), "the threshold-crossing token is in-vocab")
+    assert(got(3L) === ((1L, 1L, 10000L, 4L)), "OOV-only doc reads 100% unk")
+  }
 }
