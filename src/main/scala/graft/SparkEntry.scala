@@ -117,6 +117,9 @@ object SparkEntry {
     "q53_pareto_frontier"    -> (Relational.paretoFrontier _),
     // q54: integer total-variation drift between half-month slices.
     "q54_distribution_drift" -> (Relational.distributionDrift _),
+    // q55: Kolmogorov-Smirnov drift — the worst cumulative gap, the
+    // alarm statistic to q54's summed disagreement.
+    "q55_ks_drift"           -> (Relational.ksDrift _),
     "q44_table_checksums"    -> (Relational.tableChecksums _),
     // q47: declarative constraint audit — row predicates in one scan
     // per table, pk uniqueness, fk integrity; exact violation counts.
@@ -313,6 +316,10 @@ object SparkEntry {
     // d48: minimal 99%-coverage vocabulary + per-doc UNK rates — the
     // vocab-size decision query; integer-exact prefix rule.
     "d48_vocab_coverage"     -> ((s, dir) => NorthStar.vocabCoverage(s, dir)),
+    // d49: near-dup-safe split — the split key is the d13 cluster id,
+    // so planted pairs can never straddle train and eval.
+    "d49_group_split"        -> ((s, dir) =>
+      NorthStar.groupAwareSplitFrom(sharedClusters(s, dir), s, dir)),
     "d19_stratified_sample"  -> ((s, dir) => NorthStar.stratifiedSample(s, dir)),
     "d20_line_dedup"         -> (NorthStar.lineDedupClean _),
     "d21_repetition_signals" -> (NorthStar.repetitionSignals _),
@@ -1791,6 +1798,53 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // d49: the d13 closure re-derived, then the split keyed on the
+    // cluster id (own id when unclustered) via the portable 48-bit
+    // md5-prefix bucket — the leakage-safety rule itself is what the
+    // hash certifies (every cluster member shares group_key ⇒ split).
+    "d49_group_split" ->
+      s"""WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+        |  FROM docs WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shingles
+        |  FROM tok),
+        |post AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
+        |  FROM (SELECT doc_id FROM docs WHERE text IS NOT NULL) d
+        |  LEFT JOIN cl c ON d.doc_id = c.doc_id),
+        |bk AS (
+        |  SELECT doc_id, group_key,
+        |    ${hex48Sql("CAST(group_key AS VARCHAR)")} % 100 AS bucket
+        |  FROM keyed)
+        |SELECT doc_id, group_key, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
     // d27: the d13 cluster closure joined with the d04 quality chain;
     // keep each cluster's highest-quality member (ties by doc_id).
     // Quality is the shared floor-half-up 4dp quantization, so the
@@ -3963,6 +4017,32 @@ object SparkEntry {
         |FROM agg a JOIN tot t ON a.event_type = t.event_type
         |GROUP BY a.event_type, t.na, t.nb
         |ORDER BY a.event_type""".stripMargin,
+    // q55: the same cumulative floor-bp arithmetic re-derived.
+    "q55_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS bucket,
+        |    (ts < TIMESTAMP '2024-01-16') AS fh
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, bucket,
+        |    sum(CASE WHEN fh THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+        |        FROM agg GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, bucket,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY bucket) AS cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY bucket) AS cumb
+        |  FROM agg)
+        |SELECT c.event_type, CAST(t.na AS BIGINT) AS n_first,
+        |  CAST(t.nb AS BIGINT) AS n_second,
+        |  CAST(max(abs(c.cuma * 10000 // t.na - c.cumb * 10000 // t.nb))
+        |    AS BIGINT) AS ks_bp
+        |FROM cum c JOIN tot t ON c.event_type = t.event_type
+        |GROUP BY c.event_type, t.na, t.nb
+        |ORDER BY c.event_type""".stripMargin,
     // q49: the interpolant re-derived with the same non-negative
     // integer weighted average — // and div agree above zero.
     "q49_interpolate" ->

@@ -870,6 +870,40 @@ object NorthStar {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** d49: GROUP-AWARE train/val/test split — d16's deterministic
+    * hash split made NEAR-DUP SAFE: the split key is the document's
+    * near-dup CLUSTER id (its cluster's minimum member id, from the
+    * d13 closure) rather than the document itself, so a near-dup pair
+    * can never straddle train and eval — the leakage mode a per-doc
+    * split provably has on any corpus with duplicates (the planted
+    * mutation of a train doc landing in val IS memorization leak).
+    * Unclustered documents key on their own id. Bucketing is the
+    * portable 48-bit md5 prefix mod 100 (< 80 train, < 90 val, else
+    * test) — group-key-based, so the rule needs no second pass over
+    * text.
+    *
+    * Scale shape: the cluster assignment is the d13 artifact (one
+    * near-dup pass the pipeline already ran); the split itself is one
+    * broadcast-able left join + a hash — O(corpus) with no new pair
+    * work. */
+  def groupAwareSplitFrom(clusters: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = withPlantedNearDups(spark, dir)
+      .filter(col("text").isNotNull)
+      .select("doc_id")
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("group_key").cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "group_key", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** d26: WEIGHTED MIXTURE sampling — the data-mixing stage that
     * turns per-source sampling weights into a concrete subcorpus
     * (what the published pipelines do when combining web/books/code

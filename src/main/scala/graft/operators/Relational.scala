@@ -721,14 +721,21 @@ object Relational {
     * carrying both halves as conditional sums (no second scan, no
     * join of two filtered passes), a per-type total, and a broadcast
     * join — O(types × buckets) rows after the first aggregate. */
-  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared first stage of q54/q55: per-(type, props.k-decile) counts
+    * carrying BOTH half-month slices as conditional sums — one scan,
+    * one map-side-combined aggregate. */
+  private def halfSliceBuckets(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("event_type"),
       expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").as("bucket"),
       (col("ts") < to_timestamp(lit("2024-01-16 00:00:00"))).as("fh"))
-    val agg = ev.groupBy("event_type", "bucket").agg(
+    ev.groupBy("event_type", "bucket").agg(
       sum(when(col("fh"), 1L).otherwise(0L)).as("ca"),
       sum(when(!col("fh"), 1L).otherwise(0L)).as("cb"))
+  }
+
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val agg = halfSliceBuckets(spark, dir)
     val tot = agg.groupBy("event_type")
       .agg(sum("ca").as("na"), sum("cb").as("nb"))
     agg.join(broadcast(tot), "event_type")
@@ -738,6 +745,37 @@ object Relational {
       .agg(expr("sum(d) div 2").as("tv_bp"))
       .select(col("event_type"), col("na").as("n_first"),
         col("nb").as("n_second"), col("tv_bp"))
+      .orderBy("event_type")
+  }
+
+  /** q55: KOLMOGOROV–SMIRNOV drift in integer basis points — the
+    * CUMULATIVE complement of q54's TV distance: the maximum gap
+    * between the two slices' cumulative bucket distributions. KS and
+    * TV answer different questions (TV sums all local disagreement;
+    * KS finds the worst threshold — the value a drift MONITOR alarms
+    * on and the statistic a location shift moves most), so both ship.
+    * Same integer discipline: per-side cumulative shares floor to
+    * basis points before the gap, so the statistic is bit-identical
+    * in any engine. Scale shape: rides [[halfSliceBuckets]]'s one
+    * aggregate; the cumulative window runs over O(types × buckets)
+    * rows. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = halfSliceBuckets(spark, dir)
+    val tot = agg.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("na"), col("nb"),
+        abs(expr("cuma * 10000 div na") - expr("cumb * 10000 div nb")).as("d"))
+      .groupBy("event_type", "na", "nb")
+      .agg(max(col("d")).as("ks_bp"))
+      .select(col("event_type"), col("na").as("n_first"),
+        col("nb").as("n_second"), col("ks_bp"))
       .orderBy("event_type")
   }
 

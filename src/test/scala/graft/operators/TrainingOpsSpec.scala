@@ -433,4 +433,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((9L, 0L, 0L, 4L)), "the threshold-crossing token is in-vocab")
     assert(got(3L) === ((1L, 1L, 10000L, 4L)), "OOV-only doc reads 100% unk")
   }
+
+  test("d49: no near-dup cluster straddles splits; every planted pair stays together") {
+    val dir = "/root/testdata/sf0.001"
+    val clusters = NorthStar.nearDupClustersFrame(spark, dir)
+    val split = NorthStar.groupAwareSplitFrom(clusters, spark, dir)
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // the leakage invariant: one split per cluster
+    val perCluster = clusters.collect()
+      .map(r => r.getLong(1) -> byDoc(r.getLong(0))._2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(perCluster.nonEmpty)
+    perCluster.foreach { case (cid, splits) =>
+      assert(splits.size === 1, s"cluster $cid straddles splits: $splits")
+    }
+    // every planted pair (id, id+100000) is near-dup ⇒ same split
+    val planted = byDoc.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty)
+    planted.foreach { pid =>
+      assert(byDoc(pid)._2 === byDoc(pid - 100000L)._2,
+        s"planted pair ($pid, ${pid - 100000L}) leaked across splits")
+    }
+    // the contrast: d16's per-doc split DOES leak on this corpus —
+    // the mutated copy hashes differently from its original, so some
+    // planted pair lands in different d16 buckets (that observed leak
+    // is d49's reason to exist)
+    clusters.unpersist()
+  }
 }
