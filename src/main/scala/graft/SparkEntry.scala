@@ -209,6 +209,9 @@ object SparkEntry {
     // p19: as-of aggregate over the SCD2 history — one interval
     // predicate answers "state at T"; oracle re-aggregates batch 1.
     "p19_scd2_asof" -> ((s, _) => cocoaScd2AsOf(s)),
+    // p20: consistent snapshot group — the agg member read through
+    // the cross-table pin; oracle recomputes over the facts member.
+    "p20_snapshot_group" -> ((s, _) => cocoaSnapshotGroup(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -1023,6 +1026,30 @@ object SparkEntry {
     Warehouse.commitPartitioned(spark, dst,
       Warehouse.read(spark, dst), Seq("region"))
     Warehouse.read(spark, dst).orderBy("shipment_id")
+  }
+
+  /** p20: CONSISTENT SNAPSHOT GROUP. A derived aggregate table is
+    * committed as its own warehouse, then one group pointer pins
+    * (facts, agg) at versions that co-existed; the gate reads the agg
+    * member THROUGH the group and hash-matches the p02 oracle over
+    * the facts — the pinned pair is consistent by construction. The
+    * staleness/consistency behavior mid-commit-cycle is
+    * SnapshotGroupSpec's job. */
+  private def cocoaSnapshotGroup(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    val scoped = pipelineSession(spark)
+    val aggRoot = graft.core.RunTemp.dir("graft_groupagg_wh_", keep = 32)
+    val agg = Warehouse.read(scoped, dirs.warehouse)
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_shipments"),
+        fsum(col("shipment_value_usd")).as("total_value_usd"))
+    Warehouse.commit(scoped, aggRoot, agg)
+    val groupDir = graft.core.RunTemp.dir("graft_group_", keep = 32)
+    Warehouse.publishSnapshotGroup(spark, groupDir,
+      Map("facts" -> dirs.warehouse, "agg" -> aggRoot))
+    Warehouse.readGroupMember(spark, groupDir, "agg", agg.schema)
+      .orderBy("region")
   }
 
   /** d15's oracle, with the aggregate's permutation seeds inlined as
@@ -3057,6 +3084,10 @@ object SparkEntry {
     // s07: the streaming JDBC landing must preserve the same warehouse
     // — stream -> RDBMS, exactly-once by upsert idempotence.
     "s07_stream_jdbc_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "p20_snapshot_group" -> cocoaOracle(
+      """SELECT region, count(*) AS n_shipments,
+        |  sum(shipment_value_usd) AS total_value_usd
+        |FROM wh GROUP BY region ORDER BY region""".stripMargin),
     "p02_cocoa_value_by_region" -> cocoaOracle(
       """SELECT region, sum(shipment_value_usd) AS total_value_usd
         |FROM wh GROUP BY region ORDER BY region""".stripMargin),

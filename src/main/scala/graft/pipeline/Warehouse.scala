@@ -1123,6 +1123,129 @@ object Warehouse {
     }
   }
 
+  /** CONSISTENT SNAPSHOT GROUPS — a cross-table read boundary on
+    * plain files: one atomic pointer pinning a (table → version) set
+    * that CO-EXISTED at publish time, so a multi-table consumer (a
+    * dashboard joining facts to a maintained aggregate, a training
+    * job reading corpus + index + stats) never observes table A's
+    * new commit next to table B's old one. Individual tables keep
+    * committing freely; the GROUP only advances when republished —
+    * the cross-table analogue of a version tag, giving readers
+    * repeatable multi-table reads without any cross-root locking
+    * (member versions are immutable snapshots; the group file is one
+    * atomic rename).
+    *
+    * Publication rides the same machinery as [[commit]] scoped to the
+    * group dir: lease, staged write, fencing, atomic rename, pointer
+    * swap. Members are resolved to their CURRENT versions at publish;
+    * [[readGroupMember]] reads the PINNED version and fails loudly if
+    * retention has pruned it ([[vacuum]]'s keepLast must cover live
+    * groups — the same operational rule shallow clones document). */
+  def publishSnapshotGroup(spark: SparkSession, groupDir: String,
+      members: Map[String, String],
+      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+    require(members.nonEmpty, "snapshot group needs at least one member")
+    val resolved: Seq[(String, String, Long)] = members.toSeq.sorted.map {
+      case (name, root) =>
+        val v = currentVersion(spark, root).getOrElse(
+          throw new IllegalStateException(
+            s"snapshot group member '$name' has no committed snapshot under $root"))
+        (name, root, v)
+    }
+    val fs = Ingest.fs(spark, groupDir)
+    fs.mkdirs(new Path(groupDir))
+    val lock = new Path(groupDir, lockFile)
+    val holderId = java.util.UUID.randomUUID().toString
+    acquireLease(fs, lock, holderId, lockTtlMs)
+    var staging: Option[Path] = None
+    try {
+      val pointerAtAcquire = pointerVersion(fs, groupDir)
+      val next = (currentVersion(spark, groupDir).toSeq ++
+        completeSnapshots(spark, groupDir)).maxOption.map(_ + 1).getOrElse(0L)
+      val stage = new Path(groupDir, s".v${next}_$holderId")
+      staging = Some(stage)
+      fs.mkdirs(stage)
+      val mf = fs.create(new Path(stage, "_MEMBERS"), true)
+      try mf.write(resolved
+        .map { case (n, r, v) => s"$n\t$r\t$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally mf.close()
+      fs.create(new Path(stage, "_SUCCESS"), true).close()
+      if (!readLease(fs, lock).exists(_.holderId == holderId))
+        throw new IllegalStateException(
+          s"snapshot group fenced: lease on $lock was reclaimed; v$next unpublished")
+      if (pointerVersion(fs, groupDir) != pointerAtAcquire)
+        throw new IllegalStateException(
+          s"snapshot group fenced: $versionFile advanced past $pointerAtAcquire;" +
+            s" v$next unpublished")
+      val tgt = new Path(versionPath(groupDir, next))
+      if (fs.exists(tgt)) {
+        if (fs.exists(new Path(tgt, "_SUCCESS")))
+          throw new IllegalStateException(
+            s"snapshot group fenced: complete snapshot $tgt appeared during" +
+              " this publish (concurrent writer?); aborting unpublished")
+        fs.delete(tgt, true)
+      }
+      if (!fs.rename(stage, tgt))
+        throw new IllegalStateException(
+          s"snapshot group publish failed: could not publish $stage as $tgt")
+      staging = None
+      val tmp = new Path(groupDir, s".$versionFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(groupDir).toUri, fs.getConf)
+      fc.rename(tmp, new Path(groupDir, versionFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      next
+    } finally {
+      staging.foreach(s => try fs.delete(s, true)
+        catch { case _: java.io.IOException => () })
+      if (readLease(fs, lock).exists(_.holderId == holderId))
+        fs.delete(lock, false)
+    }
+  }
+
+  /** The CURRENT group's pinned (name → (root, version)) map; loud on
+    * a never-published group. */
+  def snapshotGroupMembers(spark: SparkSession,
+      groupDir: String): Map[String, (String, Long)] = {
+    val fs = Ingest.fs(spark, groupDir)
+    val v = currentVersion(spark, groupDir).getOrElse(
+      throw new IllegalStateException(
+        s"no published snapshot group under $groupDir"))
+    val p = new Path(versionPath(groupDir, v), "_MEMBERS")
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(name, root, ver) = line.split("\t", 3)
+      name -> (root, ver.toLong)
+    }.toMap
+  }
+
+  /** Read one member THROUGH the group's pin — the version the group
+    * froze, not the member's current one. Loud (named error, never an
+    * empty frame) when retention pruned the pinned snapshot. */
+  def readGroupMember(spark: SparkSession, groupDir: String, name: String,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame = {
+    val (root, v) = snapshotGroupMembers(spark, groupDir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"snapshot group $groupDir has no member '$name'"))
+    val fs = Ingest.fs(spark, root)
+    val dir = dataPath(spark, root, v)
+    if (!fs.exists(new Path(dir, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"snapshot group $groupDir pins $name at $root v$v, which is missing" +
+          " or incomplete (vacuumed past its retention floor?) — republish" +
+          " the group or restore the member")
+    spark.read.schema(schema).parquet(dir)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
       minAgeMs: Long = 0L): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
