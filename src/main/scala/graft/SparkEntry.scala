@@ -451,6 +451,10 @@ object SparkEntry {
     // (syncsafe size, text frames) + frame-header bit decode.
     "m08_audio_tags"         -> ((s, dir) =>
       graft.multimodal.Multimodal.audioTagMetadata(s, dir)),
+    // m09: PNG tEXt caption/provenance chunks — CRC-verified chunk
+    // walk; torn chunks poison the parse rather than read as absent.
+    "m09_png_captions"       -> ((s, dir) =>
+      graft.multimodal.Multimodal.pngTextMetadata(s, dir)),
   )
 
   /** End-to-end cocoa run (two overlapping generated batches through
@@ -2319,6 +2323,21 @@ object SparkEntry {
         |  ['stereo', 'joint', 'mono'][CAST((h // 12) % 3 AS INT) + 1] AS mode,
         |  title, artist, TRUE AS header_ok
         |FROM p ORDER BY asset_id""".stripMargin,
+    // m09: the planned caption fields re-derived from content-length
+    // arithmetic — certifying the tEXt encode → CRC-checked chunk
+    // walk → decode round trip per row.
+    "m09_png_captions" ->
+      """WITH d AS (
+        |  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        |s AS (SELECT asset_id, (n * 2654435761) % 1000003 AS h FROM d)
+        |SELECT asset_id,
+        |  CAST([320, 640, 1024, 1920][CAST(h % 4 AS INT) + 1] AS INT) AS width,
+        |  CAST([240, 480, 768, 1080][CAST((h // 4) % 4 AS INT) + 1] AS INT) AS height,
+        |  'CAP-' || CAST(h % 997 AS VARCHAR) AS caption,
+        |  ['crawl', 'upload', 'scan', 'synthetic'][CAST((h // 16) % 4 AS INT) + 1] AS origin,
+        |  TRUE AS header_ok
+        |FROM s ORDER BY asset_id""".stripMargin,
     // m04: the binary store round-trip must preserve every byte — the
     // oracle recomputes size + md5 from the originating table.
     "m04_binary_asset_source" ->

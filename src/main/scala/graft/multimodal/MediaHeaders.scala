@@ -67,6 +67,61 @@ object MediaHeaders {
     Some(Media("image", b.getInt(16), b.getInt(20), 0, 33))
   }
 
+  /** PNG header + tEXt METADATA chunks (keyword NUL text, CRC32 per
+    * spec like IHDR's) — the alt-text/caption/provenance channel a
+    * real image corpus carries. */
+  def pngHeaderWithText(width: Int, height: Int,
+      texts: Seq[(String, String)]): Array[Byte] = {
+    val base = pngHeader(width, height)
+    val chunks = texts.map { case (key, value) =>
+      require(key.nonEmpty && key.length <= 79 && !key.contains(' '),
+        s"tEXt keyword out of spec: '$key'")
+      val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+        value.getBytes("ISO-8859-1")
+      val b = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(data.length)
+      b.put("tEXt".getBytes("US-ASCII"))
+      b.put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(b.array(), 4, 4 + data.length)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    chunks.foldLeft(base)(_ ++ _)
+  }
+
+  /** Walk the chunk stream after IHDR collecting CRC-VALID tEXt
+    * entries (keyword → text). Stops at the first position that
+    * cannot be a chunk (the fixture's raw content tail); a tEXt chunk
+    * whose CRC fails is torn and poisons the whole parse (None) —
+    * silently skipping it would misreport metadata as absent. */
+  def parsePngTexts(bytes: Array[Byte]): Option[Map[String, String]] = {
+    if (parsePng(bytes).isEmpty) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var off = 33
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var done = false
+    while (!done && off + 12 <= bytes.length) {
+      val len = b.getInt(off)
+      val isText = len >= 1 && off + 12 + len <= bytes.length &&
+        bytes(off + 4) == 't' && bytes(off + 5) == 'E' &&
+        bytes(off + 6) == 'X' && bytes(off + 7) == 't'
+      if (!isText) done = true
+      else {
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, off + 4, 4 + len)
+        if (crc.getValue.toInt != b.getInt(off + 8 + len)) return None
+        val data = bytes.slice(off + 8, off + 8 + len)
+        val nul = data.indexOf(0.toByte)
+        if (nul <= 0) return None
+        out.put(new String(data, 0, nul, "ISO-8859-1"),
+          new String(data, nul + 1, data.length - nul - 1, "ISO-8859-1"))
+        off += 12 + len
+      }
+    }
+    Some(out.toMap)
+  }
+
   // ------------------------------------------------------------ JPEG
 
   /** SOI + APP0/JFIF + SOF0 (baseline, 3 components): 39 bytes. Real

@@ -351,6 +351,55 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  final case class PngTextMeta(asset_id: Long, width: Int, height: Int,
+      caption: String, origin: String, header_ok: Boolean)
+
+  /** The fixture's deterministic PNG caption/provenance metadata,
+    * content-keyed like [[plannedMp3]]. */
+  private[multimodal] def plannedPngText(contentBytes: Long): (Int, Int, String, String) = {
+    val h = (contentBytes * 2654435761L) % 1000003L
+    val w = Seq(320, 640, 1024, 1920)((h % 4).toInt)
+    val ht = Seq(240, 480, 768, 1080)(((h / 4) % 4).toInt)
+    val caption = s"CAP-${h % 997}"
+    val origin = Seq("crawl", "upload", "scan", "synthetic")(((h / 16) % 4).toInt)
+    (w, ht, caption, origin)
+  }
+
+  /** m09: PNG tEXt METADATA extraction — the alt-text/caption channel
+    * an image corpus carries: document text behind a real PNG header
+    * plus two CRC32-verified tEXt chunks (Caption + Origin per the
+    * spec's keyword NUL text layout), walked back out by
+    * [[MediaHeaders.parsePngTexts]]. A torn tEXt chunk poisons the
+    * parse (header_ok false) rather than reading as absent metadata.
+    * Same certification shape as m05/m07/m08: every planned field is
+    * re-derived by the oracle from content-length arithmetic. */
+  def pngTextMetadata(spark: SparkSession, dir: String, maxId: Long = 200L): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (w, ht, caption, origin) = plannedPngText(content.length.toLong)
+        Asset(id, "image", MediaHeaders.pngHeaderWithText(w, ht,
+          Seq("Caption" -> caption, "Origin" -> origin)) ++ content)
+      }
+      .mapPartitions { it =>
+        it.map { a =>
+          (MediaHeaders.parsePng(a.payload), MediaHeaders.parsePngTexts(a.payload)) match {
+            case (Some(m), Some(t)) if t.contains("Caption") && t.contains("Origin") =>
+              PngTextMeta(a.asset_id, m.width, m.height,
+                t("Caption"), t("Origin"), header_ok = true)
+            case _ =>
+              PngTextMeta(a.asset_id, 0, 0, "", "", header_ok = false)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("asset_id")
+  }
+
   /** The `binaryFile` SOURCE path: one opaque file per asset on the
     * content store, ingested by Spark's built-in binary-file reader
     * (path, length, content) — the real shape of image/audio

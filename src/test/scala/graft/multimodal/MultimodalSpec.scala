@@ -277,6 +277,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.parseMp3(overrun).isEmpty)
   }
 
+  test("m09: tEXt chunks round-trip; torn chunks poison, never read as absent") {
+    val good = MediaHeaders.pngHeaderWithText(640, 480,
+      Seq("Caption" -> "a red fox", "Origin" -> "crawl"))
+    val t = MediaHeaders.parsePngTexts(good ++ Array.fill(7)(0x33.toByte))
+    assert(t === Some(Map("Caption" -> "a red fox", "Origin" -> "crawl")))
+    // a flipped byte inside a tEXt body breaks that chunk's CRC —
+    // the parse must POISON (None), not skip the chunk
+    val torn = good.clone()
+    torn(33 + 12) = 'X'.toByte // first byte of the Caption keyword
+    assert(MediaHeaders.parsePngTexts(torn).isEmpty, "torn tEXt must poison")
+    // no chunks at all: valid PNG, empty metadata (not a failure)
+    assert(MediaHeaders.parsePngTexts(
+      MediaHeaders.pngHeader(64, 64) ++ Array.fill(5)(0x44.toByte)) ===
+      Some(Map.empty[String, String]))
+    // keyword validation per spec
+    intercept[IllegalArgumentException] {
+      MediaHeaders.pngHeaderWithText(64, 64, Seq("bad key" -> "v"))
+    }
+  }
+
   test("m08: the query decodes every asset with planned fields") {
     val got = graft.multimodal.Multimodal
       .audioTagMetadata(spark, dir, maxId = 40).collect()
