@@ -237,6 +237,10 @@ object SparkEntry {
     "p09_incremental_agg" -> ((s, _) => cocoaIncrementalAgg(s)),
     // Structured Streaming surface
     "s04_cocoa_stream_warehouse" -> ((s, _) => cocoaStreamWarehouse(s)),
+    // s15: crash mid-drain between warehouse commit and checkpoint
+    // commit, restart from the checkpoint — exactly-once effect via
+    // idempotent replay; same batch-pipeline oracle as s04.
+    "s15_stream_crash_recovery" -> ((s, _) => runCocoaStreamCrashRecovery(s)),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
@@ -844,6 +848,40 @@ object SparkEntry {
     graft.streaming.CocoaStream.runAvailableNowJdbc(scoped, landing, url, "wh",
       s"$root/checkpoint", processedAt = Some(new Timestamp(1700000100000L)))
     JdbcWarehouse.read(spark, url, "wh").orderBy("shipment_id")
+  }
+
+  /** s15: CHECKPOINT CRASH RECOVERY — the first drain is killed after
+    * its first micro-batch's warehouse commit but BEFORE the
+    * checkpoint marks the batch done (the worst-ordered crash
+    * window); the restarted drain replays that batch (idempotent LWW
+    * ⇒ content-identical commit) and finishes the landing exactly
+    * once. The final warehouse hash-matches the batch-pipeline
+    * oracle — crash, replay and all. */
+  private def runCocoaStreamCrashRecovery(spark: SparkSession): DataFrame = {
+    val root = Files.createTempDirectory("cocoa_stream_crash").toString
+    val landing = s"$root/landing"
+    val warehouse = s"$root/warehouse"
+    val checkpoint = s"$root/checkpoint"
+    val scoped = pipelineSession(spark)
+    CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 41, idOffset = 0)
+    try {
+      graft.streaming.CocoaStream.runAvailableNow(scoped, landing, warehouse,
+        checkpoint, maxFilesPerTrigger = Some(1),
+        processedAt = Some(new Timestamp(1700000000000L)),
+        crashAfterBatches = Some(1L))
+      throw new IllegalStateException("crash knob did not fire")
+    } catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+    }
+    // recovery: SAME checkpoint — replays the uncheckpointed batch,
+    // then drains the rest exactly once
+    graft.streaming.CocoaStream.runAvailableNow(scoped, landing, warehouse,
+      checkpoint, maxFilesPerTrigger = Some(1),
+      processedAt = Some(new Timestamp(1700000000000L)))
+    CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 42, idOffset = 500)
+    graft.streaming.CocoaStream.runAvailableNow(scoped, landing, warehouse,
+      checkpoint, processedAt = Some(new Timestamp(1700000100000L)))
+    Warehouse.read(spark, warehouse).orderBy("shipment_id")
   }
 
   private def runCocoaStream(spark: SparkSession): DataFrame = {
@@ -3100,6 +3138,7 @@ object SparkEntry {
     // dump, same oracle. (runCocoa's dump is reused: both pipelines
     // consume byte-identical generated batches.)
     "s04_cocoa_stream_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "s15_stream_crash_recovery" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // s07: the streaming JDBC landing must preserve the same warehouse
     // — stream -> RDBMS, exactly-once by upsert idempotence.
     "s07_stream_jdbc_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),

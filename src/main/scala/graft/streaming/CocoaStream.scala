@@ -27,11 +27,21 @@ object CocoaStream {
     * stamp for every micro-batch of this drain (tests / oracle-checked
     * runs); `None` stamps wall-clock per batch like the reference's
     * per-chunk utcnow(). */
+  /** Thrown by the spec/gate crash knob — a stand-in for the executor
+    * or driver dying BETWEEN the warehouse commit and the checkpoint
+    * commit, the worst-ordered crash window: the restarted query
+    * replays that micro-batch, and the LWW upsert's idempotence (same
+    * keys, same stamps) makes the replay a content-identical commit —
+    * exactly-once EFFECT from at-least-once delivery. */
+  final class SimulatedCrash extends RuntimeException(
+    "simulated crash after warehouse commit, before checkpoint commit")
+
   def runAvailableNow(spark: SparkSession, landingDir: String,
       warehouseDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       processedAt: Option[Timestamp] = None,
-      broadcastMergeKeys: Boolean = true): Long = {
+      broadcastMergeKeys: Boolean = true,
+      crashAfterBatches: Option[Long] = None): Long = {
 
     // enforceSchema=false: the streaming file source has no per-file
     // quarantine hook (unlike batch Ingest.validateHeaders), so a file
@@ -61,6 +71,9 @@ object CocoaStream {
         val merged = Merge.upsertShipments(target, enriched, broadcastMergeKeys)
         Warehouse.commit(spark, warehouseDir, merged)
         batches += 1
+        // crash knob: die AFTER the commit, BEFORE the checkpoint
+        // marks this batch done — the replay-on-restart window
+        if (crashAfterBatches.contains(batches)) throw new SimulatedCrash
         ()
       }
       .start()

@@ -157,4 +157,44 @@ class CocoaStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.map(_.toString).sorted.toSeq === batch.map(_.toString).sorted.toSeq)
   }
+
+  test("crash between commit and checkpoint: restart replays idempotently, never duplicates") {
+    val root = Files.createTempDirectory("cocoa_crash").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    CocoaGen.writeLandingFiles(spark, s"$root/landing", 4, 50, seed = 31)
+    // crash after batch 1's warehouse commit (file 1 merged, not
+    // checkpointed)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CocoaStream.runAvailableNow(spark, s"$root/landing", s"$root/wh",
+        s"$root/ckpt", maxFilesPerTrigger = Some(1), processedAt = Some(ts),
+        crashAfterBatches = Some(1L))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.isInstanceOf[CocoaStream.SimulatedCrash]),
+      "the failure must be the planted crash, not something else")
+    val midCount = Warehouse.read(spark, s"$root/wh").count()
+    assert(midCount > 0 && midCount < 200, "crash must land mid-drain")
+    val vMid = Warehouse.currentVersion(spark, s"$root/wh").get
+
+    // restart from the SAME checkpoint: replays the uncheckpointed
+    // batch (content-identical commit — idempotent LWW), drains the
+    // remaining files exactly once
+    CocoaStream.runAvailableNow(spark, s"$root/landing", s"$root/wh",
+      s"$root/ckpt", maxFilesPerTrigger = Some(1), processedAt = Some(ts))
+    assert(Warehouse.read(spark, s"$root/wh").count() === 200,
+      "recovered drain must land every row exactly once")
+    // the replayed batch really committed again (a new version), and
+    // its content equals the pre-crash snapshot it replayed over
+    val vAfter = Warehouse.currentVersion(spark, s"$root/wh").get
+    assert(vAfter > vMid, "replay must have produced new commits")
+
+    // reference run without a crash: byte-identical final warehouse
+    CocoaGen.writeLandingFiles(spark, s"$root/landing2", 4, 50, seed = 31)
+    CocoaStream.runAvailableNow(spark, s"$root/landing2", s"$root/wh2",
+      s"$root/ckpt2", processedAt = Some(ts))
+    val a = Warehouse.read(spark, s"$root/wh").collect().map(_.toString).sorted.toSeq
+    val b = Warehouse.read(spark, s"$root/wh2").collect().map(_.toString).sorted.toSeq
+    assert(a === b, "crash+recovery diverged from the clean run")
+  }
 }
