@@ -381,6 +381,10 @@ object SparkEntry {
     // co-order edges; oracle unrolls the peel round by round.
     "g05_kcore"              -> ((s, dir) =>
       NorthStar.kcoreCoOrderFrom(sharedCoOrderEdges(s, dir))),
+    // g06: WEIGHTED PageRank — rank mass divided proportionally to
+    // shared-order count; rides the same memoized weighted edges.
+    "g06_weighted_pagerank"  -> ((s, dir) =>
+      NorthStar.weightedPageRankCoOrderFrom(sharedCoOrderEdges(s, dir))),
     "v01_knn_brute_force"    -> (NorthStar.knnBruteForce _),
     "v02_ann_top_k"          -> (NorthStar.annTopK _),
     "v03_embedding_near_dups" -> (NorthStar.embeddingNearDups _),
@@ -2642,6 +2646,41 @@ object SparkEntry {
         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
         |      UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
         |ORDER BY part_id""".stripMargin
+    },
+    // g06: the weighted walk unrolled — contribution (r·w) // W(src),
+    // same integer base formula as g01; weights = distinct shared
+    // orders per pair (the DISTINCT-per-order pair count).
+    "g06_weighted_pagerank" -> {
+      def iter(k: Int): String =
+        s"""it$k AS (
+           |  SELECT e.dst AS node, sum((p.r * e.w) // s.wsum) AS s
+           |  FROM pr${k - 1} p
+           |  JOIN edges e ON p.node = e.src
+           |  JOIN ws s ON p.node = s.src
+           |  GROUP BY e.dst),
+           |pr$k AS (
+           |  SELECT nd.node,
+           |    CAST((150000000000 // nn.n) + ((85 * coalesce(i.s, 0)) // 100) AS BIGINT) AS r
+           |  FROM nodes nd LEFT JOIN it$k i ON nd.node = i.node CROSS JOIN nn)"""
+          .stripMargin
+      s"""WITH po AS (
+         |  SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS u, l2.l_partkey AS v
+         |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+         |  WHERE l1.l_partkey < l2.l_partkey),
+         |pairs AS MATERIALIZED (SELECT u, v, count(*) AS w FROM po GROUP BY u, v),
+         |edges AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst, w FROM pairs
+         |  UNION ALL SELECT v AS src, u AS dst, w FROM pairs),
+         |ws AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+         |        FROM nodes CROSS JOIN nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node AS part_id, r AS rank_units FROM pr3
+         |ORDER BY part_id""".stripMargin
     },
     // g05: the 3 peel rounds unrolled. k replicates the Spark side's
     // histogram form exactly: smallest degree whose cumulative node

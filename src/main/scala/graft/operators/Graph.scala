@@ -71,6 +71,48 @@ object Graph {
     releaseAfter(pr.select(col("node"), col("r").as("rank_units")), ckpts.toSeq)
   }
 
+  /** WEIGHTED damped PageRank, same integer-exact discipline as
+    * [[pageRankIntExact]]: each node divides its rank over out-edges
+    * PROPORTIONALLY TO EDGE WEIGHT (contribution = r·w div W(src),
+    * all integer floor arithmetic — bit-reproducible anywhere). On a
+    * co-occurrence graph this is the formulation that actually ranks:
+    * a part sharing 40 orders with a hub should pull 40× the mass of
+    * a one-order acquaintance, which the unweighted walk flattens.
+    * Input edges are DIRECTED (src, dst, w); every node must appear
+    * as a src. Overflow headroom: r ≤ total mass 10^12 and w is a
+    * co-occurrence count, so r·w sits far below 2^63 for any
+    * realistic multiplicity (documented contract). Same per-iteration
+    * scale shape and checkpoint cadence as the unweighted form. */
+  def pageRankWeightedIntExact(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 6, checkpointThreshold: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkpointEvery > 0, s"checkpointEvery must be > 0, got $checkpointEvery")
+    val SCALE = 1000000000000L
+    val base = 15L * SCALE / 100L
+    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nTot = nodes.agg(count(lit(1)).as("n"))
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var pr = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"), expr(s"$SCALE div n").as("r"))
+    for (i <- 1 to iters) {
+      val contrib = pr
+        .join(edges, pr("node") === edges("src"))
+        .join(wsum, "src")
+        .select(col("dst").as("node"), expr("(r * w) div wsum").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("node"),
+          expr(s"($base div n) + ((85 * coalesce(s, 0)) div 100)").as("r"))
+      if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters) {
+        pr = pr.localCheckpoint(true)
+        ckpts += pr
+      }
+    }
+    releaseAfter(pr.select(col("node"), col("r").as("rank_units")), ckpts.toSeq)
+  }
+
   /** Lineage-guard block hygiene: when a loop left eager
     * `localCheckpoint` intermediates in the block manager, cut the
     * result over to its OWN (single, O(result)-sized) checkpoint and

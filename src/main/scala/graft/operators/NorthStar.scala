@@ -1056,7 +1056,12 @@ object NorthStar {
         transform(slice(col("ps"), i + 2, size(col("ps"))),
           b => struct(a.as("u"), b.as("v")))))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-      .distinct()
+      // weight = number of shared orders: the same aggregate that
+      // deduped the edge list before (distinct ≡ groupBy) now keeps
+      // the multiplicity, so the weighted consumers (g06) ride the
+      // SAME memoized handle and the unweighted ones just never
+      // select `w`
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
   }
 
   def triangleCoOrder(spark: SparkSession, dir: String): DataFrame =
@@ -1779,6 +1784,20 @@ object NorthStar {
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       length(col("text")).cast("long").as("n_chars_text"))
       .orderBy("doc_id")
+
+  /** g06: WEIGHTED PageRank on the co-order graph — the walk divides
+    * each part's mass over its neighbors proportionally to SHARED
+    * ORDER COUNT (the `w` the shared memoized edge list now carries),
+    * so heavily co-purchased pairs dominate the ranking the way the
+    * unweighted walk cannot express. 3 iterations, integer-exact,
+    * oracle-unrolled like g01. */
+  def weightedPageRankCoOrderFrom(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    Graph.pageRankWeightedIntExact(dir, iters)
+      .select(col("node").as("part_id"), col("rank_units"))
+      .orderBy("part_id")
+  }
 
   /** d48: VOCABULARY COVERAGE — the tokenizer-engineering decision
     * query: the MINIMAL frequency-ranked vocabulary covering

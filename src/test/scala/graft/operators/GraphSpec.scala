@@ -196,6 +196,33 @@ class GraphSpec extends AnyFunSuite {
     assert(tie(40L) === (1L, 1L), "equal-level tie breaks to the smaller seed")
   }
 
+  test("weighted PageRank: mass follows edge weight; driver mirror bit-for-bit") {
+    import spark.implicits._
+    // hub 1 splits its mass 9:1 between 2 and 3; 2 and 3 return all
+    // mass to 1. Node 2 must outrank node 3, and every unit must
+    // match a plain-Scala fixed-point mirror exactly.
+    val und = Seq((1L, 2L, 9L), (1L, 3L, 1L))
+    val dirEdges = (und ++ und.map(e => (e._2, e._1, e._3)))
+    val got = Graph.pageRankWeightedIntExact(
+      dirEdges.toDF("src", "dst", "w"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // mirror
+    val SCALE = 1000000000000L
+    val base = 15L * SCALE / 100L
+    val nodes = dirEdges.map(_._1).distinct
+    val wsum = dirEdges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(_ -> SCALE / nodes.size).toMap
+    for (_ <- 1 to 4) {
+      val s = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      dirEdges.foreach { case (src, dst, w) =>
+        s(dst) += pr(src) * w / wsum(src)
+      }
+      pr = nodes.map(n => n -> (base / nodes.size + 85L * s(n) / 100L)).toMap
+    }
+    assert(got === pr)
+    assert(got(2L) > got(3L), "the 9:1 weight split must rank 2 above 3")
+  }
+
   private def kcore(edges: Seq[(Long, Long)], rounds: Int,
       num: Int = 1, den: Int = 10): Map[Long, Long] = {
     import spark.implicits._
