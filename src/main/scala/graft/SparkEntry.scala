@@ -96,6 +96,8 @@ object SparkEntry {
     "q38_global_rank_deciles" -> ((s, dir) => Relational.globalRankDeciles(s, dir)),
     "q39_bloom_prefilter"    -> ((s, dir) => Relational.bloomPrefilterFlags(s, dir)),
     "q40_funnel_depth"       -> (Relational.funnelDepth _),
+    // q56: greedy first-touch funnel with a 1-hour per-step window.
+    "q56_windowed_funnel"    -> ((s, dir) => Relational.windowedFunnel(s, dir)),
     "q41_value_outliers"     -> (Relational.valueOutliers _),
     "q42_cohort_retention"   -> (Relational.cohortRetention _),
     "q43_forward_fill"       -> (Relational.forwardFillDaily _),
@@ -3915,6 +3917,34 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q40: iterated earliest-qualifying-step funnel, µs-epoch time
     // compares on both engines (the s06/q36 contract).
+    // q56: the greedy windowed chain replayed — each step's filter
+    // gains the within-window upper bound.
+    "q56_windowed_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(us) AS t1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2_us FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s1.t1_us
+        |    AND e.us <= s1.t1_us + 3600000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3_us FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t2_us
+        |    AND e.us <= s2.t2_us + 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth,
+        |  s1.t1_us, s2.t2_us, s3.t3_us
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "q40_funnel_depth" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

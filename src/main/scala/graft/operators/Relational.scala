@@ -983,6 +983,42 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q56: TIME-CONSTRAINED funnel — q40's earliest-qualifying-step
+    * chain with the product requirement real funnels carry: each next
+    * step must land within `windowUs` of the PREVIOUS step (a click a
+    * week after the view is not conversion). Same scale shape as q40
+    * — per-step one conditional aggregate joined to the previous
+    * step's per-user scalar (broadcast-sized at any realistic user
+    * count), never a per-user event sort — the window bound is just
+    * one more pushdown-friendly predicate on each step's filter.
+    * CONTRACT: this is the GREEDY first-touch funnel (each step
+    * anchors at its EARLIEST qualifying event) — the standard
+    * product-analytics semantics, and deterministic — NOT a
+    * depth-maximal search: under a window, anchoring later at step k
+    * can occasionally rescue step k+1 (unbounded q40 has no such
+    * case), and the oracle replays exactly the greedy rule. */
+  def windowedFunnel(spark: SparkSession, dir: String,
+      windowUs: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1_us"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("us") > col("t1_us") && col("us") <= col("t1_us") + windowUs)
+      .groupBy("user_id").agg(min("us").as("t2_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("us") > col("t2_us") && col("us") <= col("t2_us") + windowUs)
+      .groupBy("user_id").agg(min("us").as("t3_us"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L)
+          + when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("depth"),
+        col("t1_us"), col("t2_us"), col("t3_us"))
+      .orderBy("user_id")
+  }
+
   /** q41: 3σ OUTLIER detection per event_type, INTEGER-EXACT — the
     * data-quality monitor a pipeline runs over incoming metrics. The
     * test |x − μ| > 3σ is evaluated without ever computing μ or σ in
