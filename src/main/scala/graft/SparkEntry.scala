@@ -214,6 +214,9 @@ object SparkEntry {
     // p20: consistent snapshot group — the agg member read through
     // the cross-table pin; oracle recomputes over the facts member.
     "p20_snapshot_group" -> ((s, _) => cocoaSnapshotGroup(s)),
+    // p21: three-way branch merge (clone, diverge disjointly, fold
+    // back) — merged table ≡ LWW over all four landing batches.
+    "p21_branch_merge" -> ((s, _) => cocoaBranchMerge(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -1098,6 +1101,39 @@ object SparkEntry {
       Map("facts" -> dirs.warehouse, "agg" -> aggRoot))
     Warehouse.readGroupMember(spark, groupDir, "agg", agg.schema)
       .orderBy("region")
+  }
+
+  /** p21: BRANCH MERGE. Main and a zero-copy branch each absorb one
+    * disjoint landing batch after the fork; the three-way merge folds
+    * the branch's key-delta back onto main. With disjoint edits the
+    * merged table is provably the LWW of all four batches, which is
+    * exactly what the oracle recomputes from the landing CSVs; the
+    * conflict/convergence behavior is BranchMergeSpec's job. */
+  private def cocoaBranchMerge(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    val scoped = pipelineSession(spark)
+    val main = graft.core.RunTemp.dir("graft_bm_main_", keep = 32)
+    val br = graft.core.RunTemp.dir("graft_bm_branch_", keep = 32)
+    Warehouse.cloneShallow(spark, dirs.warehouse, main)
+    Warehouse.cloneShallow(spark, main, br) // fork: branch v0 ≡ main content
+    val root = Files.createTempDirectory("cocoa_bm").toString
+    def enriched(landing: String, ms: Long) = {
+      val (df, _) = graft.pipeline.Ingest.ingest(scoped, landing)
+      graft.pipeline.Enrich.enrich(df.get, new Timestamp(ms))
+    }
+    // main edits keys 0–99; branch edits 1450–1549 (50 updates + 50
+    // inserts) — disjoint, so the merge is clean by construction
+    CocoaGen.writeLandingFiles(scoped, s"$root/m1", 1, 100, seed = 64, idOffset = 0)
+    copyCsvs(s"$root/m1", s"$cocoaOracleIn/m1")
+    Warehouse.commit(scoped, main, graft.pipeline.Merge.upsertShipments(
+      Warehouse.read(scoped, main), enriched(s"$root/m1", 1700000200000L)))
+    CocoaGen.writeLandingFiles(scoped, s"$root/m2", 1, 100, seed = 65, idOffset = 1450)
+    copyCsvs(s"$root/m2", s"$cocoaOracleIn/m2")
+    Warehouse.commit(scoped, br, graft.pipeline.Merge.upsertShipments(
+      Warehouse.read(scoped, br), enriched(s"$root/m2", 1700000300000L)))
+    Warehouse.mergeBranch(spark, main, br)
+    Warehouse.read(spark, main).orderBy("shipment_id")
   }
 
   /** d15's oracle, with the aggregate's permutation seeds inlined as
@@ -3183,6 +3219,11 @@ object SparkEntry {
     // s07: the streaming JDBC landing must preserve the same warehouse
     // — stream -> RDBMS, exactly-once by upsert idempotence.
     "s07_stream_jdbc_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "p21_branch_merge" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq(
+        "b1" -> "2023-11-14 22:13:20", "b2" -> "2023-11-14 22:15:00",
+        "m1" -> "2023-11-14 22:16:40", "m2" -> "2023-11-14 22:18:20")),
     "p20_snapshot_group" -> cocoaOracle(
       """SELECT region, count(*) AS n_shipments,
         |  sum(shipment_value_usd) AS total_value_usd

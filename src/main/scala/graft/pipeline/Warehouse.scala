@@ -1123,6 +1123,75 @@ object Warehouse {
     }
   }
 
+  /** THREE-WAY BRANCH MERGE — the table analogue of a VCS merge,
+    * closing the loop [[cloneShallow]] opens: fork a table (zero-copy
+    * clone), let BOTH sides commit independently, then fold the
+    * branch's changes back into main. `base` is the fork point — the
+    * branch's v0 clone snapshot (the documented contract: merge a
+    * branch that was born as a clone, read through [[dataPath]] so
+    * the pointer resolves) — and the merge applies the branch's
+    * key-level delta (inserts / updates / deletes vs base) onto
+    * main's CURRENT snapshot.
+    *
+    * Conflict rule, CORRECT-OR-LOUD: a key BOTH sides changed since
+    * the fork is a conflict unless both made the IDENTICAL change
+    * (null-safe image compare — convergent edits merge clean, the way
+    * two identical cherry-picks do); any real conflict aborts with a
+    * sample of the keys before anything publishes. No silent
+    * last-writer policy here by design — a policy merge is what
+    * [[Merge.upsert]] already does; the value of a VCS-style merge is
+    * that divergence is SURFACED.
+    *
+    * Scale shape: two snapshot diffs (one full-outer join each, the
+    * [[diffImages]] single-struct-compare shape), one broadcast-able
+    * conflict intersection on the key, and one apply join — all keyed
+    * on the merge key; on bucketed layouts every one of them is
+    * exchange-free. Commits with `expectedCurrent` fencing, so a main
+    * commit interleaving with the merge aborts it rather than being
+    * overwritten. Returns the committed version. */
+  def mergeBranch(spark: SparkSession, mainRoot: String, branchRoot: String,
+      keyCols: Seq[String] = Seq(CocoaSchema.mergeKey),
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs,
+      maxConflictsShown: Int = 20): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "mergeBranch needs at least one key column")
+    val mainV = currentVersion(spark, mainRoot).getOrElse(
+      throw new IllegalStateException(
+        s"mergeBranch: no committed snapshot under $mainRoot"))
+    val branchV = currentVersion(spark, branchRoot).getOrElse(
+      throw new IllegalStateException(
+        s"mergeBranch: no committed snapshot under $branchRoot"))
+    def snap(root: String, v: Long) =
+      spark.read.schema(schema).parquet(dataPath(spark, root, v))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    // fork point: the branch's v0 — its clone of main at fork time
+    val base = snap(branchRoot, 0L)
+    val dBranch = diffImages(base, snap(branchRoot, branchV), keyCols)
+      .select(keyCols.map(col) :+ col("new_image").as("b_img") :+
+        col("change_type").as("b_type"): _*)
+    val dMain = diffImages(base, snap(mainRoot, mainV), keyCols)
+      .select(keyCols.map(col) :+ col("new_image").as("m_img"): _*)
+    val conflicts = dBranch.join(dMain, keyCols)
+      .filter(!(col("b_img") <=> col("m_img"))) // identical edits converge
+      .select(keyCols.map(col): _*)
+    val sample = conflicts.limit(maxConflictsShown + 1).collect()
+    if (sample.nonEmpty)
+      throw new IllegalStateException(
+        s"mergeBranch: ${if (sample.length > maxConflictsShown) "more than " else ""}" +
+          s"${math.min(sample.length, maxConflictsShown)} key(s) changed on BOTH" +
+          s" sides since the fork with different images — resolve before merging." +
+          s" Sample: ${sample.take(maxConflictsShown).mkString(", ")}")
+    val dataCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+    val survivors = snap(mainRoot, mainV)
+      .join(dBranch.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val applied = dBranch.filter(col("b_type") =!= "delete")
+      .select(keyCols.map(col) ++
+        dataCols.map(c => col(s"b_img.`$c`").as(c)): _*)
+    commit(spark, mainRoot, survivors.unionByName(applied),
+      lockTtlMs, expectedCurrent = Some(Some(mainV)))
+  }
+
   /** CONSISTENT SNAPSHOT GROUPS — a cross-table read boundary on
     * plain files: one atomic pointer pinning a (table → version) set
     * that CO-EXISTED at publish time, so a multi-table consumer (a
