@@ -420,6 +420,12 @@ object SparkEntry {
     // radius of each query; broadcast scan = the production plan for
     // a bounded query set, exact ⇒ fully oracled, no certificate.
     "v21_range_search"       -> (NorthStar.rangeSearchQuery _),
+    // v22/v23: PQ index MAINTENANCE — appendPq against the frozen
+    // model, then the full append×2 → deletePq → compactPq lifecycle;
+    // each carries an exact multiset-equivalence certificate against
+    // a one-shot re-encode (stronger than recall) plus the recall bar.
+    "v22_pq_append"          -> (NorthStar.ivfPqAppendTopK _),
+    "v23_pq_lifecycle"       -> (NorthStar.ivfPqLifecycleTopK _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -3889,6 +3895,51 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
         |  TRUE AS ivfpq_saved_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v22: PQ append ≡ rebuild-with-same-model. Truth rows are v16's
+    // brute-force top-5 (the PQ model is a Spark-side k-means
+    // construction, not DuckDB-recomputable); the two certificate
+    // literals are only TRUE Spark-side when (a) the appended artifact
+    // multiset-equals a one-shot re-encode of the full corpus under
+    // the frozen model and (b) ADC recall@5 over it clears 0.6.
+    "v22_pq_append" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
+        |  TRUE AS pq_append_recall_ok, TRUE AS pq_append_equiv_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // v23: the full PQ maintenance lifecycle (append ×2 → delete →
+    // compact). Truth is brute-force over the SURVIVING corpus (the
+    // v12 oracle shape: the deleted range excluded from candidates);
+    // the equivalence certificate pins the compacted artifact
+    // multiset-exactly to a re-encode of corpus-minus-deleted.
+    "v23_pq_lifecycle" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+        |    AND NOT (c.vec_id >= 50 AND c.vec_id < 100)),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank,
+        |  TRUE AS pq_lifecycle_recall_ok, TRUE AS pq_lifecycle_equiv_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // v09: the int8 quantization (floor-half-up, engine-portable) and
     // the integer cosine recomputed exactly — the compressed corpus's

@@ -512,6 +512,25 @@ object IvfIndex {
     PqModel(centroids, codebooks)
   }
 
+  /** Encode vectors against a FROZEN PQ model: one distributed scan
+    * assigning each vector its cell and its m residual codes. Shared
+    * by [[buildPq]] (right after training) and [[appendPq]] (against
+    * the saved model) — having ONE encode path is what makes
+    * "append ≡ re-encode-everything-with-the-same-model" an exact,
+    * certifiable equality rather than a two-implementations hope. */
+  private[operators] def encodePq(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, attrCols: Seq[String] = Nil): DataFrame = {
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        attrCols.map(col): _*)
+      .withColumn("cell",
+        SketchExpressions.topCells(col("vec"), model.centroids, 1).getItem(0))
+      .withColumn("codes",
+        SketchExpressions.pqEncode(col("vec"), col("cell"),
+          model.centroids, model.codebooks))
+      .select(("id" +: "cell" +: "codes" +: attrCols).map(col): _*)
+  }
+
   /** Build the PQ-coded index: one distributed scan assigning each
     * vector its cell and its m residual codes. The artifact carries
     * (id, cell, codes) ONLY — no vectors — which is what makes the
@@ -523,16 +542,67 @@ object IvfIndex {
       .select(col(idCol).as("id") +: col(vecCol).as("vec") +:
         attrCols.map(col): _*)
     val model = trainPq(base, "vec", nCells, m, ks, seed)
-    val encoded = base
-      .withColumn("cell",
-        SketchExpressions.topCells(col("vec"), model.centroids, 1).getItem(0))
-      .withColumn("codes",
-        SketchExpressions.pqEncode(col("vec"), col("cell"),
-          model.centroids, model.codebooks))
-      .select(("id" +: "cell" +: "codes" +: attrCols).map(col): _*)
-      .cache()
+    val encoded = encodePq(base, "id", "vec", model, attrCols).cache()
     (encoded, model)
   }
+
+  /** Incrementally grow a SAVED PQ index: encode `newVectors` against
+    * the FROZEN saved model (coarse centroids AND residual codebooks —
+    * neither is refit) and append the coded rows to the touched cell
+    * partitions only; untouched cells keep their files byte-for-byte.
+    * The PQ twin of [[append]], and the piece that turns the PQ index
+    * from a demo into a production artifact: at trillion-vector scale
+    * the PQ index is the RAM-resident one, and a corpus append must
+    * cost O(batch) — one encode scan of the batch — never an
+    * O(corpus) codebook retrain + full re-encode.
+    *
+    * Drift contract (the documented cost of freezing): appended
+    * vectors are quantized by codebooks fit on the ORIGINAL sample.
+    * Cell assignment still defines search correctness (a vector is
+    * found by probing its assigned cell, exactly as in [[append]]);
+    * what drifts is ADC precision — if the new data's residual
+    * distribution shifts far from the training sample's, quantization
+    * error grows and recall@k erodes. The maintenance loop is:
+    * monitor recall on a held-out truth set, rebuild with [[buildPq]]
+    * + [[savePq]] past the drift budget. The spec-pinned invariant
+    * here is exact: the appended artifact equals a one-shot
+    * [[encodePq]] of the full corpus under the same model, row for
+    * row, code for code.
+    *
+    * Caller contract: `newVectors` ids disjoint from the saved corpus
+    * (same as [[append]]). Returns the touched cell ids (sorted). */
+  def appendPq(spark: SparkSession, dir: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Array[Int] = {
+    val (_, model) = loadPq(spark, dir)
+    // attribute columns (filtered-search metadata) derived from the
+    // saved schema, same loud-on-missing contract as append's
+    val attrs = spark.read.parquet(s"$dir/cells").columns
+      .filterNot(Set("id", "codes", "cell")).toSeq
+    val coded = encodePq(newVectors, idCol, vecCol, model, attrs)
+      .cache() // two actions: partitioned write + touched-cell agg
+    coded.select((Seq("id", "codes").map(col) ++
+        attrs.map(col) :+ col("cell")): _*)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    val touched = coded.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    coded.unpersist()
+    touched
+  }
+
+  /** Remove `ids` from a saved PQ index. [[delete]] is already
+    * payload-agnostic — it rewrites touched `cell=` partitions by an
+    * id anti-join and never names the payload columns — so the PQ
+    * layout (id, codes, cell) rides the identical mechanics, crash
+    * contract included. Codes are per-row and the model is untouched,
+    * so survivors' search behavior is bit-identical. */
+  def deletePq(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Array[Int] = delete(spark, dir, ids, idCol)
+
+  /** Compact a PQ index fragmented by repeated [[appendPq]]s — same
+    * payload-agnostic cell rewrite as [[compact]] (row content
+    * untouched; only file counts change). */
+  def compactPq(spark: SparkSession, dir: String,
+      maxFilesPerCell: Int = 4): Array[Int] = compact(spark, dir, maxFilesPerCell)
 
   /** ADC search over a PQ-coded index: queries pick `nProbe` cells
     * ([[SketchExpressions.TopCells]], per-row expression, no

@@ -2174,6 +2174,122 @@ object NorthStar {
       minRecall = 0.6, okCol = "ivfpq_saved_recall_ok")
   }
 
+  /** Unit-normalize the embedding column (the v15 preparation: on
+    * unit vectors ADC's L2-over-residuals ranking IS cosine ranking).
+    * Shared by every PQ gate. */
+  private def unitVecs(emb: DataFrame): DataFrame = emb
+    .withColumn("nrm", Similarity.l2Norm(col("embedding")))
+    .select(col("vec_id"),
+      when(col("nrm") > 0,
+        transform(col("embedding"), x => (x / col("nrm")).cast("float")))
+        .otherwise(col("embedding")).as("embedding"))
+
+  /** Distributed EXACT set-equality certificate between a maintained
+    * PQ artifact and a one-shot re-encode of the expected corpus
+    * under the SAME frozen model: symmetric `exceptAll` (multiset
+    * difference — a duplicated row breaks it even when its twin
+    * survives) must be empty, code arrays compared element-exact.
+    * This is STRONGER than a recall certificate: it pins the
+    * maintenance path row-for-row, code-for-code to what a rebuild
+    * with the frozen model would store. */
+  private def pqEquivCert(expected: DataFrame, got: DataFrame,
+      okCol: String): DataFrame = {
+    val e = expected.select("id", "cell", "codes")
+    val g = got.select("id", "cell", "codes")
+    e.exceptAll(g).union(g.exceptAll(e))
+      .agg(count(lit(1)).as("n_diff"))
+      .select((col("n_diff") === 0).as(okCol))
+  }
+
+  /** v22: the PQ index GROWTH path certified — build + savePq on the
+    * base corpus, [[IvfIndex.appendPq]] the increment (encoded against
+    * the FROZEN saved model: centroids AND residual codebooks), load,
+    * and certify twice. (1) `pq_append_equiv_ok`: the appended
+    * artifact EXACTLY equals a one-shot [[IvfIndex.encodePq]] of the
+    * full corpus under the same model — multiset-exact, so a lost,
+    * duplicated, or differently-coded appended row flips the
+    * certificate (this is the "append ≡ rebuild-with-same-model"
+    * claim as an executable equality, not a recall hope). (2) the v16
+    * recall@5 ≥ 0.6 bar over the appended artifact's ADC search at
+    * full probe width, against brute-force truth — the artifact must
+    * still SEARCH like a PQ index, not merely diff-match. At 100 TB
+    * this is what makes PQ-corpus growth O(batch): one encode scan of
+    * the increment, new files only under touched `cell=` dirs (the
+    * untouched-cells-byte-identical property is spec-pinned in
+    * SimilaritySpec). */
+  def ivfPqAppendTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val unit = unitVecs(emb)
+    val base = unit.filter(col("vec_id") >= 50)
+    val increment = unit.filter(col("vec_id") < 50)
+    val (encoded, model) = IvfIndex.buildPq(spark, base,
+      "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
+    val idxDir = graft.core.RunTemp.dir("graft_ivfpq_append_", keep = 32)
+    IvfIndex.savePq(encoded, model, idxDir)
+    encoded.unpersist()
+    IvfIndex.appendPq(spark, idxDir, increment, "vec_id", "embedding")
+    val (loaded, loadedModel) = IvfIndex.loadPq(spark, idxDir)
+    val equiv = pqEquivCert(
+      IvfIndex.encodePq(unit, "vec_id", "embedding", loadedModel),
+      loaded, "pq_append_equiv_ok")
+    certifyRecall(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+        queries = Some(emb.filter(col("vec_id") < 50))),
+      IvfIndex.searchPq(loaded, loadedModel, k = 5, nProbe = 10,
+        unit.filter(col("vec_id") < 50), "vec_id", "embedding"),
+      minRecall = 0.6, okCol = "pq_append_recall_ok")
+      .crossJoin(broadcast(equiv))
+      .orderBy("query_id", "rank")
+  }
+
+  /** v23: the full PQ MAINTENANCE LIFECYCLE certified — build + savePq
+    * on the base, TWO [[IvfIndex.appendPq]]s (genuine fragmentation:
+    * each lands new files in its touched cells), [[IvfIndex.deletePq]]
+    * of an id range (the licensing-removal shape), then
+    * [[IvfIndex.compactPq]] at the tightest threshold, load, certify.
+    * `pq_lifecycle_equiv_ok` pins the surviving artifact multiset-
+    * exactly to a one-shot encode of (corpus MINUS deleted) under the
+    * frozen model — a deleted row surviving any stage (stale file,
+    * missed cell, partial rewrite), a survivor lost by the compaction
+    * rewrite, or a code mutated anywhere flips it. The recall bar then
+    * certifies the compacted artifact still searches: truth is
+    * brute-force over the SURVIVING corpus (the v12 oracle shape).
+    * O(touched-files) properties for each stage are spec-pinned in
+    * SimilaritySpec. */
+  def ivfPqLifecycleTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
+    val unit = unitVecs(emb)
+    val base = unit.filter(col("vec_id") >= 100)
+    val (encoded, model) = IvfIndex.buildPq(spark, base,
+      "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
+    val idxDir = graft.core.RunTemp.dir("graft_ivfpq_lifec_", keep = 32)
+    IvfIndex.savePq(encoded, model, idxDir)
+    encoded.unpersist()
+    IvfIndex.appendPq(spark, idxDir,
+      unit.filter(col("vec_id") < 50), "vec_id", "embedding")
+    IvfIndex.appendPq(spark, idxDir,
+      unit.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+      "vec_id", "embedding")
+    IvfIndex.deletePq(spark, idxDir,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), "vec_id")
+    IvfIndex.compactPq(spark, idxDir, maxFilesPerCell = 1)
+    val (loaded, loadedModel) = IvfIndex.loadPq(spark, idxDir)
+    val survivors = unit.filter(col("vec_id") < 50 || col("vec_id") >= 100)
+    val equiv = pqEquivCert(
+      IvfIndex.encodePq(survivors, "vec_id", "embedding", loadedModel),
+      loaded, "pq_lifecycle_equiv_ok")
+    certifyRecall(
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 50 || col("vec_id") >= 100),
+        "vec_id", "embedding", k = 5,
+        queries = Some(emb.filter(col("vec_id") < 50))),
+      IvfIndex.searchPq(loaded, loadedModel, k = 5, nProbe = 10,
+        unit.filter(col("vec_id") < 50), "vec_id", "embedding"),
+      minRecall = 0.6, okCol = "pq_lifecycle_recall_ok")
+      .crossJoin(broadcast(equiv))
+      .orderBy("query_id", "rank")
+  }
+
   /** v18: PQ search + EXACT RERANK — the full production retrieval
     * stack (codes answer "which ~50 could be close", raw vectors are
     * point-looked-up for just those candidates and re-scored

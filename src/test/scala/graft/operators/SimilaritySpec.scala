@@ -298,6 +298,99 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("PQ lifecycle: append encodes with the FROZEN model, O(batch) files; delete+compact exact") {
+    import scala.jdk.CollectionConverters._
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") >= 100)
+    // small geometry keeps the spec's driver k-means fast; the gate
+    // rows certify the production 32×256 shape
+    val (encoded, model) = IvfIndex.buildPq(spark, base,
+      "vec_id", "embedding", nCells = 8, m = 8, ks = 16)
+    val dirOut = java.nio.file.Files.createTempDirectory("ivfpq_lifec").toString
+    IvfIndex.savePq(encoded, model, dirOut)
+    encoded.unpersist()
+    spark.catalog.clearCache()
+
+    def files(): Map[String, Set[String]] = {
+      val root = java.nio.file.Paths.get(dirOut, "cells")
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    def artifact() = {
+      val (loaded, _) = IvfIndex.loadPq(spark, dirOut)
+      loaded.select("id", "cell", "codes")
+    }
+    def assertEncodesExactly(corpus: org.apache.spark.sql.DataFrame, msg: String): Unit = {
+      val (_, lm) = IvfIndex.loadPq(spark, dirOut)
+      val expect = IvfIndex.encodePq(corpus, "vec_id", "embedding", lm)
+      val got = artifact()
+      assert(expect.exceptAll(got).union(got.exceptAll(expect)).isEmpty, msg)
+    }
+
+    // the saved model round-trips exactly (codebooks included) — the
+    // precondition for "frozen" meaning anything
+    val (_, lm0) = IvfIndex.loadPq(spark, dirOut)
+    assert(lm0.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    assert(lm0.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // append a 5-vector batch: touched cells gain files, untouched
+    // cells keep theirs byte-for-byte (the O(batch) claim)
+    val before = files()
+    val touched = IvfIndex.appendPq(spark, dirOut,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding")
+    val after = files()
+    assert(touched.nonEmpty && touched.length <= 5)
+    val touchedDirs = touched.map(c => s"cell=$c").toSet
+    assert(before.keySet.diff(touchedDirs).nonEmpty, "expected untouched cells")
+    before.foreach { case (d, fs0) =>
+      if (touchedDirs.contains(d)) {
+        assert(fs0.subsetOf(after(d)), s"appendPq must keep $d's existing files")
+        assert(after(d) != fs0, s"touched cell $d gained no files")
+      } else assert(after(d) === fs0, s"untouched cell $d was rewritten")
+    }
+    // append ≡ rebuild-with-same-model, row-for-row, code-for-code
+    assertEncodesExactly(
+      emb.filter(col("vec_id") < 5 || col("vec_id") >= 100),
+      "appended artifact diverged from a one-shot encode under the frozen model")
+
+    // second append (fragmentation), then delete the FIRST batch plus
+    // a slice of the base: survivors must re-encode exactly
+    IvfIndex.appendPq(spark, dirOut,
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 50), "vec_id", "embedding")
+    IvfIndex.deletePq(spark, dirOut,
+      emb.filter(col("vec_id") < 5 || (col("vec_id") >= 100 && col("vec_id") < 120)),
+      "vec_id")
+    assertEncodesExactly(
+      emb.filter((col("vec_id") >= 5 && col("vec_id") < 50) || col("vec_id") >= 120),
+      "post-delete artifact diverged from a re-encode of the survivors")
+
+    // compact: fragmented cells collapse to one file, content exact,
+    // search results unchanged at any probe width
+    val (lc0, lmc0) = IvfIndex.loadPq(spark, dirOut)
+    val qs = emb.filter(col("vec_id") < 30)
+    val preCompact = IvfIndex.searchPq(lc0, lmc0, k = 5, nProbe = 8,
+      qs, "vec_id", "embedding").collect().toSet
+    assert(files().values.exists(_.size > 1), "appends must have fragmented some cell")
+    val compacted = IvfIndex.compactPq(spark, dirOut, maxFilesPerCell = 1)
+    assert(compacted.nonEmpty)
+    compacted.foreach { c =>
+      assert(files()(s"cell=$c").size === 1, s"cell $c not collapsed to one file")
+    }
+    assertEncodesExactly(
+      emb.filter((col("vec_id") >= 5 && col("vec_id") < 50) || col("vec_id") >= 120),
+      "compaction mutated the coded rows")
+    val (lc1, lmc1) = IvfIndex.loadPq(spark, dirOut)
+    val postCompact = IvfIndex.searchPq(lc1, lmc1, k = 5, nProbe = 8,
+      qs, "vec_id", "embedding").collect().toSet
+    assert(postCompact === preCompact, "compaction changed PQ search results")
+    spark.catalog.clearCache()
+  }
+
   test("random projection: exact vs Scala reference, and angles survive") {
     val emb = Tables.embeddings(spark, dir)
     val got = Similarity.randomProjection(emb, "vec_id", "embedding")
