@@ -79,10 +79,15 @@ object Graph {
     * a part sharing 40 orders with a hub should pull 40× the mass of
     * a one-order acquaintance, which the unweighted walk flattens.
     * Input edges are DIRECTED (src, dst, w); every node must appear
-    * as a src. Overflow headroom: r ≤ total mass 10^12 and w is a
-    * co-occurrence count, so r·w sits far below 2^63 for any
-    * realistic multiplicity (documented contract). Same per-iteration
-    * scale shape and checkpoint cadence as the unweighted form. */
+    * as a src. Overflow safety: r can reach the total mass 10^12, so
+    * a single edge weight ≥ ~9.2·10^6 would wrap r·w past 2^63
+    * SILENTLY under non-ANSI long arithmetic — the r·w product is
+    * therefore routed through decimal(38,0) (exact integers to
+    * 10^38; `div` on decimals is still integral division and lands
+    * back on BIGINT), the basketLift fix. Every in-range value is
+    * bit-identical to the long path; out-of-range values now compute
+    * exactly instead of wrapping. Same per-iteration scale shape and
+    * checkpoint cadence as the unweighted form. */
   def pageRankWeightedIntExact(edges: DataFrame, iters: Int,
       checkpointEvery: Int = 6, checkpointThreshold: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -99,7 +104,8 @@ object Graph {
       val contrib = pr
         .join(edges, pr("node") === edges("src"))
         .join(wsum, "src")
-        .select(col("dst").as("node"), expr("(r * w) div wsum").as("c"))
+        .select(col("dst").as("node"),
+          expr("(cast(r as decimal(38,0)) * w) div wsum").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nTot))
@@ -178,14 +184,18 @@ object Graph {
     var labels = dirEdges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iters) {
-      val nbr = dirEdges
+      // ONE exchange per round: the per-node argmax is folded into
+      // the neighbor aggregation via the deterministic `mode`
+      // aggregate (a TypedImperativeAggregate — per-label counts
+      // build and MERGE map-side, so only per-(node, partition)
+      // partial count maps cross the wire, then ties break to the
+      // LOWEST label — bit-identical to the former two-step
+      // count-by-(dst,label) + max(struct(c, -label)) shape, which
+      // paid a second full exchange on (dst, label) every round).
+      labels = dirEdges
         .join(labels.select(col("node").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      labels = nbr
-        .groupBy("node")
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
+        .groupBy(col("dst").as("node"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
       if (iters > checkpointThreshold && i % checkpointEvery == 0 && i < iters) {
         labels = labels.localCheckpoint(true)
         ckpts += labels

@@ -1336,6 +1336,17 @@ object Warehouse {
           // surviving snapshots keep their DVs untouched
           val dv = new Path(dvPath(root, v))
           if (fs.exists(dv)) fs.delete(dv, true)
+          // so is its PERSISTED change feed (the v-1 → v transition):
+          // once v is unreadable the feed's consumers have already
+          // drained it or lost their anchor either way, and keeping
+          // it would grow _changes without bound on a long-lived
+          // table — the same storage-leak class as orphan DVs. Feeds
+          // of RETAINED versions survive, including the lowest
+          // retained one (its feed describes the transition INTO the
+          // retention window — still consumable). A reader of a
+          // pruned feed fails loudly in readChangeFeed.
+          val feed = new Path(changePath(root, v))
+          if (fs.exists(feed)) fs.delete(feed, true)
         }
     }
   }

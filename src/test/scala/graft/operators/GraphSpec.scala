@@ -223,6 +223,36 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) > got(3L), "the 9:1 weight split must rank 2 above 3")
   }
 
+  test("weighted PageRank: a near-overflow edge weight computes exactly, no silent wrap") {
+    import spark.implicits._
+    // Two nodes exchanging all mass over edges weighted 10^10: after
+    // round 1, r ≈ 0.925·10^12, so r·w ≈ 9.25·10^21 — PAST 2^63
+    // (~9.22·10^18). The old long product wrapped silently; the
+    // decimal(38,0) route must match a BigInt driver mirror exactly.
+    val bigW = 10000000000L
+    val dirEdges = Seq((1L, 2L, bigW), (2L, 1L, bigW))
+    val got = Graph.pageRankWeightedIntExact(
+      dirEdges.toDF("src", "dst", "w"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val SCALE = BigInt("1000000000000")
+    val base = BigInt(15) * SCALE / 100
+    val nodes = Seq(1L, 2L)
+    val wsum = dirEdges.groupBy(_._1).view
+      .mapValues(es => BigInt(es.map(_._3).sum)).toMap
+    var pr = nodes.map(_ -> SCALE / nodes.size).toMap
+    for (_ <- 1 to 3) {
+      val s = scala.collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+      dirEdges.foreach { case (src, dst, w) =>
+        s(dst) += pr(src) * w / wsum(src)
+      }
+      pr = nodes.map(n => n -> (base / nodes.size + BigInt(85) * s(n) / 100)).toMap
+    }
+    assert(got === pr.map { case (k, v) => k -> v.toLong })
+    // sanity: the fixture actually exercised the overflow region
+    assert(pr.values.exists(_ * bigW > BigInt(Long.MaxValue)),
+      "fixture must push r*w past 2^63 or the test proves nothing")
+  }
+
   private def kcore(edges: Seq[(Long, Long)], rounds: Int,
       num: Int = 1, den: Int = 10): Map[Long, Long] = {
     import spark.implicits._

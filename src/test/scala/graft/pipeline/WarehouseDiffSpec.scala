@@ -114,4 +114,33 @@ class WarehouseDiffSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("publishChangeFeed"))
   }
+
+  test("vacuum prunes change feeds with their snapshots; retained feeds survive") {
+    val root = Files.createTempDirectory("wh_feed_vac").toString
+    // four commits, each shifting the audit stamp => three real diffs
+    (0 to 3).foreach { i =>
+      Warehouse.commit(spark, root,
+        Enrich.enrich(CocoaGen.shipments(spark, 10, seed = 31),
+          new Timestamp(1000000L * (i + 1))))
+    }
+    (1L to 3L).foreach(v => Warehouse.publishChangeFeed(spark, root, v))
+    (1L to 3L).foreach(v =>
+      assert(Warehouse.readChangeFeed(spark, root, v).count() > 0))
+
+    // keepLast=2 retains v2,v3: feeds v2 (transition INTO the window)
+    // and v3 must survive; v1's feed goes with its snapshot
+    Warehouse.vacuum(spark, root, keepLast = 2)
+    assert(Warehouse.readChangeFeed(spark, root, 2L).count() > 0,
+      "feed of the lowest retained version must survive vacuum")
+    assert(Warehouse.readChangeFeed(spark, root, 3L).count() > 0)
+    val gone = intercept[IllegalArgumentException] {
+      Warehouse.readChangeFeed(spark, root, 1L)
+    }
+    assert(gone.getMessage.contains("publishChangeFeed"),
+      "a pruned feed must fail loudly, never read as 'no changes'")
+    // the feed dir itself is gone — _changes is bounded by retention
+    val fs = Ingest.fs(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Warehouse.changePath(root, 1L))))
+  }
 }
