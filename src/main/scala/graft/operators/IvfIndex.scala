@@ -573,10 +573,11 @@ object IvfIndex {
     * (same as [[append]]). Returns the touched cell ids (sorted). */
   def appendPq(spark: SparkSession, dir: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Array[Int] = {
-    val (_, model) = loadPq(spark, dir)
+    val (cells, model) = loadPq(spark, dir)
     // attribute columns (filtered-search metadata) derived from the
-    // saved schema, same loud-on-missing contract as append's
-    val attrs = spark.read.parquet(s"$dir/cells").columns
+    // saved schema, same loud-on-missing contract as append's — read
+    // off the frame loadPq already constructed, not a second scan
+    val attrs = cells.columns
       .filterNot(Set("id", "codes", "cell")).toSeq
     val coded = encodePq(newVectors, idCol, vecCol, model, attrs)
       .cache() // two actions: partitioned write + touched-cell agg

@@ -2127,12 +2127,7 @@ object NorthStar {
     * bar, the v04 margin discipline. */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
-    val unit = emb
-      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
-      .select(col("vec_id"),
-        when(col("nrm") > 0,
-          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
-          .otherwise(col("embedding")).as("embedding"))
+    val unit = unitVecs(emb)
     certifyRecall(
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5),
       IvfIndex.pqTopK(spark, unit, "vec_id", "embedding", k = 5,
@@ -2150,12 +2145,7 @@ object NorthStar {
     * search path. */
   def ivfPqSavedTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
-    val unit = emb
-      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
-      .select(col("vec_id"),
-        when(col("nrm") > 0,
-          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
-          .otherwise(col("embedding")).as("embedding"))
+    val unit = unitVecs(emb)
     val (encoded, model) = IvfIndex.buildPq(spark, unit,
       "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
     // deployment-artifact dir: loaded frames read it lazily well
@@ -2194,8 +2184,14 @@ object NorthStar {
     * with the frozen model would store. */
   private def pqEquivCert(expected: DataFrame, got: DataFrame,
       okCol: String): DataFrame = {
-    val e = expected.select("id", "cell", "codes")
-    val g = got.select("id", "cell", "codes")
+    // compare the FULL saved schema, not just (id, cell, codes): if
+    // the artifact carries filtered-search attribute columns, a
+    // maintenance op that corrupts or drops attr values must flip the
+    // certificate too. Column order follows the loaded artifact; a
+    // column the re-encode lacks fails loudly at analysis.
+    val cols = got.columns.toSeq
+    val e = expected.select(cols.map(col): _*)
+    val g = got.select(cols.map(col): _*)
     e.exceptAll(g).union(g.exceptAll(e))
       .agg(count(lit(1)).as("n_diff"))
       .select((col("n_diff") === 0).as(okCol))
@@ -2303,12 +2299,7 @@ object NorthStar {
     * certifies (raw ADC at sf0.1 would sit inside noise of it). */
   def ivfPqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
-    val unit = emb
-      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
-      .select(col("vec_id"),
-        when(col("nrm") > 0,
-          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
-          .otherwise(col("embedding")).as("embedding"))
+    val unit = unitVecs(emb)
     val (encoded, model) = IvfIndex.buildPq(spark, unit,
       "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
     val out = certifyRecall(
@@ -2324,12 +2315,7 @@ object NorthStar {
     * side. */
   def ivfPqRerankProduction(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
-    val unit = emb
-      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
-      .select(col("vec_id"),
-        when(col("nrm") > 0,
-          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
-          .otherwise(col("embedding")).as("embedding"))
+    val unit = unitVecs(emb)
     val (encoded, model) = IvfIndex.buildPq(spark, unit,
       "vec_id", "embedding", nCells = 10, m = 32, ks = 256)
     val out = IvfIndex.searchPqRerank(encoded, model, unit, k = 5, depth = 50,
@@ -2343,12 +2329,7 @@ object NorthStar {
     * the certificate's truth side — see [[annTopKProduction]]. */
   def ivfPqTopKProduction(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).repartition(widenWidth(spark), col("vec_id"))
-    val unit = emb
-      .withColumn("nrm", Similarity.l2Norm(col("embedding")))
-      .select(col("vec_id"),
-        when(col("nrm") > 0,
-          transform(col("embedding"), x => (x / col("nrm")).cast("float")))
-          .otherwise(col("embedding")).as("embedding"))
+    val unit = unitVecs(emb)
     IvfIndex.pqTopK(spark, unit, "vec_id", "embedding", k = 5,
       nCells = 10, m = 32, ks = 256, nProbe = 5)
   }

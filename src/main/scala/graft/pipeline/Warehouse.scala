@@ -1348,6 +1348,35 @@ object Warehouse {
           val feed = new Path(changePath(root, v))
           if (fs.exists(feed)) fs.delete(feed, true)
         }
+      // ORPHAN sweep of the sidecar dirs themselves: the per-snapshot
+      // loop above only prunes the feed/DV of a snapshot it deletes
+      // THIS run, so sidecars already orphaned — snapshot pruned by a
+      // pre-feed-pruning vacuum, or a publisher that crashed between
+      // staging and rename — would leak forever. Sweep `_changes` and
+      // `_dv` directly: any `v<N>` entry strictly below the retention
+      // floor goes (feeds/DVs of RETAINED versions survive, including
+      // the lowest retained — its feed describes the transition INTO
+      // the window); any dot-prefixed staging dir older than the lock
+      // TTL is a crashed publisher (a live one finishes its staged
+      // write well inside one lease) and goes too.
+      val floor = fs.listStatus(new Path(root)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .map(_.getPath.getName.drop(1).toLong)
+        .filter(_ <= cur).sorted(Ordering[Long].reverse)
+        .take(keepLast).lastOption.getOrElse(cur)
+      Seq("_changes", "_dv").foreach { side =>
+        val dir = new Path(root, side)
+        if (fs.exists(dir)) fs.listStatus(dir).toSeq.foreach { s =>
+          val n = s.getPath.getName
+          val stale = now - s.getModificationTime >=
+            math.max(minAgeMs, DefaultLockTtlMs)
+          if (n.matches("v\\d+") && n.drop(1).toLong < floor &&
+              now - s.getModificationTime >= minAgeMs)
+            fs.delete(s.getPath, true)
+          else if (n.startsWith(".") && stale)
+            fs.delete(s.getPath, true)
+        }
+      }
     }
   }
 }

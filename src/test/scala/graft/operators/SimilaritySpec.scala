@@ -391,6 +391,45 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("PQ append on an ATTR-carrying index: attribute values survive, full schema exact") {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val base = emb.filter(col("vec_id") >= 100)
+    val (encoded, model) = IvfIndex.buildPq(spark, base,
+      "vec_id", "embedding", nCells = 8, m = 8, ks = 16,
+      attrCols = Seq("label"))
+    val dirOut = java.nio.file.Files.createTempDirectory("ivfpq_attr_app").toString
+    IvfIndex.savePq(encoded, model, dirOut)
+    encoded.unpersist()
+    IvfIndex.appendPq(spark, dirOut,
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding")
+    val (loaded, lm) = IvfIndex.loadPq(spark, dirOut)
+    assert(loaded.columns.contains("label"),
+      "appendPq dropped the attribute column from the saved artifact")
+    // FULL-schema multiset equality vs a one-shot re-encode with attrs
+    // — an append that corrupted or nulled label values must fail here
+    val expect = IvfIndex.encodePq(
+      emb.filter(col("vec_id") < 20 || col("vec_id") >= 100),
+      "vec_id", "embedding", lm, attrCols = Seq("label"))
+    val cols = loaded.columns.toSeq.map(col)
+    val got = loaded.select(cols: _*)
+    val exp = expect.select(cols: _*)
+    assert(exp.exceptAll(got).union(got.exceptAll(exp)).isEmpty,
+      "attr-carrying append diverged from the frozen-model re-encode")
+    // filtered search over the appended artifact still scopes by attr:
+    // every neighbor of a label-L query carries label L
+    val qs = emb.filter(col("vec_id") < 10)
+    val hits = IvfIndex.searchPq(loaded, lm, k = 3, nProbe = 8, qs,
+      "vec_id", "embedding", attrCols = Seq("label"))
+      .join(emb.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+    assert(hits.filter(col("nbr_label") =!= col("q_label")).isEmpty,
+      "filtered PQ search leaked a neighbor outside the query's label")
+    spark.catalog.clearCache()
+  }
+
   test("random projection: exact vs Scala reference, and angles survive") {
     val emb = Tables.embeddings(spark, dir)
     val got = Similarity.randomProjection(emb, "vec_id", "embedding")

@@ -143,4 +143,35 @@ class WarehouseDiffSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       Warehouse.changePath(root, 1L))))
   }
+
+  test("vacuum collects ORPHANED feeds and crashed feed staging dirs") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("wh_feed_orph").toString
+    (0 to 3).foreach { i =>
+      Warehouse.commit(spark, root,
+        Enrich.enrich(CocoaGen.shipments(spark, 10, seed = 37),
+          new Timestamp(1000000L * (i + 1))))
+    }
+    (1L to 3L).foreach(v => Warehouse.publishChangeFeed(spark, root, v))
+    val fs = Ingest.fs(spark, root)
+    // simulate a PRE-FIX vacuum: snapshot v1 deleted, its feed left
+    // behind (the leak class the orphan sweep exists for), plus a
+    // crashed publisher's dot-prefixed staging dir under _changes,
+    // aged past the lock TTL so a live writer can't be holding it
+    fs.delete(new Path(Warehouse.versionPath(root, 1L)), true)
+    val crashed = new Path(s"$root/_changes/.v9_deadbeef")
+    fs.mkdirs(crashed)
+    fs.setTimes(new Path(Warehouse.changePath(root, 1L)), 1000L, 1000L)
+    fs.setTimes(crashed, 1000L, 1000L)
+    assert(fs.exists(new Path(Warehouse.changePath(root, 1L))))
+
+    // keepLast=2 retains v2,v3 (floor = v2): the orphaned v1 feed and
+    // the stale staging dir are swept; retained feeds survive
+    Warehouse.vacuum(spark, root, keepLast = 2)
+    assert(!fs.exists(new Path(Warehouse.changePath(root, 1L))),
+      "an already-orphaned feed must be collected by the direct sweep")
+    assert(!fs.exists(crashed), "stale feed staging must be collected")
+    assert(Warehouse.readChangeFeed(spark, root, 2L).count() > 0)
+    assert(Warehouse.readChangeFeed(spark, root, 3L).count() > 0)
+  }
 }
