@@ -294,6 +294,34 @@ object SparkEntry {
       s.sql("""SELECT doc_id, graft_simhash64_portable(text) AS sim
               |FROM documents ORDER BY doc_id""".stripMargin)
     }),
+    // t-rows: the TABLE-VALUED-FUNCTION front door — each drives a
+    // flagship TABLE operator (dedup / knn / near-dup pairs / upsert)
+    // through a plain spark.sql FROM-clause call, proving the SQL
+    // surface covers whole-relation transforms, not just scalar
+    // kernels (GraftTableFunctions; oracles in tvfOracleSql).
+    "t01_tvf_exact_dedup" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT doc_id, lang, source, n_chars
+        |FROM graft_exact_dedup('documents', 'doc_id', 'text')
+        |ORDER BY doc_id""".stripMargin)),
+    "t02_tvf_knn" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT query_id, nbr_id, cosine, rank
+        |FROM graft_knn('embeddings', 'vec_id', 'embedding', 5)
+        |WHERE query_id < 50 ORDER BY query_id, rank""".stripMargin)),
+    "t03_tvf_minhash_pairs" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT id_a, id_b, jaccard FROM graft_minhash_pairs(
+        |  "(SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text
+        |    FROM documents WHERE doc_id < 40)",
+        |  'doc_id', 'text', 128, 32, 3, 0.5)
+        |ORDER BY id_a, id_b""".stripMargin)),
+    "t04_tvf_upsert" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT * FROM graft_upsert(
+        |  '(SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000)',
+        |  "(SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus FROM orders
+        |    WHERE o_orderkey > 1000 AND o_orderkey <= 3000)",
+        |  'o_orderkey', 'o_orderkey')
+        |ORDER BY o_orderkey""".stripMargin)),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
@@ -1184,7 +1212,53 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ graft.core.Catalog.commonSql ++ tvfOracleSql
+
+  /** Oracles for the TABLE-VALUED-FUNCTION gate rows (t01–t04): the
+    * Spark side drives the flagship table operators through plain
+    * `spark.sql` FROM-clause calls ([[graft.functions
+    * .GraftTableFunctions]]); the oracles recompute the same results
+    * in portable SQL. t03 reuses d07's exhaustive ground truth
+    * verbatim — same planted corpus, same quantized-threshold
+    * semantics — because the TVF call IS d07's operator behind the
+    * SQL front door. */
+  private lazy val tvfOracleSql: Map[String, String] = Map(
+    "t01_tvf_exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "t02_tvf_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    CASE WHEN q.nrm * c.nrm > 0 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+        |  FROM e q, e c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "t03_tvf_minhash_pairs" -> coreOracleSql("d07_minhash_near_dups"),
+    "t04_tvf_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus FROM orders
+        |  WHERE o_orderkey > 1000 AND o_orderkey <= 3000)
+        |SELECT * FROM (
+        |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+        |  UNION ALL
+        |  SELECT * FROM u)
+        |ORDER BY o_orderkey""".stripMargin)
+
+  private lazy val coreOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -4507,7 +4581,7 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-  ) ++ graft.core.Catalog.commonSql
+  )
 
   /** d38's oracle: the BPE merge loop UNROLLED (the g01 pattern) —
     * iteration k is three generated CTEs: pair counts over the

@@ -11,13 +11,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle, so the oracle string IS the executed query. */
 object Catalog {
 
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     Tables.all.foreach { name =>
       // events goes through the loader for the TIMESTAMP(NANOS) fix
       val df = if (name == "events") Tables.events(spark, dir)
                else Tables.load(spark, dir, name)
       df.createOrReplaceTempView(name)
     }
+    // the full graft_* SQL surface rides along with the views: scalar
+    // kernels (GraftFunctions) and table-valued operators
+    // (GraftTableFunctions) — so any dialect-common query can call
+    // them without a separate registration step
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftTableFunctions.register(spark)
+  }
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerAll(spark, dir)

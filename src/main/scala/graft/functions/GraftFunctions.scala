@@ -117,11 +117,14 @@ object GraftFunctions {
     org.apache.spark.sql.GraftColumnBridge.toExpressionTree(
       f(org.apache.spark.sql.GraftColumnBridge.toColumn(arg)))
 
-  /** Register every `graft_*` function on a live session. */
+  /** Register every `graft_*` function on a live session. Idempotent
+    * and quiet on re-registration (Catalog.registerAll runs once per
+    * gate query and would otherwise log a replace warning each). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registrations.foreach { case (name, usage, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
       val _ = usage // usage surfaces through the extensions path below
     }
   }
@@ -139,6 +142,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.SketchExpressions", null, name, usage, ""),
         builder))
     }
+    GraftTableFunctions.injectInto(ext)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

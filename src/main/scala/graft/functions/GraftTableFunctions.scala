@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** TABLE-VALUED SQL surface for the engine's flagship TABLE-level
+  * operators — the front door the scalar registry ([[GraftFunctions]])
+  * cannot provide: deduplication, vector top-k search, and keyed
+  * upsert/merge are whole-relation transforms, so they register on the
+  * session's `TableFunctionRegistry` (the same registry Spark's own
+  * `range()` TVF lives in) and are called FROM clauses of plain SQL:
+  *
+  * {{{
+  *   SELECT * FROM graft_exact_dedup('documents', 'doc_id', 'text')
+  *   SELECT * FROM graft_knn('embeddings', 'vec_id', 'embedding', 5)
+  *   SELECT * FROM graft_upsert('tgt', 'upd', 'key_col', 'ord_col')
+  * }}}
+  *
+  * This closes the product gap the reference's users would hit first:
+  * its entire user surface is SQL (reference `README.md:150` — the
+  * Metabase→Postgres read path), so an engine whose signature
+  * capabilities are Scala-only is API-complete but product-incomplete.
+  * With the TVF registry, every flagship table operator is reachable
+  * from the same `spark.sql(...)` string a BI tool would send.
+  *
+  * Relation arguments are names resolved against the session catalog
+  * (temp views included); a parenthesized argument is treated as an
+  * inline subquery — `graft_knn('(SELECT ... FROM t WHERE ...)', ...)`
+  * — the same convention JDBC's `dbtable` option established. Scalar
+  * arguments must be literals (they choose algorithms and size
+  * structures at PLAN time, exactly like `range(0, 10)`'s bounds).
+  *
+  * Plan shape: the builder runs at analysis time and returns the
+  * operator's LOGICAL plan — Catalyst then optimizes the composed
+  * query as ONE tree, so an outer `WHERE`/`ORDER BY`/join over the
+  * TVF participates in pushdown and AQE like any other subquery; there
+  * is no materialization boundary at the TVF call.
+  */
+object GraftTableFunctions {
+
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def evalArg(e: Expression, fn: String): Any = e match {
+    case l: Literal => l.value
+    case other if other.foldable => other.eval()
+    case other => throw new IllegalArgumentException(
+      s"$fn arguments must be literals, got: $other")
+  }
+
+  private def strArg(e: Expression, fn: String): String = evalArg(e, fn) match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"$fn expected a string literal, got: $other")
+  }
+
+  private def intArg(e: Expression, fn: String): Int = evalArg(e, fn) match {
+    case i: Int => i
+    case l: Long => Math.toIntExact(l)
+    case d: org.apache.spark.sql.types.Decimal => d.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expected an integer literal, got: $other")
+  }
+
+  private def dblArg(e: Expression, fn: String): Double = evalArg(e, fn) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expected a numeric literal, got: $other")
+  }
+
+  /** Resolve a relation argument: catalog/temp-view name, or an
+    * inline `(SELECT ...)` subquery string. */
+  private def rel(spark: SparkSession, s: String): DataFrame =
+    if (s.trim.startsWith("(")) spark.sql(s.trim) else spark.table(s)
+
+  /** name → (usage doc, allowed arities, builder). Builders return
+    * DataFrames; registration wraps them down to logical plans. */
+  private val defs: Seq[(String, String, Set[Int],
+      (SparkSession, Seq[Expression]) => DataFrame)] = Seq(
+
+    ("graft_exact_dedup",
+      "graft_exact_dedup(table, idCol, textCol) - one surviving row per" +
+        " distinct textCol content (smallest idCol wins); table may be a" +
+        " '(SELECT ...)' subquery string", Set(3),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_exact_dedup"
+        graft.operators.Dedup.exactDedup(rel(s, strArg(a(0), fn)),
+          strArg(a(1), fn), strArg(a(2), fn))
+      }),
+
+    ("graft_minhash_pairs",
+      "graft_minhash_pairs(table, idCol, textCol[, numHashes, bands," +
+        " shingleK, threshold]) - near-duplicate pairs (id_a, id_b," +
+        " jaccard) via banded MinHash + exact verification", Set(3, 7),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_minhash_pairs"
+        // TVF = the query layer, so the kernel-width prep lives here
+        // (same rationale as NorthStar's kernel sessions): the fixture
+        // corpora are single-row-group parquet, one scan task — hash-
+        // repartition on md5(text) with an EXPLICIT count (AQE keeps
+        // counted exchanges; it coalesces uncounted ones by bytes) so
+        // the 128-hash sketch stage runs wide, and exactDedup-style
+        // md5 keys let Catalyst reuse the exchange downstream.
+        val widen = math.min(8, s.sessionState.conf.numShufflePartitions)
+        val df = rel(s, strArg(a(0), fn))
+          .repartition(widen, org.apache.spark.sql.functions.md5(
+            col(strArg(a(2), fn))))
+        if (a.length == 3)
+          graft.operators.Dedup.minhashPairs(df, strArg(a(1), fn), strArg(a(2), fn))
+        else
+          graft.operators.Dedup.minhashPairs(df, strArg(a(1), fn), strArg(a(2), fn),
+            numHashes = intArg(a(3), fn), bands = intArg(a(4), fn),
+            shingleK = intArg(a(5), fn), threshold = dblArg(a(6), fn))
+      }),
+
+    ("graft_knn",
+      "graft_knn(table, idCol, vecCol, k) - exact cosine top-k neighbors" +
+        " (query_id, nbr_id, cosine, rank) for every vector in table",
+      Set(4),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_knn"
+        graft.operators.Similarity.bruteForceTopK(rel(s, strArg(a(0), fn)),
+          strArg(a(1), fn), strArg(a(2), fn), intArg(a(3), fn))
+      }),
+
+    ("graft_ivf_topk",
+      "graft_ivf_topk(table, idCol, vecCol, k, nCells, nProbe) -" +
+        " approximate cosine top-k via an IVF cell index (build + probe)",
+      Set(6),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_ivf_topk"
+        graft.operators.IvfIndex.topK(s, rel(s, strArg(a(0), fn)),
+          strArg(a(1), fn), strArg(a(2), fn), intArg(a(3), fn),
+          nCells = intArg(a(4), fn), nProbe = intArg(a(5), fn))
+      }),
+
+    ("graft_upsert",
+      "graft_upsert(target, updates, keyCol, ordCol) - LWW upsert:" +
+        " updates (deduped per key by greatest ordCol) overwrite target" +
+        " rows on keyCol; unmatched update keys insert", Set(4),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_upsert"
+        graft.pipeline.Merge.upsert(rel(s, strArg(a(0), fn)),
+          rel(s, strArg(a(1), fn)), strArg(a(2), fn), col(strArg(a(3), fn)))
+      }))
+
+  private def checked(name: String, usage: String, arities: Set[Int],
+      build: (SparkSession, Seq[Expression]) => DataFrame)
+      (spark: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    if (!arities.contains(args.length))
+      throw new IllegalArgumentException(
+        s"$name expects ${arities.toSeq.sorted.mkString(" or ")} argument(s)," +
+          s" got ${args.length}; usage: $usage")
+    Bridge.plan(build(spark, args))
+  }
+
+  /** (name, usage, plan builder bound to the ACTIVE session) — shared
+    * by both registration paths. The extensions path has no session at
+    * registration time, so the builder binds `SparkSession.active` at
+    * CALL time (analysis runs on the query's session thread). */
+  val registrations: Seq[(String, String, Seq[Expression] => LogicalPlan)] =
+    defs.map { case (name, usage, arities, build) =>
+      (name, usage,
+        (args: Seq[Expression]) =>
+          checked(name, usage, arities, build)(SparkSession.active, args))
+    }
+
+  /** Register every `graft_*` table function on a live session.
+    * Idempotent and quiet: re-registration (Catalog.registerAll runs
+    * once per gate query) would log a replace warning per function. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.tableFunctionRegistry
+    registrations.foreach { case (name, usage, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      val _ = usage
+    }
+  }
+
+  /** Extensions-path injection (see [[GraftExtensions]]). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    registrations.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftTableFunctions", null,
+          name, usage, ""),
+        builder))
+    }
+}

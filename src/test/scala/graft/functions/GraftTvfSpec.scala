@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The table-valued SQL surface: every `graft_*` TVF must produce
+  * byte-identical results to the table operator it fronts, compose
+  * with plain SQL around the call, and reject bad arguments loudly. */
+class GraftTvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def registered(): Unit = {
+    graft.core.Catalog.registerAll(spark, dir)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("graft_exact_dedup TVF equals Dedup.exactDedup") {
+    registered()
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_exact_dedup('documents', 'doc_id', 'text')")
+    val viaScala = graft.operators.Dedup.exactDedup(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text")
+    assert(viaSql.columns.toSeq === viaScala.columns.toSeq)
+    assert(canon(viaSql) === canon(viaScala))
+  }
+
+  test("graft_knn TVF equals bruteForceTopK and composes with WHERE/ORDER BY") {
+    registered()
+    val viaSql = spark.sql(
+      """SELECT query_id, nbr_id, cosine, rank
+        |FROM graft_knn('embeddings', 'vec_id', 'embedding', 3)
+        |WHERE query_id < 10 ORDER BY query_id, rank""".stripMargin)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val viaScala = graft.operators.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .filter(col("query_id") < 10).orderBy("query_id", "rank")
+    assert(viaSql.collect().toSeq === viaScala.collect().toSeq)
+  }
+
+  test("graft_minhash_pairs TVF with an inline subquery argument") {
+    registered()
+    // plant one near-dup pair via the subquery-relation form
+    val viaSql = spark.sql(
+      """SELECT id_a, id_b, jaccard FROM graft_minhash_pairs(
+        |  "(SELECT doc_id, text FROM documents WHERE doc_id < 30
+        |    UNION ALL
+        |    SELECT doc_id + 100000, text || ' graftmark' FROM documents WHERE doc_id < 5)",
+        |  'doc_id', 'text', 128, 32, 3, 0.5)
+        |ORDER BY id_a, id_b""".stripMargin)
+    val base = graft.core.Tables.documents(spark, dir)
+    val planted = base.filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftmark")).as("text")))
+    val viaScala = graft.operators.Dedup.minhashPairs(planted, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+    val got = viaSql.collect().toSeq
+    assert(got.nonEmpty, "planted near-dups must surface pairs")
+    assert(got === viaScala.collect().toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("graft_upsert TVF equals Merge.upsert (updates overwrite, inserts append)") {
+    registered()
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_upsert(
+        |  '(SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 200)',
+        |  "(SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 300)",
+        |  'o_orderkey', 'o_orderkey')""".stripMargin)
+    val orders = graft.core.Tables.load(spark, dir, "orders")
+    val target = orders.filter(col("o_orderkey") <= 200)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val updates = orders
+      .filter(col("o_orderkey") > 100 && col("o_orderkey") <= 300)
+      .select(col("o_orderkey"), col("o_custkey"), lit("U").as("o_orderstatus"))
+    val viaScala = graft.pipeline.Merge.upsert(target, updates,
+      "o_orderkey", col("o_orderkey"))
+    assert(canon(viaSql) === canon(viaScala))
+    // semantic spot-checks: overwritten, untouched, inserted
+    val byKey = viaSql.collect()
+      .map(r => r.getLong(r.fieldIndex("o_orderkey")) ->
+        r.getString(r.fieldIndex("o_orderstatus"))).toMap
+    assert(byKey.keySet.exists(_ > 200), "unmatched update keys must insert")
+    assert(byKey.filter(_._1 > 100).values.forall(_ == "U"))
+  }
+
+  test("graft_ivf_topk TVF runs the IVF index path and stays plausible") {
+    registered()
+    val got = spark.sql(
+      """SELECT query_id, nbr_id, rank
+        |FROM graft_ivf_topk('embeddings', 'vec_id', 'embedding', 3, 4, 4)
+        |ORDER BY query_id, rank""".stripMargin).collect()
+    assert(got.nonEmpty)
+    // nProbe = nCells probes every cell => exact: equals brute force
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      graft.core.Tables.embeddings(spark, dir), "vec_id", "embedding", k = 3)
+      .select("query_id", "nbr_id", "rank")
+      .orderBy("query_id", "rank").collect()
+    assert(got.map(_.toString).toSeq === exact.map(_.toString).toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("TVF arity and argument errors are loud and named") {
+    registered()
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_knn('embeddings', 'vec_id')").collect()
+    }
+    assert(e1.getMessage.contains("graft_knn"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_knn('embeddings', 'vec_id', 'embedding', 'five')").collect()
+    }
+    assert(e2.getMessage.contains("integer"))
+  }
+}
