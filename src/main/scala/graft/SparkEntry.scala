@@ -217,6 +217,8 @@ object SparkEntry {
     // p21: three-way branch merge (clone, diverge disjointly, fold
     // back) — merged table ≡ LWW over all four landing batches.
     "p21_branch_merge" -> ((s, _) => cocoaBranchMerge(s)),
+    // p23: two fork-diverge-merge rounds (advanced merge base)
+    "p23_branch_remerge" -> ((s, _) => cocoaBranchRemerge(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -1166,6 +1168,49 @@ object SparkEntry {
     copyCsvs(s"$root/m2", s"$cocoaOracleIn/m2")
     Warehouse.commit(scoped, br, graft.pipeline.Merge.upsertShipments(
       Warehouse.read(scoped, br), enriched(s"$root/m2", 1700000300000L)))
+    Warehouse.mergeBranch(spark, main, br)
+    Warehouse.read(spark, main).orderBy("shipment_id")
+  }
+
+  /** p23: RE-MERGE — the advanced-merge-base contract driven end to
+    * end. Two full fork-diverge-merge ROUNDS on one branch: after the
+    * first merge the recorded base advances (branch → its merged
+    * state, main → the merge commit), so the second merge folds ONLY
+    * the second round's deltas — already-merged keys are never
+    * re-litigated. All four edit batches hit disjoint key ranges, so
+    * the final table is provably the LWW of all six batches, which is
+    * exactly what the oracle recomputes from the landing CSVs. The
+    * conflict-after-advance and fork-past-v0 behaviors are
+    * BranchMergeSpec's job. */
+  private def cocoaBranchRemerge(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    val scoped = pipelineSession(spark)
+    val main = graft.core.RunTemp.dir("graft_brm_main_", keep = 32)
+    val br = graft.core.RunTemp.dir("graft_brm_branch_", keep = 32)
+    Warehouse.cloneShallow(spark, dirs.warehouse, main)
+    Warehouse.cloneShallow(spark, main, br)
+    val root = Files.createTempDirectory("cocoa_brm").toString
+    def enriched(landing: String, ms: Long) = {
+      val (df, _) = graft.pipeline.Ingest.ingest(scoped, landing)
+      graft.pipeline.Enrich.enrich(df.get, new Timestamp(ms))
+    }
+    def absorb(dst: String, batch: String, seed: Int, idOffset: Long,
+        ms: Long): Unit = {
+      CocoaGen.writeLandingFiles(scoped, s"$root/$batch", 1, 100,
+        seed = seed, idOffset = idOffset)
+      copyCsvs(s"$root/$batch", s"$cocoaOracleIn/$batch")
+      Warehouse.commit(scoped, dst, graft.pipeline.Merge.upsertShipments(
+        Warehouse.read(scoped, dst), enriched(s"$root/$batch", ms)))
+    }
+    // round 1: main edits keys 0-99, branch edits 1450-1549 — merge
+    absorb(main, "r1", seed = 64, idOffset = 0, ms = 1700000200000L)
+    absorb(br, "r2", seed = 65, idOffset = 1450, ms = 1700000300000L)
+    Warehouse.mergeBranch(spark, main, br)
+    // round 2: both diverge AGAIN (keys 200-299 / 1600-1699) — the
+    // advanced base makes this merge clean and minimal
+    absorb(main, "r3", seed = 66, idOffset = 200, ms = 1700000400000L)
+    absorb(br, "r4", seed = 67, idOffset = 1600, ms = 1700000500000L)
     Warehouse.mergeBranch(spark, main, br)
     Warehouse.read(spark, main).orderBy("shipment_id")
   }
@@ -3304,6 +3349,15 @@ object SparkEntry {
       batches = Seq(
         "b1" -> "2023-11-14 22:13:20", "b2" -> "2023-11-14 22:15:00",
         "m1" -> "2023-11-14 22:16:40", "m2" -> "2023-11-14 22:18:20")),
+    // p23: the six-batch LWW — base warehouse (b1, b2) plus two
+    // disjoint fork-diverge-merge rounds (r1..r4); the re-merge with
+    // an advanced base must land exactly this
+    "p23_branch_remerge" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq(
+        "b1" -> "2023-11-14 22:13:20", "b2" -> "2023-11-14 22:15:00",
+        "r1" -> "2023-11-14 22:16:40", "r2" -> "2023-11-14 22:18:20",
+        "r3" -> "2023-11-14 22:20:00", "r4" -> "2023-11-14 22:21:40")),
     "p20_snapshot_group" -> cocoaOracle(
       """SELECT region, count(*) AS n_shipments,
         |  sum(shipment_value_usd) AS total_value_usd

@@ -1126,12 +1126,13 @@ object Warehouse {
   /** THREE-WAY BRANCH MERGE — the table analogue of a VCS merge,
     * closing the loop [[cloneShallow]] opens: fork a table (zero-copy
     * clone), let BOTH sides commit independently, then fold the
-    * branch's changes back into main. `base` is the fork point — the
-    * branch's v0 clone snapshot (the documented contract: merge a
-    * branch that was born as a clone, read through [[dataPath]] so
-    * the pointer resolves) — and the merge applies the branch's
-    * key-level delta (inserts / updates / deletes vs base) onto
-    * main's CURRENT snapshot.
+    * branch's changes back into main. The first merge's base is the
+    * fork point — the branch's v0 clone snapshot (the documented
+    * contract: merge a branch that was born as a clone, read through
+    * [[dataPath]] so the pointer resolves); subsequent merges use the
+    * ADVANCED per-side bases recorded in `_MERGE_BASE` (see RE-MERGE
+    * below). The merge applies the branch's key-level delta (inserts
+    * / updates / deletes vs its base) onto main's CURRENT snapshot.
     *
     * Conflict rule, CORRECT-OR-LOUD: a key BOTH sides changed since
     * the fork is a conflict unless both made the IDENTICAL change
@@ -1141,6 +1142,22 @@ object Warehouse {
     * last-writer policy here by design — a policy merge is what
     * [[Merge.upsert]] already does; the value of a VCS-style merge is
     * that divergence is SURFACED.
+    *
+    * RE-MERGE (the merge base ADVANCES): a successful merge records
+    * `(branchV, mergedMainV)` in the branch root's `_MERGE_BASE`
+    * marker, and the NEXT merge diffs each side against its own
+    * recorded base — the branch against its state at the last merge,
+    * main against the merge commit — exactly git's common-ancestor
+    * advance. So fork → diverge → merge → diverge again → merge again
+    * works, with already-merged keys never re-litigated. Crash
+    * contract: the base write happens AFTER the merge commit
+    * publishes; a crash between the two leaves the old base, and the
+    * next merge re-derives the already-merged keys on BOTH sides —
+    * convergent (identical images) when the branch didn't touch them
+    * again, a loud (conservative, never silent) conflict when it did.
+    * Retention note: the recorded base snapshots must outlive the
+    * branch — vacuum past them and the next merge fails loudly in
+    * [[dataPath]], same rule clones already impose on their source.
     *
     * Scale shape: two snapshot diffs (one full-outer join each, the
     * [[diffImages]] single-struct-compare shape), one broadcast-able
@@ -1165,12 +1182,25 @@ object Warehouse {
     def snap(root: String, v: Long) =
       spark.read.schema(schema).parquet(dataPath(spark, root, v))
         .select(schema.fieldNames.map(col).toSeq: _*)
-    // fork point: the branch's v0 — its clone of main at fork time
-    val base = snap(branchRoot, 0L)
-    val dBranch = diffImages(base, snap(branchRoot, branchV), keyCols)
+    // merge base: per side. First merge diffs both sides against the
+    // fork point (the branch's v0 — its clone of main at fork time);
+    // after a merge the recorded base advances (branch → its state at
+    // that merge, main → the merge commit), so re-merge never
+    // re-litigates already-merged keys.
+    val branchFs = Ingest.fs(spark, branchRoot)
+    val recordedBase = readMergeBase(branchFs, branchRoot)
+    val baseBranch = recordedBase match {
+      case Some((bv, _)) => snap(branchRoot, bv)
+      case None => snap(branchRoot, 0L)
+    }
+    val baseMain = recordedBase match {
+      case Some((_, mv)) => snap(mainRoot, mv)
+      case None => snap(branchRoot, 0L)
+    }
+    val dBranch = diffImages(baseBranch, snap(branchRoot, branchV), keyCols)
       .select(keyCols.map(col) :+ col("new_image").as("b_img") :+
         col("change_type").as("b_type"): _*)
-    val dMain = diffImages(base, snap(mainRoot, mainV), keyCols)
+    val dMain = diffImages(baseMain, snap(mainRoot, mainV), keyCols)
       .select(keyCols.map(col) :+ col("new_image").as("m_img"): _*)
     val conflicts = dBranch.join(dMain, keyCols)
       .filter(!(col("b_img") <=> col("m_img"))) // identical edits converge
@@ -1188,8 +1218,50 @@ object Warehouse {
     val applied = dBranch.filter(col("b_type") =!= "delete")
       .select(keyCols.map(col) ++
         dataCols.map(c => col(s"b_img.`$c`").as(c)): _*)
-    commit(spark, mainRoot, survivors.unionByName(applied),
+    val merged = commit(spark, mainRoot, survivors.unionByName(applied),
       lockTtlMs, expectedCurrent = Some(Some(mainV)))
+    // advance the merge base AFTER the commit published (crash between
+    // the two re-derives already-merged keys next time — convergent or
+    // loud, never silent; see the RE-MERGE doc block above)
+    writeMergeBase(branchFs, branchRoot, branchV, merged)
+    merged
+  }
+
+  /** Marker recording a branch's merge base: `<branchV>\t<mainV>` —
+    * the branch version folded by the last successful [[mergeBranch]]
+    * and the main version that merge committed. Lives in the BRANCH
+    * root (the branch owns its relationship to its upstream, as a git
+    * branch does its upstream tracking ref). */
+  private val mergeBaseFile = "_MERGE_BASE"
+
+  private def readMergeBase(fs: FileSystem, branchRoot: String): Option[(Long, Long)] = {
+    val p = new Path(branchRoot, mergeBaseFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8).trim
+        finally in.close()
+      txt.split("\t", 2) match {
+        case Array(bv, mv) => Some((bv.toLong, mv.toLong))
+        case _ => throw new IllegalStateException(
+          s"corrupt $mergeBaseFile under $branchRoot: '$txt' — expected" +
+            " '<branchV>\\t<mainV>'; remove it to fall back to the fork base")
+      }
+    }
+  }
+
+  private def writeMergeBase(fs: FileSystem, branchRoot: String,
+      branchV: Long, mainV: Long): Unit = {
+    val tmp = new Path(branchRoot, s".$mergeBaseFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$branchV\t$mainV".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(branchRoot).toUri, fs.getConf)
+    fc.rename(tmp, new Path(branchRoot, mergeBaseFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** CONSISTENT SNAPSHOT GROUPS — a cross-table read boundary on

@@ -86,4 +86,72 @@ class BranchMergeSpec extends AnyFunSuite {
       "a conflicted merge must publish nothing")
     assert(converged.nonEmpty)
   }
+
+  test("RE-MERGE: fork past v0, diverge, merge, diverge again, merge again") {
+    // main accrues history BEFORE the fork (fork at v3, not v0)
+    val main = freshRoot(); val br = freshRoot()
+    Warehouse.commit(spark, main, batch(51))
+    Warehouse.commit(spark, main, Merge.upsertShipments(
+      Warehouse.read(spark, main),
+      Enrich.enrich(CocoaGen.shipments(spark, 5, seed = 52),
+        new Timestamp(1500000L))))
+    Warehouse.commit(spark, main, Merge.upsertShipments(
+      Warehouse.read(spark, main),
+      Enrich.enrich(CocoaGen.shipments(spark, 5, seed = 53, idOffset = 10),
+        new Timestamp(1600000L))))
+    assert(Warehouse.currentVersion(spark, main) === Some(2L))
+    Warehouse.cloneShallow(spark, main, br)
+
+    def upsert(root: String, seed: Int, idOffset: Long, ts: Long, n: Int = 10): Unit =
+      Warehouse.commit(spark, root, Merge.upsertShipments(
+        Warehouse.read(spark, root),
+        Enrich.enrich(CocoaGen.shipments(spark, n, seed = seed, idOffset = idOffset),
+          new Timestamp(ts))))
+
+    // ROUND 1: disjoint edits (main keys 20-29, branch keys 100-109)
+    upsert(main, 54, 20, 2000000L)
+    upsert(br, 55, 100, 2100000L)
+    Warehouse.mergeBranch(spark, main, br)
+    val afterFirst = Warehouse.read(spark, main)
+    assert(afterFirst.filter(
+      expr("CAST(substring(shipment_id, 6) AS BIGINT) >= 100")).count() === 10)
+
+    // ROUND 2: both sides diverge AGAIN (main keys 30-39, branch keys
+    // 110-119) — the advanced base means round-1 keys never re-enter
+    // the diff, so this merge is clean and folds only the new edits
+    upsert(main, 56, 30, 3000000L)
+    upsert(br, 57, 110, 3100000L)
+    Warehouse.mergeBranch(spark, main, br)
+    val afterSecond = Warehouse.read(spark, main)
+    assert(afterSecond.filter(
+      expr("CAST(substring(shipment_id, 6) AS BIGINT) >= 110")).count() === 10,
+      "second round of branch edits must fold in on re-merge")
+    assert(afterSecond.filter(
+      expr("CAST(substring(shipment_id, 6) AS BIGINT) >= 100 AND " +
+        "CAST(substring(shipment_id, 6) AS BIGINT) < 110")).count() === 10,
+      "first round's merged keys must survive the second merge")
+    // main's own round-2 edits survived the second merge
+    val mainStamps = afterSecond.filter(
+      expr("CAST(substring(shipment_id, 6) AS BIGINT) >= 30 AND " +
+        "CAST(substring(shipment_id, 6) AS BIGINT) < 40"))
+      .select("processed_at").distinct().collect().map(_.getTimestamp(0).getTime)
+    assert(mainStamps.toSeq === Seq(3000000L))
+
+    // ROUND 3: conflict detection still loud AFTER base advance —
+    // both sides now edit key 50 differently
+    def edit(root: String, q: Double, ts: Long): Unit =
+      Warehouse.commit(spark, root, Merge.upsertShipments(
+        Warehouse.read(spark, root),
+        Enrich.enrich(CocoaGen.shipments(spark, 1, seed = 58, idOffset = 50),
+          new Timestamp(ts)).withColumn("quality_score", lit(q))))
+    edit(main, 2.0, 4000000L)
+    edit(br, 8.0, 4100000L)
+    val before = Warehouse.currentVersion(spark, main)
+    val e = intercept[IllegalStateException] {
+      Warehouse.mergeBranch(spark, main, br)
+    }
+    assert(e.getMessage.contains("BOTH sides"), e.getMessage)
+    assert(Warehouse.currentVersion(spark, main) === before,
+      "a conflicted re-merge must publish nothing")
+  }
 }
