@@ -456,6 +456,7 @@ object SparkEntry {
     // a one-shot re-encode (stronger than recall) plus the recall bar.
     "v22_pq_append"          -> (NorthStar.ivfPqAppendTopK _),
     "v23_pq_lifecycle"       -> (NorthStar.ivfPqLifecycleTopK _),
+    "v24_pq_drift_monitor"   -> (NorthStar.ivfPqDriftMonitor _),
     // Format round-trips (write THROUGH the format, read back, query
     // the read-back side): ORC / JSON / CSV / partitioned parquet.
     "io01_orc_roundtrip"     -> (graft.sources.Formats.orcRoundtripAgg _),
@@ -4051,6 +4052,14 @@ object SparkEntry {
     // v12 oracle shape: the deleted range excluded from candidates);
     // the equivalence certificate pins the compacted artifact
     // multiset-exactly to a re-encode of corpus-minus-deleted.
+    // v24: every output cell is deterministic (counts + decision
+    // booleans with measured >= 0.06 margins, seed-fixed k-means), so
+    // the oracle is the literal expected row — the v02 pattern.
+    "v24_pq_drift_monitor" ->
+      """SELECT CAST(250 AS BIGINT) AS truth_rows,
+        |  TRUE AS monitor_before_ok,
+        |  TRUE AS drift_flagged_ok,
+        |  TRUE AS rebuild_restored_ok""".stripMargin,
     "v23_pq_lifecycle" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -605,6 +605,45 @@ object IvfIndex {
   def compactPq(spark: SparkSession, dir: String,
       maxFilesPerCell: Int = 4): Array[Int] = compact(spark, dir, maxFilesPerCell)
 
+  /** One monitoring pass over a saved PQ index: recall@k of its ADC
+    * search against a held-out exact TRUTH set, plus the rebuild
+    * recommendation against a declared budget. */
+  final case class PqRecallReport(recall: Double, truthRows: Long,
+      rebuildRecommended: Boolean)
+
+  /** The CONTROL LOOP the frozen-model drift contract promises
+    * ([[appendPq]]'s doc): score the SAVED index's search recall@k on
+    * a held-out truth set and flag a rebuild when it sinks below
+    * `minRecall`. Run it on the maintenance cadence (after appends,
+    * before promoting the index); when it flags, [[buildPq]] +
+    * [[savePq]] refit the codebooks on the grown corpus and the next
+    * monitoring pass certifies the recovery.
+    *
+    * `truth` carries the exact expected neighbors as (query_id,
+    * nbr_id) rows — typically [[graft.operators.Similarity
+    * .bruteForceTopK]] over a held-out query sample, the one exact
+    * scan a production deployment amortizes across many monitor runs.
+    *
+    * Scale shape: one ADC search at the index's own cost, one
+    * LEFT SEMI join of the truth rows (queries × k — the held-out
+    * sample, never the corpus) and two counts; the driver receives
+    * three scalars. No full-corpus work beyond the search itself. */
+  def pqRecallMonitor(spark: SparkSession, dir: String, queries: DataFrame,
+      truth: DataFrame, k: Int, nProbe: Int, minRecall: Double,
+      idCol: String = "id", vecCol: String = "vec"): PqRecallReport = {
+    require(minRecall >= 0.0 && minRecall <= 1.0,
+      s"minRecall must be in [0, 1], got $minRecall")
+    val (encoded, model) = loadPq(spark, dir)
+    val got = searchPq(encoded, model, k, nProbe, queries, idCol, vecCol)
+      .select(col("query_id"), col("nbr_id"))
+    val t = truth.select(col("query_id"), col("nbr_id")).cache()
+    val total = t.count()
+    val hits = t.join(got, Seq("query_id", "nbr_id"), "left_semi").count()
+    t.unpersist()
+    val recall = if (total == 0L) 1.0 else hits.toDouble / total
+    PqRecallReport(recall, total, recall < minRecall)
+  }
+
   /** ADC search over a PQ-coded index: queries pick `nProbe` cells
     * ([[SketchExpressions.TopCells]], per-row expression, no
     * crossJoin), join candidates inside probed cells, and score each
