@@ -2552,12 +2552,31 @@ object SparkEntry {
         |  md5(text) AS payload_md5
         |FROM documents WHERE doc_id < 200 AND text IS NOT NULL
         |ORDER BY asset_id""".stripMargin,
+    // m03: the engine writes a REAL 4x4 grayscale PNG per document
+    // (first 256 code points -> 16x16 source, box-mean downsample,
+    // zlib IDAT encode, decode back) and emits the ARTIFACT's parsed
+    // dims + inflated pixels; the oracle recomputes the expected
+    // pixel bytes independently from the same code-point arithmetic.
+    // png_ok is the distributed encode->decode round-trip check
+    // (DuckDB emits literal TRUE, the v02 pattern).
     "m03_thumbnails" ->
-      """SELECT doc_id AS asset_id,
+      """WITH cp AS (
+        |  SELECT doc_id, list_transform(
+        |    regexp_extract_all(coalesce(substring(text, 1, 256), ''), '(?s).'),
+        |    c -> unicode(c) % 256) AS cps
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, list_transform(range(0, 16), b ->
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      coalesce(cps[(((b // 4) * 4 + (j // 4)) * 16 + (b % 4) * 4 + (j % 4)) + 1], 0)
+        |    )) // 16 AS BIGINT)) AS tp
+        |  FROM cp)
+        |SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-        |  CAST(least(length(text), 256) AS BIGINT) AS thumb_chars,
-        |  md5(substring(text, 1, 256)) AS thumb_md5
-        |FROM documents ORDER BY asset_id""".stripMargin,
+        |  CAST(4 AS BIGINT) AS thumb_w, CAST(4 AS BIGINT) AS thumb_h,
+        |  array_to_string(list_transform(tp, v -> lower(lpad(to_hex(v), 2, '0'))), '') AS thumb_px,
+        |  TRUE AS png_ok
+        |FROM px ORDER BY asset_id""".stripMargin,
     "q29_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

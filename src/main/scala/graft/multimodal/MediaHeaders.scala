@@ -67,6 +67,112 @@ object MediaHeaders {
     Some(Media("image", b.getInt(16), b.getInt(20), 0, 33))
   }
 
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val t = chunkType.getBytes("US-ASCII")
+    val b = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** COMPLETE grayscale PNG encoder (spec: 8-bit, color type 0, filter
+    * 0 per scanline, zlib IDAT, real CRC32s) — a decodable image any
+    * PNG reader opens, not a header stand-in. Pure JVM (Deflater is
+    * java.util.zip); `pixels` is row-major, length w*h, one byte per
+    * pixel. The fixture-scale thumbnail writer (m03) runs this per
+    * row inside an executor kernel; output size is O(w*h). */
+  def pngEncodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"pngEncodeGray: need $width x $height = ${width * height} pixels," +
+        s" got ${pixels.length}")
+    val ihdr = {
+      val b = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(width).putInt(height)
+      b.put(8.toByte)  // bit depth
+      b.put(0.toByte)  // color type: grayscale
+      b.put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    // raw scanline stream: one filter byte (0 = None) per row
+    val raw = new Array[Byte]((width + 1) * height)
+    var r = 0
+    while (r < height) {
+      raw(r * (width + 1)) = 0
+      System.arraycopy(pixels, r * width, raw, r * (width + 1) + 1, width)
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    pngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** COMPLETE grayscale PNG decoder for the [[pngEncodeGray]] profile:
+    * validates signature + IHDR CRC ([[parsePng]]), requires 8-bit
+    * grayscale non-interlaced, walks the chunk stream collecting
+    * CRC-valid IDATs, inflates, and un-filters (filter 0 rows — the
+    * only filter the encoder emits; any other poisons the decode).
+    * Returns (width, height, row-major pixels); None on ANY
+    * malformation — a torn image must fail decode, never yield
+    * garbage pixels. */
+  def pngDecodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val media = parsePng(bytes) match {
+      case Some(m) => m
+      case None => return None
+    }
+    // profile check: 8-bit grayscale, no interlace (IHDR offsets 24-28)
+    if (bytes(24) != 8 || bytes(25) != 0 || bytes(28) != 0) return None
+    val w = media.width; val h = media.height
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33 // first chunk after IHDR
+    var sawEnd = false
+    while (!sawEnd) {
+      if (off + 12 > bytes.length) return None
+      val len = b.getInt(off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      val chunkType = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue.toInt != b.getInt(off + 8 + len)) return None
+      chunkType match {
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks are skippable per spec
+      }
+      off += 12 + len
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((w + 1) * h)
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    val pixels = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      if (raw(r * (w + 1)) != 0) return None // only filter 0 supported
+      System.arraycopy(raw, r * (w + 1) + 1, pixels, r * w, w)
+      r += 1
+    }
+    Some((w, h, pixels))
+  }
+
   /** PNG header + tEXt METADATA chunks (keyword NUL text, CRC32 per
     * spec like IHDR's) — the alt-text/caption/provenance channel a
     * real image corpus carries. */

@@ -2717,19 +2717,72 @@ object NorthStar {
       .toDF()
       .orderBy("asset_id")
 
-  /** Thumbnail/"resize" plumbing (north-star multimodal mandate):
-    * the deterministic stand-in for codec resize is crop-to-prefix —
-    * a real deployment decodes and resizes inside the per-partition
-    * kernel (see [[graft.multimodal.Multimodal.extractFeatures]]);
-    * the Spark-side shape (bounded derived payload + its digest and
-    * size as metadata columns) is what matters and is oracle-checked. */
-  def thumbnails(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id").as("asset_id"),
-      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
-      least(length(col("text")), lit(256)).cast("long").as("thumb_chars"),
-      md5(substring(col("text"), 1, 256).cast("binary")).as("thumb_md5"))
+  final case class ThumbRow(asset_id: Long, media_type: String,
+      thumb_w: Long, thumb_h: Long, thumb_px: String, png_ok: Boolean)
+
+  /** Thumbnail/"resize" plumbing (north-star multimodal mandate) —
+    * now a REAL image pipeline, not a digest stand-in: each document's
+    * first 256 code points become a 16×16 grayscale source image
+    * (value = code point mod 256 — the crop-to-prefix bound makes the
+    * per-row decode cost O(1) at any document size), box-mean
+    * downsampled 4×4, ENCODED as a complete decodable PNG
+    * ([[graft.multimodal.MediaHeaders.pngEncodeGray]] — zlib IDAT,
+    * real CRCs), then DECODED BACK ([[graft.multimodal.MediaHeaders
+    * .pngDecodeGray]]). The emitted dims come from the artifact's
+    * parsed IHDR and the emitted pixels from the artifact's inflated
+    * IDAT — so a broken encoder cannot hash-match: the oracle
+    * recomputes the expected pixels independently (same code-point
+    * arithmetic in SQL) and `png_ok` pins the round-trip equality. */
+  def thumbnails(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, textOrNull) =>
+          val text = Option(textOrNull).getOrElse("")
+          val src = new Array[Int](256) // 16x16 source, zero-padded
+          var i = 0; var ci = 0
+          while (i < 256 && ci < text.length) {
+            val cp = text.codePointAt(ci)
+            src(i) = cp % 256
+            ci += Character.charCount(cp); i += 1
+          }
+          val tp = new Array[Byte](16) // 4x4 box means (floor)
+          var br = 0
+          while (br < 4) {
+            var bc = 0
+            while (bc < 4) {
+              var s = 0; var dr = 0
+              while (dr < 4) {
+                var dc = 0
+                while (dc < 4) {
+                  s += src((br * 4 + dr) * 16 + (bc * 4 + dc)); dc += 1
+                }
+                dr += 1
+              }
+              tp(br * 4 + bc) = (s / 16).toByte
+              bc += 1
+            }
+            br += 1
+          }
+          val png = graft.multimodal.MediaHeaders.pngEncodeGray(4, 4, tp)
+          graft.multimodal.MediaHeaders.pngDecodeGray(png) match {
+            case Some((w, h, px)) =>
+              ThumbRow(id,
+                if (id % 2 == 0) "image" else "audio",
+                w.toLong, h.toLong,
+                px.map(b => f"${b & 0xff}%02x").mkString,
+                png_ok = java.util.Arrays.equals(px, tp))
+            case None =>
+              ThumbRow(id, if (id % 2 == 0) "image" else "audio",
+                0L, 0L, "", png_ok = false)
+          }
+        }
+      }
+      .toDF()
       .orderBy("asset_id")
+  }
 
   def frameSamples(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

@@ -25,6 +25,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.parsePng(good.take(20)).isEmpty, "truncated header parsed")
   }
 
+  test("full grayscale PNG codec: pixel round-trip, corruption poisons decode") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((1, 1), (4, 4), (16, 16), (13, 7))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val png = MediaHeaders.pngEncodeGray(w, h, px)
+      // the artifact is a real PNG: header parser agrees on dims
+      val m = MediaHeaders.parsePng(png).get
+      assert((m.width, m.height) === ((w, h)))
+      val (dw, dh, dpx) = MediaHeaders.pngDecodeGray(png).get
+      assert((dw, dh) === ((w, h)))
+      assert(dpx.toSeq === px.toSeq, s"pixels corrupted at ${w}x$h")
+    }
+    val good = MediaHeaders.pngEncodeGray(4, 4, Array.fill(16)(42.toByte))
+    // corrupt one IDAT byte: chunk CRC must reject, never garbage pixels
+    val badIdat = good.clone(); badIdat(good.length - 20) =
+      (badIdat(good.length - 20) ^ 0x01).toByte
+    assert(MediaHeaders.pngDecodeGray(badIdat).isEmpty,
+      "corrupted IDAT decoded")
+    // truncation fails loudly too
+    assert(MediaHeaders.pngDecodeGray(good.dropRight(6)).isEmpty,
+      "truncated PNG decoded")
+    // the RGB header-only stand-in (color type 2) is out of profile
+    assert(MediaHeaders.pngDecodeGray(
+      MediaHeaders.pngHeader(4, 4) ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("JPEG SOF marker walk finds dims behind arbitrary APPn segments") {
     val m = MediaHeaders.parseJpeg(MediaHeaders.jpegHeader(800, 600)).get
     assert((m.width, m.height) === ((800, 600)))
