@@ -171,6 +171,52 @@ class GraphSpec extends AnyFunSuite {
     assert(lpa(edges, 12) === naiveLpa(edges, 12))
   }
 
+  test("LPA: adversarial ties break to the LOWEST label under hostile partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two 4-cliques feeding a hub that sees TWO members of each —
+    // permanent equal-count label ties at the hub once the cliques
+    // converge — plus a pendant chain whose first rounds are
+    // all-count-1 ties across every neighbor
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (2L, 9L), (3L, 9L), (6L, 9L), (7L, 9L),
+      (9L, 10L), (10L, 11L))
+    for (k <- 0 to 4)
+      assert(lpa(edges, k) === naiveLpa(edges, k), s"iters=$k")
+    // ordering hostility: shuffled input order and odd partition
+    // widths permute the TypedImperativeAggregate's partial-map merge
+    // order; mode(deterministic = true) must still tie to the lowest
+    // label (the contract this spec pins against Spark upgrades)
+    for (seed <- Seq(1, 7); parts <- Seq(1, 3, 5)) {
+      val shuffled = new scala.util.Random(seed).shuffle(edges)
+        .toDF("u", "v")
+        .repartition(parts, expr(s"pmod(u * 7 + v * 13, $parts)"))
+      val got = Graph.labelPropagation(shuffled, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === naiveLpa(edges, 3), s"seed=$seed parts=$parts")
+    }
+    // bit-identity with the FORMER two-exchange count+argmax shape
+    // (what the fused single-exchange mode aggregation replaced)
+    val e = edges.toDF("u", "v")
+    val dir = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    var labels = dir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 3) {
+      labels = dir
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    val twoStep = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoStep === naiveLpa(edges, 3),
+      "fused mode shape diverged from the count+argmax reference")
+  }
+
   test("BFS: level claiming, min-seed tiebreak, depth bound, unreachable excluded") {
     import spark.implicits._
     // two seeds 1, 2; path 1-3-4-5-...  and 2-4 shortcut:
