@@ -21,6 +21,8 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // full extension stack — same session shape Verify grades
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
         // Cached plans keep their exact output partitioning unless this
         // is on; without it every CacheScope-sealed result pins the full
         // pre-coalesce shuffle width onto all downstream consumers.

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's full extension stack (graft_* functions + TVFs,
+      // TopK strategy, key-filter-through-top-k optimizer rule) —
+      // the optimizer rule needs the extensions path to interleave
+      // with the builtin pushdown batch
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // Cached plans keep their exact output partitioning unless this
       // is on; without it every CacheScope-sealed result pins the full
       // pre-coalesce shuffle width onto all downstream consumers.

@@ -144,5 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     GraftTableFunctions.injectInto(ext)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // key-only filters commute with top-k-per-key; injected into the
+    // operator-optimization batch so the builtin PushDownPredicates
+    // keeps cascading the moved filter (through joins, into scans)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughTopK)
   }
 }

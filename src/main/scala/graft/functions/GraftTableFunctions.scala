@@ -127,8 +127,18 @@ object GraftTableFunctions {
       Set(4),
       (s: SparkSession, a: Seq[Expression]) => {
         val fn = "graft_knn"
-        graft.operators.Similarity.bruteForceTopK(rel(s, strArg(a(0), fn)),
-          strArg(a(1), fn), strArg(a(2), fn), intArg(a(3), fn))
+        val df = rel(s, strArg(a(0), fn))
+        // deliberately the LAZY explicit-queries branch, NOT the
+        // sealed half-matrix one: a TVF must stay an optimizable
+        // subtree, so an outer `WHERE query_id < 50` can cascade
+        // (PushFilterThroughTopK, then the builtin pushdown) into the
+        // query-side scan and cost the 50-query search. The sealed
+        // all-pairs route materializes at ANALYSIS time, walling the
+        // filter off behind an InMemoryRelation — its halved dot
+        // products only win when the consumer truly wants every query.
+        graft.operators.Similarity.bruteForceTopK(df,
+          strArg(a(1), fn), strArg(a(2), fn), intArg(a(3), fn),
+          queries = Some(df))
       }),
 
     ("graft_ivf_topk",

@@ -303,6 +303,34 @@ private[plans] final class TopKPartitionIterator(
 }
 
 /** Column-name API over the plan node. */
+/** Optimizer rule: push a deterministic predicate that references
+  * ONLY the top-k node's KEY columns below the node. Such a predicate
+  * selects WHOLE key groups, and per-key top-k is independent across
+  * groups, so the filter commutes — and once below, Catalyst's own
+  * PushDownPredicates keeps cascading it (through the candidate join,
+  * into the scan). This is what makes `SELECT ... FROM graft_knn(...)
+  * WHERE query_id < 50` cost the 50-query search, not the all-pairs
+  * one. Safety: keys must be plain attributes (a predicate on an
+  * input of a derived key could vary WITHIN a group and must stay
+  * put); non-deterministic predicates never move. Injected into the
+  * operator-optimization batch by [[graft.functions.GraftExtensions]]
+  * (where it interleaves with the builtin pushdown to full cascade)
+  * and appended to `experimental.extraOptimizations` by
+  * [[TopK.install]] as a late fallback for extension-less sessions. */
+object PushFilterThroughTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Filter(cond, t: TopKPerKey) if cond.deterministic && {
+        val keyAttrs = t.keys.collect { case a: Attribute => a }
+        keyAttrs.length == t.keys.length && t.keys.forall(_.resolved) &&
+          cond.references.subsetOf(AttributeSet(keyAttrs))
+      } =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 object TopK {
 
   /** Default held-bytes budget per task before sorted spill segments
@@ -323,11 +351,15 @@ object TopK {
     if (dir.isDirectory) dir else new File(System.getProperty("java.io.tmpdir"))
   }
 
-  /** Register the strategy on `spark` (idempotent, session-scoped). */
+  /** Register the strategy + the key-filter pushdown on `spark`
+    * (idempotent, session-scoped). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TopKStrategy))
       spark.experimental.extraStrategies = cur :+ TopKStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughTopK))
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughTopK
   }
 
   /** Keep each key's top `k` rows under `(orderCol desc, tieBreakers

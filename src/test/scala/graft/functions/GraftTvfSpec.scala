@@ -109,6 +109,49 @@ class GraftTvfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("key-only filters push THROUGH the top-k node (and keep cascading)") {
+    registered()
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // cached pair frames from sibling tests would swap InMemoryRelation
+    // leaves into these plans and hide the top-k node — clear first so
+    // the assertions can never pass vacuously
+    spark.catalog.clearCache()
+    val df = spark.sql(
+      """SELECT query_id, nbr_id, cosine, rank
+        |FROM graft_knn('embeddings', 'vec_id', 'embedding', 3)
+        |WHERE query_id < 10""".stripMargin)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case t: graft.plans.TopKPerKey => t }.nonEmpty,
+      s"expected a TopKPerKey node:\n$plan")
+    // pushdown happened iff NO Filter survives above the top-k node —
+    // the moved predicate keeps cascading (through the candidate join,
+    // toward the query-side scan), so it must not re-appear there
+    val filtersAboveTopK = plan.collect {
+      case f: Filter if f.find(_.isInstanceOf[graft.plans.TopKPerKey]).isDefined => f
+    }
+    assert(filtersAboveTopK.isEmpty,
+      s"filter stuck above TopKPerKey:\n$plan")
+    // and the result is still exactly the post-filtered full answer
+    val viaScala = graft.operators.Similarity.bruteForceTopK(
+      graft.core.Tables.embeddings(spark, dir), "vec_id", "embedding", k = 3)
+      .filter(col("query_id") < 10)
+    assert(df.collect().toSet === viaScala.collect().toSet)
+    // a NON-key predicate must NOT move below the node (it selects
+    // individual rows, not whole groups)
+    spark.catalog.clearCache()
+    val stay = spark.sql(
+      """SELECT * FROM graft_knn('embeddings', 'vec_id', 'embedding', 3)
+        |WHERE nbr_id < 10""".stripMargin)
+    val stayPlan = stay.queryExecution.optimizedPlan
+    assert(stayPlan.collect { case t: graft.plans.TopKPerKey => t }.nonEmpty,
+      s"expected a TopKPerKey node:\n$stayPlan")
+    val stuck = stayPlan.collect {
+      case f: Filter if f.find(_.isInstanceOf[graft.plans.TopKPerKey]).isDefined => f
+    }
+    assert(stuck.nonEmpty, "non-key filter was incorrectly pushed through top-k")
+    spark.catalog.clearCache()
+  }
+
   test("TVF arity and argument errors are loud and named") {
     registered()
     val e1 = intercept[Exception] {
