@@ -324,6 +324,28 @@ object SparkEntry {
         |    WHERE o_orderkey > 1000 AND o_orderkey <= 3000)",
         |  'o_orderkey', 'o_orderkey')
         |ORDER BY o_orderkey""".stripMargin)),
+    // t05/t06: the CUSTOM JOIN operators through the same front door
+    // (AS-OF via the union+window plan, interval via the banded
+    // self-join) — proving SQL reaches the whole-operator extensions,
+    // not just the relational composites.
+    "t05_tvf_asof_join" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT event_id, user_id, unix_millis(ts) AS ts_ms,
+        |  unix_millis(click_ts) AS click_ts_ms, click_value
+        |FROM graft_asof_join(
+        |  "(SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')",
+        |  "(SELECT user_id, ts, value FROM events WHERE event_type = 'click')",
+        |  'user_id', 'ts', 'ts', 'ts', 'click_ts', 'value', 'click_value')
+        |ORDER BY event_id""".stripMargin)),
+    "t06_tvf_interval_join" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT user_id, view_id, purchase_id,
+        |  purchase_us - view_us AS gap_us
+        |FROM graft_interval_join(
+        |  "(SELECT event_id AS view_id, user_id, unix_micros(ts) AS view_us
+        |    FROM events WHERE event_type = 'view')",
+        |  "(SELECT event_id AS purchase_id, user_id, unix_micros(ts) AS purchase_us
+        |    FROM events WHERE event_type = 'purchase')",
+        |  'view_us', 'purchase_us', 0, 3600000000, 'user_id')
+        |ORDER BY view_id, purchase_id""".stripMargin)),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
@@ -1292,6 +1314,11 @@ object SparkEntry {
         |SELECT query_id, nbr_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "t03_tvf_minhash_pairs" -> coreOracleSql("d07_minhash_near_dups"),
+    // t05/t06 reuse the custom joins' existing exhaustive oracles
+    // (DuckDB ASOF JOIN / windowed self-join) — same semantics, the
+    // TVF call IS q34/q36's operator behind the SQL front door.
+    "t05_tvf_asof_join" -> coreOracleSql("q34_asof_clicks"),
+    "t06_tvf_interval_join" -> coreOracleSql("q36_range_join"),
     "t04_tvf_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000),

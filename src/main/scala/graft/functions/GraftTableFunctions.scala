@@ -66,6 +66,14 @@ object GraftTableFunctions {
       s"$fn expected an integer literal, got: $other")
   }
 
+  private def longArg(e: Expression, fn: String): Long = evalArg(e, fn) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn expected an integer literal, got: $other")
+  }
+
   private def dblArg(e: Expression, fn: String): Double = evalArg(e, fn) match {
     case d: Double => d
     case f: Float => f.toDouble
@@ -150,6 +158,36 @@ object GraftTableFunctions {
         graft.operators.IvfIndex.topK(s, rel(s, strArg(a(0), fn)),
           strArg(a(1), fn), strArg(a(2), fn), intArg(a(3), fn),
           nCells = intArg(a(4), fn), nProbe = intArg(a(5), fn))
+      }),
+
+    ("graft_asof_join",
+      "graft_asof_join(left, right, key, leftTs, rightTs, rightCol," +
+        " outCol[, rightCol2, outCol2 ...]) - attach each left row the" +
+        " LATEST right row at-or-before its timestamp per key (left" +
+        " join; payload columns renamed as given)", Set(7, 9, 11),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_asof_join"
+        val pairs = a.drop(5).grouped(2).map {
+          case Seq(rc, out) => strArg(rc, fn) -> strArg(out, fn)
+        }.toMap
+        graft.operators.AsOfJoin.asOf(
+          rel(s, strArg(a(0), fn)), rel(s, strArg(a(1), fn)),
+          strArg(a(2), fn), strArg(a(3), fn), strArg(a(4), fn), pairs)
+      }),
+
+    ("graft_interval_join",
+      "graft_interval_join(left, right, leftTs, rightTs, lowerUs," +
+        " upperUs[, key]) - pair rows where rightTs is within" +
+        " [leftTs + lowerUs, leftTs + upperUs] (numeric timestamps)," +
+        " optionally equi-keyed; banded so candidates stay local",
+      Set(6, 7),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_interval_join"
+        graft.operators.RangeJoin.intervalJoin(
+          rel(s, strArg(a(0), fn)), rel(s, strArg(a(1), fn)),
+          strArg(a(2), fn), strArg(a(3), fn),
+          lowerUs = longArg(a(4), fn), upperUs = longArg(a(5), fn),
+          equiKeys = if (a.length == 7) Seq(strArg(a(6), fn)) else Seq.empty)
       }),
 
     ("graft_upsert",

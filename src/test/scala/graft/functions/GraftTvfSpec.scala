@@ -109,6 +109,51 @@ class GraftTvfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("graft_asof_join / graft_interval_join TVFs equal their Scala operators") {
+    registered()
+    val e = graft.core.Tables.events(spark, dir)
+    val viaSqlAsof = spark.sql(
+      """SELECT event_id, user_id, unix_millis(ts) AS ts_ms,
+        |  unix_millis(click_ts) AS click_ts_ms, click_value
+        |FROM graft_asof_join(
+        |  "(SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')",
+        |  "(SELECT user_id, ts, value FROM events WHERE event_type = 'click')",
+        |  'user_id', 'ts', 'ts', 'ts', 'click_ts', 'value', 'click_value')
+        |ORDER BY event_id""".stripMargin)
+    val viaScalaAsof = graft.operators.AsOfJoin.asOf(
+      e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      e.filter(col("event_type") === "click").select("user_id", "ts", "value"),
+      "user_id", "ts", "ts",
+      Map("ts" -> "click_ts", "value" -> "click_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(col("click_ts")).as("click_ts_ms"), col("click_value"))
+      .orderBy("event_id")
+    assert(viaSqlAsof.collect().toSeq === viaScalaAsof.collect().toSeq)
+
+    val viaSqlRange = spark.sql(
+      """SELECT user_id, view_id, purchase_id, purchase_us - view_us AS gap_us
+        |FROM graft_interval_join(
+        |  "(SELECT event_id AS view_id, user_id, unix_micros(ts) AS view_us
+        |    FROM events WHERE event_type = 'view')",
+        |  "(SELECT event_id AS purchase_id, user_id, unix_micros(ts) AS purchase_us
+        |    FROM events WHERE event_type = 'purchase')",
+        |  'view_us', 'purchase_us', 0, 3600000000, 'user_id')""".stripMargin)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val viaScalaRange = graft.operators.RangeJoin.intervalJoin(
+      views, purchases, "view_us", "purchase_us",
+      lowerUs = 0L, upperUs = 3600L * 1000 * 1000, equiKeys = Seq("user_id"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (col("purchase_us") - col("view_us")).as("gap_us"))
+    assert(viaSqlRange.collect().toSet === viaScalaRange.collect().toSet)
+  }
+
   test("key-only filters push THROUGH the top-k node (and keep cascading)") {
     registered()
     import org.apache.spark.sql.catalyst.plans.logical.Filter
