@@ -346,6 +346,28 @@ object SparkEntry {
         |    FROM events WHERE event_type = 'purchase')",
         |  'view_us', 'purchase_us', 0, 3600000000, 'user_id')
         |ORDER BY view_id, purchase_id""".stripMargin)),
+    // t07/t08: the WAREHOUSE surface through SQL — Delta's `VERSION AS
+    // OF` / `table_changes` parity: time travel and the stored change
+    // feed as FROM-clause calls (roots interpolated at gate-build time
+    // the way a user would template a table path).
+    "t07_tvf_time_travel" -> ((s, dir) => {
+      cocoaWarehouse(s)
+      val root = cocoaDirsMemo.get(s).warehouse
+      graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_time_travel('$root', 0) ORDER BY shipment_id")
+    }),
+    "t08_tvf_change_feed" -> ((s, dir) => {
+      cocoaWarehouse(s)
+      val root = cocoaDirsMemo.get(s).warehouse
+      Warehouse.publishChangeFeed(s, root, 1L)
+      val dataCols = graft.pipeline.CocoaSchema.warehouse.fieldNames.toSeq
+        .filterNot(_ == "shipment_id")
+        .map(c => s"coalesce(new_image, old_image).`$c` AS `$c`")
+      graft.core.Catalog.sql(s, dir,
+        s"""SELECT shipment_id, ${dataCols.mkString(", ")}, change_type
+           |FROM graft_change_feed('$root', 1)
+           |ORDER BY shipment_id""".stripMargin)
+    }),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
@@ -1319,6 +1341,12 @@ object SparkEntry {
     // TVF call IS q34/q36's operator behind the SQL front door.
     "t05_tvf_asof_join" -> coreOracleSql("q34_asof_clicks"),
     "t06_tvf_interval_join" -> coreOracleSql("q36_range_join"),
+    // t07/t08: the warehouse-surface TVFs must reproduce p05's
+    // batch-1-only snapshot and p10's stored change set exactly.
+    "t07_tvf_time_travel" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq("b1" -> "2023-11-14 22:13:20")),
+    "t08_tvf_change_feed" -> cocoaVersionDiffOracleSql,
     "t04_tvf_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000),

@@ -190,6 +190,27 @@ object GraftTableFunctions {
           equiKeys = if (a.length == 7) Seq(strArg(a(6), fn)) else Seq.empty)
       }),
 
+    ("graft_time_travel",
+      "graft_time_travel(root, version) - read a graft warehouse table" +
+        " AS OF <version> (resolves shallow-clone pointers; loud when" +
+        " the snapshot was vacuumed)", Set(2),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_time_travel"
+        s.read.parquet(graft.pipeline.Warehouse.dataPath(
+          s, strArg(a(0), fn), longArg(a(1), fn)))
+      }),
+
+    ("graft_change_feed",
+      "graft_change_feed(root, version) - the STORED change feed of the" +
+        " version-1 -> version transition (shipment keys, old_image/" +
+        "new_image structs, change_type); loud when never published",
+      Set(2),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_change_feed"
+        graft.pipeline.Warehouse.readChangeFeed(
+          s, strArg(a(0), fn), longArg(a(1), fn))
+      }),
+
     ("graft_upsert",
       "graft_upsert(target, updates, keyCol, ordCol) - LWW upsert:" +
         " updates (deduped per key by greatest ordCol) overwrite target" +
