@@ -221,9 +221,58 @@ object GraftTableFunctions {
           rel(s, strArg(a(1), fn)), strArg(a(2), fn), col(strArg(a(3), fn)))
       }))
 
+  /** Declared parameter names, for SQL named-argument calls
+    * (`graft_knn(table => 'embeddings', ...)`). Variadic tails
+    * (asof's payload pairs) stay positional-only. */
+  private val paramNames: Map[String, Seq[String]] = Map(
+    "graft_exact_dedup" -> Seq("table", "id", "text"),
+    "graft_minhash_pairs" ->
+      Seq("table", "id", "text", "hashes", "bands", "shingle", "threshold"),
+    "graft_knn" -> Seq("table", "id", "vec", "k"),
+    "graft_ivf_topk" -> Seq("table", "id", "vec", "k", "cells", "probes"),
+    "graft_asof_join" -> Seq("left", "right", "key", "left_ts", "right_ts"),
+    "graft_interval_join" ->
+      Seq("left", "right", "left_ts", "right_ts", "lower_us", "upper_us", "key"),
+    "graft_time_travel" -> Seq("root", "version"),
+    "graft_change_feed" -> Seq("root", "version"),
+    "graft_upsert" -> Seq("target", "updates", "key", "ord"))
+
+  /** Rewrite a mixed positional/named argument list to pure
+    * positional: named args must follow all positional ones, name
+    * declared parameters (case-insensitive), and fill a contiguous
+    * run — a skipped middle parameter has no value to default to, so
+    * it is an error, loudly, with the parameter list in the message. */
+  private def resolveNamed(fn: String, args: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
+    val nPos = args.indexWhere(_.isInstanceOf[NamedArgumentExpression]) match {
+      case -1 => args.length
+      case i => i
+    }
+    val (pos, rest) = args.splitAt(nPos)
+    if (rest.isEmpty) return args
+    val named = rest.map {
+      case NamedArgumentExpression(k, v) => k.toLowerCase -> v
+      case other => throw new IllegalArgumentException(
+        s"$fn: positional argument after a named argument: $other")
+    }
+    val params = paramNames.getOrElse(fn, Seq.empty)
+    if (named.map(_._1).distinct.length != named.length)
+      throw new IllegalArgumentException(
+        s"$fn: duplicate named argument among ${named.map(_._1).mkString(", ")}")
+    val m = named.toMap
+    val chosen = params.drop(nPos).takeWhile(p => m.contains(p))
+    if (chosen.length != m.size || chosen.toSet != m.keySet)
+      throw new IllegalArgumentException(
+        s"$fn: named arguments ${m.keySet.mkString(", ")} must contiguously" +
+          s" fill the declared parameters after the ${nPos} positional" +
+          s" one(s); parameters: ${params.mkString(", ")}")
+    pos ++ chosen.map(m)
+  }
+
   private def checked(name: String, usage: String, arities: Set[Int],
       build: (SparkSession, Seq[Expression]) => DataFrame)
-      (spark: SparkSession, args: Seq[Expression]): LogicalPlan = {
+      (spark: SparkSession, rawArgs: Seq[Expression]): LogicalPlan = {
+    val args = resolveNamed(name, rawArgs)
     if (!arities.contains(args.length))
       throw new IllegalArgumentException(
         s"$name expects ${arities.toSeq.sorted.mkString(" or ")} argument(s)," +

@@ -197,6 +197,38 @@ class GraftTvfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("TVFs compose: CTE + join over two TVF calls; named arguments resolve") {
+    registered()
+    // a CTE over one TVF joined to another TVF call — the front door
+    // must behave like any other relation in a larger query
+    val composed = spark.sql(
+      """WITH kept AS (
+        |  SELECT doc_id, n_chars FROM graft_exact_dedup('documents', 'doc_id', 'text'))
+        |SELECT k.doc_id, k.n_chars, n.query_id
+        |FROM kept k
+        |JOIN graft_knn('embeddings', 'vec_id', 'embedding', 3) n
+        |  ON k.doc_id = n.query_id AND n.rank = 1
+        |WHERE k.doc_id < 20
+        |ORDER BY k.doc_id""".stripMargin)
+    assert(composed.count() > 0)
+    // named arguments, mixed with positional, any order within the tail
+    val named = spark.sql(
+      """SELECT query_id, nbr_id, rank
+        |FROM graft_knn('embeddings', vec => 'embedding', id => 'vec_id', k => 3)
+        |WHERE query_id < 5 ORDER BY query_id, rank""".stripMargin)
+    val positional = spark.sql(
+      """SELECT query_id, nbr_id, rank
+        |FROM graft_knn('embeddings', 'vec_id', 'embedding', 3)
+        |WHERE query_id < 5 ORDER BY query_id, rank""".stripMargin)
+    assert(named.collect().toSeq === positional.collect().toSeq)
+    // unknown / gap-leaving named args fail loudly with the parameter list
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_knn('embeddings', k => 3)").collect()
+    }
+    assert(e.getMessage.contains("parameters"))
+    spark.catalog.clearCache()
+  }
+
   test("TVF arity and argument errors are loud and named") {
     registered()
     val e1 = intercept[Exception] {
