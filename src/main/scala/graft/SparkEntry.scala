@@ -368,6 +368,33 @@ object SparkEntry {
            |FROM graft_change_feed('$root', 1)
            |ORDER BY shipment_id""".stripMargin)
     }),
+    // t09: consistent snapshot-group reads via SQL — the pinned
+    // (table -> version) set resolved inside a FROM clause.
+    "t09_tvf_group_member" -> ((s, dir) => {
+      val (groupDir, _) = buildCocoaSnapshotGroup(s)
+      graft.core.Catalog.sql(s, dir,
+        s"""SELECT region, n_shipments, total_value_usd
+           |FROM graft_group_member('$groupDir', 'agg')
+           |ORDER BY region""".stripMargin)
+    }),
+    // t10: incremental exact dedup via SQL — d29's three planted
+    // increment populations (verbatim re-crawls dropped, new mutated
+    // texts kept, higher-id echoes collapsed) driven through the
+    // graft_new_content TVF; same oracle as d29.
+    "t10_tvf_new_content" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT doc_id, md5(text) AS content_hash
+        |FROM graft_new_content(
+        |  'documents',
+        |  "(SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |     WHERE doc_id < 40 AND text IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id + 100000 AS doc_id, text || ' graftmark' AS text
+        |     FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id + 300000 AS doc_id, text || ' graftmark' AS text
+        |     FROM documents WHERE doc_id < 40 AND text IS NOT NULL)",
+        |  'doc_id', 'text')
+        |ORDER BY doc_id""".stripMargin)),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
@@ -1167,7 +1194,11 @@ object SparkEntry {
     * the facts — the pinned pair is consistent by construction. The
     * staleness/consistency behavior mid-commit-cycle is
     * SnapshotGroupSpec's job. */
-  private def cocoaSnapshotGroup(spark: SparkSession): DataFrame = {
+  /** Build the (facts, agg) snapshot group over the memoized cocoa
+    * warehouse; returns (groupDir, agg schema). Shared by p20 (Scala
+    * read path) and t09 (the graft_group_member TVF read path). */
+  private def buildCocoaSnapshotGroup(spark: SparkSession)
+      : (String, org.apache.spark.sql.types.StructType) = {
     cocoaWarehouse(spark)
     val dirs = cocoaDirsMemo.get(spark)
     val scoped = pipelineSession(spark)
@@ -1180,7 +1211,12 @@ object SparkEntry {
     val groupDir = graft.core.RunTemp.dir("graft_group_", keep = 32)
     Warehouse.publishSnapshotGroup(spark, groupDir,
       Map("facts" -> dirs.warehouse, "agg" -> aggRoot))
-    Warehouse.readGroupMember(spark, groupDir, "agg", agg.schema)
+    (groupDir, agg.schema)
+  }
+
+  private def cocoaSnapshotGroup(spark: SparkSession): DataFrame = {
+    val (groupDir, aggSchema) = buildCocoaSnapshotGroup(spark)
+    Warehouse.readGroupMember(spark, groupDir, "agg", aggSchema)
       .orderBy("region")
   }
 
@@ -1347,6 +1383,13 @@ object SparkEntry {
       "SELECT * FROM wh ORDER BY shipment_id",
       batches = Seq("b1" -> "2023-11-14 22:13:20")),
     "t08_tvf_change_feed" -> cocoaVersionDiffOracleSql,
+    // t09 must reproduce p20's pinned-aggregate read; t10 must
+    // reproduce d29's incremental-dedup survivor set.
+    "t09_tvf_group_member" -> cocoaOracle(
+      """SELECT region, count(*) AS n_shipments,
+        |  sum(shipment_value_usd) AS total_value_usd
+        |FROM wh GROUP BY region ORDER BY region""".stripMargin),
+    "t10_tvf_new_content" -> coreOracleSql("d29_incremental_exact"),
     "t04_tvf_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000),

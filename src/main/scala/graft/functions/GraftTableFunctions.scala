@@ -211,6 +211,36 @@ object GraftTableFunctions {
           s, strArg(a(0), fn), longArg(a(1), fn))
       }),
 
+    ("graft_group_member",
+      "graft_group_member(groupDir, name) - read one member of a" +
+        " CONSISTENT SNAPSHOT GROUP through the group's pinned" +
+        " (table -> version) set; loud when the pin was vacuumed",
+      Set(2),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_group_member"
+        val (root, v) = graft.pipeline.Warehouse
+          .snapshotGroupMembers(s, strArg(a(0), fn))
+          .getOrElse(strArg(a(1), fn), throw new IllegalArgumentException(
+            s"$fn: snapshot group ${strArg(a(0), fn)} has no member" +
+              s" '${strArg(a(1), fn)}'"))
+        // schema inferred from the pinned snapshot's own files; the
+        // pin resolves through dataPath, so clones + missing-snapshot
+        // loudness ride the same seam as graft_time_travel
+        s.read.parquet(graft.pipeline.Warehouse.dataPath(s, root, v))
+      }),
+
+    ("graft_new_content",
+      "graft_new_content(corpus, increment, id, text) - the increment" +
+        " rows whose content is NEW: absent from the corpus and not an" +
+        " echo of an earlier increment row (smallest id wins) - the" +
+        " daily-batch incremental exact dedup", Set(4),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_new_content"
+        graft.operators.Dedup.incrementalExactDedup(
+          rel(s, strArg(a(0), fn)), rel(s, strArg(a(1), fn)),
+          strArg(a(2), fn), strArg(a(3), fn))
+      }),
+
     ("graft_upsert",
       "graft_upsert(target, updates, keyCol, ordCol) - LWW upsert:" +
         " updates (deduped per key by greatest ordCol) overwrite target" +
@@ -234,6 +264,8 @@ object GraftTableFunctions {
     "graft_interval_join" ->
       Seq("left", "right", "left_ts", "right_ts", "lower_us", "upper_us", "key"),
     "graft_time_travel" -> Seq("root", "version"),
+    "graft_group_member" -> Seq("group_dir", "name"),
+    "graft_new_content" -> Seq("corpus", "increment", "id", "text"),
     "graft_change_feed" -> Seq("root", "version"),
     "graft_upsert" -> Seq("target", "updates", "key", "ord"))
 
