@@ -248,6 +248,9 @@ object SparkEntry {
     // commit, restart from the checkpoint — exactly-once effect via
     // idempotent replay; same batch-pipeline oracle as s04.
     "s15_stream_crash_recovery" -> ((s, _) => runCocoaStreamCrashRecovery(s)),
+    // s16: streaming ANN-index maintenance — appendPq per micro-batch,
+    // final artifact multiset-equal to a one-shot frozen-model encode.
+    "s16_stream_index_maintenance" -> (StreamingQueries.streamIndexMaintenance _),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
@@ -3459,6 +3462,11 @@ object SparkEntry {
     // consume byte-identical generated batches.)
     "s04_cocoa_stream_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "s15_stream_crash_recovery" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // s16: both cells deterministic — two increment files make two
+    // micro-batches; the equality certificate is computed
+    // distributively against the one-shot encode (v02 pattern).
+    "s16_stream_index_maintenance" ->
+      "SELECT CAST(2 AS BIGINT) AS n_batches, TRUE AS stream_equiv_ok",
     // s07: the streaming JDBC landing must preserve the same warehouse
     // — stream -> RDBMS, exactly-once by upsert idempotence.
     "s07_stream_jdbc_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),

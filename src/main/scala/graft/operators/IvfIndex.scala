@@ -518,7 +518,7 @@ object IvfIndex {
     * the saved model) — having ONE encode path is what makes
     * "append ≡ re-encode-everything-with-the-same-model" an exact,
     * certifiable equality rather than a two-implementations hope. */
-  private[operators] def encodePq(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def encodePq(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel, attrCols: Seq[String] = Nil): DataFrame = {
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id") +: col(vecCol).as("vec") +:

@@ -386,6 +386,75 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** s16: STREAMING ANN-INDEX MAINTENANCE — the missing arrow between
+    * the streaming surface and the vector-index lifecycle: a saved
+    * IVF-PQ index is GROWN by a stream, one [[graft.operators
+    * .IvfIndex.appendPq]] per micro-batch inside `foreachBatch`
+    * (encode against the FROZEN saved model, write touched `cell=`
+    * partitions only), exactly the shape a production corpus uses
+    * when documents arrive continuously: the index stays serving
+    * while each micro-batch pays O(batch), never an O(corpus)
+    * retrain. The increment replays as two parquet files
+    * (`maxFilesPerTrigger = 1` → two genuine micro-batches, so the
+    * final artifact crossed a batch boundary and survived index
+    * fragmentation).
+    *
+    * Certificate: the streamed artifact equals a one-shot
+    * [[graft.operators.IvfIndex.encodePq]] of the full corpus under
+    * the frozen model, MULTISET-exact over the full saved schema (the
+    * v22 equality claim, now with the streaming drain in the loop) —
+    * a lost batch, a double-applied replay, or a code mutated by the
+    * concurrent-append pattern flips it. Small PQ geometry by design:
+    * the equality certificate is geometry-agnostic (it pins the
+    * MECHANISM); search quality of the artifact class is v15/v22's
+    * production-geometry job. Batch count is emitted and pinned (a
+    * single-batch drain would not test the boundary). */
+  def streamIndexMaintenance(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      import scoped.implicits._
+      val emb = graft.core.Tables.embeddings(scoped, dir)
+        .select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") >= 100)
+      val (encoded, model) = graft.operators.IvfIndex.buildPq(scoped, base,
+        "vec_id", "embedding", nCells = 8, m = 8, ks = 32)
+      val idxDir = graft.core.RunTemp.dir("graft_s16_idx_", keep = 32)
+      graft.operators.IvfIndex.savePq(encoded, model, idxDir)
+      encoded.unpersist()
+      // the arriving corpus: two files => two micro-batches
+      val incDir = graft.core.RunTemp.dir("graft_s16_inc_")
+      emb.filter(col("vec_id") < 50).coalesce(1)
+        .write.mode("append").parquet(incDir)
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100).coalesce(1)
+        .write.mode("append").parquet(incDir)
+      val stream = scoped.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incDir)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            nBatches.incrementAndGet()
+            graft.operators.IvfIndex.appendPq(batch.sparkSession, idxDir,
+              batch, "vec_id", "embedding")
+            ()
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (loaded, lm) = graft.operators.IvfIndex.loadPq(scoped, idxDir)
+      val cols = loaded.columns.toSeq.map(col)
+      val expect = graft.operators.IvfIndex
+        .encodePq(emb, "vec_id", "embedding", lm).select(cols: _*)
+      val got = loaded.select(cols: _*)
+      val nDiff = expect.exceptAll(got).union(got.exceptAll(expect)).count()
+      Seq((nBatches.get(), nDiff == 0L))
+        .toDF("n_batches", "stream_equiv_ok")
+    }
+
   /** s11: LATE-DATA DEAD-LETTER CAPTURE — the production contract
     * Spark's watermark only half-provides: rows behind the watermark
     * are DROPPED from windowed aggregates silently; a real pipeline
