@@ -137,7 +137,11 @@ object MediaHeaders {
     while (!sawEnd) {
       if (off + 12 > bytes.length) return None
       val len = b.getInt(off)
-      if (len < 0 || off + 12 + len > bytes.length) return None
+      // bound check in overflow-safe form: a crafted length near
+      // Int.MaxValue would wrap `off + 12 + len` negative and slip
+      // past a direct comparison, then crash the CRC update instead
+      // of returning the contract's None
+      if (len < 0 || len > bytes.length - off - 12) return None
       val chunkType = new String(bytes, off + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32
       crc.update(bytes, off + 4, 4 + len)
@@ -156,7 +160,11 @@ object MediaHeaders {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // ANY zero-progress state is malformed-for-this-profile:
+        // truncated input (needsInput), a preset-dictionary stream
+        // (needsDictionary — zlib FDICT, which PNG forbids and which
+        // would otherwise spin this loop forever), or anything else
+        if (n == 0) return None
         got += n
       }
       if (got != raw.length) return None

@@ -1189,12 +1189,25 @@ object Warehouse {
     // re-litigates already-merged keys.
     val branchFs = Ingest.fs(spark, branchRoot)
     val recordedBase = readMergeBase(branchFs, branchRoot)
+    // the recorded base names the MAIN ROOT it was recorded against:
+    // a version number alone would silently resolve against an
+    // unrelated table if the same branch were later merged into a
+    // different target (its v6 is not our v6) — that must be loud
+    recordedBase.foreach { case (_, _, recordedRoot) =>
+      val here = qualifiedRoot(spark, mainRoot)
+      if (recordedRoot != here)
+        throw new IllegalStateException(
+          s"mergeBranch: $branchRoot's recorded merge base points at" +
+            s" $recordedRoot, not $here — a branch tracks ONE upstream;" +
+            s" remove $branchRoot/$mergeBaseFile to re-baseline against" +
+            " the fork point deliberately")
+    }
     val baseBranch = recordedBase match {
-      case Some((bv, _)) => snap(branchRoot, bv)
+      case Some((bv, _, _)) => snap(branchRoot, bv)
       case None => snap(branchRoot, 0L)
     }
     val baseMain = recordedBase match {
-      case Some((_, mv)) => snap(mainRoot, mv)
+      case Some((_, mv, _)) => snap(mainRoot, mv)
       case None => snap(branchRoot, 0L)
     }
     val dBranch = diffImages(baseBranch, snap(branchRoot, branchV), keyCols)
@@ -1223,18 +1236,31 @@ object Warehouse {
     // advance the merge base AFTER the commit published (crash between
     // the two re-derives already-merged keys next time — convergent or
     // loud, never silent; see the RE-MERGE doc block above)
-    writeMergeBase(branchFs, branchRoot, branchV, merged)
+    writeMergeBase(branchFs, branchRoot, branchV, merged,
+      qualifiedRoot(spark, mainRoot))
     merged
   }
 
-  /** Marker recording a branch's merge base: `<branchV>\t<mainV>` —
-    * the branch version folded by the last successful [[mergeBranch]]
-    * and the main version that merge committed. Lives in the BRANCH
-    * root (the branch owns its relationship to its upstream, as a git
-    * branch does its upstream tracking ref). */
+  /** Marker recording a branch's merge base:
+    * `<branchV>\t<mainV>\t<mainRoot>` — the branch version folded by
+    * the last successful [[mergeBranch]], the main version that merge
+    * committed, and the QUALIFIED main root it was recorded against
+    * (so a later merge into a different target can never silently
+    * diff against an unrelated table's same-numbered snapshot). Lives
+    * in the BRANCH root (the branch owns its relationship to its
+    * upstream, as a git branch does its upstream tracking ref). */
   private val mergeBaseFile = "_MERGE_BASE"
 
-  private def readMergeBase(fs: FileSystem, branchRoot: String): Option[(Long, Long)] = {
+  /** Filesystem-qualified form of a root path — the stable identity
+    * the merge-base marker stores and compares (raw strings differ on
+    * relative vs absolute vs scheme-carrying spellings). */
+  private def qualifiedRoot(spark: SparkSession, root: String): String = {
+    val p = new Path(root)
+    Ingest.fs(spark, root).makeQualified(p).toString
+  }
+
+  private def readMergeBase(fs: FileSystem, branchRoot: String)
+      : Option[(Long, Long, String)] = {
     val p = new Path(branchRoot, mergeBaseFile)
     if (!fs.exists(p)) None
     else {
@@ -1243,20 +1269,21 @@ object Warehouse {
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           StandardCharsets.UTF_8).trim
         finally in.close()
-      txt.split("\t", 2) match {
-        case Array(bv, mv) => Some((bv.toLong, mv.toLong))
+      txt.split("\t", 3) match {
+        case Array(bv, mv, root) => Some((bv.toLong, mv.toLong, root))
         case _ => throw new IllegalStateException(
           s"corrupt $mergeBaseFile under $branchRoot: '$txt' — expected" +
-            " '<branchV>\\t<mainV>'; remove it to fall back to the fork base")
+            " '<branchV>\\t<mainV>\\t<mainRoot>'; remove it to fall back" +
+            " to the fork base")
       }
     }
   }
 
   private def writeMergeBase(fs: FileSystem, branchRoot: String,
-      branchV: Long, mainV: Long): Unit = {
+      branchV: Long, mainV: Long, mainRoot: String): Unit = {
     val tmp = new Path(branchRoot, s".$mergeBaseFile.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$branchV\t$mainV".getBytes(StandardCharsets.UTF_8))
+    try out.write(s"$branchV\t$mainV\t$mainRoot".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(branchRoot).toUri, fs.getConf)
@@ -1387,10 +1414,17 @@ object Warehouse {
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
+  /** `lockTtlMs` bounds the crashed-publisher sweep: a dot-prefixed
+    * sidecar staging dir is only collected once older than
+    * max(minAgeMs, lockTtlMs) — deployments whose publishers hold
+    * longer leases (big diffs, slow stores) pass the SAME TTL they
+    * pass to commit/clone, so a live staged write is never deleted
+    * from under its publisher. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
-      minAgeMs: Long = 0L): Unit = {
+      minAgeMs: Long = 0L, lockTtlMs: Long = DefaultLockTtlMs): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
+    require(lockTtlMs > 0L, s"lockTtlMs must be > 0, got $lockTtlMs")
     currentVersion(spark, root).foreach { cur =>
       val fs = Ingest.fs(spark, root)
       val now = System.currentTimeMillis()
@@ -1441,7 +1475,7 @@ object Warehouse {
         if (fs.exists(dir)) fs.listStatus(dir).toSeq.foreach { s =>
           val n = s.getPath.getName
           val stale = now - s.getModificationTime >=
-            math.max(minAgeMs, DefaultLockTtlMs)
+            math.max(minAgeMs, lockTtlMs)
           if (n.matches("v\\d+") && n.drop(1).toLong < floor &&
               now - s.getModificationTime >= minAgeMs)
             fs.delete(s.getPath, true)

@@ -318,16 +318,30 @@ private[plans] final class TopKPartitionIterator(
   * and appended to `experimental.extraOptimizations` by
   * [[TopK.install]] as a late fallback for extension-less sessions. */
 object PushFilterThroughTopK
-    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
   import org.apache.spark.sql.catalyst.plans.logical.Filter
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Filter(cond, t: TopKPerKey) if cond.deterministic && {
+    case f @ Filter(cond, t: TopKPerKey) if {
         val keyAttrs = t.keys.collect { case a: Attribute => a }
-        keyAttrs.length == t.keys.length && t.keys.forall(_.resolved) &&
-          cond.references.subsetOf(AttributeSet(keyAttrs))
+        keyAttrs.length == t.keys.length && t.keys.forall(_.resolved)
       } =>
-      t.copy(child = Filter(cond, t.child))
+      // split CONJUNCTS (as Catalyst's own pushdown does): the
+      // key-only deterministic ones commute and move below; the rest
+      // stay put — a mixed `WHERE query_id < 50 AND cosine > 0.9`
+      // still prunes the key groups before the heap pass
+      val keySet = AttributeSet(t.keys.collect { case a: Attribute => a })
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(keySet))
+      if (push.isEmpty) f
+      else {
+        val pushed = t.copy(child = Filter(push.reduceLeft(
+          org.apache.spark.sql.catalyst.expressions.And), t.child))
+        if (keep.isEmpty) pushed
+        else Filter(keep.reduceLeft(
+          org.apache.spark.sql.catalyst.expressions.And), pushed)
+      }
   }
 }
 

@@ -181,6 +181,29 @@ class GraftTvfSpec extends AnyFunSuite {
       graft.core.Tables.embeddings(spark, dir), "vec_id", "embedding", k = 3)
       .filter(col("query_id") < 10)
     assert(df.collect().toSet === viaScala.collect().toSet)
+    // a MIXED conjunction splits: the key conjunct moves below the
+    // node (and keeps cascading), the rest stays above
+    spark.catalog.clearCache()
+    val mixed = spark.sql(
+      """SELECT * FROM graft_knn('embeddings', 'vec_id', 'embedding', 3)
+        |WHERE query_id < 10 AND cosine > 0.5""".stripMargin)
+    val mixedPlan = mixed.queryExecution.optimizedPlan
+    val mixedTopks = mixedPlan.collect { case t: graft.plans.TopKPerKey => t }
+    assert(mixedTopks.nonEmpty)
+    val aboveRefs = mixedPlan.collect {
+      case f: Filter if f.find(_.isInstanceOf[graft.plans.TopKPerKey]).isDefined =>
+        f.condition.references.map(_.name).toSet
+    }.flatten.toSet
+    assert(!aboveRefs.contains("query_id"),
+      s"key conjunct of a mixed predicate stuck above TopKPerKey:\n$mixedPlan")
+    assert(aboveRefs.contains("cosine"),
+      s"non-key conjunct incorrectly pushed below TopKPerKey:\n$mixedPlan")
+    // and values equal the post-filtered full answer
+    val mixedScala = graft.operators.Similarity.bruteForceTopK(
+      graft.core.Tables.embeddings(spark, dir), "vec_id", "embedding", k = 3)
+      .filter(col("query_id") < 10 && col("cosine") > 0.5)
+    assert(mixed.collect().toSet === mixedScala.collect().toSet)
+
     // a NON-key predicate must NOT move below the node (it selects
     // individual rows, not whole groups)
     spark.catalog.clearCache()

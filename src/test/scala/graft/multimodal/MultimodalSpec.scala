@@ -49,6 +49,31 @@ class MultimodalSpec extends AnyFunSuite {
     // the RGB header-only stand-in (color type 2) is out of profile
     assert(MediaHeaders.pngDecodeGray(
       MediaHeaders.pngHeader(4, 4) ++ Array[Byte](1, 2, 3)).isEmpty)
+
+    // a crafted chunk length near Int.MaxValue must return None, not
+    // wrap the bound check negative and crash the CRC update
+    val hugeLen = good.clone()
+    val lb = java.nio.ByteBuffer.wrap(hugeLen)
+    lb.putInt(33, 0x7ffffff0) // first chunk after IHDR = IDAT's length
+    assert(MediaHeaders.pngDecodeGray(hugeLen).isEmpty,
+      "overflowing chunk length decoded or crashed")
+
+    // a zlib stream demanding a preset dictionary (FDICT — PNG forbids
+    // it) must return None, not spin the inflate loop forever
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(t.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t.getBytes("US-ASCII")); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    // CMF=0x78, FLG=0x20: FDICT bit set, (0x78*256+0x20) % 31 == 0
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    val fdictPng = good.take(33) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(MediaHeaders.pngDecodeGray(fdictPng).isEmpty,
+      "FDICT stream decoded or hung")
   }
 
   test("JPEG SOF marker walk finds dims behind arbitrary APPn segments") {

@@ -153,5 +153,21 @@ class BranchMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("BOTH sides"), e.getMessage)
     assert(Warehouse.currentVersion(spark, main) === before,
       "a conflicted re-merge must publish nothing")
+
+    // a branch tracks ONE upstream: re-merging into a DIFFERENT main
+    // whose history happens to reach the recorded version must be
+    // loud, never a silent diff against the unrelated snapshot
+    val other = freshRoot()
+    (0 to 3).foreach { i =>
+      Warehouse.commit(spark, other, Merge.upsertShipments(
+        batch(60 + i), batch(60 + i)))
+    }
+    val beforeOther = Warehouse.currentVersion(spark, other)
+    val wrong = intercept[IllegalStateException] {
+      Warehouse.mergeBranch(spark, other, br)
+    }
+    assert(wrong.getMessage.contains("ONE upstream"), wrong.getMessage)
+    assert(Warehouse.currentVersion(spark, other) === beforeOther,
+      "a wrong-upstream merge must publish nothing")
   }
 }
