@@ -251,6 +251,9 @@ object SparkEntry {
     // s16: streaming ANN-index maintenance — appendPq per micro-batch,
     // final artifact multiset-equal to a one-shot frozen-model encode.
     "s16_stream_index_maintenance" -> (StreamingQueries.streamIndexMaintenance _),
+    // s17: streaming near-dup gate vs a growing corpus — pair set is
+    // batch-split-invariant and equals d28's exhaustive oracle.
+    "s17_stream_neardup_gate" -> (StreamingQueries.streamNearDupGate _),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
@@ -1393,6 +1396,12 @@ object SparkEntry {
         |  sum(shipment_value_usd) AS total_value_usd
         |FROM wh GROUP BY region ORDER BY region""".stripMargin),
     "t10_tvf_new_content" -> coreOracleSql("d29_incremental_exact"),
+    // s17 (not a TVF, but its oracle ALIASES a core entry, and alias
+    // entries must live OUTSIDE the coreOracleSql literal — a
+    // self-reference inside the lazy val's own initializer recurses):
+    // the streamed pair union over any batch split equals the
+    // exhaustive pairs-touching-the-increment set — d28's oracle.
+    "s17_stream_neardup_gate" -> coreOracleSql("d28_incremental_neardups"),
     "t04_tvf_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000),

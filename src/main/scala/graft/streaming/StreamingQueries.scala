@@ -455,6 +455,66 @@ object StreamingQueries {
         .toDF("n_batches", "stream_equiv_ok")
     }
 
+  /** s17: STREAMING NEAR-DUP GATE with a GROWING corpus — the text
+    * twin of s16's vector-index maintenance, and the shape a
+    * continuous crawl actually runs: each arriving micro-batch is
+    * near-dup-checked against everything seen so far
+    * ([[graft.operators.Dedup.incrementalMinhashPairs]]: batch×corpus
+    * via the banded bucket join plus batch×batch — the corpus NEVER
+    * re-pairs itself), its pairs land on the sink, and the batch
+    * joins the corpus for the next trigger. Batch-split invariance is
+    * the correctness claim: b1 pairs against corpus ∪ (b1 itself),
+    * b2 against corpus ∪ b1 — the union over any split is exactly
+    * "all pairs touching the increment", i.e. d28's exhaustive set,
+    * which is this gate's hash-matched DuckDB oracle (full pair rows
+    * with exact quantized Jaccard — not a boolean certificate).
+    *
+    * Production note: here the growing corpus re-sketches per batch
+    * (gate-scale, two batches); the deployed form persists the
+    * `(id, sh, sig)` projection as the saved band index and appends
+    * to it (d28's doc) — the same artifact-append pattern s16
+    * demonstrates for vectors. */
+  def streamNearDupGate(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark, 4) { scoped =>
+      val docs = graft.core.Tables.documents(scoped, dir)
+        .select(col("doc_id"), col("text"))
+      // the planted increment (d07/d28's corpus), split as TWO files
+      val planted = docs.filter(col("doc_id") < 40 && col("text").isNotNull)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftmark")).as("text"))
+      val incDir = graft.core.RunTemp.dir("graft_s17_inc_")
+      planted.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(incDir)
+      planted.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(incDir)
+      val sink = graft.core.RunTemp.dir("graft_s17_pairs_")
+      // growing-corpus state: starts at the full static corpus; each
+      // drained batch joins it (driver holds a PLAN handle, not rows)
+      var corpus = docs
+      val stream = scoped.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.localCheckpoint(true) // pin: consumed twice
+            val pairs = graft.operators.Dedup.incrementalMinhashPairs(
+              corpus, b, "doc_id", "text",
+              numHashes = 128, bands = 32, shingleK = 3, threshold = 0.5)
+            pairs.write.mode("append").parquet(sink)
+            pairs.unpersist()
+            corpus = corpus.unionByName(b)
+            ()
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      scoped.read.parquet(sink).orderBy("id_a", "id_b")
+    }
+
   /** s11: LATE-DATA DEAD-LETTER CAPTURE — the production contract
     * Spark's watermark only half-provides: rows behind the watermark
     * are DROPPED from windowed aggregates silently; a real pipeline
