@@ -401,6 +401,25 @@ object SparkEntry {
         |     FROM documents WHERE doc_id < 40 AND text IS NOT NULL)",
         |  'doc_id', 'text')
         |ORDER BY doc_id""".stripMargin)),
+    // t11/t12: retrieval and curation through the front door — BM25
+    // top-k (queries relation built inline, composing the scalar
+    // graft_tokenize registry with the TVF surface and a REPARTITION
+    // hint for kernel width) and the deterministic k-per-stratum
+    // fingerprint sample.
+    "t11_tvf_bm25" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT query_id, doc_id, score_micro, rank
+        |FROM graft_bm25(
+        |  "(SELECT /*+ REPARTITION(8) */ doc_id, text FROM documents)",
+        |  'doc_id', 'text',
+        |  "(SELECT DISTINCT doc_id AS query_id, term FROM (
+        |      SELECT doc_id, explode(slice(graft_tokenize(text), 1, 4)) AS term
+        |      FROM documents WHERE doc_id < 5 AND text IS NOT NULL))",
+        |  5)
+        |ORDER BY query_id, rank""".stripMargin)),
+    "t12_tvf_stratified_sample" -> ((s, dir) => graft.core.Catalog.sql(s, dir,
+      """SELECT doc_id, lang, sample_rank
+        |FROM graft_stratified_sample('documents', 'doc_id', 'lang', 'text', 20)
+        |ORDER BY lang, sample_rank""".stripMargin)),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
@@ -1396,6 +1415,11 @@ object SparkEntry {
         |  sum(shipment_value_usd) AS total_value_usd
         |FROM wh GROUP BY region ORDER BY region""".stripMargin),
     "t10_tvf_new_content" -> coreOracleSql("d29_incremental_exact"),
+    // t11/t12: the TVF calls ARE r01's / d19's operators — same
+    // queries derivation, same fingerprint draw — so their oracles
+    // apply verbatim.
+    "t11_tvf_bm25" -> coreOracleSql("r01_bm25_topk"),
+    "t12_tvf_stratified_sample" -> coreOracleSql("d19_stratified_sample"),
     // s17 (not a TVF, but its oracle ALIASES a core entry, and alias
     // entries must live OUTSIDE the coreOracleSql literal — a
     // self-reference inside the lazy val's own initializer recurses):

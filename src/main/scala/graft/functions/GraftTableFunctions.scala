@@ -241,6 +241,29 @@ object GraftTableFunctions {
           strArg(a(2), fn), strArg(a(3), fn))
       }),
 
+    ("graft_bm25",
+      "graft_bm25(docs, id, text, queries, k) - BM25 lexical top-k:" +
+        " queries relation carries (query_id, term) rows; scores in" +
+        " integer micro-units, ranked per query", Set(5),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_bm25"
+        graft.operators.Retrieval.bm25TopK(
+          rel(s, strArg(a(0), fn)), strArg(a(1), fn), strArg(a(2), fn),
+          rel(s, strArg(a(3), fn)), intArg(a(4), fn))
+      }),
+
+    ("graft_stratified_sample",
+      "graft_stratified_sample(table, id, stratum, text, k) -" +
+        " deterministic k-per-stratum sample ordered by the portable" +
+        " content fingerprint (reproducible across engines and ingest" +
+        " orders); emits (id, stratum, sample_rank)", Set(5),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_stratified_sample"
+        graft.operators.Sharding.stratifiedByFingerprint(
+          rel(s, strArg(a(0), fn)), strArg(a(1), fn), strArg(a(2), fn),
+          strArg(a(3), fn), intArg(a(4), fn))
+      }),
+
     ("graft_upsert",
       "graft_upsert(target, updates, keyCol, ordCol) - LWW upsert:" +
         " updates (deduped per key by greatest ordCol) overwrite target" +
@@ -267,6 +290,8 @@ object GraftTableFunctions {
     "graft_group_member" -> Seq("group_dir", "name"),
     "graft_new_content" -> Seq("corpus", "increment", "id", "text"),
     "graft_change_feed" -> Seq("root", "version"),
+    "graft_bm25" -> Seq("docs", "id", "text", "queries", "k"),
+    "graft_stratified_sample" -> Seq("table", "id", "stratum", "text", "k"),
     "graft_upsert" -> Seq("target", "updates", "key", "ord"))
 
   /** Rewrite a mixed positional/named argument list to pure

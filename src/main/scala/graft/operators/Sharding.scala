@@ -37,6 +37,33 @@ object Sharding {
     * fingerprint). The persisted schema carries the fingerprint so
     * downstream consumers (manifest, loaders, resume logic) never
     * recompute it. */
+  /** Deterministic k-per-stratum SAMPLE ordered by the portable
+    * content fingerprint — the engine-portable form of "random k per
+    * group" (the fingerprint is uniform-ish and a pure function of
+    * content, so the draw is reproducible across engines, ingest
+    * orders, and partitionings; the DuckDB oracle re-derives it
+    * exactly). Selection runs through the bounded-heap
+    * [[graft.plans.TopK.bottomKPerKey]] node: one pass, no per-group
+    * full sort, O(strata · k) held rows — the 100 TB shape. Output:
+    * (idCol, stratumCol, sample_rank 1..k). Contentless rows (null /
+    * token-free text) never sample. Generic twin of the d19 gate
+    * (NorthStar.stratifiedSample pins the same logic on documents). */
+  def stratifiedByFingerprint(df: DataFrame, idCol: String,
+      stratumCol: String, textCol: String, k: Int): DataFrame = {
+    val base = df
+      .filter(col(textCol).isNotNull && TextFunctions.tokenCount(col(textCol)) > 0)
+      .select(col(idCol), col(stratumCol),
+        TextFunctions.fingerprintPortable64(col(textCol)).as("fp"))
+    val pruned = graft.plans.TopK.bottomKPerKey(
+      base, Seq(stratumCol), "fp", k, tieBreakers = Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("fp"), col(idCol))
+    pruned
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col(idCol), col(stratumCol), col("sample_rank"))
+  }
+
   def writeShards(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int, outDir: String): DataFrame =
     writeInternal(docs, idCol, textCol, nShards, outDir, overwrite = true)
