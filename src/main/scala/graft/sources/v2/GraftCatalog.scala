@@ -1,0 +1,240 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pipeline.Warehouse
+
+/** A [[TableCatalog]] over a directory of warehouse roots — the piece
+  * that makes versioned tables first-class in PLAIN SQL:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.gwh", "graft.sources.v2.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.gwh.base", "/data/warehouses")
+  * spark.sql("SELECT * FROM gwh.cocoa")                    // current snapshot
+  * spark.sql("SELECT * FROM gwh.cocoa VERSION AS OF 3")    // time travel
+  * spark.sql("SELECT * FROM gwh.cocoa TIMESTAMP AS OF '...'")
+  * spark.sql("CREATE TABLE gwh.t (id STRING, v DOUBLE) USING graft")
+  * spark.sql("INSERT INTO gwh.t SELECT ...")               // keyed upsert commit
+  * }}}
+  *
+  * Layout: each table is the subdirectory `base/<name>` holding a
+  * [[Warehouse]] root (versioned snapshots + `_VERSION` pointer). A
+  * table created before its first commit carries only a `_SCHEMA`
+  * sidecar (the declared schema as `StructType.json`) so reads/inserts
+  * resolve before data exists. `VERSION AS OF` resolves through
+  * [[TableCatalog.loadTable(Identifier, String)]] — Spark's native
+  * time-travel syntax, no TVF required (the `graft_time_travel` TVF
+  * remains for FROM-clause composition). `TIMESTAMP AS OF` maps the
+  * requested instant to the newest snapshot whose publish time
+  * (`_SUCCESS` mtime) is at or before it — loud when the instant
+  * precedes the table's history.
+  *
+  * Scale note: every catalog operation is O(1) driver metadata (a
+  * pointer read, a dir listing); nothing here touches data files.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+  private var mergeKeyDefault: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("base")).map(_.trim).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.base=<dir>"))
+    mergeKeyDefault = Option(options.get(GraftTables.MergeKey))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Single-level namespace: identifiers are `catalog.table` (empty
+    * namespace) or `catalog.default.table`. */
+  private def checkNamespace(namespace: Array[String]): Unit =
+    if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(namespace)
+
+  private def rootOf(ident: Identifier): String = {
+    checkNamespace(ident.namespace())
+    require(!ident.name().contains("/") && !ident.name().startsWith("_") &&
+      !ident.name().startsWith("."),
+      s"graft: illegal table name '${ident.name()}'")
+    s"$base/${ident.name()}"
+  }
+
+  private def exists(root: String): Boolean = {
+    val fs = GraftTables.fs(spark, root)
+    fs.exists(new Path(root)) &&
+      (Warehouse.currentVersion(spark, root).nonEmpty ||
+        GraftCatalog.readSchemaSidecar(spark, root).nonEmpty)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try exists(rootOf(ident)) catch { case _: NoSuchNamespaceException => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNamespace(namespace)
+    val fs = GraftTables.fs(spark, base)
+    if (!fs.exists(new Path(base))) Array.empty
+    else fs.listStatus(new Path(base)).toSeq
+      .filter(s => s.isDirectory && exists(s.getPath.toString))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    GraftTables.snapshotTable(spark, root, versionAsOf = None,
+      mergeKey = mergeKeyDefault, tableName = s"$catalogName.${ident.name()}")
+  }
+
+  /** `VERSION AS OF <v>` — Spark routes the literal here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    GraftTables.snapshotTable(spark, root,
+      versionAsOf = Some(GraftTables.parseVersion(version)),
+      mergeKey = mergeKeyDefault, tableName = s"$catalogName.${ident.name()}@$version")
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — `timestamp` arrives as MICROSECONDS
+    * since the epoch; resolve to the newest snapshot published at or
+    * before it (publish time = the snapshot `_SUCCESS` mtime, the
+    * instant the atomic rename made it visible). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val fs = GraftTables.fs(spark, root)
+    val cutoffMs = timestamp / 1000L
+    val versions = fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .flatMap { s =>
+        val succ = new Path(s.getPath, "_SUCCESS")
+        val clone = new Path(s.getPath, "_CLONE")
+        val stamp =
+          if (fs.exists(succ)) Some(fs.getFileStatus(succ).getModificationTime)
+          else if (fs.exists(clone)) Some(fs.getFileStatus(clone).getModificationTime)
+          else None
+        stamp.map(t => (s.getPath.getName.drop(1).toLong, t))
+      }
+    val eligible = versions.filter(_._2 <= cutoffMs)
+    require(eligible.nonEmpty,
+      s"graft: no snapshot of ${ident.name()} published at or before" +
+        s" ${java.time.Instant.ofEpochMilli(cutoffMs)} (earliest is" +
+        s" ${versions.map(_._2).minOption.map(java.time.Instant.ofEpochMilli)})")
+    val v = eligible.maxBy(v => (v._2, v._1))._1
+    GraftTables.snapshotTable(spark, root, versionAsOf = Some(v),
+      mergeKey = mergeKeyDefault, tableName = s"$catalogName.${ident.name()}@t$v")
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    require(partitions.isEmpty,
+      "graft: partitioned CREATE TABLE is not supported through the catalog —" +
+        " commit with Warehouse.commitPartitioned for hive-layout snapshots")
+    val root = rootOf(ident)
+    if (exists(root)) throw new TableAlreadyExistsException(ident)
+    val fs = GraftTables.fs(spark, root)
+    fs.mkdirs(new Path(root))
+    val out = fs.create(new Path(root, GraftCatalog.SchemaSidecar), true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // persist declared TBLPROPERTIES (notably mergeKey) so every later
+    // loadTable — not just this returned instance — honors them
+    GraftCatalog.writeProps(fs, root, properties.asScala.toMap)
+    val tableMergeKey = Option(properties.get(GraftTables.MergeKey))
+      .orElse(mergeKeyDefault)
+    new GraftSnapshotTable(s"$catalogName.${ident.name()}", spark, root, schema,
+      inner = None, mergeKeyOpt = tableMergeKey)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft: ALTER TABLE is not supported — schema evolves with commits" +
+        " (Warehouse.renameColumns for renames)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    val fs = GraftTables.fs(spark, root)
+    if (!exists(root)) false
+    else fs.delete(new Path(root), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = rootOf(oldIdent); val to = rootOf(newIdent)
+    if (!exists(from)) throw new NoSuchTableException(oldIdent)
+    if (exists(to)) throw new TableAlreadyExistsException(newIdent)
+    val fs = GraftTables.fs(spark, from)
+    require(fs.rename(new Path(from), new Path(to)),
+      s"graft: rename $from -> $to failed")
+  }
+}
+
+object GraftCatalog {
+
+  /** Declared-schema sidecar a pre-first-commit table carries. */
+  val SchemaSidecar = "_SCHEMA"
+
+  /** Declared table properties (one `key=value` per line, keys may
+    * not contain '='; values are trimmed). Carries `mergeKey` so the
+    * upsert semantics survive across catalog loads. */
+  val PropsSidecar = "_PROPS"
+
+  def writeProps(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      props: Map[String, String]): Unit = {
+    val clean = props.filter { case (k, v) =>
+      !k.contains('=') && !k.contains('\n') && !v.contains('\n') }
+    if (clean.nonEmpty) {
+      val out = fs.create(new Path(root, PropsSidecar), true)
+      try out.write(clean.map { case (k, v) => s"$k=$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  def readProps(spark: SparkSession, root: String): Map[String, String] = {
+    val fs = GraftTables.fs(spark, root)
+    val p = new Path(root, PropsSidecar)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      text.linesIterator.filter(_.contains('=')).map { line =>
+        val i = line.indexOf('=')
+        line.take(i) -> line.drop(i + 1).trim
+      }.toMap
+    }
+  }
+
+  def readSchemaSidecar(spark: SparkSession, root: String): Option[StructType] = {
+    val fs = GraftTables.fs(spark, root)
+    val p = new Path(root, SchemaSidecar)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
+    }
+  }
+}

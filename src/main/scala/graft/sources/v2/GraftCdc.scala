@@ -1,0 +1,260 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.pipeline.Warehouse
+
+/** Change-data-feed reads through the connector: the STORED per-version
+  * feeds ([[Warehouse.publishChangeFeed]], Delta's `table_changes`
+  * analogue) exposed as one DSv2 table, batch AND streaming.
+  *
+  *  - batch: `spark.read.format("graft").option("readChangeFeed", true)
+  *    .option("startingVersion", 1).load(root)` — every feed row of
+  *    versions `startingVersion..endingVersion` (default: current),
+  *    stamped with `_commit_version`;
+  *  - streaming: the same options on `spark.readStream` — a
+  *    [[MicroBatchStream]] whose OFFSETS ARE WAREHOUSE VERSIONS. Each
+  *    micro-batch covers the feeds of `(startOffset, endOffset]`; a
+  *    restart resumes from the checkpointed version, so a maintained
+  *    downstream (e.g. [[graft.operators.IncrementalAgg]]) pays |Δ|
+  *    per trigger, never a snapshot rescan — the 100 TB shape.
+  *
+  * Scale/design notes. Offsets are VERSION-granular because the feed
+  * artifact is: a warehouse commit is the atomic unit of change, so a
+  * finer offset (per file) would only split one transaction's rows
+  * across micro-batches — exactly what an incremental consumer must
+  * never see. Each feed file becomes one input partition; the rows are
+  * decoded by Spark's own parquet reader closure
+  * ([[ParquetFileFormat.buildReaderWithPartitionValues]]) with
+  * `_commit_version` supplied as a constant partition column per file
+  * — zero extra I/O for the stamp. Correct-or-loud: a version in the
+  * requested range whose feed was never published (or was vacuumed,
+  * [[Warehouse.vacuum]]) raises instead of reading as "no changes".
+  */
+object GraftCdc {
+
+  val CommitVersionCol = "_commit_version"
+
+  def table(spark: SparkSession, root: String,
+      options: CaseInsensitiveStringMap): Table = {
+    val starting = Option(options.get(GraftTables.StartingVersion))
+      .map(GraftTables.parseVersion).getOrElse(1L)
+    require(starting >= 1, s"graft: startingVersion must be >= 1 (v0 has no" +
+      s" predecessor to diff against), got $starting")
+    val ending = Option(options.get(GraftTables.EndingVersion))
+      .map(GraftTables.parseVersion)
+    ending.foreach(e => require(e >= starting,
+      s"graft: endingVersion $e < startingVersion $starting"))
+    new GraftCdcTable(spark, root, starting, ending)
+  }
+
+  /** Feed dir for `v`, required COMPLETE — loud otherwise. */
+  private def completeFeedDir(spark: SparkSession, root: String, v: Long): Path = {
+    val p = new Path(Warehouse.changePath(root, v))
+    require(GraftTables.fs(spark, root).exists(new Path(p, "_SUCCESS")),
+      s"graft: no complete change feed for v$v under $root/_changes —" +
+        " publishChangeFeed every commit (or lower startingVersion past the" +
+        " vacuum retention floor)")
+    p
+  }
+
+  /** The stored feed's schema, inferred from the first published feed
+    * at/after `starting` (all feeds of one table share it). */
+  private[v2] def feedSchema(spark: SparkSession, root: String, starting: Long): StructType = {
+    val fs = GraftTables.fs(spark, root)
+    val changes = new Path(s"$root/_changes")
+    val published =
+      if (!fs.exists(changes)) Seq.empty
+      else fs.listStatus(changes).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+") &&
+          fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.drop(1).toLong)
+        .filter(_ >= starting).sorted
+    require(published.nonEmpty,
+      s"graft: no published change feed at/after v$starting under $root/_changes —" +
+        " Warehouse.publishChangeFeed first")
+    spark.read.parquet(Warehouse.changePath(root, published.head)).schema
+  }
+
+  /** One input partition per feed parquet file of versions
+    * `(fromExclusive, toInclusive]`. */
+  private[v2] def partitionsFor(spark: SparkSession, root: String,
+      fromExclusive: Long, toInclusive: Long): Array[InputPartition] = {
+    val fs = GraftTables.fs(spark, root)
+    (fromExclusive + 1 to toInclusive).flatMap { v =>
+      val dir = completeFeedDir(spark, root, v)
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => GraftCdcInputPartition(s.getPath.toString, s.getLen,
+          s.getModificationTime, v))
+    }.toArray
+  }
+
+  /** Serializable per-file reader: Spark's own parquet reader closure,
+    * with `_commit_version` delivered as a constant partition column
+    * (appended after the data columns, matching the table schema). */
+  private[v2] def readerFactory(spark: SparkSession,
+      dataSchema: StructType): PartitionReaderFactory = {
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      GraftTables.classic(spark),
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Seq(
+        StructField(CommitVersionCol, LongType, nullable = false))),
+      requiredSchema = dataSchema,
+      filters = Nil,
+      // row output, never ColumnarBatch: the feed schema carries
+      // structs (old/new images), which the vectorized path cannot
+      // return batched anyway — and the closure requires the choice
+      // to be explicit.
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = GraftTables.classic(spark).sessionState.newHadoopConf())
+    new GraftCdcReaderFactory(readFunc)
+  }
+}
+
+case class GraftCdcInputPartition(filePath: String, length: Long,
+    modificationTime: Long, version: Long) extends InputPartition
+
+/** Wraps the serializable `PartitionedFile => Iterator[InternalRow]`
+  * closure. The closure may yield [[ColumnarBatch]]es disguised as
+  * rows when the vectorized reader engages (atomic-only schemas);
+  * both shapes are flattened to rows here. */
+class GraftCdcReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdcInputPartition]
+    val pf = PartitionedFile(
+      partitionValues = new GenericInternalRow(Array[Any](p.version)),
+      filePath = SparkPath.fromPathString(p.filePath),
+      start = 0L, length = p.length, locations = Array.empty,
+      modificationTime = p.modificationTime, fileSize = p.length,
+      otherConstantMetadataColumnValues = Map.empty)
+    val rows: Iterator[InternalRow] = readFunc(pf).flatMap { r =>
+      (r: Any) match {
+        case b: ColumnarBatch =>
+          import scala.jdk.CollectionConverters._
+          b.rowIterator().asScala
+        case row: InternalRow => Iterator.single(row)
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = () // file handles close with the task
+    }
+  }
+}
+
+class GraftCdcTable(spark: SparkSession, root: String, starting: Long,
+    ending: Option[Long]) extends Table with SupportsRead {
+
+  private val dataSchema = GraftCdc.feedSchema(spark, root, starting)
+
+  override def name(): String = s"graft-cdc:$root"
+
+  override def schema(): StructType = StructType(dataSchema.fields :+
+    StructField(GraftCdc.CommitVersionCol, LongType, nullable = false))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCdcScan(spark, root, starting, ending, dataSchema, schema())
+}
+
+class GraftCdcScan(spark: SparkSession, root: String, starting: Long,
+    ending: Option[Long], dataSchema: StructType, fullSchema: StructType)
+    extends ScanBuilder with Scan with Batch {
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = fullSchema
+  override def description(): String =
+    s"graft-cdc root=$root starting=v$starting" +
+      ending.map(e => s" ending=v$e").getOrElse("")
+
+  // ---- batch: every feed in [starting, ending|current] ----
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val end = ending.orElse(Warehouse.currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"graft: $root has no committed version"))
+    require(end >= starting - 1,
+      s"graft: endingVersion $end precedes startingVersion $starting")
+    GraftCdc.partitionsFor(spark, root, starting - 1, end)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCdc.readerFactory(spark, dataSchema)
+
+  // ---- streaming: offsets are warehouse versions ----
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftCdcStream(spark, root, starting, dataSchema)
+}
+
+case class GraftVersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch CDC stream; see [[GraftCdc]] for the offset design.
+  * `Trigger.AvailableNow` pins the drain target at start
+  * ([[SupportsTriggerAvailableNow]]), so a bounded run consumes
+  * exactly the versions committed before it began. */
+class GraftCdcStream(spark: SparkSession, root: String, starting: Long,
+    dataSchema: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def current: Long =
+    Warehouse.currentVersion(spark, root).getOrElse(starting - 1)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current)
+
+  override def initialOffset(): Offset = GraftVersionOffset(starting - 1)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(availableNowTarget.getOrElse(current) max (starting - 1))
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
+  // rate limiting — a warehouse version is the atomic unit of change,
+  // so every trigger drains all published versions up to the target.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftCdc.partitionsFor(spark, root,
+      start.asInstanceOf[GraftVersionOffset].version,
+      end.asInstanceOf[GraftVersionOffset].version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCdc.readerFactory(spark, dataSchema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,303 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pipeline.Warehouse
+
+/** DataSource V2 front door for the versioned parquet warehouse
+  * ([[graft.pipeline.Warehouse]]): `spark.read.format("graft")
+  * .option("versionAsOf", 3).load(root)` and the matching write path.
+  * This is the connector surface the reference exposes through
+  * Postgres + Metabase (`README.md:41-54` — every consumer reaches the
+  * warehouse through one declarative door); here the door is Spark's
+  * own connector API, so the warehouse composes with plain SQL,
+  * `DataFrameReader`, catalogs ([[GraftCatalog]] adds native
+  * `VERSION AS OF` / `TIMESTAMP AS OF`), and Structured Streaming
+  * ([[GraftCdcTable]] streams the stored change feed).
+  *
+  * Architecture: the connector contributes the LAKEHOUSE layer only —
+  * snapshot resolution (version pinning, `_CLONE` indirection,
+  * deletion-vector refusal), commit-protocol writes, and CDC offsets.
+  * The scan itself is delegated to Spark's builtin DSv2 parquet
+  * machinery ([[ParquetTable]] → `ParquetScanBuilder` → vectorized
+  * `ParquetScan`), so column pruning, predicate/aggregate pushdown,
+  * partition pruning over hive-layout snapshots
+  * ([[Warehouse.commitPartitioned]]), and whole-stage codegen are the
+  * SAME battle-tested paths `spark.read.parquet` uses — at 100 TB the
+  * connector adds version semantics, not a second (slower) reader.
+  *
+  * Options:
+  *  - `path` (or `load(root)`): warehouse root directory
+  *  - `versionAsOf`: pin a committed snapshot (default: current)
+  *  - `readChangeFeed=true`: read the STORED change feed
+  *    ([[Warehouse.publishChangeFeed]]) instead of a snapshot —
+  *    batch (`startingVersion`/`endingVersion`) or streaming
+  *    (micro-batch offsets are warehouse versions; see [[GraftCdc]])
+  *  - `mergeKey`: upsert key for the write path (default
+  *    `shipment_id` when present, else plain append)
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // `true` so the WRITE path hands the incoming frame's schema to
+  // [[getTable]]: the first write to a fresh root bootstraps the
+  // table from it (there is no snapshot to infer from yet). Reads
+  // normally flow through [[inferSchema]] — snapshot footers (or the
+  // published feed for CDC) stay authoritative.
+  override def supportsExternalMetadata(): Boolean = true
+
+  // inferSchema/inferPartitioning/getTable all need the resolved
+  // table; resolve once per distinct (options, schema) pair (the
+  // calls arrive back-to-back during DataSourceV2Utils resolution).
+  @transient private var cached: ((Map[String, String], Option[StructType]), Table) = _
+
+  private def resolve(options: CaseInsensitiveStringMap,
+      fallbackSchema: Option[StructType]): Table = synchronized {
+    val key = (options.asCaseSensitiveMap().asScala.toMap, fallbackSchema)
+    if (cached == null || cached._1 != key)
+      cached = (key, GraftTables.fromOptions(SparkSession.active, options, fallbackSchema))
+    cached._2
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options, None).schema()
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    resolve(options, None).partitioning()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    resolve(new CaseInsensitiveStringMap(properties), Option(schema))
+}
+
+/** Snapshot/CDC table resolution shared by the format path
+  * ([[GraftDataSource]]) and the catalog path ([[GraftCatalog]]). */
+object GraftTables {
+
+  val VersionAsOf = "versionAsOf"
+  val ReadChangeFeed = "readChangeFeed"
+  val StartingVersion = "startingVersion"
+  val EndingVersion = "endingVersion"
+  val MergeKey = "mergeKey"
+
+  def classic(spark: SparkSession): ClassicSparkSession =
+    spark.asInstanceOf[ClassicSparkSession]
+
+  def fs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new Path(p).getFileSystem(classic(spark).sessionState.newHadoopConf())
+
+  def fromOptions(spark: SparkSession, options: CaseInsensitiveStringMap,
+      fallbackSchema: Option[StructType] = None): Table = {
+    val root = Option(options.get("path")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: warehouse root required — spark.read.format(\"graft\").load(<root>)"))
+    if (options.getBoolean(ReadChangeFeed, false))
+      GraftCdc.table(spark, root, options)
+    else {
+      val versionAsOf = Option(options.get(VersionAsOf)).map(parseVersion)
+      snapshotTable(spark, root, versionAsOf,
+        Option(options.get(MergeKey)), tableName = s"graft:$root", fallbackSchema)
+    }
+  }
+
+  def parseVersion(s: String): Long =
+    try s.trim.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft: version must be an integer snapshot number, got '$s'")
+    }
+
+  /** Resolve `root` at `versionAsOf` (default: current) into a
+    * readable+writable table. Correct-or-loud, matching the
+    * Warehouse API paths:
+    *  - no committed snapshot and no [[GraftCatalog]] schema sidecar
+    *    → error, never an empty scan of nothing;
+    *  - requested version incomplete/missing → error;
+    *  - snapshot carrying DELETION VECTORS → error ("read via
+    *    Warehouse.readWithDv or applyDv first"): the raw parquet scan
+    *    would silently resurrect deleted rows, the one failure mode a
+    *    lakehouse read path must never have ([[Warehouse.dvPath]]);
+    *  - `_CLONE` indirection resolves through [[Warehouse.dataPath]],
+    *    which is loud when the clone's source was vacuumed.
+    */
+  def snapshotTable(spark: SparkSession, root: String, versionAsOf: Option[Long],
+      mergeKey: Option[String], tableName: String,
+      fallbackSchema: Option[StructType] = None): Table = {
+    val fs = GraftTables.fs(spark, root)
+    val current = Warehouse.currentVersion(spark, root)
+    val version = versionAsOf match {
+      case Some(v) =>
+        require(fs.exists(new Path(Warehouse.versionPath(root, v), "_SUCCESS")) ||
+          fs.exists(new Path(Warehouse.versionPath(root, v), "_CLONE")),
+          s"graft: version $v of $root is missing or incomplete" +
+            current.map(c => s" (current is v$c)").getOrElse(""))
+        Some(v)
+      case None => current
+    }
+    version match {
+      case None =>
+        // No data yet: readable/writable if the catalog declared a
+        // schema at CREATE TABLE time ([[GraftCatalog.SchemaSidecar]])
+        // or the caller supplied one (the first WRITE to a fresh root
+        // bootstraps from the incoming frame's schema).
+        GraftCatalog.readSchemaSidecar(spark, root).orElse(fallbackSchema) match {
+          case Some(schema) =>
+            new GraftSnapshotTable(tableName, spark, root, schema, None, mergeKey)
+          case None => throw new IllegalArgumentException(
+            s"graft: no committed snapshot under $root and no declared schema —" +
+              " commit data (Warehouse.commit) or CREATE TABLE first")
+        }
+      case Some(v) =>
+        val dvDir = new Path(Warehouse.dvPath(root, v))
+        require(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
+          s"graft: snapshot v$v of $root carries deletion vectors; a raw scan" +
+            " would resurrect deleted rows — read via Warehouse.readWithDv or" +
+            " materialize with Warehouse.applyDv first")
+        val dataDir = Warehouse.dataPath(spark, root, v)
+        val inner = ParquetTable(s"$tableName@v$v", classic(spark),
+          CaseInsensitiveStringMap.empty(), Seq(dataDir), None,
+          classOf[ParquetFileFormat])
+        new GraftSnapshotTable(tableName, spark, root, inner.schema, Some(inner),
+          mergeKey)
+    }
+  }
+}
+
+/** One resolved warehouse snapshot as a DSv2 table.
+  *
+  * Reads delegate to the wrapped builtin [[ParquetTable]]'s scan
+  * builder (vectorized scan, filter/aggregate pushdown, partition
+  * pruning — see the class doc of [[GraftDataSource]]). A just-created
+  * empty table (schema sidecar, no snapshot) serves a zero-partition
+  * scan with the declared schema.
+  *
+  * Writes do NOT delegate: a raw file-append would bypass the commit
+  * protocol and corrupt the versioned layout. Instead the write path
+  * is a [[V1Write]] whose [[InsertableRelation]] routes through
+  * [[Warehouse.commit]] (lease, private staging, atomic publish):
+  *  - append (`INSERT INTO` / mode("append")) = keyed upsert with the
+  *    reference's `ON CONFLICT (key) DO UPDATE` semantics
+  *    (`cocoa_processing_dag.py:223-237`): incoming rows replace
+  *    current rows on `mergeKey` collision, and duplicate keys WITHIN
+  *    one incoming batch are an error, exactly as one Postgres INSERT
+  *    "cannot affect row a second time". Tables without a usable
+  *    merge key get plain append.
+  *  - overwrite (`INSERT OVERWRITE` / mode("overwrite")) = the next
+  *    snapshot is the incoming frame alone.
+  * Either way history is immutable: old versions stay readable via
+  * `versionAsOf` until [[Warehouse.vacuum]] prunes them.
+  */
+class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
+    tableSchema: StructType, inner: Option[ParquetTable],
+    mergeKeyOpt: Option[String]) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] =
+    inner.map(_.partitioning()).getOrElse(Array.empty)
+
+  // BATCH_WRITE is declared alongside V1_BATCH_WRITE deliberately:
+  // `DataFrameWriter.save()`'s provider path routes to the V2 relation
+  // only on a literal BATCH_WRITE check (else it falls back to a DSv1
+  // CTAS that this source rejects); the planner then dispatches on the
+  // WRITE VALUE — our [[V1Write]] lands in the V1-fallback exec, so
+  // both SQL INSERT (which accepts V1_BATCH_WRITE) and path-based
+  // save() reach the same commit-protocol insert.
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner match {
+      case Some(t) => t.newScanBuilder(options)
+      case None => new GraftEmptyScanBuilder(tableSchema)
+    }
+
+  /** Merge key for the append path: explicit option first, then the
+    * table's persisted `_PROPS` sidecar (declared TBLPROPERTIES),
+    * else `shipment_id` when the schema carries it (the reference's
+    * PK, `cocoa_processing_dag.py:159`), else None = plain append. */
+  private def mergeKey: Option[String] =
+    mergeKeyOpt.map(_.trim).filter(_.nonEmpty)
+      .orElse(GraftCatalog.readProps(spark, root).get(GraftTables.MergeKey))
+      .orElse(Some(graft.pipeline.CocoaSchema.mergeKey))
+      .filter(tableSchema.fieldNames.contains)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwriteFlag: Boolean): Unit =
+              GraftSnapshotTable.this.insert(data, overwrite || overwriteFlag)
+          }
+      }
+    }
+
+  private def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    // Align to the DECLARED column order: V2 inserts arrive
+    // name-resolved but a defensive projection keeps the snapshot's
+    // physical layout identical across writers.
+    val aligned = data.select(tableSchema.fieldNames.map(col).toSeq: _*)
+    val next =
+      if (overwrite) aligned
+      else (Warehouse.currentVersion(spark, root), mergeKey) match {
+        case (None, _) => aligned
+        case (Some(_), None) =>
+          Warehouse.read(spark, root, tableSchema).unionByName(aligned)
+        case (Some(_), Some(key)) =>
+          // ON CONFLICT DO UPDATE parity: one statement may not touch
+          // the same key twice — O(batch) check, loud like Postgres.
+          import org.apache.spark.sql.functions.{count_distinct, count, lit}
+          val Array(n, d) = aligned.agg(count(lit(1)), count_distinct(col(key)))
+            .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+          require(n == d, s"graft: INSERT batch contains duplicate '$key' values" +
+            s" ($n rows, $d distinct) — one statement cannot affect a row twice;" +
+            " deduplicate upstream (e.g. Merge.lastWriterWins) first")
+          val current = Warehouse.read(spark, root, tableSchema)
+          current.join(
+            org.apache.spark.sql.functions.broadcast(aligned.select(col(key))),
+            Seq(key), "left_anti")
+            .unionByName(aligned)
+      }
+    Warehouse.commit(spark, root, next)
+  }
+}
+
+/** Zero-partition scan for a declared-but-empty table. */
+private[v2] class GraftEmptyScanBuilder(schema: StructType)
+    extends ScanBuilder with org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  override def build(): org.apache.spark.sql.connector.read.Scan = this
+  override def readSchema(): StructType = schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array.empty
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+      override def createReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+        throw new IllegalStateException("empty scan has no partitions")
+    }
+}

@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.pipeline.{CocoaGen, CocoaSchema, Enrich, Warehouse}
+
+/** DSv2 connector (`format("graft")` + [[graft.sources.v2.GraftCatalog]]):
+  * version-pinned snapshot reads through Spark's own vectorized parquet
+  * scan, commit-protocol writes, native SQL time travel, and
+  * batch/streaming change-feed reads. */
+class GraftDataSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot(): String = Files.createTempDirectory("graft_dsv2").toString
+
+  private def batch(seed: Int, n: Int = 20, idOffset: Int = 0) =
+    Enrich.enrich(CocoaGen.shipments(spark, n, seed = seed, idOffset = idOffset),
+      new Timestamp(1700000000000L + seed * 1000L))
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.orderBy("shipment_id").collect().toSeq
+
+  // ---------------------------------------------------------------- format read
+
+  test("format(graft) reads the current snapshot == Warehouse.read") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(1))
+    Warehouse.commit(spark, root, batch(2, idOffset = 20))
+    val got = spark.read.format("graft").load(root)
+    assert(got.schema.fieldNames.toSeq === CocoaSchema.warehouse.fieldNames.toSeq)
+    assert(sortedRows(got.select(CocoaSchema.warehouse.fieldNames.map(col).toSeq: _*))
+      === sortedRows(Warehouse.read(spark, root)))
+  }
+
+  test("versionAsOf pins an old snapshot; missing version is loud") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(1))
+    Warehouse.commit(spark, root, batch(2))
+    val v0 = spark.read.format("graft").option("versionAsOf", "0").load(root)
+    assert(sortedRows(v0) === sortedRows(
+      spark.read.schema(CocoaSchema.warehouse)
+        .parquet(Warehouse.versionPath(root, 0L))))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "9").load(root)
+    }
+    assert(e.getMessage.contains("missing or incomplete"))
+  }
+
+  test("a snapshot carrying deletion vectors refuses a raw scan") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(3))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(root)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("filters and pruning reach the delegated parquet scan") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(4, n = 50))
+    val q = spark.read.format("graft").load(root)
+      .filter(col("quality_score") > 8.5)
+      .select("shipment_id", "quality_score")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(quality_score)"),
+      s"expected pushed filters in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<shipment_id:string,quality_score:double>"),
+      s"expected pruned read schema in:\n$plan")
+    // and the values are right
+    val expect = Warehouse.read(spark, root).filter(col("quality_score") > 8.5)
+      .select("shipment_id", "quality_score")
+    assert(sortedRows(q) === sortedRows(expect))
+  }
+
+  test("hive-partitioned snapshots read correctly with partition pruning") {
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(5, n = 60), Seq("region"))
+    val q = spark.read.format("graft").load(root).filter(col("region") === "Volta")
+    val expect = Warehouse.read(spark, root).filter(col("region") === "Volta")
+    assert(sortedRows(q.select(CocoaSchema.warehouse.fieldNames.map(col).toSeq: _*))
+      === sortedRows(expect))
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters:"),
+      "delegated scan should expose partition filters")
+  }
+
+  // ---------------------------------------------------------------- format write
+
+  test("mode(append) is a keyed upsert through the commit protocol") {
+    val root = freshRoot()
+    val b1 = batch(6, n = 20)
+    b1.write.format("graft").mode("append").save(root) // bootstrap commit
+    assert(Warehouse.currentVersion(spark, root) === Some(0L))
+    // overlap ids 10..19, new ids 20..29; incoming rows must win
+    val b2 = batch(7, n = 20, idOffset = 10)
+    b2.write.format("graft").mode("append").save(root)
+    assert(Warehouse.currentVersion(spark, root) === Some(1L))
+    val expect = b1.join(b2.select("shipment_id"), Seq("shipment_id"), "left_anti")
+      .unionByName(b2)
+    assert(sortedRows(spark.read.format("graft").load(root)) === sortedRows(expect))
+  }
+
+  test("append with duplicate keys in one batch is loud (ON CONFLICT parity)") {
+    val root = freshRoot()
+    batch(8).write.format("graft").mode("append").save(root)
+    val dup = batch(9, n = 5).unionByName(batch(9, n = 5))
+    val e = intercept[Exception] {
+      dup.write.format("graft").mode("append").save(root)
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("mode(overwrite) replaces the snapshot, history stays readable") {
+    val root = freshRoot()
+    batch(10, n = 15).write.format("graft").mode("append").save(root)
+    val b2 = batch(11, n = 7)
+    b2.write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).count() === 7)
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(root)
+      .count() === 15)
+  }
+
+  // ---------------------------------------------------------------- catalog
+
+  private lazy val catalogBase: String = {
+    val base = Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.gwh_test", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gwh_test.base", base)
+    base
+  }
+
+  test("catalog: SELECT, VERSION AS OF, TIMESTAMP AS OF") {
+    val root = s"$catalogBase/cocoa"
+    Warehouse.commit(spark, root, batch(12, n = 10))
+    Thread.sleep(20) // distinct _SUCCESS mtimes for the timestamp resolution
+    Warehouse.commit(spark, root, batch(13, n = 25))
+    assert(spark.sql("SELECT count(*) AS n FROM gwh_test.cocoa").head().getLong(0) === 25)
+    assert(spark.sql("SELECT count(*) AS n FROM gwh_test.cocoa VERSION AS OF 0")
+      .head().getLong(0) === 10)
+    // timestamp resolution: the instant v0 published resolves to v0
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v0Ms = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      Warehouse.versionPath(root, 0L), "_SUCCESS")).getModificationTime
+    val cat = spark.sessionState.catalogManager.catalog("gwh_test")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "cocoa")
+    assert(cat.loadTable(ident, v0Ms * 1000L).name().endsWith("@t0"))
+    // an instant before all history is loud
+    val e = intercept[IllegalArgumentException] { cat.loadTable(ident, 1000L) }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
+  test("catalog: CREATE TABLE + INSERT INTO upserts + INSERT OVERWRITE") {
+    catalogBase // force catalog registration
+    spark.sql("CREATE TABLE gwh_test.ins (id STRING, v DOUBLE) USING graft" +
+      " TBLPROPERTIES ('mergeKey'='id')")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v").createOrReplaceTempView("ins_b1")
+    Seq(("b", 9.0), ("c", 3.0)).toDF("id", "v").createOrReplaceTempView("ins_b2")
+    spark.sql("INSERT INTO gwh_test.ins SELECT * FROM ins_b1")
+    spark.sql("INSERT INTO gwh_test.ins SELECT * FROM ins_b2")
+    assert(spark.sql("SELECT * FROM gwh_test.ins ORDER BY id").collect().toSeq ===
+      Seq(Row("a", 1.0), Row("b", 9.0), Row("c", 3.0)))
+    // v0 (first insert) stays readable
+    assert(spark.sql("SELECT * FROM gwh_test.ins VERSION AS OF 0 ORDER BY id")
+      .collect().toSeq === Seq(Row("a", 1.0), Row("b", 2.0)))
+    spark.sql("INSERT OVERWRITE gwh_test.ins SELECT 'z', 0.5")
+    assert(spark.sql("SELECT * FROM gwh_test.ins").collect().toSeq ===
+      Seq(Row("z", 0.5)))
+    assert(spark.sql("SHOW TABLES IN gwh_test").collect()
+      .map(_.getString(1)).contains("ins"))
+  }
+
+  // ---------------------------------------------------------------- CDC
+
+  private def cdcRoot(): String = {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(20, n = 10))
+    Warehouse.commit(spark, root,
+      batch(21, n = 10, idOffset = 5)
+        .unionByName(batch(20, n = 5))) // keep ids 0..4 identical
+    Warehouse.publishChangeFeed(spark, root, 1L)
+    root
+  }
+
+  test("batch change-feed read == stored feed, stamped with _commit_version") {
+    val root = cdcRoot()
+    val got = spark.read.format("graft")
+      .option("readChangeFeed", "true").load(root)
+    assert(got.schema.fieldNames.last === "_commit_version")
+    assert(got.select("_commit_version").distinct().collect().toSeq === Seq(Row(1L)))
+    val stored = Warehouse.readChangeFeed(spark, root, 1L)
+    assert(got.count() === stored.count() && got.count() > 0)
+    assert(sortedRows(got.drop("_commit_version")) === sortedRows(stored))
+  }
+
+  test("change-feed read without a published feed is loud") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(22, n = 5))
+    Warehouse.commit(spark, root, batch(23, n = 5))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(root)
+    }
+    assert(e.getMessage.contains("publish"), e.getMessage)
+  }
+
+  test("streaming CDC: offsets are versions; restart resumes from checkpoint") {
+    val root = cdcRoot()
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    // foreachBatch sink: the memory sink refuses checkpoint recovery,
+    // and the restart IS the thing under test
+    def drain(): Seq[Row] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= batch.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      got.toSeq
+    }
+    val first = drain()
+    assert(first.nonEmpty)
+    assert(first.map(_.getAs[Long]("_commit_version")).distinct.toSeq === Seq(1L))
+    // v2 arrives; a restarted query must deliver ONLY v2's feed
+    Warehouse.commit(spark, root, batch(24, n = 12))
+    Warehouse.publishChangeFeed(spark, root, 2L)
+    val second = drain()
+    assert(second.nonEmpty)
+    assert(second.map(_.getAs[Long]("_commit_version")).distinct.toSeq === Seq(2L),
+      "restart must resume past the checkpointed version")
+    assert(second.length ===
+      Warehouse.readChangeFeed(spark, root, 2L).count())
+  }
+}
