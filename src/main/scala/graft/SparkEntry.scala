@@ -219,6 +219,7 @@ object SparkEntry {
     "p21_branch_merge" -> ((s, _) => cocoaBranchMerge(s)),
     // p23: two fork-diverge-merge rounds (advanced merge base)
     "p23_branch_remerge" -> ((s, _) => cocoaBranchRemerge(s)),
+    "p24_sql_insert_upsert" -> ((s, _) => cocoaSqlInsertUpsert(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -254,6 +255,7 @@ object SparkEntry {
     // s17: streaming near-dup gate vs a growing corpus — pair set is
     // batch-split-invariant and equals d28's exhaustive oracle.
     "s17_stream_neardup_gate" -> (StreamingQueries.streamNearDupGate _),
+    "s18_stream_change_feed" -> ((s, _) => cocoaCdcStream(s)),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
@@ -573,6 +575,12 @@ object SparkEntry {
     // the partitioned re-commit is content-identical (p01 oracle) and
     // prunes on the partition column (plan-pinned).
     "io10_partition_evolution" -> ((s, _) => cocoaPartitionEvolution(s)),
+    // io11-io13/p24/s18: the DataSource V2 connector — snapshot reads
+    // (format + versionAsOf), native SQL VERSION AS OF via the
+    // TableCatalog, SQL INSERT upserts, and the streamed change feed.
+    "io11_dsv2_read"         -> ((s, _) => cocoaDsv2Read(s)),
+    "io12_dsv2_time_travel"  -> ((s, _) => cocoaDsv2TimeTravel(s)),
+    "io13_sql_time_travel"   -> ((s, _) => cocoaSqlTimeTravel(s)),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -1212,6 +1220,139 @@ object SparkEntry {
     Warehouse.read(spark, dst).orderBy("shipment_id")
   }
 
+  // ------------- DSv2 connector gates (io11-io13, p24, s18) -------------
+
+  /** io11: the warehouse read through the DataSource V2 connector
+    * (`format("graft")`, [[graft.sources.v2.GraftDataSource]]) with a
+    * filter + projection — both reach the DELEGATED builtin parquet
+    * scan (PushedFilters / pruned ReadSchema, plan-pinned in
+    * GraftDataSourceSpec); the hash match certifies the connector's
+    * snapshot resolution returns exactly the committed current
+    * version. */
+  private def cocoaDsv2Read(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    spark.read.format("graft").load(dirs.warehouse)
+      .filter(col("region") === "Ashanti")
+      .select("shipment_id", "region", "quality_score", "shipment_value_usd")
+      .orderBy("shipment_id")
+  }
+
+  /** io12: `versionAsOf` through the connector — p05's time travel via
+    * the format option instead of the Warehouse API; the batch-1
+    * oracle certifies the pinned snapshot is immutable history. */
+  private def cocoaDsv2TimeTravel(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    spark.read.format("graft").option("versionAsOf", "0").load(dirs.warehouse)
+      .orderBy("shipment_id")
+  }
+
+  /** Catalog root for the SQL-native gates: `base/cocoa` holds v0 =
+    * the memoized run's batch-1 snapshot and v1 = the full warehouse,
+    * and the session conf registers [[graft.sources.v2.GraftCatalog]]
+    * under `graft_wh` BEFORE its first resolution (the catalog
+    * manager caches instances per session). One-time per session. */
+  private val cocoaCatalogMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  private def cocoaCatalogBase(spark: SparkSession): String =
+    cocoaCatalogMemo.computeIfAbsent(spark, { s =>
+      cocoaWarehouse(s)
+      val dirs = cocoaDirsMemo.get(s)
+      val base = graft.core.RunTemp.dir("graft_sqlcat_", keep = 4)
+      val root = s"$base/cocoa"
+      val scoped = pipelineSession(s)
+      val v0 = s.read.schema(graft.pipeline.CocoaSchema.warehouse)
+        .parquet(Warehouse.versionPath(dirs.warehouse, 0L))
+      Warehouse.commit(scoped, root, v0)
+      Warehouse.commit(scoped, root, Warehouse.read(s, dirs.warehouse))
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.base", base)
+      base
+    })
+
+  /** io13: NATIVE SQL time travel — `VERSION AS OF` resolved through
+    * [[graft.sources.v2.GraftCatalog]] (Spark's own syntax routed to
+    * `TableCatalog.loadTable(ident, version)`), no TVF, no API call.
+    * Same batch-1 oracle as p05/io12: three independent read paths
+    * (Warehouse API, format option, SQL catalog) must agree on what
+    * v0 was. */
+  private def cocoaSqlTimeTravel(spark: SparkSession): DataFrame = {
+    cocoaCatalogBase(spark)
+    spark.sql("SELECT * FROM graft_wh.cocoa VERSION AS OF 0 ORDER BY shipment_id")
+  }
+
+  /** p24: the reference's warehouse LOAD through plain SQL — CREATE
+    * TABLE + two INSERT INTOs whose append path is the connector's
+    * keyed upsert ([[graft.sources.v2.GraftSnapshotTable]], `ON
+    * CONFLICT (shipment_id) DO UPDATE` parity with
+    * `cocoa_processing_dag.py:223-237`). Batches are byte-identical
+    * regenerations of the memoized run's (same seeds/offsets, the
+    * runCocoaJdbc trick), so p01's oracle applies verbatim: the SQL
+    * door and the pipeline door must land the same warehouse.
+    * Idempotent under re-invocation (bench rounds): CREATE IF NOT
+    * EXISTS + content-stable re-upserts. */
+  private def cocoaSqlInsertUpsert(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark) // publishes the b1/b2 oracle CSVs first
+    cocoaCatalogBase(spark) // registers the graft_wh catalog
+    import graft.pipeline.{CocoaSchema, Merge}
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_wh.cocoa_ins (" +
+      CocoaSchema.warehouse.toDDL + ") USING graft" +
+      " TBLPROPERTIES ('mergeKey'='shipment_id')")
+    val gen = graft.core.RunTemp.dir("graft_sqlins_gen_", keep = 8)
+    def insertBatch(seed: Int, offset: Int, ts: Long, view: String): Unit = {
+      CocoaGen.writeLandingFiles(spark, s"$gen/$view", 2, 500,
+        seed = seed, idOffset = offset)
+      val (maybeDf, _) = graft.pipeline.Ingest.ingest(spark, s"$gen/$view")
+      val enriched = graft.pipeline.Enrich.enrich(maybeDf.get, new Timestamp(ts))
+      // within-batch LWW first (the JDBC gate's discipline): the
+      // connector's INSERT, like one Postgres statement, refuses to
+      // affect the same key twice
+      Merge.lastWriterWins(enriched, CocoaSchema.mergeKey,
+        col("processed_at"), Seq(col("timestamp")))
+        .createOrReplaceTempView(view)
+      spark.sql(s"INSERT INTO graft_wh.cocoa_ins SELECT * FROM $view")
+    }
+    insertBatch(41, 0, 1700000000000L, "cocoa_ins_b1")
+    insertBatch(42, 500, 1700000100000L, "cocoa_ins_b2")
+    spark.sql("SELECT * FROM graft_wh.cocoa_ins ORDER BY shipment_id")
+  }
+
+  /** s18: the STREAMED change feed — the connector's CDC
+    * [[graft.sources.v2.GraftCdcStream]] (micro-batch offsets are
+    * warehouse versions) drained over the memoized run's v0→v1
+    * transition and flattened to p07's change shape. Hash-matching
+    * the same diff oracle as p07/p10/t08 certifies the fourth
+    * consumption path of one change set: recomputed diff, stored
+    * feed, TVF, and now a checkpointed stream. */
+  private def cocoaCdcStream(spark: SparkSession): DataFrame = {
+    cocoaWarehouse(spark)
+    val dirs = cocoaDirsMemo.get(spark)
+    Warehouse.publishChangeFeed(spark, dirs.warehouse, 1L)
+    val sink = graft.core.RunTemp.dir("graft_s18_sink_", keep = 8)
+    val ckpt = graft.core.RunTemp.dir("graft_s18_ckpt_", keep = 8)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dirs.warehouse)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataCols = graft.pipeline.CocoaSchema.warehouse.fieldNames.toSeq
+      .filterNot(_ == "shipment_id")
+    spark.read.parquet(sink)
+      .withColumn("__row", coalesce(col("new_image"), col("old_image")))
+      .select(col("shipment_id") +:
+        dataCols.map(c => col(s"__row.`$c`").as(c)) :+ col("change_type"): _*)
+      .orderBy("shipment_id")
+  }
+
   /** p20: CONSISTENT SNAPSHOT GROUP. A derived aggregate table is
     * committed as its own warehouse, then one group pointer pins
     * (facts, agg) at versions that co-existed; the gate reads the agg
@@ -1426,6 +1567,10 @@ object SparkEntry {
     // the streamed pair union over any batch split equals the
     // exhaustive pairs-touching-the-increment set — d28's oracle.
     "s17_stream_neardup_gate" -> coreOracleSql("d28_incremental_neardups"),
+    // s18: the streamed change feed, flattened to p07's change shape,
+    // must carry exactly the v0→v1 change set (p07/p10/t08's oracle —
+    // the fourth consumption path of one transition).
+    "s18_stream_change_feed" -> cocoaVersionDiffOracleSql,
     "t04_tvf_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000),
@@ -3546,6 +3691,22 @@ object SparkEntry {
     "p15_shallow_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "p18_clustered_compaction" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "io10_partition_evolution" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // io11: the DSv2 connector read (filter + projection) must equal
+    // the LWW warehouse filtered the same way.
+    "io11_dsv2_read" -> cocoaOracle(
+      """SELECT shipment_id, region, quality_score, shipment_value_usd
+        |FROM wh WHERE region = 'Ashanti' ORDER BY shipment_id""".stripMargin),
+    // io12/io13: versionAsOf / SQL VERSION AS OF 0 == the batch-1
+    // warehouse (p05's immutable-history contract, two more doors).
+    "io12_dsv2_time_travel" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq("b1" -> "2023-11-14 22:13:20")),
+    "io13_sql_time_travel" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq("b1" -> "2023-11-14 22:13:20")),
+    // p24: CREATE TABLE + INSERT INTO (connector upsert) over
+    // byte-identical regenerated batches == p01's warehouse.
+    "p24_sql_insert_upsert" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p19: the as-of point sits between the batch stamps, so the
     // as-of state IS enriched batch 1 — re-aggregated directly.
     "p19_scd2_asof" -> {

@@ -169,6 +169,13 @@ object GraftTables {
           s"graft: snapshot v$v of $root carries deletion vectors; a raw scan" +
             " would resurrect deleted rows — read via Warehouse.readWithDv or" +
             " materialize with Warehouse.applyDv first")
+        // same correct-or-loud stance for renamed tables: the raw scan
+        // would surface PHYSICAL column names, silently ignoring the
+        // version's rename map ([[Warehouse.renameColumns]])
+        require(!fs.exists(new Path(Warehouse.versionPath(root, v), "_MAPPING")),
+          s"graft: snapshot v$v of $root carries a column rename map; a raw" +
+            " scan would surface physical (pre-rename) column names — read" +
+            " via Warehouse.readMapped")
         val dataDir = Warehouse.dataPath(spark, root, v)
         val inner = ParquetTable(s"$tableName@v$v", classic(spark),
           CaseInsensitiveStringMap.empty(), Seq(dataDir), None,

@@ -92,6 +92,35 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "delegated scan should expose partition filters")
   }
 
+  test("a renamed snapshot refuses a raw scan; pre-rename versions stay readable") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(30))
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(root)
+    }
+    assert(e.getMessage.contains("rename map"))
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(root)
+      .count() === 20)
+  }
+
+  test("aggregate pushdown reaches the delegated scan") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(31, n = 30))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val q = spark.read.format("graft").load(root)
+        .agg(min("quality_score").as("lo"), max("quality_score").as("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(quality_score)"),
+        s"expected pushed aggregation in:\n$plan")
+      val Row(lo: Double, hi: Double) = q.head()
+      val expect = Warehouse.read(spark, root)
+        .agg(min("quality_score"), max("quality_score")).head()
+      assert(lo === expect.getDouble(0) && hi === expect.getDouble(1))
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
   // ---------------------------------------------------------------- format write
 
   test("mode(append) is a keyed upsert through the commit protocol") {
