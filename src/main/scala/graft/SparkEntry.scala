@@ -422,6 +422,37 @@ object SparkEntry {
       """SELECT doc_id, lang, sample_rank
         |FROM graft_stratified_sample('documents', 'doc_id', 'lang', 'text', 20)
         |ORDER BY lang, sample_rank""".stripMargin)),
+    // t13-t15: lakehouse OPERATIONS through SQL — snapshot-history
+    // introspection and the maintenance procedures (compact, vacuum)
+    // as FROM-clause calls: the operational verbs Delta spells
+    // DESCRIBE HISTORY / OPTIMIZE / VACUUM, each returning rows the
+    // oracle can certify (history = per-version LWW counts; the
+    // procedures return the post-op CURRENT snapshot, so the hash
+    // match proves maintenance was layout-only).
+    "t13_tvf_history" -> ((s, dir) => {
+      cocoaWarehouse(s)
+      val root = cocoaDirsMemo.get(s).warehouse
+      graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_history('$root') ORDER BY version")
+    }),
+    "t14_tvf_compact" -> ((s, dir) => {
+      val wh = cocoaWarehouse(s)
+      val root = graft.core.RunTemp.dir("graft_tvfcompact_wh_", keep = 32)
+      Warehouse.commit(s, root, wh.repartition(16))
+      graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_compact('$root') ORDER BY shipment_id")
+    }),
+    "t15_tvf_vacuum" -> ((s, dir) => {
+      val wh = cocoaWarehouse(s)
+      val dirs = cocoaDirsMemo.get(s)
+      val root = graft.core.RunTemp.dir("graft_tvfvacuum_wh_", keep = 32)
+      val v0 = s.read.schema(graft.pipeline.CocoaSchema.warehouse)
+        .parquet(Warehouse.versionPath(dirs.warehouse, 0L))
+      Warehouse.commit(s, root, v0)
+      Warehouse.commit(s, root, wh)
+      graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_vacuum('$root', 1) ORDER BY shipment_id")
+    }),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
@@ -1561,6 +1592,24 @@ object SparkEntry {
     // apply verbatim.
     "t11_tvf_bm25" -> coreOracleSql("r01_bm25_topk"),
     "t12_tvf_stratified_sample" -> coreOracleSql("d19_stratified_sample"),
+    // t13: per-version row counts == the LWW cardinalities the landing
+    // batches imply (v0 = batch-1 keys, v1 = union of both key sets).
+    "t13_tvf_history" ->
+      s"""WITH b1 AS (${cocoaBatchSql("b1", "2023-11-14 22:13:20")}),
+         |b2 AS (${cocoaBatchSql("b2", "2023-11-14 22:15:00")})
+         |SELECT CAST(0 AS BIGINT) AS version,
+         |  (SELECT count(DISTINCT shipment_id) FROM b1) AS n_rows
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS version,
+         |  (SELECT count(DISTINCT shipment_id) FROM
+         |    (SELECT shipment_id FROM b1
+         |     UNION ALL SELECT shipment_id FROM b2)) AS n_rows
+         |ORDER BY version""".stripMargin,
+    // t14/t15: the maintenance procedures return the post-op current
+    // snapshot — p01's oracle certifies compact/vacuum changed layout
+    // and retention, never content.
+    "t14_tvf_compact" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "t15_tvf_vacuum" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // s17 (not a TVF, but its oracle ALIASES a core entry, and alias
     // entries must live OUTSIDE the coreOracleSql literal — a
     // self-reference inside the lazy val's own initializer recurses):

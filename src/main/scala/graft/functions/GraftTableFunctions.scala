@@ -211,6 +211,64 @@ object GraftTableFunctions {
           s, strArg(a(0), fn), longArg(a(1), fn))
       }),
 
+    ("graft_history",
+      "graft_history(root) - one row per committed snapshot of a graft" +
+        " warehouse: (version, n_rows). The version list is one driver" +
+        " metadata listing; the counts are a LAZY union of per-version" +
+        " metadata-cheap aggregates (clone pointers resolved), so the" +
+        " history of a 100 TB table costs one count-star per retained" +
+        " version, no full-width scan", Set(1),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_history"
+        import org.apache.spark.sql.functions.{count, lit}
+        val w = graft.pipeline.Warehouse
+        val root = strArg(a(0), fn)
+        val vs = w.versions(s, root)
+        require(vs.nonEmpty, s"$fn: no committed snapshot under $root")
+        vs.map { v =>
+          s.read.parquet(w.dataPath(s, root, v))
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(v).as("version"), col("n_rows"))
+        }.reduce(_.unionByName(_))
+      }),
+
+    ("graft_compact",
+      "graft_compact(root[, targetFileBytes]) - PROCEDURE with result:" +
+        " compacts the warehouse's current snapshot into size-targeted" +
+        " files as the NEXT version (layout-only; lost-update fenced)," +
+        " then reads the compacted snapshot back. Like Delta's" +
+        " OPTIMIZE, the side effect runs when the query is analyzed",
+      Set(1, 2),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_compact"
+        val w = graft.pipeline.Warehouse
+        val root = strArg(a(0), fn)
+        val target = if (a.length > 1) longArg(a(1), fn) else 128L * 1024 * 1024
+        w.compact(s, root, target)
+        val cur = w.currentVersion(s, root).getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: no committed snapshot under $root"))
+        s.read.parquet(w.dataPath(s, root, cur))
+      }),
+
+    ("graft_vacuum",
+      "graft_vacuum(root, keepLast) - PROCEDURE with result: prunes" +
+        " snapshots beyond the keepLast newest (with their deletion" +
+        " vectors and change feeds), then reads the CURRENT snapshot" +
+        " back; time travel past the retention floor fails loudly" +
+        " afterwards. The side effect runs when the query is analyzed",
+      Set(2),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_vacuum"
+        val w = graft.pipeline.Warehouse
+        val root = strArg(a(0), fn)
+        w.vacuum(s, root, keepLast = intArg(a(1), fn))
+        val cur = w.currentVersion(s, root).getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: no committed snapshot under $root"))
+        s.read.parquet(w.dataPath(s, root, cur))
+      }),
+
     ("graft_group_member",
       "graft_group_member(groupDir, name) - read one member of a" +
         " CONSISTENT SNAPSHOT GROUP through the group's pinned" +
@@ -287,6 +345,9 @@ object GraftTableFunctions {
     "graft_interval_join" ->
       Seq("left", "right", "left_ts", "right_ts", "lower_us", "upper_us", "key"),
     "graft_time_travel" -> Seq("root", "version"),
+    "graft_history" -> Seq("root"),
+    "graft_compact" -> Seq("root", "target_file_bytes"),
+    "graft_vacuum" -> Seq("root", "keep_last"),
     "graft_group_member" -> Seq("group_dir", "name"),
     "graft_new_content" -> Seq("corpus", "increment", "id", "text"),
     "graft_change_feed" -> Seq("root", "version"),

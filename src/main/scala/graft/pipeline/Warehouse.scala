@@ -152,6 +152,13 @@ object Warehouse {
 
   def versionPath(root: String, v: Long): String = s"$root/v$v"
 
+  /** Every COMPLETE committed version, ascending — the DESCRIBE
+    * HISTORY surface (one driver metadata listing, no data I/O).
+    * Includes shallow-clone and rename (mapping) versions; excludes
+    * in-flight staging dirs and anything without `_SUCCESS`. */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    completeSnapshots(spark, root).sorted
+
   /** Marker file a shallow-cloned version dir carries instead of
     * parquet parts: its content is the absolute DATA directory of the
     * cloned source snapshot. */

@@ -252,6 +252,35 @@ class GraftTvfSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("maintenance TVFs: history lists versions, compact/vacuum act and return content") {
+    registered()
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("tvf_maint").toString
+    def batch(seed: Int, n: Int) = graft.pipeline.Enrich.enrich(
+      graft.pipeline.CocoaGen.shipments(spark, n, seed = seed),
+      new Timestamp(1700000000000L + seed))
+    graft.pipeline.Warehouse.commit(spark, root, batch(1, 10))
+    graft.pipeline.Warehouse.commit(spark, root, batch(2, 25).repartition(6))
+    // history: one row per version, counts right
+    assert(spark.sql(s"SELECT * FROM graft_history('$root') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((0L, 10L), (1L, 25L)))
+    // compact: publishes v2, content unchanged, fewer files
+    val compacted = spark.sql(
+      s"SELECT * FROM graft_compact('$root') ORDER BY shipment_id")
+    assert(compacted.count() === 25)
+    assert(graft.pipeline.Warehouse.currentVersion(spark, root) === Some(2L))
+    assert(spark.sql(s"SELECT * FROM graft_history('$root')").count() === 3)
+    // vacuum keepLast=1: v0/v1 pruned, current survives, old reads loud
+    assert(spark.sql(s"SELECT * FROM graft_vacuum('$root', 1)").count() === 25)
+    assert(graft.pipeline.Warehouse.versions(spark, root) === Seq(2L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_time_travel('$root', 0)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("path does not exist") ||
+      e.getMessage.contains("missing"), e.getMessage)
+  }
+
   test("TVF arity and argument errors are loud and named") {
     registered()
     val e1 = intercept[Exception] {
