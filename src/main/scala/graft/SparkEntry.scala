@@ -612,6 +612,7 @@ object SparkEntry {
     "io11_dsv2_read"         -> ((s, _) => cocoaDsv2Read(s)),
     "io12_dsv2_time_travel"  -> ((s, _) => cocoaDsv2TimeTravel(s)),
     "io13_sql_time_travel"   -> ((s, _) => cocoaSqlTimeTravel(s)),
+    "io14_dsv2_zonemap"      -> ((s, _) => cocoaDsv2ZoneMap(s)),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -1276,6 +1277,28 @@ object SparkEntry {
     cocoaWarehouse(spark)
     val dirs = cocoaDirsMemo.get(spark)
     spark.read.format("graft").option("versionAsOf", "0").load(dirs.warehouse)
+      .orderBy("shipment_id")
+  }
+
+  /** io14: zone-map data skipping INSIDE the connector's scan
+    * planning ([[graft.sources.v2.ZoneMapFileIndex]]): a clustered
+    * (range-partitioned, sorted) snapshot with a `_zonemap` sidecar
+    * served through `format("graft")` under a selective range
+    * predicate — files whose stat band cannot match are dropped
+    * before any task schedules (counters + staleness fallback are
+    * spec-pinned); the hash match certifies skipping never drops a
+    * matching row. */
+  private def cocoaDsv2ZoneMap(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_dsv2zm_wh_", keep = 32)
+    Warehouse.commit(spark, root,
+      wh.repartitionByRange(8, col("quality_score"))
+        .sortWithinPartitions("quality_score"))
+    val dataDir = Warehouse.versionPath(root, 0L)
+    graft.sources.ZoneMap.build(spark, dataDir,
+      spark.read.parquet(dataDir).schema, Seq("quality_score"))
+    spark.read.format("graft").load(root)
+      .filter(col("quality_score") >= lit(9.5))
       .orderBy("shipment_id")
   }
 
@@ -3753,6 +3776,10 @@ object SparkEntry {
     "io13_sql_time_travel" -> cocoaOracle(
       "SELECT * FROM wh ORDER BY shipment_id",
       batches = Seq("b1" -> "2023-11-14 22:13:20")),
+    // io14: the zone-map-pruned connector scan must equal the plain
+    // LWW filter — skipping is layout metadata, never semantics.
+    "io14_dsv2_zonemap" -> cocoaOracle(
+      "SELECT * FROM wh WHERE quality_score >= 9.5 ORDER BY shipment_id"),
     // p24: CREATE TABLE + INSERT INTO (connector upsert) over
     // byte-identical regenerated batches == p01's warehouse.
     "p24_sql_insert_upsert" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),

@@ -181,7 +181,7 @@ object GraftTables {
           CaseInsensitiveStringMap.empty(), Seq(dataDir), None,
           classOf[ParquetFileFormat])
         new GraftSnapshotTable(tableName, spark, root, inner.schema, Some(inner),
-          mergeKey)
+          mergeKey, dataDir = Some(dataDir))
     }
   }
 }
@@ -212,13 +212,27 @@ object GraftTables {
   */
 class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
     tableSchema: StructType, inner: Option[ParquetTable],
-    mergeKeyOpt: Option[String]) extends Table with SupportsRead with SupportsWrite {
+    mergeKeyOpt: Option[String], dataDir: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
 
   override def partitioning(): Array[Transform] =
     inner.map(_.partitioning()).getOrElse(Array.empty)
+
+  /** Zone-map-aware file index when the FLAT snapshot carries a
+    * `_zonemap` sidecar — then the scan builder below plans over it
+    * and selective range queries skip files at planning time
+    * ([[ZoneMapFileIndex]]). Partitioned snapshots keep the builtin
+    * index (directory pruning already covers them); absent/stale
+    * sidecars fall through to the builtin index unchanged. */
+  private lazy val zoneMapIndex: Option[ZoneMapFileIndex] =
+    dataDir.filter { d =>
+      partitioning().isEmpty &&
+        GraftTables.fs(spark, d).exists(
+          new org.apache.hadoop.fs.Path(graft.sources.ZoneMap.indexPath(d), "_SUCCESS"))
+    }.map(d => new ZoneMapFileIndex(spark, d))
 
   // BATCH_WRITE is declared alongside V1_BATCH_WRITE deliberately:
   // `DataFrameWriter.save()`'s provider path routes to the V2 relation
@@ -234,7 +248,12 @@ class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner match {
-      case Some(t) => t.newScanBuilder(options)
+      case Some(t) => zoneMapIndex match {
+        case Some(idx) =>
+          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+            GraftTables.classic(spark), idx, t.schema, t.dataSchema, options)
+        case None => t.newScanBuilder(options)
+      }
       case None => new GraftEmptyScanBuilder(tableSchema)
     }
 

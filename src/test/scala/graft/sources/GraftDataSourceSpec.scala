@@ -121,6 +121,60 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
 
+  test("zone-map sidecar skips files at scan planning; stale sidecar disables soundly") {
+    import graft.sources.v2.ZoneMapFileIndex
+    val root = freshRoot()
+    // clustered layout: 8 files, each covering a narrow quality band
+    val data = batch(32, n = 400)
+      .repartitionByRange(8, col("quality_score"))
+      .sortWithinPartitions("quality_score")
+    Warehouse.commit(spark, root, data)
+    val dataDir = Warehouse.versionPath(root, 0L)
+    graft.sources.ZoneMap.build(spark, dataDir,
+      spark.read.parquet(dataDir).schema, Seq("quality_score"))
+    val pred = col("quality_score") >= 9.7
+    val expect = sortedRows(Warehouse.read(spark, root).filter(pred)
+      .select("shipment_id", "quality_score"))
+    val k0 = ZoneMapFileIndex.filesKept.sum(); val p0 = ZoneMapFileIndex.filesPruned.sum()
+    val got = spark.read.format("graft").load(root).filter(pred)
+      .select("shipment_id", "quality_score")
+    assert(sortedRows(got) === expect)
+    assert(ZoneMapFileIndex.filesPruned.sum() > p0,
+      "the banded layout + selective range must prune at least one file")
+    assert(ZoneMapFileIndex.filesKept.sum() > k0)
+    // commit v1 WITHOUT refreshing the index: v1 has no sidecar, so no
+    // pruning and no failure; the v0 sidecar stays version-scoped
+    Warehouse.commit(spark, root, batch(33, n = 50))
+    assert(spark.read.format("graft").load(root).count() === 50)
+    // a sidecar not covering the files (simulate: build then add file)
+    val dataDir1 = Warehouse.versionPath(root, 1L)
+    graft.sources.ZoneMap.build(spark, dataDir1,
+      spark.read.parquet(dataDir1).schema, Seq("quality_score"))
+    batch(34, n = 5).coalesce(1).write.mode("append").parquet(dataDir1)
+    val p1 = ZoneMapFileIndex.filesPruned.sum()
+    // stale coverage: read must include the new file's rows (no pruning)
+    assert(spark.read.format("graft").load(root).count() === 55)
+    assert(ZoneMapFileIndex.filesPruned.sum() === p1, "stale index must not prune")
+  }
+
+  test("zone-map constraint evaluation: InSet internal values, strings, null-stat files") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, InSet, Literal}
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    import graft.sources.v2.ZoneMapFileIndex
+    val q = AttributeReference("q", DoubleType)()
+    val c = ZoneMapFileIndex.constraint(InSet(q, Set(5.0, 9.0))).get
+    assert(c.canMatch(Map("q" -> (Some(4.0), Some(6.0)))))  // 5 inside
+    assert(!c.canMatch(Map("q" -> (Some(6.5), Some(8.0))))) // neither inside
+    assert(!c.canMatch(Map("q" -> (None, None))))           // all-null file: = never matches
+    assert(c.canMatch(Map("other" -> (Some(1.0), Some(2.0))))) // unindexed col: keep
+    val r = AttributeReference("r", StringType)()
+    val cs = ZoneMapFileIndex.constraint(EqualTo(r,
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString("Volta"),
+        StringType))).get
+    assert(cs.canMatch(Map("r" -> (Some("Ashanti"), Some("Western")))))
+    assert(!cs.canMatch(Map("r" -> (Some("Ashanti"), Some("Central")))))
+  }
+
   // ---------------------------------------------------------------- format write
 
   test("mode(append) is a keyed upsert through the commit protocol") {
