@@ -453,6 +453,27 @@ object SparkEntry {
       graft.core.Catalog.sql(s, dir,
         s"SELECT * FROM graft_vacuum('$root', 1) ORDER BY shipment_id")
     }),
+    // t16/t17: zero-copy clone and rollback through SQL — the last
+    // two operational verbs (Delta: CLONE / RESTORE), each returning
+    // the post-op snapshot so p01's / p05's oracle certifies content.
+    "t16_tvf_clone" -> ((s, dir) => {
+      cocoaWarehouse(s)
+      val src = cocoaDirsMemo.get(s).warehouse
+      val dst = graft.core.RunTemp.dir("graft_tvfclone_wh_", keep = 32)
+      graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_clone('$src', '$dst') ORDER BY shipment_id")
+    }),
+    "t17_tvf_restore" -> ((s, dir) => {
+      val wh = cocoaWarehouse(s)
+      val dirs = cocoaDirsMemo.get(s)
+      val root = graft.core.RunTemp.dir("graft_tvfrestore_wh_", keep = 32)
+      val v0 = s.read.schema(graft.pipeline.CocoaSchema.warehouse)
+        .parquet(Warehouse.versionPath(dirs.warehouse, 0L))
+      Warehouse.commit(s, root, v0)
+      Warehouse.commit(s, root, wh)
+      graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_restore('$root', 0) ORDER BY shipment_id")
+    }),
     "d07_minhash_near_dups"  -> (NorthStar.minhashNearDups _),
     "d28_incremental_neardups" -> (NorthStar.incrementalNearDups _),
     "d29_incremental_exact"  -> (NorthStar.incrementalExactDedupNew _),
@@ -1633,6 +1654,13 @@ object SparkEntry {
     // and retention, never content.
     "t14_tvf_compact" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "t15_tvf_vacuum" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // t16: the clone reads the SOURCE's data dir through its pointer —
+    // p01's full-warehouse oracle; t17: restore-to-v0 == the batch-1
+    // warehouse (p05/p13's contract through the SQL door).
+    "t16_tvf_clone" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "t17_tvf_restore" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id",
+      batches = Seq("b1" -> "2023-11-14 22:13:20")),
     // s17 (not a TVF, but its oracle ALIASES a core entry, and alias
     // entries must live OUTSIDE the coreOracleSql literal — a
     // self-reference inside the lazy val's own initializer recurses):

@@ -269,6 +269,37 @@ object GraftTableFunctions {
         s.read.parquet(w.dataPath(s, root, cur))
       }),
 
+    ("graft_clone",
+      "graft_clone(srcRoot, dstRoot) - PROCEDURE with result: publish" +
+        " the source warehouse's current snapshot as the next version" +
+        " of dstRoot WITHOUT copying data (zero-copy shallow clone," +
+        " O(1) metadata; loud when the source carries deletion" +
+        " vectors), then read the clone back through its pointer",
+      Set(2),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_clone"
+        val w = graft.pipeline.Warehouse
+        val dst = strArg(a(1), fn)
+        val v = w.cloneShallow(s, strArg(a(0), fn), dst)
+        s.read.parquet(w.dataPath(s, dst, v))
+      }),
+
+    ("graft_restore",
+      "graft_restore(root, version) - PROCEDURE with result: re-commit" +
+        " version's content as the NEXT version (rollback with" +
+        " forward-only history; deletion vectors of the restored" +
+        " version fold in), then read the restored snapshot back",
+      Set(2),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_restore"
+        val w = graft.pipeline.Warehouse
+        val root = strArg(a(0), fn)
+        val toV = longArg(a(1), fn)
+        val schema = s.read.parquet(w.dataPath(s, root, toV)).schema
+        val v = w.restore(s, root, toV, schema)
+        s.read.parquet(w.dataPath(s, root, v))
+      }),
+
     ("graft_group_member",
       "graft_group_member(groupDir, name) - read one member of a" +
         " CONSISTENT SNAPSHOT GROUP through the group's pinned" +
@@ -348,6 +379,8 @@ object GraftTableFunctions {
     "graft_history" -> Seq("root"),
     "graft_compact" -> Seq("root", "target_file_bytes"),
     "graft_vacuum" -> Seq("root", "keep_last"),
+    "graft_clone" -> Seq("src_root", "dst_root"),
+    "graft_restore" -> Seq("root", "version"),
     "graft_group_member" -> Seq("group_dir", "name"),
     "graft_new_content" -> Seq("corpus", "increment", "id", "text"),
     "graft_change_feed" -> Seq("root", "version"),

@@ -279,6 +279,16 @@ class GraftTvfSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("path does not exist") ||
       e.getMessage.contains("missing"), e.getMessage)
+    // clone: zero-copy publish on a fresh destination, content equal
+    val dst = java.nio.file.Files.createTempDirectory("tvf_clone").toString
+    assert(spark.sql(s"SELECT * FROM graft_clone('$root', '$dst')").count() === 25)
+    assert(graft.pipeline.Warehouse.versions(spark, dst) === Seq(0L))
+    // restore: rollback commits the old content forward
+    val r2 = java.nio.file.Files.createTempDirectory("tvf_restore").toString
+    graft.pipeline.Warehouse.commit(spark, r2, batch(5, 10))
+    graft.pipeline.Warehouse.commit(spark, r2, batch(6, 30))
+    assert(spark.sql(s"SELECT * FROM graft_restore('$r2', 0)").count() === 10)
+    assert(graft.pipeline.Warehouse.versions(spark, r2) === Seq(0L, 1L, 2L))
   }
 
   test("TVF arity and argument errors are loud and named") {
