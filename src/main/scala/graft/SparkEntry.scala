@@ -220,6 +220,7 @@ object SparkEntry {
     // p23: two fork-diverge-merge rounds (advanced merge base)
     "p23_branch_remerge" -> ((s, _) => cocoaBranchRemerge(s)),
     "p24_sql_insert_upsert" -> ((s, _) => cocoaSqlInsertUpsert(s)),
+    "p25_sql_delete" -> ((s, _) => cocoaSqlDelete(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -1392,6 +1393,23 @@ object SparkEntry {
     insertBatch(41, 0, 1700000000000L, "cocoa_ins_b1")
     insertBatch(42, 500, 1700000100000L, "cocoa_ins_b2")
     spark.sql("SELECT * FROM graft_wh.cocoa_ins ORDER BY shipment_id")
+  }
+
+  /** p25: SQL `DELETE FROM` through the connector
+    * ([[graft.sources.v2.GraftSnapshotTable.deleteWhere]]) — a
+    * copy-on-write commit under the fenced protocol, with SQL's
+    * three-valued semantics: TRUE deletes, FALSE and NULL stay (the
+    * fixture's ~10% null temperatures are the live probe). The oracle
+    * mirrors with WHERE NOT coalesce(pred, FALSE), p12's rule.
+    * Deterministic under re-invocation: each run re-commits the full
+    * warehouse before deleting. */
+  private def cocoaSqlDelete(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = cocoaCatalogBase(spark)
+    Warehouse.commit(spark, s"$base/cocoa_del", wh)
+    spark.sql("DELETE FROM graft_wh.cocoa_del" +
+      " WHERE temperature_celsius > 25.0 OR quality_score < 7.0")
+    spark.sql("SELECT * FROM graft_wh.cocoa_del ORDER BY shipment_id")
   }
 
   /** s18: the STREAMED change feed — the connector's CDC
@@ -3811,6 +3829,11 @@ object SparkEntry {
     // p24: CREATE TABLE + INSERT INTO (connector upsert) over
     // byte-identical regenerated batches == p01's warehouse.
     "p24_sql_insert_upsert" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // p25: SQL DELETE keeps rows where the predicate is FALSE or NULL.
+    "p25_sql_delete" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(temperature_celsius > 25.0 OR quality_score < 7.0, FALSE)
+        |ORDER BY shipment_id""".stripMargin),
     // p19: the as-of point sits between the batch stamps, so the
     // as-of state IS enriched batch 1 — re-aggregated directly.
     "p19_scd2_asof" -> {

@@ -217,7 +217,10 @@ object GraftTableFunctions {
         " metadata listing; the counts are a LAZY union of per-version" +
         " metadata-cheap aggregates (clone pointers resolved), so the" +
         " history of a 100 TB table costs one count-star per retained" +
-        " version, no full-width scan", Set(1),
+        " version, no full-width scan. n_rows is the SNAPSHOT-FILE" +
+        " cardinality: a version carrying merge-on-read deletion" +
+        " vectors reports its pre-delete count (read the live view via" +
+        " Warehouse.readWithDv)", Set(1),
       (s: SparkSession, a: Seq[Expression]) => {
         val fn = "graft_history"
         import org.apache.spark.sql.functions.{count, lit}

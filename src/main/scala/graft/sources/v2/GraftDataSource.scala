@@ -123,6 +123,38 @@ object GraftTables {
         s"graft: version must be an integer snapshot number, got '$s'")
     }
 
+  /** V1 source filter → Column predicate (for the DELETE path). None
+    * for anything not translatable — the caller must refuse, never
+    * guess: a mistranslated delete predicate destroys data. Attribute
+    * names arrive dot-separated for nested fields; backtick-quoting
+    * each segment keeps literal dots in flat names intact. */
+  def filterToColumn(f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    def c(attr: String) =
+      col(attr.split('.').map(s => s"`$s`").mkString("."))
+    f match {
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case StringContains(a, v) => Some(c(a).contains(v))
+      case And(l, r) => for {lc <- filterToColumn(l); rc <- filterToColumn(r)} yield lc && rc
+      case Or(l, r) => for {lc <- filterToColumn(l); rc <- filterToColumn(r)} yield lc || rc
+      case Not(inner) => filterToColumn(inner).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Resolve `root` at `versionAsOf` (default: current) into a
     * readable+writable table. Correct-or-loud, matching the
     * Warehouse API paths:
@@ -213,7 +245,8 @@ object GraftTables {
 class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
     tableSchema: StructType, inner: Option[ParquetTable],
     mergeKeyOpt: Option[String], dataDir: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -287,9 +320,10 @@ class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
     // name-resolved but a defensive projection keeps the snapshot's
     // physical layout identical across writers.
     val aligned = data.select(tableSchema.fieldNames.map(col).toSeq: _*)
+    val baseVersion = Warehouse.currentVersion(spark, root)
     val next =
       if (overwrite) aligned
-      else (Warehouse.currentVersion(spark, root), mergeKey) match {
+      else (baseVersion, mergeKey) match {
         case (None, _) => aligned
         case (Some(_), None) =>
           Warehouse.read(spark, root, tableSchema).unionByName(aligned)
@@ -308,7 +342,38 @@ class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
             Seq(key), "left_anti")
             .unionByName(aligned)
       }
-    Warehouse.commit(spark, root, next)
+    // expectedCurrent pins the read-modify-write: if a racing commit
+    // lands between the read above and the lease, publishing would
+    // silently DROP its rows — commit() aborts loudly instead
+    // (lost-update fencing; an overwrite replaces wholesale, so the
+    // base it was derived from is immaterial and it takes no fence).
+    Warehouse.commit(spark, root, next,
+      expectedCurrent = if (overwrite) None else Some(baseVersion))
+  }
+
+  /** SQL `DELETE FROM` / `TRUNCATE TABLE`: COPY-ON-WRITE — the next
+    * snapshot is the current one minus the matching rows, through the
+    * fenced commit protocol. (The merge-on-read alternative,
+    * [[Warehouse.deleteWhere]]'s deletion vectors, stays an API choice:
+    * a DV-carrying version refuses raw connector scans, so the SQL
+    * door keeps every version it produces fully readable.) SQL DELETE
+    * semantics: rows where the predicate is TRUE go; FALSE and NULL
+    * stay. `canDeleteWhere` rejects untranslatable predicates loudly
+    * rather than deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftTables.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val baseVersion = Warehouse.currentVersion(spark, root)
+    if (baseVersion.isEmpty) return // nothing committed, nothing to delete
+    val pred = filters.map(f => GraftTables.filterToColumn(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: cannot translate delete predicate $f — unsupported expression")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val kept = Warehouse.read(spark, root, tableSchema)
+      .filter(not(coalesce(pred, lit(false))))
+    Warehouse.commit(spark, root, kept, expectedCurrent = Some(baseVersion))
   }
 }
 

@@ -263,6 +263,31 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("ins"))
   }
 
+  test("SQL DELETE FROM is a copy-on-write commit; TRUNCATE empties; history intact") {
+    val root = s"$catalogBase/del"
+    Warehouse.commit(spark, root, batch(40, n = 30))
+    val total = 30L
+    val matching = Warehouse.read(spark, root)
+      .filter(col("quality_score") < 8.0).count()
+    assert(matching > 0 && matching < total, "fixture must split on the predicate")
+    spark.sql("DELETE FROM gwh_test.del WHERE quality_score < 8.0")
+    assert(spark.sql("SELECT count(*) FROM gwh_test.del").head().getLong(0)
+      === total - matching)
+    // null predicates keep their rows (SQL 3VL): ~10% temps are null
+    val nulls = Warehouse.read(spark, root)
+      .filter(col("temperature_celsius").isNull).count()
+    spark.sql("DELETE FROM gwh_test.del WHERE temperature_celsius > 1000.0")
+    assert(spark.sql("SELECT count(*) FROM gwh_test.del").head().getLong(0)
+      === total - matching, s"no row matches, nulls ($nulls) must survive")
+    // pre-delete history stays readable
+    assert(spark.sql("SELECT count(*) FROM gwh_test.del VERSION AS OF 0")
+      .head().getLong(0) === total)
+    spark.sql("TRUNCATE TABLE gwh_test.del")
+    assert(spark.sql("SELECT count(*) FROM gwh_test.del").head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM gwh_test.del VERSION AS OF 1")
+      .head().getLong(0) === total - matching)
+  }
+
   // ---------------------------------------------------------------- CDC
 
   private def cdcRoot(): String = {
