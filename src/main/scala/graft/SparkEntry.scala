@@ -221,6 +221,8 @@ object SparkEntry {
     "p23_branch_remerge" -> ((s, _) => cocoaBranchRemerge(s)),
     "p24_sql_insert_upsert" -> ((s, _) => cocoaSqlInsertUpsert(s)),
     "p25_sql_delete" -> ((s, _) => cocoaSqlDelete(s)),
+    "p26_sql_update" -> ((s, _) => cocoaSqlUpdate(s)),
+    "p27_sql_merge" -> ((s, _) => cocoaSqlMerge(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -1407,9 +1409,49 @@ object SparkEntry {
     val wh = cocoaWarehouse(spark)
     val base = cocoaCatalogBase(spark)
     Warehouse.commit(spark, s"$base/cocoa_del", wh)
+    // the generator's ranges (temp 18–25 or null, quality 7.5–9.8)
+    // make this predicate split three ways: true (deleted), false
+    // (kept), and null (kept — the 3VL probe)
     spark.sql("DELETE FROM graft_wh.cocoa_del" +
-      " WHERE temperature_celsius > 25.0 OR quality_score < 7.0")
+      " WHERE temperature_celsius > 23.0 AND quality_score < 8.2")
     spark.sql("SELECT * FROM graft_wh.cocoa_del ORDER BY shipment_id")
+  }
+
+  /** p26: SQL `UPDATE` through the connector — Spark's
+    * `RewriteUpdateTable` turns it into a group-based ReplaceData over
+    * [[graft.sources.v2.GraftRowLevelOperation]]; executors write the
+    * replacement snapshot, the driver publishes it through the fenced
+    * protocol ([[graft.pipeline.Warehouse.publishStaged]]). 3VL: rows
+    * with NULL temperature are untouched. */
+  private def cocoaSqlUpdate(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = cocoaCatalogBase(spark)
+    Warehouse.commit(spark, s"$base/cocoa_upd", wh)
+    spark.sql("UPDATE graft_wh.cocoa_upd SET region = 'REGRADED'," +
+      " quality_score = quality_score + 0.5 WHERE temperature_celsius > 23.0")
+    spark.sql("SELECT * FROM graft_wh.cocoa_upd ORDER BY shipment_id")
+  }
+
+  /** p27: SQL `MERGE INTO` through the connector, all three clause
+    * kinds live: matched+delete (quality < 8), matched+update (region
+    * promotion), not-matched+insert (suffixed keys). Spark's
+    * `RewriteMergeIntoTable` owns clause alignment and the cardinality
+    * check; the connector contributes the same group-based
+    * replace-write as p26. */
+  private def cocoaSqlMerge(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = cocoaCatalogBase(spark)
+    Warehouse.commit(spark, s"$base/cocoa_mrg", wh)
+    wh.withColumn("region", lit("PREMIUM"))
+      .unionByName(wh.withColumn("shipment_id",
+        concat(col("shipment_id"), lit("-X"))))
+      .createOrReplaceTempView("cocoa_mrg_src")
+    spark.sql("""MERGE INTO graft_wh.cocoa_mrg t USING cocoa_mrg_src s
+      ON t.shipment_id = s.shipment_id
+      WHEN MATCHED AND s.quality_score < 8.0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET region = s.region
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("SELECT * FROM graft_wh.cocoa_mrg ORDER BY shipment_id")
   }
 
   /** s18: the STREAMED change feed — the connector's CDC
@@ -3832,7 +3874,33 @@ object SparkEntry {
     // p25: SQL DELETE keeps rows where the predicate is FALSE or NULL.
     "p25_sql_delete" -> cocoaOracle(
       """SELECT * FROM wh
-        |WHERE NOT coalesce(temperature_celsius > 25.0 OR quality_score < 7.0, FALSE)
+        |WHERE NOT coalesce(temperature_celsius > 23.0 AND quality_score < 8.2, FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p26: SQL UPDATE rewrites rows where the predicate is TRUE;
+    // FALSE and NULL rows are untouched.
+    "p26_sql_update" -> cocoaOracle(
+      """SELECT shipment_id, "timestamp", farm_id,
+        |  CASE WHEN coalesce(temperature_celsius > 23.0, FALSE)
+        |       THEN 'REGRADED' ELSE region END AS region,
+        |  bean_type,
+        |  CASE WHEN coalesce(temperature_celsius > 23.0, FALSE)
+        |       THEN quality_score + 0.5 ELSE quality_score END AS quality_score,
+        |  shipment_weight_kg, temperature_celsius, shipment_value_usd,
+        |  processed_at
+        |FROM wh ORDER BY shipment_id""".stripMargin),
+    // p27: MERGE over a source covering every key (region->PREMIUM)
+    // plus suffixed new keys: matched quality<8 deleted, other matched
+    // rows take the source region, new keys inserted as-is.
+    "p27_sql_merge" -> cocoaOracle(
+      """SELECT shipment_id, "timestamp", farm_id, 'PREMIUM' AS region,
+        |  bean_type, quality_score, shipment_weight_kg,
+        |  temperature_celsius, shipment_value_usd, processed_at
+        |FROM wh WHERE NOT coalesce(quality_score < 8.0, FALSE)
+        |UNION ALL
+        |SELECT shipment_id || '-X' AS shipment_id, "timestamp", farm_id,
+        |  region, bean_type, quality_score, shipment_weight_kg,
+        |  temperature_celsius, shipment_value_usd, processed_at
+        |FROM wh
         |ORDER BY shipment_id""".stripMargin),
     // p19: the as-of point sits between the batch stamps, so the
     // as-of state IS enriched batch 1 — re-aggregated directly.

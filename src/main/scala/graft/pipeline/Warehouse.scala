@@ -628,6 +628,95 @@ object Warehouse {
       if (bad.nonEmpty) throw new WapAuditException(bad)
     })
 
+  /** Publish an ALREADY-STAGED snapshot directory as the next version.
+    *
+    * This is the lease/fence/rename/pointer half of [[commit]] split
+    * out for callers whose data plane is not a DataFrame handed to the
+    * driver — specifically the connector's V2 row-level writes
+    * ([[graft.sources.v2.GraftReplaceBatchWrite]]), where EXECUTORS
+    * write the replacement snapshot through Spark's builtin parquet
+    * `FileBatchWrite` into a private dot-prefixed dir under `root`,
+    * and only then does the driver publish it. At 100 TB this split is
+    * the only shape that works: the publish step moves metadata (one
+    * directory rename + pointer swap), never data.
+    *
+    * Protocol properties are [[commit]]'s, with the staging write
+    * hoisted before the lease instead of inside it — safe because the
+    * staged dir is holder-private (UUID-named, dot-prefixed: invisible
+    * to [[completeSnapshots]] and to readers) so nothing is shared
+    * until the fenced rename. `expectedCurrent` MUST carry the version
+    * the staged data was derived from: a row-level write is always a
+    * read-modify-write, and publishing over an interleaved commit
+    * would silently drop its rows — the fence aborts loudly instead.
+    *
+    * The staged dir must carry `_SUCCESS` (the V2 file committer
+    * writes it at job commit) — publishing a half-written snapshot is
+    * refused. On ANY failure the staged dir is deleted: the caller's
+    * write is already job-committed by the time this runs, so there is
+    * nothing left to hand back. */
+  def publishStaged(spark: SparkSession, root: String, stagedDir: String,
+      expectedCurrent: Option[Option[Long]] = None,
+      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+    val fs = Ingest.fs(spark, root)
+    val stage = new Path(stagedDir)
+    require(stage.getParent == new Path(root) &&
+      stage.getName.startsWith("."),
+      s"graft: staged snapshot must be a dot-prefixed dir directly under" +
+        s" $root, got $stagedDir")
+    var cleanup = true
+    val lock = new Path(root, lockFile)
+    val holderId = java.util.UUID.randomUUID().toString
+    try {
+      require(fs.exists(new Path(stage, "_SUCCESS")),
+        s"graft: staged snapshot $stagedDir has no _SUCCESS marker —" +
+          " refusing to publish a half-written directory")
+      acquireLease(fs, lock, holderId, lockTtlMs)
+      try {
+        val pointerAtAcquire = pointerVersion(fs, root)
+        expectedCurrent.foreach { expected =>
+          if (pointerAtAcquire != expected)
+            throw new IllegalStateException(
+              s"publish fenced: staged snapshot was derived from version" +
+                s" $expected but $versionFile now reads $pointerAtAcquire —" +
+                " a commit interleaved; re-derive and retry")
+        }
+        val next = (currentVersion(spark, root).toSeq ++
+          completeSnapshots(spark, root)).maxOption.map(_ + 1).getOrElse(0L)
+        if (!readLease(fs, lock).exists(_.holderId == holderId))
+          throw new IllegalStateException(
+            s"publish fenced: lease on $lock was reclaimed; staged snapshot" +
+              " left unpublished")
+        val target = new Path(versionPath(root, next))
+        if (fs.exists(target)) {
+          if (fs.exists(new Path(target, "_SUCCESS")))
+            throw new IllegalStateException(
+              s"publish fenced: complete snapshot $target appeared during" +
+                " this publish (concurrent writer?); aborting")
+          fs.delete(target, true)
+        }
+        if (!fs.rename(stage, target))
+          throw new IllegalStateException(
+            s"publish failed: could not rename $stage to $target")
+        cleanup = false
+        val tmp = new Path(root, s".$versionFile.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          new Path(root).toUri, fs.getConf)
+        fc.rename(tmp, new Path(root, versionFile),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        next
+      } finally {
+        if (readLease(fs, lock).exists(_.holderId == holderId))
+          fs.delete(lock, false)
+      }
+    } finally {
+      if (cleanup) try fs.delete(stage, true)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Bucketed variant: commit the snapshot as a catalog table bucketed
     * + sorted on the merge key. A bucketed target joins updates
     * without re-shuffling the big side — Spark shuffles only the

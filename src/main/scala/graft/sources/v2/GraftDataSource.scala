@@ -213,7 +213,7 @@ object GraftTables {
           CaseInsensitiveStringMap.empty(), Seq(dataDir), None,
           classOf[ParquetFileFormat])
         new GraftSnapshotTable(tableName, spark, root, inner.schema, Some(inner),
-          mergeKey, dataDir = Some(dataDir))
+          mergeKey, dataDir = Some(dataDir), resolvedVersion = Some(v))
     }
   }
 }
@@ -242,11 +242,14 @@ object GraftTables {
   * Either way history is immutable: old versions stay readable via
   * `versionAsOf` until [[Warehouse.vacuum]] prunes them.
   */
-class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
+class GraftSnapshotTable(tableName: String,
+    private[v2] val spark: SparkSession, private[v2] val root: String,
     tableSchema: StructType, inner: Option[ParquetTable],
-    mergeKeyOpt: Option[String], dataDir: Option[String] = None)
+    mergeKeyOpt: Option[String], dataDir: Option[String] = None,
+    private[v2] val resolvedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -360,6 +363,29 @@ class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
     * semantics: rows where the predicate is TRUE go; FALSE and NULL
     * stay. `canDeleteWhere` rejects untranslatable predicates loudly
     * rather than deleting the wrong rows. */
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose predicate cannot
+    * be translated to source filters — e.g. subqueries — which the
+    * metadata-only path above must refuse): GROUP-BASED (copy-on-write)
+    * row-level operations. Spark's own rewrite rules
+    * (`RewriteUpdateTable` / `RewriteMergeIntoTable` /
+    * `RewriteDeleteFromTable`) turn the DML into a ReplaceData plan
+    * over this operation's scan; the replacement snapshot is written
+    * by EXECUTORS through the builtin parquet `FileBatchWrite` into a
+    * private staging dir and published by the driver through the
+    * fenced commit protocol ([[Warehouse.publishStaged]]) — the
+    * publish step moves metadata only.
+    *
+    * Replacement granularity is the WHOLE SNAPSHOT (the warehouse's
+    * commit unit), so [[GraftRowLevelOperation]]'s scan refuses filter
+    * pushdown — a pruned row would be silently dropped by the
+    * replacement write. Partition/file-granular replacement is the
+    * Warehouse API's merge-on-read path ([[Warehouse.deleteWhere]]'s
+    * deletion vectors). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info.command())
+
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => GraftTables.filterToColumn(f).isDefined)
 
@@ -374,6 +400,162 @@ class GraftSnapshotTable(tableName: String, spark: SparkSession, root: String,
     val kept = Warehouse.read(spark, root, tableSchema)
       .filter(not(coalesce(pred, lit(false))))
     Warehouse.commit(spark, root, kept, expectedCurrent = Some(baseVersion))
+  }
+}
+
+/** One UPDATE / MERGE / (non-metadata) DELETE statement against a
+  * [[GraftSnapshotTable]], group-based: Spark reads the FULL resolved
+  * snapshot through [[newScanBuilder]], rewrites it row-by-row per the
+  * DML semantics (its own analyzer rules own the 3VL conditions,
+  * assignment alignment, and the MERGE cardinality check), and hands
+  * the complete replacement to [[newWriteBuilder]]'s batch write.
+  *
+  * The scan deliberately supports COLUMN PRUNING ONLY (ReplaceData
+  * needs every column anyway, so even that is a no-op in practice) and
+  * no filter pushdown of any kind: Spark pushes the command's
+  * condition into this scan for *group* pruning, and any engine whose
+  * replacement unit is coarser than what its scan prunes silently
+  * loses the pruned rows. Snapshot-granularity replace ⇒ full scan,
+  * stated loudly here rather than discovered at 100 TB.
+  *
+  * Scale shape: the rewrite is one distributed scan + one distributed
+  * parquet write (both Spark-native, whole-stage-codegen'd); the
+  * driver's publish is a rename + pointer swap. A snapshot-sized
+  * rewrite per DML statement is the textbook copy-on-write trade —
+  * cheap reads forever, writes pay; high-churn keys belong on the
+  * merge-on-read DV path instead. */
+class GraftRowLevelOperation(table: GraftSnapshotTable,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftReplaceScanBuilder(table.newScanBuilder(options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+            val staging =
+              s"${table.root}/.rlw_${java.util.UUID.randomUUID().toString}"
+            // the staging writer is Spark's OWN parquet V2 write
+            // (executor-parallel, file-committer _SUCCESS semantics) —
+            // the connector adds only where the files land and how
+            // they publish
+            val pt = ParquetTable(s"${table.name()}.replace",
+              GraftTables.classic(table.spark), CaseInsensitiveStringMap.empty(),
+              Seq(staging), Some(info.schema()), classOf[ParquetFileFormat])
+            new GraftReplaceBatchWrite(pt.newWriteBuilder(info).build().toBatch,
+              table.spark, table.root, staging, table.resolvedVersion,
+              info.schema())
+          }
+        }
+    }
+}
+
+/** Column-pruning-only scan wrapper for row-level operations — see
+  * [[GraftRowLevelOperation]] for why filter pushdown must be refused
+  * here. */
+private[v2] class GraftReplaceScanBuilder(inner: ScanBuilder)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+    case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+      p.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+}
+
+/** The replacement write: delegates the data plane to the wrapped
+  * builtin parquet [[org.apache.spark.sql.connector.write.BatchWrite]]
+  * (executors write the staged snapshot), then publishes the staged
+  * dir as the next version through the fenced protocol
+  * ([[Warehouse.publishStaged]]). `baseVersion` is the version the
+  * statement's SCAN resolved — publishing over an interleaved commit
+  * would drop its rows, so the fence aborts loudly instead (and a
+  * time-traveled relation can never rewrite the present). Abort rolls
+  * back both layers: task files via the inner committer, the staging
+  * dir wholesale. */
+private[v2] class GraftReplaceBatchWrite(
+    inner: org.apache.spark.sql.connector.write.BatchWrite,
+    spark: SparkSession, root: String, staging: String,
+    baseVersion: Option[Long], dataSchema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftReplaceWriterFactory(inner.createBatchWriterFactory(info), dataSchema)
+
+  override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+
+  override def onDataWriterCommit(
+      message: org.apache.spark.sql.connector.write.WriterCommitMessage): Unit =
+    inner.onDataWriterCommit(message)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    inner.commit(messages) // job-commit: staged files finalized + _SUCCESS
+    Warehouse.publishStaged(spark, root, staging,
+      expectedCurrent = Some(baseVersion))
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    try inner.abort(messages)
+    finally GraftTables.fs(spark, staging).delete(new Path(staging), true)
+}
+
+/** Strips the rewrite's prepended `__row_operation` column before rows
+  * reach the parquet writer.
+  *
+  * Spark's UPDATE/MERGE rewrites emit `[__row_operation, <table
+  * columns>]`, but `ReplaceDataExec` only applies its row projection
+  * on the metadata-columns path (`DataAndMetadataWritingSparkTask`);
+  * with no required metadata attributes the RAW rows reach the
+  * `DataWriter`, and a writer configured with the clean table schema
+  * then reads every field one ordinal off — string lengths become
+  * garbage integers (observed as `NegativeArraySizeException` /
+  * SIGSEGV inside `ParquetWriteSupport`). This wrapper restores the
+  * documented contract at the connector boundary, mirroring
+  * `DataAndMetadataWritingSparkTask.write` exactly: op-column rows are
+  * written only for WRITE(5)/WRITE_WITH_METADATA(6) through a reusable
+  * [[org.apache.spark.sql.catalyst.ProjectingInternalRow]]; rows
+  * already in table shape (the DELETE rewrite emits no op column) pass
+  * through; anything else is a loud error, never a misaligned write. */
+private[v2] class GraftReplaceWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val n = dataSchema.length
+      private val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, (1 to n).toIndexedSeq)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == n) w.write(row)
+        else if (row.numFields == n + 1) {
+          val op = row.getInt(0)
+          if (op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_OPERATION ||
+            op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_WITH_METADATA_OPERATION) {
+            proj.project(row)
+            w.write(proj)
+          } // other op codes carry no replacement data — skip, as
+          // Spark's own DataAndMetadataWritingSparkTask does
+        } else throw new IllegalStateException(
+          s"graft: replacement row has ${row.numFields} fields; expected" +
+            s" $n (table shape) or ${n + 1} (with __row_operation)")
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
   }
 }
 

@@ -288,6 +288,81 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .head().getLong(0) === total - matching)
   }
 
+  test("SQL UPDATE rewrites matching rows, keeps 3VL nulls, loses nothing") {
+    val root = s"$catalogBase/upd"
+    // multi-file snapshot: if the row-level scan let the UPDATE
+    // condition push down, pruned files' rows would VANISH from the
+    // copy-on-write replacement — the count assert below is the trap
+    Warehouse.commit(spark, root, batch(50, n = 40).repartition(8))
+    val before = Warehouse.read(spark, root).cache()
+    val total = before.count()
+    val hot = before.filter(col("temperature_celsius") > 21.0).count()
+    val nulls = before.filter(col("temperature_celsius").isNull).count()
+    assert(hot > 0 && nulls > 0 && hot + nulls < total,
+      "fixture must have matching, null, and non-matching rows")
+    spark.sql("UPDATE gwh_test.upd SET quality_score = quality_score + 1.0," +
+      " region = 'REWRITTEN' WHERE temperature_celsius > 21.0")
+    val after = spark.sql("SELECT * FROM gwh_test.upd").cache()
+    assert(after.count() === total, "UPDATE must not lose rows")
+    assert(after.filter(col("region") === "REWRITTEN").count() === hot)
+    // NULL condition rows untouched (SQL 3VL)
+    assert(sortedRows(after.filter(col("temperature_celsius").isNull))
+      === sortedRows(before.filter(col("temperature_celsius").isNull)))
+    // history: v0 still pre-update
+    assert(spark.sql("SELECT count(*) FROM gwh_test.upd VERSION AS OF 0" +
+      " WHERE region = 'REWRITTEN'").head().getLong(0) === 0L)
+    before.unpersist(); after.unpersist()
+  }
+
+  test("SQL MERGE INTO: matched-delete, matched-update, not-matched-insert") {
+    val root = s"$catalogBase/mrg"
+    Warehouse.commit(spark, root, batch(60, n = 20))
+    val tgt = Warehouse.read(spark, root).cache()
+    // localCheckpoint: the generator plan is rand()-seeded, and the
+    // merge rewrite embeds the source in a group-filter subquery that
+    // CheckAnalysis requires to be DETERMINISTIC — materialize first
+    val src = batch(61, n = 20, idOffset = 10).localCheckpoint(true)
+    src.createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO gwh_test.mrg t USING mrg_src s
+      ON t.shipment_id = s.shipment_id
+      WHEN MATCHED AND s.quality_score < 7.0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // mirror of MERGE semantics in DataFrame ops
+    val matched = src.join(tgt.select("shipment_id"), Seq("shipment_id"), "semi")
+    val expected = tgt.join(src.select("shipment_id"), Seq("shipment_id"), "left_anti")
+      .unionByName(matched.filter(not(coalesce(col("quality_score") < 7.0, lit(false)))))
+      .unionByName(src.join(tgt.select("shipment_id"), Seq("shipment_id"), "left_anti"))
+      .select(tgt.columns.map(col).toIndexedSeq: _*)
+    assert(sortedRows(spark.sql("SELECT * FROM gwh_test.mrg")
+      .select(tgt.columns.map(col).toIndexedSeq: _*)) === sortedRows(expected))
+    // a second merge of the SAME source is idempotent for the
+    // update/insert clauses and deletes nothing new
+    spark.sql("""MERGE INTO gwh_test.mrg t USING mrg_src s
+      ON t.shipment_id = s.shipment_id
+      WHEN MATCHED AND s.quality_score < 7.0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sortedRows(spark.sql("SELECT * FROM gwh_test.mrg")
+      .select(tgt.columns.map(col).toIndexedSeq: _*)) === sortedRows(expected))
+    tgt.unpersist()
+  }
+
+  test("SQL DELETE with a subquery predicate takes the row-level rewrite path") {
+    val root = s"$catalogBase/delsub"
+    Warehouse.commit(spark, root, batch(70, n = 30))
+    val before = Warehouse.read(spark, root)
+    val mean = before.agg(avg("quality_score")).head().getDouble(0)
+    val below = before.filter(col("quality_score") < mean).count()
+    assert(below > 0 && below < 30)
+    // not expressible as source filters -> canDeleteWhere=false ->
+    // Spark falls back to the group-based ReplaceData rewrite
+    spark.sql("DELETE FROM gwh_test.delsub WHERE quality_score <" +
+      " (SELECT avg(quality_score) FROM gwh_test.delsub VERSION AS OF 0)")
+    assert(spark.sql("SELECT count(*) FROM gwh_test.delsub").head().getLong(0)
+      === 30L - below)
+  }
+
   // ---------------------------------------------------------------- CDC
 
   private def cdcRoot(): String = {
