@@ -259,6 +259,10 @@ object SparkEntry {
     // batch-split-invariant and equals d28's exhaustive oracle.
     "s17_stream_neardup_gate" -> (StreamingQueries.streamNearDupGate _),
     "s18_stream_change_feed" -> ((s, _) => cocoaCdcStream(s)),
+    // s19: the same dual-drain as s04, but the sink is the CONNECTOR
+    // (writeStream.format("graft")) — exactly-once via the sink's
+    // in-snapshot epoch markers instead of foreachBatch code.
+    "s19_stream_sink" -> ((s, _) => cocoaStreamSinkWarehouse(s)),
     "s07_stream_jdbc_warehouse" -> ((s, _) => cocoaStreamJdbcWarehouse(s)),
     "s01_streaming_daily_stats" -> (StreamingQueries.dailyEventStats _),
     "s05_streaming_dedup" -> (StreamingQueries.dedupedEvents _),
@@ -1089,6 +1093,28 @@ object SparkEntry {
       checkpoint, processedAt = Some(new Timestamp(1700000100000L)))
     Warehouse.read(spark, warehouse).orderBy("shipment_id")
   }
+
+  /** s19: s04's pipeline with the sink swapped for the connector —
+    * `writeStream.format("graft")` ([[graft.sources.v2.GraftStreamSink]]).
+    * Same seeds/stamps as [[runCocoaStream]] ⇒ same DuckDB oracle. */
+  private val cocoaStreamSinkMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def cocoaStreamSinkWarehouse(spark: SparkSession): DataFrame =
+    cocoaStreamSinkMemo.computeIfAbsent(spark, { s =>
+      val root = Files.createTempDirectory("cocoa_stream_sink_verify").toString
+      val landing = s"$root/landing"
+      val warehouse = s"$root/warehouse"
+      val checkpoint = s"$root/checkpoint"
+      val scoped = pipelineSession(s)
+      CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 41, idOffset = 0)
+      graft.streaming.CocoaStream.runAvailableNowSink(scoped, landing, warehouse,
+        checkpoint, processedAt = Some(new Timestamp(1700000000000L)))
+      CocoaGen.writeLandingFiles(scoped, landing, 2, 500, seed = 42, idOffset = 500)
+      graft.streaming.CocoaStream.runAvailableNowSink(scoped, landing, warehouse,
+        checkpoint, processedAt = Some(new Timestamp(1700000100000L)))
+      Warehouse.read(s, warehouse).orderBy("shipment_id")
+    })
 
   private def runCocoaStream(spark: SparkSession): DataFrame = {
     val root = Files.createTempDirectory("cocoa_stream_verify").toString
@@ -3800,6 +3826,7 @@ object SparkEntry {
     // consume byte-identical generated batches.)
     "s04_cocoa_stream_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "s15_stream_crash_recovery" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    "s19_stream_sink" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // s16: both cells deterministic — two increment files make two
     // micro-batches; the equality certificate is computed
     // distributively against the one-shot encode (v02 pattern).

@@ -51,9 +51,29 @@ import graft.pipeline.Warehouse
   *  - `mergeKey`: upsert key for the write path (default
   *    `shipment_id` when present, else plain append)
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — see [[GraftStreamSink]]. Options:
+    * `path` (warehouse root), `mergeKey`, `streamAppId` (default
+    * "default"; namespaces the exactly-once epoch markers so several
+    * independent streams can share one table). */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft: the streaming sink does not take partitionBy — partition at" +
+        " compaction time (Warehouse.compactClustered) instead")
+    val root = parameters.get("path").map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: warehouse root required — writeStream.format(\"graft\").start(<root>)"))
+    new GraftStreamSink(sqlContext.sparkSession, root,
+      parameters.get(GraftTables.MergeKey).map(_.trim).filter(_.nonEmpty),
+      parameters.getOrElse("streamAppId", "default"), outputMode)
+  }
 
   // `true` so the WRITE path hands the incoming frame's schema to
   // [[getTable]]: the first write to a fresh root bootstraps the
@@ -187,13 +207,14 @@ object GraftTables {
         // No data yet: readable/writable if the catalog declared a
         // schema at CREATE TABLE time ([[GraftCatalog.SchemaSidecar]])
         // or the caller supplied one (the first WRITE to a fresh root
-        // bootstraps from the incoming frame's schema).
-        GraftCatalog.readSchemaSidecar(spark, root).orElse(fallbackSchema) match {
+        // bootstraps from the incoming frame's schema). An EMPTY
+        // fallback schema is the round-trip of [[GraftBootstrapTable]]
+        // through inferSchema→getTable, not a declaration.
+        GraftCatalog.readSchemaSidecar(spark, root)
+          .orElse(fallbackSchema.filter(_.nonEmpty)) match {
           case Some(schema) =>
             new GraftSnapshotTable(tableName, spark, root, schema, None, mergeKey)
-          case None => throw new IllegalArgumentException(
-            s"graft: no committed snapshot under $root and no declared schema —" +
-              " commit data (Warehouse.commit) or CREATE TABLE first")
+          case None => new GraftBootstrapTable(tableName, root)
         }
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))
@@ -557,6 +578,25 @@ private[v2] class GraftReplaceWriterFactory(
       override def close(): Unit = w.close()
     }
   }
+}
+
+/** A never-committed, never-declared root. Resolvable — so the
+  * `writeStream` dispatch (which must materialize a table before it
+  * can decide to fall back to the V1 [[GraftStreamSink]] that
+  * bootstraps the table at its first batch) does not die in
+  * `inferSchema` — but LOUD on any read attempt: a fresh root must
+  * never scan as silently empty. */
+private[v2] class GraftBootstrapTable(tableName: String, root: String)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = new StructType()
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalArgumentException(
+      s"graft: no committed snapshot under $root and no declared schema —" +
+        " commit data (Warehouse.commit) or CREATE TABLE first")
 }
 
 /** Zero-partition scan for a declared-but-empty table. */

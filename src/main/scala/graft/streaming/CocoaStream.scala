@@ -81,6 +81,35 @@ object CocoaStream {
     batches
   }
 
+  /** Streaming drain through the CONNECTOR SINK
+    * (`writeStream.format("graft")`, [[graft.sources.v2.GraftStreamSink]])
+    * instead of foreachBatch: the enrichment runs as a streaming
+    * transform, the sink owns the keyed upsert AND exactly-once (its
+    * in-snapshot epoch marker makes micro-batch replays durable
+    * no-ops — a strictly stronger contract than the foreachBatch
+    * variant's idempotence-by-LWW, which relies on replays carrying
+    * identical stamps). Same declarative pipeline a user would write;
+    * no sink code in the query. */
+  def runAvailableNowSink(spark: SparkSession, landingDir: String,
+      warehouseDir: String, checkpointDir: String,
+      processedAt: Option[Timestamp] = None): Unit = {
+    val stream = spark.readStream
+      .schema(CocoaSchema.input)
+      .option("header", "true")
+      .option("enforceSchema", "false")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+      .csv(landingDir)
+    val enriched = Enrich.enrich(stream,
+      processedAt.getOrElse(new Timestamp(System.currentTimeMillis())))
+    val query = enriched.writeStream
+      .format("graft")
+      .option("mergeKey", CocoaSchema.mergeKey)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start(warehouseDir)
+    query.awaitTermination()
+  }
+
   /** Streaming drain straight into an EXTERNAL RDBMS — the reference's
     * production shape (stream of landing files → Postgres table) run
     * through [[graft.pipeline.JdbcWarehouse]]'s distributed upsert in

@@ -18,4 +18,19 @@ object Bridge {
   /** Wrap a logical plan back into a DataFrame on `spark`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Rebind a V1 streaming sink's `addBatch` frame (a Dataset over the
+    * engine's IncrementalExecution) as a plain BATCH DataFrame over the
+    * already-planned RDD — the standard sink idiom (cf. Delta's sink):
+    * writing `data` directly would re-analyze a plan containing
+    * streaming sources and fail, while the executed RDD is exactly the
+    * micro-batch. */
+  def unstream(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[_]]
+    val session = ds.sparkSession
+    val qe = ds.queryExecution
+    ClassicDataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD(
+        qe.analyzed.output, qe.toRdd, isStreaming = false)(session))
+  }
 }

@@ -313,4 +313,66 @@ class WarehouseCommitSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(Warehouse.versionPath(root, 1L))))
     assert(fs.exists(new Path(Warehouse.versionPath(root, 2L))))
   }
+
+  // ---------------------------------------------------- publishStaged
+
+  private def stageDir(root: String, df: org.apache.spark.sql.DataFrame): String = {
+    val stage = s"$root/.staged_${java.util.UUID.randomUUID()}"
+    df.write.parquet(stage) // parquet job commit writes _SUCCESS
+    stage
+  }
+
+  test("publishStaged: staged dir becomes the next version atomically") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(60))
+    val next = batch(61)
+    val stage = stageDir(root, next)
+    val v = Warehouse.publishStaged(spark, root, stage,
+      expectedCurrent = Some(Some(0L)))
+    assert(v === 1L)
+    assert(!hfs(root).exists(new Path(stage)), "staging renamed away")
+    assert(Warehouse.currentVersion(spark, root) === Some(1L))
+    assert(Warehouse.read(spark, root).orderBy("shipment_id").collect().toSeq
+      === next.orderBy("shipment_id").collect().toSeq)
+    // history intact
+    assert(spark.read.parquet(Warehouse.versionPath(root, 0L)).count() === 10)
+  }
+
+  test("publishStaged: expectedCurrent fence aborts loudly and cleans the staging dir") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(62))
+    Warehouse.commit(spark, root, batch(63)) // the interleaved commit
+    val stage = stageDir(root, batch(64))
+    val e = intercept[IllegalStateException] {
+      // caller derived its replacement from v0, but current is v1
+      Warehouse.publishStaged(spark, root, stage,
+        expectedCurrent = Some(Some(0L)))
+    }
+    assert(e.getMessage.contains("publish fenced"))
+    assert(!hfs(root).exists(new Path(stage)),
+      "a fenced publish must not leak its staging dir")
+    assert(Warehouse.currentVersion(spark, root) === Some(1L), "nothing published")
+  }
+
+  test("publishStaged: refuses half-written staging (no _SUCCESS) and foreign paths") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(65))
+    val fs = hfs(root)
+    val half = new Path(root, ".half_written")
+    fs.mkdirs(half)
+    val e1 = intercept[IllegalArgumentException] {
+      Warehouse.publishStaged(spark, root, half.toString)
+    }
+    assert(e1.getMessage.contains("_SUCCESS"))
+    assert(!fs.exists(half), "refused staging is cleaned up")
+    // a path not directly under root (or not dot-prefixed) is refused
+    // BEFORE any destructive cleanup
+    val outside = Files.createTempDirectory("not_under_root").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Warehouse.publishStaged(spark, root, outside)
+    }
+    assert(e2.getMessage.contains("dot-prefixed"))
+    assert(hfs(outside).exists(new Path(outside)),
+      "a refused foreign path must never be deleted")
+  }
 }
