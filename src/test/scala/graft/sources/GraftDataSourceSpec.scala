@@ -348,6 +348,26 @@ class GraftDataSourceSpec extends AnyFunSuite {
     tgt.unpersist()
   }
 
+  test("row-level scan refuses filter pushdown (replacement granularity = snapshot)") {
+    val root = s"$catalogBase/pushpin"
+    Warehouse.commit(spark, root, batch(80, n = 30))
+    // the UPDATE condition is pushed into the operation's scan for
+    // GROUP pruning; with snapshot-granular replacement any pruned row
+    // would vanish from the rewrite — the scan must report an empty
+    // pushdown, and the whole table must survive a selective UPDATE
+    val plan = spark.sql("EXPLAIN FORMATTED UPDATE gwh_test.pushpin" +
+      " SET quality_score = 0.0 WHERE quality_score > 9.5")
+      .head().getString(0)
+    assert(plan.contains("ReplaceData") && plan.contains("BatchScan"),
+      s"expected the row-level rewrite plan, got:\n$plan")
+    // the scan section omits PushedFilters entirely when nothing is
+    // pushed; any non-empty list here is the data-loss bug
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(pushed.forall(_.isEmpty),
+      s"row-level scan must push NO filters, got $pushed in:\n$plan")
+  }
+
   test("SQL DELETE with a subquery predicate takes the row-level rewrite path") {
     val root = s"$catalogBase/delsub"
     Warehouse.commit(spark, root, batch(70, n = 30))
