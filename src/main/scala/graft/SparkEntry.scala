@@ -641,6 +641,7 @@ object SparkEntry {
     "io12_dsv2_time_travel"  -> ((s, _) => cocoaDsv2TimeTravel(s)),
     "io13_sql_time_travel"   -> ((s, _) => cocoaSqlTimeTravel(s)),
     "io14_dsv2_zonemap"      -> ((s, _) => cocoaDsv2ZoneMap(s)),
+    "io15_dsv2_runtime_prune" -> ((s, _) => cocoaDsv2RuntimePrune(s)),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -1349,6 +1350,29 @@ object SparkEntry {
       spark.read.parquet(dataDir).schema, Seq("quality_score"))
     spark.read.format("graft").load(root)
       .filter(col("quality_score") >= lit(9.5))
+      .orderBy("shipment_id")
+  }
+
+  /** io15: DYNAMIC partition pruning through the connector
+    * ([[graft.sources.v2.GraftRuntimeScan]]) — a hive-partitioned
+    * snapshot joined against a selective file-backed dimension; the
+    * DPP subquery's runtime `IN` folds into the scan's partition
+    * filters, so only the surviving `region=` directories are listed
+    * (behavior spec-pinned with a counter; the builtin V2 parquet
+    * scan has no runtime filtering at all). The hash match certifies
+    * pruning never changes the join's result. */
+  private def cocoaDsv2RuntimePrune(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_dsv2dpp_wh_", keep = 32)
+    Warehouse.commitPartitioned(spark, root, wh, Seq("region"))
+    val dimDir = s"$root/../dim"
+    wh.select(col("region")).distinct()
+      .withColumn("keep", (col("region") < lit("F")).cast("int"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.format("graft").load(root)
+    val dim = spark.read.parquet(dimDir).filter(col("keep") === 1)
+    fact.join(org.apache.spark.sql.functions.broadcast(dim), Seq("region"))
+      .select(graft.pipeline.CocoaSchema.warehouse.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy("shipment_id")
   }
 
@@ -3895,6 +3919,10 @@ object SparkEntry {
     // LWW filter — skipping is layout metadata, never semantics.
     "io14_dsv2_zonemap" -> cocoaOracle(
       "SELECT * FROM wh WHERE quality_score >= 9.5 ORDER BY shipment_id"),
+    // io15: the runtime-pruned partitioned join == a plain region
+    // range filter over the LWW warehouse.
+    "io15_dsv2_runtime_prune" -> cocoaOracle(
+      "SELECT * FROM wh WHERE region < 'F' ORDER BY shipment_id"),
     // p24: CREATE TABLE + INSERT INTO (connector upsert) over
     // byte-identical regenerated batches == p01's warehouse.
     "p24_sql_insert_upsert" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),

@@ -447,17 +447,54 @@ object Warehouse {
   def read(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame =
     currentVersion(spark, root) match {
-      case Some(v) =>
-        // normalize to declared column ORDER: a hive-partitioned
-        // version ([[commitPartitioned]]) surfaces its partition
-        // columns appended last regardless of the declared schema —
-        // the projection restores the contract and collapses to a
-        // no-op on flat layouts
-        spark.read.schema(schema).parquet(dataPath(spark, root, v))
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      case Some(v) => readData(spark, root, dataPath(spark, root, v), schema)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  /** TIME-TRAVEL read of one committed version through the
+    * correct-or-loud path (clone indirection resolved, listing-race
+    * validated). Prefer this over raw `spark.read.parquet
+    * (versionPath(...))` for any reader that can race a vacuum — the
+    * raw read is subject to Spark's silent-empty listing window (see
+    * [[readData]]). */
+  def readVersion(spark: SparkSession, root: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame = {
+    val fs = Ingest.fs(spark, root)
+    require(fs.exists(new Path(versionPath(root, v), "_SUCCESS")) ||
+      fs.exists(new Path(versionPath(root, v), clonePointer)),
+      s"readVersion: version $v of $root is missing or incomplete")
+    readData(spark, root, dataPath(spark, root, v), schema)
+  }
+
+  /** Explicit-schema parquet read of one snapshot data dir, loud when
+    * the dir vanished mid-resolution.
+    *
+    * Spark's parallel listing TOLERATES a directory deleted between
+    * the glob existence check and the leaf listing: `HadoopFSUtils`
+    * logs a WARN and returns an EMPTY file set, and with an explicit
+    * schema nothing else fails — a reader racing a vacuum would get
+    * zero rows SILENTLY, the one failure mode a lakehouse read must
+    * never have. The listing happens eagerly at `spark.read.parquet`,
+    * so checking it here closes the window completely: empty listing +
+    * dir gone ⇒ loud; non-empty listing ⇒ concrete files are pinned
+    * and a later prune fails the scan loudly (`ignoreMissingFiles`
+    * stays false); empty listing + dir present ⇒ a genuinely empty
+    * snapshot, correct.
+    *
+    * Also normalizes to declared column ORDER: a hive-partitioned
+    * version ([[commitPartitioned]]) surfaces its partition columns
+    * appended last regardless of the declared schema. */
+  private def readData(spark: SparkSession, root: String, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val df = spark.read.schema(schema).parquet(dir)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    if (df.inputFiles.isEmpty && !Ingest.fs(spark, root).exists(new Path(dir)))
+      throw new IllegalStateException(
+        s"warehouse read raced a prune: $dir vanished during file listing —" +
+          " re-resolve the version and retry (a silent empty scan is refused)")
+    df
+  }
 
   /** Write `df` as the next snapshot and atomically publish it.
     * Returns the committed version.

@@ -309,7 +309,14 @@ class GraftSnapshotTable(tableName: String,
         case Some(idx) =>
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
             GraftTables.classic(spark), idx, t.schema, t.dataSchema, options)
-        case None => t.newScanBuilder(options)
+        case None => t.newScanBuilder(options) match {
+          // partitioned snapshots additionally get DYNAMIC partition
+          // pruning (the builtin V2 parquet scan has none) — see
+          // [[GraftRuntimeScan]]
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+            new GraftRuntimeScanBuilder(p)
+          case other => other
+        }
       }
       case None => new GraftEmptyScanBuilder(tableSchema)
     }
@@ -487,7 +494,15 @@ private[v2] class GraftReplaceScanBuilder(inner: ScanBuilder)
       p.pruneColumns(requiredSchema)
     case _ => ()
   }
-  override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+  // unwrap runtime filtering too: a runtime group-filter pruning
+  // partitions under a snapshot-granular replace would DROP the pruned
+  // partitions' rows (RowLevelOperationRuntimeGroupFiltering only
+  // engages for filterable scans — unwrapping keeps it off)
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    inner.build() match {
+      case r: GraftRuntimeScan => r.innerScan
+      case s => s
+    }
 }
 
 /** The replacement write: delegates the data plane to the wrapped

@@ -203,7 +203,7 @@ class WarehouseCommitSpec extends AnyFunSuite {
         new Timestamp(1000000L)).repartition(4)) === 0L)
     assert(Warehouse.commit(spark, root, batch(52)) === 1L)
     val heldPath = Warehouse.versionPath(root, 0L)
-    val expected = spark.read.schema(CocoaSchema.warehouse).parquet(heldPath)
+    val expected = Warehouse.readVersion(spark, root, 0L)
       .collect().map(_.toString).sorted.toSeq
     assert(expected.size === 40)
 
@@ -213,9 +213,13 @@ class WarehouseCommitSpec extends AnyFunSuite {
     val reader = new Thread(() => {
       while (!stop && silentWrong.isEmpty) {
         try {
-          // fresh frame each pass: resolve-then-read, like a time-travel
-          // consumer that pinned the version path
-          val got = spark.read.schema(CocoaSchema.warehouse).parquet(heldPath)
+          // fresh frame each pass, through the API read: a RAW
+          // spark.read.parquet of the pinned path is subject to
+          // Spark's silent-empty listing window (directory deleted
+          // between glob check and leaf listing returns an empty file
+          // set with only a WARN) — Warehouse.readVersion validates
+          // the listing against the directory and is correct-or-loud
+          val got = Warehouse.readVersion(spark, root, 0L)
             .collect().map(_.toString).sorted.toSeq
           if (got != expected)
             silentWrong = Some(s"read ${got.size} rows, expected 40, no error raised")

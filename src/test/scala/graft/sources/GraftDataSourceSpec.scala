@@ -348,6 +348,47 @@ class GraftDataSourceSpec extends AnyFunSuite {
     tgt.unpersist()
   }
 
+  test("dynamic partition pruning reaches partitioned connector reads") {
+    import graft.sources.v2.GraftRuntimeScan
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(81, n = 120), Seq("region"))
+    val fact = spark.read.format("graft").load(root)
+    val regions = fact.select("region").distinct().collect().map(_.getString(0))
+    assert(regions.length >= 3, "fixture must span several partitions")
+    // a selective broadcast dim: only ONE region survives its filter.
+    // Must be FILE-backed — a local collection constant-folds to a
+    // LocalRelation, the Filter node disappears, and PartitionPruning
+    // has no selective predicate to key on (same with V1 scans).
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    spark.createDataFrame(
+      regions.toSeq.map(r => (r, if (r == regions.head) 1 else 0)))
+      .toDF("region", "keep").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(broadcast(dim.filter(col("keep") === 1)), Seq("region"))
+    val before = GraftRuntimeScan.runtimeFiltersApplied.get()
+    val got = joined.collect()
+    assert(GraftRuntimeScan.runtimeFiltersApplied.get() > before,
+      "the DPP subquery must reach the connector scan as a runtime filter\n" +
+        joined.queryExecution.executedPlan.toString)
+    val expect = Warehouse.read(spark, root)
+      .filter(col("region") === regions.head).count()
+    assert(got.length === expect.toInt, "pruning must not change results")
+  }
+
+  test("row-level ops on PARTITIONED snapshots never runtime-prune (no lost rows)") {
+    import graft.sources.v2.GraftRuntimeScan
+    val root = s"$catalogBase/updpart"
+    Warehouse.commitPartitioned(spark, root, batch(82, n = 60), Seq("region"))
+    val total = Warehouse.read(spark, root).count()
+    val before = GraftRuntimeScan.runtimeFiltersApplied.get()
+    spark.sql("UPDATE gwh_test.updpart SET quality_score = 0.0" +
+      " WHERE region = 'Volta'")
+    assert(GraftRuntimeScan.runtimeFiltersApplied.get() === before,
+      "a row-level rewrite must never receive runtime group filters")
+    assert(spark.sql("SELECT count(*) FROM gwh_test.updpart").head().getLong(0)
+      === total, "selective UPDATE on a partitioned snapshot must keep every row")
+  }
+
   test("row-level scan refuses filter pushdown (replacement granularity = snapshot)") {
     val root = s"$catalogBase/pushpin"
     Warehouse.commit(spark, root, batch(80, n = 30))
