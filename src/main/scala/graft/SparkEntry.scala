@@ -223,6 +223,7 @@ object SparkEntry {
     "p25_sql_delete" -> ((s, _) => cocoaSqlDelete(s)),
     "p26_sql_update" -> ((s, _) => cocoaSqlUpdate(s)),
     "p27_sql_merge" -> ((s, _) => cocoaSqlMerge(s)),
+    "p28_sql_alter_evolve" -> ((s, _) => cocoaSqlAlterEvolve(s)),
     // p14: WRITE-AUDIT-PUBLISH — a poisoned snapshot is staged,
     // audited, and rejected (no version ever appears); the clean one
     // publishes. Reading v0 pins "the bad batch never landed" into
@@ -1374,6 +1375,26 @@ object SparkEntry {
     fact.join(org.apache.spark.sql.functions.broadcast(dim), Seq("region"))
       .select(graft.pipeline.CocoaSchema.warehouse.fieldNames.map(col).toIndexedSeq: _*)
       .orderBy("shipment_id")
+  }
+
+  /** p28: `ALTER TABLE ADD COLUMNS` through the catalog — a pure
+    * METADATA widening (`_SCHEMA` sidecar, zero data rewritten): the
+    * 10-column snapshot reads as 11 columns with the new one NULL,
+    * and a follow-up SQL upsert grades the premium rows. Re-invocation
+    * safe: each run re-commits the ungraded warehouse and re-applies
+    * the (guarded) widening + grading. */
+  private def cocoaSqlAlterEvolve(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = cocoaCatalogBase(spark)
+    Warehouse.commit(spark, s"$base/cocoa_evo", wh)
+    if (!spark.table("graft_wh.cocoa_evo").columns.contains("grade"))
+      spark.sql("ALTER TABLE graft_wh.cocoa_evo ADD COLUMNS (grade STRING)")
+    spark.sql("""INSERT INTO graft_wh.cocoa_evo
+      SELECT shipment_id, timestamp, farm_id, region, bean_type,
+             quality_score, shipment_weight_kg, temperature_celsius,
+             shipment_value_usd, processed_at, 'A' AS grade
+      FROM graft_wh.cocoa_evo WHERE quality_score >= 9.0""")
+    spark.sql("SELECT * FROM graft_wh.cocoa_evo ORDER BY shipment_id")
   }
 
   /** Catalog root for the SQL-native gates: `base/cocoa` holds v0 =
@@ -3957,6 +3978,14 @@ object SparkEntry {
         |  temperature_celsius, shipment_value_usd, processed_at
         |FROM wh
         |ORDER BY shipment_id""".stripMargin),
+    // p28: metadata-only widening + graded upsert — old rows NULL,
+    // premium rows grade 'A'.
+    "p28_sql_alter_evolve" -> cocoaOracle(
+      """SELECT shipment_id, "timestamp", farm_id, region, bean_type,
+        |  quality_score, shipment_weight_kg, temperature_celsius,
+        |  shipment_value_usd, processed_at,
+        |  CASE WHEN quality_score >= 9.0 THEN 'A' ELSE NULL END AS grade
+        |FROM wh ORDER BY shipment_id""".stripMargin),
     // p19: the as-of point sits between the batch stamps, so the
     // as-of state IS enriched batch 1 — re-aggregated directly.
     "p19_scd2_asof" -> {

@@ -163,10 +163,45 @@ class GraftCatalog extends TableCatalog {
       inner = None, mergeKeyOpt = tableMergeKey)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: ALTER TABLE is not supported — schema evolves with commits" +
-        " (Warehouse.renameColumns for renames)")
+  /** `ALTER TABLE … ADD COLUMNS` / `SET TBLPROPERTIES` /
+    * `UNSET TBLPROPERTIES`: pure METADATA operations — the widened
+    * schema lands in the `_SCHEMA` sidecar and every snapshot (past
+    * and future) reads under it, with the not-yet-existing columns as
+    * NULL (parquet missing-column semantics; the warehouse documents
+    * this evolution contract on [[graft.pipeline.Warehouse.read]]).
+    * No data rewrite, ever — the 100 TB cost of this DDL is one
+    * sidecar write. Added columns must be top-level and nullable;
+    * renames/drops/type changes need a rewrite and stay loud
+    * ([[graft.pipeline.Warehouse.renameColumns]]). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    var schema = loadTable(ident).schema()
+    val props = scala.collection.mutable.LinkedHashMap(
+      GraftCatalog.readProps(spark, root).toSeq: _*)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft: only top-level ADD COLUMN is supported")
+        val colName = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(colName),
+          s"graft: column '$colName' already exists")
+        require(add.isNullable,
+          "graft: added columns must be nullable — every existing snapshot" +
+            " reads them as NULL")
+        schema = schema.add(colName, add.dataType(), nullable = true)
+      case set: TableChange.SetProperty => props(set.property()) = set.value()
+      case rm: TableChange.RemoveProperty => props.remove(rm.property())
+      case other => throw new UnsupportedOperationException(
+        s"graft: unsupported ALTER TABLE change $other — renames, drops and" +
+          " type changes need a rewrite (Warehouse.renameColumns)")
+    }
+    val fs = GraftTables.fs(spark, root)
+    val out = fs.create(new Path(root, GraftCatalog.SchemaSidecar), true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    GraftCatalog.writeProps(fs, root, props.toMap)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -230,9 +230,25 @@ object GraftTables {
             " scan would surface physical (pre-rename) column names — read" +
             " via Warehouse.readMapped")
         val dataDir = Warehouse.dataPath(spark, root, v)
-        val inner = ParquetTable(s"$tableName@v$v", classic(spark),
+        val inferred = ParquetTable(s"$tableName@v$v", classic(spark),
           CaseInsensitiveStringMap.empty(), Seq(dataDir), None,
           classOf[ParquetFileFormat])
+        // Schema evolution (ALTER TABLE ADD COLUMNS): a declared
+        // `_SCHEMA` sidecar that is a SUPERSET of the files' schema is
+        // the table's schema — files missing the added columns read
+        // them as NULL. A sidecar that does NOT cover the files (e.g.
+        // stale after API-side commits widened the data directly)
+        // must never win: it would silently HIDE committed columns.
+        val declared = GraftCatalog.readSchemaSidecar(spark, root).filter(d =>
+          inferred.schema.fields.forall(f =>
+            d.fields.exists(df => df.name == f.name && df.dataType == f.dataType)) &&
+            d.length > inferred.schema.length)
+        val inner = declared match {
+          case Some(d) => ParquetTable(s"$tableName@v$v", classic(spark),
+            CaseInsensitiveStringMap.empty(), Seq(dataDir), Some(d),
+            classOf[ParquetFileFormat])
+          case None => inferred
+        }
         new GraftSnapshotTable(tableName, spark, root, inner.schema, Some(inner),
           mergeKey, dataDir = Some(dataDir), resolvedVersion = Some(v))
     }

@@ -348,6 +348,36 @@ class GraftDataSourceSpec extends AnyFunSuite {
     tgt.unpersist()
   }
 
+  test("ALTER TABLE ADD COLUMNS is metadata-only; every snapshot reads widened") {
+    catalogBase // force catalog registration
+    spark.sql("CREATE TABLE gwh_test.evo (id STRING, v DOUBLE) USING graft" +
+      " TBLPROPERTIES ('mergeKey'='id')")
+    spark.sql("INSERT INTO gwh_test.evo VALUES ('a', 1.0), ('b', 2.0)")
+    spark.sql("ALTER TABLE gwh_test.evo ADD COLUMNS (note STRING)")
+    // old snapshot rows surface the new column as NULL
+    val afterAlter = spark.sql("SELECT id, v, note FROM gwh_test.evo ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.isNullAt(2)))
+    assert(afterAlter.toSeq === Seq(("a", 1.0, true), ("b", 2.0, true)))
+    // new writes carry it; the upsert key still works across the widening
+    spark.sql("INSERT INTO gwh_test.evo VALUES ('b', 20.0, 'hot'), ('c', 3.0, 'new')")
+    val rows = spark.sql("SELECT id, v, note FROM gwh_test.evo ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), Option(r.getString(2))))
+    assert(rows.toSeq === Seq(("a", 1.0, None), ("b", 20.0, Some("hot")),
+      ("c", 3.0, Some("new"))))
+    // time travel BEFORE the widening also reads under the declared
+    // (current) schema — evolution is well-defined in both directions
+    assert(spark.sql("SELECT note FROM gwh_test.evo VERSION AS OF 0")
+      .collect().forall(_.isNullAt(0)))
+    // properties are alterable; destructive changes stay loud
+    spark.sql("ALTER TABLE gwh_test.evo SET TBLPROPERTIES ('team'='graft')")
+    assert(graft.sources.v2.GraftCatalog.readProps(spark,
+      s"$catalogBase/evo").get("team") === Some("graft"))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gwh_test.evo RENAME COLUMN v TO value")
+    }
+    assert(e.getMessage.contains("rewrite"))
+  }
+
   test("dynamic partition pruning reaches partitioned connector reads") {
     import graft.sources.v2.GraftRuntimeScan
     val root = freshRoot()
