@@ -49,6 +49,20 @@ class GraftRuntimeScan(val innerScan: ParquetScan)
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     current.columnarSupportMode()
 
+  // Structural equality on the WRAPPED scan: ParquetScan is a case
+  // class, and exchange/scan reuse (self-joins, shared subplans)
+  // compares Scan instances through BatchScanExec equality — an
+  // identity-equality wrapper would silently disable that reuse.
+  // Runtime-filter state is NOT part of equality deliberately:
+  // BatchScanExec's own case-class params include `runtimeFilters`,
+  // so two scans that prune differently already compare unequal at
+  // the plan level.
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftRuntimeScan => innerScan == g.innerScan
+    case _ => false
+  }
+  override def hashCode(): Int = innerScan.hashCode()
+
   override def filterAttributes(): Array[NamedReference] =
     innerScan.readPartitionSchema.fieldNames.map(Expressions.column)
 

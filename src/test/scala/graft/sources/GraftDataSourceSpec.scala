@@ -405,6 +405,22 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(got.length === expect.toInt, "pruning must not change results")
   }
 
+  test("runtime-filterable scans keep structural equality (exchange/scan reuse)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.v2.{GraftRuntimeScan, GraftTables}
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(83, n = 30), Seq("region"))
+    def scan() = GraftTables
+      .snapshotTable(spark, root, None, None, "t")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val (a, b) = (scan(), scan())
+    assert(a.isInstanceOf[GraftRuntimeScan], "partitioned snapshots wrap")
+    // two independent resolutions of the same snapshot must compare
+    // equal, or self-joins silently lose exchange/scan reuse
+    assert(a === b && a.hashCode === b.hashCode)
+  }
+
   test("row-level ops on PARTITIONED snapshots never runtime-prune (no lost rows)") {
     import graft.sources.v2.GraftRuntimeScan
     val root = s"$catalogBase/updpart"
