@@ -467,7 +467,14 @@ class GraftSnapshotTable(tableName: String,
   * driver's publish is a rename + pointer swap. A snapshot-sized
   * rewrite per DML statement is the textbook copy-on-write trade —
   * cheap reads forever, writes pay; high-churn keys belong on the
-  * merge-on-read DV path instead. */
+  * merge-on-read DV path instead.
+  *
+  * Layout contract: the replacement snapshot is FLAT — Spark's file
+  * V2 write has no dynamic partitioning, so a DML statement on a
+  * hive-partitioned snapshot publishes an unpartitioned next version
+  * (results identical; reads normalize). Restore the clustered layout
+  * with [[graft.pipeline.Warehouse.compactClustered]] / the
+  * `graft_compact` TVF when the table's read pattern needs it. */
 class GraftRowLevelOperation(table: GraftSnapshotTable,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
