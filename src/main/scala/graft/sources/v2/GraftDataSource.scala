@@ -136,6 +136,26 @@ object GraftTables {
     }
   }
 
+  /** Auto CHANGE DATA FEED (the Delta `enableChangeDataFeed` shape):
+    * a table declaring `TBLPROPERTIES('changeFeed'='true')` gets its
+    * stored v-1→v feed published at every connector write — CDC
+    * consumers (batch `readChangeFeed`, the streaming source) then
+    * never re-diff snapshots. Publication is idempotent and keyed on
+    * the table's merge key (required — a keyed diff needs one; loud
+    * otherwise). Best-effort ordering: the feed publishes AFTER the
+    * version; a crash in between leaves a version whose feed read is
+    * LOUD (never wrong), healed by re-running
+    * [[Warehouse.publishChangeFeed]] for that version. */
+  def maybePublishFeed(spark: SparkSession, root: String, v: Long,
+      schema: StructType, mergeKey: Option[String]): Unit =
+    if (v >= 1 &&
+      GraftCatalog.readProps(spark, root).get("changeFeed").contains("true")) {
+      val key = mergeKey.getOrElse(throw new IllegalArgumentException(
+        s"graft: table $root declares changeFeed=true but resolves no merge" +
+          " key — a keyed diff needs one (TBLPROPERTIES('mergeKey'='…'))"))
+      Warehouse.publishChangeFeed(spark, root, v, Seq(key), schema)
+    }
+
   def parseVersion(s: String): Long =
     try s.trim.toLong
     catch {
@@ -341,7 +361,7 @@ class GraftSnapshotTable(tableName: String,
     * table's persisted `_PROPS` sidecar (declared TBLPROPERTIES),
     * else `shipment_id` when the schema carries it (the reference's
     * PK, `cocoa_processing_dag.py:159`), else None = plain append. */
-  private def mergeKey: Option[String] =
+  private[v2] def mergeKey: Option[String] =
     mergeKeyOpt.map(_.trim).filter(_.nonEmpty)
       .orElse(GraftCatalog.readProps(spark, root).get(GraftTables.MergeKey))
       .orElse(Some(graft.pipeline.CocoaSchema.mergeKey))
@@ -394,8 +414,9 @@ class GraftSnapshotTable(tableName: String,
     // silently DROP its rows — commit() aborts loudly instead
     // (lost-update fencing; an overwrite replaces wholesale, so the
     // base it was derived from is immaterial and it takes no fence).
-    Warehouse.commit(spark, root, next,
+    val v = Warehouse.commit(spark, root, next,
       expectedCurrent = if (overwrite) None else Some(baseVersion))
+    GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)
   }
 
   /** SQL `DELETE FROM` / `TRUNCATE TABLE`: COPY-ON-WRITE — the next
@@ -443,7 +464,8 @@ class GraftSnapshotTable(tableName: String,
       .reduceOption(_ && _).getOrElse(lit(true))
     val kept = Warehouse.read(spark, root, tableSchema)
       .filter(not(coalesce(pred, lit(false))))
-    Warehouse.commit(spark, root, kept, expectedCurrent = Some(baseVersion))
+    val v = Warehouse.commit(spark, root, kept, expectedCurrent = Some(baseVersion))
+    GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)
   }
 }
 
@@ -500,7 +522,7 @@ class GraftRowLevelOperation(table: GraftSnapshotTable,
               Seq(staging), Some(info.schema()), classOf[ParquetFileFormat])
             new GraftReplaceBatchWrite(pt.newWriteBuilder(info).build().toBatch,
               table.spark, table.root, staging, table.resolvedVersion,
-              info.schema())
+              info.schema(), table.mergeKey)
           }
         }
     }
@@ -541,7 +563,8 @@ private[v2] class GraftReplaceScanBuilder(inner: ScanBuilder)
 private[v2] class GraftReplaceBatchWrite(
     inner: org.apache.spark.sql.connector.write.BatchWrite,
     spark: SparkSession, root: String, staging: String,
-    baseVersion: Option[Long], dataSchema: StructType)
+    baseVersion: Option[Long], dataSchema: StructType,
+    feedKey: Option[String])
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   override def createBatchWriterFactory(
@@ -558,8 +581,9 @@ private[v2] class GraftReplaceBatchWrite(
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     inner.commit(messages) // job-commit: staged files finalized + _SUCCESS
-    Warehouse.publishStaged(spark, root, staging,
+    val v = Warehouse.publishStaged(spark, root, staging,
       expectedCurrent = Some(baseVersion))
+    GraftTables.maybePublishFeed(spark, root, v, dataSchema, feedKey)
   }
 
   override def abort(

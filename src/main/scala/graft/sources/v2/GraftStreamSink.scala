@@ -104,8 +104,9 @@ class GraftStreamSink(spark: SparkSession, root: String,
       val out = fs.create(new Path(stage, markerName), true)
       try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      Warehouse.publishStaged(spark, root, stage.toString,
+      val v = Warehouse.publishStaged(spark, root, stage.toString,
         expectedCurrent = Some(base))
+      GraftTables.maybePublishFeed(spark, root, v, schema, mergeKey)
     } catch {
       case t: Throwable =>
         try fs.delete(stage, true) catch { case _: java.io.IOException => () }

@@ -470,6 +470,30 @@ class GraftDataSourceSpec extends AnyFunSuite {
       === 30L - below)
   }
 
+  test("changeFeed=true: every connector write publishes its stored feed") {
+    catalogBase // force catalog registration
+    spark.sql("CREATE TABLE gwh_test.cdf (id STRING, v DOUBLE) USING graft" +
+      " TBLPROPERTIES ('mergeKey'='id', 'changeFeed'='true')")
+    spark.sql("INSERT INTO gwh_test.cdf VALUES ('a', 1.0), ('b', 2.0)") // v0: no predecessor
+    spark.sql("INSERT INTO gwh_test.cdf VALUES ('b', 20.0), ('c', 3.0)") // v1
+    spark.sql("DELETE FROM gwh_test.cdf WHERE id = 'a'") // v2
+    spark.sql("UPDATE gwh_test.cdf SET v = 100.0 WHERE id = 'c'") // v3
+    val feed = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(s"$catalogBase/cdf")
+      .select("id", "change_type", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed === Set(("b", "update", 1L), ("c", "insert", 1L),
+      ("a", "delete", 2L), ("c", "update", 3L)))
+    // keyless + changeFeed is loud at publish time, never silently wrong
+    spark.sql("CREATE TABLE gwh_test.cdf_bad (x STRING) USING graft" +
+      " TBLPROPERTIES ('changeFeed'='true')")
+    spark.sql("INSERT INTO gwh_test.cdf_bad VALUES ('p')") // v0: no feed due
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gwh_test.cdf_bad VALUES ('q')")
+    }
+    assert(e.getMessage.contains("changeFeed=true"))
+  }
+
   // ---------------------------------------------------------------- CDC
 
   private def cdcRoot(): String = {
