@@ -74,6 +74,44 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     assert(rows(root) === Map("a" -> 1.0, "b" -> 9.0, "c" -> 5.0))
   }
 
+  test("end-to-end replication: sink + auto-CDF -> CDC stream -> sink") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val a = freshRoot(); val b = freshRoot()
+    // table A: upsert key + auto change-data-feed
+    graft.sources.v2.GraftCatalog.writeProps(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf()),
+      a, Map("mergeKey" -> "id", "changeFeed" -> "true"))
+    val sinkA = new GraftStreamSink(spark, a, Some("id"), "repl", OutputMode.Update())
+    sinkA.addBatch(0, Seq(SinkKV("a", 1.0), SinkKV("b", 2.0)).toDF()) // v0 (no feed due)
+    sinkA.addBatch(1, Seq(SinkKV("b", 20.0), SinkKV("c", 3.0)).toDF()) // v1 + feed
+    sinkA.addBatch(2, Seq(SinkKV("a", 10.0)).toDF()) // v2 + feed
+    // initial load of the replica = A's v0 snapshot; the stream then
+    // applies every subsequent change feed through the connector sink
+    Warehouse.commit(spark, b,
+      Warehouse.readVersion(spark, a, 0L, Encoders.product[SinkKV].schema))
+    val ckpt = Files.createTempDirectory("graft_repl_ckpt").toString
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(a)
+        .filter(col("change_type") =!= "delete")
+        .select(col("id"), col("new_image.v").as("v"))
+        .writeStream.format("graft").option("mergeKey", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(b)
+      q.awaitTermination(60000)
+    }
+    replicate()
+    assert(rows(b) === Map("a" -> 10.0, "b" -> 20.0, "c" -> 3.0),
+      "replica must converge to the source's upserted state")
+    assert(rows(b) === rows(a))
+    // more changes on A; an incremental replication run catches up
+    sinkA.addBatch(3, Seq(SinkKV("d", 4.0)).toDF())
+    replicate()
+    assert(rows(b) === rows(a))
+  }
+
   test("complete mode replaces the snapshot; duplicate keys in one batch are loud") {
     import spark.implicits._
     val root = freshRoot()
