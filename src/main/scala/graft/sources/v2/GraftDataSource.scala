@@ -311,6 +311,12 @@ class GraftSnapshotTable(tableName: String,
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
 
+  /** Declared `_PROPS` (mergeKey, changeFeed, user properties) — so
+    * `SHOW TBLPROPERTIES` and catalog introspection surface what the
+    * write paths actually honor. */
+  override def properties(): java.util.Map[String, String] =
+    GraftCatalog.readProps(spark, root).asJava
+
   override def partitioning(): Array[Transform] =
     inner.map(_.partitioning()).getOrElse(Array.empty)
 

@@ -376,6 +376,10 @@ class GraftDataSourceSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE gwh_test.evo RENAME COLUMN v TO value")
     }
     assert(e.getMessage.contains("rewrite"))
+    // declared properties are introspectable through standard SQL
+    val shown = spark.sql("SHOW TBLPROPERTIES gwh_test.evo")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("mergeKey") === Some("id") && shown.get("team") === Some("graft"))
   }
 
   test("dynamic partition pruning reaches partitioned connector reads") {
