@@ -192,12 +192,14 @@ object GraftTableFunctions {
 
     ("graft_time_travel",
       "graft_time_travel(root, version) - read a graft warehouse table" +
-        " AS OF <version> (resolves shallow-clone pointers; loud when" +
-        " the snapshot was vacuumed)", Set(2),
+        " AS OF <version>, LIVE rows: deletion vectors applied" +
+        " merge-on-read, the version's column rename map applied," +
+        " shallow-clone pointers resolved; loud when the snapshot was" +
+        " vacuumed", Set(2),
       (s: SparkSession, a: Seq[Expression]) => {
         val fn = "graft_time_travel"
-        s.read.parquet(graft.pipeline.Warehouse.dataPath(
-          s, strArg(a(0), fn), longArg(a(1), fn)))
+        graft.pipeline.Warehouse.readVersionLive(
+          s, strArg(a(0), fn), longArg(a(1), fn))
       }),
 
     ("graft_change_feed",

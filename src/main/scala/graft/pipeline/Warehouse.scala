@@ -467,6 +467,42 @@ object Warehouse {
     readData(spark, root, dataPath(spark, root, v), schema)
   }
 
+  /** TIME-TRAVEL read of one committed version as a SQL consumer must
+    * see it — the LIVE row set: merge-on-read deletion vectors applied
+    * (a raw scan of a DV-bearing version resurrects deleted rows) and
+    * the version's column rename map applied (a raw scan surfaces
+    * physical pre-rename names). Schema is inferred from the
+    * snapshot's own files, so this serves arbitrary tables, not just
+    * the cocoa warehouse schema. Backs the `graft_time_travel` TVF;
+    * mirrors [[readWithDv]]'s broadcast bound (small DV sets join
+    * broadcast, overgrown ones shuffle — [[applyDv]] is the
+    * maintenance valve either way). */
+  def readVersionLive(spark: SparkSession, root: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val fs = Ingest.fs(spark, root)
+    require(fs.exists(new Path(versionPath(root, v), "_SUCCESS")) ||
+      fs.exists(new Path(versionPath(root, v), clonePointer)),
+      s"readVersionLive: version $v of $root is missing or incomplete")
+    val dir = dataPath(spark, root, v)
+    val physSchema = spark.read.parquet(dir).schema
+    val base = dvFrame(spark, root, v) match {
+      case None => readData(spark, root, dir, physSchema)
+      case Some(dv0) =>
+        val dvBytes = dvPartDirs(fs, root, v)
+          .map(p => fs.getContentSummary(p).getLength).sum
+        val dv = if (dvBytes <= 32L * 1024 * 1024) broadcast(dv0) else dv0
+        val withPos = snapshotWithPos(spark, root, v, physSchema)
+        withPos.join(dv,
+            withPos("_dv_file") === dv("file") && withPos("_dv_pos") === dv("pos"),
+            "left_anti")
+          .drop("_dv_file", "_dv_pos")
+    }
+    val m = columnMapping(fs, root, v)
+    if (m.isEmpty) base
+    else base.select(physSchema.fieldNames.toSeq
+      .map(p => col(s"`$p`").as(m.getOrElse(p, p))): _*)
+  }
+
   /** Explicit-schema parquet read of one snapshot data dir, loud when
     * the dir vanished mid-resolution.
     *
@@ -1615,6 +1651,19 @@ object Warehouse {
           else if (n.startsWith(".") && stale)
             fs.delete(s.getPath, true)
         }
+      }
+      // Crashed-publisher staging dirs directly under ROOT: commits
+      // stage `.v<N>_<holder>`, row-level writes `.rlw_<uuid>`, the
+      // stream sink `.sink_<uuid>` — a JVM crash between staging and
+      // the publish rename leaks a full-snapshot-sized dir forever.
+      // Any dot-prefixed DIRECTORY older than the lock TTL is such a
+      // crash (a live publisher finishes its staged write well inside
+      // one lease); the live lock, its broken-lock tombstones, and
+      // the version-pointer tmp are plain FILES and are never touched.
+      fs.listStatus(new Path(root)).toSeq.foreach { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith(".") &&
+            now - s.getModificationTime >= math.max(minAgeMs, lockTtlMs))
+          fs.delete(s.getPath, true)
       }
     }
   }

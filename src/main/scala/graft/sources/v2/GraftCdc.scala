@@ -226,6 +226,27 @@ class GraftCdcStream(spark: SparkSession, root: String, starting: Long,
   private def current: Long =
     Warehouse.currentVersion(spark, root).getOrElse(starting - 1)
 
+  /** Newest version, counting up from `from`, whose change feed is
+    * CONTIGUOUSLY published (`_changes/v<k>/_SUCCESS` for every k in
+    * `(from, result]`, pointer-capped). The feed publishes AFTER the
+    * version pointer swaps ([[GraftTables.maybePublishFeed]] runs
+    * post-commit), so the raw pointer can briefly name a version with
+    * no complete feed; capping here turns that producer/consumer race
+    * into a DELAYED micro-batch instead of a dead streaming query
+    * ([[GraftCdc.completeFeedDir]]'s require would otherwise kill it).
+    * A version whose feed is PERMANENTLY missing (publishChangeFeed
+    * never ran) stalls the stream at the gap rather than skipping it —
+    * skipping would silently lose that transaction's changes. */
+  private def contiguousPublished(from: Long): Long = {
+    val ptr = current
+    val fs = GraftTables.fs(spark, root)
+    var v = from max (starting - 1)
+    while (v < ptr && fs.exists(
+        new Path(new Path(Warehouse.changePath(root, v + 1)), "_SUCCESS")))
+      v += 1
+    v
+  }
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(current)
 
@@ -236,10 +257,16 @@ class GraftCdcStream(spark: SparkSession, root: String, starting: Long,
 
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
   // rate limiting — a warehouse version is the atomic unit of change,
-  // so every trigger drains all published versions up to the target.
+  // so every trigger drains all published versions up to the target
+  // (capped at the contiguously PUBLISHED frontier, see above; under
+  // AvailableNow the pinned target additionally bounds the drain).
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftVersionOffset].version
+    val cap = contiguousPublished(from)
+    GraftVersionOffset(
+      availableNowTarget.fold(cap)(_ min cap) max (starting - 1))
+  }
 
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()

@@ -156,6 +156,33 @@ object GraftTables {
       Warehouse.publishChangeFeed(spark, root, v, Seq(key), schema)
     }
 
+  /** Merge-key resolution shared by the batch INSERT path and the
+    * streaming sink: explicit option > declared `_PROPS` TBLPROPERTIES
+    * > the implicit `shipment_id` default. A DECLARED key (option or
+    * property) that names no column in `schemaFields` THROWS — silently
+    * degrading a keyed upsert to plain append would accumulate
+    * duplicate keys with no error, the one failure the documented
+    * ON CONFLICT parity must not have. Only the implicit default is
+    * silently dropped when the schema lacks it. */
+  def resolveMergeKey(spark: SparkSession, root: String,
+      explicitKey: Option[String], schemaFields: Array[String]): Option[String] = {
+    val declared = explicitKey.map(_.trim).filter(_.nonEmpty)
+      .map(k => (s"mergeKey option", k))
+      .orElse(GraftCatalog.readProps(spark, root).get(MergeKey)
+        .map(k => (s"TBLPROPERTIES('$MergeKey')", k)))
+    declared match {
+      case Some((source, k)) =>
+        require(schemaFields.contains(k),
+          s"graft: declared merge key '$k' (from $source) is not a column of" +
+            s" $root (columns: ${schemaFields.mkString(", ")}) — refusing to" +
+            " degrade the keyed upsert to a plain append; fix the key or drop" +
+            " the declaration")
+        Some(k)
+      case None =>
+        Some(graft.pipeline.CocoaSchema.mergeKey).filter(schemaFields.contains)
+    }
+  }
+
   def parseVersion(s: String): Long =
     try s.trim.toLong
     catch {
@@ -366,12 +393,15 @@ class GraftSnapshotTable(tableName: String,
   /** Merge key for the append path: explicit option first, then the
     * table's persisted `_PROPS` sidecar (declared TBLPROPERTIES),
     * else `shipment_id` when the schema carries it (the reference's
-    * PK, `cocoa_processing_dag.py:159`), else None = plain append. */
+    * PK, `cocoa_processing_dag.py:159`), else None = plain append.
+    *
+    * Only the IMPLICIT default is silently dropped when absent from
+    * the schema: a key the user DECLARED (option or TBLPROPERTIES)
+    * that names no column is an error — degrading to plain append
+    * would silently accumulate duplicate keys, the opposite of the
+    * documented ON CONFLICT parity. */
   private[v2] def mergeKey: Option[String] =
-    mergeKeyOpt.map(_.trim).filter(_.nonEmpty)
-      .orElse(GraftCatalog.readProps(spark, root).get(GraftTables.MergeKey))
-      .orElse(Some(graft.pipeline.CocoaSchema.mergeKey))
-      .filter(tableSchema.fieldNames.contains)
+    GraftTables.resolveMergeKey(spark, root, mergeKeyOpt, tableSchema.fieldNames)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {

@@ -74,11 +74,10 @@ class GraftStreamSink(spark: SparkSession, root: String,
     val batch = Bridge.unstream(data)
     val base = Warehouse.currentVersion(spark, root)
     val schema = batch.schema
-    val mergeKey = mergeKeyOpt.filter(schema.fieldNames.contains)
-      .orElse(GraftCatalog.readProps(spark, root).get(GraftTables.MergeKey)
-        .filter(schema.fieldNames.contains))
-      .orElse(Some(graft.pipeline.CocoaSchema.mergeKey)
-        .filter(schema.fieldNames.contains))
+    // Shared loud resolution: a DECLARED key absent from the batch
+    // schema throws instead of silently degrading to plain append.
+    val mergeKey = GraftTables.resolveMergeKey(spark, root, mergeKeyOpt,
+      schema.fieldNames)
     val next = (base, mergeKey) match {
       case _ if outputMode == OutputMode.Complete() => batch
       case (None, _) => batch

@@ -291,6 +291,42 @@ class GraftTvfSpec extends AnyFunSuite {
     assert(graft.pipeline.Warehouse.versions(spark, r2) === Seq(0L, 1L, 2L))
   }
 
+  test("graft_time_travel serves LIVE rows: deletion vectors applied, rename map applied") {
+    import java.sql.Timestamp
+    registered()
+    val w = graft.pipeline.Warehouse
+    def batch(seed: Int, n: Int) = graft.pipeline.Enrich.enrich(
+      graft.pipeline.CocoaGen.shipments(spark, n, seed = seed),
+      new Timestamp(1700000000000L + seed))
+
+    // (a) DV-bearing version: deleteWhere's merge-on-read path attaches
+    // vectors to v0 IN PLACE — a raw parquet scan of v0 would resurrect
+    // the deleted rows; the TVF must not.
+    val root = java.nio.file.Files.createTempDirectory("tvf_tt_dv").toString
+    w.commit(spark, root, batch(1, 20))
+    w.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    val live = spark.sql(s"SELECT * FROM graft_time_travel('$root', 0)")
+    assert(canon(live) === canon(w.readWithDv(spark, root)),
+      "TVF time travel must equal the DV-aware read, not the raw scan")
+    assert(live.count() < 20, "fixture must actually delete something")
+
+    // (b) renamed version: the rename map is metadata-only; the TVF
+    // must surface LOGICAL (post-rename) names on that version and
+    // the physical names on the pre-rename version.
+    val root2 = java.nio.file.Files.createTempDirectory("tvf_tt_ren").toString
+    w.commit(spark, root2, batch(2, 10))
+    w.renameColumns(spark, root2, Map("quality_score" -> "grade"))
+    val renamed = spark.sql(s"SELECT * FROM graft_time_travel('$root2', 1)")
+    assert(renamed.columns.contains("grade") &&
+      !renamed.columns.contains("quality_score"))
+    assert(canon(renamed.select(col("shipment_id"), col("grade"))) ===
+      canon(w.read(spark, root2).select(col("shipment_id"),
+        col("quality_score").as("grade"))))
+    val preRename = spark.sql(s"SELECT * FROM graft_time_travel('$root2', 0)")
+    assert(preRename.columns.contains("quality_score"),
+      "pre-rename version keeps its era's names")
+  }
+
   test("TVF arity and argument errors are loud and named") {
     registered()
     val e1 = intercept[Exception] {

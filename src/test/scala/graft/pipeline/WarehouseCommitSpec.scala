@@ -318,6 +318,38 @@ class WarehouseCommitSpec extends AnyFunSuite {
     assert(fs.exists(new Path(Warehouse.versionPath(root, 2L))))
   }
 
+  test("vacuum sweeps crashed-publisher staging dirs under root, never the live lock files") {
+    val root = freshRoot()
+    (61 to 62).foreach(s => Warehouse.commit(spark, root, batch(s)))
+    val fs = hfs(root)
+    // crashed publishers: a row-level-write stage, a sink stage, and a
+    // commit stage — dirs left behind by a JVM that died pre-publish
+    val crashed = Seq(".rlw_deadbeef", ".sink_deadbeef", ".v9_deadhost")
+      .map(n => new Path(root, n))
+    crashed.foreach { p =>
+      fs.mkdirs(p)
+      fs.create(new Path(p, "part-0.parquet"), true).close()
+    }
+    // live small FILES that must survive: broken-lock tombstone and a
+    // version-pointer tmp
+    val tombstone = new Path(root, "._COMMIT_LOCK.broken.x")
+    val ptrTmp = new Path(root, "._VERSION.tmp")
+    fs.create(tombstone, true).close()
+    fs.create(ptrTmp, true).close()
+    // young dirs survive a TTL'd vacuum…
+    Warehouse.vacuum(spark, root, lockTtlMs = 3600L * 1000)
+    crashed.foreach(p => assert(fs.exists(p),
+      s"$p younger than the lock TTL must be presumed live"))
+    // …stale ones go (TTL=1ms: everything qualifies as crashed)
+    Thread.sleep(5)
+    Warehouse.vacuum(spark, root, lockTtlMs = 1L)
+    crashed.foreach(p => assert(!fs.exists(p),
+      s"stale crashed-publisher dir $p must be swept"))
+    assert(fs.exists(tombstone) && fs.exists(ptrTmp),
+      "dot-prefixed FILES (lock tombstones, pointer tmp) are never touched")
+    assert(Warehouse.read(spark, root).count() === 10, "data unharmed")
+  }
+
   // ---------------------------------------------------- publishStaged
 
   private def stageDir(root: String, df: org.apache.spark.sql.DataFrame): String = {

@@ -64,6 +64,37 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("a declared merge key that names no column is loud, never a silent plain append") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(7))
+    // explicit writer option: typo'd key must throw, not degrade to
+    // append (duplicate keys would accumulate silently otherwise)
+    val e = intercept[IllegalArgumentException] {
+      batch(7).write.format("graft").option("mergeKey", "shipmnt_id")
+        .mode("append").save(root)
+    }
+    assert(e.getMessage.contains("shipmnt_id") &&
+      e.getMessage.contains("not a column"), e.getMessage)
+    assert(Warehouse.read(spark, root).count() === 20, "no partial write")
+    // declared TBLPROPERTIES key with the same mismatch: same refusal
+    val root2 = freshRoot()
+    Warehouse.commit(spark, root2, batch(8))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root2), root2,
+      Map("mergeKey" -> "no_such_col"))
+    val e2 = intercept[IllegalArgumentException] {
+      batch(8).write.format("graft").mode("append").save(root2)
+    }
+    assert(e2.getMessage.contains("no_such_col") &&
+      e2.getMessage.contains("TBLPROPERTIES"), e2.getMessage)
+    // the IMPLICIT shipment_id default is still silently dropped for
+    // schemas that lack it — plain append, no error
+    val root3 = freshRoot()
+    spark.range(5).toDF("n").write.format("graft").mode("append").save(root3)
+    spark.range(5).toDF("n").write.format("graft").mode("append").save(root3)
+    assert(spark.read.format("graft").load(root3).count() === 10)
+  }
+
   test("filters and pruning reach the delegated parquet scan") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(4, n = 50))
@@ -529,6 +560,42 @@ class GraftDataSourceSpec extends AnyFunSuite {
       spark.read.format("graft").option("readChangeFeed", "true").load(root)
     }
     assert(e.getMessage.contains("publish"), e.getMessage)
+  }
+
+  test("streaming CDC: an in-flight feed publication delays the batch, never kills the query") {
+    // The feed publishes AFTER the version pointer swaps — a live
+    // stream triggering in that window must plan up to the published
+    // frontier (delayed micro-batch), not die on the missing feed.
+    val root = cdcRoot()
+    val ckpt = Files.createTempDirectory("graft_cdc_race_ckpt").toString
+    def drain(): Seq[Row] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      got.toSeq
+    }
+    // v2 committed, feed publication "in flight": no _SUCCESS yet
+    Warehouse.commit(spark, root, batch(25, n = 8))
+    Warehouse.publishChangeFeed(spark, root, 2L)
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val success = new org.apache.hadoop.fs.Path(
+      Warehouse.changePath(root, 2L), "_SUCCESS")
+    assert(fs.delete(success, false))
+    val first = drain() // must NOT throw; drains only v1
+    assert(first.map(_.getAs[Long]("_commit_version")).distinct.toSeq === Seq(1L),
+      "stream must stop at the contiguously published frontier")
+    // publication completes → the next trigger delivers v2
+    fs.create(success, true).close()
+    val second = drain()
+    assert(second.map(_.getAs[Long]("_commit_version")).distinct.toSeq === Seq(2L))
+    assert(second.length === Warehouse.readChangeFeed(spark, root, 2L).count())
   }
 
   test("streaming CDC: offsets are versions; restart resumes from checkpoint") {
