@@ -38,7 +38,16 @@ object Bench {
       // operators) are timed and reported per-query, but excluded from
       // the headline total so it stays comparable round-over-round as
       // the sum over the driver-gated registry.
-      val registry = (gate ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+      val all = (gate ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+      // Local-iteration filter, mirroring Verify's GRAFT_VERIFY_ONLY;
+      // the driver never sets it, so driver artifacts always carry the
+      // full registry.
+      val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(names) =>
+          val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          all.filter { case (n, _) => want(n) }
+        case None => all
+      }
       // MINIMA, NOT SINGLE SHOTS: three consecutive rounds spent
       // verdict cycles attributing shared-JVM load noise on unchanged
       // operators (r5 drift, r6 s01/s02/v10, r7 q36/v02). Run the
@@ -54,8 +63,56 @@ object Bench {
       val iters = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
       val passTotals = new Array[Double](iters)
       val minByName = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      // CALIBRATION ROWS — code FROZEN as of round 12; never edit the
+      // workloads or sizes, they exist so every future artifact is
+      // comparable. Three constant synthetic workloads with ZERO file
+      // I/O and no dependence on SF or the registry: pure codegen CPU,
+      // a 1M-group hash aggregate behind an exchange, and a 4M x 4M
+      // shuffled self-join. Their only purpose is to measure THIS
+      // machine+JVM's speed at bench time, so a uniform slowdown of
+      // untouched queries (the r10->r11 1.27x adjudication) reads
+      // directly off cal_factor instead of being re-litigated from
+      // TPC-H rows. calRef pins the values measured on the round-12
+      // build machine (min of 2 passes, local[32]); cal_factor =
+      // sum(now)/sum(ref); total_normalized = total/cal_factor.
+      import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64, pmod, lit}
+      val par = cpus.toInt
+      val calibration: Seq[(String, () => Unit)] = Seq(
+        ("cal01_cpu", () => { spark.range(0L, 400000000L, 1L, par)
+          // pmod keeps the ANSI sum inside Long range (raw 64-bit
+          // hashes overflow it)
+          .select(fsum(pmod(xxhash64(col("id")), lit(1000000L))))
+          .collect(); () }),
+        ("cal02_shuffle", () => { spark.range(0L, 30000000L, 1L, par)
+          .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"))
+          .groupBy("k").count().select(fsum("count")).collect(); () }),
+        ("cal03_join", () => {
+          val a = spark.range(0L, 4000000L, 1L, par)
+            .select(pmod(xxhash64(col("id")), lit(4000000L)).as("k"))
+          val b = spark.range(0L, 4000000L, 1L, par)
+            .select(pmod(xxhash64(col("id") + 7L), lit(4000000L)).as("k"))
+          a.join(b, "k").select(fsum(col("k"))).collect(); () }))
+      // FROZEN REFERENCE — round-12 build machine, best minima over 4
+      // standalone runs at local[32] (see PLANS.md round-12). Never
+      // update these alongside the workloads: the pair (workload, ref)
+      // is the yardstick every future run is measured against.
+      val calRef = Map(
+        "cal01_cpu" -> 0.60, "cal02_shuffle" -> 2.00, "cal03_join" -> 1.10)
+      val calMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       for (pass <- 0 until iters) {
         if (pass > 0) { SparkEntry.resetMemos(); spark.catalog.clearCache() }
+        calibration.foreach { case (name, fn) =>
+          // two back-to-back reps per pass (min of 2*iters samples):
+          // the rows are synthetic and memo-free, so extra reps only
+          // sharpen the minimum — scheduler noise can't deflate it
+          for (_ <- 0 until 2) {
+            val t0 = System.nanoTime()
+            fn()
+            val dt = (System.nanoTime() - t0) / 1e9
+            val cur = calMin.getOrElse(name, Double.MaxValue)
+            if (dt < cur) calMin(name) = dt
+          }
+        }
         registry.foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -68,12 +125,19 @@ object Bench {
           if (dt < cur) minByName(name) = dt
         }
       }
+      val calFactor =
+        if (calRef.values.sum > 0) calMin.values.sum / calRef.values.sum
+        else 1.0
       val results = registry.map { case (name, _) => name -> minByName(name) }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.collect { case (k, v) if gate.contains(k) => v }.sum
       val passes = passTotals.map(v => f"$v%.1f").mkString("[", ",", "]")
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$iters","pass_totals":$passes,"queries":$qs,"sf":"$sfDir"}"""
+      val calJson = calMin.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val calRefJson = calRef.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$iters","pass_totals":$passes,"calibration":$calJson,"cal_ref":$calRefJson,"cal_factor":$calFactor,"total_normalized":${total / calFactor},"queries":$qs,"sf":"$sfDir"}"""
       // Full-precision, full-registry line: persisted as the
       // authoritative artifact the judge and future rounds read.
       val out = java.nio.file.Paths.get("target/bench.json")
@@ -97,7 +161,9 @@ object Bench {
         val entry = "\"" + k + "\":" + ms(v)
         if (used + entry.length + 1 <= budgetChars) { kept += entry; used += entry.length + 1 }
       }
-      val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","agg":"min_of_$iters","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","reported":${kept.size},"ran":${results.size},"full":"target/bench.json"}"""
+      val calCompact = calMin.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","agg":"min_of_$iters","cal":$calCompact,"cal_factor":${ms(calFactor)},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","reported":${kept.size},"ran":${results.size},"full":"target/bench.json"}"""
       realOut.println(compact)
       realOut.flush()
       spark.stop()
