@@ -187,6 +187,13 @@ object SparkEntry {
     // NOT, so a position off-by-one, a file-identity slip, or a DV
     // part lost between the two calls all break the hash.
     "p12_deletion_vectors" -> ((s, _) => cocoaDvDeleted(s)),
+    // p29: p12's DV-bearing snapshot read back through the CONNECTOR —
+    // format("graft") applies the deletion vectors MERGE-ON-READ
+    // ([[graft.sources.v2.GraftDvScan]], the Delta reader shape: DV
+    // positions ride the scan partitions, a two-pointer skip per
+    // file). Shares p12's oracle, so a resurrection through the SQL
+    // door breaks the hash exactly where the Scala API's would.
+    "p29_dv_connector_read" -> ((s, _) => cocoaDvConnectorRead(s)),
     // p13: RESTORE — an earlier snapshot re-committed as the NEW
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
@@ -843,6 +850,22 @@ object SparkEntry {
     Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
     Warehouse.deleteWhere(spark, root, col("region") === lit("Volta"))
     Warehouse.readWithDv(spark, root).orderBy("shipment_id")
+  }
+
+  /** p29: the p12 warehouse state (8-file snapshot, two cumulative
+    * DV deletes) read back through `format("graft")` — the connector's
+    * merge-on-read DV scan must serve exactly the live rows the
+    * Scala-API [[Warehouse.readWithDv]] serves (and p12's oracle
+    * certifies against DuckDB). */
+  private def cocoaDvConnectorRead(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_dv_conn_wh_", keep = 32)
+    Warehouse.commit(spark, root, wh.repartition(8))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    Warehouse.deleteWhere(spark, root, col("region") === lit("Volta"))
+    spark.read.format("graft").load(root)
+      .select(graft.pipeline.CocoaSchema.warehouse.fieldNames.map(col).toSeq: _*)
+      .orderBy("shipment_id")
   }
 
   /** p13: two-version isolated root (v0 = the run's batch-1 snapshot,
@@ -4092,6 +4115,11 @@ object SparkEntry {
     // p12: the derived warehouse minus the two delete predicates —
     // NULL-predicate rows survive, as under SQL DELETE.
     "p12_deletion_vectors" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p29: identical truth through the connector's merge-on-read scan.
+    "p29_dv_connector_read" -> cocoaOracle(
       """SELECT * FROM wh
         |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
         |ORDER BY shipment_id""".stripMargin),

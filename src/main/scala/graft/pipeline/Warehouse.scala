@@ -1013,6 +1013,17 @@ object Warehouse {
       .map(_.getPath)
   }
 
+  /** Connector-visible DV introspection ([[graft.sources.v2]]'s
+    * merge-on-read scan): the unioned (file, pos) frame and the
+    * on-disk byte size of snapshot `v`'s complete DV parts. */
+  private[graft] def dvRows(spark: SparkSession, root: String,
+      v: Long): Option[DataFrame] = dvFrame(spark, root, v)
+  private[graft] def dvOnDiskBytes(spark: SparkSession, root: String,
+      v: Long): Long = {
+    val fs = Ingest.fs(spark, root)
+    dvPartDirs(fs, root, v).map(p => fs.getContentSummary(p).getLength).sum
+  }
+
   /** All COMPLETE deletion-vector parts for snapshot `v`, unioned.
     * None when no delete has ever run against `v`. */
   private def dvFrame(spark: SparkSession, root: String, v: Long): Option[DataFrame] = {

@@ -156,6 +156,21 @@ object GraftTables {
       Warehouse.publishChangeFeed(spark, root, v, Seq(key), schema)
     }
 
+  /** LIVE current-snapshot read shared by every connector WRITE path
+    * that derives the next version from the current one (batch INSERT
+    * merge, SQL DELETE, the streaming sink): deletion vectors applied
+    * ([[Warehouse.readWithDv]] — identical to the plain read when no
+    * delete has run), column order normalized to the declared schema
+    * (a hive-partitioned snapshot surfaces partition columns appended
+    * last otherwise). Writing from a RAW read would resurrect
+    * DV-deleted rows into the replacement snapshot. */
+  def liveRead(spark: SparkSession, root: String,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Warehouse.readWithDv(spark, root, schema)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Merge-key resolution shared by the batch INSERT path and the
     * streaming sink: explicit option > declared `_PROPS` TBLPROPERTIES
     * > the implicit `shipment_id` default. A DECLARED key (option or
@@ -265,10 +280,7 @@ object GraftTables {
         }
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))
-        require(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
-          s"graft: snapshot v$v of $root carries deletion vectors; a raw scan" +
-            " would resurrect deleted rows — read via Warehouse.readWithDv or" +
-            " materialize with Warehouse.applyDv first")
+        val hasDv = fs.exists(dvDir) && fs.listStatus(dvDir).nonEmpty
         // same correct-or-loud stance for renamed tables: the raw scan
         // would surface PHYSICAL column names, silently ignoring the
         // version's rename map ([[Warehouse.renameColumns]])
@@ -296,8 +308,18 @@ object GraftTables {
             classOf[ParquetFileFormat])
           case None => inferred
         }
+        // A DV-bearing snapshot reads MERGE-ON-READ through
+        // [[GraftDvScan]] (the Delta reader shape); the one refused
+        // combination is DV + hive-partitioned layout, whose partition
+        // values the per-file DV reader would have to re-derive from
+        // paths — the Scala API covers it.
+        require(!hasDv || inner.partitioning().isEmpty,
+          s"graft: snapshot v$v of $root carries deletion vectors AND a" +
+            " hive-partitioned layout — read via Warehouse.readWithDv, or" +
+            " materialize with Warehouse.applyDv first")
         new GraftSnapshotTable(tableName, spark, root, inner.schema, Some(inner),
-          mergeKey, dataDir = Some(dataDir), resolvedVersion = Some(v))
+          mergeKey, dataDir = Some(dataDir), resolvedVersion = Some(v),
+          dvVersion = if (hasDv) Some(v) else None)
     }
   }
 }
@@ -330,7 +352,8 @@ class GraftSnapshotTable(tableName: String,
     private[v2] val spark: SparkSession, private[v2] val root: String,
     tableSchema: StructType, inner: Option[ParquetTable],
     mergeKeyOpt: Option[String], dataDir: Option[String] = None,
-    private[v2] val resolvedVersion: Option[Long] = None)
+    private[v2] val resolvedVersion: Option[Long] = None,
+    dvVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -374,6 +397,12 @@ class GraftSnapshotTable(tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner match {
+      // DV-bearing snapshot: the merge-on-read scan OWNS the read —
+      // the builtin parquet scan (zone maps and DPP included) would
+      // resurrect deleted rows.
+      case Some(_) if dvVersion.isDefined =>
+        new GraftDvScanBuilder(spark, root, dvVersion.get, dataDir.get,
+          tableSchema)
       case Some(t) => zoneMapIndex match {
         case Some(idx) =>
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
@@ -429,7 +458,7 @@ class GraftSnapshotTable(tableName: String,
       else (baseVersion, mergeKey) match {
         case (None, _) => aligned
         case (Some(_), None) =>
-          Warehouse.read(spark, root, tableSchema).unionByName(aligned)
+          GraftTables.liveRead(spark, root, tableSchema).unionByName(aligned)
         case (Some(_), Some(key)) =>
           // ON CONFLICT DO UPDATE parity: one statement may not touch
           // the same key twice — O(batch) check, loud like Postgres.
@@ -439,7 +468,7 @@ class GraftSnapshotTable(tableName: String,
           require(n == d, s"graft: INSERT batch contains duplicate '$key' values" +
             s" ($n rows, $d distinct) — one statement cannot affect a row twice;" +
             " deduplicate upstream (e.g. Merge.lastWriterWins) first")
-          val current = Warehouse.read(spark, root, tableSchema)
+          val current = GraftTables.liveRead(spark, root, tableSchema)
           current.join(
             org.apache.spark.sql.functions.broadcast(aligned.select(col(key))),
             Seq(key), "left_anti")
@@ -498,7 +527,9 @@ class GraftSnapshotTable(tableName: String,
       throw new IllegalArgumentException(
         s"graft: cannot translate delete predicate $f — unsupported expression")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val kept = Warehouse.read(spark, root, tableSchema)
+    // live read: a DELETE on a DV-bearing snapshot must not resurrect
+    // the already-deleted rows into its replacement
+    val kept = GraftTables.liveRead(spark, root, tableSchema)
       .filter(not(coalesce(pred, lit(false))))
     val v = Warehouse.commit(spark, root, kept, expectedCurrent = Some(baseVersion))
     GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)

@@ -82,7 +82,7 @@ class GraftStreamSink(spark: SparkSession, root: String,
       case _ if outputMode == OutputMode.Complete() => batch
       case (None, _) => batch
       case (Some(_), None) =>
-        Warehouse.read(spark, root, schema).unionByName(batch)
+        GraftTables.liveRead(spark, root, schema).unionByName(batch)
       case (Some(_), Some(key)) =>
         // one batch may not touch a key twice — loud, like the batch
         // INSERT path (update-mode aggregations satisfy this for free)
@@ -91,7 +91,7 @@ class GraftStreamSink(spark: SparkSession, root: String,
         require(n == d, s"graft: micro-batch $batchId carries duplicate" +
           s" '$key' values ($n rows, $d distinct); deduplicate in the query" +
           " (e.g. update-mode aggregation or dropDuplicates) first")
-        Warehouse.read(spark, root, schema)
+        GraftTables.liveRead(spark, root, schema)
           .join(broadcast(batch.select(col(key))), Seq(key), "left_anti")
           .unionByName(batch)
     }

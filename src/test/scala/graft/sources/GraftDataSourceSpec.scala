@@ -54,14 +54,56 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing or incomplete"))
   }
 
-  test("a snapshot carrying deletion vectors refuses a raw scan") {
+  test("a snapshot carrying deletion vectors reads merge-on-read, like Delta") {
     val root = freshRoot()
-    Warehouse.commit(spark, root, batch(3))
+    Warehouse.commit(spark, root, batch(3, n = 40).repartition(4))
+    val before = Warehouse.read(spark, root).count()
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    // a second cumulative delete: positions from BOTH vectors apply
+    Warehouse.deleteWhere(spark, root, col("region") === lit("Volta"))
+    val expect = Warehouse.readWithDv(spark, root)
+    assert(expect.count() < before, "fixture must actually delete rows")
+    val got = spark.read.format("graft").load(root)
+    assert(sortedRows(got.select(CocoaSchema.warehouse.fieldNames.map(col).toSeq: _*))
+      === sortedRows(expect))
+    // predicates evaluate ABOVE the DV scan (no pushdown claimed) and
+    // column pruning holds
+    val filtered = got.filter(col("bean_type") === "Criollo")
+      .select("shipment_id", "bean_type")
+    assert(sortedRows(filtered) === sortedRows(
+      expect.filter(col("bean_type") === "Criollo")
+        .select("shipment_id", "bean_type")))
+    // count must be the LIVE count, not the file count
+    assert(got.count() === expect.count())
+  }
+
+  test("DML on a DV-bearing snapshot derives from LIVE rows, never resurrects") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(9, n = 30))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    val live = sortedRows(Warehouse.readWithDv(spark, root))
+    val deletedIds = sortedRows(Warehouse.read(spark, root))
+      .map(_.getAs[String]("shipment_id"))
+      .diff(live.map(_.getAs[String]("shipment_id")))
+    assert(deletedIds.nonEmpty)
+    // INSERT (keyed upsert) on top: next version = live rows + batch,
+    // DV-deleted ids must stay gone
+    val extra = batch(10, n = 5, idOffset = 1000)
+    extra.write.format("graft").mode("append").save(root)
+    val after = spark.read.format("graft").load(root)
+    assert(after.count() === live.size + 5)
+    assert(after.filter(col("shipment_id").isin(deletedIds: _*)).count() === 0,
+      "DV-deleted rows must not be resurrected by a write")
+  }
+
+  test("deletion vectors + hive-partitioned layout is refused loudly") {
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(11, n = 40), Seq("region"))
     Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
     val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(root)
+      spark.read.format("graft").load(root).collect()
     }
-    assert(e.getMessage.contains("deletion vectors"))
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
   }
 
   test("a declared merge key that names no column is loud, never a silent plain append") {
@@ -343,6 +385,31 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gwh_test.upd VERSION AS OF 0" +
       " WHERE region = 'REWRITTEN'").head().getLong(0) === 0L)
     before.unpersist(); after.unpersist()
+  }
+
+  test("SQL UPDATE and DELETE over a DV-bearing snapshot act on LIVE rows") {
+    val root = s"$catalogBase/dvdml"
+    Warehouse.commit(spark, root, batch(31, n = 30))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    val live = Warehouse.readWithDv(spark, root)
+    val liveN = live.count()
+    val deletedN = 30 - liveN
+    assert(deletedN > 0, "fixture must delete something")
+    // SELECT through the catalog sees live rows
+    assert(spark.sql("SELECT count(*) AS n FROM gwh_test.dvdml").head().getLong(0)
+      === liveN)
+    // UPDATE rewrites live rows only; the replacement snapshot is
+    // DV-free and the dead rows stay dead
+    spark.sql("UPDATE gwh_test.dvdml SET region = 'X'" +
+      " WHERE bean_type = 'Criollo'")
+    val after = spark.sql("SELECT * FROM gwh_test.dvdml")
+    assert(after.count() === liveN, "UPDATE must neither lose nor resurrect")
+    assert(after.filter(col("region") === "X").count() ===
+      live.filter(col("bean_type") === "Criollo").count())
+    // metadata DELETE on the new clean snapshot still works
+    spark.sql("DELETE FROM gwh_test.dvdml WHERE bean_type = 'Criollo'")
+    assert(spark.sql("SELECT count(*) AS n FROM gwh_test.dvdml").head().getLong(0)
+      === liveN - live.filter(col("bean_type") === "Criollo").count())
   }
 
   test("SQL MERGE INTO: matched-delete, matched-update, not-matched-insert") {
