@@ -194,6 +194,15 @@ object SparkEntry {
     // file). Shares p12's oracle, so a resurrection through the SQL
     // door breaks the hash exactly where the Scala API's would.
     "p29_dv_connector_read" -> ((s, _) => cocoaDvConnectorRead(s)),
+    // p30: the SQL RENAME COLUMN lifecycle — ALTER TABLE ... RENAME
+    // COLUMN is a ZERO-COPY metadata commit (Warehouse.renameColumns,
+    // the Delta column-mapping shape), the keyed upsert lands AFTER
+    // the rename addressing the LOGICAL name, and the read flows
+    // through [[graft.sources.v2.GraftMappedScan]] (builtin vectorized
+    // parquet under translated names). Time travel ACROSS the rename
+    // (old era, old names) is spec-pinned; the gate hashes the
+    // post-rename, post-upsert truth.
+    "p30_rename_sql_lifecycle" -> ((s, _) => cocoaRenamedSqlLifecycle(s)),
     // p13: RESTORE — an earlier snapshot re-committed as the NEW
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
@@ -866,6 +875,28 @@ object SparkEntry {
     spark.read.format("graft").load(root)
       .select(graft.pipeline.CocoaSchema.warehouse.fieldNames.map(col).toSeq: _*)
       .orderBy("shipment_id")
+  }
+
+  /** p30: SQL rename lifecycle on an isolated catalog table — commit,
+    * `ALTER TABLE … RENAME COLUMN quality_score TO grade` (metadata
+    * only), connector upsert of every Criollo row re-graded to 9.99
+    * under the logical name, then the catalog read. The oracle
+    * recomputes the same truth with a CASE over the derived warehouse. */
+  private def cocoaRenamedSqlLifecycle(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = graft.core.RunTemp.dir("graft_ren_sql_", keep = 32)
+    val root = s"$base/cocoa_ren"
+    Warehouse.commit(spark, root, wh.repartition(4))
+    spark.conf.set("spark.sql.catalog.graft_ren_gate",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ren_gate.base", base)
+    spark.sql(
+      "ALTER TABLE graft_ren_gate.cocoa_ren RENAME COLUMN quality_score TO grade")
+    val upd = wh.filter(col("bean_type") === lit("Criollo"))
+      .withColumnRenamed("quality_score", "grade")
+      .withColumn("grade", lit(9.99))
+    upd.write.format("graft").mode("append").save(root)
+    spark.sql("SELECT * FROM graft_ren_gate.cocoa_ren").orderBy("shipment_id")
   }
 
   /** p13: two-version isolated root (v0 = the run's batch-1 snapshot,
@@ -4123,6 +4154,15 @@ object SparkEntry {
       """SELECT * FROM wh
         |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
         |ORDER BY shipment_id""".stripMargin),
+    // p30: post-rename, post-upsert truth — quality_score is GRADE
+    // now, and every Criollo row was re-graded through the upsert.
+    "p30_rename_sql_lifecycle" -> cocoaOracle(
+      """SELECT shipment_id, "timestamp", farm_id, region, bean_type,
+        |  CAST(CASE WHEN bean_type = 'Criollo' THEN 9.99
+        |       ELSE quality_score END AS DOUBLE) AS grade,
+        |  shipment_weight_kg, temperature_celsius, shipment_value_usd,
+        |  processed_at
+        |FROM wh ORDER BY shipment_id""".stripMargin),
     // p09: the oracle RECOMPUTES the aggregate from the final
     // warehouse; the Spark side never reads v1's rows outside the
     // change feed — a hash match certifies incremental maintenance

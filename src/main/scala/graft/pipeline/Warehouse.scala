@@ -1013,6 +1013,13 @@ object Warehouse {
       .map(_.getPath)
   }
 
+  /** Connector-visible column-mapping introspection: version `v`'s
+    * physical→logical rename map (empty when the version carries no
+    * `_MAPPING`). */
+  private[graft] def columnMappingOf(spark: SparkSession, root: String,
+      v: Long): Map[String, String] =
+    columnMapping(Ingest.fs(spark, root), root, v)
+
   /** Connector-visible DV introspection ([[graft.sources.v2]]'s
     * merge-on-read scan): the unioned (file, pos) frame and the
     * on-disk byte size of snapshot `v`'s complete DV parts. */

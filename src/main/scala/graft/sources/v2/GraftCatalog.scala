@@ -192,9 +192,40 @@ class GraftCatalog extends TableCatalog {
         schema = schema.add(colName, add.dataType(), nullable = true)
       case set: TableChange.SetProperty => props(set.property()) = set.value()
       case rm: TableChange.RemoveProperty => props.remove(rm.property())
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "graft: only top-level RENAME COLUMN is supported")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(schema.fieldNames.contains(from),
+          s"graft: no column named '$from' to rename" +
+            s" (columns: ${schema.fieldNames.mkString(", ")})")
+        require(!schema.fieldNames.contains(to),
+          s"graft: rename target '$to' already exists")
+        // ZERO-COPY rename ([[Warehouse.renameColumns]], the Delta
+        // column-mapping shape): a metadata-only version whose
+        // `_MAPPING` renames the physical column at read time. Era
+        // semantics: TIME TRAVEL to a pre-rename version keeps that
+        // era's names; the mapped version (and every later write,
+        // which lands logical-as-physical) shows the new name over
+        // the same bytes.
+        Warehouse.currentVersion(spark, root) match {
+          case Some(cur) =>
+            val phys = GraftTables.classic(spark).read
+              .parquet(Warehouse.dataPath(spark, root, cur)).schema
+            Warehouse.renameColumns(spark, root, Map(from -> to), phys)
+          case None => () // pre-first-commit: the sidecar below is the table
+        }
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      case _: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          "graft: DROP COLUMN is refused — committed snapshots, time travel" +
+            " and the change feed keep reading the column, so a drop would" +
+            " orphan data; project it away in a new table (CTAS) instead")
       case other => throw new UnsupportedOperationException(
-        s"graft: unsupported ALTER TABLE change $other — renames, drops and" +
-          " type changes need a rewrite (Warehouse.renameColumns)")
+        s"graft: unsupported ALTER TABLE change $other — type changes need" +
+          " a rewrite (create a new table from a projection)")
     }
     val fs = GraftTables.fs(spark, root)
     val out = fs.create(new Path(root, GraftCatalog.SchemaSidecar), true)

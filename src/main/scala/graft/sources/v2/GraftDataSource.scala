@@ -166,9 +166,20 @@ object GraftTables {
     * DV-deleted rows into the replacement snapshot. */
   def liveRead(spark: SparkSession, root: String,
       schema: StructType): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
-    Warehouse.readWithDv(spark, root, schema)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    Warehouse.currentVersion(spark, root) match {
+      case None => classic(spark).createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case Some(v) =>
+        // readVersionLive = DV anti-join + rename map, physical file
+        // schema; columns the files lack (sidecar widening) null-fill,
+        // and the select normalizes to the declared LOGICAL order.
+        val live = Warehouse.readVersionLive(spark, root, v)
+        val have = live.columns.toSet
+        live.select(schema.fields.toSeq.map(f =>
+          if (have(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
   }
 
   /** Merge-key resolution shared by the batch INSERT path and the
@@ -281,13 +292,15 @@ object GraftTables {
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))
         val hasDv = fs.exists(dvDir) && fs.listStatus(dvDir).nonEmpty
-        // same correct-or-loud stance for renamed tables: the raw scan
-        // would surface PHYSICAL column names, silently ignoring the
-        // version's rename map ([[Warehouse.renameColumns]])
-        require(!fs.exists(new Path(Warehouse.versionPath(root, v), "_MAPPING")),
-          s"graft: snapshot v$v of $root carries a column rename map; a raw" +
-            " scan would surface physical (pre-rename) column names — read" +
-            " via Warehouse.readMapped")
+        // renamed versions read through [[GraftMappedScan]] (logical
+        // names over untouched physical bytes); combining a rename map
+        // WITH deletion vectors on one version is refused — the two
+        // wrappers would have to compose and the Scala API covers it
+        val mapping = Warehouse.columnMappingOf(spark, root, v)
+        require(mapping.isEmpty || !hasDv,
+          s"graft: snapshot v$v of $root carries BOTH a column rename map and" +
+            " deletion vectors — read via the Warehouse API (readVersionLive)" +
+            " or materialize with Warehouse.applyDv first")
         val dataDir = Warehouse.dataPath(spark, root, v)
         val inferred = ParquetTable(s"$tableName@v$v", classic(spark),
           CaseInsensitiveStringMap.empty(), Seq(dataDir), None,
@@ -317,9 +330,19 @@ object GraftTables {
           s"graft: snapshot v$v of $root carries deletion vectors AND a" +
             " hive-partitioned layout — read via Warehouse.readWithDv, or" +
             " materialize with Warehouse.applyDv first")
-        new GraftSnapshotTable(tableName, spark, root, inner.schema, Some(inner),
+        // Same restriction for renamed hive-partitioned snapshots:
+        // partition-directory names stay physical and the builtin
+        // index would report them unmapped.
+        require(mapping.isEmpty || inner.partitioning().isEmpty,
+          s"graft: snapshot v$v of $root carries a column rename map AND a" +
+            " hive-partitioned layout — read via Warehouse.readMapped")
+        val exposed =
+          if (mapping.isEmpty) inner.schema
+          else StructType(inner.schema.fields.map(f =>
+            f.copy(name = mapping.getOrElse(f.name, f.name))))
+        new GraftSnapshotTable(tableName, spark, root, exposed, Some(inner),
           mergeKey, dataDir = Some(dataDir), resolvedVersion = Some(v),
-          dvVersion = if (hasDv) Some(v) else None)
+          dvVersion = if (hasDv) Some(v) else None, mapping = mapping)
     }
   }
 }
@@ -353,7 +376,8 @@ class GraftSnapshotTable(tableName: String,
     tableSchema: StructType, inner: Option[ParquetTable],
     mergeKeyOpt: Option[String], dataDir: Option[String] = None,
     private[v2] val resolvedVersion: Option[Long] = None,
-    dvVersion: Option[Long] = None)
+    dvVersion: Option[Long] = None,
+    mapping: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -403,6 +427,18 @@ class GraftSnapshotTable(tableName: String,
       case Some(_) if dvVersion.isDefined =>
         new GraftDvScanBuilder(spark, root, dvVersion.get, dataDir.get,
           tableSchema)
+      // renamed snapshot: the builtin scan runs under PHYSICAL names,
+      // the wrapper translates at the plan boundary (zone-map sidecars
+      // key on physical names too — the flat-snapshot zone map path is
+      // skipped, a rename is metadata the sidecar predates)
+      case Some(t) if mapping.nonEmpty =>
+        t.newScanBuilder(options) match {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =>
+            new GraftMappedScanBuilder(p, mapping)
+          case other => throw new IllegalStateException(
+            s"graft: mapped read expected the builtin parquet scan builder," +
+              s" got ${other.getClass.getName}")
+        }
       case Some(t) => zoneMapIndex match {
         case Some(idx) =>
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
