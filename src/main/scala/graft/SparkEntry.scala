@@ -276,6 +276,14 @@ object SparkEntry {
     // batch-split-invariant and equals d28's exhaustive oracle.
     "s17_stream_neardup_gate" -> (StreamingQueries.streamNearDupGate _),
     "s18_stream_change_feed" -> ((s, _) => cocoaCdcStream(s)),
+    // s20: the plain-snapshot STREAMING SOURCE — a table that never
+    // declared changeFeed tailed as an append-only stream
+    // ([[graft.sources.v2.GraftSnapshotSource]]: offsets are versions,
+    // each batch = snapshot-EXCEPT-ALL diff, rewrites refuse loudly).
+    // Two append-only commits drained AvailableNow across a shared
+    // checkpoint; the union of batches must re-assemble the warehouse
+    // exactly — s04's oracle.
+    "s20_stream_snapshot_tail" -> ((s, _) => cocoaSnapshotTailed(s)),
     // s19: the same dual-drain as s04, but the sink is the CONNECTOR
     // (writeStream.format("graft")) — exactly-once via the sink's
     // in-snapshot epoch markers instead of foreachBatch code.
@@ -1090,6 +1098,45 @@ object SparkEntry {
 
   private def cocoaStreamWarehouse(spark: SparkSession): DataFrame =
     cocoaStreamMemo.computeIfAbsent(spark, runCocoaStream)
+
+  /** s20: tail a PLAIN snapshot table (no change feed) as an
+    * append-only stream. Deterministic split of the derived warehouse:
+    * v0 = the high-grade slice, v1 = the full warehouse (a strict
+    * append of the rest). Each AvailableNow drain shares one
+    * checkpoint, so the second delivers exactly the appended diff;
+    * the union of the drained batches must equal the warehouse —
+    * s04's oracle certifies it. */
+  private val cocoaSnapTailMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def cocoaSnapshotTailed(spark: SparkSession): DataFrame =
+    cocoaSnapTailMemo.computeIfAbsent(spark, runCocoaSnapshotTail)
+
+  private def runCocoaSnapshotTail(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_snap_tail_", keep = 32)
+    val ckpt = s"$root/_ckpt"
+    val schema = graft.pipeline.CocoaSchema.warehouse
+    val part1 = wh.filter(coalesce(col("quality_score"), lit(0.0)) >= lit(8.5))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(got.add); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    Warehouse.commit(spark, root, part1)
+    drain()
+    Warehouse.commit(spark, root, wh) // superset of v0: a pure append
+    drain()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(got.iterator().asScala.toSeq.asJava, schema)
+      .orderBy("shipment_id")
+  }
 
   /** s07: the streaming drain landed DIRECTLY in the external RDBMS
     * (embedded Derby over the distributed JDBC upsert) — the
@@ -3926,6 +3973,9 @@ object SparkEntry {
     "s04_cocoa_stream_warehouse" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "s15_stream_crash_recovery" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     "s19_stream_sink" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // s20: the re-assembled append-only stream equals the warehouse.
+    "s20_stream_snapshot_tail" ->
+      cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // s16: both cells deterministic — two increment files make two
     // micro-batches; the equality certificate is computed
     // distributively against the one-shot encode (v02 pattern).

@@ -52,9 +52,38 @@ import graft.pipeline.Warehouse
   *    `shipment_id` when present, else plain append)
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** `readStream.format("graft")` WITHOUT `readChangeFeed`: the plain
+    * snapshot table is tailed as an append-only stream
+    * ([[GraftSnapshotSource]]). Dispatch detail: the snapshot table
+    * deliberately does NOT advertise MICRO_BATCH_READ, so
+    * DataStreamReader falls back to this V1 source; the CDC table
+    * (`readChangeFeed=true`) DOES, so it keeps its V2
+    * [[GraftCdcStream]] with the published feeds. */
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      resolve(new CaseInsensitiveStringMap(parameters.asJava), None).schema()))
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = parameters.get("path").map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: warehouse root required — readStream.format(\"graft\").load(<root>)"))
+    val resolved = schema.getOrElse(
+      resolve(new CaseInsensitiveStringMap(parameters.asJava), None).schema())
+    require(resolved.nonEmpty,
+      s"graft: cannot stream $root — no committed snapshot and no declared" +
+        " schema to stream under")
+    new GraftSnapshotSource(sqlContext.sparkSession, root, resolved)
+  }
 
   /** `writeStream.format("graft")` — see [[GraftStreamSink]]. Options:
     * `path` (warehouse root), `mergeKey`, `streamAppId` (default

@@ -33,4 +33,19 @@ object Bridge {
       org.apache.spark.sql.execution.LogicalRDD(
         qe.analyzed.output, qe.toRdd, isStreaming = false)(session))
   }
+
+  /** The inverse seam, for V1 streaming SOURCES: `getBatch` must hand
+    * the engine a plan marked `isStreaming = true` (MicroBatchExecution
+    * asserts it), while the batch itself is an ordinary computed
+    * DataFrame — plan it as a batch, rebind the planned RDD under a
+    * streaming-flagged LogicalRDD (the FileStreamSource idiom, which
+    * marks its LogicalRelation the same way). */
+  def asStreamBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[_]]
+    val session = ds.sparkSession
+    val qe = ds.queryExecution
+    ClassicDataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD(
+        qe.analyzed.output, qe.toRdd, isStreaming = true)(session))
+  }
 }

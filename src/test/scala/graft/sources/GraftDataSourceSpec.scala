@@ -676,6 +676,44 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("publish"), e.getMessage)
   }
 
+  test("plain snapshot table streams as append-only; rewrites refuse loudly") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(40, n = 10))
+    val ckpt = Files.createTempDirectory("graft_snap_stream_ckpt").toString
+    def drain(): Either[Throwable, Seq[Row]] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(60000); Right(got.toSeq) }
+      catch { case t: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Left(t) }
+    }
+    // first drain: the whole table as of start
+    val first = drain().toOption.get
+    assert(first.map(_.getAs[String]("shipment_id")).sorted ===
+      sortedRows(Warehouse.read(spark, root)).map(_.getAs[String]("shipment_id")))
+    // append-only commit (connector upsert with strictly new ids)
+    batch(41, n = 5, idOffset = 500).write.format("graft").mode("append").save(root)
+    val second = drain().toOption.get
+    assert(second.size === 5, s"expected exactly the appended rows, got $second")
+    assert(second.forall(_.getAs[String]("shipment_id").nonEmpty))
+    // an in-place rewrite (DELETE) is unrepresentable — loud
+    spark.read.format("graft").load(root) // sanity: table still readable
+    Warehouse.commit(spark, root,
+      Warehouse.read(spark, root).filter(col("quality_score") >= lit(8.0)))
+    drain() match {
+      case Left(t) =>
+        val msg = Option(t.getCause).map(_.getMessage).getOrElse(t.getMessage)
+        assert(msg.contains("cannot represent"), msg)
+      case Right(rows) => fail(s"rewrite must refuse, got rows: $rows")
+    }
+  }
+
   test("streaming CDC: an in-flight feed publication delays the batch, never kills the query") {
     // The feed publishes AFTER the version pointer swaps — a live
     // stream triggering in that window must plan up to the published
