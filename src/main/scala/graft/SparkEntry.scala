@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, date_trunc, expr, floor, lit, when, sum => fsum}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, date_trunc, expr, floor, lit, max, min, when, sum => fsum}
 
 import graft.operators.{NorthStar, Relational}
 import graft.pipeline.{CocoaGen, CocoaPipeline, Warehouse}
@@ -667,6 +667,12 @@ object SparkEntry {
     "io13_sql_time_travel"   -> ((s, _) => cocoaSqlTimeTravel(s)),
     "io14_dsv2_zonemap"      -> ((s, _) => cocoaDsv2ZoneMap(s)),
     "io15_dsv2_runtime_prune" -> ((s, _) => cocoaDsv2RuntimePrune(s)),
+    // io16: AGGREGATE PUSHDOWN through the connector — COUNT/MIN/MAX
+    // answered from parquet FOOTER STATS at scan level (zero data
+    // pages read; the require inside refuses a plan that did not
+    // push). At 100 TB this is the difference between a metadata read
+    // and a full-table scan for the most common dashboard queries.
+    "io16_dsv2_agg_pushdown" -> ((s, _) => cocoaAggPushdown(s)),
     // io06: additive schema evolution — two physical generations
     // reconciled by name on read; old files surface the new column
     // as null without a byte rewritten.
@@ -1431,6 +1437,38 @@ object SparkEntry {
     val dirs = cocoaDirsMemo.get(spark)
     spark.read.format("graft").option("versionAsOf", "0").load(dirs.warehouse)
       .orderBy("shipment_id")
+  }
+
+  /** io16: MIN/MAX/COUNT through `format("graft")` with parquet
+    * aggregate pushdown on — the delegated [[SupportsPushDownAggregates]]
+    * answers from footer statistics, no data pages. The plan pin lives
+    * INSIDE the gate (`require(PushedAggregation...)`) so a silent
+    * fallback to a full scan fails the row, not just a spec; the conf
+    * flip is scoped to this query (result eagerly collected, session
+    * conf restored). */
+  private def cocoaAggPushdown(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_aggpd_wh_", keep = 32)
+    Warehouse.commit(spark, root, wh.repartition(4))
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val agg = spark.read.format("graft").load(root).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"),
+        min(col("shipment_weight_kg")).as("min_weight"),
+        max(col("shipment_weight_kg")).as("max_weight"))
+      val planStr = agg.queryExecution.executedPlan.toString
+      require(planStr.contains("PushedAggregation: [COUNT(*)"),
+        s"io16: aggregate pushdown did not engage:\n$planStr")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** io14: zone-map data skipping INSIDE the connector's scan
@@ -4048,6 +4086,13 @@ object SparkEntry {
     // range filter over the LWW warehouse.
     "io15_dsv2_runtime_prune" -> cocoaOracle(
       "SELECT * FROM wh WHERE region < 'F' ORDER BY shipment_id"),
+    // io16: footer-stat aggregates must equal the recomputed truth.
+    "io16_dsv2_agg_pushdown" -> cocoaOracle(
+      """SELECT count(*) AS n_rows,
+        |  min(quality_score) AS min_quality, max(quality_score) AS max_quality,
+        |  min(shipment_weight_kg) AS min_weight,
+        |  max(shipment_weight_kg) AS max_weight
+        |FROM wh""".stripMargin),
     // p24: CREATE TABLE + INSERT INTO (connector upsert) over
     // byte-identical regenerated batches == p01's warehouse.
     "p24_sql_insert_upsert" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),

@@ -154,6 +154,31 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(sortedRows(q) === sortedRows(expect))
   }
 
+  test("MIN/MAX/COUNT push to parquet footer stats through the connector") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(6, n = 50).repartition(3))
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val agg = spark.read.format("graft").load(root).agg(
+        count(lit(1)).as("n"), min(col("quality_score")).as("lo"),
+        max(col("quality_score")).as("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"expected scan-level aggregation in:\n$plan")
+      val Row(n: Long, lo: Double, hi: Double) = agg.head()
+      val truth = Warehouse.read(spark, root)
+        .agg(count(lit(1)), min(col("quality_score")), max(col("quality_score")))
+        .head()
+      assert((n, lo, hi) === ((truth.getLong(0), truth.getDouble(1),
+        truth.getDouble(2))))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("hive-partitioned snapshots read correctly with partition pruning") {
     val root = freshRoot()
     Warehouse.commitPartitioned(spark, root, batch(5, n = 60), Seq("region"))
