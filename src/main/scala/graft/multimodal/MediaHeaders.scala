@@ -83,24 +83,38 @@ object MediaHeaders {
     * java.util.zip); `pixels` is row-major, length w*h, one byte per
     * pixel. The fixture-scale thumbnail writer (m03) runs this per
     * row inside an executor kernel; output size is O(w*h). */
-  def pngEncodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
-    require(width > 0 && height > 0 && pixels.length == width * height,
-      s"pngEncodeGray: need $width x $height = ${width * height} pixels," +
+  def pngEncodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    pngEncode(width, height, pixels, bpp = 1, colorType = 0, "pngEncodeGray")
+
+  /** COMPLETE TRUECOLOR PNG encoder (spec: 8-bit, color type 2 — RGB,
+    * filter 0 per scanline, zlib IDAT, real CRC32s); `pixels` is
+    * row-major, 3 bytes per pixel (R,G,B). Same profile discipline as
+    * [[pngEncodeGray]], so the fixture-scale thumbnail path covers
+    * color assets too — the digest stand-in is only for genuinely
+    * large media. */
+  def pngEncodeRgb(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    pngEncode(width, height, pixels, bpp = 3, colorType = 2, "pngEncodeRgb")
+
+  private def pngEncode(width: Int, height: Int, pixels: Array[Byte],
+      bpp: Int, colorType: Int, fn: String): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * bpp,
+      s"$fn: need $width x $height x $bpp = ${width * height * bpp} bytes," +
         s" got ${pixels.length}")
     val ihdr = {
       val b = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
       b.putInt(width).putInt(height)
-      b.put(8.toByte)  // bit depth
-      b.put(0.toByte)  // color type: grayscale
+      b.put(8.toByte)          // bit depth
+      b.put(colorType.toByte)  // 0 = grayscale, 2 = truecolor RGB
       b.put(0.toByte).put(0.toByte).put(0.toByte)
       b.array()
     }
     // raw scanline stream: one filter byte (0 = None) per row
-    val raw = new Array[Byte]((width + 1) * height)
+    val rowBytes = width * bpp
+    val raw = new Array[Byte]((rowBytes + 1) * height)
     var r = 0
     while (r < height) {
-      raw(r * (width + 1)) = 0
-      System.arraycopy(pixels, r * width, raw, r * (width + 1) + 1, width)
+      raw(r * (rowBytes + 1)) = 0
+      System.arraycopy(pixels, r * rowBytes, raw, r * (rowBytes + 1) + 1, rowBytes)
       r += 1
     }
     val deflater = new java.util.zip.Deflater(
@@ -122,14 +136,25 @@ object MediaHeaders {
     * Returns (width, height, row-major pixels); None on ANY
     * malformation — a torn image must fail decode, never yield
     * garbage pixels. */
-  def pngDecodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def pngDecodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngDecode(bytes, colorType = 0, bpp = 1)
+
+  /** TRUECOLOR twin of [[pngDecodeGray]] for the [[pngEncodeRgb]]
+    * profile (8-bit color type 2, filter 0): returns row-major
+    * 3-bytes-per-pixel RGB; None on any malformation. */
+  def pngDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngDecode(bytes, colorType = 2, bpp = 3)
+
+  private def pngDecode(bytes: Array[Byte], colorType: Int,
+      bpp: Int): Option[(Int, Int, Array[Byte])] = {
     val media = parsePng(bytes) match {
       case Some(m) => m
       case None => return None
     }
-    // profile check: 8-bit grayscale, no interlace (IHDR offsets 24-28)
-    if (bytes(24) != 8 || bytes(25) != 0 || bytes(28) != 0) return None
-    val w = media.width; val h = media.height
+    // profile check: 8-bit, expected color type, no interlace
+    // (IHDR offsets 24-28)
+    if (bytes(24) != 8 || bytes(25) != colorType || bytes(28) != 0) return None
+    val w = media.width * bpp; val h = media.height
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val idat = new java.io.ByteArrayOutputStream()
     var off = 33 // first chunk after IHDR
@@ -178,7 +203,7 @@ object MediaHeaders {
       System.arraycopy(raw, r * (w + 1) + 1, pixels, r * w, w)
       r += 1
     }
-    Some((w, h, pixels))
+    Some((media.width, media.height, pixels)) // w above is the ROW stride
   }
 
   /** PNG header + tEXt METADATA chunks (keyword NUL text, CRC32 per

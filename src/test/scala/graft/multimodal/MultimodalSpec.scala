@@ -25,6 +25,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaHeaders.parsePng(good.take(20)).isEmpty, "truncated header parsed")
   }
 
+  test("full RGB truecolor PNG codec: round-trip, IHDR color type 2, ImageIO-decodable") {
+    val rnd = new scala.util.Random(11)
+    for ((w, h) <- Seq((1, 1), (4, 4), (16, 16), (13, 7))) {
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val png = MediaHeaders.pngEncodeRgb(w, h, px)
+      // IHDR: bit depth 8 at offset 24, color type 2 at offset 25
+      assert(png(24) === 8.toByte && png(25) === 2.toByte)
+      val (dw, dh, dpx) = MediaHeaders.pngDecodeRgb(png).get
+      assert((dw, dh) === ((w, h)))
+      assert(java.util.Arrays.equals(dpx, px), s"pixel mismatch at ${w}x$h")
+      // the claim "any PNG reader opens it", proven with a real reader
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth === w && img.getHeight === h)
+      val r0 = px(0) & 0xff; val g0 = px(1) & 0xff; val b0 = px(2) & 0xff
+      assert(img.getRGB(0, 0) === ((0xff << 24) | (r0 << 16) | (g0 << 8) | b0))
+    }
+    // cross-profile discipline: a gray PNG refuses the RGB decoder and
+    // vice versa (silent misinterpretation would shear every row)
+    val gray = MediaHeaders.pngEncodeGray(4, 4, Array.fill(16)(9.toByte))
+    assert(MediaHeaders.pngDecodeRgb(gray).isEmpty)
+    val rgb = MediaHeaders.pngEncodeRgb(4, 4, Array.fill(48)(9.toByte))
+    assert(MediaHeaders.pngDecodeGray(rgb).isEmpty)
+    // corruption still poisons decode
+    val torn = rgb.clone(); torn(40) = (torn(40) ^ 0x10).toByte
+    assert(MediaHeaders.pngDecodeRgb(torn).isEmpty, "torn IDAT must not decode")
+  }
+
   test("full grayscale PNG codec: pixel round-trip, corruption poisons decode") {
     val rnd = new scala.util.Random(7)
     for ((w, h) <- Seq((1, 1), (4, 4), (16, 16), (13, 7))) {
