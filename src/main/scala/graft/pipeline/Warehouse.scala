@@ -984,18 +984,33 @@ object Warehouse {
     org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** The current snapshot with each row's PHYSICAL identity attached:
-    * `_dv_file` (the parquet part-file NAME — unique within a snapshot
-    * dir, and stable across a snapshot-dir move, unlike the full URI)
-    * and `_dv_pos` (the row's ordinal within that file, from the
-    * parquet reader's `_metadata.row_index`). (file, pos) is the
-    * row-id deletion vectors address — no key column needed, so DV
-    * deletes work on keyless tables too. */
+    * `_dv_file` (the part-file path RELATIVE to the snapshot's data
+    * dir — stable across a snapshot-dir move, unlike the full URI, and
+    * unique where the bare NAME is not: a hive-partitioned write
+    * reuses the same `part-NNNNN-<jobUUID>` file name across
+    * partition directories, so a name-only key would alias rows of
+    * different partitions) and `_dv_pos` (the row's ordinal within
+    * that file, from the parquet reader's `_metadata.row_index`).
+    * (file, pos) is the row-id deletion vectors address — no key
+    * column needed, so DV deletes work on keyless tables too. On flat
+    * snapshots the relative path IS the file name, so this key is
+    * byte-identical to the historical one there. */
   private def snapshotWithPos(spark: SparkSession, root: String, v: Long,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.schema(schema).parquet(dataPath(spark, root, v))
+    val dir = dataPath(spark, root, v).stripSuffix("/")
+    // `_metadata.file_path` is the url-encoded URI ("file:/…",
+    // partition segments like "region=Bono%20East"); the data dir is
+    // a raw path — so strip by the LAST occurrence of the
+    // slash-fenced version-dir segment ("/v<N>/"), which only real
+    // directory boundaries can produce (partition segments are always
+    // "k=v" with '/' hive-escaped), never by a length count. The key
+    // stays in the URL-ENCODED form; [[graft.sources.v2.GraftDvScan]]
+    // computes the identical key via SparkPath. */
+    val marker = "/" + dir.substring(dir.lastIndexOf('/') + 1) + "/"
+    spark.read.schema(schema).parquet(dir)
       .select(col("*"),
-        substring_index(col("_metadata.file_path"), "/", -1).as("_dv_file"),
+        substring_index(col("_metadata.file_path"), marker, -1).as("_dv_file"),
         col("_metadata.row_index").as("_dv_pos"))
   }
 

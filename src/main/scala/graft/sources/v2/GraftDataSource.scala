@@ -351,20 +351,10 @@ object GraftTables {
           case None => inferred
         }
         // A DV-bearing snapshot reads MERGE-ON-READ through
-        // [[GraftDvScan]] (the Delta reader shape); the one refused
-        // combination is DV + hive-partitioned layout, whose partition
-        // values the per-file DV reader would have to re-derive from
-        // paths — the Scala API covers it.
-        require(!hasDv || inner.partitioning().isEmpty,
-          s"graft: snapshot v$v of $root carries deletion vectors AND a" +
-            " hive-partitioned layout — read via Warehouse.readWithDv, or" +
-            " materialize with Warehouse.applyDv first")
-        // Same restriction for renamed hive-partitioned snapshots:
-        // partition-directory names stay physical and the builtin
-        // index would report them unmapped.
-        require(mapping.isEmpty || inner.partitioning().isEmpty,
-          s"graft: snapshot v$v of $root carries a column rename map AND a" +
-            " hive-partitioned layout — read via Warehouse.readMapped")
+        // [[GraftDvScan]] (the Delta reader shape), hive-partitioned
+        // layouts included (partition values re-derived per file); a
+        // renamed snapshot reads through [[GraftMappedScan]], its
+        // partitioning surfaced under logical names.
         val exposed =
           if (mapping.isEmpty) inner.schema
           else StructType(inner.schema.fields.map(f =>
@@ -421,7 +411,19 @@ class GraftSnapshotTable(tableName: String,
     GraftCatalog.readProps(spark, root).asJava
 
   override def partitioning(): Array[Transform] =
-    inner.map(_.partitioning()).getOrElse(Array.empty)
+    inner.map(_.partitioning().map { t =>
+      // a renamed table surfaces its partitioning under LOGICAL names
+      // (the directories stay physical; the scan translates)
+      if (mapping.isEmpty) t
+      else t match {
+        case id if id.name == "identity" && id.references.length == 1 &&
+            id.references()(0).fieldNames().length == 1 =>
+          val phys = id.references()(0).fieldNames()(0)
+          org.apache.spark.sql.connector.expressions.Expressions.identity(
+            mapping.getOrElse(phys, phys))
+        case other => other
+      }
+    }).getOrElse(Array.empty)
 
   /** Zone-map-aware file index when the FLAT snapshot carries a
     * `_zonemap` sidecar — then the scan builder below plans over it
@@ -453,9 +455,11 @@ class GraftSnapshotTable(tableName: String,
       // DV-bearing snapshot: the merge-on-read scan OWNS the read —
       // the builtin parquet scan (zone maps and DPP included) would
       // resurrect deleted rows.
-      case Some(_) if dvVersion.isDefined =>
+      case Some(t) if dvVersion.isDefined =>
+        val partSchema = StructType(t.schema.fields.filterNot(f =>
+          t.dataSchema.fieldNames.contains(f.name)))
         new GraftDvScanBuilder(spark, root, dvVersion.get, dataDir.get,
-          tableSchema)
+          tableSchema, partSchema)
       // renamed snapshot: the builtin scan runs under PHYSICAL names,
       // the wrapper translates at the plan boundary (zone-map sidecars
       // key on physical names too — the flat-snapshot zone map path is

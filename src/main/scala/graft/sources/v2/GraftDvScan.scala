@@ -3,13 +3,15 @@ package graft.sources.v2
 import org.apache.hadoop.fs.Path
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.pipeline.Warehouse
 
@@ -43,25 +45,55 @@ import graft.pipeline.Warehouse
   *    safe (rows still arrive in order) and supported.
   *  - Row-by-row output (`OPTION_RETURNING_BATCH=false`), matching
   *    [[GraftCdcReaderFactory]]: the position skip is per-row anyway.
+  *  - HIVE-PARTITIONED snapshots work: each file's partition values
+  *    are re-derived from its directory fragment at planning time
+  *    (unescaped, cast to the declared types) and delivered as
+  *    constant partition columns by the reader closure — the same
+  *    mechanism the builtin scan uses, minus its index.
   *
   * The DV-bearing state is TRANSITIONAL by contract (deleteWhere's
   * merge-on-read defers the rewrite; applyDv/compaction restores the
   * vectorized fast path), so trading the vectorized batch read for
   * correctness here costs only the window between a delete and its
-  * next maintenance cycle. Partitioned snapshots with DVs are refused
-  * (partition values would have to be re-derived from paths; the
-  * Scala API [[Warehouse.readWithDv]] covers them).
+  * next maintenance cycle.
   */
 object GraftDvScan {
   /** Driver-side load cap for the DV set (on-disk bytes). */
   val MaxDvBytes: Long = 64L * 1024 * 1024
+
+  /** Partition values for `file` under `dataDir`, in `partSchema`
+    * field order: hive `k=v` path fragments unescaped and cast to the
+    * declared types (`__HIVE_DEFAULT_PARTITION__` → null). Loud on a
+    * fragment that names no declared partition column — guessing
+    * would misattribute every row of the file. */
+  private[v2] def partitionValuesOf(dataDir: String, file: Path,
+      partSchema: StructType): Array[Any] = {
+    if (partSchema.isEmpty) return Array.empty
+    val rel = file.toString.stripPrefix(
+      if (dataDir.endsWith("/")) dataDir else dataDir + "/")
+    val bySpec = rel.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+      val i = seg.indexOf('=')
+      ExternalCatalogUtils.unescapePathName(seg.take(i)) ->
+        ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
+    }.toMap
+    partSchema.fields.map { f =>
+      val raw = bySpec.getOrElse(f.name, throw new IllegalStateException(
+        s"graft: data file $file carries no '${f.name}=' partition fragment" +
+          s" under $dataDir — partition layout and declared partitioning" +
+          " disagree"))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+        Option("UTC")).eval()
+    }
+  }
 }
 
 case class GraftDvInputPartition(filePath: String, length: Long,
-    modificationTime: Long, deletedPositions: Array[Long]) extends InputPartition
+    modificationTime: Long, deletedPositions: Array[Long],
+    partitionValues: Array[Any]) extends InputPartition
 
 class GraftDvScanBuilder(spark: SparkSession, root: String, version: Long,
-    dataDir: String, tableSchema: StructType)
+    dataDir: String, tableSchema: StructType, partSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -70,14 +102,24 @@ class GraftDvScanBuilder(spark: SparkSession, root: String, version: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftDvScanImpl(spark, root, version, dataDir, tableSchema, required)
+    new GraftDvScanImpl(spark, root, version, dataDir, tableSchema,
+      required, partSchema)
 }
 
 class GraftDvScanImpl(spark: SparkSession, root: String, version: Long,
-    dataDir: String, tableSchema: StructType, required: StructType)
+    dataDir: String, tableSchema: StructType, required: StructType,
+    partSchema: StructType)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  // the reader closure yields data columns then ALL partition columns
+  // appended — report exactly what it produces; Spark projects the
+  // requested subset/order above the scan
+  private val dataRequired = StructType(
+    required.fields.filterNot(f => partSchema.fieldNames.contains(f.name)))
+
+  override def readSchema(): StructType =
+    StructType(dataRequired.fields ++ partSchema.fields)
+
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-dv root=$root v$version (merge-on-read deletion vectors)"
@@ -90,9 +132,8 @@ class GraftDvScanImpl(spark: SparkSession, root: String, version: Long,
         s" vectors, past the ${GraftDvScan.MaxDvBytes}-byte scan-planning bound —" +
         " fold them into a clean snapshot with Warehouse.applyDv (or read via" +
         " Warehouse.readWithDv) first")
-    // Deleted ordinals per data-file NAME (unique within a flat
-    // snapshot — the key deleteWhere records), sorted for the
-    // two-pointer skip.
+    // Deleted ordinals per data-file NAME (unique within a snapshot —
+    // the key deleteWhere records), sorted for the two-pointer skip.
     val deleted: Map[String, Array[Long]] =
       Warehouse.dvRows(spark, root, version) match {
         case None => Map.empty
@@ -100,21 +141,44 @@ class GraftDvScanImpl(spark: SparkSession, root: String, version: Long,
           .groupBy(_.getString(0))
           .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
       }
-    fs.listStatus(new Path(dataDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        GraftDvInputPartition(s.getPath.toString, s.getLen,
-          s.getModificationTime,
-          deleted.getOrElse(s.getPath.getName, Array.empty[Long]))
-      }.toArray
+    val files = {
+      val it = fs.listFiles(new Path(dataDir), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.toSeq
+    }
+    // The DV key is the URL-ENCODED path relative to the data dir
+    // (matching snapshotWithPos' `_metadata.file_path` strip exactly):
+    // a hive-partitioned write REUSES part-file names across partition
+    // dirs, so a name-only key would alias rows of different
+    // partitions.
+    val dirName = new Path(dataDir.stripSuffix("/")).getName
+    val marker = "/" + dirName + "/"
+    def relKey(p: Path): String = {
+      val enc = SparkPath.fromPath(p).toString
+      val i = enc.lastIndexOf(marker)
+      require(i >= 0, s"graft: data file $p is not under $dataDir")
+      enc.substring(i + marker.length)
+    }
+    files.map { s =>
+      GraftDvInputPartition(s.getPath.toString, s.getLen,
+        s.getModificationTime,
+        deleted.getOrElse(relKey(s.getPath), Array.empty[Long]),
+        GraftDvScan.partitionValuesOf(dataDir, s.getPath, partSchema))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       GraftTables.classic(spark),
-      dataSchema = tableSchema,
-      partitionSchema = StructType(Nil),
-      requiredSchema = required,
+      dataSchema = StructType(
+        tableSchema.fields.filterNot(f => partSchema.fieldNames.contains(f.name))),
+      partitionSchema = partSchema,
+      requiredSchema = dataRequired,
       filters = Nil, // MUST stay Nil: row-group skipping would break ordinals
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
@@ -133,7 +197,7 @@ class GraftDvReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftDvInputPartition]
     val pf = PartitionedFile(
-      partitionValues = new GenericInternalRow(Array.empty[Any]),
+      partitionValues = new GenericInternalRow(p.partitionValues),
       filePath = SparkPath.fromPathString(p.filePath),
       start = 0L, length = p.length, locations = Array.empty,
       modificationTime = p.modificationTime, fileSize = p.length,
@@ -157,6 +221,9 @@ class GraftDvReaderFactory(
         while (rows.hasNext) {
           current = rows.next()
           pos += 1
+          // advance past stale entries first — a duplicate or
+          // out-of-range position must never freeze the pointer
+          while (di < deleted.length && deleted(di) < pos) di += 1
           if (di < deleted.length && deleted(di) == pos) di += 1
           else return true
         }

@@ -32,6 +32,26 @@ class DeletionVectorSpec extends AnyFunSuite {
       .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
   }
 
+  test("DV delete on a hive-partitioned snapshot never aliases across partitions") {
+    // A partitioned write REUSES part-file names across partition
+    // dirs, so a name-only (file, pos) key would delete the same
+    // ordinal in EVERY same-named file — the key must be the
+    // dir-relative path. Pin with a delete confined to a predicate
+    // whose survivors are exactly countable.
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(9, n = 200), Seq("region"))
+    val total = Warehouse.read(spark, root).count()
+    val doomedIds = ids(Warehouse.read(spark, root)
+      .filter(col("region") === lit("Volta")))
+    assert(doomedIds.nonEmpty && doomedIds.size < total)
+    Warehouse.deleteWhere(spark, root, col("region") === lit("Volta"))
+    val live = Warehouse.readWithDv(spark, root)
+    assert(live.count() === total - doomedIds.size,
+      "exactly the predicate rows go — no cross-partition aliasing")
+    assert(ids(live).intersect(doomedIds).isEmpty)
+  }
+
   test("delete removes exactly the predicate-true rows and rewrites no data file") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(1).repartition(4))

@@ -96,14 +96,37 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "DV-deleted rows must not be resurrected by a write")
   }
 
-  test("deletion vectors + hive-partitioned layout is refused loudly") {
+  test("deletion vectors on a hive-partitioned snapshot read merge-on-read too") {
     val root = freshRoot()
     Warehouse.commitPartitioned(spark, root, batch(11, n = 40), Seq("region"))
     Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(root).collect()
-    }
-    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    val names = CocoaSchema.warehouse.fieldNames.map(col).toSeq
+    val expect = Warehouse.readWithDv(spark, root).select(names: _*)
+    val got = spark.read.format("graft").load(root).select(names: _*)
+    assert(expect.count() < 40, "fixture must actually delete rows")
+    assert(sortedRows(got) === sortedRows(expect),
+      "partition values must be re-derived per file, deletions applied")
+    // a filter on the partition column still selects correctly
+    assert(sortedRows(got.filter(col("region") === "Volta")) ===
+      sortedRows(expect.filter(col("region") === "Volta")))
+  }
+
+  test("renamed hive-partitioned snapshot reads logically, partition filter included") {
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(13, n = 40), Seq("region"))
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))
+    val got = spark.read.format("graft").load(root)
+    assert(got.columns.contains("zone") && !got.columns.contains("region"))
+    val names = CocoaSchema.warehouse.fieldNames
+      .map(n => if (n == "region") col("zone") else col(n)).toSeq
+    val expectNames = CocoaSchema.warehouse.fieldNames
+      .map(n => if (n == "region") col("region").as("zone") else col(n)).toSeq
+    assert(sortedRows(got.select(names: _*)) ===
+      sortedRows(Warehouse.read(spark, root).select(expectNames: _*)))
+    // filtering on the LOGICAL partition name prunes and selects right
+    assert(sortedRows(got.filter(col("zone") === "Volta").select(names: _*)) ===
+      sortedRows(Warehouse.read(spark, root).filter(col("region") === "Volta")
+        .select(expectNames: _*)))
   }
 
   test("a declared merge key that names no column is loud, never a silent plain append") {
