@@ -92,12 +92,15 @@ object Bench {
           val b = spark.range(0L, 4000000L, 1L, par)
             .select(pmod(xxhash64(col("id") + 7L), lit(4000000L)).as("k"))
           a.join(b, "k").select(fsum(col("k"))).collect(); () }))
-      // FROZEN REFERENCE — round-12 build machine, best minima over 4
-      // standalone runs at local[32] (see PLANS.md round-12). Never
-      // update these alongside the workloads: the pair (workload, ref)
-      // is the yardstick every future run is measured against.
+      // FROZEN REFERENCE — round-12 build machine, minima measured
+      // INSIDE a full-registry bench run (the same fully-JIT-warmed
+      // regime every future measurement happens in; standalone pins
+      // read ~1.5x higher and would skew cal_factor low — PLANS.md
+      // round-12). Never update these alongside the workloads: the
+      // pair (workload, ref) is the yardstick every future run is
+      // measured against.
       val calRef = Map(
-        "cal01_cpu" -> 0.60, "cal02_shuffle" -> 2.00, "cal03_join" -> 1.10)
+        "cal01_cpu" -> 0.36, "cal02_shuffle" -> 1.36, "cal03_join" -> 0.68)
       val calMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       for (pass <- 0 until iters) {
         if (pass > 0) { SparkEntry.resetMemos(); spark.catalog.clearCache() }

@@ -784,6 +784,7 @@ object SparkEntry {
     clustersMemo.clear()
     cocoaDirsMemo.clear()
     cocoaStreamMemo.clear()
+    cocoaSnapTailMemo.clear()
     cocoaStreamJdbcMemo.clear()
     cocoaJdbcMemo.clear()
     scd2RootMemo.clear()
