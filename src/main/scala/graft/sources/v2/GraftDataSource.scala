@@ -326,10 +326,6 @@ object GraftTables {
         // WITH deletion vectors on one version is refused — the two
         // wrappers would have to compose and the Scala API covers it
         val mapping = Warehouse.columnMappingOf(spark, root, v)
-        require(mapping.isEmpty || !hasDv,
-          s"graft: snapshot v$v of $root carries BOTH a column rename map and" +
-            " deletion vectors — read via the Warehouse API (readVersionLive)" +
-            " or materialize with Warehouse.applyDv first")
         val dataDir = Warehouse.dataPath(spark, root, v)
         val inferred = ParquetTable(s"$tableName@v$v", classic(spark),
           CaseInsensitiveStringMap.empty(), Seq(dataDir), None,
@@ -456,10 +452,14 @@ class GraftSnapshotTable(tableName: String,
       // the builtin parquet scan (zone maps and DPP included) would
       // resurrect deleted rows.
       case Some(t) if dvVersion.isDefined =>
-        val partSchema = StructType(t.schema.fields.filterNot(f =>
+        // partition schema under LOGICAL names; the DV scan translates
+        // physical-ward at its reader boundary (rename composition)
+        val physPart = StructType(t.schema.fields.filterNot(f =>
           t.dataSchema.fieldNames.contains(f.name)))
+        val partSchema = StructType(physPart.fields.map(f =>
+          f.copy(name = mapping.getOrElse(f.name, f.name))))
         new GraftDvScanBuilder(spark, root, dvVersion.get, dataDir.get,
-          tableSchema, partSchema)
+          tableSchema, partSchema, mapping)
       // renamed snapshot: the builtin scan runs under PHYSICAL names,
       // the wrapper translates at the plan boundary (zone-map sidecars
       // key on physical names too — the flat-snapshot zone map path is

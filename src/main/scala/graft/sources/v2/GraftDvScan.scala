@@ -93,7 +93,8 @@ case class GraftDvInputPartition(filePath: String, length: Long,
     partitionValues: Array[Any]) extends InputPartition
 
 class GraftDvScanBuilder(spark: SparkSession, root: String, version: Long,
-    dataDir: String, tableSchema: StructType, partSchema: StructType)
+    dataDir: String, tableSchema: StructType, partSchema: StructType,
+    mapping: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -103,13 +104,24 @@ class GraftDvScanBuilder(spark: SparkSession, root: String, version: Long,
 
   override def build(): Scan =
     new GraftDvScanImpl(spark, root, version, dataDir, tableSchema,
-      required, partSchema)
+      required, partSchema, mapping)
 }
 
 class GraftDvScanImpl(spark: SparkSession, root: String, version: Long,
     dataDir: String, tableSchema: StructType, required: StructType,
-    partSchema: StructType)
+    partSchema: StructType, mapping: Map[String, String])
     extends Scan with Batch {
+
+  // a version carrying BOTH deletion vectors and a rename map: the
+  // reader runs under PHYSICAL names (the files'), the reported
+  // schema under LOGICAL ones — same boundary translation as
+  // [[GraftMappedScan]], zero row transformation (names don't exist
+  // in InternalRows)
+  private val l2p: Map[String, String] = mapping.map(_.swap)
+  private def toPhysical(st: StructType): StructType =
+    if (mapping.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = l2p.getOrElse(f.name, f.name))))
 
   // the reader closure yields data columns then ALL partition columns
   // appended — report exactly what it produces; Spark projects the
@@ -168,17 +180,18 @@ class GraftDvScanImpl(spark: SparkSession, root: String, version: Long,
       GraftDvInputPartition(s.getPath.toString, s.getLen,
         s.getModificationTime,
         deleted.getOrElse(relKey(s.getPath), Array.empty[Long]),
-        GraftDvScan.partitionValuesOf(dataDir, s.getPath, partSchema))
+        GraftDvScan.partitionValuesOf(dataDir, s.getPath,
+          toPhysical(partSchema)))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       GraftTables.classic(spark),
-      dataSchema = StructType(
-        tableSchema.fields.filterNot(f => partSchema.fieldNames.contains(f.name))),
-      partitionSchema = partSchema,
-      requiredSchema = dataRequired,
+      dataSchema = toPhysical(StructType(
+        tableSchema.fields.filterNot(f => partSchema.fieldNames.contains(f.name)))),
+      partitionSchema = toPhysical(partSchema),
+      requiredSchema = toPhysical(dataRequired),
       filters = Nil, // MUST stay Nil: row-group skipping would break ordinals
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),

@@ -129,6 +129,22 @@ class GraftDataSourceSpec extends AnyFunSuite {
         .select(expectNames: _*)))
   }
 
+  test("a version carrying BOTH a rename map and deletion vectors reads live and logical") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(14, n = 30))
+    Warehouse.renameColumns(spark, root, Map("quality_score" -> "grade")) // v1: mapped
+    // DVs attach to the MAPPED version in place (Scala API addresses
+    // physical names); the connector read must compose both layers
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    val got = spark.read.format("graft").load(root)
+    assert(got.columns.contains("grade") && !got.columns.contains("quality_score"))
+    val expect = Warehouse.readVersionLive(spark, root, 1L)
+    assert(expect.count() < 30, "fixture must actually delete rows")
+    assert(got.count() === expect.count())
+    assert(sortedRows(got.select(col("shipment_id"), col("grade"))) ===
+      sortedRows(expect.select(col("shipment_id"), col("grade"))))
+  }
+
   test("a declared merge key that names no column is loud, never a silent plain append") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(7))
