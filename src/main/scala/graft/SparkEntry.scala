@@ -203,6 +203,13 @@ object SparkEntry {
     // (old era, old names) is spec-pinned; the gate hashes the
     // post-rename, post-upsert truth.
     "p30_rename_sql_lifecycle" -> ((s, _) => cocoaRenamedSqlLifecycle(s)),
+    // p31: OPT-IN merge-on-read SQL DELETE — with
+    // TBLPROPERTIES('deleteMode'='merge-on-read') the statement lands
+    // as deletion vectors (O(matched) written, zero data rewritten,
+    // NO version published — both structurally required inside the
+    // gate) and the follow-up catalog read serves the live rows
+    // through [[graft.sources.v2.GraftDvScan]]. Same truth as p12.
+    "p31_sql_delete_mor" -> ((s, _) => cocoaSqlMorDelete(s)),
     // p13: RESTORE — an earlier snapshot re-committed as the NEW
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
@@ -912,6 +919,33 @@ object SparkEntry {
       .withColumn("grade", lit(9.99))
     upd.write.format("graft").mode("append").save(root)
     spark.sql("SELECT * FROM graft_ren_gate.cocoa_ren").orderBy("shipment_id")
+  }
+
+  /** p31: merge-on-read SQL DELETE on an isolated catalog table —
+    * declared via TBLPROPERTIES, issued as plain SQL, landed as
+    * deletion vectors. The requires pin the merge-on-read mechanics
+    * (no version bump, DV sidecar present) INSIDE the gate so a
+    * silent fallback to copy-on-write fails the row, not just a
+    * spec. */
+  private def cocoaSqlMorDelete(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = graft.core.RunTemp.dir("graft_mor_del_", keep = 32)
+    val root = s"$base/cocoa_mor"
+    Warehouse.commit(spark, root, wh.repartition(8))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("deleteMode" -> "merge-on-read"))
+    spark.conf.set("spark.sql.catalog.graft_mor_gate",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mor_gate.base", base)
+    spark.sql("DELETE FROM graft_mor_gate.cocoa_mor" +
+      " WHERE quality_score < 8.0 OR region = 'Volta'")
+    require(Warehouse.currentVersion(spark, root) == Some(0L),
+      "p31: merge-on-read delete must not publish a version")
+    require(graft.sources.v2.GraftTables.fs(spark, root).exists(
+      new org.apache.hadoop.fs.Path(Warehouse.dvPath(root, 0L))),
+      "p31: expected a deletion-vector sidecar")
+    spark.sql("SELECT * FROM graft_mor_gate.cocoa_mor").orderBy("shipment_id")
   }
 
   /** p13: two-version isolated root (v0 = the run's batch-1 snapshot,
@@ -4247,6 +4281,11 @@ object SparkEntry {
         |ORDER BY shipment_id""".stripMargin),
     // p29: identical truth through the connector's merge-on-read scan.
     "p29_dv_connector_read" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p31: merge-on-read SQL DELETE — same live truth as p12.
+    "p31_sql_delete_mor" -> cocoaOracle(
       """SELECT * FROM wh
         |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
         |ORDER BY shipment_id""".stripMargin),

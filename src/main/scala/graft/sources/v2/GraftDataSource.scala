@@ -553,15 +553,25 @@ class GraftSnapshotTable(tableName: String,
     GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)
   }
 
-  /** SQL `DELETE FROM` / `TRUNCATE TABLE`: COPY-ON-WRITE — the next
-    * snapshot is the current one minus the matching rows, through the
-    * fenced commit protocol. (The merge-on-read alternative,
-    * [[Warehouse.deleteWhere]]'s deletion vectors, stays an API choice:
-    * a DV-carrying version refuses raw connector scans, so the SQL
-    * door keeps every version it produces fully readable.) SQL DELETE
-    * semantics: rows where the predicate is TRUE go; FALSE and NULL
-    * stay. `canDeleteWhere` rejects untranslatable predicates loudly
-    * rather than deleting the wrong rows. */
+  /** SQL `DELETE FROM` / `TRUNCATE TABLE`: COPY-ON-WRITE by default —
+    * the next snapshot is the current one minus the matching rows,
+    * through the fenced commit protocol. SQL DELETE semantics: rows
+    * where the predicate is TRUE go; FALSE and NULL stay.
+    * `canDeleteWhere` rejects untranslatable predicates loudly rather
+    * than deleting the wrong rows.
+    *
+    * OPT-IN MERGE-ON-READ: `TBLPROPERTIES('deleteMode'='merge-on-read')`
+    * routes the same statement to [[Warehouse.deleteWhere]]'s deletion
+    * vectors instead — O(matched) written per delete, zero data
+    * rewritten, and since [[GraftDvScan]] every SQL read of the
+    * DV-carrying version stays fully live. The trade, stated where the
+    * user opts in: the vectors attach to the CURRENT version IN PLACE
+    * (no version bump — high-churn delete traffic does not grow the
+    * snapshot history), so the version's content changes under held
+    * time-travel readers, and a table with `changeFeed=true` refuses
+    * this mode (a feed is version-granular; an in-place delete would
+    * be invisible to CDC consumers). [[Warehouse.applyDv]] /
+    * compaction folds the vectors back into a clean snapshot. */
   /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose predicate cannot
     * be translated to source filters — e.g. subqueries — which the
     * metadata-only path above must refuse): GROUP-BASED (copy-on-write)
@@ -596,12 +606,27 @@ class GraftSnapshotTable(tableName: String,
       throw new IllegalArgumentException(
         s"graft: cannot translate delete predicate $f — unsupported expression")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    // live read: a DELETE on a DV-bearing snapshot must not resurrect
-    // the already-deleted rows into its replacement
-    val kept = GraftTables.liveRead(spark, root, tableSchema)
-      .filter(not(coalesce(pred, lit(false))))
-    val v = Warehouse.commit(spark, root, kept, expectedCurrent = Some(baseVersion))
-    GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)
+    val props = GraftCatalog.readProps(spark, root)
+    if (props.get("deleteMode").contains("merge-on-read")) {
+      require(!props.get("changeFeed").contains("true"),
+        s"graft: $root declares changeFeed=true — an in-place merge-on-read" +
+          " delete publishes no version and would be invisible to CDC" +
+          " consumers; drop deleteMode or the change feed")
+      require(mapping.isEmpty,
+        s"graft: merge-on-read DELETE on a renamed version is not supported —" +
+          " the DV writer addresses physical names; applyDv or use the" +
+          " default copy-on-write mode")
+      // O(matched): positions of the doomed rows land as a DV part;
+      // no data file is rewritten, no version is published.
+      Warehouse.deleteWhere(spark, root, pred, tableSchema)
+    } else {
+      // live read: a DELETE on a DV-bearing snapshot must not resurrect
+      // the already-deleted rows into its replacement
+      val kept = GraftTables.liveRead(spark, root, tableSchema)
+        .filter(not(coalesce(pred, lit(false))))
+      val v = Warehouse.commit(spark, root, kept, expectedCurrent = Some(baseVersion))
+      GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)
+    }
   }
 }
 

@@ -515,6 +515,45 @@ class GraftDataSourceSpec extends AnyFunSuite {
       === liveN - live.filter(col("bean_type") === "Criollo").count())
   }
 
+  test("opt-in merge-on-read SQL DELETE: DVs attach, no version bump, reads stay live") {
+    val root = s"$catalogBase/mordel"
+    Warehouse.commit(spark, root, batch(35, n = 30))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("deleteMode" -> "merge-on-read"))
+    val before = spark.sql("SELECT count(*) AS n FROM gwh_test.mordel")
+      .head().getLong(0)
+    spark.sql("DELETE FROM gwh_test.mordel WHERE quality_score < 8.0")
+    // O(matched): no new version, a DV part instead
+    assert(Warehouse.currentVersion(spark, root) === Some(0L),
+      "merge-on-read delete must not publish a version")
+    assert(graft.sources.v2.GraftTables.fs(spark, root).exists(
+      new org.apache.hadoop.fs.Path(Warehouse.dvPath(root, 0L))))
+    val live = spark.sql("SELECT * FROM gwh_test.mordel")
+    assert(live.count() < before)
+    assert(sortedRows(live.select(CocoaSchema.warehouse.fieldNames.map(col).toSeq: _*))
+      === sortedRows(Warehouse.readWithDv(spark, root)
+        .select(CocoaSchema.warehouse.fieldNames.map(col).toSeq: _*)))
+    // cumulative second delete composes
+    spark.sql("DELETE FROM gwh_test.mordel WHERE region = 'Volta'")
+    assert(spark.sql("SELECT count(*) AS n FROM gwh_test.mordel")
+      .head().getLong(0) ===
+      Warehouse.readWithDv(spark, root).count())
+    assert(Warehouse.currentVersion(spark, root) === Some(0L))
+    // a changeFeed table refuses the mode (in-place deletes are
+    // invisible to CDC consumers)
+    val root2 = s"$catalogBase/mordelcf"
+    Warehouse.commit(spark, root2, batch(36, n = 10))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root2), root2,
+      Map("deleteMode" -> "merge-on-read", "changeFeed" -> "true",
+        "mergeKey" -> "shipment_id"))
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gwh_test.mordelcf WHERE quality_score < 8.0")
+    }
+    assert(e.getMessage.contains("changeFeed"), e.getMessage)
+  }
+
   test("SQL MERGE INTO: matched-delete, matched-update, not-matched-insert") {
     val root = s"$catalogBase/mrg"
     Warehouse.commit(spark, root, batch(60, n = 20))
