@@ -77,12 +77,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val root = parameters.get("path").map(_.trim).filter(_.nonEmpty)
       .getOrElse(throw new IllegalArgumentException(
         "graft: warehouse root required — readStream.format(\"graft\").load(<root>)"))
+    require(!parameters.keys.exists(_.equalsIgnoreCase(GraftTables.VersionAsOf)),
+      "graft: versionAsOf has no meaning for a stream — a stream tails the" +
+        " LIVE table; use startingVersion to skip history")
     val resolved = schema.getOrElse(
       resolve(new CaseInsensitiveStringMap(parameters.asJava), None).schema())
     require(resolved.nonEmpty,
       s"graft: cannot stream $root — no committed snapshot and no declared" +
         " schema to stream under")
-    new GraftSnapshotSource(sqlContext.sparkSession, root, resolved)
+    val starting = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(GraftTables.StartingVersion) =>
+        GraftTables.parseVersion(v)
+    }.getOrElse(0L)
+    new GraftSnapshotSource(sqlContext.sparkSession, root, resolved, starting)
   }
 
   /** `writeStream.format("graft")` — see [[GraftStreamSink]]. Options:

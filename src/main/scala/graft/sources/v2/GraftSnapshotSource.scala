@@ -40,7 +40,11 @@ import graft.pipeline.Warehouse
   * rewrite) and a version carrying a column rename map (the stream's
   * schema is pinned at start; a rename changes it). */
 class GraftSnapshotSource(spark: SparkSession, root: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType, startingVersion: Long = 0L)
+    extends Source {
+
+  require(startingVersion >= 0,
+    s"graft: startingVersion must be >= 0, got $startingVersion")
 
   private def ver(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -65,8 +69,13 @@ class GraftSnapshotSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = ver(end)
     val toDf = snap(to)
-    val batch = start.map(ver) match {
-      case None => toDf // first batch: the full table as of stream start
+    // first batch: the full table as of stream start, or — with
+    // `startingVersion` — only what was appended AFTER that version
+    // (the Delta startingVersion shape)
+    val from = start.map(ver).orElse(
+      if (startingVersion > 0) Some(startingVersion - 1) else None)
+    val batch = from match {
+      case None => toDf
       case Some(f) if f == to =>
         toDf.limit(0)
       case Some(f) =>

@@ -817,6 +817,38 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot stream startingVersion skips history; versionAsOf refuses") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(42, n = 10))
+    Warehouse.commit(spark, root,
+      Warehouse.read(spark, root).unionByName(batch(43, n = 5, idOffset = 600)))
+    val ckpt = Files.createTempDirectory("graft_snap_sv_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = spark.readStream.format("graft").option("startingVersion", "1")
+      .load(root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.collect() }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(got.size === 5, s"expected only the post-v0 appends, got ${got.size}")
+    // the refusal surfaces on the stream thread, not at start()
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft").option("versionAsOf", "0")
+        .load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_snap_vaof_ckpt").toString)
+        .start()
+      q2.awaitTermination(30000)
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("versionAsOf"), msg)
+  }
+
   test("streaming CDC: an in-flight feed publication delays the batch, never kills the query") {
     // The feed publishes AFTER the version pointer swaps — a live
     // stream triggering in that window must plan up to the published
