@@ -403,6 +403,18 @@ object SparkEntry {
       graft.core.Catalog.sql(s, dir,
         s"SELECT * FROM graft_time_travel('$root', 0) ORDER BY shipment_id")
     }),
+    // t18: the LIVE read as a FROM-clause call — p12's DV warehouse
+    // state through `graft_live(root)` (current version, vectors
+    // applied, rename map applied); same truth as p12/p29/p31.
+    "t18_tvf_live" -> ((s, dir) => {
+      val wh = cocoaWarehouse(s)
+      val root = graft.core.RunTemp.dir("graft_live_tvf_", keep = 32)
+      Warehouse.commit(s, root, wh.repartition(8))
+      Warehouse.deleteWhere(s, root, col("quality_score") < lit(8.0))
+      Warehouse.deleteWhere(s, root, col("region") === lit("Volta"))
+      graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_live('$root') ORDER BY shipment_id")
+    }),
     "t08_tvf_change_feed" -> ((s, dir) => {
       cocoaWarehouse(s)
       val root = cocoaDirsMemo.get(s).warehouse
@@ -1929,6 +1941,11 @@ object SparkEntry {
       "SELECT * FROM wh ORDER BY shipment_id",
       batches = Seq("b1" -> "2023-11-14 22:13:20")),
     "t08_tvf_change_feed" -> cocoaVersionDiffOracleSql,
+    // t18: the live read must serve p12's post-delete truth.
+    "t18_tvf_live" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
+        |ORDER BY shipment_id""".stripMargin),
     // t09 must reproduce p20's pinned-aggregate read; t10 must
     // reproduce d29's incremental-dedup survivor set.
     "t09_tvf_group_member" -> cocoaOracle(

@@ -202,6 +202,20 @@ object GraftTableFunctions {
           s, strArg(a(0), fn), longArg(a(1), fn))
       }),
 
+    ("graft_live",
+      "graft_live(root) - read a graft warehouse table's CURRENT" +
+        " version LIVE: deletion vectors applied merge-on-read, the" +
+        " version's column rename map applied, shallow-clone pointers" +
+        " resolved (graft_time_travel at the current version)", Set(1),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_live"
+        val root = strArg(a(0), fn)
+        val v = graft.pipeline.Warehouse.currentVersion(s, root).getOrElse(
+          throw new IllegalStateException(
+            s"$fn: no committed snapshot under $root"))
+        graft.pipeline.Warehouse.readVersionLive(s, root, v)
+      }),
+
     ("graft_change_feed",
       "graft_change_feed(root, version) - the STORED change feed of the" +
         " version-1 -> version transition (shipment keys, old_image/" +
