@@ -107,9 +107,10 @@ class GraftDvScanBuilder(spark: SparkSession, root: String, version: Long,
       required, partSchema, mapping)
 }
 
-class GraftDvScanImpl(spark: SparkSession, root: String, version: Long,
-    dataDir: String, tableSchema: StructType, required: StructType,
-    partSchema: StructType, mapping: Map[String, String])
+class GraftDvScanImpl(spark: SparkSession, private val root: String,
+    private val version: Long, private val dataDir: String,
+    tableSchema: StructType, required: StructType,
+    partSchema: StructType, private val mapping: Map[String, String])
     extends Scan with Batch {
 
   // a version carrying BOTH deletion vectors and a rename map: the
@@ -135,6 +136,16 @@ class GraftDvScanImpl(spark: SparkSession, root: String, version: Long,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-dv root=$root v$version (merge-on-read deletion vectors)"
+
+  // structural equality so exchange/scan reuse survives self-joins of
+  // a DV-bearing table (the GraftRuntimeScan precedent)
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftDvScanImpl =>
+      root == o.root && version == o.version && dataDir == o.dataDir &&
+        readSchema() == o.readSchema() && mapping == o.mapping
+    case _ => false
+  }
+  override def hashCode(): Int = (root, version, readSchema()).hashCode()
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = GraftTables.fs(spark, root)

@@ -87,4 +87,16 @@ private[v2] class GraftMappedScan(inner: Scan,
     inner.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
+
+  // Structural equality on the WRAPPED scan (the GraftRuntimeScan
+  // precedent): exchange/scan reuse compares Scan instances through
+  // BatchScanExec equality — identity equality here would silently
+  // disable reuse on self-joins of a renamed table.
+  override def equals(other: Any): Boolean = other match {
+    case m: GraftMappedScan =>
+      inner == m.innerScan && readSchema() == m.readSchema()
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode()
+  private[v2] def innerScan: Scan = inner
 }

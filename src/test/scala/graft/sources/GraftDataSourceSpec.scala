@@ -245,6 +245,11 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(sortedRows(volta) === sortedRows(Warehouse.read(spark, root)
       .filter(col("region") === "Volta")
       .select(col("shipment_id"), col("region").as("zone"))))
+    // plan pin: the predicate reaches the parquet reader under its
+    // PHYSICAL name (row-group skipping engages; display is truthful)
+    val voltaPlan = volta.queryExecution.executedPlan.toString
+    assert(voltaPlan.contains("PushedFilters: [IsNotNull(region)"),
+      s"expected the physical-name pushed filter in:\n$voltaPlan")
     // vectorized path intact: the scan is the builtin parquet batch
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("graft-mapped"), s"expected the mapped scan in:\n$plan")
