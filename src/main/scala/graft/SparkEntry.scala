@@ -210,6 +210,21 @@ object SparkEntry {
     // gate) and the follow-up catalog read serves the live rows
     // through [[graft.sources.v2.GraftDvScan]]. Same truth as p12.
     "p31_sql_delete_mor" -> ((s, _) => cocoaSqlMorDelete(s)),
+    // p32: CTAS — `CREATE TABLE … USING graft AS SELECT` seeds a new
+    // catalog table from the derived warehouse through the connector's
+    // commit-protocol write; the read-back must hash the same truth.
+    "p32_sql_ctas" -> ((s, _) => {
+      val wh = cocoaWarehouse(s)
+      val base = graft.core.RunTemp.dir("graft_ctas_gate_", keep = 32)
+      s.conf.set("spark.sql.catalog.graft_ctas_gate",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ctas_gate.base", base)
+      wh.createOrReplaceTempView("graft_ctas_gate_src")
+      s.sql("CREATE TABLE graft_ctas_gate.wh_copy USING graft" +
+        " TBLPROPERTIES('mergeKey'='shipment_id')" +
+        " AS SELECT * FROM graft_ctas_gate_src")
+      s.sql("SELECT * FROM graft_ctas_gate.wh_copy").orderBy("shipment_id")
+    }),
     // p13: RESTORE — an earlier snapshot re-committed as the NEW
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
@@ -4301,6 +4316,8 @@ object SparkEntry {
       """SELECT * FROM wh
         |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
         |ORDER BY shipment_id""".stripMargin),
+    // p32: the CTAS copy must equal the warehouse truth exactly.
+    "p32_sql_ctas" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p31: merge-on-read SQL DELETE — same live truth as p12.
     "p31_sql_delete_mor" -> cocoaOracle(
       """SELECT * FROM wh
