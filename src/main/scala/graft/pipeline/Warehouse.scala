@@ -880,12 +880,36 @@ object Warehouse {
     val target = new Path(changePath(root, v))
     def complete = fs.exists(new Path(target, "_SUCCESS"))
     if (complete) return target.toString
-    def snap(x: Long) =
-      spark.read.schema(schema).parquet(dataPath(spark, root, x))
+    // ERA-AWARE version read: a version carrying a rename map stores
+    // PHYSICAL (pre-rename) column names — reading it under the
+    // caller's (logical) schema directly would silently NULL-FILL the
+    // renamed columns into the feed images. Read each version under
+    // its own physical names and rename to the caller's.
+    def snap(x: Long) = {
+      val m = columnMapping(fs, root, x) // physical -> logical
+      if (m.isEmpty) spark.read.schema(schema).parquet(dataPath(spark, root, x))
+      else {
+        import org.apache.spark.sql.functions.col
+        val l2p = m.map(_.swap)
+        val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+          f.copy(name = l2p.getOrElse(f.name, f.name))))
+        spark.read.schema(phys).parquet(dataPath(spark, root, x))
+          .select(schema.fieldNames.toSeq
+            .map(n => col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*)
+      }
+    }
     val stage = new Path(
       s"$root/_changes/.v${v}_${java.util.UUID.randomUUID().toString}")
-    diffImages(snap(v - 1), snap(v), keyCols)
-      .write.mode("overwrite").parquet(stage.toString)
+    // METADATA-ONLY versions (rename/clone pointers resolving to the
+    // predecessor's data dir) changed no rows: their feed is EMPTY by
+    // construction — publish it as such so CDC consumers advance past
+    // the version instead of stalling at a feed gap.
+    val metadataOnly =
+      dataPath(spark, root, v) == dataPath(spark, root, v - 1)
+    val feed =
+      if (metadataOnly) diffImages(snap(v), snap(v), keyCols).limit(0)
+      else diffImages(snap(v - 1), snap(v), keyCols)
+    feed.write.mode("overwrite").parquet(stage.toString)
     if (complete) { fs.delete(stage, true); return target.toString }
     if (fs.exists(target)) fs.delete(target, true) // incomplete orphan
     if (!fs.rename(stage, target)) fs.delete(stage, true) // racer won

@@ -209,11 +209,26 @@ class GraftCatalog extends TableCatalog {
         // era's names; the mapped version (and every later write,
         // which lands logical-as-physical) shows the new name over
         // the same bytes.
+        // a declared merge key follows its column through the rename
+        if (props.get(GraftTables.MergeKey).contains(from))
+          props(GraftTables.MergeKey) = to
         Warehouse.currentVersion(spark, root) match {
           case Some(cur) =>
             val phys = GraftTables.classic(spark).read
               .parquet(Warehouse.dataPath(spark, root, cur)).schema
-            Warehouse.renameColumns(spark, root, Map(from -> to), phys)
+            val renamedV = Warehouse.renameColumns(spark, root, Map(from -> to), phys)
+            // auto-CDF tables: publish the rename version's (EMPTY)
+            // feed immediately — no rows changed, but a feed GAP
+            // would stall CDC streams at this version forever
+            val renamedSchema = StructType(schema.fields.map(f =>
+              if (f.name == from) f.copy(name = to) else f))
+            // key from the IN-MEMORY props (the sidecar on disk is
+            // written after the change loop and would be stale here)
+            val key = props.get(GraftTables.MergeKey)
+              .map(_.trim).filter(_.nonEmpty)
+              .orElse(Some(graft.pipeline.CocoaSchema.mergeKey))
+              .filter(renamedSchema.fieldNames.contains)
+            GraftTables.maybePublishFeed(spark, root, renamedV, renamedSchema, key)
           case None => () // pre-first-commit: the sidecar below is the table
         }
         schema = StructType(schema.fields.map(f =>

@@ -559,6 +559,52 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changeFeed"), e.getMessage)
   }
 
+  test("CDC crosses a RENAME: empty feed for the rename version, era-true images after") {
+    val root = s"$catalogBase/rencdc"
+    Warehouse.commit(spark, root, batch(50, n = 10))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("mergeKey" -> "shipment_id", "changeFeed" -> "true"))
+    // v1: connector append (auto-CDF publishes feed v1)
+    batch(51, n = 5, idOffset = 700).write.format("graft").mode("append").save(root)
+    // v2: the rename — metadata-only, must auto-publish an EMPTY feed
+    // (a gap would stall CDC streams at this version forever)
+    spark.sql("ALTER TABLE gwh_test.rencdc RENAME COLUMN quality_score TO grade")
+    assert(Warehouse.currentVersion(spark, root) === Some(2L))
+    assert(Warehouse.readChangeFeed(spark, root, 2L).count() === 0,
+      "rename version changed no rows; its feed is empty, not missing")
+    // v3: an UPDATE of an existing key after the rename — the feed's
+    // old_image must carry the REAL pre-update grade read from the
+    // MAPPED (physical-named) predecessor, not a silent null-fill
+    val upd = batch(50, n = 1)
+      .withColumnRenamed("quality_score", "grade")
+      .withColumn("grade", lit(1.5))
+    upd.write.format("graft").mode("append").save(root)
+    val feed3 = Warehouse.readChangeFeed(spark, root, 3L)
+    assert(feed3.count() === 1)
+    val row = feed3.head()
+    assert(row.getAs[String]("change_type") === "update")
+    val oldImage = row.getAs[org.apache.spark.sql.Row]("old_image")
+    assert(!oldImage.isNullAt(oldImage.fieldIndex("grade")),
+      "old_image.grade must come from the mapped predecessor, never null-fill")
+    assert(oldImage.getAs[Double]("grade") !== 1.5)
+    // a maintained CDC stream drains across the rename without stalling
+    val ckpt = Files.createTempDirectory("graft_rencdc_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+      .load(root)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.select("_commit_version").collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(got.toSet === Set(1L, 3L), s"v2 is empty, v1/v3 flow: $got")
+  }
+
   test("SQL MERGE INTO: matched-delete, matched-update, not-matched-insert") {
     val root = s"$catalogBase/mrg"
     Warehouse.commit(spark, root, batch(60, n = 20))
