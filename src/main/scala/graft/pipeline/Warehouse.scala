@@ -1272,11 +1272,18 @@ object Warehouse {
       // compaction with every column it carries — a forced older
       // schema here would silently drop evolved columns' data. The
       // one footer-inference job is the price of layout-only safety.
+      // LIVE read, not raw ([[readVersionLive]]): compacting a
+      // DV-bearing version must FOLD the vectors (a raw read would
+      // resurrect every deleted row into the compacted snapshot), and
+      // compacting a renamed version must materialize the LOGICAL
+      // names (a raw read would silently revert the rename). The
+      // compacted version comes out DV-free and map-free — compaction
+      // doubles as the merge-on-read maintenance valve.
       // expectedCurrent pins the read-modify-write: if any commit
       // lands between resolving `cur` and the lease, publishing would
       // drop it — commit() aborts instead (lost-update fencing).
       commit(spark, root,
-        spark.read.parquet(snap).repartition(n.toInt),
+        readVersionLive(spark, root, cur).repartition(n.toInt),
         lockTtlMs, expectedCurrent = Some(Some(cur)))
     }
   }
@@ -1339,7 +1346,10 @@ object Warehouse {
       val snap = dataPath(spark, root, cur)
       val bytes = Ingest.fs(spark, snap).getContentSummary(new Path(snap)).getLength
       val n = math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
-      val df = spark.read.parquet(snap)
+      // LIVE read — same contract as [[compact]]: fold deletion
+      // vectors, materialize logical names (the cluster columns are
+      // logical names too).
+      val df = readVersionLive(spark, root, cur)
       val v = commit(spark, root,
         graft.operators.Zorder.cluster(df, colA, colB, n.toInt),
         lockTtlMs, expectedCurrent = Some(Some(cur)))

@@ -52,6 +52,22 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(live).intersect(doomedIds).isEmpty)
   }
 
+  test("compaction FOLDS deletion vectors: compacted snapshot is live and DV-free") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(7).repartition(4))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    val live = ids(Warehouse.readWithDv(spark, root))
+    assert(live.size < 40, "fixture must delete something")
+    val v = Warehouse.compact(spark, root).get
+    // a RAW read of the compacted version equals the live set — the
+    // deleted rows were folded out, never resurrected
+    assert(ids(Warehouse.readVersion(spark, root, v)) === live)
+    // and the compacted version carries no vectors of its own
+    assert(!hfs(root).exists(new Path(Warehouse.dvPath(root, v))) ||
+      hfs(root).listStatus(new Path(Warehouse.dvPath(root, v))).isEmpty)
+  }
+
   test("delete removes exactly the predicate-true rows and rewrites no data file") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(1).repartition(4))

@@ -24,6 +24,22 @@ class RenameSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("compaction MATERIALIZES the rename: compacted snapshot carries logical names") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(5))
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))
+    val v = Warehouse.compact(spark, root).get
+    // a raw footer read of the compacted version must show the
+    // LOGICAL name — a raw-read compaction would silently revert it
+    val compacted = spark.read.parquet(Warehouse.versionPath(root, v))
+    assert(compacted.columns.contains("zone") &&
+      !compacted.columns.contains("region"))
+    assert(compacted.count() === 30)
+    // no residual map on the compacted version
+    assert(!hfs(root).exists(
+      new Path(Warehouse.versionPath(root, v), "_MAPPING")))
+  }
+
   test("rename moves no data, maps names at read, leaves old versions era-correct") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(1))
