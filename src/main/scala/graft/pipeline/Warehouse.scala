@@ -243,6 +243,19 @@ object Warehouse {
       fs.mkdirs(stage)
       val mk = fs.create(new Path(stage, clonePointer), true)
       try mk.write(target.getBytes(StandardCharsets.UTF_8)) finally mk.close()
+      // a RENAMED source version carries its names in `_MAPPING`, not
+      // in the data bytes the pointer references — the clone must
+      // carry the map too, or it would silently serve the PHYSICAL
+      // (pre-rename) names
+      val srcMap = new Path(versionPath(srcRoot, srcV), mappingFile)
+      if (srcFs.exists(srcMap)) {
+        val in = srcFs.open(srcMap)
+        val content =
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        val out = fs.create(new Path(stage, mappingFile), true)
+        try out.write(content) finally out.close()
+      }
       fs.create(new Path(stage, "_SUCCESS"), true).close()
       if (!readLease(fs, lock).exists(_.holderId == holderId))
         throw new IllegalStateException(
@@ -1212,8 +1225,16 @@ object Warehouse {
       lockTtlMs: Long = DefaultLockTtlMs): Option[Long] =
     currentVersion(spark, root).flatMap { v =>
       dvFrame(spark, root, v).map { _ =>
-        commit(spark, root, readWithDv(spark, root, schema),
-          lockTtlMs, expectedCurrent = Some(Some(v)))
+        // a version carrying BOTH a rename map and vectors folds
+        // through the era-aware live read (logical names come out
+        // materialized, like compaction); the schema-parameterized
+        // readWithDv stays the unmapped path so declared/widened
+        // schemas keep their null-fill semantics
+        val live =
+          if (columnMapping(Ingest.fs(spark, root), root, v).isEmpty)
+            readWithDv(spark, root, schema)
+          else readVersionLive(spark, root, v)
+        commit(spark, root, live, lockTtlMs, expectedCurrent = Some(Some(v)))
       }
     }
 

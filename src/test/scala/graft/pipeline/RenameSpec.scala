@@ -40,6 +40,32 @@ class RenameSpec extends AnyFunSuite {
       new Path(Warehouse.versionPath(root, v), "_MAPPING")))
   }
 
+  test("cloning a renamed table carries the map; applyDv on a renamed+DV version materializes it") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // clone: the map rides the pointer
+    val src = freshRoot()
+    Warehouse.commit(spark, src, batch(6))
+    Warehouse.renameColumns(spark, src, Map("region" -> "zone"))
+    val dst = freshRoot() + "_clone"
+    Warehouse.cloneShallow(spark, src, dst)
+    val cloned = Warehouse.readVersionLive(spark, dst, 0L)
+    assert(cloned.columns.contains("zone") && !cloned.columns.contains("region"),
+      "a clone of a renamed table must keep the logical names")
+    assert(cloned.count() === 30)
+    // applyDv on a renamed+DV version: the fold materializes the
+    // logical names instead of silently reverting them
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(7))
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.0))
+    val liveN = Warehouse.readVersionLive(spark, root, 1L).count()
+    assert(liveN < 30)
+    val v = Warehouse.applyDv(spark, root).get
+    val folded = spark.read.parquet(Warehouse.versionPath(root, v))
+    assert(folded.columns.contains("zone") && !folded.columns.contains("region"))
+    assert(folded.count() === liveN)
+  }
+
   test("rename moves no data, maps names at read, leaves old versions era-correct") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(1))
