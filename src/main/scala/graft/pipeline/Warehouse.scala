@@ -834,10 +834,42 @@ object Warehouse {
     * [[diffFrames]] for semantics and the scale shape. */
   def diff(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String] = Seq(CocoaSchema.mergeKey),
-      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame = {
-    def snap(v: Long) =
-      spark.read.schema(schema).parquet(dataPath(spark, root, v))
-    diffFrames(snap(fromVersion), snap(toVersion), keyCols)
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame =
+    diffFrames(liveEraSnap(spark, root, fromVersion, schema),
+      liveEraSnap(spark, root, toVersion, schema), keyCols)
+
+  /** Version `v` read LIVE under the CALLER's (current-era, logical)
+    * schema — the read every cross-version comparison must use:
+    *  - the version's own rename map translated (files read under
+    *    their PHYSICAL names, the caller's names come out — a direct
+    *    explicit-schema read of a renamed version silently NULL-FILLS
+    *    the renamed columns);
+    *  - deletion vectors applied (a raw read resurrects dead rows
+    *    into diffs/feeds).
+    * Shared by [[diff]] and [[publishChangeFeed]]. */
+  private def liveEraSnap(spark: SparkSession, root: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fs = Ingest.fs(spark, root)
+    val m = columnMapping(fs, root, v)
+    val l2p = m.map(_.swap)
+    val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = l2p.getOrElse(f.name, f.name))))
+    val raw = snapshotWithPos(spark, root, v, phys)
+    val live = dvFrame(spark, root, v) match {
+      case None => raw.drop("_dv_file", "_dv_pos")
+      case Some(dv0) =>
+        val dvBytes = dvPartDirs(fs, root, v)
+          .map(p => fs.getContentSummary(p).getLength).sum
+        val dv = if (dvBytes <= 32L * 1024 * 1024) broadcast(dv0) else dv0
+        raw.join(dv,
+            raw("_dv_file") === dv("file") && raw("_dv_pos") === dv("pos"),
+            "left_anti")
+          .drop("_dv_file", "_dv_pos")
+    }
+    if (m.isEmpty) live
+    else live.select(schema.fieldNames.toSeq
+      .map(n => col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*)
   }
 
   /** Classify every key as `insert` (new side only), `delete` (old
@@ -893,24 +925,12 @@ object Warehouse {
     val target = new Path(changePath(root, v))
     def complete = fs.exists(new Path(target, "_SUCCESS"))
     if (complete) return target.toString
-    // ERA-AWARE version read: a version carrying a rename map stores
-    // PHYSICAL (pre-rename) column names — reading it under the
-    // caller's (logical) schema directly would silently NULL-FILL the
-    // renamed columns into the feed images. Read each version under
-    // its own physical names and rename to the caller's.
-    def snap(x: Long) = {
-      val m = columnMapping(fs, root, x) // physical -> logical
-      if (m.isEmpty) spark.read.schema(schema).parquet(dataPath(spark, root, x))
-      else {
-        import org.apache.spark.sql.functions.col
-        val l2p = m.map(_.swap)
-        val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-          f.copy(name = l2p.getOrElse(f.name, f.name))))
-        spark.read.schema(phys).parquet(dataPath(spark, root, x))
-          .select(schema.fieldNames.toSeq
-            .map(n => col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*)
-      }
-    }
+    // ERA-AWARE LIVE version read ([[liveEraSnap]]): rename maps
+    // translated (a direct explicit-schema read of a renamed version
+    // silently NULL-FILLS the renamed columns into the feed images)
+    // and deletion vectors applied (a raw read would put dead rows in
+    // the feed).
+    def snap(x: Long) = liveEraSnap(spark, root, x, schema)
     val stage = new Path(
       s"$root/_changes/.v${v}_${java.util.UUID.randomUUID().toString}")
     // METADATA-ONLY versions (rename/clone pointers resolving to the
