@@ -848,7 +848,8 @@ object Warehouse {
     *    into diffs/feeds).
     * Shared by [[diff]] and [[publishChangeFeed]]. */
   private def liveEraSnap(spark: SparkSession, root: String, v: Long,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      applyDvs: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     val fs = Ingest.fs(spark, root)
     val m = columnMapping(fs, root, v)
@@ -856,7 +857,7 @@ object Warehouse {
     val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       f.copy(name = l2p.getOrElse(f.name, f.name))))
     val raw = snapshotWithPos(spark, root, v, phys)
-    val live = dvFrame(spark, root, v) match {
+    val live = dvFrame(spark, root, v).filter(_ => applyDvs) match {
       case None => raw.drop("_dv_file", "_dv_pos")
       case Some(dv0) =>
         val dvBytes = dvPartDirs(fs, root, v)
@@ -1456,8 +1457,20 @@ object Warehouse {
     val branchV = currentVersion(spark, branchRoot).getOrElse(
       throw new IllegalStateException(
         s"mergeBranch: no committed snapshot under $branchRoot"))
+    // era-aware snaps ([[liveEraSnap]]): each side merges its LOGICAL
+    // rows (a raw read of a renamed version would null-fill the
+    // renamed columns into the delta). DV application is ASYMMETRIC
+    // by design: the CURRENT sides read LIVE (an in-place DV delete
+    // must propagate as a delete), the BASE sides read PRE-DV (in-
+    // place vectors mutate the base version retroactively; applying
+    // them to the base too would erase the very delta they created —
+    // and a delete re-surfaced from an older base re-applies
+    // idempotently, it can never resurrect a row).
     def snap(root: String, v: Long) =
-      spark.read.schema(schema).parquet(dataPath(spark, root, v))
+      liveEraSnap(spark, root, v, schema)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    def snapBase(root: String, v: Long) =
+      liveEraSnap(spark, root, v, schema, applyDvs = false)
         .select(schema.fieldNames.map(col).toSeq: _*)
     // merge base: per side. First merge diffs both sides against the
     // fork point (the branch's v0 — its clone of main at fork time);
@@ -1480,12 +1493,12 @@ object Warehouse {
             " the fork point deliberately")
     }
     val baseBranch = recordedBase match {
-      case Some((bv, _, _)) => snap(branchRoot, bv)
-      case None => snap(branchRoot, 0L)
+      case Some((bv, _, _)) => snapBase(branchRoot, bv)
+      case None => snapBase(branchRoot, 0L)
     }
     val baseMain = recordedBase match {
-      case Some((_, mv, _)) => snap(mainRoot, mv)
-      case None => snap(branchRoot, 0L)
+      case Some((_, mv, _)) => snapBase(mainRoot, mv)
+      case None => snapBase(branchRoot, 0L)
     }
     val dBranch = diffImages(baseBranch, snap(branchRoot, branchV), keyCols)
       .select(keyCols.map(col) :+ col("new_image").as("b_img") :+

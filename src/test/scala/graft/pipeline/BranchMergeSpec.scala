@@ -56,6 +56,23 @@ class BranchMergeSpec extends AnyFunSuite {
         "CAST(substring(shipment_id, 6) AS BIGINT) < 80")).count() === 0)
   }
 
+  test("a branch-side merge-on-read DV delete propagates through the merge") {
+    val (main, br) = fork()
+    // branch deletes via DELETION VECTORS (no rewrite, in place) — the
+    // merge must see the branch's LIVE rows, never the raw files
+    val doomed = Warehouse.read(spark, br)
+      .filter(col("quality_score") < lit(8.0))
+      .select("shipment_id").collect().map(_.getString(0)).toSet
+    assert(doomed.nonEmpty)
+    Warehouse.deleteWhere(spark, br, col("quality_score") < lit(8.0))
+    Warehouse.mergeBranch(spark, main, br)
+    val after = Warehouse.read(spark, main)
+      .select("shipment_id").collect().map(_.getString(0)).toSet
+    assert(after.intersect(doomed).isEmpty,
+      "DV-deleted branch rows must not survive the merge")
+    assert(after.size === 80 - doomed.size)
+  }
+
   test("identical edits on both sides converge; true divergence is loud and publishes nothing") {
     val (main, br) = fork()
     val sameEdit = Enrich.enrich(CocoaGen.shipments(spark, 5, seed = 44),
