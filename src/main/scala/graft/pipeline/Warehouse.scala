@@ -491,29 +491,18 @@ object Warehouse {
     * broadcast, overgrown ones shuffle — [[applyDv]] is the
     * maintenance valve either way). */
   def readVersionLive(spark: SparkSession, root: String, v: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val fs = Ingest.fs(spark, root)
     require(fs.exists(new Path(versionPath(root, v), "_SUCCESS")) ||
       fs.exists(new Path(versionPath(root, v), clonePointer)),
       s"readVersionLive: version $v of $root is missing or incomplete")
-    val dir = dataPath(spark, root, v)
-    val physSchema = spark.read.parquet(dir).schema
-    val base = dvFrame(spark, root, v) match {
-      case None => readData(spark, root, dir, physSchema)
-      case Some(dv0) =>
-        val dvBytes = dvPartDirs(fs, root, v)
-          .map(p => fs.getContentSummary(p).getLength).sum
-        val dv = if (dvBytes <= 32L * 1024 * 1024) broadcast(dv0) else dv0
-        val withPos = snapshotWithPos(spark, root, v, physSchema)
-        withPos.join(dv,
-            withPos("_dv_file") === dv("file") && withPos("_dv_pos") === dv("pos"),
-            "left_anti")
-          .drop("_dv_file", "_dv_pos")
-    }
+    // infer the PHYSICAL schema from the snapshot's own files, lift it
+    // to the version's logical names, and delegate the DV anti-join +
+    // rename translation to the one shared implementation
+    val physSchema = spark.read.parquet(dataPath(spark, root, v)).schema
     val m = columnMapping(fs, root, v)
-    if (m.isEmpty) base
-    else base.select(physSchema.fieldNames.toSeq
-      .map(p => col(s"`$p`").as(m.getOrElse(p, p))): _*)
+    val logical = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+    liveEraSnap(spark, root, v, logical, eraOf = Some(v))
   }
 
   /** Explicit-schema parquet read of one snapshot data dir, loud when
@@ -834,29 +823,99 @@ object Warehouse {
     * [[diffFrames]] for semantics and the scale shape. */
   def diff(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String] = Seq(CocoaSchema.mergeKey),
-      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame =
-    diffFrames(liveEraSnap(spark, root, fromVersion, schema),
-      liveEraSnap(spark, root, toVersion, schema), keyCols)
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame = {
+    // the caller's names are CURRENT-era logical names — both sides
+    // translate their rename chains up to the table's present
+    val era = currentVersion(spark, root)
+    diffFrames(liveEraSnap(spark, root, fromVersion, schema, eraOf = era),
+      liveEraSnap(spark, root, toVersion, schema, eraOf = era), keyCols)
+  }
 
-  /** Version `v` read LIVE under the CALLER's (current-era, logical)
-    * schema — the read every cross-version comparison must use:
-    *  - the version's own rename map translated (files read under
-    *    their PHYSICAL names, the caller's names come out — a direct
-    *    explicit-schema read of a renamed version silently NULL-FILLS
-    *    the renamed columns);
-    *  - deletion vectors applied (a raw read resurrects dead rows
-    *    into diffs/feeds).
-    * Shared by [[diff]] and [[publishChangeFeed]]. */
+  /** `eraOf`-era logical name → PHYSICAL name at version `v`: the
+    * rename-map chain between the two versions walked BACKWARD from
+    * the caller's names. Maps are keyed by DATA-DIRECTORY era (a
+    * rename is a pointer version over its predecessor's dir, and
+    * [[renameColumns]] COMPOSES a second rename on the same dir into
+    * one map instead of chaining) — so the walk groups versions
+    * `v..eraOf` into contiguous dir runs, takes each run's LAST map,
+    * and inverts them newest-first. O(versions) metadata reads —
+    * diff/feed/merge maintenance cost, never a query hot path. */
+  private def eraL2P(spark: SparkSession, root: String, v: Long,
+      eraOf: Long, logicalNames: Seq[String]): Map[String, String] = {
+    val fs = Ingest.fs(spark, root)
+    if (eraOf <= v) columnMapping(fs, root, v).map(_.swap)
+      .filter { case (l, p) => l != p }
+    else {
+      val maps = eraMaps(spark, root, v, eraOf) // oldest→newest
+      logicalNames.map { n =>
+        n -> maps.reverseIterator.foldLeft(n)((cur, m) =>
+          m.collectFirst { case (p, l) if l == cur => p }.getOrElse(cur))
+      }.toMap.filter { case (l, p) => l != p }
+    }
+  }
+
+  /** The rename maps in force between versions `lo..hi`, oldest first
+    * — one (composed) map per data-directory era that carries one
+    * (see [[eraL2P]]'s doc for why the grouping is by dir run). */
+  private def eraMaps(spark: SparkSession, root: String, lo: Long,
+      hi: Long): Seq[Map[String, String]] = {
+    val fs = Ingest.fs(spark, root)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[
+      (String, Map[String, String])]
+    (lo to hi).foreach { x =>
+      val d = dataPath(spark, root, x)
+      val m = columnMapping(fs, root, x)
+      runs.lastOption match {
+        case Some((pd, _)) if pd == d =>
+          if (m.nonEmpty) runs(runs.size - 1) = (d, m)
+        case _ => runs += ((d, m))
+      }
+    }
+    runs.map(_._2).filter(_.nonEmpty).toSeq
+  }
+
+
+  /** Version `v` read under the `eraOf`-era LOGICAL schema — the read
+    * every cross-version comparison must use:
+    *  - the rename-map CHAIN between `v` and `eraOf` translated
+    *    ([[eraL2P]]; files read under their PHYSICAL names, the
+    *    caller's names come out — a direct explicit-schema read
+    *    across a rename silently NULL-FILLS the renamed columns);
+    *  - translation VALIDATED against the data files' footer schema
+    *    (one driver-side footer read), so an untranslatable column —
+    *    e.g. a vacuumed intermediate rename version whose map is
+    *    gone — fails loudly instead of null-filling;
+    *  - deletion vectors applied when `applyDvs` (diffs of LIVE
+    *    states) or left in place when not ([[publishChangeFeed]]'s
+    *    determinism, [[mergeBranch]]'s base sides).
+    * Shared by [[diff]], [[publishChangeFeed]] and [[mergeBranch]]. */
   private def liveEraSnap(spark: SparkSession, root: String, v: Long,
       schema: org.apache.spark.sql.types.StructType,
-      applyDvs: Boolean = true): DataFrame = {
+      applyDvs: Boolean = true, eraOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val fs = Ingest.fs(spark, root)
-    val m = columnMapping(fs, root, v)
-    val l2p = m.map(_.swap)
+    val l2p = eraL2P(spark, root, v, eraOf.getOrElse(v), schema.fieldNames.toSeq)
     val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       f.copy(name = l2p.getOrElse(f.name, f.name))))
+    // loud null-fill guard: every physical name the translation landed
+    // on must exist in the files (footer + partition-dir inference)
+    val onDisk = spark.read.parquet(dataPath(spark, root, v))
+      .schema.fieldNames.toSet
+    val missing = phys.fieldNames.filterNot(onDisk.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"liveEraSnap: version v$v of $root has no column(s)" +
+          s" ${missing.mkString(", ")} under era-v${eraOf.getOrElse(v)}" +
+          " logical names — rename chain untranslatable (vacuumed rename" +
+          " version?) or the caller's schema is from a different era")
     val raw = snapshotWithPos(spark, root, v, phys)
+    // same silent-empty-listing guard as [[readData]]: a reader racing
+    // a vacuum must fail loudly, never return zero rows
+    if (raw.inputFiles.isEmpty &&
+        !fs.exists(new Path(dataPath(spark, root, v))))
+      throw new IllegalStateException(
+        s"liveEraSnap read raced a prune: v$v of $root vanished during" +
+          " file listing — re-resolve the version and retry")
     val live = dvFrame(spark, root, v).filter(_ => applyDvs) match {
       case None => raw.drop("_dv_file", "_dv_pos")
       case Some(dv0) =>
@@ -868,7 +927,7 @@ object Warehouse {
             "left_anti")
           .drop("_dv_file", "_dv_pos")
     }
-    if (m.isEmpty) live
+    if (l2p.isEmpty) live
     else live.select(schema.fieldNames.toSeq
       .map(n => col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*)
   }
@@ -926,12 +985,26 @@ object Warehouse {
     val target = new Path(changePath(root, v))
     def complete = fs.exists(new Path(target, "_SUCCESS"))
     if (complete) return target.toString
-    // ERA-AWARE LIVE version read ([[liveEraSnap]]): rename maps
-    // translated (a direct explicit-schema read of a renamed version
-    // silently NULL-FILLS the renamed columns into the feed images)
-    // and deletion vectors applied (a raw read would put dead rows in
-    // the feed).
-    def snap(x: Long) = liveEraSnap(spark, root, x, schema)
+    // ERA-AWARE version read ([[liveEraSnap]]): rename maps translated
+    // (a direct explicit-schema read of a renamed version silently
+    // NULL-FILLS the renamed columns into the feed images) — but
+    // deletion vectors NOT applied, on BOTH sides. The feed must be a
+    // pure function of (root, v) (the idempotency contract above), and
+    // in-place DVs mutate a version AFTER its feed may have been
+    // published: applying them here makes the content depend on WHEN
+    // the publisher ran, and — worse — swallows the delete transition
+    // entirely (old side v-1 read DV-applied lacks the doomed rows, so
+    // no feed ever emits them as deletes; a consumer replica keeps rows
+    // the table deleted). Pre-DV on both sides keeps consecutive feeds
+    // composable (feed v's new side == feed v+1's old side) and the
+    // DV deletes surface in the NEXT data commit's feed, whose new
+    // side genuinely lacks the rows.
+    // eraOf = v, NOT currentVersion: the feed is a persisted artifact
+    // whose content must not depend on renames that happen after its
+    // version — a late (crash-recovery) re-publish must produce the
+    // byte-same feed the original would have.
+    def snap(x: Long) =
+      liveEraSnap(spark, root, x, schema, applyDvs = false, eraOf = Some(v))
     val stage = new Path(
       s"$root/_changes/.v${v}_${java.util.UUID.randomUUID().toString}")
     // METADATA-ONLY versions (rename/clone pointers resolving to the
@@ -1466,11 +1539,16 @@ object Warehouse {
     // them to the base too would erase the very delta they created —
     // and a delete re-surfaced from an older base re-applies
     // idempotently, it can never resurrect a row).
+    // eraOf = the SIDE's current version: each root translates its own
+    // rename chain up to its present, so a fork-point (pre-rename)
+    // base reads correctly under the caller's current names.
+    def sideEra(root: String) = currentVersion(spark, root)
     def snap(root: String, v: Long) =
-      liveEraSnap(spark, root, v, schema)
+      liveEraSnap(spark, root, v, schema, eraOf = sideEra(root))
         .select(schema.fieldNames.map(col).toSeq: _*)
     def snapBase(root: String, v: Long) =
-      liveEraSnap(spark, root, v, schema, applyDvs = false)
+      liveEraSnap(spark, root, v, schema, applyDvs = false,
+          eraOf = sideEra(root))
         .select(schema.fieldNames.map(col).toSeq: _*)
     // merge base: per side. First merge diffs both sides against the
     // fork point (the branch's v0 — its clone of main at fork time);

@@ -224,6 +224,40 @@ class DeletionVectorSpec extends AnyFunSuite {
       s"staging junk must not defeat the KB-scale DV broadcast, got: $bhj")
   }
 
+  test("in-place DV deletes surface in the NEXT commit's feed; feeds replay deterministically") {
+    // Feeds are pure functions of (root, v): applying DVs to the feed
+    // inputs would (a) make a late re-publish disagree with the
+    // original and (b) swallow the delete transition forever — the
+    // old side of feed v+1 would already lack the doomed rows, so no
+    // feed ever tells a consumer replica to drop them.
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(21))           // v0
+    Warehouse.commit(spark, root, batch(22, n = 45))   // v1
+    Warehouse.publishChangeFeed(spark, root, 1L)
+    val feed1Before = Warehouse.readChangeFeed(spark, root, 1L)
+      .collect().map(_.toString).sorted.toSeq
+    val doomed = ids(Warehouse.read(spark, root)
+      .filter(col("quality_score") < lit(8.3)))
+    assert(doomed.nonEmpty && doomed.size < 45, "fixture must split")
+    Warehouse.deleteWhere(spark, root, col("quality_score") < lit(8.3))
+    // replay determinism: re-publishing feed v1 AFTER the in-place
+    // delete must reproduce the original content byte-for-byte
+    hfs(root).delete(new Path(Warehouse.changePath(root, 1L)), true)
+    Warehouse.publishChangeFeed(spark, root, 1L)
+    assert(Warehouse.readChangeFeed(spark, root, 1L)
+      .collect().map(_.toString).sorted.toSeq === feed1Before,
+      "a late feed re-publish must not depend on DVs attached since")
+    // the next data commit derives from the LIVE read — ITS feed is
+    // where the deletes surface as explicit delete events
+    Warehouse.commit(spark, root, Warehouse.readWithDv(spark, root)) // v2
+    Warehouse.publishChangeFeed(spark, root, 2L)
+    val feed2 = Warehouse.readChangeFeed(spark, root, 2L)
+    val deletes = feed2.filter(col("change_type") === "delete")
+      .select("shipment_id").collect().map(_.getString(0)).toSet
+    assert(deletes === doomed,
+      "every DV-deleted key must appear as a delete event exactly once")
+  }
+
   test("merge-on-read plan: the DV side joins as a broadcast anti join") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(9).repartition(2))

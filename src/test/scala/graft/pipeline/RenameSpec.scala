@@ -129,6 +129,28 @@ class RenameSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("diff across a rename boundary translates the era chain — no null-fill") {
+    import org.apache.spark.sql.types.StructType
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(11))                        // v0: physical 'region'
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))   // v1: map only
+    val renamed = StructType(CocoaSchema.warehouse.fields.map(f =>
+      if (f.name == "region") f.copy(name = "zone") else f))
+    // v2: a data commit under the new names, ONE row's score bumped
+    val live = Warehouse.readVersionLive(spark, root, 1L)
+    val someId = live.select("shipment_id").orderBy("shipment_id")
+      .head().getString(0)
+    Warehouse.commit(spark, root, live.withColumn("quality_score",
+      when(col("shipment_id") === lit(someId), lit(9.95))
+        .otherwise(col("quality_score"))))
+    // pre-fix, v0 read under the caller's 'zone' schema null-filled
+    // the column, turning EVERY unchanged row into a spurious update
+    val d = Warehouse.diff(spark, root, 0L, 2L, schema = renamed)
+    assert(d.count() === 1, "only the bumped row changed")
+    assert(d.filter(col("zone").isNull).count() === 0,
+      "the renamed column must carry real values on both sides")
+  }
+
   test("a later commit writes logical names physically; its version carries no map") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(5))
