@@ -1159,6 +1159,16 @@ object Warehouse {
       .map(_.getPath)
   }
 
+  /** Connector-visible era translation ([[graft.sources.v2
+    * .GraftSnapshotSource]]): era-`eraOf` logical name → the name the
+    * same column carries in version `v`'s files ([[eraL2P]]). A
+    * restarted stream may legitimately REPLAY an old batch under a
+    * newly-resolved (post-rename) schema — this is how it finds the
+    * old files' names. */
+  private[graft] def eraTranslation(spark: SparkSession, root: String,
+      v: Long, eraOf: Long, names: Seq[String]): Map[String, String] =
+    eraL2P(spark, root, v, eraOf, names)
+
   /** Connector-visible column-mapping introspection: version `v`'s
     * physical→logical rename map (empty when the version carries no
     * `_MAPPING`). */

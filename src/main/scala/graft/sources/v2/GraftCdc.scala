@@ -70,8 +70,11 @@ object GraftCdc {
     p
   }
 
-  /** The stored feed's schema, inferred from the first published feed
-    * at/after `starting` (all feeds of one table share it). */
+  /** The stored feed's schema, inferred from the LATEST published feed
+    * at/after `starting` — the CURRENT era's names (Delta's
+    * `table_changes` surfaces the current table schema the same way).
+    * Feeds published under an OLDER era's names (pre-rename) are
+    * decoded positionally per version ([[readerFactory]]). */
   private[v2] def feedSchema(spark: SparkSession, root: String, starting: Long): StructType = {
     val fs = GraftTables.fs(spark, root)
     val changes = new Path(s"$root/_changes")
@@ -85,7 +88,13 @@ object GraftCdc {
     require(published.nonEmpty,
       s"graft: no published change feed at/after v$starting under $root/_changes —" +
         " Warehouse.publishChangeFeed first")
-    spark.read.parquet(Warehouse.changePath(root, published.head)).schema
+    // walk back from the newest: a metadata-only version's feed is
+    // EMPTY (zero part files) and carries no readable footer
+    published.reverseIterator.map { v =>
+      try Some(spark.read.parquet(Warehouse.changePath(root, v)).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }.collectFirst { case Some(s) => s }.getOrElse(
+      spark.read.parquet(Warehouse.changePath(root, published.head)).schema)
   }
 
   /** One input partition per feed parquet file of versions
@@ -104,24 +113,80 @@ object GraftCdc {
 
   /** Serializable per-file reader: Spark's own parquet reader closure,
     * with `_commit_version` delivered as a constant partition column
-    * (appended after the data columns, matching the table schema). */
-  private[v2] def readerFactory(spark: SparkSession,
-      dataSchema: StructType): PartitionReaderFactory = {
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      GraftTables.classic(spark),
-      dataSchema = dataSchema,
-      partitionSchema = StructType(Seq(
-        StructField(CommitVersionCol, LongType, nullable = false))),
-      requiredSchema = dataSchema,
-      filters = Nil,
-      // row output, never ColumnarBatch: the feed schema carries
-      // structs (old/new images), which the vectorized path cannot
-      // return batched anyway — and the closure requires the choice
-      // to be explicit.
-      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = GraftTables.classic(spark).sessionState.newHadoopConf())
-    new GraftCdcReaderFactory(readFunc)
+    * (appended after the data columns, matching the table schema).
+    *
+    * ERA-AWARE decode: feeds published before a `RENAME COLUMN` carry
+    * the OLD names (top-level key columns and the fields inside
+    * `old_image`/`new_image` alike) — decoding every feed with one
+    * name set silently NULL-FILLS the renamed column out of the other
+    * era's rows (parquet resolves columns by NAME). Renames preserve
+    * field POSITION and `ADD COLUMNS` only appends, so each planned
+    * feed version gets a required schema positionally re-named to its
+    * own footer ([[eraRequiredSchema]]; one driver footer read per
+    * version, the same order of metadata work as the `_SUCCESS`
+    * listing the planner already does). The resulting [[InternalRow]]s
+    * are positionally identical across eras, so they all satisfy the
+    * scan's one visible schema. */
+  private[v2] def readerFactory(spark: SparkSession, dataSchema: StructType,
+      root: String, partitions: Array[InputPartition]): PartitionReaderFactory = {
+    def build(required: StructType): PartitionedFile => Iterator[InternalRow] =
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        GraftTables.classic(spark),
+        dataSchema = required,
+        partitionSchema = StructType(Seq(
+          StructField(CommitVersionCol, LongType, nullable = false))),
+        requiredSchema = required,
+        filters = Nil,
+        // row output, never ColumnarBatch: the feed schema carries
+        // structs (old/new images), which the vectorized path cannot
+        // return batched anyway — and the closure requires the choice
+        // to be explicit.
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = GraftTables.classic(spark).sessionState.newHadoopConf())
+    val versions = partitions
+      .map(_.asInstanceOf[GraftCdcInputPartition].version).distinct.toSeq
+    val schemaByVersion: Map[Long, StructType] = versions.map { v =>
+      v -> eraRequiredSchema(dataSchema,
+        spark.read.parquet(Warehouse.changePath(root, v)).schema)
+    }.toMap
+    val funcBySchema = (schemaByVersion.values.toSet + dataSchema)
+      .map(s => s -> build(s)).toMap
+    new GraftCdcReaderFactory(v =>
+      funcBySchema(schemaByVersion.getOrElse(v, dataSchema)))
+  }
+
+  /** The scan's target schema positionally re-named to one feed era's
+    * footer: a field adopts the footer name at its position when the
+    * SHAPES agree (names excluded — that is the translation), recursing
+    * into the image structs; a field past the footer's width (a column
+    * added after that era) or of a different shape keeps the target
+    * name and null-fills, exactly the additive-evolution contract. */
+  private[v2] def eraRequiredSchema(target: StructType,
+      footer: StructType): StructType =
+    StructType(target.fields.zipWithIndex.map { case (f, i) =>
+      if (i < footer.length && shapeCompatible(f.dataType, footer(i).dataType)) {
+        val ff = footer(i)
+        (f.dataType, ff.dataType) match {
+          case (t: org.apache.spark.sql.types.StructType,
+                s: org.apache.spark.sql.types.StructType) =>
+            f.copy(name = ff.name, dataType = eraRequiredSchema(t, s))
+          case _ => f.copy(name = ff.name)
+        }
+      } else f
+    })
+
+  private def shapeCompatible(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+    case (_: StructType, _: StructType) => true // aligned prefix-wise above
+    case (x: org.apache.spark.sql.types.ArrayType,
+          y: org.apache.spark.sql.types.ArrayType) =>
+      shapeCompatible(x.elementType, y.elementType)
+    case (x: org.apache.spark.sql.types.MapType,
+          y: org.apache.spark.sql.types.MapType) =>
+      shapeCompatible(x.keyType, y.keyType) &&
+        shapeCompatible(x.valueType, y.valueType)
+    case _ => a == b // atomic types; containers matched above
   }
 }
 
@@ -133,11 +198,12 @@ case class GraftCdcInputPartition(filePath: String, length: Long,
   * rows when the vectorized reader engages (atomic-only schemas);
   * both shapes are flattened to rows here. */
 class GraftCdcReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFuncFor: Long => (PartitionedFile => Iterator[InternalRow]))
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdcInputPartition]
+    val readFunc = readFuncFor(p.version)
     val pf = PartitionedFile(
       partitionValues = new GenericInternalRow(Array[Any](p.version)),
       filePath = SparkPath.fromPathString(p.filePath),
@@ -193,16 +259,22 @@ class GraftCdcScan(spark: SparkSession, root: String, starting: Long,
   // ---- batch: every feed in [starting, ending|current] ----
   override def toBatch: Batch = this
 
+  // remembered for createReaderFactory: the per-era decode schemas are
+  // derived from exactly the versions this scan planned (the engine
+  // always plans before it asks for the factory)
+  @volatile private var planned: Array[InputPartition] = Array.empty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val end = ending.orElse(Warehouse.currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"graft: $root has no committed version"))
     require(end >= starting - 1,
       s"graft: endingVersion $end precedes startingVersion $starting")
-    GraftCdc.partitionsFor(spark, root, starting - 1, end)
+    planned = GraftCdc.partitionsFor(spark, root, starting - 1, end)
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCdc.readerFactory(spark, dataSchema)
+    GraftCdc.readerFactory(spark, dataSchema, root, planned)
 
   // ---- streaming: offsets are warehouse versions ----
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -274,13 +346,21 @@ class GraftCdcStream(spark: SparkSession, root: String, starting: Long,
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    GraftCdc.partitionsFor(spark, root,
+  // remembered for createReaderFactory (MicroBatchScanExec plans each
+  // batch's partitions before it builds the factory); the factory maps
+  // any UNplanned version to the default-era schema, so the benign
+  // stale read here can never throw
+  @volatile private var planned: Array[InputPartition] = Array.empty
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    planned = GraftCdc.partitionsFor(spark, root,
       start.asInstanceOf[GraftVersionOffset].version,
       end.asInstanceOf[GraftVersionOffset].version)
+    planned
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCdc.readerFactory(spark, dataSchema)
+    GraftCdc.readerFactory(spark, dataSchema, root, planned)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -213,7 +213,7 @@ object GraftTables {
         val live = Warehouse.readVersionLive(spark, root, v)
         val have = live.columns.toSet
         live.select(schema.fields.toSeq.map(f =>
-          if (have(f.name)) col(f.name)
+          if (have(f.name)) col(s"`${f.name}`")
           else lit(null).cast(f.dataType).as(f.name)): _*)
     }
   }
@@ -329,9 +329,10 @@ object GraftTables {
         val dvDir = new Path(Warehouse.dvPath(root, v))
         val hasDv = fs.exists(dvDir) && fs.listStatus(dvDir).nonEmpty
         // renamed versions read through [[GraftMappedScan]] (logical
-        // names over untouched physical bytes); combining a rename map
-        // WITH deletion vectors on one version is refused — the two
-        // wrappers would have to compose and the Scala API covers it
+        // names over untouched physical bytes); a version carrying a
+        // rename map AND deletion vectors composes both wrappers —
+        // [[GraftDvScanBuilder]] receives the map and translates at
+        // its reader boundary
         val mapping = Warehouse.columnMappingOf(spark, root, v)
         val dataDir = Warehouse.dataPath(spark, root, v)
         val inferred = ParquetTable(s"$tableName@v$v", classic(spark),
@@ -343,14 +344,29 @@ object GraftTables {
         // them as NULL. A sidecar that does NOT cover the files (e.g.
         // stale after API-side commits widened the data directly)
         // must never win: it would silently HIDE committed columns.
+        // The sidecar holds LOGICAL names while footers hold PHYSICAL
+        // ones — the coverage check compares in logical space (a
+        // sidecar-widened column must survive a later RENAME COLUMN),
+        // and a winning sidecar is translated BACK to physical names
+        // for the inner parquet table ([[GraftMappedScan]] re-surfaces
+        // the logical names above it).
+        val l2p = mapping.map(_.swap)
         val declared = GraftCatalog.readSchemaSidecar(spark, root).filter(d =>
-          inferred.schema.fields.forall(f =>
-            d.fields.exists(df => df.name == f.name && df.dataType == f.dataType)) &&
-            d.length > inferred.schema.length)
+          inferred.schema.fields.forall { f =>
+            val logicalName = mapping.getOrElse(f.name, f.name)
+            d.fields.exists(df => df.name == logicalName && df.dataType == f.dataType)
+          } && d.length > inferred.schema.length)
         val inner = declared match {
-          case Some(d) => ParquetTable(s"$tableName@v$v", classic(spark),
-            CaseInsensitiveStringMap.empty(), Seq(dataDir), Some(d),
-            classOf[ParquetFileFormat])
+          case Some(d) =>
+            val dPhys = StructType(d.fields.map(f =>
+              f.copy(name = l2p.getOrElse(f.name, f.name))))
+            require(dPhys.fieldNames.distinct.length == dPhys.fieldNames.length,
+              s"graft: declared column(s) of $root collide with the physical" +
+                s" name of a renamed column (${dPhys.fieldNames.mkString(", ")})" +
+                " — rename or drop the colliding declared column first")
+            ParquetTable(s"$tableName@v$v", classic(spark),
+              CaseInsensitiveStringMap.empty(), Seq(dataDir), Some(dPhys),
+              classOf[ParquetFileFormat])
           case None => inferred
         }
         // A DV-bearing snapshot reads MERGE-ON-READ through

@@ -67,7 +67,7 @@ object GraftDvScan {
     * fragment that names no declared partition column — guessing
     * would misattribute every row of the file. */
   private[v2] def partitionValuesOf(dataDir: String, file: Path,
-      partSchema: StructType): Array[Any] = {
+      partSchema: StructType, sessionZone: String): Array[Any] = {
     if (partSchema.isEmpty) return Array.empty
     val rel = file.toString.stripPrefix(
       if (dataDir.endsWith("/")) dataDir else dataDir + "/")
@@ -82,8 +82,11 @@ object GraftDvScan {
           s" under $dataDir — partition layout and declared partitioning" +
           " disagree"))
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      // SESSION zone, matching the builtin scan's PartitioningUtils
+      // parse — a hardcoded UTC would shift timestamp-typed partition
+      // values relative to the DV-free read of the same table
       else Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
-        Option("UTC")).eval()
+        Option(sessionZone)).eval()
     }
   }
 }
@@ -192,7 +195,8 @@ class GraftDvScanImpl(spark: SparkSession, private val root: String,
         s.getModificationTime,
         deleted.getOrElse(relKey(s.getPath), Array.empty[Long]),
         GraftDvScan.partitionValuesOf(dataDir, s.getPath,
-          toPhysical(partSchema)))
+          toPhysical(partSchema),
+          spark.sessionState.conf.sessionLocalTimeZone))
     }.toArray
   }
 

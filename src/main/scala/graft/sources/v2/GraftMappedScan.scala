@@ -1,7 +1,9 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
@@ -27,6 +29,9 @@ import org.apache.spark.sql.types.StructType
   *    filters are returned as post-scan residue — the builtin file
   *    scan treats data filters as post-scan anyway, so this costs
   *    nothing and guarantees no mistranslated predicate can drop rows;
+  *  - aggregate pushdown: COUNT/MIN/MAX column references are renamed
+  *    physical-ward, so footer-stats answering (io16) keeps engaging
+  *    on a renamed table;
   *  - `readSchema()`: the built scan reports logical names over the
   *    physical row layout ([[InternalRow]]s carry no names — field
   *    count/types/order are identical, so rows pass through untouched,
@@ -42,7 +47,8 @@ private[v2] class GraftMappedScanBuilder(inner: ParquetScanBuilder,
     mapping: Map[String, String]) // physical -> logical
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val l2p: Map[String, String] = mapping.map(_.swap)
 
@@ -72,6 +78,34 @@ private[v2] class GraftMappedScanBuilder(inner: ParquetScanBuilder,
   // truthful: that is what the parquet reader skips on.
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
+
+  // AGGREGATE pushdown (COUNT/MIN/MAX answered from parquet footer
+  // stats — the io16 capability) must survive a rename: translate the
+  // aggregate's column references physical-ward and delegate. The
+  // group-by columns come back through `build()`'s readSchema under
+  // physical names, which `toLogical` re-surfaces (aggregate output
+  // names like "min(x)" match no mapping entry and pass through).
+  private def tCol(e: VExpression): VExpression = e match {
+    case r: NamedReference if r.fieldNames.length == 1 &&
+        l2p.contains(r.fieldNames.head) =>
+      Expressions.column(l2p(r.fieldNames.head))
+    case other => other
+  }
+  private def tFunc(f: AggregateFunc): AggregateFunc = f match {
+    case m: Min => new Min(tCol(m.column))
+    case m: Max => new Max(tCol(m.column))
+    case c: Count => new Count(tCol(c.column), c.isDistinct)
+    case c: CountStar => c
+    case other => other // shapes the parquet builder rejects anyway
+  }
+  private def translate(agg: Aggregation): Aggregation =
+    new Aggregation(agg.aggregateExpressions.map(tFunc),
+      agg.groupByExpressions.map(tCol))
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    inner.supportCompletePushDown(translate(agg))
+  override def pushAggregation(agg: Aggregation): Boolean =
+    inner.pushAggregation(translate(agg))
 
   override def build(): Scan = new GraftMappedScan(inner.build(), this)
 }

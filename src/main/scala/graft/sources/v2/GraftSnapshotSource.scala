@@ -37,8 +37,11 @@ import graft.pipeline.Warehouse
   *
   * Refused loudly, never silently wrong: a version carrying deletion
   * vectors (its content can change IN PLACE afterwards — an in-place
-  * rewrite) and a version carrying a column rename map (the stream's
-  * schema is pinned at start; a rename changes it). */
+  * rewrite). A column-RENAME version (metadata-only, appends nothing)
+  * keeps streaming: the batch serves whichever era the stream's pinned
+  * schema names — physical for a stream started pre-rename, logical
+  * for one started on the renamed table — and only a schema matching
+  * NEITHER era refuses, naming the fresh-checkpoint remediation. */
 class GraftSnapshotSource(spark: SparkSession, root: String,
     override val schema: StructType, startingVersion: Long = 0L)
     extends Source {
@@ -51,16 +54,47 @@ class GraftSnapshotSource(spark: SparkSession, root: String,
     case other => other.json.trim.toLong
   }
 
+  /** The ERA the pinned `schema` belongs to: the table's current
+    * version when this source was created (schema resolution and
+    * source creation happen back-to-back in `createSource`). */
+  private val pinnedEra: Long =
+    Warehouse.currentVersion(spark, root).getOrElse(0L)
+
+  /** Version `v` under the stream's pinned schema, ERA-AWARE: a rename
+    * anywhere between `v` and the pinned era is translated through the
+    * warehouse rename chain, because the engine may legitimately
+    * REPLAY an old (pre-rename) batch after a restart resolved the
+    * NEW schema. A pinned column missing from the files WITHOUT a
+    * translation, while the files carry an unclaimed column, is a
+    * genuine era break (loud, with a remediation that works); a
+    * missing column with no unclaimed counterpart is declared
+    * ADD-COLUMNS widening, whose null-fill is the contract. */
   private def snap(v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
     require(Warehouse.dvRows(spark, root, v).isEmpty,
       s"graft: snapshot v$v of $root carries deletion vectors — its content" +
         " can change in place, which an append-only snapshot stream cannot" +
         " represent; use the change feed (TBLPROPERTIES('changeFeed'='true'))")
-    require(Warehouse.columnMappingOf(spark, root, v).isEmpty,
-      s"graft: snapshot v$v of $root carries a column rename map — the" +
-        " stream's schema is pinned at start; restart the stream against the" +
-        " renamed table (or use the change feed)")
-    Warehouse.readVersion(spark, root, v, schema)
+    val t = Warehouse.eraTranslation(spark, root, v, math.max(v, pinnedEra),
+      schema.fieldNames.toSeq)
+    val phys = StructType(schema.fields.map(f =>
+      f.copy(name = t.getOrElse(f.name, f.name))))
+    val onDisk = GraftTables.classic(spark).read
+      .parquet(Warehouse.dataPath(spark, root, v)).schema.fieldNames.toSet
+    val missing = phys.fieldNames.filterNot(onDisk.contains)
+    val extra = onDisk -- phys.fieldNames
+    if (missing.nonEmpty && extra.nonEmpty)
+      throw new IllegalStateException(
+        s"graft: snapshot v$v of $root carries column(s)" +
+          s" ${extra.mkString(", ")} where the stream's pinned schema" +
+          s" expects ${missing.mkString(", ")} — the table was" +
+          " column-renamed across this stream's era; restart with a" +
+          " FRESH checkpoint to adopt the renamed schema, or use the" +
+          " change feed")
+    val df = Warehouse.readVersion(spark, root, v, phys)
+    if (t.isEmpty) df
+    else df.select(schema.fieldNames.toSeq.map(n =>
+      col(s"`${t.getOrElse(n, n)}`").as(n)): _*)
   }
 
   override def getOffset: Option[V1Offset] =
@@ -77,6 +111,13 @@ class GraftSnapshotSource(spark: SparkSession, root: String,
     val batch = from match {
       case None => toDf
       case Some(f) if f == to =>
+        toDf.limit(0)
+      case Some(f) if Warehouse.dataPath(spark, root, f) ==
+          Warehouse.dataPath(spark, root, to) =>
+        // METADATA-ONLY span (rename/clone pointers over the same data
+        // dir): nothing was appended by construction — and reading the
+        // FROM side may be impossible for a restarted stream whose
+        // pinned schema postdates a rename in the span
         toDf.limit(0)
       case Some(f) =>
         val fromDf = snap(f)

@@ -302,6 +302,53 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
 
+  test("aggregate pushdown survives a RENAME COLUMN (footer stats under the physical name)") {
+    val root = s"$catalogBase/renagg"
+    Warehouse.commit(spark, root, batch(45, n = 30))
+    spark.sql("ALTER TABLE gwh_test.renagg RENAME COLUMN quality_score TO grade")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val q = spark.read.format("graft").load(root)
+        .agg(min("grade").as("lo"), max("grade").as("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(quality_score)"),
+        s"a renamed table must keep footer-stats answering (physical name):\n$plan")
+      val Row(lo: Double, hi: Double) = q.head()
+      val expect = spark.read.parquet(Warehouse.dataPath(spark, root, 0L))
+        .agg(min("quality_score"), max("quality_score")).head()
+      assert(lo === expect.getDouble(0) && hi === expect.getDouble(1))
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
+  test("DV scan derives timestamp partition values in the SESSION zone") {
+    // the builtin (DV-free) scan parses hive partition fragments in the
+    // session timezone; the DV path must match or the same table reads
+    // different instants before and after a delete
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      val root = freshRoot()
+      val data = Enrich.enrich(CocoaGen.shipments(s2, 40, seed = 61),
+        new Timestamp(1700000000000L))
+      Warehouse.commitPartitioned(s2, root, data, Seq("processed_at"))
+      Warehouse.deleteWhere(s2, root, col("quality_score") < lit(8.0))
+      val expect = Warehouse.readWithDv(s2, root)
+      val got = s2.read.format("graft").load(root)
+      assert(got.count() === expect.count() && expect.count() > 0)
+      val eTs = expect.select("processed_at").distinct().collect()
+        .map(_.getTimestamp(0)).toSet
+      val gTs = got.select("processed_at").distinct().collect()
+        .map(_.getTimestamp(0)).toSet
+      assert(gTs === eTs,
+        "timestamp partition values must parse in the session zone, not UTC")
+    } finally prev match {
+      case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+      case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+    }
+  }
+
   test("zone-map sidecar skips files at scan planning; stale sidecar disables soundly") {
     import graft.sources.v2.ZoneMapFileIndex
     val root = freshRoot()
@@ -605,6 +652,54 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(got.toSet === Set(1L, 3L), s"v2 is empty, v1/v3 flow: $got")
   }
 
+  test("batch CDC spanning a rename decodes both eras' images positionally") {
+    val root = s"$catalogBase/rencdc2"
+    Warehouse.commit(spark, root, batch(52, n = 10))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("mergeKey" -> "shipment_id", "changeFeed" -> "true"))
+    // v1 feed: 5 inserts, published under the PRE-rename era names
+    batch(53, n = 5, idOffset = 800).write.format("graft").mode("append").save(root)
+    spark.sql("ALTER TABLE gwh_test.rencdc2 RENAME COLUMN quality_score TO grade")
+    // v3 feed: one update, published under the POST-rename era names
+    val upd = batch(52, n = 1).withColumnRenamed("quality_score", "grade")
+      .withColumn("grade", lit(2.5))
+    upd.write.format("graft").mode("append").save(root)
+    val cdc = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(root)
+    // the scan surfaces the CURRENT era's names (Delta's table_changes shape)
+    val imgFields = cdc.schema("new_image").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(imgFields.contains("grade") && !imgFields.contains("quality_score"),
+      s"CDC schema must carry current-era names, got: $imgFields")
+    // pre-rename feed rows decode POSITIONALLY under the current name —
+    // a single-schema decode would null-fill every one of them
+    val v1 = cdc.filter(col("_commit_version") === 1)
+    assert(v1.count() === 5)
+    assert(v1.filter(col("new_image.grade").isNull).count() === 0,
+      "pre-rename feed rows must carry their values under the current name")
+    val v3 = cdc.filter(col("_commit_version") === 3 &&
+      col("change_type") === "update").head()
+    assert(v3.getAs[Row]("new_image").getAs[Double]("grade") === 2.5)
+  }
+
+  test("sidecar-widened column survives a later RENAME COLUMN") {
+    val root = s"$catalogBase/widerename"
+    Warehouse.commit(spark, root, batch(46, n = 12))
+    spark.sql("ALTER TABLE gwh_test.widerename ADD COLUMNS (note STRING)")
+    assert(spark.sql("SELECT note FROM gwh_test.widerename").count() === 12)
+    spark.sql("ALTER TABLE gwh_test.widerename RENAME COLUMN quality_score TO grade")
+    // pre-fix, the sidecar coverage check compared LOGICAL sidecar names
+    // against PHYSICAL footer names, silently dropping the widened
+    // column from the table after any rename
+    assert(spark.table("gwh_test.widerename").columns.contains("note"),
+      "the declared widened column must survive the rename")
+    val df = spark.sql("SELECT note, grade FROM gwh_test.widerename")
+    assert(df.count() === 12)
+    assert(df.filter(col("grade").isNull).count() === 0,
+      "the renamed column must keep its values with a declared sidecar present")
+  }
+
   test("SQL MERGE INTO: matched-delete, matched-update, not-matched-insert") {
     val root = s"$catalogBase/mrg"
     Warehouse.commit(spark, root, batch(60, n = 20))
@@ -898,6 +993,40 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val msg = e.getMessage +
       Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("versionAsOf"), msg)
+  }
+
+  test("snapshot stream crosses a rename: empty batch, era mismatch stays actionable") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(47, n = 10))
+    val ckpt = Files.createTempDirectory("graft_snap_ren_ckpt").toString
+    def drain(): Either[Throwable, Seq[Row]] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(60000); Right(got.toSeq) }
+      catch { case t: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Left(t) }
+    }
+    assert(drain().toOption.get.size === 10)
+    // a RENAME commit is metadata-only: the stream advances over it
+    // with an EMPTY batch instead of dying at it forever
+    Warehouse.renameColumns(spark, root, Map("quality_score" -> "grade"))
+    assert(drain() === Right(Seq.empty),
+      "a rename version appends nothing; the drain must succeed empty")
+    // a post-rename data commit under the NEW names: the restarted
+    // stream (schema re-resolved) delivers it under the new schema
+    Warehouse.commit(spark, root, Warehouse.readVersionLive(spark, root, 1L)
+      .unionByName(batch(48, n = 3, idOffset = 900)
+        .withColumnRenamed("quality_score", "grade")))
+    val third = drain().toOption.get
+    assert(third.size === 3, s"expected the 3 appends, got ${third.size}")
+    assert(third.forall(r => !r.isNullAt(r.fieldIndex("grade"))),
+      "post-rename appends must carry real values under the new name")
   }
 
   test("streaming CDC: an in-flight feed publication delays the batch, never kills the query") {
