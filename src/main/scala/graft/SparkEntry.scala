@@ -55,7 +55,13 @@ object SparkEntry {
     "z01_zipf_jaccard_exhaustive" -> (NorthStar.zipfJaccardExhaustive _),
     "z02_zipf_jaccard_prefix" -> (NorthStar.zipfJaccardPrefix _),
     "z03_zipf_containment_exhaustive" -> (NorthStar.zipfContainmentExhaustive _),
-    "z04_zipf_containment_prefix" -> (NorthStar.zipfContainmentPrefix _))
+    "z04_zipf_containment_prefix" -> (NorthStar.zipfContainmentPrefix _),
+    // w-rows: copy-on-write vs manifest (file-granular) delete, same
+    // five surgical range deletes over an identical 32-file seed —
+    // the O(Δ)-DML claim measured, not asserted (equivalence of the
+    // two arms is gate- and spec-pinned; see WarehouseBench).
+    "w01_delete_cow" -> (graft.pipeline.WarehouseBench.deleteCow _),
+    "w02_delete_manifest" -> (graft.pipeline.WarehouseBench.deleteManifest _))
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> (Relational.pricingSummary _),
@@ -225,6 +231,17 @@ object SparkEntry {
         " AS SELECT * FROM graft_ctas_gate_src")
       s.sql("SELECT * FROM graft_ctas_gate.wh_copy").orderBy("shipment_id")
     }),
+    // p33-p36: MANIFEST COMMITS — the O(Δ) DML mode (Delta/Iceberg
+    // file-list metadata on a plain filesystem). Appends write only
+    // the new rows' files; delete/update/merge rewrite only files
+    // containing touched rows; everything else rides in the manifest
+    // BY REFERENCE. Each gate REQUIRES the file-granularity claim
+    // inside the query (carried v0/ entries present), so a silent
+    // fallback to whole-snapshot copy-on-write fails the hash row.
+    "p33_manifest_append" -> ((s, _) => cocoaManifestAppend(s)),
+    "p34_manifest_delete" -> ((s, _) => cocoaManifestDelete(s)),
+    "p35_manifest_update" -> ((s, _) => cocoaManifestUpdate(s)),
+    "p36_manifest_merge" -> ((s, _) => cocoaManifestMerge(s)),
     // p13: RESTORE — an earlier snapshot re-committed as the NEW
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
@@ -973,6 +990,97 @@ object SparkEntry {
       new org.apache.hadoop.fs.Path(Warehouse.dvPath(root, 0L))),
       "p31: expected a deletion-vector sidecar")
     spark.sql("SELECT * FROM graft_mor_gate.cocoa_mor").orderBy("shipment_id")
+  }
+
+  /** p33: MANIFEST APPEND — O(Δ) insert. The warehouse lands as two
+    * disjoint halves: half one as a plain 4-file snapshot, half two
+    * via [[Warehouse.appendFiles]], which writes ONLY the new rows and
+    * publishes a `_MANIFEST` carrying every v0 file by reference (the
+    * zero-copy conversion into manifest mode). The requires pin the
+    * O(Δ) claim INSIDE the gate — all four v0 files carried, no
+    * rewrite — so a silent fallback to whole-snapshot copy-on-write
+    * fails the row, not just a spec. Oracle: the full warehouse. */
+  private def cocoaManifestAppend(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_manifest_app_", keep = 32)
+    val half = coalesce(col("quality_score") < lit(8.8), lit(false))
+    Warehouse.commit(spark, root,
+      wh.filter(half).repartitionByRange(4, col("shipment_id")))
+    val v1 = Warehouse.appendFiles(spark, root, wh.filter(!half))
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val m = Warehouse.manifestOf(fs, root, v1).getOrElse(
+      throw new IllegalStateException("p33: append must publish a manifest"))
+    require(m.count(_.startsWith("v0/")) == 4,
+      s"p33: every v0 file must ride by reference, got $m")
+    Warehouse.read(spark, root).orderBy("shipment_id")
+  }
+
+  /** p34: FILE-GRANULAR DELETE — [[Warehouse.deleteWhereFiles]] on a
+    * quality-range-clustered 4-file snapshot rewrites ONLY the files
+    * holding predicate matches; the require pins that at least one
+    * file rode by reference (a whole-snapshot rewrite carries none).
+    * SQL three-valued semantics: TRUE goes, FALSE and NULL stay —
+    * same truth as p12's merge-on-read twin. */
+  private def cocoaManifestDelete(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_manifest_del_", keep = 32)
+    Warehouse.commit(spark, root,
+      wh.repartitionByRange(4, col("quality_score")))
+    val v = Warehouse.deleteWhereFiles(spark, root,
+      col("quality_score") < lit(8.0)).getOrElse(
+      throw new IllegalStateException("p34: the delete must match rows"))
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val m = Warehouse.manifestOf(fs, root, v).get
+    require(m.exists(_.startsWith("v0/")),
+      s"p34: a range-clustered delete must carry untouched files, got $m")
+    Warehouse.read(spark, root).orderBy("shipment_id")
+  }
+
+  /** p35: FILE-GRANULAR UPDATE — `SET region = 'Reprocessed' WHERE
+    * quality_score < 8.0` through [[Warehouse.updateWhereFiles]] on
+    * the same clustered layout; untouched files carried by reference
+    * (pinned), cardinality unchanged, oracle recomputes the CASE. */
+  private def cocoaManifestUpdate(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_manifest_upd_", keep = 32)
+    Warehouse.commit(spark, root,
+      wh.repartitionByRange(4, col("quality_score")))
+    val v = Warehouse.updateWhereFiles(spark, root,
+      col("quality_score") < lit(8.0),
+      Map("region" -> lit("Reprocessed"))).getOrElse(
+      throw new IllegalStateException("p35: the update must match rows"))
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val m = Warehouse.manifestOf(fs, root, v).get
+    require(m.exists(_.startsWith("v0/")),
+      s"p35: a range-clustered update must carry untouched files, got $m")
+    Warehouse.read(spark, root).orderBy("shipment_id")
+  }
+
+  /** p36: FILE-GRANULAR MERGE (source-wins upsert). Source = every
+    * Criollo row re-graded to 9.99 (updates) plus every Volta row
+    * duplicated under `shipment_id || '_new'` (inserts); only files
+    * containing a source key are rewritten — on a shipment-id-range
+    * layout the requires pin carried files AND that at least one file
+    * was rewritten. Oracle recomputes the upsert with set algebra. */
+  private def cocoaManifestMerge(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_manifest_mrg_", keep = 32)
+    Warehouse.commit(spark, root,
+      wh.repartitionByRange(4, col("shipment_id")))
+    // updates confined to the LOW id range so the id-range-clustered
+    // layout provably leaves key-free files untouched; inserts' new
+    // ids ("…_new") match no existing key by construction
+    val updates = wh.filter(col("bean_type") === lit("Criollo") &&
+        col("shipment_id") < lit("SHIP-0000000100"))
+      .withColumn("quality_score", lit(9.99))
+    val inserts = wh.filter(col("region") === lit("Volta"))
+      .withColumn("shipment_id", concat(col("shipment_id"), lit("_new")))
+    val v = Warehouse.mergeFiles(spark, root, updates.unionByName(inserts))
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val m = Warehouse.manifestOf(fs, root, v).get
+    require(m.exists(_.startsWith("v0/")) && m.exists(_.startsWith(s"v$v/")),
+      s"p36: a keyed merge must rewrite touched files and carry the rest, got $m")
+    Warehouse.read(spark, root).orderBy("shipment_id")
   }
 
   /** p13: two-version isolated root (v0 = the run's batch-1 snapshot,
@@ -4332,6 +4440,42 @@ object SparkEntry {
         |  shipment_weight_kg, temperature_celsius, shipment_value_usd,
         |  processed_at
         |FROM wh ORDER BY shipment_id""".stripMargin),
+    // p33: the manifest-append table equals the whole warehouse (the
+    // two halves partition it exactly); granularity is pinned by the
+    // gate's own requires.
+    "p33_manifest_append" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id"),
+    // p34: file-granular delete — p12's three-valued truth.
+    "p34_manifest_delete" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(quality_score < 8.0, FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p35: file-granular update — the CASE recomputed over the truth.
+    "p35_manifest_update" -> cocoaOracle(
+      """SELECT shipment_id, "timestamp", farm_id,
+        |  CASE WHEN coalesce(quality_score < 8.0, FALSE)
+        |       THEN 'Reprocessed' ELSE region END AS region,
+        |  bean_type, quality_score, shipment_weight_kg,
+        |  temperature_celsius, shipment_value_usd, processed_at
+        |FROM wh ORDER BY shipment_id""".stripMargin),
+    // p36: source-wins upsert recomputed with set algebra — matched
+    // keys re-graded, every Volta row re-inserted under a new key.
+    "p36_manifest_merge" -> cocoaOracle(
+      """SELECT * FROM (
+        |  SELECT * FROM wh
+        |  WHERE NOT (bean_type = 'Criollo' AND shipment_id < 'SHIP-0000000100')
+        |  UNION ALL
+        |  SELECT shipment_id, "timestamp", farm_id, region, bean_type,
+        |    CAST(9.99 AS DOUBLE) AS quality_score, shipment_weight_kg,
+        |    temperature_celsius, shipment_value_usd, processed_at
+        |  FROM wh
+        |  WHERE bean_type = 'Criollo' AND shipment_id < 'SHIP-0000000100'
+        |  UNION ALL
+        |  SELECT shipment_id || '_new' AS shipment_id, "timestamp", farm_id,
+        |    region, bean_type, quality_score, shipment_weight_kg,
+        |    temperature_celsius, shipment_value_usd, processed_at
+        |  FROM wh WHERE region = 'Volta')
+        |ORDER BY shipment_id""".stripMargin),
     // p09: the oracle RECOMPUTES the aggregate from the final
     // warehouse; the Spark side never reads v1's rows outside the
     // change feed — a hash match certifies incremental maintenance

@@ -227,6 +227,10 @@ object Warehouse {
       throw new IllegalStateException(
         s"cloneShallow: $srcRoot v$srcV carries deletion vectors; a shallow" +
           " clone would resurrect deleted rows — applyDv on the source first")
+    require(manifestOf(srcFs, srcRoot, srcV).isEmpty,
+      s"cloneShallow: $srcRoot v$srcV is a manifest version (files spread" +
+        " across version dirs — a single clone pointer cannot reference" +
+        " them); compact the source first")
     val target = dataPath(spark, srcRoot, srcV) // flattens chains + validates
     val fs = Ingest.fs(spark, dstRoot)
     fs.mkdirs(new Path(dstRoot))
@@ -332,6 +336,10 @@ object Warehouse {
       throw new IllegalStateException(
         s"renameColumns: $root v$cur carries deletion vectors; the mapped" +
           " version would resurrect deleted rows — applyDv first")
+    require(manifestOf(fs, root, cur).isEmpty,
+      s"renameColumns: $root v$cur is a manifest version — a rename map" +
+        " belongs to one data directory; compact first (folds the manifest" +
+        " into a plain snapshot)")
     val existing = columnMapping(fs, root, cur) // physical → logical
     val physicalNames = schema.fieldNames.toSeq
     val logicalOf: Map[String, String] =
@@ -460,9 +468,32 @@ object Warehouse {
   def read(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse): DataFrame =
     currentVersion(spark, root) match {
-      case Some(v) => readData(spark, root, dataPath(spark, root, v), schema)
+      case Some(v) => readSnapshot(spark, root, v, schema)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Version `v`'s rows under an explicit schema — plain snapshots by
+    * their (clone-resolved) data dir, manifest snapshots by their file
+    * list; both through the loud listing-race guard. */
+  private def readSnapshot(spark: SparkSession, root: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    manifestOf(Ingest.fs(spark, root), root, v) match {
+      case None => readData(spark, root, dataPath(spark, root, v), schema)
+      case Some(_) => dataFilesOf(spark, root, v) match {
+        case Seq() => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case files =>
+          val df = spark.read.schema(schema).parquet(files: _*)
+            .select(schema.fieldNames.map(
+              org.apache.spark.sql.functions.col).toSeq: _*)
+          if (df.inputFiles.isEmpty)
+            throw new IllegalStateException(
+              s"manifest read raced a prune: v$v of $root lists files that" +
+                " vanished during listing — the table's vacuum retention" +
+                " must cover live readers")
+          df
+      }
     }
 
   /** TIME-TRAVEL read of one committed version through the
@@ -477,7 +508,7 @@ object Warehouse {
     require(fs.exists(new Path(versionPath(root, v), "_SUCCESS")) ||
       fs.exists(new Path(versionPath(root, v), clonePointer)),
       s"readVersion: version $v of $root is missing or incomplete")
-    readData(spark, root, dataPath(spark, root, v), schema)
+    readSnapshot(spark, root, v, schema)
   }
 
   /** TIME-TRAVEL read of one committed version as a SQL consumer must
@@ -495,10 +526,17 @@ object Warehouse {
     require(fs.exists(new Path(versionPath(root, v), "_SUCCESS")) ||
       fs.exists(new Path(versionPath(root, v), clonePointer)),
       s"readVersionLive: version $v of $root is missing or incomplete")
-    // infer the PHYSICAL schema from the snapshot's own files, lift it
-    // to the version's logical names, and delegate the DV anti-join +
-    // rename translation to the one shared implementation
-    val physSchema = spark.read.parquet(dataPath(spark, root, v)).schema
+    // infer the PHYSICAL schema from the snapshot's own files (the
+    // manifest's listed files when it has one), lift it to the
+    // version's logical names, and delegate the DV anti-join + rename
+    // translation to the one shared implementation
+    val physSchema = manifestOf(fs, root, v) match {
+      case None => spark.read.parquet(dataPath(spark, root, v)).schema
+      case Some(_) => dataFilesOf(spark, root, v) match {
+        case Seq() => org.apache.spark.sql.types.StructType(Nil)
+        case files => spark.read.parquet(files: _*).schema
+      }
+    }
     val m = columnMapping(fs, root, v)
     val logical = org.apache.spark.sql.types.StructType(
       physSchema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
@@ -575,7 +613,33 @@ object Warehouse {
       lockTtlMs: Long = DefaultLockTtlMs,
       expectedCurrent: Option[Option[Long]] = None,
       audit: Option[DataFrame => Unit] = None,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty): Long =
+    publishVersion(spark, root, lockTtlMs, expectedCurrent) { (stage, _) =>
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.isEmpty) writer
+       else writer.partitionBy(partitionBy: _*)).parquet(stage.toString)
+      // WRITE-AUDIT-PUBLISH seam (the Iceberg WAP pattern): the audit
+      // runs against a re-read of the STAGED files — exactly the
+      // bytes that would publish, not the logical plan that produced
+      // them — so even a nondeterministic upstream cannot slip
+      // unaudited data past it. A throw here aborts the commit; the
+      // staging dir is deleted and no version, pointer, or partial
+      // state is ever visible to a reader.
+      audit.foreach(check =>
+        check(spark.read.schema(df.schema).parquet(stage.toString)))
+    }
+
+  /** The COMMIT PROTOCOL every version publisher shares (see
+    * [[commit]]'s scaladoc for the full safety argument): lease →
+    * fence (`expectedCurrent` read-modify-write + raw-pointer pin) →
+    * `stageContent(stagingDir, next)` writes the version's content
+    * into a holder-private dot-dir → re-fence (lease still ours,
+    * pointer unmoved) → atomic no-overwrite rename to `v{next}` →
+    * atomic pointer swap. A throw anywhere aborts with the staging
+    * dir deleted and nothing published. */
+  private def publishVersion(spark: SparkSession, root: String,
+      lockTtlMs: Long, expectedCurrent: Option[Option[Long]])(
+      stageContent: (Path, Long) => Unit): Long = {
     val fs = Ingest.fs(spark, root)
     fs.mkdirs(new Path(root))
     val lock = new Path(root, lockFile)
@@ -588,9 +652,9 @@ object Warehouse {
       // snapshot dir appearing in completeSnapshots mid-commit.
       val pointerAtAcquire = pointerVersion(fs, root)
       // Read-modify-write fencing (compact, and any other caller whose
-      // df was DERIVED from a version resolved before this lease):
-      // if the pointer moved past the version the caller based its
-      // write on, publishing would silently drop the interleaved
+      // content was DERIVED from a version resolved before this
+      // lease): if the pointer moved past the version the caller based
+      // its write on, publishing would silently drop the interleaved
       // commit's rows — abort instead.
       expectedCurrent.foreach { expected =>
         if (pointerAtAcquire != expected)
@@ -607,18 +671,7 @@ object Warehouse {
       // completeSnapshots and to parquet readers.
       val stage = new Path(root, s".v${next}_$holderId")
       staging = Some(stage)
-      val writer = df.write.mode("overwrite")
-      (if (partitionBy.isEmpty) writer
-       else writer.partitionBy(partitionBy: _*)).parquet(stage.toString)
-      // WRITE-AUDIT-PUBLISH seam (the Iceberg WAP pattern): the audit
-      // runs against a re-read of the STAGED files — exactly the
-      // bytes that would publish, not the logical plan that produced
-      // them — so even a nondeterministic upstream cannot slip
-      // unaudited data past it. A throw here aborts the commit; the
-      // finally block deletes the staging dir and no version, pointer,
-      // or partial state is ever visible to a reader.
-      audit.foreach(check =>
-        check(spark.read.schema(df.schema).parquet(stage.toString)))
+      stageContent(stage, next)
       // fencing: publish only while the lease is still OURS and nobody
       // committed underneath us (lost lease ⇒ a breaker judged us
       // crashed and may be mid-commit itself).
@@ -663,6 +716,321 @@ object Warehouse {
       // release only a lease we still own — never a successor's lock
       if (readLease(fs, lock).exists(_.holderId == holderId))
         fs.delete(lock, false)
+    }
+  }
+
+  // ──────────────────── manifest commits: O(Δ) DML ────────────────────
+
+  /** Marker file of a MANIFEST version: the snapshot's row set is the
+    * union of the LISTED parquet files (root-relative paths, one per
+    * line) rather than the version dir's own listing — the
+    * Delta/Iceberg file-list metadata idea on a plain filesystem. The
+    * version dir holds only the files the commit NEWLY wrote (plus
+    * `_SUCCESS` and this list); unchanged data is carried by
+    * REFERENCE. That is what makes DML O(Δ) instead of O(table):
+    * [[appendFiles]] writes only the appended rows, [[deleteWhereFiles]]
+    * / [[updateWhereFiles]] / [[mergeFiles]] rewrite only the files
+    * that contain touched rows — at 100 TB the difference between a
+    * KB..GB write and re-copying the table. [[commit]] remains the
+    * whole-snapshot mode; [[compact]] folds a manifest chain back into
+    * one plain snapshot (the maintenance valve that restores every
+    * refused composition below).
+    *
+    * Composition contract, loud and never silent: a manifest commit
+    * refuses a current version that carries deletion vectors (their
+    * keys are data-dir-scoped), a rename map (it renames a data DIR's
+    * footers; a manifest has no single dir), hive partitioning (a file
+    * LIST cannot reconstruct dir-encoded partition values), or a clone
+    * pointer (its files live in another root that may vacuum them) —
+    * each refusal names the valve. [[vacuum]] is manifest-aware: a
+    * version dir whose files any RETAINED manifest still references
+    * survives the retention floor. */
+  private val manifestFile = "_MANIFEST"
+
+  /** Version `v`'s manifest: root-relative data file paths, or None
+    * for a plain (whole-dir) snapshot. */
+  private[graft] def manifestOf(fs: FileSystem, root: String,
+      v: Long): Option[Seq[String]] = {
+    val p = new Path(versionPath(root, v), manifestFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      Some(txt.linesIterator.filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  /** Absolute, filesystem-QUALIFIED data file paths of version `v`:
+    * a manifest version's listed files, or one listing of a plain
+    * version's (clone-resolved) data dir. Qualified so the paths
+    * compare exactly against `_metadata.file_path`-derived keys. */
+  private[graft] def dataFilesOf(spark: SparkSession, root: String,
+      v: Long): Seq[String] = {
+    val fs = Ingest.fs(spark, root)
+    manifestOf(fs, root, v) match {
+      case Some(rel) =>
+        rel.map(r => fs.makeQualified(new Path(root, r)).toString)
+      case None =>
+        val dir = dataPath(spark, root, v)
+        fs.listStatus(new Path(dir)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => fs.makeQualified(s.getPath).toString)
+    }
+  }
+
+  /** On-disk bytes of version `v`'s data — manifest versions by their
+    * file list (spread across version dirs), plain versions by one
+    * dir content summary. */
+  private def snapshotBytes(spark: SparkSession, root: String, v: Long): Long = {
+    val fs = Ingest.fs(spark, root)
+    manifestOf(fs, root, v) match {
+      case Some(_) => dataFilesOf(spark, root, v)
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      case None =>
+        val snap = dataPath(spark, root, v)
+        Ingest.fs(spark, snap).getContentSummary(new Path(snap)).getLength
+    }
+  }
+
+  /** The file-identity key of `absPath` as `_metadata.file_path`
+    * renders it (URL-encoded URI — see the DV-key precedent). */
+  private def sparkPathKey(absPath: String): String =
+    org.apache.spark.paths.SparkPath.fromPath(new Path(absPath)).toString
+
+  /** Root-relative manifest entry for an absolute path under `root`;
+    * loud when the file lives outside the root (a clone's data —
+    * referencing it would let the OTHER table's vacuum break us). */
+  private def relativeToRoot(fs: FileSystem, root: String,
+      absPath: String): String = {
+    val rootQ = fs.makeQualified(new Path(root)).toString.stripSuffix("/")
+    val abs = fs.makeQualified(new Path(absPath)).toString
+    require(abs.startsWith(rootQ + "/"),
+      s"manifest commit: data file $abs lives outside $root — compact the" +
+        " clone into its own data first")
+    abs.stripPrefix(rootQ + "/")
+  }
+
+  /** Preconditions every manifest commit shares (see the composition
+    * contract on [[manifestFile]]). */
+  private def requireManifestable(spark: SparkSession, root: String,
+      cur: Long): Unit = {
+    val fs = Ingest.fs(spark, root)
+    require(dvPartDirs(fs, root, cur).isEmpty,
+      s"manifest commit: $root v$cur carries deletion vectors — applyDv" +
+        " (or compact) first")
+    require(columnMapping(fs, root, cur).isEmpty,
+      s"manifest commit: $root v$cur carries a column rename map — compact" +
+        " first (materializes the logical names)")
+    if (manifestOf(fs, root, cur).isEmpty) {
+      require(dataPath(spark, root, cur) == versionPath(root, cur),
+        s"manifest commit: $root v$cur is a shallow-clone pointer — compact" +
+          " first (gives the clone its own files)")
+      val partitioned = fs.listStatus(new Path(versionPath(root, cur))).toSeq
+        .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+      require(!partitioned,
+        s"manifest commit: $root v$cur is hive-partitioned — a file-list" +
+          " read cannot reconstruct dir-encoded partition values; compact" +
+          " to a flat layout first")
+    }
+  }
+
+  /** Schema compatibility for manifest DML: every CURRENT column must
+    * arrive with its type intact (nullability excluded — parquet reads
+    * relax it), any order; EXTRA incoming columns are the additive
+    * ADD-COLUMNS widening (earlier files read them as NULL by name —
+    * the declared-evolution contract). A missing or retyped current
+    * column is loud: that null-fill would be silent data loss. */
+  private def requireSameColumns(incoming: org.apache.spark.sql.types.StructType,
+      current: org.apache.spark.sql.types.StructType, what: String): Unit = {
+    val in = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val bad = current.fields.filterNot(f => in.get(f.name).contains(f.dataType))
+    require(bad.isEmpty,
+      s"$what: incoming frame drops or retypes current column(s)" +
+        s" ${bad.map(_.name).mkString(", ")} — manifest DML never" +
+        " null-fills silently (renames need compact + renameColumns;" +
+        " extra incoming columns are the legal additive widening)")
+  }
+
+  /** The staged parquet files of a manifest commit, as `v{next}/name`
+    * manifest entries, written alongside the `_MANIFEST` list. */
+  private def stageManifest(fs: FileSystem, stage: Path, next: Long,
+      carried: Seq[String]): Unit = {
+    val fresh = fs.listStatus(stage).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"v$next/${s.getPath.getName}")
+    val mf = fs.create(new Path(stage, manifestFile), true)
+    try mf.write((carried ++ fresh).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally mf.close()
+  }
+
+  /** O(Δ) APPEND — the manifest-mode insert: writes ONLY `df`'s rows
+    * as new files and publishes a manifest carrying every existing
+    * file by reference. On a table whose current version is a plain
+    * snapshot this is the zero-copy conversion INTO manifest mode (the
+    * first manifest simply lists the plain snapshot's files). Appends
+    * are row-level, not keyed: a duplicate key is two rows — use
+    * [[mergeFiles]] for upsert semantics. Returns the new version. */
+  def appendFiles(spark: SparkSession, root: String, df: DataFrame,
+      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+    val fs = Ingest.fs(spark, root)
+    val curOpt = currentVersion(spark, root)
+    val carried: Seq[String] = curOpt match {
+      case None => Seq.empty
+      case Some(cur) =>
+        requireManifestable(spark, root, cur)
+        val files = dataFilesOf(spark, root, cur)
+        if (files.nonEmpty)
+          requireSameColumns(df.schema,
+            spark.read.parquet(files: _*).schema, "appendFiles")
+        files.map(relativeToRoot(fs, root, _))
+    }
+    publishVersion(spark, root, lockTtlMs, expectedCurrent = Some(curOpt)) {
+      (stage, next) =>
+        df.write.mode("overwrite").parquet(stage.toString)
+        stageManifest(fs, stage, next, carried)
+    }
+  }
+
+  /** FILE-GRANULAR DELETE — the manifest-mode delete: one predicate
+    * scan finds the files containing matches (filters push down to
+    * parquet, so untouched files are often skipped by row-group
+    * stats), ONLY those files are rewritten without their matching
+    * rows, and every other file rides into the new manifest by
+    * reference. NULL predicate rows are kept (SQL DELETE three-valued
+    * logic). Returns the new version, or None when nothing matched
+    * (no version published — a no-op delete must not burn history).
+    *
+    * Scale shape: the rewrite cost is O(touched files), not O(table);
+    * the touched-file list itself is collected on the driver —
+    * bounded by the match's file spread, the same driver-side shape
+    * Delta's OPTIMIZE/DELETE planning uses. */
+  def deleteWhereFiles(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    val fs = Ingest.fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"deleteWhereFiles: no committed snapshot under $root"))
+    requireManifestable(spark, root, cur)
+    val files = dataFilesOf(spark, root, cur)
+    if (files.isEmpty) return None
+    val touchedKeys = spark.read.schema(schema).parquet(files: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (touched, kept) = files.partition(f => touchedKeys(sparkPathKey(f)))
+    if (touched.isEmpty) return None
+    val carried = kept.map(relativeToRoot(fs, root, _))
+    Some(publishVersion(spark, root, lockTtlMs,
+        expectedCurrent = Some(Some(cur))) { (stage, next) =>
+      spark.read.schema(schema).parquet(touched: _*)
+        .filter(!coalesce(predicate, lit(false)))
+        .write.mode("overwrite").parquet(stage.toString)
+      stageManifest(fs, stage, next, carried)
+    })
+  }
+
+  /** FILE-GRANULAR UPDATE — `SET col = expr` applied to predicate
+    * matches, rewriting only the files that contain them ([[
+    * deleteWhereFiles]]'s plan with a projection instead of a filter).
+    * Assignments cast back to the column's declared type, so an
+    * update can never silently retype a column. Returns the new
+    * version, or None when nothing matched. */
+  def updateWhereFiles(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "updateWhereFiles: empty SET")
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"updateWhereFiles: SET names unknown column '$k'"))
+    val fs = Ingest.fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"updateWhereFiles: no committed snapshot under $root"))
+    requireManifestable(spark, root, cur)
+    val files = dataFilesOf(spark, root, cur)
+    if (files.isEmpty) return None
+    val touchedKeys = spark.read.schema(schema).parquet(files: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (touched, kept) = files.partition(f => touchedKeys(sparkPathKey(f)))
+    if (touched.isEmpty) return None
+    val carried = kept.map(relativeToRoot(fs, root, _))
+    Some(publishVersion(spark, root, lockTtlMs,
+        expectedCurrent = Some(Some(cur))) { (stage, next) =>
+      val hit = coalesce(predicate, lit(false))
+      val updated = set.foldLeft(
+          spark.read.schema(schema).parquet(touched: _*)) { case (d, (k, e)) =>
+        d.withColumn(k, when(hit, e.cast(schema(k).dataType))
+          .otherwise(col(s"`$k`")))
+      }
+      updated.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+        .write.mode("overwrite").parquet(stage.toString)
+      stageManifest(fs, stage, next, carried)
+    })
+  }
+
+  /** FILE-GRANULAR keyed UPSERT (last-writer-wins MERGE) — the
+    * manifest-mode [[Merge.upsert]]: only files containing a source
+    * key are rewritten (matched rows replaced by the source's image),
+    * all source rows land as new files (updates + inserts together),
+    * and untouched files ride by reference. Duplicate keys in the
+    * source are refused loudly (ON CONFLICT parity — two images for
+    * one key has no deterministic winner). Returns the new version. */
+  def mergeFiles(spark: SparkSession, root: String, source: DataFrame,
+      keyCol: String = CocoaSchema.mergeKey,
+      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
+      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+    import org.apache.spark.sql.functions._
+    require(source.columns.contains(keyCol),
+      s"mergeFiles: source has no key column '$keyCol'")
+    val fs = Ingest.fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      // first commit: the merge IS the table
+      return appendFiles(spark, root,
+        source.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*),
+        lockTtlMs))
+    requireManifestable(spark, root, cur)
+    val files = dataFilesOf(spark, root, cur)
+    if (files.nonEmpty)
+      requireSameColumns(source.schema,
+        spark.read.parquet(files: _*).schema, "mergeFiles")
+    val dup = source.groupBy(col(s"`$keyCol`")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeFiles: source carries duplicate key '${dup.headOption.map(_.get(0))
+        .getOrElse("")}' — no deterministic last-writer; dedupe first")
+    // the source re-evaluates in two jobs (touched-file plan + final
+    // write) — pin it so a nondeterministic upstream cannot diverge
+    val src = source.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+      .localCheckpoint(true)
+    val srcKeys = src.select(col(s"`$keyCol`").as("__mk")).distinct()
+    val touchedKeys =
+      if (files.isEmpty) Set.empty[String]
+      else spark.read.schema(schema).parquet(files: _*)
+        .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_semi")
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val (touched, kept) = files.partition(f => touchedKeys(sparkPathKey(f)))
+    val carried = kept.map(relativeToRoot(fs, root, _))
+    publishVersion(spark, root, lockTtlMs,
+        expectedCurrent = Some(Some(cur))) { (stage, next) =>
+      val survivors =
+        if (touched.isEmpty) src
+        else spark.read.schema(schema).parquet(touched: _*)
+          .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_anti")
+          .unionByName(src)
+      survivors.write.mode("overwrite").parquet(stage.toString)
+      stageManifest(fs, stage, next, carried)
     }
   }
 
@@ -897,6 +1265,28 @@ object Warehouse {
     val l2p = eraL2P(spark, root, v, eraOf.getOrElse(v), schema.fieldNames.toSeq)
     val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       f.copy(name = l2p.getOrElse(f.name, f.name))))
+    // MANIFEST versions: no DVs and no OWN rename map by construction
+    // (the manifest commit refuses both) — the read is the file list;
+    // a rename LATER in the walk still translates (l2p covers it)
+    if (manifestOf(fs, root, v).isDefined) {
+      require(dvFrame(spark, root, v).isEmpty,
+        s"manifest version v$v of $root carries DVs — invariant broken")
+      val files = dataFilesOf(spark, root, v)
+      val onDisk = if (files.isEmpty) phys.fieldNames.toSet
+        else spark.read.parquet(files: _*).schema.fieldNames.toSet
+      val missing = phys.fieldNames.filterNot(onDisk.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"liveEraSnap: manifest version v$v of $root has no column(s)" +
+            s" ${missing.mkString(", ")} under era-v${eraOf.getOrElse(v)}" +
+            " logical names — rename chain untranslatable or the caller's" +
+            " schema is from a different era")
+      val live = readSnapshot(spark, root, v, phys)
+      return (
+        if (l2p.isEmpty) live
+        else live.select(schema.fieldNames.toSeq
+          .map(n => col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*))
+    }
     // loud null-fill guard: every physical name the translation landed
     // on must exist in the files (footer + partition-dir inference)
     val onDisk = spark.read.parquet(dataPath(spark, root, v))
@@ -1237,6 +1627,10 @@ object Warehouse {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"deleteWhere: no committed snapshot under $root"))
+    require(manifestOf(Ingest.fs(spark, root), root, v).isEmpty,
+      s"deleteWhere: $root v$v is a manifest version — merge-on-read" +
+        " deletion vectors are the PLAIN-snapshot delete; use" +
+        " deleteWhereFiles (file-granular, already O(touched files))")
     val base = snapshotWithPos(spark, root, v, schema)
     val live = dvFrame(spark, root, v) match {
       case Some(dv) => base.join(dv,
@@ -1296,7 +1690,7 @@ object Warehouse {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(v) => dvFrame(spark, root, v) match {
-        case None => spark.read.schema(schema).parquet(dataPath(spark, root, v))
+        case None => readSnapshot(spark, root, v, schema)
         case Some(dv0) =>
           val fs = Ingest.fs(spark, root)
           // Size ONLY the complete d_* parts the read consumes — a
@@ -1389,8 +1783,11 @@ object Warehouse {
       // resolve through the clone pointer: compacting a cloned root
       // reads the SOURCE data and publishes a real (materialized)
       // snapshot under this root — copy-on-write, source untouched
-      val snap = dataPath(spark, root, cur)
-      val bytes = Ingest.fs(spark, snap).getContentSummary(new Path(snap)).getLength
+      // Compacting a MANIFEST chain folds it back into one plain
+      // snapshot (the maintenance valve the manifest composition
+      // contract names), exactly as compaction folds DVs and
+      // materializes renames.
+      val bytes = snapshotBytes(spark, root, cur)
       val n = math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
       // The snapshot's OWN parquet schema, never a fixed default: a
       // warehouse widened by additive evolution must come out of
@@ -1468,12 +1865,11 @@ object Warehouse {
     require(targetFileBytes >= 1L,
       s"targetFileBytes must be >= 1, got $targetFileBytes")
     currentVersion(spark, root).map { cur =>
-      val snap = dataPath(spark, root, cur)
-      val bytes = Ingest.fs(spark, snap).getContentSummary(new Path(snap)).getLength
+      val bytes = snapshotBytes(spark, root, cur)
       val n = math.max(1L, (bytes + targetFileBytes - 1L) / targetFileBytes)
       // LIVE read — same contract as [[compact]]: fold deletion
       // vectors, materialize logical names (the cluster columns are
-      // logical names too).
+      // logical names too), fold manifests into one plain snapshot.
       val df = readVersionLive(spark, root, cur)
       val v = commit(spark, root,
         graft.operators.Zorder.cluster(df, colA, colB, n.toInt),
@@ -1806,12 +2202,22 @@ object Warehouse {
     currentVersion(spark, root).foreach { cur =>
       val fs = Ingest.fs(spark, root)
       val now = System.currentTimeMillis()
-      fs.listStatus(new Path(root)).toSeq
+      val versions = fs.listStatus(new Path(root)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
         .map(s => (s.getPath.getName.drop(1).toLong, s))
         .filter(_._1 <= cur)            // in-flight (> cur) untouchable
         .sortBy(-_._1)
+      // MANIFEST pinning: a retained manifest carries OLDER versions'
+      // files by reference — the dirs holding them must survive the
+      // retention floor or every retained read breaks. Dir-granular:
+      // one referenced file pins its whole version dir.
+      val pinned: Set[Long] = versions.take(keepLast)
+        .flatMap { case (v, _) => manifestOf(fs, root, v).getOrElse(Nil) }
+        .flatMap(rel => "^v(\\d+)/".r.findFirstMatchIn(rel).map(_.group(1).toLong))
+        .toSet
+      versions
         .drop(keepLast)                 // the retention floor
+        .filter { case (v, _) => !pinned(v) }
         .filter { case (_, s) => now - s.getModificationTime >= minAgeMs }
         .foreach { case (v, s) =>
           fs.delete(s.getPath, true)

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-only MEASUREMENT pair for manifest DML (the z-row pattern:
+  * the scale claim is timed, not asserted). Both rows seed an
+  * identical 32-file lineitem warehouse clustered by `l_orderkey`,
+  * then run TEN sequential narrow-range deletes (the surgical-delete
+  * shape GDPR/compliance traffic has):
+  *
+  *  - `w01_delete_cow`: each delete re-commits the whole surviving
+  *    snapshot — the plain copy-on-write mode, O(table) per delete;
+  *  - `w02_delete_manifest`: each delete goes through
+  *    [[Warehouse.deleteWhereFiles]] — O(touched files) per delete,
+  *    every untouched file carried by manifest reference.
+  *
+  * Each row returns the surviving count + key checksum as its
+  * one-row result — identical across the pair by construction
+  * (`ManifestSpec` pins deleteWhereFiles ≡ the filtered truth, and
+  * the CoW arm IS that filter), so the pair times two proven-equal
+  * plans. The seed commit is paid identically by both rows; the
+  * measured difference is pure delete-path cost. */
+object WarehouseBench {
+
+  /** Ten disjoint narrow cuts over lineitem's orderkey space — each
+    * hits ~1/128 of the keys, landing in one or two of the 32
+    * range-clustered files. */
+  private def cuts(maxKey: Long): Seq[(Long, Long)] = {
+    val band = math.max(1L, maxKey / 32)
+    (0 until 10).map(i => (i * band, i * band + band / 4))
+  }
+
+  /** Seed = lineitem INFLATED 4x under disjoint key shifts — at the
+    * driver's bench SF the per-commit fixed cost (lease, staging
+    * rename, pointer swap: scale-independent filesystem ops) would
+    * otherwise floor both arms and hide the O(table)-vs-O(touched)
+    * difference the pair exists to measure. */
+  private def seed(spark: SparkSession, dir: String, tag: String): (String, Long) = {
+    val root = graft.core.RunTemp.dir(s"graft_wbench_${tag}_", keep = 8)
+    val li0 = graft.core.Tables.lineitem(spark, dir)
+    val span = li0.agg(max("l_orderkey")).head().getLong(0) + 1
+    val li = (0 until 4).map(i =>
+      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * span)))
+      .reduce(_ unionByName _)
+    Warehouse.commit(spark, root,
+      li.repartitionByRange(32, col("l_orderkey")))
+    (root, 4 * span)
+  }
+
+  private def summary(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    Warehouse.read(spark, root, schema)
+      .agg(count(lit(1)).as("survivors"),
+        sum(col("l_orderkey")).as("key_checksum"))
+
+  /** w01: ten whole-snapshot copy-on-write deletes. */
+  def deleteCow(spark: SparkSession, dir: String): DataFrame = {
+    val (root, maxKey) = seed(spark, dir, "cow")
+    val schema = spark.read.parquet(Warehouse.dataPath(spark, root, 0L)).schema
+    cuts(maxKey).foreach { case (lo, hi) =>
+      val pred = col("l_orderkey") >= lit(lo) && col("l_orderkey") < lit(hi)
+      val kept = Warehouse.read(spark, root, schema)
+        .filter(!coalesce(pred, lit(false)))
+      Warehouse.commit(spark, root, kept,
+        expectedCurrent = Some(Warehouse.currentVersion(spark, root)))
+    }
+    summary(spark, root, schema)
+  }
+
+  /** w02: ten file-granular manifest deletes of the SAME ranges. */
+  def deleteManifest(spark: SparkSession, dir: String): DataFrame = {
+    val (root, maxKey) = seed(spark, dir, "manifest")
+    val schema = spark.read.parquet(Warehouse.dataPath(spark, root, 0L)).schema
+    cuts(maxKey).foreach { case (lo, hi) =>
+      val pred = col("l_orderkey") >= lit(lo) && col("l_orderkey") < lit(hi)
+      Warehouse.deleteWhereFiles(spark, root, pred, schema)
+    }
+    summary(spark, root, schema)
+  }
+}

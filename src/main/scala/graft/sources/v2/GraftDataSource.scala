@@ -325,6 +325,49 @@ object GraftTables {
             new GraftSnapshotTable(tableName, spark, root, schema, None, mergeKey)
           case None => new GraftBootstrapTable(tableName, root)
         }
+      case Some(v) if Warehouse.manifestOf(fs, root, v).isDefined =>
+        // MANIFEST version: the snapshot is a FILE LIST (O(Δ) DML —
+        // [[Warehouse.appendFiles]] family); DVs, rename maps and hive
+        // partitioning are refused at commit time, so the builtin
+        // vectorized parquet scan over the listed files owns the read.
+        // Zone-map sidecars are dir-scoped and do not apply.
+        Warehouse.dataFilesOf(spark, root, v) match {
+          case Seq() =>
+            // a delete-everything manifest: zero-partition scan under
+            // the declared (or last-materialized) schema
+            val schema = GraftCatalog.readSchemaSidecar(spark, root)
+              .orElse((v - 1 to 0L by -1).iterator
+                .map(w => scala.util.Try(
+                  Warehouse.dataFilesOf(spark, root, w)).toOption
+                  .filter(_.nonEmpty)
+                  .map(fls => classic(spark).read.parquet(fls: _*).schema))
+                .collectFirst { case Some(s) => s })
+              .getOrElse(throw new IllegalStateException(
+                s"graft: $root v$v lists no files and no earlier schema is" +
+                  " recoverable — declare one via CREATE TABLE"))
+            new GraftSnapshotTable(tableName, spark, root, schema, None,
+              mergeKey, resolvedVersion = Some(v))
+          case files =>
+            val inferred = ParquetTable(s"$tableName@v$v", classic(spark),
+              CaseInsensitiveStringMap.empty(), files, None,
+              classOf[ParquetFileFormat])
+            // ALTER TABLE ADD COLUMNS widening applies to manifest
+            // versions exactly as to plain ones (no rename map here —
+            // manifest commits refuse them)
+            val declared = GraftCatalog.readSchemaSidecar(spark, root)
+              .filter(d => inferred.schema.fields.forall(f =>
+                d.fields.exists(df =>
+                  df.name == f.name && df.dataType == f.dataType)) &&
+                d.length > inferred.schema.length)
+            val inner = declared match {
+              case Some(d) => ParquetTable(s"$tableName@v$v", classic(spark),
+                CaseInsensitiveStringMap.empty(), files, Some(d),
+                classOf[ParquetFileFormat])
+              case None => inferred
+            }
+            new GraftSnapshotTable(tableName, spark, root, inner.schema,
+              Some(inner), mergeKey, resolvedVersion = Some(v))
+        }
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))
         val hasDv = fs.exists(dvDir) && fs.listStatus(dvDir).nonEmpty
@@ -545,6 +588,25 @@ class GraftSnapshotTable(tableName: String,
     // physical layout identical across writers.
     val aligned = data.select(tableSchema.fieldNames.map(col).toSeq: _*)
     val baseVersion = Warehouse.currentVersion(spark, root)
+    // MANIFEST MODE — O(Δ) SQL INSERT: once the table's current
+    // version carries a manifest (or TBLPROPERTIES('commitMode'=
+    // 'manifest') opts in, converting zero-copy on the next insert),
+    // a keyed append routes to the file-granular upsert (only files
+    // containing a conflicting key are rewritten) and a keyless one
+    // appends new files by reference. Overwrite replaces wholesale
+    // either way (a fresh snapshot is already O(new data)).
+    val manifestMode = baseVersion.exists(v =>
+      Warehouse.manifestOf(GraftTables.fs(spark, root), root, v).isDefined) ||
+      GraftCatalog.readProps(spark, root).get("commitMode").contains("manifest")
+    if (!overwrite && manifestMode && baseVersion.isDefined) {
+      val v = mergeKey match {
+        case Some(key) =>
+          Warehouse.mergeFiles(spark, root, aligned, key, tableSchema)
+        case None => Warehouse.appendFiles(spark, root, aligned)
+      }
+      GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)
+      return
+    }
     val next =
       if (overwrite) aligned
       else (baseVersion, mergeKey) match {
@@ -642,6 +704,12 @@ class GraftSnapshotTable(tableName: String,
       // O(matched): positions of the doomed rows land as a DV part;
       // no data file is rewritten, no version is published.
       Warehouse.deleteWhere(spark, root, pred, tableSchema)
+    } else if (baseVersion.exists(v => Warehouse.manifestOf(
+        GraftTables.fs(spark, root), root, v).isDefined)) {
+      // MANIFEST MODE: file-granular delete — only files containing
+      // matches are rewritten; None (no match) publishes no version
+      Warehouse.deleteWhereFiles(spark, root, pred, tableSchema).foreach(v =>
+        GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey))
     } else {
       // live read: a DELETE on a DV-bearing snapshot must not resurrect
       // the already-deleted rows into its replacement

@@ -700,6 +700,64 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "the renamed column must keep its values with a declared sidecar present")
   }
 
+  test("manifest mode through the connector: O(Δ) INSERT upsert, file-granular DELETE, time travel") {
+    val root = s"$catalogBase/manif"
+    Warehouse.commit(spark, root,
+      batch(60, n = 40).repartitionByRange(4, col("shipment_id")))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("mergeKey" -> "shipment_id", "commitMode" -> "manifest"))
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    // INSERT INTO (append mode) → file-granular upsert, zero-copy
+    // conversion: v1 is a manifest carrying all four v0 files
+    batch(61, n = 5, idOffset = 900).write.format("graft")
+      .mode("append").save(root)
+    val m1 = Warehouse.manifestOf(fs, root, 1L).getOrElse(
+      fail("commitMode=manifest INSERT must publish a manifest version"))
+    assert(m1.count(_.startsWith("v0/")) === 4,
+      s"new keys only — every v0 file rides by reference: $m1")
+    assert(spark.read.format("graft").load(root).count() === 45)
+    assert(sortedRows(spark.read.format("graft").load(root)) ===
+      sortedRows(Warehouse.read(spark, root)))
+    // updating ONE existing key rewrites only the file holding it
+    val someId = Warehouse.read(spark, root)
+      .orderBy("shipment_id").head().getString(0)
+    batch(60, n = 40).filter(col("shipment_id") === lit(someId))
+      .withColumn("quality_score", lit(9.97))
+      .write.format("graft").mode("append").save(root)
+    val m2 = Warehouse.manifestOf(fs, root, 2L).get
+    assert(m2.toSet.intersect(m1.toSet).size >= 4,
+      s"an upsert of one key must carry the untouched files: $m1 -> $m2")
+    assert(spark.read.format("graft").load(root)
+      .filter(col("shipment_id") === lit(someId))
+      .head().getAs[Double]("quality_score") === 9.97)
+    // SQL DELETE routes file-granular on a manifest table
+    val before = spark.sql("SELECT count(*) AS n FROM gwh_test.manif")
+      .head().getLong(0)
+    spark.sql("DELETE FROM gwh_test.manif WHERE quality_score < 8.0")
+    val m3 = Warehouse.manifestOf(fs, root, 3L).get
+    assert(m3.toSet.intersect(m2.toSet).nonEmpty,
+      "a selective delete must carry untouched files by reference")
+    assert(spark.sql("SELECT count(*) AS n FROM gwh_test.manif")
+      .head().getLong(0) < before)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gwh_test.manif WHERE quality_score < 8.0")
+      .head().getLong(0) === 0)
+    // time travel across manifest versions stays exact
+    assert(spark.sql("SELECT count(*) AS n FROM gwh_test.manif VERSION AS OF 1")
+      .head().getLong(0) === 45)
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(root)
+      .count() === 40)
+    // filters still reach the vectorized parquet scan under a manifest
+    val q = spark.read.format("graft").load(root)
+      .filter(col("region") === lit("Ashanti")).select("shipment_id")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(region), EqualTo(region,Ashanti)")
+      || plan.contains("PushedFilters: [EqualTo(region,Ashanti)"),
+      s"manifest reads must keep parquet filter pushdown:\n$plan")
+  }
+
   test("SQL MERGE INTO: matched-delete, matched-update, not-matched-insert") {
     val root = s"$catalogBase/mrg"
     Warehouse.commit(spark, root, batch(60, n = 20))
