@@ -245,7 +245,9 @@ object GraftTableFunctions {
         val vs = w.versions(s, root)
         require(vs.nonEmpty, s"$fn: no committed snapshot under $root")
         vs.map { v =>
-          s.read.parquet(w.dataPath(s, root, v))
+          // manifest-aware raw read: a manifest version's rows live in
+          // its LISTED files, not its version dir alone
+          w.readVersionRaw(s, root, v)
             .agg(count(lit(1)).as("n_rows"))
             .select(lit(v).as("version"), col("n_rows"))
         }.reduce(_.unionByName(_))
@@ -267,7 +269,7 @@ object GraftTableFunctions {
         val cur = w.currentVersion(s, root).getOrElse(
           throw new IllegalArgumentException(
             s"$fn: no committed snapshot under $root"))
-        s.read.parquet(w.dataPath(s, root, cur))
+        s.read.parquet(w.dataPath(s, root, cur)) // compact publishes PLAIN
       }),
 
     ("graft_vacuum",
@@ -285,7 +287,7 @@ object GraftTableFunctions {
         val cur = w.currentVersion(s, root).getOrElse(
           throw new IllegalArgumentException(
             s"$fn: no committed snapshot under $root"))
-        s.read.parquet(w.dataPath(s, root, cur))
+        w.readVersionRaw(s, root, cur)
       }),
 
     ("graft_clone",
@@ -314,7 +316,7 @@ object GraftTableFunctions {
         val w = graft.pipeline.Warehouse
         val root = strArg(a(0), fn)
         val toV = longArg(a(1), fn)
-        val schema = s.read.parquet(w.dataPath(s, root, toV)).schema
+        val schema = w.readVersionRaw(s, root, toV).schema
         val v = w.restore(s, root, toV, schema)
         s.read.parquet(w.dataPath(s, root, v))
       }),
@@ -332,9 +334,10 @@ object GraftTableFunctions {
             s"$fn: snapshot group ${strArg(a(0), fn)} has no member" +
               s" '${strArg(a(1), fn)}'"))
         // schema inferred from the pinned snapshot's own files; the
-        // pin resolves through dataPath, so clones + missing-snapshot
-        // loudness ride the same seam as graft_time_travel
-        s.read.parquet(graft.pipeline.Warehouse.dataPath(s, root, v))
+        // pin resolves through dataPath (manifest file lists included),
+        // so clones + missing-snapshot loudness ride the same seam as
+        // graft_time_travel
+        graft.pipeline.Warehouse.readVersionRaw(s, root, v)
       }),
 
     ("graft_new_content",

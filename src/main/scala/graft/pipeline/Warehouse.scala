@@ -795,6 +795,25 @@ object Warehouse {
     }
   }
 
+  /** Version `v`'s SNAPSHOT-FILE rows, schema inferred from its own
+    * files — the pre-DV raw read the SQL introspection surface
+    * (graft_history et al.) uses. Manifest-aware: a manifest version
+    * reads its LISTED files (a raw dir read would count only the
+    * newly-written ones). */
+  private[graft] def readVersionRaw(spark: SparkSession, root: String,
+      v: Long): DataFrame = {
+    val fs = Ingest.fs(spark, root)
+    manifestOf(fs, root, v) match {
+      case None => spark.read.parquet(dataPath(spark, root, v))
+      case Some(_) => dataFilesOf(spark, root, v) match {
+        case Seq() => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Nil))
+        case files => spark.read.parquet(files: _*)
+      }
+    }
+  }
+
   /** The file-identity key of `absPath` as `_metadata.file_path`
     * renders it (URL-encoded URI — see the DV-key precedent). */
   private def sparkPathKey(absPath: String): String =
@@ -2184,8 +2203,7 @@ object Warehouse {
         s"snapshot group $groupDir pins $name at $root v$v, which is missing" +
           " or incomplete (vacuumed past its retention floor?) — republish" +
           " the group or restore the member")
-    spark.read.schema(schema).parquet(dir)
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    readSnapshot(spark, root, v, schema)
   }
 
   /** `lockTtlMs` bounds the crashed-publisher sweep: a dot-prefixed

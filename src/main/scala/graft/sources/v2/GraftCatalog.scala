@@ -214,8 +214,7 @@ class GraftCatalog extends TableCatalog {
           props(GraftTables.MergeKey) = to
         Warehouse.currentVersion(spark, root) match {
           case Some(cur) =>
-            val phys = GraftTables.classic(spark).read
-              .parquet(Warehouse.dataPath(spark, root, cur)).schema
+            val phys = Warehouse.readVersionRaw(spark, root, cur).schema
             val renamedV = Warehouse.renameColumns(spark, root, Map(from -> to), phys)
             // auto-CDF tables: publish the rename version's (EMPTY)
             // feed immediately — no rows changed, but a feed GAP

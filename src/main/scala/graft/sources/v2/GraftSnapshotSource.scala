@@ -79,8 +79,8 @@ class GraftSnapshotSource(spark: SparkSession, root: String,
       schema.fieldNames.toSeq)
     val phys = StructType(schema.fields.map(f =>
       f.copy(name = t.getOrElse(f.name, f.name))))
-    val onDisk = GraftTables.classic(spark).read
-      .parquet(Warehouse.dataPath(spark, root, v)).schema.fieldNames.toSet
+    val onDisk = Warehouse.readVersionRaw(spark, root, v)
+      .schema.fieldNames.toSet
     val missing = phys.fieldNames.filterNot(onDisk.contains)
     val extra = onDisk -- phys.fieldNames
     if (missing.nonEmpty && extra.nonEmpty)

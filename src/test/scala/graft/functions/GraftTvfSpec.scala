@@ -327,6 +327,27 @@ class GraftTvfSpec extends AnyFunSuite {
       "pre-rename version keeps its era's names")
   }
 
+  test("introspection TVFs are manifest-aware: history counts listed files, time travel whole") {
+    registered()
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("tvf_manifest").toString
+    val b1 = graft.pipeline.Enrich.enrich(
+      graft.pipeline.CocoaGen.shipments(spark, 20, seed = 71),
+      new Timestamp(1000000L))
+    val b2 = graft.pipeline.Enrich.enrich(
+      graft.pipeline.CocoaGen.shipments(spark, 5, seed = 72, idOffset = 950),
+      new Timestamp(2000000L))
+    graft.pipeline.Warehouse.commit(spark, root, b1)       // v0 plain
+    graft.pipeline.Warehouse.appendFiles(spark, root, b2)  // v1 manifest
+    // a raw dir read of v1 would count ONLY the 5 appended rows
+    val hist = spark.sql(s"SELECT * FROM graft_history('$root') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist === Seq((0L, 20L), (1L, 25L)),
+      s"history must count a manifest version's LISTED files: $hist")
+    assert(spark.sql(s"SELECT * FROM graft_time_travel('$root', 1)").count() === 25)
+    assert(spark.sql(s"SELECT * FROM graft_live('$root')").count() === 25)
+  }
+
   test("TVF arity and argument errors are loud and named") {
     registered()
     val e1 = intercept[Exception] {
