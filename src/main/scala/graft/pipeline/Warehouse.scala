@@ -530,13 +530,7 @@ object Warehouse {
     // manifest's listed files when it has one), lift it to the
     // version's logical names, and delegate the DV anti-join + rename
     // translation to the one shared implementation
-    val physSchema = manifestOf(fs, root, v) match {
-      case None => spark.read.parquet(dataPath(spark, root, v)).schema
-      case Some(_) => dataFilesOf(spark, root, v) match {
-        case Seq() => org.apache.spark.sql.types.StructType(Nil)
-        case files => spark.read.parquet(files: _*).schema
-      }
-    }
+    val physSchema = effectiveSchema(spark, root, v)
     val m = columnMapping(fs, root, v)
     val logical = org.apache.spark.sql.types.StructType(
       physSchema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
@@ -805,12 +799,16 @@ object Warehouse {
     val fs = Ingest.fs(spark, root)
     manifestOf(fs, root, v) match {
       case None => spark.read.parquet(dataPath(spark, root, v))
-      case Some(_) => dataFilesOf(spark, root, v) match {
-        case Seq() => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Nil))
-        case files => spark.read.parquet(files: _*)
-      }
+      case Some(_) =>
+        // the PERSISTED effective schema, not footer inference: a
+        // widened manifest chain has mixed footers, and an emptied
+        // one has none at all
+        val schema = effectiveSchema(spark, root, v)
+        dataFilesOf(spark, root, v) match {
+          case Seq() => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case files => spark.read.schema(schema).parquet(files: _*)
+        }
     }
   }
 
@@ -873,10 +871,49 @@ object Warehouse {
         " extra incoming columns are the legal additive widening)")
   }
 
+  /** Sidecar persisting a manifest version's EFFECTIVE schema —
+    * written at commit time because footer inference over a
+    * MIXED-footer file set (after an additive widening) is
+    * nondeterministic (parquet samples one footer under
+    * mergeSchema=false), and because a delete-everything manifest has
+    * no footer at all. The Delta metadata-action idea: the schema is
+    * table metadata, never re-derived from data files. */
+  private val manifestSchemaFile = "_MANIFEST_SCHEMA"
+
+  /** The EFFECTIVE schema of version `v`: manifest versions read the
+    * schema persisted at commit time (deterministic-merge fallback for
+    * none), plain versions infer from their uniform data dir. */
+  private[graft] def effectiveSchema(spark: SparkSession, root: String,
+      v: Long): org.apache.spark.sql.types.StructType = {
+    val fs = Ingest.fs(spark, root)
+    if (manifestOf(fs, root, v).isEmpty)
+      spark.read.parquet(dataPath(spark, root, v)).schema
+    else {
+      val p = new Path(versionPath(root, v), manifestSchemaFile)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val txt =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(txt)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      } else dataFilesOf(spark, root, v) match {
+        // legacy manifest without the sidecar: deterministic by-name
+        // union (one footer job), never a one-footer sample
+        case Seq() => org.apache.spark.sql.types.StructType(Nil)
+        case files => spark.read.option("mergeSchema", "true")
+          .parquet(files: _*).schema
+      }
+    }
+  }
+
   /** The staged parquet files of a manifest commit, as `v{next}/name`
-    * manifest entries, written alongside the `_MANIFEST` list. */
+    * manifest entries, written alongside the `_MANIFEST` list and the
+    * effective-schema sidecar. */
   private def stageManifest(fs: FileSystem, stage: Path, next: Long,
-      carried: Seq[String]): Unit = {
+      carried: Seq[String],
+      effective: org.apache.spark.sql.types.StructType): Unit = {
     val fresh = fs.listStatus(stage).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"v$next/${s.getPath.getName}")
@@ -884,6 +921,18 @@ object Warehouse {
     try mf.write((carried ++ fresh).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     finally mf.close()
+    val sc = fs.create(new Path(stage, manifestSchemaFile), true)
+    try sc.write(effective.json.getBytes(StandardCharsets.UTF_8))
+    finally sc.close()
+  }
+
+  /** `base` widened by `extra`'s novel columns, appended in order —
+    * the additive-evolution schema union manifest DML persists. */
+  private def widen(base: org.apache.spark.sql.types.StructType,
+      extra: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val have = base.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      base.fields ++ extra.fields.filterNot(f => have(f.name)))
   }
 
   /** O(Δ) APPEND — the manifest-mode insert: writes ONLY `df`'s rows
@@ -897,20 +946,19 @@ object Warehouse {
       lockTtlMs: Long = DefaultLockTtlMs): Long = {
     val fs = Ingest.fs(spark, root)
     val curOpt = currentVersion(spark, root)
-    val carried: Seq[String] = curOpt match {
-      case None => Seq.empty
+    val (carried, eff) = curOpt match {
+      case None => (Seq.empty[String], df.schema)
       case Some(cur) =>
         requireManifestable(spark, root, cur)
-        val files = dataFilesOf(spark, root, cur)
-        if (files.nonEmpty)
-          requireSameColumns(df.schema,
-            spark.read.parquet(files: _*).schema, "appendFiles")
-        files.map(relativeToRoot(fs, root, _))
+        val current = effectiveSchema(spark, root, cur)
+        requireSameColumns(df.schema, current, "appendFiles")
+        (dataFilesOf(spark, root, cur).map(relativeToRoot(fs, root, _)),
+          widen(current, df.schema))
     }
     publishVersion(spark, root, lockTtlMs, expectedCurrent = Some(curOpt)) {
       (stage, next) =>
         df.write.mode("overwrite").parquet(stage.toString)
-        stageManifest(fs, stage, next, carried)
+        stageManifest(fs, stage, next, carried, eff)
     }
   }
 
@@ -929,7 +977,6 @@ object Warehouse {
     * Delta's OPTIMIZE/DELETE planning uses. */
   def deleteWhereFiles(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
-      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
       lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
     import org.apache.spark.sql.functions._
     val fs = Ingest.fs(spark, root)
@@ -937,6 +984,10 @@ object Warehouse {
       throw new IllegalStateException(
         s"deleteWhereFiles: no committed snapshot under $root"))
     requireManifestable(spark, root, cur)
+    // the version's FULL effective schema, never a caller-supplied
+    // one: rewriting touched files under a narrower schema would
+    // silently drop their extra (widened) columns
+    val schema = effectiveSchema(spark, root, cur)
     val files = dataFilesOf(spark, root, cur)
     if (files.isEmpty) return None
     val touchedKeys = spark.read.schema(schema).parquet(files: _*)
@@ -951,7 +1002,7 @@ object Warehouse {
       spark.read.schema(schema).parquet(touched: _*)
         .filter(!coalesce(predicate, lit(false)))
         .write.mode("overwrite").parquet(stage.toString)
-      stageManifest(fs, stage, next, carried)
+      stageManifest(fs, stage, next, carried, schema)
     })
   }
 
@@ -964,17 +1015,18 @@ object Warehouse {
   def updateWhereFiles(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
       lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
     import org.apache.spark.sql.functions._
     require(set.nonEmpty, "updateWhereFiles: empty SET")
-    set.keys.foreach(k => require(schema.fieldNames.contains(k),
-      s"updateWhereFiles: SET names unknown column '$k'"))
     val fs = Ingest.fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"updateWhereFiles: no committed snapshot under $root"))
     requireManifestable(spark, root, cur)
+    // full effective schema — see [[deleteWhereFiles]]'s rationale
+    val schema = effectiveSchema(spark, root, cur)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"updateWhereFiles: SET names unknown column '$k'"))
     val files = dataFilesOf(spark, root, cur)
     if (files.isEmpty) return None
     val touchedKeys = spark.read.schema(schema).parquet(files: _*)
@@ -994,7 +1046,7 @@ object Warehouse {
       }
       updated.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
         .write.mode("overwrite").parquet(stage.toString)
-      stageManifest(fs, stage, next, carried)
+      stageManifest(fs, stage, next, carried, schema)
     })
   }
 
@@ -1007,7 +1059,6 @@ object Warehouse {
     * one key has no deterministic winner). Returns the new version. */
   def mergeFiles(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String = CocoaSchema.mergeKey,
-      schema: org.apache.spark.sql.types.StructType = CocoaSchema.warehouse,
       lockTtlMs: Long = DefaultLockTtlMs): Long = {
     import org.apache.spark.sql.functions._
     require(source.columns.contains(keyCol),
@@ -1015,14 +1066,15 @@ object Warehouse {
     val fs = Ingest.fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       // first commit: the merge IS the table
-      return appendFiles(spark, root,
-        source.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*),
-        lockTtlMs))
+      return appendFiles(spark, root, source, lockTtlMs))
     requireManifestable(spark, root, cur)
+    // full effective schema, widened by the source's novel columns —
+    // see [[deleteWhereFiles]]'s rationale; survivors of touched
+    // files null-fill the widened columns (the additive contract)
+    val current = effectiveSchema(spark, root, cur)
+    requireSameColumns(source.schema, current, "mergeFiles")
+    val schema = widen(current, source.schema)
     val files = dataFilesOf(spark, root, cur)
-    if (files.nonEmpty)
-      requireSameColumns(source.schema,
-        spark.read.parquet(files: _*).schema, "mergeFiles")
     val dup = source.groupBy(col(s"`$keyCol`")).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -1035,7 +1087,7 @@ object Warehouse {
     val srcKeys = src.select(col(s"`$keyCol`").as("__mk")).distinct()
     val touchedKeys =
       if (files.isEmpty) Set.empty[String]
-      else spark.read.schema(schema).parquet(files: _*)
+      else spark.read.schema(current).parquet(files: _*)
         .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_semi")
         .select(col("_metadata.file_path")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -1049,7 +1101,7 @@ object Warehouse {
           .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_anti")
           .unionByName(src)
       survivors.write.mode("overwrite").parquet(stage.toString)
-      stageManifest(fs, stage, next, carried)
+      stageManifest(fs, stage, next, carried, schema)
     }
   }
 
@@ -1290,9 +1342,7 @@ object Warehouse {
     if (manifestOf(fs, root, v).isDefined) {
       require(dvFrame(spark, root, v).isEmpty,
         s"manifest version v$v of $root carries DVs — invariant broken")
-      val files = dataFilesOf(spark, root, v)
-      val onDisk = if (files.isEmpty) phys.fieldNames.toSet
-        else spark.read.parquet(files: _*).schema.fieldNames.toSet
+      val onDisk = effectiveSchema(spark, root, v).fieldNames.toSet
       val missing = phys.fieldNames.filterNot(onDisk.contains)
       if (missing.nonEmpty)
         throw new IllegalStateException(

@@ -74,7 +74,7 @@ object WarehouseBench {
     val schema = spark.read.parquet(Warehouse.dataPath(spark, root, 0L)).schema
     cuts(maxKey).foreach { case (lo, hi) =>
       val pred = col("l_orderkey") >= lit(lo) && col("l_orderkey") < lit(hi)
-      Warehouse.deleteWhereFiles(spark, root, pred, schema)
+      Warehouse.deleteWhereFiles(spark, root, pred)
     }
     summary(spark, root, schema)
   }

@@ -331,40 +331,28 @@ object GraftTables {
         // partitioning are refused at commit time, so the builtin
         // vectorized parquet scan over the listed files owns the read.
         // Zone-map sidecars are dir-scoped and do not apply.
+        // the schema PERSISTED at commit time — a widened manifest
+        // chain has MIXED footers (inference would sample one
+        // nondeterministically) and an emptied one has none at all.
+        // ALTER TABLE ADD COLUMNS widening layers on top exactly as
+        // for plain versions (no rename map here — refused at commit).
+        val stored = Warehouse.effectiveSchema(spark, root, v)
+        val schema = GraftCatalog.readSchemaSidecar(spark, root)
+          .filter(d => stored.fields.forall(f =>
+            d.fields.exists(df =>
+              df.name == f.name && df.dataType == f.dataType)) &&
+            d.length > stored.length)
+          .getOrElse(stored)
         Warehouse.dataFilesOf(spark, root, v) match {
           case Seq() =>
-            // a delete-everything manifest: zero-partition scan under
-            // the declared (or last-materialized) schema
-            val schema = GraftCatalog.readSchemaSidecar(spark, root)
-              .orElse((v - 1 to 0L by -1).iterator
-                .map(w => scala.util.Try(
-                  Warehouse.dataFilesOf(spark, root, w)).toOption
-                  .filter(_.nonEmpty)
-                  .map(fls => classic(spark).read.parquet(fls: _*).schema))
-                .collectFirst { case Some(s) => s })
-              .getOrElse(throw new IllegalStateException(
-                s"graft: $root v$v lists no files and no earlier schema is" +
-                  " recoverable — declare one via CREATE TABLE"))
+            require(schema.nonEmpty, s"graft: $root v$v lists no files and" +
+              " persists no schema — declare one via CREATE TABLE")
             new GraftSnapshotTable(tableName, spark, root, schema, None,
               mergeKey, resolvedVersion = Some(v))
           case files =>
-            val inferred = ParquetTable(s"$tableName@v$v", classic(spark),
-              CaseInsensitiveStringMap.empty(), files, None,
+            val inner = ParquetTable(s"$tableName@v$v", classic(spark),
+              CaseInsensitiveStringMap.empty(), files, Some(schema),
               classOf[ParquetFileFormat])
-            // ALTER TABLE ADD COLUMNS widening applies to manifest
-            // versions exactly as to plain ones (no rename map here —
-            // manifest commits refuse them)
-            val declared = GraftCatalog.readSchemaSidecar(spark, root)
-              .filter(d => inferred.schema.fields.forall(f =>
-                d.fields.exists(df =>
-                  df.name == f.name && df.dataType == f.dataType)) &&
-                d.length > inferred.schema.length)
-            val inner = declared match {
-              case Some(d) => ParquetTable(s"$tableName@v$v", classic(spark),
-                CaseInsensitiveStringMap.empty(), files, Some(d),
-                classOf[ParquetFileFormat])
-              case None => inferred
-            }
             new GraftSnapshotTable(tableName, spark, root, inner.schema,
               Some(inner), mergeKey, resolvedVersion = Some(v))
         }
@@ -601,7 +589,7 @@ class GraftSnapshotTable(tableName: String,
     if (!overwrite && manifestMode && baseVersion.isDefined) {
       val v = mergeKey match {
         case Some(key) =>
-          Warehouse.mergeFiles(spark, root, aligned, key, tableSchema)
+          Warehouse.mergeFiles(spark, root, aligned, key)
         case None => Warehouse.appendFiles(spark, root, aligned)
       }
       GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey)
@@ -708,7 +696,7 @@ class GraftSnapshotTable(tableName: String,
         GraftTables.fs(spark, root), root, v).isDefined)) {
       // MANIFEST MODE: file-granular delete — only files containing
       // matches are rewritten; None (no match) publishes no version
-      Warehouse.deleteWhereFiles(spark, root, pred, tableSchema).foreach(v =>
+      Warehouse.deleteWhereFiles(spark, root, pred).foreach(v =>
         GraftTables.maybePublishFeed(spark, root, v, tableSchema, mergeKey))
     } else {
       // live read: a DELETE on a DV-bearing snapshot must not resurrect

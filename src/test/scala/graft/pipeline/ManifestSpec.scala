@@ -287,6 +287,37 @@ class ManifestSpec extends AnyFunSuite {
         s" got manifest=$mBytes vs cow=$cowBytes")
   }
 
+  test("the effective schema PERSISTS: widened chains read deterministically, emptied ones keep it") {
+    // mixed footers after an additive widening: parquet inference
+    // samples ONE footer (nondeterministic) — the schema written at
+    // commit time is authoritative instead
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(33, n = 20))
+    Warehouse.appendFiles(spark, root,
+      batch(34, n = 5, idOffset = 860).withColumn("note", lit("fresh")))
+    val live = Warehouse.readVersionLive(spark, root, 1L)
+    assert(live.columns.contains("note"),
+      "the widened column must be visible whichever footer inference would sample")
+    assert(live.filter(col("note").isNull).count() === 20,
+      "pre-widening rows null-fill the new column")
+    assert(live.filter(col("note") === "fresh").count() === 5)
+    // connector read sees the same deterministic schema
+    val conn = spark.read.format("graft").load(root)
+    assert(conn.columns.contains("note") && conn.count() === 25)
+    // narrowing is still loud (a widened table must never lose 'note')
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.appendFiles(spark, root, batch(35, n = 1, idOffset = 870))
+    }
+    assert(e.getMessage.contains("note"))
+    // delete-EVERYTHING: zero files, schema survives via the sidecar
+    Warehouse.deleteWhereFiles(spark, root, lit(true))
+    val empty = Warehouse.readVersionLive(spark, root,
+      Warehouse.currentVersion(spark, root).get)
+    assert(empty.count() === 0 && empty.columns.contains("note"),
+      "an emptied manifest keeps its persisted schema")
+    assert(spark.read.format("graft").load(root).count() === 0)
+  }
+
   test("manifest commits are lost-update fenced like every other commit") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(26, n = 20))
