@@ -741,8 +741,10 @@ object Warehouse {
     * survives the retention floor. */
   private val manifestFile = "_MANIFEST"
 
-  /** Version `v`'s manifest: root-relative data file paths, or None
-    * for a plain (whole-dir) snapshot. */
+  /** Version `v`'s manifest lines — `relpath<TAB>size<TAB>mtime` per
+    * data file (legacy lines may carry the path alone) — or None for
+    * a plain (whole-dir) snapshot. The path is always the line's
+    * first tab-column, so prefix checks work on raw lines. */
   private[graft] def manifestOf(fs: FileSystem, root: String,
       v: Long): Option[Seq[String]] = {
     val p = new Path(versionPath(root, v), manifestFile)
@@ -762,16 +764,35 @@ object Warehouse {
     * version's (clone-resolved) data dir. Qualified so the paths
     * compare exactly against `_metadata.file_path`-derived keys. */
   private[graft] def dataFilesOf(spark: SparkSession, root: String,
-      v: Long): Seq[String] = {
+      v: Long): Seq[String] = dataFileEntries(spark, root, v).map(_._1)
+
+  /** Version `v`'s data files WITH their manifest-persisted (size,
+    * mtime) — the connector builds its scan file index from these,
+    * so a manifest read plans with ZERO filesystem listing or
+    * per-file stat calls (the manifest IS the listing, the Delta-log
+    * property). Legacy manifest lines without the size columns fall
+    * back to one stat per file; plain versions list their dir. */
+  private[graft] def dataFileEntries(spark: SparkSession, root: String,
+      v: Long): Seq[(String, Long, Long)] = {
     val fs = Ingest.fs(spark, root)
     manifestOf(fs, root, v) match {
-      case Some(rel) =>
-        rel.map(r => fs.makeQualified(new Path(root, r)).toString)
+      case Some(lines) => lines.map { line =>
+        line.split("\t", 3) match {
+          case Array(rel, size, mtime) =>
+            (fs.makeQualified(new Path(root, rel)).toString,
+              size.toLong, mtime.toLong)
+          case Array(rel) =>
+            val st = fs.getFileStatus(new Path(root, rel))
+            (fs.makeQualified(st.getPath).toString,
+              st.getLen, st.getModificationTime)
+        }
+      }
       case None =>
         val dir = dataPath(spark, root, v)
         fs.listStatus(new Path(dir)).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => fs.makeQualified(s.getPath).toString)
+          .map(s => (fs.makeQualified(s.getPath).toString,
+            s.getLen, s.getModificationTime))
     }
   }
 
@@ -916,7 +937,8 @@ object Warehouse {
       effective: org.apache.spark.sql.types.StructType): Unit = {
     val fresh = fs.listStatus(stage).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"v$next/${s.getPath.getName}")
+      .map(s => s"v$next/${s.getPath.getName}\t${s.getLen}" +
+        s"\t${s.getModificationTime}")
     val mf = fs.create(new Path(stage, manifestFile), true)
     try mf.write((carried ++ fresh).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -952,7 +974,8 @@ object Warehouse {
         requireManifestable(spark, root, cur)
         val current = effectiveSchema(spark, root, cur)
         requireSameColumns(df.schema, current, "appendFiles")
-        (dataFilesOf(spark, root, cur).map(relativeToRoot(fs, root, _)),
+        (dataFileEntries(spark, root, cur).map { case (abs, sz, mt) =>
+          s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" },
           widen(current, df.schema))
     }
     publishVersion(spark, root, lockTtlMs, expectedCurrent = Some(curOpt)) {
@@ -988,18 +1011,19 @@ object Warehouse {
     // one: rewriting touched files under a narrower schema would
     // silently drop their extra (widened) columns
     val schema = effectiveSchema(spark, root, cur)
-    val files = dataFilesOf(spark, root, cur)
-    if (files.isEmpty) return None
-    val touchedKeys = spark.read.schema(schema).parquet(files: _*)
+    val entries = dataFileEntries(spark, root, cur)
+    if (entries.isEmpty) return None
+    val touchedKeys = spark.read.schema(schema).parquet(entries.map(_._1): _*)
       .filter(predicate)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (touched, kept) = files.partition(f => touchedKeys(sparkPathKey(f)))
+    val (touched, kept) = entries.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
-    val carried = kept.map(relativeToRoot(fs, root, _))
+    val carried = kept.map { case (abs, sz, mt) =>
+      s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" }
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
-      spark.read.schema(schema).parquet(touched: _*)
+      spark.read.schema(schema).parquet(touched.map(_._1): _*)
         .filter(!coalesce(predicate, lit(false)))
         .write.mode("overwrite").parquet(stage.toString)
       stageManifest(fs, stage, next, carried, schema)
@@ -1027,20 +1051,21 @@ object Warehouse {
     val schema = effectiveSchema(spark, root, cur)
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"updateWhereFiles: SET names unknown column '$k'"))
-    val files = dataFilesOf(spark, root, cur)
-    if (files.isEmpty) return None
-    val touchedKeys = spark.read.schema(schema).parquet(files: _*)
+    val entries = dataFileEntries(spark, root, cur)
+    if (entries.isEmpty) return None
+    val touchedKeys = spark.read.schema(schema).parquet(entries.map(_._1): _*)
       .filter(predicate)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (touched, kept) = files.partition(f => touchedKeys(sparkPathKey(f)))
+    val (touched, kept) = entries.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
-    val carried = kept.map(relativeToRoot(fs, root, _))
+    val carried = kept.map { case (abs, sz, mt) =>
+      s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" }
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
       val hit = coalesce(predicate, lit(false))
       val updated = set.foldLeft(
-          spark.read.schema(schema).parquet(touched: _*)) { case (d, (k, e)) =>
+          spark.read.schema(schema).parquet(touched.map(_._1): _*)) { case (d, (k, e)) =>
         d.withColumn(k, when(hit, e.cast(schema(k).dataType))
           .otherwise(col(s"`$k`")))
       }
@@ -1074,7 +1099,8 @@ object Warehouse {
     val current = effectiveSchema(spark, root, cur)
     requireSameColumns(source.schema, current, "mergeFiles")
     val schema = widen(current, source.schema)
-    val files = dataFilesOf(spark, root, cur)
+    val entries = dataFileEntries(spark, root, cur)
+    val files = entries.map(_._1)
     val dup = source.groupBy(col(s"`$keyCol`")).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -1091,13 +1117,14 @@ object Warehouse {
         .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_semi")
         .select(col("_metadata.file_path")).distinct()
         .collect().map(_.getString(0)).toSet
-    val (touched, kept) = files.partition(f => touchedKeys(sparkPathKey(f)))
-    val carried = kept.map(relativeToRoot(fs, root, _))
+    val (touched, kept) = entries.partition(e => touchedKeys(sparkPathKey(e._1)))
+    val carried = kept.map { case (abs, sz, mt) =>
+      s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" }
     publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
       val survivors =
         if (touched.isEmpty) src
-        else spark.read.schema(schema).parquet(touched: _*)
+        else spark.read.schema(schema).parquet(touched.map(_._1): _*)
           .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_anti")
           .unionByName(src)
       survivors.write.mode("overwrite").parquet(stage.toString)

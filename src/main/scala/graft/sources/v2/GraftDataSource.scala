@@ -343,18 +343,21 @@ object GraftTables {
               df.name == f.name && df.dataType == f.dataType)) &&
             d.length > stored.length)
           .getOrElse(stored)
-        Warehouse.dataFilesOf(spark, root, v) match {
+        Warehouse.dataFileEntries(spark, root, v) match {
           case Seq() =>
             require(schema.nonEmpty, s"graft: $root v$v lists no files and" +
               " persists no schema — declare one via CREATE TABLE")
             new GraftSnapshotTable(tableName, spark, root, schema, None,
               mergeKey, resolvedVersion = Some(v))
-          case files =>
+          case entries =>
             val inner = ParquetTable(s"$tableName@v$v", classic(spark),
-              CaseInsensitiveStringMap.empty(), files, Some(schema),
-              classOf[ParquetFileFormat])
+              CaseInsensitiveStringMap.empty(), entries.map(_._1),
+              Some(schema), classOf[ParquetFileFormat])
+            // the scan plans over the manifest-backed index: zero
+            // listing, zero stat calls ([[ManifestFileIndex]])
             new GraftSnapshotTable(tableName, spark, root, inner.schema,
-              Some(inner), mergeKey, resolvedVersion = Some(v))
+              Some(inner), mergeKey, resolvedVersion = Some(v),
+              manifestIndex = Some(new ManifestFileIndex(spark, root, entries)))
         }
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))
@@ -446,7 +449,8 @@ class GraftSnapshotTable(tableName: String,
     mergeKeyOpt: Option[String], dataDir: Option[String] = None,
     private[v2] val resolvedVersion: Option[Long] = None,
     dvVersion: Option[Long] = None,
-    mapping: Map[String, String] = Map.empty)
+    mapping: Map[String, String] = Map.empty,
+    manifestIndex: Option[ManifestFileIndex] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -526,6 +530,12 @@ class GraftSnapshotTable(tableName: String,
             s"graft: mapped read expected the builtin parquet scan builder," +
               s" got ${other.getClass.getName}")
         }
+      // manifest snapshot: the builtin parquet scan plans over the
+      // MANIFEST-BACKED file index — zero listing / per-file stats
+      case Some(t) if manifestIndex.isDefined =>
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+          GraftTables.classic(spark), manifestIndex.get, t.schema,
+          t.dataSchema, options)
       case Some(t) => zoneMapIndex match {
         case Some(idx) =>
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(

@@ -756,6 +756,19 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(region), EqualTo(region,Ashanti)")
       || plan.contains("PushedFilters: [EqualTo(region,Ashanti)"),
       s"manifest reads must keep parquet filter pushdown:\n$plan")
+    // ...and the scan plans over the MANIFEST-BACKED file index (zero
+    // listing / per-file stats — the manifest IS the listing)
+    val scans = graft.PlanWalk.collectAll(q.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b.scan)
+    }
+    val usesManifestIndex = scans.exists {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.isInstanceOf[graft.sources.v2.ManifestFileIndex]
+      case _ => false
+    }
+    assert(usesManifestIndex,
+      s"manifest scans must use ManifestFileIndex, got: ${scans.map(_.getClass)}")
   }
 
   test("SQL MERGE INTO: matched-delete, matched-update, not-matched-insert") {
