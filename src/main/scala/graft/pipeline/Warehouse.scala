@@ -1499,9 +1499,46 @@ object Warehouse {
     // the version instead of stalling at a feed gap.
     val metadataOnly =
       dataPath(spark, root, v) == dataPath(spark, root, v - 1)
+    // O(Δ) FAST PATH for a MANIFEST APPEND: when v's manifest carries
+    // every one of v-1's files by reference (pure append — nothing
+    // rewritten or removed), the feed is computable from the NEW files
+    // alone plus one key-filtered probe of the old side: appended rows
+    // whose key is fresh surface as inserts, re-appearing keys as
+    // updates against their old image, and deletes are impossible by
+    // construction. Equal to the full two-snapshot diff under the
+    // feed's own unique-key invariant (spec-pinned), but costs one
+    // read of the DELTA + one broadcast-semi probe instead of two
+    // full-snapshot scans and a full-width shuffle join.
+    def manifestAppendFeed: Option[DataFrame] =
+      manifestOf(fs, root, v).flatMap { toLines =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val toPaths = toLines.map(_.split("\t", 2).head).toSet
+        val fromPaths: Option[Set[String]] =
+          manifestOf(fs, root, v - 1) match {
+            case Some(lines) => Some(lines.map(_.split("\t", 2).head).toSet)
+            case None => scala.util.Try(
+              dataFileEntries(spark, root, v - 1).map { case (abs, _, _) =>
+                relativeToRoot(fs, root, abs) }.toSet).toOption
+          }
+        fromPaths.filter(_.subsetOf(toPaths)).map { from =>
+          val newRel = (toPaths -- from).toSeq.sorted
+          if (newRel.isEmpty) diffImages(snap(v), snap(v), keyCols).limit(0)
+          else {
+            val newRows = spark.read.schema(schema)
+              .parquet(newRel.map(r =>
+                fs.makeQualified(new Path(root, r)).toString): _*)
+              .select(schema.fieldNames.map(col).toSeq: _*)
+            val oldSide = snap(v - 1).join(
+              broadcast(newRows.select(keyCols.map(col): _*).distinct()),
+              keyCols, "left_semi")
+            diffImages(oldSide, newRows, keyCols)
+          }
+        }
+      }
     val feed =
       if (metadataOnly) diffImages(snap(v), snap(v), keyCols).limit(0)
-      else diffImages(snap(v - 1), snap(v), keyCols)
+      else manifestAppendFeed.getOrElse(
+        diffImages(snap(v - 1), snap(v), keyCols))
     feed.write.mode("overwrite").parquet(stage.toString)
     if (complete) { fs.delete(stage, true); return target.toString }
     if (fs.exists(target)) fs.delete(target, true) // incomplete orphan

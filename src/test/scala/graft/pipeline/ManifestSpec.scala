@@ -178,6 +178,30 @@ class ManifestSpec extends AnyFunSuite {
       ids(Warehouse.readVersion(spark, root, 1L)))
   }
 
+  test("manifest-append feeds take the O(Δ) path and equal the full two-snapshot diff") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(36, n = 30))
+    // append: 5 fresh keys + ONE re-appearing key with a changed score
+    // (surfaces as an update against its old image on BOTH paths)
+    val rejoin = Warehouse.read(spark, root).orderBy("shipment_id").limit(1)
+      .withColumn("quality_score", lit(9.91))
+    Warehouse.appendFiles(spark, root,
+      batch(37, n = 5, idOffset = 880).unionByName(rejoin)
+        .localCheckpoint(true))
+    Warehouse.publishChangeFeed(spark, root, 1L)
+    val got = rows(Warehouse.readChangeFeed(spark, root, 1L))
+    // independent truth: the full two-snapshot keyed diff
+    val expect = rows(Warehouse.diffImages(
+      Warehouse.readVersion(spark, root, 0L),
+      Warehouse.readVersion(spark, root, 1L), Seq("shipment_id")))
+    assert(got === expect,
+      "the O(Δ) append feed must equal the full diff exactly")
+    val types = Warehouse.readChangeFeed(spark, root, 1L)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types === Map("insert" -> 5L, "update" -> 1L), s"got $types")
+  }
+
   test("vacuum pins version dirs still referenced by retained manifests") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(14, n = 40)) // v0: plain, referenced forever
