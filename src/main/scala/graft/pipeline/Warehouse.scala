@@ -948,6 +948,17 @@ object Warehouse {
     finally sc.close()
   }
 
+  /** A caller-supplied marker file published ATOMICALLY with the
+    * version (the streaming sink's exactly-once epoch rides the same
+    * rename as the rows it fences). */
+  private def writeStageMarker(fs: FileSystem, stage: Path,
+      marker: Option[(String, String)]): Unit =
+    marker.foreach { case (name, content) =>
+      val out = fs.create(new Path(stage, name), true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
   /** `base` widened by `extra`'s novel columns, appended in order —
     * the additive-evolution schema union manifest DML persists. */
   private def widen(base: org.apache.spark.sql.types.StructType,
@@ -965,7 +976,8 @@ object Warehouse {
     * are row-level, not keyed: a duplicate key is two rows — use
     * [[mergeFiles]] for upsert semantics. Returns the new version. */
   def appendFiles(spark: SparkSession, root: String, df: DataFrame,
-      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+      lockTtlMs: Long = DefaultLockTtlMs,
+      stageMarker: Option[(String, String)] = None): Long = {
     val fs = Ingest.fs(spark, root)
     val curOpt = currentVersion(spark, root)
     val (carried, eff) = curOpt match {
@@ -982,6 +994,7 @@ object Warehouse {
       (stage, next) =>
         df.write.mode("overwrite").parquet(stage.toString)
         stageManifest(fs, stage, next, carried, eff)
+        writeStageMarker(fs, stage, stageMarker)
     }
   }
 
@@ -1084,14 +1097,15 @@ object Warehouse {
     * one key has no deterministic winner). Returns the new version. */
   def mergeFiles(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String = CocoaSchema.mergeKey,
-      lockTtlMs: Long = DefaultLockTtlMs): Long = {
+      lockTtlMs: Long = DefaultLockTtlMs,
+      stageMarker: Option[(String, String)] = None): Long = {
     import org.apache.spark.sql.functions._
     require(source.columns.contains(keyCol),
       s"mergeFiles: source has no key column '$keyCol'")
     val fs = Ingest.fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       // first commit: the merge IS the table
-      return appendFiles(spark, root, source, lockTtlMs))
+      return appendFiles(spark, root, source, lockTtlMs, stageMarker))
     requireManifestable(spark, root, cur)
     // full effective schema, widened by the source's novel columns —
     // see [[deleteWhereFiles]]'s rationale; survivors of touched
@@ -1129,6 +1143,7 @@ object Warehouse {
           .unionByName(src)
       survivors.write.mode("overwrite").parquet(stage.toString)
       stageManifest(fs, stage, next, carried, schema)
+      writeStageMarker(fs, stage, stageMarker)
     }
   }
 

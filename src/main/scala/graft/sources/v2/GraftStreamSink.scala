@@ -43,7 +43,10 @@ import graft.pipeline.Warehouse
   * upsert is broadcast, the publish moves metadata only. This is the
   * copy-on-write trade: bounded snapshot history per batch, zero read
   * amplification. High-frequency small batches on a huge table belong
-  * on the change-feed + compaction path instead (s16's appendPq shape).
+  * in MANIFEST MODE (`TBLPROPERTIES('commitMode'='manifest')`): each
+  * batch then costs O(touched files) — [[Warehouse.mergeFiles]] /
+  * [[Warehouse.appendFiles]] with the epoch marker riding the same
+  * atomic publish — with compaction as the periodic fold-back valve.
   */
 class GraftStreamSink(spark: SparkSession, root: String,
     mergeKeyOpt: Option[String], appId: String, outputMode: OutputMode)
@@ -78,6 +81,30 @@ class GraftStreamSink(spark: SparkSession, root: String,
     // schema throws instead of silently degrading to plain append.
     val mergeKey = GraftTables.resolveMergeKey(spark, root, mergeKeyOpt,
       schema.fieldNames)
+    // MANIFEST MODE — O(Δ) per micro-batch: a high-frequency stream
+    // upserting into a huge table must not re-copy the table every
+    // trigger. Once the table is in manifest mode (or
+    // commitMode=manifest opts in), keyed batches route to the
+    // file-granular upsert and keyless ones to the reference append;
+    // the exactly-once epoch marker rides the SAME staged dir and
+    // publishes in the same atomic rename (no marker-vs-data crash
+    // window, exactly like the copy-on-write path below). Complete
+    // mode keeps the replace semantics (the batch IS the table).
+    val fs0 = GraftTables.fs(spark, root)
+    val manifestMode = base.exists(v =>
+      Warehouse.manifestOf(fs0, root, v).isDefined) ||
+      GraftCatalog.readProps(spark, root).get("commitMode").contains("manifest")
+    if (manifestMode && base.isDefined && outputMode != OutputMode.Complete()) {
+      val marker = Some(markerName -> batchId.toString)
+      val v = mergeKey match {
+        case Some(key) =>
+          Warehouse.mergeFiles(spark, root, batch, key, stageMarker = marker)
+        case None =>
+          Warehouse.appendFiles(spark, root, batch, stageMarker = marker)
+      }
+      GraftTables.maybePublishFeed(spark, root, v, schema, mergeKey)
+      return
+    }
     val next = (base, mergeKey) match {
       case _ if outputMode == OutputMode.Complete() => batch
       case (None, _) => batch

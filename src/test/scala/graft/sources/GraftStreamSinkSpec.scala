@@ -112,6 +112,55 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     assert(rows(b) === rows(a))
   }
 
+  test("manifest mode: each micro-batch is an O(Δ) commit, epoch marker rides atomically") {
+    val root = freshRoot()
+    // seed + opt in: the first streamed batch converts zero-copy
+    Warehouse.commit(spark, root, spark.createDataFrame(
+      java.util.Arrays.asList(Row("a", 1.0), Row("b", 2.0)),
+      Encoders.product[SinkKV].schema).repartition(2))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("mergeKey" -> "id", "commitMode" -> "manifest"))
+    val ckpt = Files.createTempDirectory("graft_sink_m_ckpt").toString
+    val ms = MemoryStream[SinkKV](Encoders.product[SinkKV], spark)
+    def drain(): Unit = {
+      val q = ms.toDF().writeStream.format("graft")
+        .option("mergeKey", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(root)
+      q.awaitTermination(60000)
+    }
+    ms.addData(SinkKV("b", 20.0), SinkKV("c", 3.0)) // update b, insert c
+    drain()
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val v1 = Warehouse.versions(spark, root).max
+    val m = Warehouse.manifestOf(fs, root, v1).getOrElse(
+      fail("a manifest-mode micro-batch must publish a manifest version"))
+    assert(m.exists(_.startsWith("v0/")),
+      s"the untouched seed file must ride by reference: $m")
+    assert(rows(root) === Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0))
+    // the exactly-once epoch marker published atomically WITH the rows
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      Warehouse.versionPath(root, v1), "_SINK_EPOCH_default")),
+      "the epoch marker must live inside the manifest version dir")
+    // replay: a fresh sink instance skips the committed epoch
+    new GraftStreamSink(spark, root, Some("id"), "default",
+      OutputMode.Append())
+      .addBatch(0L, spark.createDataFrame(
+        java.util.Arrays.asList(Row("zz", 9.9)),
+        Encoders.product[SinkKV].schema))
+    assert(rows(root) === Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0),
+      "a replayed epoch must be a durable no-op in manifest mode too")
+    // a second live batch keeps the chain granular
+    ms.addData(SinkKV("d", 4.0))
+    drain()
+    val v2 = Warehouse.versions(spark, root).max
+    assert(Warehouse.manifestOf(fs, root, v2).exists(_.toSet
+      .intersect(Warehouse.manifestOf(fs, root, v1).get.toSet).nonEmpty),
+      "untouched files carry across streamed batches")
+    assert(rows(root) === Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0, "d" -> 4.0))
+  }
+
   test("complete mode replaces the snapshot; duplicate keys in one batch are loud") {
     import spark.implicits._
     val root = freshRoot()
