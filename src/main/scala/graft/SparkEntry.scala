@@ -242,6 +242,9 @@ object SparkEntry {
     "p34_manifest_delete" -> ((s, _) => cocoaManifestDelete(s)),
     "p35_manifest_update" -> ((s, _) => cocoaManifestUpdate(s)),
     "p36_manifest_merge" -> ((s, _) => cocoaManifestMerge(s)),
+    // p37: the same mode through PLAIN SQL (commitMode=manifest →
+    // INSERT upsert + DELETE route file-granular), requires pinned.
+    "p37_sql_manifest_lifecycle" -> ((s, _) => cocoaSqlManifestLifecycle(s)),
     // p13: RESTORE — an earlier snapshot re-committed as the NEW
     // current version (forward-only history, auditable, fenced);
     // oracled by the batch-1-only re-derivation, p05's truth.
@@ -1081,6 +1084,43 @@ object SparkEntry {
     require(m.exists(_.startsWith("v0/")) && m.exists(_.startsWith(s"v$v/")),
       s"p36: a keyed merge must rewrite touched files and carry the rest, got $m")
     Warehouse.read(spark, root).orderBy("shipment_id")
+  }
+
+  /** p37: the MANIFEST lifecycle through plain SQL — commit half the
+    * warehouse, declare `commitMode=manifest`, INSERT the other half
+    * (file-granular upsert, zero-copy conversion), DELETE the quality
+    * cut (file-granular), read through the catalog. The requires pin
+    * BOTH statements landed as manifest versions with carried
+    * references; the oracle recomputes the surviving truth. */
+  private def cocoaSqlManifestLifecycle(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = graft.core.RunTemp.dir("graft_manifest_sql_", keep = 32)
+    val root = s"$base/cocoa_mf"
+    val half = coalesce(col("quality_score") < lit(8.8), lit(false))
+    Warehouse.commit(spark, root,
+      wh.filter(half).repartitionByRange(4, col("shipment_id")))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("mergeKey" -> "shipment_id", "commitMode" -> "manifest"))
+    spark.conf.set("spark.sql.catalog.graft_mf_gate",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mf_gate.base", base)
+    wh.filter(!half).createOrReplaceTempView("graft_mf_gate_src")
+    spark.sql("INSERT INTO graft_mf_gate.cocoa_mf" +
+      " SELECT * FROM graft_mf_gate_src")
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val m1 = Warehouse.manifestOf(fs, root, 1L).getOrElse(
+      throw new IllegalStateException(
+        "p37: a commitMode=manifest INSERT must publish a manifest version"))
+    require(m1.count(_.startsWith("v0/")) == 4,
+      s"p37: the INSERT must carry every seed file by reference, got $m1")
+    spark.sql("DELETE FROM graft_mf_gate.cocoa_mf WHERE quality_score < 8.0")
+    val m2 = Warehouse.manifestOf(fs, root, 2L).getOrElse(
+      throw new IllegalStateException(
+        "p37: a manifest-mode DELETE must publish a manifest version"))
+    require(m2.toSet.intersect(m1.toSet).nonEmpty,
+      s"p37: the DELETE must carry untouched files by reference, got $m2")
+    spark.sql("SELECT * FROM graft_mf_gate.cocoa_mf").orderBy("shipment_id")
   }
 
   /** p13: two-version isolated root (v0 = the run's batch-1 snapshot,
@@ -4447,6 +4487,12 @@ object SparkEntry {
       "SELECT * FROM wh ORDER BY shipment_id"),
     // p34: file-granular delete — p12's three-valued truth.
     "p34_manifest_delete" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(quality_score < 8.0, FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p37: SQL manifest lifecycle — the two halves re-union to the
+    // whole warehouse, then the same quality cut survives.
+    "p37_sql_manifest_lifecycle" -> cocoaOracle(
       """SELECT * FROM wh
         |WHERE NOT coalesce(quality_score < 8.0, FALSE)
         |ORDER BY shipment_id""".stripMargin),
