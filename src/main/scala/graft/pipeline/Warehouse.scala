@@ -447,7 +447,9 @@ object Warehouse {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val m = columnMapping(Ingest.fs(spark, root), root, v)
-    val raw = spark.read.schema(schema).parquet(dataPath(spark, root, v))
+    // readSnapshot: manifest versions read their FILE LIST (a raw dir
+    // read would silently drop carried rows); they never carry a map
+    val raw = readSnapshot(spark, root, v, schema)
     if (m.isEmpty) raw
     else raw.select(schema.fieldNames.toSeq
       .map(p => col(s"`$p`").as(m.getOrElse(p, p))): _*)
@@ -484,15 +486,13 @@ object Warehouse {
         case Seq() => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         case files =>
-          val df = spark.read.schema(schema).parquet(files: _*)
+          // no extra race guard needed: an explicit-path read throws
+          // PATH_NOT_FOUND at resolution when a listed file was
+          // vacuumed away, and ignoreMissingFiles stays false for the
+          // scan itself — loud either way
+          spark.read.schema(schema).parquet(files: _*)
             .select(schema.fieldNames.map(
               org.apache.spark.sql.functions.col).toSeq: _*)
-          if (df.inputFiles.isEmpty)
-            throw new IllegalStateException(
-              s"manifest read raced a prune: v$v of $root lists files that" +
-                " vanished during listing — the table's vacuum retention" +
-                " must cover live readers")
-          df
       }
     }
 
@@ -802,8 +802,11 @@ object Warehouse {
   private def snapshotBytes(spark: SparkSession, root: String, v: Long): Long = {
     val fs = Ingest.fs(spark, root)
     manifestOf(fs, root, v) match {
-      case Some(_) => dataFilesOf(spark, root, v)
-        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      case Some(_) =>
+        // the sizes PERSISTED in the manifest — never one stat RPC
+        // per file on exactly the tables the manifest exists to
+        // spare from listings
+        dataFileEntries(spark, root, v).map(_._2).sum
       case None =>
         val snap = dataPath(spark, root, v)
         Ingest.fs(spark, snap).getContentSummary(new Path(snap)).getLength
@@ -1077,12 +1080,17 @@ object Warehouse {
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
       val hit = coalesce(predicate, lit(false))
-      val updated = set.foldLeft(
-          spark.read.schema(schema).parquet(touched.map(_._1): _*)) { case (d, (k, e)) =>
-        d.withColumn(k, when(hit, e.cast(schema(k).dataType))
-          .otherwise(col(s"`$k`")))
-      }
-      updated.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+      // ONE projection, every RHS evaluated against the OLD row (SQL
+      // UPDATE semantics) — sequential withColumn would feed later
+      // assignments already-updated values in Map iteration order
+      spark.read.schema(schema).parquet(touched.map(_._1): _*)
+        .select(schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(hit, e.cast(f.dataType))
+              .otherwise(col(s"`${f.name}`")).as(f.name)
+            case None => col(s"`${f.name}`")
+          }
+        }.toSeq: _*)
         .write.mode("overwrite").parquet(stage.toString)
       stageManifest(fs, stage, next, carried, schema)
     })
@@ -1115,15 +1123,17 @@ object Warehouse {
     val schema = widen(current, source.schema)
     val entries = dataFileEntries(spark, root, cur)
     val files = entries.map(_._1)
-    val dup = source.groupBy(col(s"`$keyCol`")).count()
+    // PIN the source FIRST (it evaluates in several jobs: dup check,
+    // touched-file plan, final write — a nondeterministic upstream
+    // could pass the check yet materialize a duplicate), THEN check
+    // the pinned rows
+    val src = source.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+      .localCheckpoint(true)
+    val dup = src.groupBy(col(s"`$keyCol`")).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"mergeFiles: source carries duplicate key '${dup.headOption.map(_.get(0))
         .getOrElse("")}' — no deterministic last-writer; dedupe first")
-    // the source re-evaluates in two jobs (touched-file plan + final
-    // write) — pin it so a nondeterministic upstream cannot diverge
-    val src = source.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
-      .localCheckpoint(true)
     val srcKeys = src.select(col(s"`$keyCol`").as("__mk")).distinct()
     val touchedKeys =
       if (files.isEmpty) Set.empty[String]
@@ -1386,7 +1396,10 @@ object Warehouse {
         s"manifest version v$v of $root carries DVs — invariant broken")
       val onDisk = effectiveSchema(spark, root, v).fieldNames.toSet
       val missing = phys.fieldNames.filterNot(onDisk.contains)
-      if (missing.nonEmpty)
+      // RENAME-signature guard only (missing AND an unclaimed extra):
+      // a missing column with no unclaimed counterpart is the legal
+      // ADD-COLUMNS widening, whose null-fill IS the contract
+      if (missing.nonEmpty && (onDisk -- phys.fieldNames).nonEmpty)
         throw new IllegalStateException(
           s"liveEraSnap: manifest version v$v of $root has no column(s)" +
             s" ${missing.mkString(", ")} under era-v${eraOf.getOrElse(v)}" +
@@ -1398,12 +1411,16 @@ object Warehouse {
         else live.select(schema.fieldNames.toSeq
           .map(n => col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*))
     }
-    // loud null-fill guard: every physical name the translation landed
-    // on must exist in the files (footer + partition-dir inference)
+    // loud null-fill guard with the RENAME signature (a pinned column
+    // missing from the files WHILE the files carry an unclaimed one):
+    // an untranslated rename would null-fill silently. Missing-only is
+    // the legal ADD-COLUMNS widening — reading a pre-widening version
+    // under the widened schema null-fills the new columns BY CONTRACT
+    // (diff/feeds across a widening boundary must keep working).
     val onDisk = spark.read.parquet(dataPath(spark, root, v))
       .schema.fieldNames.toSet
     val missing = phys.fieldNames.filterNot(onDisk.contains)
-    if (missing.nonEmpty)
+    if (missing.nonEmpty && (onDisk -- phys.fieldNames).nonEmpty)
       throw new IllegalStateException(
         s"liveEraSnap: version v$v of $root has no column(s)" +
           s" ${missing.mkString(", ")} under era-v${eraOf.getOrElse(v)}" +
@@ -1627,7 +1644,10 @@ object Warehouse {
       throw new IllegalStateException(
         s"restore: no complete snapshot v$toVersion under $root" +
           " (vacuumed past the retention floor?)")
-    val base = spark.read.schema(schema).parquet(src.toString)
+    // MANIFEST versions restore through the file-list read — a raw dir
+    // read would silently drop every carried-by-reference row and
+    // COMMIT the partial result as the new current version
+    val base = readSnapshot(spark, root, toVersion, schema)
     val content = dvFrame(spark, root, toVersion) match {
       case None => base
       case Some(dv) =>

@@ -342,6 +342,54 @@ class ManifestSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).count() === 0)
   }
 
+  test("restore to a manifest version carries the referenced rows; readMapped too") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(38, n = 40))                 // v0
+    Warehouse.appendFiles(spark, root, batch(39, n = 10, idOffset = 890)) // v1 manifest
+    Warehouse.commit(spark, root, Warehouse.read(spark, root).limit(5))   // v2
+    // a raw dir read of v1 would see only the 10 appended rows —
+    // restore must re-commit all 50
+    val v3 = Warehouse.restore(spark, root, 1L)
+    assert(Warehouse.readVersion(spark, root, v3).count() === 50,
+      "restore of a manifest version must carry the referenced rows")
+    // and readMapped (the logical-name read) on a manifest current
+    Warehouse.appendFiles(spark, root, batch(40, n = 2, idOffset = 895))
+    assert(Warehouse.readMapped(spark, root).count() === 52)
+  }
+
+  test("SET assignments evaluate against the OLD row (SQL UPDATE semantics)") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(41, n = 20))
+    // swap two columns for matched rows — sequential application
+    // would make both equal one of them
+    val before = Warehouse.read(spark, root)
+      .select("shipment_id", "region", "bean_type").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    Warehouse.updateWhereFiles(spark, root, lit(true),
+      Map("region" -> col("bean_type"), "bean_type" -> col("region")))
+    val after = Warehouse.read(spark, root)
+      .select("shipment_id", "region", "bean_type").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(after === before.map { case (k, (r, b)) => k -> (b, r) },
+      "each RHS must see the OLD row, never an already-updated value")
+  }
+
+  test("diff and feeds survive an ADDITIVE widening boundary (null-fill, never loud)") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(42, n = 20))                 // v0: no 'note'
+    Warehouse.commit(spark, root,
+      Warehouse.read(spark, root).withColumn("note", lit("w")))     // v1: widened
+    val widened = StructType(CocoaSchema.warehouse.fields :+
+      StructField("note", StringType, nullable = true))
+    // pre-fix the era guard threw "has no column(s) note" here
+    val d = Warehouse.diff(spark, root, 0L, 1L, schema = widened)
+    assert(d.count() === 20, "every row gained a note value: all updates")
+    assert(d.filter(col("note") =!= "w").count() === 0)
+    Warehouse.publishChangeFeed(spark, root, 1L, schema = widened)
+    assert(Warehouse.readChangeFeed(spark, root, 1L).count() === 20)
+  }
+
   test("manifest commits are lost-update fenced like every other commit") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(26, n = 20))
