@@ -390,6 +390,38 @@ class ManifestSpec extends AnyFunSuite {
     assert(Warehouse.readChangeFeed(spark, root, 1L).count() === 20)
   }
 
+  test("racing appendFiles never lose an update: serialized cleanly or fenced loudly") {
+    val root = freshRoot()
+    Warehouse.commit(spark, root, batch(43, n = 20))
+    val b1 = batch(44, n = 5, idOffset = 900).localCheckpoint(true)
+    val b2 = batch(45, n = 5, idOffset = 910).localCheckpoint(true)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(df: org.apache.spark.sql.DataFrame) = new Thread(() => {
+      gate.await()
+      try Warehouse.appendFiles(spark, root, df)
+      catch { case t: Throwable => errors.add(t) }
+    })
+    val ts = Seq(racer(b1), racer(b2))
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join(300000))
+    // a loser fails LOUDLY, either flavor: lease contention (the lock
+    // is held — fail-fast, never queue a write) or the read-modify-
+    // write fence (pointer moved past the derived version)
+    errors.forEach { t =>
+      assert(t.getMessage.contains("retry") ||
+        t.getMessage.contains("_COMMIT_LOCK"),
+        s"unexpected failure: $t")
+    }
+    assert(errors.size <= 1, s"at most one loser in a two-racer setup: $errors")
+    // exactly-once: retry whichever batch didn't land; the final state
+    // holds BOTH appends once each — no lost update, no duplicate
+    Seq(b1, b2).foreach { b =>
+      val have = ids(Warehouse.read(spark, root))
+      if (!ids(b).subsetOf(have)) Warehouse.appendFiles(spark, root, b)
+    }
+    assert(Warehouse.read(spark, root).count() === 30)
+  }
+
   test("manifest commits are lost-update fenced like every other commit") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(26, n = 20))
