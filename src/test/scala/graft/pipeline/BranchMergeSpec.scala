@@ -104,6 +104,41 @@ class BranchMergeSpec extends AnyFunSuite {
     assert(converged.nonEmpty)
   }
 
+  test("fork AFTER a rename merges under the renamed schema; one-sided renames are loud") {
+    import org.apache.spark.sql.types.StructType
+    val renamed = StructType(CocoaSchema.warehouse.fields.map(f =>
+      if (f.name == "region") f.copy(name = "zone") else f))
+    // shared-era case: rename BEFORE forking — both sides live in the
+    // 'zone' era (the clone carries the map), edits merge era-correct
+    val main = freshRoot(); val br = freshRoot()
+    Warehouse.commit(spark, main, batch(46))
+    Warehouse.renameColumns(spark, main, Map("region" -> "zone"))
+    Warehouse.cloneShallow(spark, main, br)
+    val branchEdit = Warehouse.readVersionLive(spark, br, 0L)
+      .orderBy("shipment_id").limit(3)
+      .withColumn("zone", lit("Branchland"))
+    Warehouse.commit(spark, br,
+      Warehouse.readVersionLive(spark, br, 0L)
+        .join(branchEdit.select("shipment_id"), Seq("shipment_id"), "left_anti")
+        .unionByName(branchEdit))
+    Warehouse.mergeBranch(spark, main, br, schema = renamed)
+    val merged = Warehouse.readVersionLive(spark, main,
+      Warehouse.currentVersion(spark, main).get)
+    assert(merged.filter(col("zone") === "Branchland").count() === 3,
+      "the branch edit must fold in under the renamed column")
+    // one-sided case: the branch renames after the fork; merging under
+    // the new names cannot resolve MAIN's era — loud, never null-fill
+    val (m2, b2) = fork()
+    Warehouse.renameColumns(spark, b2, Map("region" -> "zone"))
+    Warehouse.commit(spark, b2, Warehouse.readVersionLive(spark, b2,
+      Warehouse.currentVersion(spark, b2).get).limit(79))
+    val e = intercept[IllegalStateException] {
+      Warehouse.mergeBranch(spark, m2, b2, schema = renamed)
+    }
+    assert(e.getMessage.contains("era") || e.getMessage.contains("zone"),
+      s"a one-sided rename must refuse the merge loudly: ${e.getMessage}")
+  }
+
   test("RE-MERGE: fork past v0, diverge, merge, diverge again, merge again") {
     // main accrues history BEFORE the fork (fork at v3, not v0)
     val main = freshRoot(); val br = freshRoot()
