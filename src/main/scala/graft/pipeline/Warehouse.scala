@@ -777,8 +777,8 @@ object Warehouse {
     val fs = Ingest.fs(spark, root)
     manifestOf(fs, root, v) match {
       case Some(lines) => lines.map { line =>
-        line.split("\t", 3) match {
-          case Array(rel, size, mtime) =>
+        line.split("\t", 4) match {
+          case Array(rel, size, mtime, _*) if size.nonEmpty =>
             (fs.makeQualified(new Path(root, rel)).toString,
               size.toLong, mtime.toLong)
           case Array(rel) =>
@@ -932,16 +932,73 @@ object Warehouse {
     }
   }
 
+  /** (absolute path → its manifest CARRY line) for version `v`, in
+    * manifest order: a manifest version's lines ride VERBATIM (their
+    * persisted sizes and data-skipping stats survive every carry), a
+    * plain version's are synthesized from its one listing (no stats —
+    * graceful: unknown files are never pruned). */
+  private def carryLines(spark: SparkSession, root: String,
+      v: Long): Seq[(String, String)] = {
+    val fs = Ingest.fs(spark, root)
+    manifestOf(fs, root, v) match {
+      case Some(lines) => lines.map(l =>
+        fs.makeQualified(new Path(root, l.split("\t", 2).head)).toString -> l)
+      case None => dataFileEntries(spark, root, v).map { case (abs, sz, mt) =>
+        abs -> s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" }
+    }
+  }
+
+  /** Per-file MIN/MAX data-skipping stats for the freshly STAGED
+    * files — the Delta per-file-stats-in-the-log idea: one O(Δ)
+    * aggregation over only the new files at commit time, and
+    * selective reads prune files at PLANNING with zero I/O
+    * ([[graft.sources.v2.ManifestFileIndex]]). Values are persisted
+    * in the PORTABLE forms the pruning comparisons use (timestamps as
+    * epoch micros, dates as epoch days, NaN floats omitted); columns
+    * of non-atomic types are skipped (absent = never pruned). Returns
+    * file NAME → one JSON object with `min:<col>` / `max:<col>`. */
+  private def statsJsonByFile(spark: SparkSession, stage: Path,
+      schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val statCols = schema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType | TimestampType | DateType => true
+      case _ => false
+    })
+    if (statCols.isEmpty) return Map.empty
+    def port(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+      case TimestampType => unix_micros(c)
+      case DateType => datediff(c, to_date(lit("1970-01-01")))
+      case FloatType | DoubleType => when(isnan(c), lit(null)).otherwise(c)
+      case _ => c
+    }
+    val aggs = statCols.toSeq.flatMap { f =>
+      Seq(min(port(col(s"`${f.name}`"), f.dataType)).as(s"min:${f.name}"),
+        max(port(col(s"`${f.name}`"), f.dataType)).as(s"max:${f.name}"))
+    }
+    val staged = spark.read.parquet(stage.toString)
+    if (staged.isEmpty) return Map.empty
+    staged
+      .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("__f"))
+      .agg(to_json(struct(aggs: _*)).as("__stats"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
   /** The staged parquet files of a manifest commit, as `v{next}/name`
-    * manifest entries, written alongside the `_MANIFEST` list and the
-    * effective-schema sidecar. */
-  private def stageManifest(fs: FileSystem, stage: Path, next: Long,
-      carried: Seq[String],
+    * manifest entries (with size, mtime, and data-skipping stats),
+    * written alongside the `_MANIFEST` list and the effective-schema
+    * sidecar. */
+  private def stageManifest(spark: SparkSession, fs: FileSystem,
+      stage: Path, next: Long, carried: Seq[String],
       effective: org.apache.spark.sql.types.StructType): Unit = {
+    val stats = statsJsonByFile(spark, stage, effective)
     val fresh = fs.listStatus(stage).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"v$next/${s.getPath.getName}\t${s.getLen}" +
-        s"\t${s.getModificationTime}")
+      .map { s =>
+        val name = s.getPath.getName
+        val base = s"v$next/$name\t${s.getLen}\t${s.getModificationTime}"
+        stats.get(name).fold(base)(j => s"$base\t$j")
+      }
     val mf = fs.create(new Path(stage, manifestFile), true)
     try mf.write((carried ++ fresh).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -949,6 +1006,40 @@ object Warehouse {
     val sc = fs.create(new Path(stage, manifestSchemaFile), true)
     try sc.write(effective.json.getBytes(StandardCharsets.UTF_8))
     finally sc.close()
+  }
+
+  /** Version `v`'s persisted per-file data-skipping stats: absolute
+    * file path → column → (min, max) in the pruning-portable external
+    * forms ([[statsJsonByFile]]); files or columns without stats are
+    * simply absent (never pruned). JSON nulls on BOTH sides mean an
+    * all-null column in that file (equality can never match there —
+    * the zone-map convention). */
+  private[graft] def dataFileStats(spark: SparkSession, root: String,
+      v: Long): Map[String, Map[String, (Option[Any], Option[Any])]] = {
+    val fs = Ingest.fs(spark, root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def side(n: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
+      if (n == null || n.isNull) None
+      else if (n.isNumber) Some(n.decimalValue())
+      else if (n.isTextual) Some(n.asText())
+      else None
+    manifestOf(fs, root, v).getOrElse(return Map.empty).flatMap { line =>
+      line.split("\t", 4) match {
+        case Array(rel, _, _, json) =>
+          val node = mapper.readTree(json)
+          val cols = scala.collection.mutable.Map.empty[String, (Option[Any], Option[Any])]
+          val it = node.fieldNames()
+          while (it.hasNext) {
+            val k = it.next()
+            if (k.startsWith("min:")) {
+              val c = k.drop(4)
+              cols(c) = (side(node.get(k)), side(node.get(s"max:$c")))
+            }
+          }
+          Some(fs.makeQualified(new Path(root, rel)).toString -> cols.toMap)
+        case _ => None
+      }
+    }.toMap
   }
 
   /** A caller-supplied marker file published ATOMICALLY with the
@@ -989,14 +1080,12 @@ object Warehouse {
         requireManifestable(spark, root, cur)
         val current = effectiveSchema(spark, root, cur)
         requireSameColumns(df.schema, current, "appendFiles")
-        (dataFileEntries(spark, root, cur).map { case (abs, sz, mt) =>
-          s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" },
-          widen(current, df.schema))
+        (carryLines(spark, root, cur).map(_._2), widen(current, df.schema))
     }
     publishVersion(spark, root, lockTtlMs, expectedCurrent = Some(curOpt)) {
       (stage, next) =>
         df.write.mode("overwrite").parquet(stage.toString)
-        stageManifest(fs, stage, next, carried, eff)
+        stageManifest(spark, fs, stage, next, carried, eff)
         writeStageMarker(fs, stage, stageMarker)
     }
   }
@@ -1027,22 +1116,21 @@ object Warehouse {
     // one: rewriting touched files under a narrower schema would
     // silently drop their extra (widened) columns
     val schema = effectiveSchema(spark, root, cur)
-    val entries = dataFileEntries(spark, root, cur)
-    if (entries.isEmpty) return None
-    val touchedKeys = spark.read.schema(schema).parquet(entries.map(_._1): _*)
+    val lines = carryLines(spark, root, cur)
+    if (lines.isEmpty) return None
+    val touchedKeys = spark.read.schema(schema).parquet(lines.map(_._1): _*)
       .filter(predicate)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (touched, kept) = entries.partition(e => touchedKeys(sparkPathKey(e._1)))
+    val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
-    val carried = kept.map { case (abs, sz, mt) =>
-      s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" }
+    val carried = kept.map(_._2) // verbatim: sizes + stats survive
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
       spark.read.schema(schema).parquet(touched.map(_._1): _*)
         .filter(!coalesce(predicate, lit(false)))
         .write.mode("overwrite").parquet(stage.toString)
-      stageManifest(fs, stage, next, carried, schema)
+      stageManifest(spark, fs, stage, next, carried, schema)
     })
   }
 
@@ -1067,16 +1155,15 @@ object Warehouse {
     val schema = effectiveSchema(spark, root, cur)
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"updateWhereFiles: SET names unknown column '$k'"))
-    val entries = dataFileEntries(spark, root, cur)
-    if (entries.isEmpty) return None
-    val touchedKeys = spark.read.schema(schema).parquet(entries.map(_._1): _*)
+    val lines = carryLines(spark, root, cur)
+    if (lines.isEmpty) return None
+    val touchedKeys = spark.read.schema(schema).parquet(lines.map(_._1): _*)
       .filter(predicate)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
-    val (touched, kept) = entries.partition(e => touchedKeys(sparkPathKey(e._1)))
+    val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
-    val carried = kept.map { case (abs, sz, mt) =>
-      s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" }
+    val carried = kept.map(_._2) // verbatim: sizes + stats survive
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
       val hit = coalesce(predicate, lit(false))
@@ -1092,7 +1179,7 @@ object Warehouse {
           }
         }.toSeq: _*)
         .write.mode("overwrite").parquet(stage.toString)
-      stageManifest(fs, stage, next, carried, schema)
+      stageManifest(spark, fs, stage, next, carried, schema)
     })
   }
 
@@ -1121,8 +1208,8 @@ object Warehouse {
     val current = effectiveSchema(spark, root, cur)
     requireSameColumns(source.schema, current, "mergeFiles")
     val schema = widen(current, source.schema)
-    val entries = dataFileEntries(spark, root, cur)
-    val files = entries.map(_._1)
+    val lines = carryLines(spark, root, cur)
+    val files = lines.map(_._1)
     // PIN the source FIRST (it evaluates in several jobs: dup check,
     // touched-file plan, final write — a nondeterministic upstream
     // could pass the check yet materialize a duplicate), THEN check
@@ -1141,9 +1228,8 @@ object Warehouse {
         .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_semi")
         .select(col("_metadata.file_path")).distinct()
         .collect().map(_.getString(0)).toSet
-    val (touched, kept) = entries.partition(e => touchedKeys(sparkPathKey(e._1)))
-    val carried = kept.map { case (abs, sz, mt) =>
-      s"${relativeToRoot(fs, root, abs)}\t$sz\t$mt" }
+    val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
+    val carried = kept.map(_._2) // verbatim: sizes + stats survive
     publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
       val survivors =
@@ -1152,7 +1238,7 @@ object Warehouse {
           .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_anti")
           .unionByName(src)
       survivors.write.mode("overwrite").parquet(stage.toString)
-      stageManifest(fs, stage, next, carried, schema)
+      stageManifest(spark, fs, stage, next, carried, schema)
       writeStageMarker(fs, stage, stageMarker)
     }
   }

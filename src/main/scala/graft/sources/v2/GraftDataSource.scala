@@ -354,10 +354,12 @@ object GraftTables {
               CaseInsensitiveStringMap.empty(), entries.map(_._1),
               Some(schema), classOf[ParquetFileFormat])
             // the scan plans over the manifest-backed index: zero
-            // listing, zero stat calls ([[ManifestFileIndex]])
+            // listing, zero stat calls, and per-file min/max DATA
+            // SKIPPING from the persisted stats ([[ManifestFileIndex]])
             new GraftSnapshotTable(tableName, spark, root, inner.schema,
               Some(inner), mergeKey, resolvedVersion = Some(v),
-              manifestIndex = Some(new ManifestFileIndex(spark, root, entries)))
+              manifestIndex = Some(new ManifestFileIndex(spark, root, entries,
+                Warehouse.dataFileStats(spark, root, v))))
         }
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))

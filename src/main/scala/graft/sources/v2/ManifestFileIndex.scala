@@ -19,12 +19,42 @@ import org.apache.spark.sql.execution.datasources.{PartitioningAwareFileIndex, P
   * `sizeInBytes` feeds the optimizer's stats from the same persisted
   * numbers. */
 private[graft] class ManifestFileIndex(spark: SparkSession, root: String,
-    entries: Seq[(String, Long, Long)])
+    entries: Seq[(String, Long, Long)],
+    stats: Map[String, Map[String, (Option[Any], Option[Any])]] = Map.empty)
     extends PartitioningAwareFileIndex(
       GraftTables.classic(spark), Map.empty[String, String], None) {
 
   private val statuses: Seq[FileStatus] = entries.map { case (abs, size, mtime) =>
     new FileStatus(size, false, 1, 128L * 1024 * 1024, mtime, new Path(abs))
+  }
+
+  /** DATA SKIPPING from the manifest's persisted per-file min/max
+    * (the Delta stats-in-the-log shape): pushed conjuncts become the
+    * zone-map constraints and files whose ranges cannot match are
+    * dropped at PLANNING — no footer opened, no task launched. Files
+    * or columns without stats are never dropped. */
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    import org.apache.spark.sql.execution.datasources.PartitionDirectory
+    import org.apache.spark.sql.catalyst.InternalRow
+    val constraints = dataFilters.flatMap(ZoneMapFileIndex.constraint)
+    val kept =
+      if (constraints.isEmpty || stats.isEmpty) statuses
+      else statuses.filter { f =>
+        stats.get(f.getPath.toString) match {
+          case None => true // no stats for this file: never drop
+          case Some(ranges) => constraints.forall(_.canMatch(ranges))
+        }
+      }
+    if (kept.size < statuses.size) {
+      ZoneMapFileIndex.filesPruned.add(statuses.size - kept.size)
+      ZoneMapFileIndex.filesKept.add(kept.size)
+      logInfo(s"manifest stats pruned ${statuses.size - kept.size}/" +
+        s"${statuses.size} files of $root")
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec

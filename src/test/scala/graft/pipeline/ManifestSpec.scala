@@ -390,6 +390,50 @@ class ManifestSpec extends AnyFunSuite {
     assert(Warehouse.readChangeFeed(spark, root, 1L).count() === 20)
   }
 
+  test("manifest stats skip files at planning (stats-in-the-log); carries preserve them") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      graft.PlanWalk.collectAll(df.queryExecution.executedPlan) {
+        case b: BatchScanExec => b.inputPartitions.collect {
+          case fp: FilePartition => fp.files.length }
+      }.sum
+    }
+    val root = freshRoot()
+    // first commit AS a manifest: 8 quality-clustered files, each line
+    // carrying its min/max stats from the commit-time O(Δ) pass
+    Warehouse.appendFiles(spark, root,
+      batch(50, n = 400).repartitionByRange(8, col("quality_score")))
+    assert(Warehouse.dataFilesOf(spark, root, 0L).size === 8)
+    val selective = spark.read.format("graft").load(root)
+      .filter(col("quality_score") > lit(9.6))
+    val planned = plannedFiles(selective)
+    assert(planned < 8 && planned >= 1,
+      s"a selective range predicate must skip clustered files at planning, read $planned/8")
+    // pruned ≠ wrong: equals the unpruned truth
+    assert(rows(selective) ===
+      rows(Warehouse.read(spark, root).filter(col("quality_score") > lit(9.6))))
+    // stats SURVIVE a granular delete's carry: untouched files still prune
+    Warehouse.deleteWhereFiles(spark, root, col("quality_score") < lit(7.7))
+    val after = spark.read.format("graft").load(root)
+      .filter(col("quality_score") > lit(9.6))
+    val planned2 = plannedFiles(after)
+    assert(planned2 < Warehouse.dataFilesOf(spark, root,
+      Warehouse.currentVersion(spark, root).get).size,
+      "carried lines keep their stats — pruning must survive the delete")
+    assert(rows(after) ===
+      rows(Warehouse.read(spark, root).filter(col("quality_score") > lit(9.6))))
+    // a column with no stats (non-atomic or legacy line) never prunes:
+    // the string column DOES have stats — an equality outside its
+    // range prunes everything except nothing-matching files... assert
+    // simply that an always-true predicate reads every file
+    assert(plannedFiles(spark.read.format("graft").load(root)
+      .filter(col("quality_score").isNotNull)) ===
+      Warehouse.dataFilesOf(spark, root,
+        Warehouse.currentVersion(spark, root).get).size)
+  }
+
   test("racing appendFiles never lose an update: serialized cleanly or fenced loudly") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(43, n = 20))
