@@ -976,7 +976,11 @@ object Warehouse {
       Seq(min(port(col(s"`${f.name}`"), f.dataType)).as(s"min:${f.name}"),
         max(port(col(s"`${f.name}`"), f.dataType)).as(s"max:${f.name}"))
     }
-    val staged = spark.read.parquet(stage.toString)
+    // explicit schema: no inference job, and an empty staged write
+    // (zero part files in some layouts) stays safe
+    val staged = scala.util.Try(
+      spark.read.schema(schema).parquet(stage.toString)).getOrElse(
+      return Map.empty)
     if (staged.isEmpty) return Map.empty
     staged
       .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("__f"))
