@@ -954,8 +954,17 @@ object Warehouse {
     * selective reads prune files at PLANNING with zero I/O
     * ([[graft.sources.v2.ManifestFileIndex]]). Values are persisted
     * in the PORTABLE forms the pruning comparisons use (timestamps as
-    * epoch micros, dates as epoch days, NaN floats omitted); columns
-    * of non-atomic types are skipped (absent = never pruned). Returns
+    * epoch micros, dates as epoch days); columns of non-atomic types
+    * are skipped (absent = never pruned). Floating NaN follows the
+    * Parquet/Delta convention: a per-file `nan:<col>` flag is
+    * aggregated alongside min/max, and [[dataFileStats]] DROPS the
+    * column's stats entirely when it is set — Spark orders NaN above
+    * every numeric, so a min/max that silently stripped NaN would
+    * understate the max and let `col > x` prune files whose NaN rows
+    * actually match. Null fields are serialized explicitly
+    * (ignoreNullFields=false), so an ALL-NULL column persists as
+    * `min:null,max:null` — the (None,None) shape the pruning side
+    * reads as "comparisons can never match here". Returns
     * file NAME → one JSON object with `min:<col>` / `max:<col>`. */
   private def statsJsonByFile(spark: SparkSession, stage: Path,
       schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
@@ -973,8 +982,16 @@ object Warehouse {
       case _ => c
     }
     val aggs = statCols.toSeq.flatMap { f =>
-      Seq(min(port(col(s"`${f.name}`"), f.dataType)).as(s"min:${f.name}"),
+      val base = Seq(
+        min(port(col(s"`${f.name}`"), f.dataType)).as(s"min:${f.name}"),
         max(port(col(s"`${f.name}`"), f.dataType)).as(s"max:${f.name}"))
+      f.dataType match {
+        // the NaN flag (see scaladoc): any NaN row invalidates the
+        // column's min/max for pruning purposes
+        case FloatType | DoubleType =>
+          base :+ max(isnan(col(s"`${f.name}`"))).as(s"nan:${f.name}")
+        case _ => base
+      }
     }
     // explicit schema: no inference job, and an empty staged write
     // (zero part files in some layouts) stays safe
@@ -984,7 +1001,12 @@ object Warehouse {
     if (staged.isEmpty) return Map.empty
     staged
       .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("__f"))
-      .agg(to_json(struct(aggs: _*)).as("__stats"))
+      // ignoreNullFields=false: an all-null column must SERIALIZE its
+      // nulls (min:null,max:null = the "never matches a comparison"
+      // convention) — the default would drop the fields and make that
+      // file look stat-less (never pruned) instead
+      .agg(to_json(struct(aggs: _*),
+        Map("ignoreNullFields" -> "false")).as("__stats"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
@@ -1017,7 +1039,9 @@ object Warehouse {
     * forms ([[statsJsonByFile]]); files or columns without stats are
     * simply absent (never pruned). JSON nulls on BOTH sides mean an
     * all-null column in that file (equality can never match there —
-    * the zone-map convention). */
+    * the zone-map convention). A column whose `nan:` flag is set is
+    * DROPPED here (NaN-bearing files must never be pruned — NaN sorts
+    * above every numeric, so the stripped min/max understate it). */
   private[graft] def dataFileStats(spark: SparkSession, root: String,
       v: Long): Map[String, Map[String, (Option[Any], Option[Any])]] = {
     val fs = Ingest.fs(spark, root)
@@ -1037,7 +1061,9 @@ object Warehouse {
             val k = it.next()
             if (k.startsWith("min:")) {
               val c = k.drop(4)
-              cols(c) = (side(node.get(k)), side(node.get(s"max:$c")))
+              val nan = node.get(s"nan:$c")
+              if (nan == null || !nan.asBoolean(false))
+                cols(c) = (side(node.get(k)), side(node.get(s"max:$c")))
             }
           }
           Some(fs.makeQualified(new Path(root, rel)).toString -> cols.toMap)
@@ -2532,8 +2558,18 @@ object Warehouse {
       // crash (a live publisher finishes its staged write well inside
       // one lease); the live lock, its broken-lock tombstones, and
       // the version-pointer tmp are plain FILES and are never touched.
+      // EXCEPT: a `.v<N>_<holder>` dir whose holder still OWNS the
+      // live lease is a slow-but-alive commit (leases are not renewed
+      // during a staged write, so a large commit can outlive one TTL);
+      // deleting it would abort a legitimate publisher mid-write. Such
+      // a holder is reclaimed by the normal lease-break protocol
+      // first — once the lock no longer names it, its dir is fair game.
+      val liveHolder = readLease(fs, new Path(root, lockFile)).map(_.holderId)
       fs.listStatus(new Path(root)).toSeq.foreach { s =>
-        if (s.isDirectory && s.getPath.getName.startsWith(".") &&
+        val n = s.getPath.getName
+        val ownedByLiveLease =
+          liveHolder.exists(h => h.nonEmpty && n.endsWith("_" + h))
+        if (s.isDirectory && n.startsWith(".") && !ownedByLiveLease &&
             now - s.getModificationTime >= math.max(minAgeMs, lockTtlMs))
           fs.delete(s.getPath, true)
       }

@@ -167,13 +167,25 @@ class GraftDvScanImpl(spark: SparkSession, private val root: String,
           .groupBy(_.getString(0))
           .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
       }
+    // Hidden-path rule (the builtin InMemoryFileIndex convention): any
+    // `_`- or `.`-prefixed segment RELATIVE to the data dir excludes
+    // the file — a `_zonemap` sidecar's part files are parquet too,
+    // and serving them as data would surface null-filled index rows.
+    val dataDirQ = fs.makeQualified(new Path(dataDir)).toString.stripSuffix("/")
+    def hidden(p: Path): Boolean = {
+      val abs = fs.makeQualified(p).toString
+      abs.startsWith(dataDirQ + "/") &&
+        abs.stripPrefix(dataDirQ + "/").split("/")
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    }
     val files = {
       val it = fs.listFiles(new Path(dataDir), true)
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !hidden(s.getPath)) buf += s
       }
       buf.toSeq
     }

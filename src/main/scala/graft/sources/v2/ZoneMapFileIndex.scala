@@ -150,8 +150,9 @@ object ZoneMapFileIndex {
               if (lower) { if (strict) s > b else s >= b }
               else { if (strict) s < b else s <= b }
             case (_, _, Some(b), Some(s)) =>
-              if (lower) { if (strict) s > b else s >= b }
-              else { if (strict) s < b else s <= b }
+              val c = cmpStr(s, b)
+              if (lower) { if (strict) c > 0 else c >= 0 }
+              else { if (strict) c < 0 else c <= 0 }
             case _ => true // type mismatch / missing one side: keep
           }
       }
@@ -165,10 +166,19 @@ object ZoneMapFileIndex {
     statNum(lo).forall(_ <= p)
   private def leNum(p: BigDecimal, hi: Option[Any]): Boolean =
     statNum(hi).forall(_ >= p)
+  /** Code-point (UTF-8 binary) string order — the order Spark computes
+    * min/max and compares strings in (UTF8String). Java's natural
+    * String order is UTF-16 code-UNIT order, which DISAGREES beyond
+    * the BMP (supplementary characters encode as surrogate pairs that
+    * sort below U+E000..U+FFFF) — comparing persisted stats with it
+    * could wrongly prune a file. */
+  private def cmpStr(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
   private def geStr(p: String, lo: Option[Any]): Boolean =
-    statStr(lo).forall(_ <= p)
+    statStr(lo).forall(s => cmpStr(s, p) <= 0)
   private def leStr(p: String, hi: Option[Any]): Boolean =
-    statStr(hi).forall(_ >= p)
+    statStr(hi).forall(s => cmpStr(s, p) >= 0)
 
   /** Stat values arrive as the zone-map parquet's EXTERNAL row types;
     * normalize every numeric-ish type onto BigDecimal (exact for
