@@ -242,6 +242,16 @@ object SparkEntry {
     "p34_manifest_delete" -> ((s, _) => cocoaManifestDelete(s)),
     "p35_manifest_update" -> ((s, _) => cocoaManifestUpdate(s)),
     "p36_manifest_merge" -> ((s, _) => cocoaManifestMerge(s)),
+    // p38: hive partitioning × manifest commits — partition PRUNING
+    // and O(Δ) file-granular DML on one table (the Delta/Iceberg
+    // pairing), with the conversion, carry, _MANIFEST_PARTS, and a
+    // live partition-pruning counter pin all REQUIRED in-gate
+    "p38_partitioned_manifest" -> ((s, _) => cocoaPartitionedManifest(s)),
+    // p39: RENAME COLUMN × manifest commits — a rename atop a manifest
+    // chain is a METADATA-ONLY map commit (lines carried verbatim,
+    // zero data written — required in-gate), later manifest DML
+    // translates, and time travel stays era-correct; all through SQL
+    "p39_manifest_rename" -> ((s, _) => cocoaManifestRename(s)),
     // p37: the same mode through PLAIN SQL (commitMode=manifest →
     // INSERT upsert + DELETE route file-granular), requires pinned.
     "p37_sql_manifest_lifecycle" -> ((s, _) => cocoaSqlManifestLifecycle(s)),
@@ -1086,6 +1096,55 @@ object SparkEntry {
     Warehouse.read(spark, root).orderBy("shipment_id")
   }
 
+  /** p38: HIVE PARTITIONING × MANIFEST COMMITS — the round-13
+    * composition (until now mutually exclusive: requireManifestable
+    * refused partitioned layouts). Seed = half the warehouse as a
+    * plain region-partitioned snapshot; [[Warehouse.appendFiles]]
+    * converts zero-copy (every partition file carried by reference,
+    * fragments intact, `_MANIFEST_PARTS` persisted — REQUIRED);
+    * [[Warehouse.deleteWhereFiles]] cuts `region='Volta' AND
+    * quality<8.0` rewriting only Volta files (non-Volta lines carried
+    * VERBATIM — required); and a live partition-PRUNING pin: a
+    * Volta-only connector read must bump the planning skip counter
+    * ([[graft.sources.v2.ZoneMapFileIndex.filesPruned]], shared by
+    * [[graft.sources.v2.ManifestFileIndex]]) — a silent fall-back to
+    * scanning every partition fails the row, not just a spec. */
+  private def cocoaPartitionedManifest(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_manifest_part_", keep = 32)
+    val half = coalesce(col("quality_score") < lit(8.8), lit(false))
+    Warehouse.commitPartitioned(spark, root, wh.filter(half), Seq("region"))
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val v0Files = Warehouse.dataFilesOf(spark, root, 0L)
+    require(v0Files.nonEmpty && v0Files.forall(_.contains("region=")),
+      "p38: the seed must be hive-partitioned")
+    val v1 = Warehouse.appendFiles(spark, root, wh.filter(!half))
+    val m1 = Warehouse.manifestOf(fs, root, v1).getOrElse(
+      throw new IllegalStateException(
+        "p38: the append must publish a manifest"))
+    require(m1.count(_.startsWith("v0/region=")) == v0Files.size,
+      s"p38: every partitioned v0 file must ride by reference, got $m1")
+    require(Warehouse.manifestParts(fs, root, v1) == Seq("region"),
+      "p38: _MANIFEST_PARTS must persist the partition columns")
+    val v2 = Warehouse.deleteWhereFiles(spark, root,
+      col("region") === lit("Volta") && col("quality_score") < lit(8.0))
+      .getOrElse(throw new IllegalStateException(
+        "p38: the delete must match rows"))
+    val m2 = Warehouse.manifestOf(fs, root, v2).get
+    val nonVolta = m1.filterNot(_.contains("region=Volta"))
+    require(nonVolta.forall(m2.contains),
+      s"p38: every non-Volta file must ride the delete VERBATIM, got $m2")
+    // live partition-pruning pin: planning the Volta-only read must
+    // skip files of other partitions (counter increments at planning)
+    val prunedBefore = graft.sources.v2.ZoneMapFileIndex.filesPruned.sum()
+    val volta = spark.read.format("graft").load(root)
+      .filter(col("region") === lit("Volta")).count()
+    require(graft.sources.v2.ZoneMapFileIndex.filesPruned.sum() > prunedBefore,
+      "p38: a region-filtered read must PRUNE other partitions' files at planning")
+    require(volta > 0, "p38: the surviving Volta partition must not be empty")
+    Warehouse.read(spark, root).orderBy("shipment_id")
+  }
+
   /** p37: the MANIFEST lifecycle through plain SQL — commit half the
     * warehouse, declare `commitMode=manifest`, INSERT the other half
     * (file-granular upsert, zero-copy conversion), DELETE the quality
@@ -1121,6 +1180,64 @@ object SparkEntry {
     require(m2.toSet.intersect(m1.toSet).nonEmpty,
       s"p37: the DELETE must carry untouched files by reference, got $m2")
     spark.sql("SELECT * FROM graft_mf_gate.cocoa_mf").orderBy("shipment_id")
+  }
+
+  /** p39: RENAME COLUMN × MANIFEST COMMITS through plain SQL — the
+    * round-13 composition twin of p38 (until now a rename atop a
+    * manifest chain refused with compact as the valve). Seed = half
+    * the warehouse plain + `commitMode=manifest`; INSERT the other
+    * half (zero-copy conversion); `ALTER TABLE RENAME COLUMN region
+    * TO zone` — REQUIRED to publish a manifest version carrying the
+    * file list VERBATIM (metadata-only, zero data written, no clone
+    * pointer); a post-rename SQL DELETE keyed on the LOGICAL name (scoped
+    * to the quality half so the fresh files provably carry)
+    * stays file-granular (carried lines required); time travel to the
+    * pre-rename version REQUIRED to surface the old name. Oracle
+    * recomputes the survivors with `region AS zone`. */
+  private def cocoaManifestRename(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = graft.core.RunTemp.dir("graft_manifest_ren_", keep = 32)
+    val root = s"$base/cocoa_mr"
+    val half = coalesce(col("quality_score") < lit(8.8), lit(false))
+    Warehouse.commit(spark, root,
+      wh.filter(half).repartitionByRange(4, col("shipment_id")))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("mergeKey" -> "shipment_id", "commitMode" -> "manifest"))
+    spark.conf.set("spark.sql.catalog.graft_mr_gate",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mr_gate.base", base)
+    wh.filter(!half).createOrReplaceTempView("graft_mr_gate_src")
+    spark.sql("INSERT INTO graft_mr_gate.cocoa_mr" +
+      " SELECT * FROM graft_mr_gate_src")
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val m1 = Warehouse.manifestOf(fs, root, 1L).getOrElse(
+      throw new IllegalStateException(
+        "p39: the INSERT must publish a manifest version"))
+    spark.sql("ALTER TABLE graft_mr_gate.cocoa_mr" +
+      " RENAME COLUMN region TO zone")
+    val m2 = Warehouse.manifestOf(fs, root, 2L).getOrElse(
+      throw new IllegalStateException(
+        "p39: a rename atop a manifest chain must stay a manifest version" +
+          " (metadata-only map commit), not force a compact"))
+    require(m2 == m1,
+      s"p39: the rename must carry the file list VERBATIM, got $m2")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+      Warehouse.versionPath(root, 2L), "_CLONE")),
+      "p39: a manifest rename needs no clone pointer")
+    spark.sql("DELETE FROM graft_mr_gate.cocoa_mr" +
+      " WHERE zone = 'Volta' AND quality_score < 8.0")
+    val m3 = Warehouse.manifestOf(fs, root, 3L).getOrElse(
+      throw new IllegalStateException(
+        "p39: a post-rename DELETE must stay a manifest version"))
+    require(m3.toSet.intersect(m2.toSet).nonEmpty,
+      s"p39: the post-rename DELETE must carry untouched files, got $m3")
+    // era-correct time travel: the pre-rename version keeps its names
+    val v1cols = spark.sql(
+      "SELECT * FROM graft_mr_gate.cocoa_mr VERSION AS OF 1").columns
+    require(v1cols.contains("region") && !v1cols.contains("zone"),
+      s"p39: era-v1 must surface the old name, got ${v1cols.mkString(", ")}")
+    spark.sql("SELECT * FROM graft_mr_gate.cocoa_mr").orderBy("shipment_id")
   }
 
   /** p13: two-version isolated root (v0 = the run's batch-1 snapshot,
@@ -4489,6 +4606,21 @@ object SparkEntry {
     "p34_manifest_delete" -> cocoaOracle(
       """SELECT * FROM wh
         |WHERE NOT coalesce(quality_score < 8.0, FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p38: partitioned manifest — append reunifies the halves, then
+    // the Volta quality cut survives.
+    "p38_partitioned_manifest" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(region = 'Volta' AND quality_score < 8.0, FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p39: manifest rename — survivors of the scoped Volta cut under
+    // the renamed (logical) column.
+    "p39_manifest_rename" -> cocoaOracle(
+      """SELECT shipment_id, "timestamp", farm_id, region AS zone,
+        |  bean_type, quality_score, shipment_weight_kg,
+        |  temperature_celsius, shipment_value_usd, processed_at
+        |FROM wh
+        |WHERE NOT coalesce(region = 'Volta' AND quality_score < 8.0, FALSE)
         |ORDER BY shipment_id""".stripMargin),
     // p37: SQL manifest lifecycle — the two halves re-union to the
     // whole warehouse, then the same quality cut survives.

@@ -336,12 +336,16 @@ object Warehouse {
       throw new IllegalStateException(
         s"renameColumns: $root v$cur carries deletion vectors; the mapped" +
           " version would resurrect deleted rows — applyDv first")
-    require(manifestOf(fs, root, cur).isEmpty,
-      s"renameColumns: $root v$cur is a manifest version — a rename map" +
-        " belongs to one data directory; compact first (folds the manifest" +
-        " into a plain snapshot)")
+    // MANIFEST chains compose (round 13): the rename commits a
+    // metadata-only version carrying cur's file list VERBATIM plus the
+    // composed map — zero data written, the Delta column-mapping
+    // shape. Physical names stay on disk forever; every later manifest
+    // commit carries the map forward and translates at its boundaries.
+    val curManifest = manifestOf(fs, root, cur)
     val existing = columnMapping(fs, root, cur) // physical → logical
-    val physicalNames = schema.fieldNames.toSeq
+    val physicalNames =
+      if (curManifest.isDefined) effectiveSchema(spark, root, cur).fieldNames.toSeq
+      else schema.fieldNames.toSeq
     val logicalOf: Map[String, String] =
       physicalNames.map(p => p -> existing.getOrElse(p, p)).toMap
     val logicalNames = physicalNames.map(logicalOf)
@@ -373,8 +377,27 @@ object Warehouse {
       val stage = new Path(root, s".v${next}_$holderId")
       staging = Some(stage)
       fs.mkdirs(stage)
-      val mk = fs.create(new Path(stage, clonePointer), true)
-      try mk.write(target.getBytes(StandardCharsets.UTF_8)) finally mk.close()
+      curManifest match {
+        case Some(lines) =>
+          // carry the file list, schema and partitioning VERBATIM —
+          // the rename is a map on top of unchanged physical bytes
+          val mf = fs.create(new Path(stage, manifestFile), true)
+          try mf.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          finally mf.close()
+          val sc = fs.create(new Path(stage, manifestSchemaFile), true)
+          try sc.write(effectiveSchema(spark, root, cur).json
+            .getBytes(StandardCharsets.UTF_8))
+          finally sc.close()
+          val parts = manifestParts(fs, root, cur)
+          if (parts.nonEmpty) {
+            val pf = fs.create(new Path(stage, manifestPartsFile), true)
+            try pf.write(parts.mkString("\n").getBytes(StandardCharsets.UTF_8))
+            finally pf.close()
+          }
+        case None =>
+          val mk = fs.create(new Path(stage, clonePointer), true)
+          try mk.write(target.getBytes(StandardCharsets.UTF_8)) finally mk.close()
+      }
       val mp = fs.create(new Path(stage, mappingFile), true)
       try mp.write(composed.filter { case (p, l) => p != l }.toSeq.sorted
         .map { case (p, l) => s"$p\t$l" }.mkString("\n")
@@ -448,7 +471,8 @@ object Warehouse {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val m = columnMapping(Ingest.fs(spark, root), root, v)
     // readSnapshot: manifest versions read their FILE LIST (a raw dir
-    // read would silently drop carried rows); they never carry a map
+    // read would silently drop carried rows); a manifest-carried map
+    // (round 13) renames below exactly like a plain version's
     val raw = readSnapshot(spark, root, v, schema)
     if (m.isEmpty) raw
     else raw.select(schema.fieldNames.toSeq
@@ -476,25 +500,65 @@ object Warehouse {
     }
 
   /** Version `v`'s rows under an explicit schema — plain snapshots by
-    * their (clone-resolved) data dir, manifest snapshots by their file
-    * list; both through the loud listing-race guard. */
+    * their (clone-resolved) data dir, manifest snapshots through the
+    * manifest-backed file index; both correct-or-loud. */
   private def readSnapshot(spark: SparkSession, root: String, v: Long,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     manifestOf(Ingest.fs(spark, root), root, v) match {
       case None => readData(spark, root, dataPath(spark, root, v), schema)
-      case Some(_) => dataFilesOf(spark, root, v) match {
-        case Seq() => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        case files =>
-          // no extra race guard needed: an explicit-path read throws
-          // PATH_NOT_FOUND at resolution when a listed file was
-          // vacuumed away, and ignoreMissingFiles stays false for the
-          // scan itself — loud either way
-          spark.read.schema(schema).parquet(files: _*)
-            .select(schema.fieldNames.map(
-              org.apache.spark.sql.functions.col).toSeq: _*)
-      }
+      case Some(_) => manifestFrame(spark, root, v, schema)
     }
+
+  /** Manifest version `v` as a DataFrame planned over
+    * [[graft.sources.v2.ManifestFileIndex]] — the SAME relation the
+    * connector serves: ZERO filesystem listing and ZERO per-file stat
+    * calls at planning (sizes/mtimes ride the manifest lines), per-file
+    * min/max DATA SKIPPING from the persisted stats, and hive
+    * partition columns served from the path fragments with static
+    * partition pruning. One table, ONE cost model, whichever door the
+    * read comes through. A file vacuumed from under the plan fails the
+    * task loudly (`ignoreMissingFiles` stays false) — correct-or-loud,
+    * as everywhere. */
+  private def manifestFrame(spark: SparkSession, root: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val fs = Ingest.fs(spark, root)
+    entriesFrame(spark, root, dataFileEntries(spark, root, v), schema,
+      manifestParts(fs, root, v), dataFileStats(spark, root, v))
+  }
+
+  /** Index-backed frame over an explicit manifest entry SUBSET — the
+    * building block behind [[manifestFrame]] and the file-granular DML
+    * planning/rewrite reads: partition columns served from the path
+    * fragments, persisted stats pruning at planning, zero listing.
+    * `withFilePath = true` additionally surfaces
+    * `_metadata.file_path` as `__file` (projected directly above the
+    * relation, where metadata columns are guaranteed resolvable). */
+  private def entriesFrame(spark: SparkSession, root: String,
+      entries: Seq[(String, Long, Long)],
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
+      stats: Map[String, Map[String, (Option[Any], Option[Any])]] = Map.empty,
+      withFilePath: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (withFilePath) org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("__file",
+            org.apache.spark.sql.types.StringType)) else schema)
+    val parts = partCols.filter(schema.fieldNames.contains)
+    val partSchema = org.apache.spark.sql.types.StructType(
+      parts.map(p => schema.fields(schema.fieldIndex(p))))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => parts.contains(f.name)))
+    val idx = new graft.sources.v2.ManifestFileIndex(spark, root, entries,
+      stats, partSchema)
+    val base = org.apache.spark.sql.graftbridge.Bridge
+      .ofFileIndex(spark, idx, dataSchema, partSchema)
+    val cols = schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
+      (if (withFilePath) Seq(col("_metadata.file_path").as("__file")) else Nil)
+    base.select(cols: _*)
+  }
 
   /** TIME-TRAVEL read of one committed version through the
     * correct-or-loud path (clone indirection resolved, listing-race
@@ -759,6 +823,82 @@ object Warehouse {
     }
   }
 
+  /** Sidecar naming a manifest version's hive partition COLUMNS, in
+    * nesting order (one name per line). The partition VALUES are not
+    * persisted anywhere else — each file's `k=v` path fragments are
+    * the value carrier, exactly the hive layout contract (the
+    * manifest relpath is dir-qualified, so the fragments ride every
+    * carry verbatim). Absent = flat manifest. */
+  private val manifestPartsFile = "_MANIFEST_PARTS"
+
+  /** Version `v`'s manifest partition columns (empty = flat or not a
+    * manifest version). */
+  private[graft] def manifestParts(fs: FileSystem, root: String,
+      v: Long): Seq[String] = {
+    val p = new Path(versionPath(root, v), manifestPartsFile)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** The hive partition columns of version `v`, whatever its kind:
+    * a manifest version's persisted `_MANIFEST_PARTS`, a plain
+    * version's nested `k=` directory chain (walked, not listed per
+    * file — one getFileStatus per nesting level). Empty = flat. */
+  private[graft] def partitionColsOf(spark: SparkSession, root: String,
+      v: Long): Seq[String] = {
+    val fs = Ingest.fs(spark, root)
+    if (manifestOf(fs, root, v).isDefined) manifestParts(fs, root, v)
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var dir = new Path(dataPath(spark, root, v))
+      var descend = true
+      while (descend) {
+        val sub = fs.listStatus(dir).filter(s =>
+          s.isDirectory && s.getPath.getName.contains("=") &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+        if (sub.isEmpty) descend = false
+        else {
+          val names = sub.map(_.getPath.getName.takeWhile(_ != '=')).distinct
+          require(names.length == 1,
+            s"partition layout of $root v$v mixes column dirs" +
+              s" (${names.mkString(", ")}) at one level")
+          buf += names.head
+          dir = sub.head.getPath
+        }
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Recursive `*.parquet` listing under `dir`, excluding any file
+    * with a `_`- or `.`-prefixed path segment relative to `dir` (the
+    * builtin hidden-path rule — `_zonemap` sidecars, `_SUCCESS`,
+    * staging dirs). Hive partition dirs (`k=v`) descend normally. */
+  private def listDataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val dirQ = fs.makeQualified(dir).toString.stripSuffix("/")
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        val abs = fs.makeQualified(s.getPath).toString
+        val hidden = abs.startsWith(dirQ + "/") &&
+          abs.stripPrefix(dirQ + "/").split("/")
+            .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden) buf += s
+      }
+    }
+    buf.toSeq
+  }
+
   /** Absolute, filesystem-QUALIFIED data file paths of version `v`:
     * a manifest version's listed files, or one listing of a plain
     * version's (clone-resolved) data dir. Qualified so the paths
@@ -788,9 +928,10 @@ object Warehouse {
         }
       }
       case None =>
-        val dir = dataPath(spark, root, v)
-        fs.listStatus(new Path(dir)).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        // recursive + hidden-aware: a hive-partitioned plain version
+        // keeps its files under `k=v` subdirs — the flat listStatus
+        // would miss them (and a `_zonemap` sidecar must stay out)
+        listDataFiles(fs, new Path(dataPath(spark, root, v)))
           .map(s => (fs.makeQualified(s.getPath).toString,
             s.getLen, s.getModificationTime))
     }
@@ -826,13 +967,9 @@ object Warehouse {
       case Some(_) =>
         // the PERSISTED effective schema, not footer inference: a
         // widened manifest chain has mixed footers, and an emptied
-        // one has none at all
-        val schema = effectiveSchema(spark, root, v)
-        dataFilesOf(spark, root, v) match {
-          case Seq() => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          case files => spark.read.schema(schema).parquet(files: _*)
-        }
+        // one has none at all; the manifest-backed index serves
+        // partition columns and skips the listing
+        manifestFrame(spark, root, v, effectiveSchema(spark, root, v))
     }
   }
 
@@ -862,21 +999,35 @@ object Warehouse {
     require(dvPartDirs(fs, root, cur).isEmpty,
       s"manifest commit: $root v$cur carries deletion vectors — applyDv" +
         " (or compact) first")
-    require(columnMapping(fs, root, cur).isEmpty,
-      s"manifest commit: $root v$cur carries a column rename map — compact" +
-        " first (materializes the logical names)")
     if (manifestOf(fs, root, cur).isEmpty) {
       require(dataPath(spark, root, cur) == versionPath(root, cur),
         s"manifest commit: $root v$cur is a shallow-clone pointer — compact" +
           " first (gives the clone its own files)")
-      val partitioned = fs.listStatus(new Path(versionPath(root, cur))).toSeq
-        .exists(s => s.isDirectory && s.getPath.getName.contains("="))
-      require(!partitioned,
-        s"manifest commit: $root v$cur is hive-partitioned — a file-list" +
-          " read cannot reconstruct dir-encoded partition values; compact" +
-          " to a flat layout first")
+      require(columnMapping(fs, root, cur).isEmpty,
+        s"manifest commit: $root v$cur is a renamed plain snapshot (a clone" +
+          " pointer + map) — compact first (materializes the logical names)")
     }
+    // hive partitioning COMPOSES (manifest relpaths keep their `k=v`
+    // fragments; _MANIFEST_PARTS names the columns — partitionColsOf),
+    // and so do RENAME maps on MANIFEST versions (carried forward by
+    // every commit; DML translates logical ⇄ physical at its
+    // boundaries — see manifestMapping's call sites)
   }
+
+  /** Version `cur`'s carried rename map (physical → logical) for
+    * manifest DML, plus its inverse. Empty maps for unrenamed chains. */
+  private def manifestMapping(fs: FileSystem, root: String,
+      cur: Long): (Map[String, String], Map[String, String]) = {
+    val m = columnMapping(fs, root, cur)
+    (m, m.map(_.swap))
+  }
+
+  /** `df` with `m`'s renames applied to matching columns (others,
+    * including helper columns like `__file`, pass through). */
+  private def renameCols(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty || !df.columns.exists(m.contains)) df
+    else df.select(df.columns.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(s"`$c`").as(m.getOrElse(c, c))): _*)
 
   /** Schema compatibility for manifest DML: every CURRENT column must
     * arrive with its type intact (nullability excluded — parquet reads
@@ -965,7 +1116,11 @@ object Warehouse {
     * (ignoreNullFields=false), so an ALL-NULL column persists as
     * `min:null,max:null` — the (None,None) shape the pruning side
     * reads as "comparisons can never match here". Returns
-    * file NAME → one JSON object with `min:<col>` / `max:<col>`. */
+    * stage-RELATIVE url-encoded path (partition dirs included — a
+    * partitioned write reuses part-file NAMES across partition dirs,
+    * the DV-key aliasing lesson) → one JSON object with `min:<col>` /
+    * `max:<col>`. Hive partition columns get stats too when present
+    * (the dir value surfaces as a constant column per file). */
   private def statsJsonByFile(spark: SparkSession, stage: Path,
       schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
     import org.apache.spark.sql.functions._
@@ -999,32 +1154,51 @@ object Warehouse {
       spark.read.schema(schema).parquet(stage.toString)).getOrElse(
       return Map.empty)
     if (staged.isEmpty) return Map.empty
-    staged
-      .groupBy(substring_index(col("_metadata.file_path"), "/", -1).as("__f"))
+    // key on the stage-RELATIVE path in _metadata.file_path's own
+    // URL-ENCODED form; the stage dir name (`.v<N>_<uuid>`) contains
+    // no encodable characters, so the marker match is exact
+    val marker = "/" + stage.getName + "/"
+    val grouped = staged
+      .groupBy(col("_metadata.file_path").as("__f"))
       // ignoreNullFields=false: an all-null column must SERIALIZE its
       // nulls (min:null,max:null = the "never matches a comparison"
       // convention) — the default would drop the fields and make that
       // file look stat-less (never pruned) instead
       .agg(to_json(struct(aggs: _*),
         Map("ignoreNullFields" -> "false")).as("__stats"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .collect()
+    grouped.map { r =>
+      val enc = r.getString(0)
+      val i = enc.lastIndexOf(marker)
+      require(i >= 0, s"graft: staged stats row $enc is not under $stage")
+      enc.substring(i + marker.length) -> r.getString(1)
+    }.toMap
   }
 
-  /** The staged parquet files of a manifest commit, as `v{next}/name`
-    * manifest entries (with size, mtime, and data-skipping stats),
-    * written alongside the `_MANIFEST` list and the effective-schema
-    * sidecar. */
+  /** The staged parquet files of a manifest commit, as
+    * `v{next}/[k=v/…]name` manifest entries (with size, mtime, and
+    * data-skipping stats), written alongside the `_MANIFEST` list and
+    * the effective-schema sidecar. A hive-PARTITIONED stage keeps its
+    * partition dirs inside the relpath — the path fragments ARE the
+    * partition-value store ([[manifestPartsFile]]) — and persists the
+    * partition column names as the `_MANIFEST_PARTS` sidecar. */
   private def stageManifest(spark: SparkSession, fs: FileSystem,
       stage: Path, next: Long, carried: Seq[String],
-      effective: org.apache.spark.sql.types.StructType): Unit = {
+      effective: org.apache.spark.sql.types.StructType,
+      parts: Seq[String] = Seq.empty,
+      mapping: Map[String, String] = Map.empty): Unit = {
     val stats = statsJsonByFile(spark, stage, effective)
-    val fresh = fs.listStatus(stage).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val name = s.getPath.getName
-        val base = s"v$next/$name\t${s.getLen}\t${s.getModificationTime}"
-        stats.get(name).fold(base)(j => s"$base\t$j")
-      }
+    val stageQ = fs.makeQualified(stage).toString.stripSuffix("/")
+    val fresh = listDataFiles(fs, stage).map { s =>
+      val rel = fs.makeQualified(s.getPath).toString
+        .stripPrefix(stageQ + "/")
+      val enc = org.apache.spark.paths.SparkPath
+        .fromPath(s.getPath).toString
+        .stripPrefix(org.apache.spark.paths.SparkPath
+          .fromPath(fs.makeQualified(stage)).toString + "/")
+      val base = s"v$next/$rel\t${s.getLen}\t${s.getModificationTime}"
+      stats.get(enc).fold(base)(j => s"$base\t$j")
+    }
     val mf = fs.create(new Path(stage, manifestFile), true)
     try mf.write((carried ++ fresh).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -1032,6 +1206,21 @@ object Warehouse {
     val sc = fs.create(new Path(stage, manifestSchemaFile), true)
     try sc.write(effective.json.getBytes(StandardCharsets.UTF_8))
     finally sc.close()
+    if (parts.nonEmpty) {
+      val pf = fs.create(new Path(stage, manifestPartsFile), true)
+      try pf.write(parts.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally pf.close()
+    }
+    if (mapping.nonEmpty) {
+      // the carried rename map (physical → logical): every manifest
+      // commit re-persists it so any version of the chain resolves
+      // its own logical names (columnMapping is per-version)
+      val mp = fs.create(new Path(stage, mappingFile), true)
+      try mp.write(mapping.toSeq.sorted
+        .map { case (p, l) => s"$p\t$l" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally mp.close()
+    }
   }
 
   /** Version `v`'s persisted per-file data-skipping stats: absolute
@@ -1098,24 +1287,63 @@ object Warehouse {
     * snapshot this is the zero-copy conversion INTO manifest mode (the
     * first manifest simply lists the plain snapshot's files). Appends
     * are row-level, not keyed: a duplicate key is two rows — use
-    * [[mergeFiles]] for upsert semantics. Returns the new version. */
+    * [[mergeFiles]] for upsert semantics. Returns the new version.
+    *
+    * HIVE PARTITIONING composes: an existing table's partition
+    * columns are derived from its own layout (`_MANIFEST_PARTS`
+    * sidecar, or the plain snapshot's `k=` dir chain on the zero-copy
+    * conversion) and the fresh rows are written partitioned the same
+    * way — partition pruning AND O(Δ) DML together, the Delta/Iceberg
+    * pairing. `partitionBy` seeds the layout of a FIRST commit only
+    * (an existing layout is authoritative; passing a different one is
+    * loud). */
   def appendFiles(spark: SparkSession, root: String, df: DataFrame,
       lockTtlMs: Long = DefaultLockTtlMs,
-      stageMarker: Option[(String, String)] = None): Long = {
+      stageMarker: Option[(String, String)] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val fs = Ingest.fs(spark, root)
     val curOpt = currentVersion(spark, root)
-    val (carried, eff) = curOpt match {
-      case None => (Seq.empty[String], df.schema)
+    val (carried, eff, parts) = curOpt match {
+      case None =>
+        partitionBy.foreach(p => require(df.columns.contains(p),
+          s"appendFiles: partition column '$p' absent from the frame"))
+        (Seq.empty[String], df.schema, partitionBy)
       case Some(cur) =>
         requireManifestable(spark, root, cur)
-        val current = effectiveSchema(spark, root, cur)
-        requireSameColumns(df.schema, current, "appendFiles")
-        (carryLines(spark, root, cur).map(_._2), widen(current, df.schema))
+        val current = effectiveSchema(spark, root, cur) // PHYSICAL
+        val (p2l, l2p) = manifestMapping(fs, root, cur)
+        val currentLogical = org.apache.spark.sql.types.StructType(
+          current.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+        requireSameColumns(df.schema, currentLogical, "appendFiles")
+        // a NEW (widening) column must not collide with the PHYSICAL
+        // name of a renamed one — the widen below would silently fold
+        // its data into the wrong column
+        val clash = df.schema.fieldNames
+          .filterNot(currentLogical.fieldNames.contains)
+          .filter(current.fieldNames.contains)
+        require(clash.isEmpty,
+          s"appendFiles: new column(s) ${clash.mkString(", ")} collide with" +
+            " the physical name of a renamed column — pick another name")
+        val tableParts = partitionColsOf(spark, root, cur)
+        require(partitionBy.isEmpty ||
+          partitionBy.map(n => l2p.getOrElse(n, n)) == tableParts,
+          s"appendFiles: table is partitioned by (${tableParts.mkString(", ")})" +
+            s" — the requested (${partitionBy.mkString(", ")}) cannot apply" +
+            " to an existing layout")
+        (carryLines(spark, root, cur).map(_._2),
+          widen(current, renameCols(df, l2p).schema), tableParts)
     }
+    val mapping = curOpt.map(cur => manifestMapping(fs, root, cur)._1)
+      .getOrElse(Map.empty[String, String])
+    // fresh files land under PHYSICAL names: the whole file set stays
+    // uniform across renames (the Delta column-mapping contract)
+    val dfPhys = renameCols(df, mapping.map(_.swap))
     publishVersion(spark, root, lockTtlMs, expectedCurrent = Some(curOpt)) {
       (stage, next) =>
-        df.write.mode("overwrite").parquet(stage.toString)
-        stageManifest(spark, fs, stage, next, carried, eff)
+        if (parts.isEmpty) dfPhys.write.mode("overwrite").parquet(stage.toString)
+        else dfPhys.write.partitionBy(parts: _*).mode("overwrite")
+          .parquet(stage.toString)
+        stageManifest(spark, fs, stage, next, carried, eff, parts, mapping)
         writeStageMarker(fs, stage, stageMarker)
     }
   }
@@ -1145,22 +1373,36 @@ object Warehouse {
     // the version's FULL effective schema, never a caller-supplied
     // one: rewriting touched files under a narrower schema would
     // silently drop their extra (widened) columns
-    val schema = effectiveSchema(spark, root, cur)
+    val schema = effectiveSchema(spark, root, cur) // PHYSICAL
+    val (p2l, l2p) = manifestMapping(fs, root, cur)
+    val parts = partitionColsOf(spark, root, cur)
     val lines = carryLines(spark, root, cur)
     if (lines.isEmpty) return None
-    val touchedKeys = spark.read.schema(schema).parquet(lines.map(_._1): _*)
+    val entries = dataFileEntries(spark, root, cur)
+    // index-backed planning scan: partition columns resolve (a raw
+    // file read would null-fill them under the predicate), the
+    // persisted stats PRUNE candidate files before any task runs, and
+    // the caller's LOGICAL names surface above the physical scan
+    val touchedKeys = renameCols(entriesFrame(spark, root, entries, schema,
+        parts, dataFileStats(spark, root, cur), withFilePath = true), p2l)
       .filter(predicate)
-      .select(col("_metadata.file_path")).distinct()
+      .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
     val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
     val carried = kept.map(_._2) // verbatim: sizes + stats survive
+    val touchedSet = touched.map(_._1).toSet
+    val touchedEntries = entries.filter(e => touchedSet(e._1))
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
-      spark.read.schema(schema).parquet(touched.map(_._1): _*)
-        .filter(!coalesce(predicate, lit(false)))
-        .write.mode("overwrite").parquet(stage.toString)
-      stageManifest(spark, fs, stage, next, carried, schema)
+      // filter under LOGICAL names, write back under PHYSICAL ones
+      val survivors = renameCols(
+        renameCols(entriesFrame(spark, root, touchedEntries, schema, parts), p2l)
+          .filter(!coalesce(predicate, lit(false))), l2p)
+      (if (parts.isEmpty) survivors.write
+       else survivors.write.partitionBy(parts: _*))
+        .mode("overwrite").parquet(stage.toString)
+      stageManifest(spark, fs, stage, next, carried, schema, parts, p2l)
     })
   }
 
@@ -1182,34 +1424,50 @@ object Warehouse {
         s"updateWhereFiles: no committed snapshot under $root"))
     requireManifestable(spark, root, cur)
     // full effective schema — see [[deleteWhereFiles]]'s rationale
-    val schema = effectiveSchema(spark, root, cur)
-    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+    val schema = effectiveSchema(spark, root, cur) // PHYSICAL
+    val (p2l, l2p) = manifestMapping(fs, root, cur)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+    set.keys.foreach(k => require(logicalSchema.fieldNames.contains(k),
       s"updateWhereFiles: SET names unknown column '$k'"))
+    val parts = partitionColsOf(spark, root, cur)
+    val logicalParts = parts.map(p => p2l.getOrElse(p, p))
+    set.keys.foreach(k => require(!logicalParts.contains(k),
+      s"updateWhereFiles: '$k' is a partition column — reassigning it" +
+        " moves rows across partitions; delete + append instead"))
     val lines = carryLines(spark, root, cur)
     if (lines.isEmpty) return None
-    val touchedKeys = spark.read.schema(schema).parquet(lines.map(_._1): _*)
+    val entries = dataFileEntries(spark, root, cur)
+    val touchedKeys = renameCols(entriesFrame(spark, root, entries, schema,
+        parts, dataFileStats(spark, root, cur), withFilePath = true), p2l)
       .filter(predicate)
-      .select(col("_metadata.file_path")).distinct()
+      .select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSet
     val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
     val carried = kept.map(_._2) // verbatim: sizes + stats survive
+    val touchedSet = touched.map(_._1).toSet
+    val touchedEntries = entries.filter(e => touchedSet(e._1))
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
       val hit = coalesce(predicate, lit(false))
-      // ONE projection, every RHS evaluated against the OLD row (SQL
-      // UPDATE semantics) — sequential withColumn would feed later
-      // assignments already-updated values in Map iteration order
-      spark.read.schema(schema).parquet(touched.map(_._1): _*)
-        .select(schema.fields.map { f =>
-          set.get(f.name) match {
-            case Some(e) => when(hit, e.cast(f.dataType))
-              .otherwise(col(s"`${f.name}`")).as(f.name)
-            case None => col(s"`${f.name}`")
-          }
-        }.toSeq: _*)
-        .write.mode("overwrite").parquet(stage.toString)
-      stageManifest(spark, fs, stage, next, carried, schema)
+      // ONE projection under LOGICAL names, every RHS evaluated
+      // against the OLD row (SQL UPDATE semantics) — sequential
+      // withColumn would feed later assignments already-updated
+      // values in Map iteration order; write back under PHYSICAL
+      val updated = renameCols(
+        renameCols(entriesFrame(spark, root, touchedEntries, schema, parts), p2l)
+          .select(logicalSchema.fields.map { f =>
+            set.get(f.name) match {
+              case Some(e) => when(hit, e.cast(f.dataType))
+                .otherwise(col(s"`${f.name}`")).as(f.name)
+              case None => col(s"`${f.name}`")
+            }
+          }.toSeq: _*), l2p)
+      (if (parts.isEmpty) updated.write
+       else updated.write.partitionBy(parts: _*))
+        .mode("overwrite").parquet(stage.toString)
+      stageManifest(spark, fs, stage, next, carried, schema, parts, p2l)
     })
   }
 
@@ -1235,16 +1493,30 @@ object Warehouse {
     // full effective schema, widened by the source's novel columns —
     // see [[deleteWhereFiles]]'s rationale; survivors of touched
     // files null-fill the widened columns (the additive contract)
-    val current = effectiveSchema(spark, root, cur)
-    requireSameColumns(source.schema, current, "mergeFiles")
-    val schema = widen(current, source.schema)
+    val current = effectiveSchema(spark, root, cur) // PHYSICAL
+    val (p2l, l2p) = manifestMapping(fs, root, cur)
+    val currentLogical = org.apache.spark.sql.types.StructType(
+      current.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+    requireSameColumns(source.schema, currentLogical, "mergeFiles")
+    val clash = source.schema.fieldNames
+      .filterNot(currentLogical.fieldNames.contains)
+      .filter(current.fieldNames.contains)
+    require(clash.isEmpty,
+      s"mergeFiles: new column(s) ${clash.mkString(", ")} collide with" +
+        " the physical name of a renamed column — pick another name")
+    // LOGICAL schema of the result; its physical twin goes on disk
+    val logicalSchema = widen(currentLogical, source.schema)
+    val schema = org.apache.spark.sql.types.StructType(
+      logicalSchema.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
+    val parts = partitionColsOf(spark, root, cur)
     val lines = carryLines(spark, root, cur)
-    val files = lines.map(_._1)
+    val entries = dataFileEntries(spark, root, cur)
     // PIN the source FIRST (it evaluates in several jobs: dup check,
     // touched-file plan, final write — a nondeterministic upstream
     // could pass the check yet materialize a duplicate), THEN check
     // the pinned rows
-    val src = source.select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    val src = source.select(
+      logicalSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
       .localCheckpoint(true)
     val dup = src.groupBy(col(s"`$keyCol`")).count()
       .filter(col("count") > 1).limit(1).collect()
@@ -1253,22 +1525,28 @@ object Warehouse {
         .getOrElse("")}' — no deterministic last-writer; dedupe first")
     val srcKeys = src.select(col(s"`$keyCol`").as("__mk")).distinct()
     val touchedKeys =
-      if (files.isEmpty) Set.empty[String]
-      else spark.read.schema(current).parquet(files: _*)
+      if (entries.isEmpty) Set.empty[String]
+      else renameCols(entriesFrame(spark, root, entries, current, parts,
+          withFilePath = true), p2l)
         .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_semi")
-        .select(col("_metadata.file_path")).distinct()
+        .select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
     val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     val carried = kept.map(_._2) // verbatim: sizes + stats survive
+    val touchedSet = touched.map(_._1).toSet
+    val touchedEntries = entries.filter(e => touchedSet(e._1))
     publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
-      val survivors =
-        if (touched.isEmpty) src
-        else spark.read.schema(schema).parquet(touched.map(_._1): _*)
-          .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_anti")
-          .unionByName(src)
-      survivors.write.mode("overwrite").parquet(stage.toString)
-      stageManifest(spark, fs, stage, next, carried, schema)
+      val survivors = renameCols(
+        (if (touched.isEmpty) src
+         else renameCols(
+             entriesFrame(spark, root, touchedEntries, schema, parts), p2l)
+           .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_anti")
+           .unionByName(src)), l2p)
+      (if (parts.isEmpty) survivors.write
+       else survivors.write.partitionBy(parts: _*))
+        .mode("overwrite").parquet(stage.toString)
+      stageManifest(spark, fs, stage, next, carried, schema, parts, p2l)
       writeStageMarker(fs, stage, stageMarker)
     }
   }
@@ -1470,7 +1748,14 @@ object Warehouse {
     val runs = scala.collection.mutable.ArrayBuffer.empty[
       (String, Map[String, String])]
     (lo to hi).foreach { x =>
-      val d = dataPath(spark, root, x)
+      // a MANIFEST chain is ONE map era regardless of version dirs:
+      // physical names are stable across the whole chain and each
+      // commit re-persists the same COMPOSED map (a new rename
+      // replaces it, exactly like a map replacing within a plain-dir
+      // era) — per-version dirs must not multiply the fold
+      val d =
+        if (manifestOf(fs, root, x).isDefined) s"$root#manifest-era"
+        else dataPath(spark, root, x)
       val m = columnMapping(fs, root, x)
       runs.lastOption match {
         case Some((pd, _)) if pd == d =>
@@ -1561,7 +1846,12 @@ object Warehouse {
             "left_anti")
           .drop("_dv_file", "_dv_pos")
     }
-    if (l2p.isEmpty) live
+    // normalize to DECLARED order even with no rename map: a
+    // hive-partitioned dir read surfaces partition columns appended
+    // last, and a feed diff against a declared-order side would
+    // refuse (column sets equal, orders not)
+    if (l2p.isEmpty) live.select(schema.fieldNames.toSeq
+      .map(n => col(s"`$n`")): _*)
     else live.select(schema.fieldNames.toSeq
       .map(n => col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*)
   }
@@ -1672,10 +1962,25 @@ object Warehouse {
           val newRel = (toPaths -- from).toSeq.sorted
           if (newRel.isEmpty) diffImages(snap(v), snap(v), keyCols).limit(0)
           else {
-            val newRows = spark.read.schema(schema)
-              .parquet(newRel.map(r =>
-                fs.makeQualified(new Path(root, r)).toString): _*)
-              .select(schema.fieldNames.map(col).toSeq: _*)
+            // index-backed delta read: partition columns resolve from
+            // the path fragments (a raw file read would null-fill
+            // them into the feed images on a partitioned manifest),
+            // and a carried rename map reads PHYSICAL then surfaces
+            // the feed's era-v LOGICAL names (a logical-schema'd read
+            // would null-fill every renamed column)
+            val newAbs = newRel.map(r =>
+              fs.makeQualified(new Path(root, r)).toString).toSet
+            val l2p = columnMapping(fs, root, v).map(_.swap)
+            val physSchema = org.apache.spark.sql.types.StructType(
+              schema.fields.map(f =>
+                f.copy(name = l2p.getOrElse(f.name, f.name))))
+            val newRows0 = entriesFrame(spark, root,
+              dataFileEntries(spark, root, v).filter(e => newAbs(e._1)),
+              physSchema, manifestParts(fs, root, v))
+            val newRows =
+              if (l2p.isEmpty) newRows0
+              else newRows0.select(schema.fieldNames.toSeq.map(n =>
+                col(s"`${l2p.getOrElse(n, n)}`").as(n)): _*)
             val oldSide = snap(v - 1).join(
               broadcast(newRows.select(keyCols.map(col): _*).distinct()),
               keyCols, "left_semi")

@@ -327,9 +327,11 @@ object GraftTables {
         }
       case Some(v) if Warehouse.manifestOf(fs, root, v).isDefined =>
         // MANIFEST version: the snapshot is a FILE LIST (O(Δ) DML —
-        // [[Warehouse.appendFiles]] family); DVs, rename maps and hive
-        // partitioning are refused at commit time, so the builtin
-        // vectorized parquet scan over the listed files owns the read.
+        // [[Warehouse.appendFiles]] family); DVs and rename maps are
+        // refused at commit time, so the builtin vectorized parquet
+        // scan over the listed files owns the read. HIVE PARTITIONING
+        // composes: _MANIFEST_PARTS names the columns, the file paths
+        // carry the values, and [[ManifestFileIndex]] serves both.
         // Zone-map sidecars are dir-scoped and do not apply.
         // the schema PERSISTED at commit time — a widened manifest
         // chain has MIXED footers (inference would sample one
@@ -350,16 +352,34 @@ object GraftTables {
             new GraftSnapshotTable(tableName, spark, root, schema, None,
               mergeKey, resolvedVersion = Some(v))
           case entries =>
-            val inner = ParquetTable(s"$tableName@v$v", classic(spark),
-              CaseInsensitiveStringMap.empty(), entries.map(_._1),
-              Some(schema), classOf[ParquetFileFormat])
             // the scan plans over the manifest-backed index: zero
-            // listing, zero stat calls, and per-file min/max DATA
-            // SKIPPING from the persisted stats ([[ManifestFileIndex]])
-            new GraftSnapshotTable(tableName, spark, root, inner.schema,
-              Some(inner), mergeKey, resolvedVersion = Some(v),
+            // listing, zero stat calls, per-file min/max DATA SKIPPING
+            // from the persisted stats, and partition pruning from the
+            // path-fragment partition spec ([[ManifestFileIndex]]).
+            // NO inner ParquetTable: its lazy InMemoryFileIndex would
+            // stat every listed file at resolution — the exact
+            // O(files) cost the manifest exists to remove.
+            val parts = Warehouse.manifestParts(fs, root, v)
+            val missing = parts.filterNot(schema.fieldNames.contains)
+            require(missing.isEmpty, s"graft: $root v$v partitions by" +
+              s" (${missing.mkString(", ")}) absent from its schema —" +
+              " _MANIFEST_PARTS and _MANIFEST_SCHEMA disagree")
+            val partSchema = StructType(
+              parts.map(p => schema.fields(schema.fieldIndex(p))))
+            // a manifest-CARRIED rename map (round 13): the scan runs
+            // under PHYSICAL names over the index, [[GraftMappedScan]]
+            // translates at the plan boundary — same composition as
+            // plain renamed versions
+            val mapping = Warehouse.columnMappingOf(spark, root, v)
+            val exposed =
+              if (mapping.isEmpty) schema
+              else StructType(schema.fields.map(f =>
+                f.copy(name = mapping.getOrElse(f.name, f.name))))
+            new GraftSnapshotTable(tableName, spark, root, exposed, None,
+              mergeKey, resolvedVersion = Some(v), mapping = mapping,
               manifestIndex = Some(new ManifestFileIndex(spark, root, entries,
-                Warehouse.dataFileStats(spark, root, v))))
+                Warehouse.dataFileStats(spark, root, v), partSchema)),
+              manifestPartCols = parts)
         }
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))
@@ -452,7 +472,8 @@ class GraftSnapshotTable(tableName: String,
     private[v2] val resolvedVersion: Option[Long] = None,
     dvVersion: Option[Long] = None,
     mapping: Map[String, String] = Map.empty,
-    manifestIndex: Option[ManifestFileIndex] = None)
+    manifestIndex: Option[ManifestFileIndex] = None,
+    manifestPartCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -467,6 +488,16 @@ class GraftSnapshotTable(tableName: String,
     GraftCatalog.readProps(spark, root).asJava
 
   override def partitioning(): Array[Transform] =
+    if (manifestIndex.isDefined)
+      // from the _MANIFEST_PARTS sidecar — never the inner table
+      // (there is none for manifest versions; an inferred one would
+      // stat every listed file); a carried rename map surfaces the
+      // LOGICAL names (dirs stay physical; the scan translates)
+      manifestPartCols.map(p =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(
+          mapping.getOrElse(p, p)))
+        .toArray
+    else
     inner.map(_.partitioning().map { t =>
       // a renamed table surfaces its partitioning under LOGICAL names
       // (the directories stay physical; the scan translates)
@@ -507,7 +538,25 @@ class GraftSnapshotTable(tableName: String,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner match {
+    if (manifestIndex.isDefined) {
+      // manifest snapshot: the builtin parquet scan plans over the
+      // MANIFEST-BACKED file index — zero listing / per-file stats,
+      // partition columns served from the index's path-derived spec.
+      // The scan runs under PHYSICAL names; a carried rename map
+      // wraps it in [[GraftMappedScanBuilder]] (logical boundary).
+      val l2p = mapping.map(_.swap)
+      val physSchema = StructType(tableSchema.fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name))))
+      val partNames = manifestPartCols.toSet
+      val dataSchema = StructType(
+        physSchema.fields.filterNot(f => partNames(f.name)))
+      val builder =
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+          GraftTables.classic(spark), manifestIndex.get, physSchema,
+          dataSchema, options)
+      if (mapping.isEmpty) builder
+      else new GraftMappedScanBuilder(builder, mapping)
+    } else inner match {
       // DV-bearing snapshot: the merge-on-read scan OWNS the read —
       // the builtin parquet scan (zone maps and DPP included) would
       // resurrect deleted rows.
@@ -532,12 +581,6 @@ class GraftSnapshotTable(tableName: String,
             s"graft: mapped read expected the builtin parquet scan builder," +
               s" got ${other.getClass.getName}")
         }
-      // manifest snapshot: the builtin parquet scan plans over the
-      // MANIFEST-BACKED file index — zero listing / per-file stats
-      case Some(t) if manifestIndex.isDefined =>
-        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-          GraftTables.classic(spark), manifestIndex.get, t.schema,
-          t.dataSchema, options)
       case Some(t) => zoneMapIndex match {
         case Some(idx) =>
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(

@@ -34,6 +34,32 @@ object Bridge {
         qe.analyzed.output, qe.toRdd, isStreaming = false)(session))
   }
 
+  /** A DataFrame over an explicit [[org.apache.spark.sql.execution
+    * .datasources.FileIndex]] — the seam that lets a MANIFEST version
+    * read plan with ZERO filesystem listing or stat calls on the
+    * SCALA path too (the connector already plans over the index):
+    * HadoopFsRelation + LogicalRelation is exactly what
+    * `spark.read.parquet` builds, minus its InMemoryFileIndex listing
+    * job. Partition columns (if any) are served from the index's
+    * partition spec, not from file contents. */
+  def ofFileIndex(spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partitionSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val s = spark.asInstanceOf[ClassicSparkSession]
+    // asNullable, exactly as DataFrameReader.schema() relaxes its
+    // user-specified schema: files are allowed to MISS a (widened)
+    // column and null-fill it — a non-nullable field here would both
+    // fail the vectorized reader on such files and let the optimizer
+    // constant-fold `col IS NULL` to false (silently wrong results)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema.asNullable, dataSchema.asNullable, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(s)
+    ClassicDataset.ofRows(s,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
+
   /** The inverse seam, for V1 streaming SOURCES: `getBatch` must hand
     * the engine a plan marked `isStreaming = true` (MicroBatchExecution
     * asserts it), while the batch itself is an ordinary computed

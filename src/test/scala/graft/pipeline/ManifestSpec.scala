@@ -242,13 +242,12 @@ class ManifestSpec extends AnyFunSuite {
       Warehouse.appendFiles(spark, renRoot, batch(21, n = 1, idOffset = 810))
     }
     assert(e2.getMessage.contains("compact"))
-    // partitioned current refuses manifest commits
+    // partitioned current COMPOSES since round 13 (PartitionedManifestSpec
+    // owns the behavior pins; here just the matrix entry flip)
     val partRoot = freshRoot()
     Warehouse.commitPartitioned(spark, partRoot, batch(22, n = 20), Seq("region"))
-    val e3 = intercept[IllegalArgumentException] {
-      Warehouse.appendFiles(spark, partRoot, batch(23, n = 1, idOffset = 820))
-    }
-    assert(e3.getMessage.contains("hive-partitioned"))
+    Warehouse.appendFiles(spark, partRoot, batch(23, n = 1, idOffset = 820))
+    assert(Warehouse.read(spark, partRoot).count() === 21)
     // ...and the reverse compositions refuse on a manifest current
     val mRoot = freshRoot()
     Warehouse.commit(spark, mRoot, batch(24, n = 20))
@@ -257,19 +256,20 @@ class ManifestSpec extends AnyFunSuite {
       Warehouse.deleteWhere(spark, mRoot, col("quality_score") < lit(8.0))
     }
     assert(e4.getMessage.contains("deleteWhereFiles"))
-    val e5 = intercept[IllegalArgumentException] {
-      Warehouse.renameColumns(spark, mRoot, Map("region" -> "zone"))
-    }
-    assert(e5.getMessage.contains("compact"))
     val e6 = intercept[IllegalArgumentException] {
       Warehouse.cloneShallow(spark, mRoot, freshRoot() + "_c")
     }
     assert(e6.getMessage.contains("compact"))
-    // compact restores every composition
-    Warehouse.compact(spark, mRoot)
+    // RENAME COLUMN composes since round 13 (metadata-only map commit
+    // — ManifestRenameSpec owns the behavior pins)
     Warehouse.renameColumns(spark, mRoot, Map("region" -> "zone"))
-    assert(Warehouse.readMapped(spark, mRoot,
-      schema = org.apache.spark.sql.types.StructType(
+    assert(Warehouse.readMapped(spark, mRoot).columns.contains("zone"))
+    // compact still folds the chain (now also materializing the map)
+    Warehouse.compact(spark, mRoot)
+    assert(Warehouse.manifestOf(hfs(mRoot), mRoot,
+      Warehouse.currentVersion(spark, mRoot).get).isEmpty)
+    assert(Warehouse.read(spark, mRoot,
+      org.apache.spark.sql.types.StructType(
         CocoaSchema.warehouse.fields.map(f =>
           if (f.name == "region") f.copy(name = "zone") else f)))
       .columns.contains("zone"))
