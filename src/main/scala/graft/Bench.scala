@@ -140,7 +140,13 @@ object Bench {
         .mkString("{", ",", "}")
       val calRefJson = calRef.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$iters","pass_totals":$passes,"calibration":$calJson,"cal_ref":$calRefJson,"cal_factor":$calFactor,"total_normalized":${total / calFactor},"queries":$qs,"sf":"$sfDir"}"""
+      // machine-independent O(Δ) evidence for the w-pair: bytes each
+      // arm's deletes PUBLISHED (wall-clock varies with the machine;
+      // bytes written do not) — in the artifact, not just a spec
+      val bytesJson = graft.pipeline.WarehouseBench.bytesPublished.toSeq
+        .sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$iters","pass_totals":$passes,"calibration":$calJson,"cal_ref":$calRefJson,"cal_factor":$calFactor,"total_normalized":${total / calFactor},"bytes_published":$bytesJson,"queries":$qs,"sf":"$sfDir"}"""
       // Full-precision, full-registry line: persisted as the
       // authoritative artifact the judge and future rounds read.
       val out = java.nio.file.Paths.get("target/bench.json")
@@ -166,7 +172,7 @@ object Bench {
       }
       val calCompact = calMin.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","agg":"min_of_$iters","cal":$calCompact,"cal_factor":${ms(calFactor)},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","reported":${kept.size},"ran":${results.size},"full":"target/bench.json"}"""
+      val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","agg":"min_of_$iters","cal":$calCompact,"cal_factor":${ms(calFactor)},"bytes_published":$bytesJson,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir","reported":${kept.size},"ran":${results.size},"full":"target/bench.json"}"""
       realOut.println(compact)
       realOut.flush()
       spark.stop()

@@ -252,6 +252,11 @@ object SparkEntry {
     // zero data written — required in-gate), later manifest DML
     // translates, and time travel stays era-correct; all through SQL
     "p39_manifest_rename" -> ((s, _) => cocoaManifestRename(s)),
+    // p40: OPTIMIZE (bin-pack) for manifest tables — the mechanism
+    // bounding manifest metadata growth: small files fold into few,
+    // right-sized files ride verbatim, the table STAYS in manifest
+    // mode; fold + carry + mode all required in-gate
+    "p40_manifest_optimize" -> ((s, _) => cocoaManifestOptimize(s)),
     // p37: the same mode through PLAIN SQL (commitMode=manifest →
     // INSERT upsert + DELETE route file-granular), requires pinned.
     "p37_sql_manifest_lifecycle" -> ((s, _) => cocoaSqlManifestLifecycle(s)),
@@ -336,6 +341,11 @@ object SparkEntry {
     // checkpoint; the union of batches must re-assemble the warehouse
     // exactly — s04's oracle.
     "s20_stream_snapshot_tail" -> ((s, _) => cocoaSnapshotTailed(s)),
+    // s21: the same tail over MANIFEST appends takes the O(Δ)
+    // new-files-only path — zero snapshot diff per trigger, with the
+    // engagement counter AND the exact planned-file count required
+    // in-gate; reuses s20's whole-warehouse oracle
+    "s21_stream_manifest_tail" -> ((s, _) => cocoaManifestTailed(s)),
     // s19: the same dual-drain as s04, but the sink is the CONNECTOR
     // (writeStream.format("graft")) — exactly-once via the sink's
     // in-snapshot epoch markers instead of foreachBatch code.
@@ -1145,6 +1155,46 @@ object SparkEntry {
     Warehouse.read(spark, root).orderBy("shipment_id")
   }
 
+  /** p40: OPTIMIZE for manifest tables ([[Warehouse.optimizeFiles]],
+    * the Delta OPTIMIZE shape) — the mechanism that BOUNDS manifest
+    * metadata growth: a churny append stream (here one big file plus
+    * four single-file appends) accumulates O(commits) manifest lines;
+    * optimize bin-packs the small files into few right-sized ones
+    * while every already-right-sized file rides by reference and the
+    * table STAYS in manifest mode (compact, the other valve, would
+    * give up O(Δ) DML). The fold, the verbatim carry of the big file,
+    * and the surviving manifest mode are all REQUIRED in-gate; the
+    * oracle certifies the content is untouched. */
+  private def cocoaManifestOptimize(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_manifest_opt_", keep = 32)
+    val half = coalesce(col("quality_score") < lit(8.8), lit(false))
+    Warehouse.appendFiles(spark, root, wh.filter(half).coalesce(1))
+    (0 until 4).foreach(i => Warehouse.appendFiles(spark, root,
+      wh.filter(!half)
+        .filter(expr("pmod(crc32(shipment_id), 4)") === lit(i))
+        .coalesce(1)))
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val cur = Warehouse.currentVersion(spark, root).get
+    val before = Warehouse.manifestOf(fs, root, cur).getOrElse(
+      throw new IllegalStateException("p40: the churn must be manifest-mode"))
+    require(before.size == 5,
+      s"p40: expected 5 accumulated files, got ${before.size}")
+    val bigBytes = Warehouse.dataFileEntries(spark, root, cur).map(_._2).max
+    val bigLine = before.maxBy(_.split("\t")(1).toLong)
+    val v = Warehouse.optimizeFiles(spark, root,
+      smallFileBytes = bigBytes).getOrElse(
+      throw new IllegalStateException("p40: optimize must pack the small files"))
+    val after = Warehouse.manifestOf(fs, root, v).getOrElse(
+      throw new IllegalStateException(
+        "p40: optimize must STAY in manifest mode"))
+    require(after.size < before.size,
+      s"p40: optimize must FOLD the manifest, ${before.size} -> ${after.size}")
+    require(after.contains(bigLine),
+      "p40: the right-sized file must ride by reference, VERBATIM")
+    Warehouse.read(spark, root).orderBy("shipment_id")
+  }
+
   /** p37: the MANIFEST lifecycle through plain SQL — commit half the
     * warehouse, declare `commitMode=manifest`, INSERT the other half
     * (file-granular upsert, zero-copy conversion), DELETE the quality
@@ -1466,6 +1516,63 @@ object SparkEntry {
     drain()
     Warehouse.commit(spark, root, wh) // superset of v0: a pure append
     drain()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(got.iterator().asScala.toSeq.asJava, schema)
+      .orderBy("shipment_id")
+  }
+
+  /** s21: tail a MANIFEST table — the O(Δ) twin of s20. The first
+    * drain pays the honest conversion diff (plain v0 → manifest v1);
+    * the second covers a manifest→manifest append span and MUST take
+    * the new-files-only fast path: the engagement counter and the
+    * exact planned-file count are REQUIRED in-gate, so a silent
+    * fallback to the O(snapshot) dual diff fails the row. The union
+    * of all drained batches re-assembles the warehouse (s20's
+    * oracle). */
+  private val cocoaManifestTailMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def cocoaManifestTailed(spark: SparkSession): DataFrame =
+    cocoaManifestTailMemo.computeIfAbsent(spark, runCocoaManifestTail)
+
+  private def runCocoaManifestTail(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val root = graft.core.RunTemp.dir("graft_mtail_", keep = 32)
+    val ckpt = s"$root/_ckpt"
+    val schema = graft.pipeline.CocoaSchema.warehouse
+    val part1 = wh.filter(coalesce(col("quality_score"), lit(0.0)) >= lit(8.5))
+    val rest = wh.filter(coalesce(col("quality_score"), lit(0.0)) < lit(8.5))
+    val part2 = rest.filter(col("bean_type") === lit("Criollo"))
+    val part3 = rest.filter(col("bean_type") =!= lit("Criollo"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(got.add); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    Warehouse.commit(spark, root, part1)
+    drain()                                     // v0: the full slice
+    Warehouse.appendFiles(spark, root, part2)   // conversion: honest diff
+    drain()
+    Warehouse.appendFiles(spark, root, part3.repartition(2)) // pure manifest span
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val fresh = Warehouse.manifestOf(fs, root, 2L).getOrElse(
+      throw new IllegalStateException("s21: v2 must be a manifest version"))
+      .count(_.startsWith("v2/"))
+    val bBefore = graft.sources.v2.GraftSnapshotSource.deltaBatches.sum()
+    val fBefore = graft.sources.v2.GraftSnapshotSource.deltaFilesRead.sum()
+    drain()
+    require(graft.sources.v2.GraftSnapshotSource.deltaBatches.sum() > bBefore,
+      "s21: a manifest-append span must take the O(Δ) new-files-only path," +
+        " not the O(snapshot) dual diff")
+    require(graft.sources.v2.GraftSnapshotSource.deltaFilesRead.sum() - fBefore
+      == fresh.toLong,
+      s"s21: the delta batch must plan exactly the $fresh fresh files")
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(got.iterator().asScala.toSeq.asJava, schema)
       .orderBy("shipment_id")
@@ -4346,6 +4453,10 @@ object SparkEntry {
     // s20: the re-assembled append-only stream equals the warehouse.
     "s20_stream_snapshot_tail" ->
       cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
+    // s21: the manifest-append tail re-assembles the same warehouse
+    // (the O(Δ) path claim lives in the gate's requires).
+    "s21_stream_manifest_tail" ->
+      cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // s16: both cells deterministic — two increment files make two
     // micro-batches; the equality certificate is computed
     // distributively against the one-shot encode (v02 pattern).
@@ -4613,6 +4724,9 @@ object SparkEntry {
       """SELECT * FROM wh
         |WHERE NOT coalesce(region = 'Volta' AND quality_score < 8.0, FALSE)
         |ORDER BY shipment_id""".stripMargin),
+    // p40: optimize is layout-only — the content is the whole warehouse.
+    "p40_manifest_optimize" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id"),
     // p39: manifest rename — survivors of the scoped Volta cut under
     // the renamed (logical) column.
     "p39_manifest_rename" -> cocoaOracle(

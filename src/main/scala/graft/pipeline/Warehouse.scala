@@ -526,6 +526,20 @@ object Warehouse {
       manifestParts(fs, root, v), dataFileStats(spark, root, v))
   }
 
+  /** A SUBSET of manifest version `v`'s files (root-relative paths) as
+    * an index-backed frame under `schema` — the O(Δ) read behind the
+    * snapshot stream's manifest-append fast path: only the named files
+    * plan, with partition columns served from their fragments. */
+  private[graft] def readManifestFiles(spark: SparkSession, root: String,
+      v: Long, relPaths: Set[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val fs = Ingest.fs(spark, root)
+    val abs = relPaths.map(r => fs.makeQualified(new Path(root, r)).toString)
+    entriesFrame(spark, root,
+      dataFileEntries(spark, root, v).filter(e => abs(e._1)),
+      schema, manifestParts(fs, root, v))
+  }
+
   /** Index-backed frame over an explicit manifest entry SUBSET — the
     * building block behind [[manifestFrame]] and the file-granular DML
     * planning/rewrite reads: partition columns served from the path
@@ -804,6 +818,11 @@ object Warehouse {
     * version dir whose files any RETAINED manifest still references
     * survives the retention floor. */
   private val manifestFile = "_MANIFEST"
+
+  /** Manifest length past which each commit logs a loud warning naming
+    * [[optimizeFiles]] — the metadata-growth guard (~0.5 KB/line means
+    * 100k lines ≈ 50 MB of driver-side manifest text per resolution). */
+  private[graft] val WarnManifestFiles: Int = 100000
 
   /** Version `v`'s manifest lines — `relpath<TAB>size<TAB>mtime` per
     * data file (legacy lines may carry the path alone) — or None for
@@ -1199,6 +1218,15 @@ object Warehouse {
       val base = s"v$next/$rel\t${s.getLen}\t${s.getModificationTime}"
       stats.get(enc).fold(base)(j => s"$base\t$j")
     }
+    val total = carried.size + fresh.size
+    if (total > WarnManifestFiles)
+      // the metadata-growth guard: loud, with the remediation named —
+      // past ~100k lines the per-resolution manifest parse costs tens
+      // of MB of driver text; optimizeFiles folds it back
+      System.err.println(s"graft WARN: manifest of $stage is about to" +
+        s" carry $total file entries (> $WarnManifestFiles) — run" +
+        " Warehouse.optimizeFiles (bin-packs small files, stays in" +
+        " manifest mode) or compact to bound metadata growth")
     val mf = fs.create(new Path(stage, manifestFile), true)
     try mf.write((carried ++ fresh).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -2447,6 +2475,63 @@ object Warehouse {
     * the plain (index-less) path, never a stale index (build is
     * create-only; [[graft.sources.ZoneMap.refresh]] maintains it
     * across appends). */
+  /** OPTIMIZE for MANIFEST tables — the mechanism that BOUNDS manifest
+    * metadata growth (Delta OPTIMIZE's shape): bin-packs every data
+    * file smaller than `smallFileBytes` into ~`targetFileBytes` files
+    * and publishes a manifest version that rewrites ONLY those small
+    * files — every already-right-sized file rides by reference, the
+    * rename map and partitioning carry, and the table STAYS in
+    * manifest mode (compact, the other valve, folds to a plain
+    * snapshot and gives up O(Δ) DML).
+    *
+    * Why this is the scaling answer: a high-churn append stream
+    * accumulates O(commits) small files, and manifest text grows
+    * ~0.5 KB per file (PLANS.md round-12 §11) — at a million files
+    * the driver-side manifest parse is a few hundred MB. Periodic
+    * optimizeFiles folds the file count (hence the manifest length)
+    * back to O(tableBytes / targetFileBytes), which for any sane
+    * target keeps the manifest in the low MBs at 100 TB. Commits past
+    * [[WarnManifestFiles]] also log a loud pointer here.
+    *
+    * Returns the new version, or None when there is nothing worth
+    * packing (fewer than `minInputFiles` small files). */
+  def optimizeFiles(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 64L * 1024 * 1024,
+      minInputFiles: Int = 2,
+      lockTtlMs: Long = DefaultLockTtlMs): Option[Long] = {
+    require(targetFileBytes >= 1 && smallFileBytes >= 1,
+      "optimizeFiles: byte thresholds must be positive")
+    val fs = Ingest.fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"optimizeFiles: no committed snapshot under $root"))
+    requireManifestable(spark, root, cur)
+    val schema = effectiveSchema(spark, root, cur) // PHYSICAL
+    val (p2l, _) = manifestMapping(fs, root, cur)
+    val parts = partitionColsOf(spark, root, cur)
+    val lines = carryLines(spark, root, cur)
+    val entries = dataFileEntries(spark, root, cur)
+    val bySize = entries.map(e => e._1 -> e._2).toMap
+    val (small, big) = lines.partition(e =>
+      bySize.get(e._1).exists(_ < smallFileBytes))
+    if (small.size < minInputFiles) return None
+    val carried = big.map(_._2) // verbatim: sizes + stats survive
+    val smallSet = small.map(_._1).toSet
+    val smallEntries = entries.filter(e => smallSet(e._1))
+    val smallBytes = smallEntries.map(_._2).sum
+    val n = math.max(1L, (smallBytes + targetFileBytes - 1L) / targetFileBytes)
+    Some(publishVersion(spark, root, lockTtlMs,
+        expectedCurrent = Some(Some(cur))) { (stage, next) =>
+      val packed = entriesFrame(spark, root, smallEntries, schema, parts)
+        .repartition(n.toInt)
+      (if (parts.isEmpty) packed.write
+       else packed.write.partitionBy(parts: _*))
+        .mode("overwrite").parquet(stage.toString)
+      stageManifest(spark, fs, stage, next, carried, schema, parts, p2l)
+    })
+  }
+
   def compactClustered(spark: SparkSession, root: String,
       colA: String, colB: String,
       targetFileBytes: Long = 128L * 1024 * 1024,

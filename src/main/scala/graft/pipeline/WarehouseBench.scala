@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   * measured difference is pure delete-path cost. */
 object WarehouseBench {
 
+  /** Machine-independent evidence for the O(Δ) claim, emitted into
+    * the bench ARTIFACT alongside the seconds (wall-clock is
+    * machine/filesystem-dependent; bytes published are not): per arm,
+    * the total on-disk bytes the ten deletes wrote — every version
+    * dir the deletes published, the seed excluded. CoW re-publishes
+    * the surviving snapshot per delete (~10× table); manifest deletes
+    * publish only the touched files' rewrites. */
+  val bytesPublished = new scala.collection.concurrent.TrieMap[String, Long]
+
+  /** On-disk bytes of version dirs `1..n` under `root` — what the
+    * delete sequence itself published. */
+  private def publishedBytes(spark: SparkSession, root: String, n: Int): Long = {
+    val fs = graft.pipeline.Ingest.fs(spark, root)
+    (1 to n).map { v =>
+      val p = new org.apache.hadoop.fs.Path(Warehouse.versionPath(root, v.toLong))
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
   /** Ten disjoint narrow cuts over lineitem's orderkey space — each
     * hits ~1/128 of the keys, landing in one or two of the 32
     * range-clustered files. */
@@ -65,6 +84,7 @@ object WarehouseBench {
       Warehouse.commit(spark, root, kept,
         expectedCurrent = Some(Warehouse.currentVersion(spark, root)))
     }
+    bytesPublished("w01_delete_cow") = publishedBytes(spark, root, 10)
     summary(spark, root, schema)
   }
 
@@ -76,6 +96,7 @@ object WarehouseBench {
       val pred = col("l_orderkey") >= lit(lo) && col("l_orderkey") < lit(hi)
       Warehouse.deleteWhereFiles(spark, root, pred)
     }
+    bytesPublished("w02_delete_manifest") = publishedBytes(spark, root, 10)
     summary(spark, root, schema)
   }
 }

@@ -434,6 +434,60 @@ class ManifestSpec extends AnyFunSuite {
         Warehouse.currentVersion(spark, root).get).size)
   }
 
+  test("optimizeFiles bin-packs small files, stays in manifest mode, bounds metadata") {
+    val root = freshRoot()
+    // a churny append stream: 8 tiny single-file commits + 1 big file
+    Warehouse.appendFiles(spark, root, batch(60, n = 200).coalesce(1))
+    (0 until 8).foreach(i => Warehouse.appendFiles(spark, root,
+      batch(61 + i, n = 3, idOffset = 300 + i * 10).coalesce(1)))
+    val cur0 = Warehouse.currentVersion(spark, root).get
+    val before = manifest(root, cur0)
+    assert(before.size === 9)
+    val truth = rows(Warehouse.read(spark, root))
+    // pack everything under 1 MB except the big seed file
+    val bigBytes = Warehouse.dataFileEntries(spark, root, cur0)
+      .map(_._2).max
+    val v = Warehouse.optimizeFiles(spark, root,
+      targetFileBytes = 64L * 1024 * 1024,
+      smallFileBytes = bigBytes).getOrElse(fail("must pack the small files"))
+    val after = manifest(root, v)
+    assert(after.size < before.size,
+      s"optimize must FOLD the manifest (${before.size} -> ${after.size})")
+    assert(Warehouse.manifestOf(hfs(root), root, v).isDefined,
+      "the table STAYS in manifest mode (unlike compact)")
+    // the big file rode by reference, VERBATIM (stats intact)
+    val bigLine = before.maxBy(l => l.split("\t")(1).toLong)
+    assert(after.contains(bigLine),
+      "the already-right-sized file must ride by reference")
+    // content identical
+    assert(rows(Warehouse.read(spark, root)) === truth)
+    // nothing left to pack: a second optimize is a no-op
+    assert(Warehouse.optimizeFiles(spark, root,
+      smallFileBytes = 1L).isEmpty)
+  }
+
+  test("optimizeFiles carries the rename map and the partition layout") {
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(70, n = 60), Seq("bean_type"))
+    (0 until 4).foreach(i => Warehouse.appendFiles(spark, root,
+      batch(71 + i, n = 5, idOffset = 400 + i * 10)))
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))
+    val truth = rows(Warehouse.readMapped(spark, root))
+    val before = Warehouse.dataFilesOf(spark, root,
+      Warehouse.currentVersion(spark, root).get).size
+    val v = Warehouse.optimizeFiles(spark, root).getOrElse(
+      fail("small partitioned files must pack"))
+    assert(Warehouse.dataFilesOf(spark, root, v).size < before)
+    assert(Warehouse.manifestParts(hfs(root), root, v) === Seq("bean_type"),
+      "partition layout carries")
+    val live = Warehouse.readMapped(spark, root)
+    assert(live.columns.contains("zone"), "the rename map carries")
+    assert(rows(live) === truth)
+    // packed files keep the hive layout
+    assert(manifest(root, v).filter(_.startsWith(s"v$v/"))
+      .forall(_.startsWith(s"v$v/bean_type=")))
+  }
+
   test("racing appendFiles never lose an update: serialized cleanly or fenced loudly") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(43, n = 20))

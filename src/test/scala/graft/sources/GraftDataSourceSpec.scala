@@ -1034,6 +1034,59 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest-append spans stream O(DELTA): the batch plans ONLY the span's new files") {
+    import graft.sources.v2.GraftSnapshotSource
+    val root = freshRoot()
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Warehouse.commit(spark, root, batch(60, n = 20))
+    val ckpt = Files.createTempDirectory("graft_snap_mdelta_ckpt").toString
+    def drain(): Either[Throwable, Seq[Row]] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(60000); Right(got.toSeq) }
+      catch { case t: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Left(t) }
+    }
+    assert(drain().toOption.get.size === 20) // v0: the full table
+    // conversion span (plain -> manifest): honest dual-diff fallback
+    Warehouse.appendFiles(spark, root, batch(61, n = 6, idOffset = 700))
+    assert(drain().toOption.get.size === 6)
+    // manifest -> manifest append: the O(DELTA) fast path MUST engage
+    // and plan exactly the span's fresh files
+    Warehouse.appendFiles(spark, root,
+      batch(62, n = 4, idOffset = 800).repartition(2))
+    val bBefore = GraftSnapshotSource.deltaBatches.sum()
+    val fBefore = GraftSnapshotSource.deltaFilesRead.sum()
+    val got2 = drain().toOption.get
+    assert(got2.size === 4)
+    assert(got2.map(_.getAs[String]("shipment_id")).toSet ===
+      batch(62, n = 4, idOffset = 800).select("shipment_id")
+        .collect().map(_.getString(0)).toSet)
+    assert(GraftSnapshotSource.deltaBatches.sum() > bBefore,
+      "the manifest-append span must take the new-files-only path")
+    val fresh = Warehouse.manifestOf(hfs, root, 2L).get.count(_.startsWith("v2/"))
+    assert(GraftSnapshotSource.deltaFilesRead.sum() - fBefore === fresh.toLong,
+      s"the delta batch must plan exactly the $fresh fresh files")
+    // a manifest RENAME is metadata-only: zero-row batch, stream survives
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))
+    assert(drain().toOption.get.isEmpty)
+    // a file-granular rewrite in a manifest span still refuses loudly
+    Warehouse.deleteWhereFiles(spark, root, col("quality_score") < lit(9.9))
+    drain() match {
+      case Left(t) =>
+        val msg = Option(t.getCause).map(_.getMessage).getOrElse(t.getMessage)
+        assert(msg.contains("cannot represent"), msg)
+      case Right(rows) => fail(s"rewrite must refuse, got rows: $rows")
+    }
+  }
+
   test("snapshot stream startingVersion skips history; versionAsOf refuses") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(42, n = 10))
