@@ -827,19 +827,37 @@ object Warehouse {
   /** Version `v`'s manifest lines — `relpath<TAB>size<TAB>mtime` per
     * data file (legacy lines may carry the path alone) — or None for
     * a plain (whole-dir) snapshot. The path is always the line's
-    * first tab-column, so prefix checks work on raw lines. */
+    * first tab-column, so prefix checks work on raw lines.
+    *
+    * CACHED by (qualified path, length, mtime): one manifest
+    * resolution touches this several times (carry lines, entries,
+    * stats, schema kind, partition cols), and at 100k-line manifests
+    * each uncached call is a tens-of-MB read+split — the identity key
+    * makes the cache safe (published version dirs are immutable; a
+    * vacuumed version fails the getFileStatus and reads None exactly
+    * as before). Bounded: cleared wholesale past 128 entries. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[String])]()
+
   private[graft] def manifestOf(fs: FileSystem, root: String,
       v: Long): Option[Seq[String]] = {
     val p = new Path(versionPath(root, v), manifestFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          StandardCharsets.UTF_8)
-        finally in.close()
-      Some(txt.linesIterator.filter(_.nonEmpty).toSeq)
-    }
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = fs.makeQualified(p).toString
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == st.getLen && hit._2 == st.getModificationTime)
+      return Some(hit._3)
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+    if (manifestCache.size > 128) manifestCache.clear()
+    manifestCache.put(key, (st.getLen, st.getModificationTime, lines))
+    Some(lines)
   }
 
   /** Sidecar naming a manifest version's hive partition COLUMNS, in
@@ -1259,16 +1277,29 @@ object Warehouse {
     * the zone-map convention). A column whose `nan:` flag is set is
     * DROPPED here (NaN-bearing files must never be pruned — NaN sorts
     * above every numeric, so the stripped min/max understate it). */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Map[String, Map[String, (Option[Any], Option[Any])]])]()
+
   private[graft] def dataFileStats(spark: SparkSession, root: String,
       v: Long): Map[String, Map[String, (Option[Any], Option[Any])]] = {
     val fs = Ingest.fs(spark, root)
+    // same immutability-keyed cache as [[manifestOf]] — the JSON parse
+    // is O(manifest text) and a single DML call plans several reads
+    val cachePath = new Path(versionPath(root, v), manifestFile)
+    val stOpt = scala.util.Try(fs.getFileStatus(cachePath)).toOption
+    val cacheKey = fs.makeQualified(cachePath).toString
+    stOpt.foreach { st =>
+      val hit = statsCache.get(cacheKey)
+      if (hit != null && hit._1 == st.getLen &&
+        hit._2 == st.getModificationTime) return hit._3
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def side(n: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
       if (n == null || n.isNull) None
       else if (n.isNumber) Some(n.decimalValue())
       else if (n.isTextual) Some(n.asText())
       else None
-    manifestOf(fs, root, v).getOrElse(return Map.empty).flatMap { line =>
+    val parsed = manifestOf(fs, root, v).getOrElse(return Map.empty).flatMap { line =>
       line.split("\t", 4) match {
         case Array(rel, _, _, json) =>
           val node = mapper.readTree(json)
@@ -1287,6 +1318,11 @@ object Warehouse {
         case _ => None
       }
     }.toMap
+    stOpt.foreach { st =>
+      if (statsCache.size > 128) statsCache.clear()
+      statsCache.put(cacheKey, (st.getLen, st.getModificationTime, parsed))
+    }
+    parsed
   }
 
   /** A caller-supplied marker file published ATOMICALLY with the

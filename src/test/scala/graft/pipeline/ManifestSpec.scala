@@ -488,6 +488,33 @@ class ManifestSpec extends AnyFunSuite {
       .forall(_.startsWith(s"v$v/bean_type=")))
   }
 
+  test("many-file manifests: 300 tiny files fold to a handful, metadata bounded") {
+    val root = freshRoot()
+    // ONE commit, 300 tiny files — the shape a churny append stream
+    // converges to (without needing 300 commits in a spec)
+    Warehouse.appendFiles(spark, root,
+      batch(80, n = 300).repartition(300, col("shipment_id")))
+    val cur = Warehouse.currentVersion(spark, root).get
+    val before = manifest(root, cur)
+    // 300-way hash partitioning of 300 rows leaves some partitions
+    // empty (no file) — well over 100 tiny files either way
+    assert(before.size > 100)
+    val truth = rows(Warehouse.read(spark, root))
+    val v = Warehouse.optimizeFiles(spark, root).getOrElse(
+      fail("300 tiny files must pack"))
+    val after = manifest(root, v)
+    assert(after.size <= 4,
+      s"optimize must fold 300 lines to O(tableBytes/target), got ${after.size}")
+    assert(rows(Warehouse.read(spark, root)) === truth)
+    // the fold is what bounds the per-resolution manifest parse: the
+    // on-disk _MANIFEST text shrinks with the line count
+    val fs = hfs(root)
+    def mBytes(x: Long) = fs.getFileStatus(new Path(
+      Warehouse.versionPath(root, x), "_MANIFEST")).getLen
+    assert(mBytes(v) < mBytes(cur) / 10,
+      s"manifest text must shrink ~line-proportionally, ${mBytes(cur)} -> ${mBytes(v)}")
+  }
+
   test("racing appendFiles never lose an update: serialized cleanly or fenced loudly") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(43, n = 20))
