@@ -470,6 +470,36 @@ object SparkEntry {
       graft.core.Catalog.sql(s, dir,
         s"SELECT * FROM graft_live('$root') ORDER BY shipment_id")
     }),
+    // t19: OPTIMIZE as a FROM-clause procedure — p40's bin-pack
+    // through `graft_optimize(root, target, small)`: the manifest
+    // FOLDS (required in-gate), right-sized files ride verbatim, the
+    // table stays in manifest mode, and the returned rows ARE the
+    // optimized snapshot (content unchanged — the oracle certifies).
+    "t19_tvf_optimize" -> ((s, dir) => {
+      val wh = cocoaWarehouse(s)
+      val root = graft.core.RunTemp.dir("graft_opt_tvf_", keep = 32)
+      val half = coalesce(col("quality_score") < lit(8.8), lit(false))
+      Warehouse.appendFiles(s, root, wh.filter(half).coalesce(1))
+      (0 until 4).foreach(i => Warehouse.appendFiles(s, root,
+        wh.filter(!half)
+          .filter(expr("pmod(crc32(shipment_id), 4)") === lit(i))
+          .coalesce(1)))
+      val fs = graft.sources.v2.GraftTables.fs(s, root)
+      val cur = Warehouse.currentVersion(s, root).get
+      val before = Warehouse.manifestOf(fs, root, cur).get
+      val bigBytes = Warehouse.dataFileEntries(s, root, cur).map(_._2).max
+      val out = graft.core.Catalog.sql(s, dir,
+        s"SELECT * FROM graft_optimize('$root', ${128L * 1024 * 1024}," +
+          s" $bigBytes) ORDER BY shipment_id")
+      // the TVF runs its side effect at analysis — out is resolved here
+      val v = Warehouse.currentVersion(s, root).get
+      val after = Warehouse.manifestOf(fs, root, v).getOrElse(
+        throw new IllegalStateException(
+          "t19: graft_optimize must STAY in manifest mode"))
+      require(v > cur && after.size < before.size,
+        s"t19: the TVF must fold the manifest, ${before.size} -> ${after.size}")
+      out
+    }),
     "t08_tvf_change_feed" -> ((s, dir) => {
       cocoaWarehouse(s)
       val root = cocoaDirsMemo.get(s).warehouse
@@ -2328,6 +2358,9 @@ object SparkEntry {
       "SELECT * FROM wh ORDER BY shipment_id",
       batches = Seq("b1" -> "2023-11-14 22:13:20")),
     "t08_tvf_change_feed" -> cocoaVersionDiffOracleSql,
+    // t19: optimize is layout-only — the content is the whole warehouse.
+    "t19_tvf_optimize" -> cocoaOracle(
+      "SELECT * FROM wh ORDER BY shipment_id"),
     // t18: the live read must serve p12's post-delete truth.
     "t18_tvf_live" -> cocoaOracle(
       """SELECT * FROM wh

@@ -272,6 +272,28 @@ object GraftTableFunctions {
         s.read.parquet(w.dataPath(s, root, cur)) // compact publishes PLAIN
       }),
 
+    ("graft_optimize",
+      "graft_optimize(root[, targetFileBytes[, smallFileBytes]]) -" +
+        " PROCEDURE with result: bin-packs a MANIFEST table's files" +
+        " smaller than smallFileBytes into ~targetFileBytes files as" +
+        " the next version — right-sized files ride by reference and" +
+        " the table STAYS in manifest mode (unlike graft_compact)," +
+        " bounding manifest metadata growth; then reads the table" +
+        " back. No-op when nothing is worth packing. The side effect" +
+        " runs when the query is analyzed",
+      Set(1, 2, 3),
+      (s: SparkSession, a: Seq[Expression]) => {
+        val fn = "graft_optimize"
+        val w = graft.pipeline.Warehouse
+        val root = strArg(a(0), fn)
+        val target = if (a.length > 1) longArg(a(1), fn) else 128L * 1024 * 1024
+        val small = if (a.length > 2) longArg(a(2), fn) else target / 2
+        w.optimizeFiles(s, root, target, small)
+        // connector read: a manifest version has no single data dir,
+        // and a carried rename map must surface logical names
+        s.read.format("graft").load(root)
+      }),
+
     ("graft_vacuum",
       "graft_vacuum(root, keepLast) - PROCEDURE with result: prunes" +
         " snapshots beyond the keepLast newest (with their deletion" +
