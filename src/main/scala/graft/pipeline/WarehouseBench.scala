@@ -54,16 +54,23 @@ object WarehouseBench {
     * driver's bench SF the per-commit fixed cost (lease, staging
     * rename, pointer swap: scale-independent filesystem ops) would
     * otherwise floor both arms and hide the O(table)-vs-O(touched)
-    * difference the pair exists to measure. */
-  private def seed(spark: SparkSession, dir: String, tag: String): (String, Long) = {
+    * difference the pair exists to measure. Each arm seeds in ITS OWN
+    * production state: the CoW arm a plain snapshot, the manifest arm
+    * a manifest version (round 13) — whose lines carry per-file
+    * min/max stats, so its deletes plan STATS-SKIPPED (the touched-
+    * file search reads only candidate files, the state every manifest
+    * table written through appendFiles is actually in). */
+  private def seed(spark: SparkSession, dir: String, tag: String,
+      manifest: Boolean = false): (String, Long) = {
     val root = graft.core.RunTemp.dir(s"graft_wbench_${tag}_", keep = 8)
     val li0 = graft.core.Tables.lineitem(spark, dir)
     val span = li0.agg(max("l_orderkey")).head().getLong(0) + 1
     val li = (0 until 4).map(i =>
       li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * span)))
       .reduce(_ unionByName _)
-    Warehouse.commit(spark, root,
-      li.repartitionByRange(32, col("l_orderkey")))
+    val clustered = li.repartitionByRange(32, col("l_orderkey"))
+    if (manifest) Warehouse.appendFiles(spark, root, clustered)
+    else Warehouse.commit(spark, root, clustered)
     (root, 4 * span)
   }
 
@@ -90,7 +97,7 @@ object WarehouseBench {
 
   /** w02: ten file-granular manifest deletes of the SAME ranges. */
   def deleteManifest(spark: SparkSession, dir: String): DataFrame = {
-    val (root, maxKey) = seed(spark, dir, "manifest")
+    val (root, maxKey) = seed(spark, dir, "manifest", manifest = true)
     val schema = spark.read.parquet(Warehouse.dataPath(spark, root, 0L)).schema
     cuts(maxKey).foreach { case (lo, hi) =>
       val pred = col("l_orderkey") >= lit(lo) && col("l_orderkey") < lit(hi)

@@ -80,15 +80,19 @@ private[graft] class ManifestFileIndex(spark: SparkSession, root: String,
     * partition values recur across version dirs — `v0/region=EU` and
     * `v3/region=EU` are two paths of one logical partition, exactly
     * how the base class wants them). */
-  override def partitionSpec(): PartitionSpec =
-    if (partSchema.isEmpty) PartitionSpec.emptySpec
-    else {
-      val zone = spark.sessionState.conf.sessionLocalTimeZone
-      val paths = statuses.map(_.getPath.getParent).distinct.map { dir =>
-        PartitionPath(partitionRow(dir, zone), dir)
-      }
-      PartitionSpec(partSchema, paths)
+  // built once: the base class consults the spec on every listFiles
+  // and partitionSchema access, and the per-dir fragment parse + cast
+  // is O(dirs) work that must not repeat per planning call
+  private lazy val builtSpec: PartitionSpec = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val paths = statuses.map(_.getPath.getParent).distinct.map { dir =>
+      PartitionPath(partitionRow(dir, zone), dir)
     }
+    PartitionSpec(partSchema, paths)
+  }
+
+  override def partitionSpec(): PartitionSpec =
+    if (partSchema.isEmpty) PartitionSpec.emptySpec else builtSpec
 
   /** `dir`'s partition values in declared order, parsed from its
     * `k=v` path fragments — [[GraftDvScan]]'s parser shape: hive
@@ -111,13 +115,13 @@ private[graft] class ManifestFileIndex(spark: SparkSession, root: String,
     })
   }
 
-  override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+  override protected lazy val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
     val m = mutable.LinkedHashMap.empty[Path, FileStatus]
     statuses.foreach(s => m += (s.getPath -> s))
     m
   }
 
-  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+  override protected lazy val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     statuses.groupBy(_.getPath.getParent)
       .map { case (dir, fls) => dir -> fls.toArray }
 
