@@ -835,7 +835,12 @@ object Warehouse {
     * each uncached call is a tens-of-MB read+split — the identity key
     * makes the cache safe (published version dirs are immutable; a
     * vacuumed version fails the getFileStatus and reads None exactly
-    * as before). Bounded: cleared wholesale past 128 entries. */
+    * as before). Bounded by BYTES, not entries: manifests are
+    * ~0.5 KB/file, so 128 large-table entries could pin GBs of driver
+    * heap — each cache clears wholesale past 64 MB of manifest text
+    * (the on-disk length is the size proxy for the parsed forms). */
+  private val ManifestCacheMaxBytes = 64L * 1024 * 1024
+  private val manifestCacheBytes = new java.util.concurrent.atomic.AtomicLong
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[String])]()
 
@@ -855,7 +860,10 @@ object Warehouse {
         StandardCharsets.UTF_8)
       finally in.close()
     val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
-    if (manifestCache.size > 128) manifestCache.clear()
+    if (manifestCacheBytes.addAndGet(st.getLen) > ManifestCacheMaxBytes) {
+      manifestCache.clear()
+      manifestCacheBytes.set(st.getLen)
+    }
     manifestCache.put(key, (st.getLen, st.getModificationTime, lines))
     Some(lines)
   }
@@ -1277,6 +1285,7 @@ object Warehouse {
     * the zone-map convention). A column whose `nan:` flag is set is
     * DROPPED here (NaN-bearing files must never be pruned — NaN sorts
     * above every numeric, so the stripped min/max understate it). */
+  private val statsCacheBytes = new java.util.concurrent.atomic.AtomicLong
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Long, Map[String, Map[String, (Option[Any], Option[Any])]])]()
 
@@ -1299,7 +1308,16 @@ object Warehouse {
       else if (n.isNumber) Some(n.decimalValue())
       else if (n.isTextual) Some(n.asText())
       else None
-    val parsed = manifestOf(fs, root, v).getOrElse(return Map.empty).flatMap { line =>
+    val lines = manifestOf(fs, root, v).getOrElse(return Map.empty)
+    // floating columns whose stats lack a `nan:` flag are LEGACY
+    // (written before the flag existed, NaN silently stripped): their
+    // max may understate NaN rows, so their stats must not prune —
+    // the current writer always emits the flag for float/double
+    val floating: Set[String] = effectiveSchema(spark, root, v).fields
+      .collect { case f if f.dataType ==
+        org.apache.spark.sql.types.FloatType || f.dataType ==
+        org.apache.spark.sql.types.DoubleType => f.name }.toSet
+    val parsed = lines.flatMap { line =>
       line.split("\t", 4) match {
         case Array(rel, _, _, json) =>
           val node = mapper.readTree(json)
@@ -1310,7 +1328,8 @@ object Warehouse {
             if (k.startsWith("min:")) {
               val c = k.drop(4)
               val nan = node.get(s"nan:$c")
-              if (nan == null || !nan.asBoolean(false))
+              val legacyFloating = nan == null && floating(c)
+              if (!legacyFloating && (nan == null || !nan.asBoolean(false)))
                 cols(c) = (side(node.get(k)), side(node.get(s"max:$c")))
             }
           }
@@ -1319,7 +1338,10 @@ object Warehouse {
       }
     }.toMap
     stOpt.foreach { st =>
-      if (statsCache.size > 128) statsCache.clear()
+      if (statsCacheBytes.addAndGet(st.getLen) > ManifestCacheMaxBytes) {
+        statsCache.clear()
+        statsCacheBytes.set(st.getLen)
+      }
       statsCache.put(cacheKey, (st.getLen, st.getModificationTime, parsed))
     }
     parsed
@@ -2559,8 +2581,18 @@ object Warehouse {
     val n = math.max(1L, (smallBytes + targetFileBytes - 1L) / targetFileBytes)
     Some(publishVersion(spark, root, lockTtlMs,
         expectedCurrent = Some(Some(cur))) { (stage, next) =>
-      val packed = entriesFrame(spark, root, smallEntries, schema, parts)
-        .repartition(n.toInt)
+      val small = entriesFrame(spark, root, smallEntries, schema, parts)
+      // partitioned tables CLUSTER the pack by the partition columns:
+      // a round-robin repartition(n) would spray every partition's
+      // rows across all n tasks and the dynamic write would emit up
+      // to n × P files — GROWING the manifest this op exists to fold.
+      // Hash-clustering keeps each partition's rows in one task ⇒
+      // ~one packed file per partition dir (a single giant partition
+      // value can exceed the target; hive dirs cannot merge anyway).
+      val packed =
+        if (parts.isEmpty) small.repartition(n.toInt)
+        else small.repartition(n.toInt,
+          parts.map(p => org.apache.spark.sql.functions.col(s"`$p`")): _*)
       (if (parts.isEmpty) packed.write
        else packed.write.partitionBy(parts: _*))
         .mode("overwrite").parquet(stage.toString)

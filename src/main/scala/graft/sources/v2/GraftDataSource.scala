@@ -337,20 +337,51 @@ object GraftTables {
         // chain has MIXED footers (inference would sample one
         // nondeterministically) and an emptied one has none at all.
         // ALTER TABLE ADD COLUMNS widening layers on top exactly as
-        // for plain versions (no rename map here — refused at commit).
+        // for plain versions; a manifest-CARRIED rename map (round 13)
+        // means stored names are PHYSICAL while the sidecar's are
+        // LOGICAL — the coverage check compares in LOGICAL space and a
+        // winning sidecar translates BACK to physical names (the plain
+        // branch's exact rules, same collision refusal).
         val stored = Warehouse.effectiveSchema(spark, root, v)
+        val mapping = Warehouse.columnMappingOf(spark, root, v)
+        val l2p = mapping.map(_.swap)
         val schema = GraftCatalog.readSchemaSidecar(spark, root)
           .filter(d => stored.fields.forall(f =>
             d.fields.exists(df =>
-              df.name == f.name && df.dataType == f.dataType)) &&
+              df.name == mapping.getOrElse(f.name, f.name) &&
+                df.dataType == f.dataType)) &&
             d.length > stored.length)
+          .map { d =>
+            val dPhys = StructType(d.fields.map(f =>
+              f.copy(name = l2p.getOrElse(f.name, f.name))))
+            require(dPhys.fieldNames.distinct.length == dPhys.fieldNames.length,
+              s"graft: declared column(s) of $root collide with the physical" +
+                s" name of a renamed column (${dPhys.fieldNames.mkString(", ")})" +
+                " — rename or drop the colliding declared column first")
+            dPhys
+          }
           .getOrElse(stored)
+        // logical twin of the (physical) resolved schema
+        val exposed =
+          if (mapping.isEmpty) schema
+          else StructType(schema.fields.map(f =>
+            f.copy(name = mapping.getOrElse(f.name, f.name))))
+        val parts = Warehouse.manifestParts(fs, root, v)
+        val missing = parts.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty, s"graft: $root v$v partitions by" +
+          s" (${missing.mkString(", ")}) absent from its schema —" +
+          " _MANIFEST_PARTS and _MANIFEST_SCHEMA disagree")
         Warehouse.dataFileEntries(spark, root, v) match {
           case Seq() =>
             require(schema.nonEmpty, s"graft: $root v$v lists no files and" +
               " persists no schema — declare one via CREATE TABLE")
-            new GraftSnapshotTable(tableName, spark, root, schema, None,
-              mergeKey, resolvedVersion = Some(v))
+            // an EMPTIED manifest chain (delete-everything) keeps its
+            // carried map and partitioning: the table must still
+            // surface LOGICAL names and its layout, or a later INSERT
+            // naming the renamed column fails against physical names
+            new GraftSnapshotTable(tableName, spark, root, exposed, None,
+              mergeKey, resolvedVersion = Some(v), mapping = mapping,
+              manifestPartCols = parts)
           case entries =>
             // the scan plans over the manifest-backed index: zero
             // listing, zero stat calls, per-file min/max DATA SKIPPING
@@ -358,23 +389,11 @@ object GraftTables {
             // path-fragment partition spec ([[ManifestFileIndex]]).
             // NO inner ParquetTable: its lazy InMemoryFileIndex would
             // stat every listed file at resolution — the exact
-            // O(files) cost the manifest exists to remove.
-            val parts = Warehouse.manifestParts(fs, root, v)
-            val missing = parts.filterNot(schema.fieldNames.contains)
-            require(missing.isEmpty, s"graft: $root v$v partitions by" +
-              s" (${missing.mkString(", ")}) absent from its schema —" +
-              " _MANIFEST_PARTS and _MANIFEST_SCHEMA disagree")
+            // O(files) cost the manifest exists to remove. The scan
+            // runs under PHYSICAL names; a carried rename map wraps it
+            // in [[GraftMappedScanBuilder]] (the plain-branch shape).
             val partSchema = StructType(
               parts.map(p => schema.fields(schema.fieldIndex(p))))
-            // a manifest-CARRIED rename map (round 13): the scan runs
-            // under PHYSICAL names over the index, [[GraftMappedScan]]
-            // translates at the plan boundary — same composition as
-            // plain renamed versions
-            val mapping = Warehouse.columnMappingOf(spark, root, v)
-            val exposed =
-              if (mapping.isEmpty) schema
-              else StructType(schema.fields.map(f =>
-                f.copy(name = mapping.getOrElse(f.name, f.name))))
             new GraftSnapshotTable(tableName, spark, root, exposed, None,
               mergeKey, resolvedVersion = Some(v), mapping = mapping,
               manifestIndex = Some(new ManifestFileIndex(spark, root, entries,
@@ -488,11 +507,12 @@ class GraftSnapshotTable(tableName: String,
     GraftCatalog.readProps(spark, root).asJava
 
   override def partitioning(): Array[Transform] =
-    if (manifestIndex.isDefined)
+    if (manifestIndex.isDefined || manifestPartCols.nonEmpty)
       // from the _MANIFEST_PARTS sidecar — never the inner table
       // (there is none for manifest versions; an inferred one would
       // stat every listed file); a carried rename map surfaces the
-      // LOGICAL names (dirs stay physical; the scan translates)
+      // LOGICAL names (dirs stay physical; the scan translates);
+      // an EMPTIED manifest keeps reporting its layout
       manifestPartCols.map(p =>
         org.apache.spark.sql.connector.expressions.Expressions.identity(
           mapping.getOrElse(p, p)))

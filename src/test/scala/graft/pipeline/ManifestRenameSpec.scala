@@ -153,6 +153,48 @@ class ManifestRenameSpec extends AnyFunSuite {
     assert(manifest(root, v).nonEmpty)
   }
 
+  test("sidecar widening survives a manifest rename (coverage checked in logical space)") {
+    val root = freshRoot()
+    val base = new java.io.File(root).getParent
+    Warehouse.commit(spark, root, batch(20, n = 20))
+    graft.sources.v2.GraftCatalog.writeProps(hfs(root), root,
+      Map("mergeKey" -> "shipment_id", "commitMode" -> "manifest"))
+    spark.conf.set("spark.sql.catalog.graft_mrw_gate",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mrw_gate.base", base)
+    val tbl = s"graft_mrw_gate.`${new java.io.File(root).getName}`"
+    batch(21, n = 5, idOffset = 300).createOrReplaceTempView("mrw_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM mrw_src") // manifest conversion
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN region TO zone")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (grade STRING)")
+    // the declared widening must survive table re-resolution: the
+    // sidecar holds LOGICAL names (zone, grade) while the manifest's
+    // persisted schema holds PHYSICAL ones (region) — a physical-name
+    // coverage check would silently drop the sidecar and 'grade'
+    val cols = spark.sql(s"SELECT * FROM $tbl").columns
+    assert(cols.contains("zone") && cols.contains("grade") &&
+      !cols.contains("region"),
+      s"widened+renamed schema must surface, got ${cols.mkString(", ")}")
+    assert(spark.sql(s"SELECT grade FROM $tbl WHERE grade IS NULL").count() === 25)
+  }
+
+  test("an EMPTIED renamed+partitioned manifest keeps its logical names and layout") {
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(22, n = 30), Seq("region"))
+    Warehouse.appendFiles(spark, root, batch(23, n = 5, idOffset = 400))
+    Warehouse.renameColumns(spark, root, Map("region" -> "zone"))
+    Warehouse.deleteWhereFiles(spark, root, lit(true)).getOrElse(
+      fail("delete-everything must publish"))
+    val t = spark.read.format("graft").load(root)
+    assert(t.count() === 0)
+    assert(t.columns.contains("zone") && !t.columns.contains("region"),
+      s"an emptied chain must keep its LOGICAL names, got ${t.columns.mkString(", ")}")
+    // and a later append under the logical name still lands
+    Warehouse.appendFiles(spark, root,
+      batch(24, n = 3, idOffset = 500).withColumnRenamed("region", "zone"))
+    assert(spark.read.format("graft").load(root).count() === 3)
+  }
+
   test("feeds stay publishable across a manifest rename (empty at the boundary, era-translated after)") {
     val root = freshRoot()
     Warehouse.commit(spark, root, batch(12, n = 20))

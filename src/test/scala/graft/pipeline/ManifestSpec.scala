@@ -488,6 +488,28 @@ class ManifestSpec extends AnyFunSuite {
       .forall(_.startsWith(s"v$v/bean_type=")))
   }
 
+  test("optimizeFiles on a PARTITIONED table packs per partition, never multiplies files") {
+    val root = freshRoot()
+    // 3 single-file appends per partitioned layout: small files per dir
+    Warehouse.commitPartitioned(spark, root, batch(90, n = 40), Seq("bean_type"))
+    (0 until 3).foreach(i => Warehouse.appendFiles(spark, root,
+      batch(91 + i, n = 10, idOffset = 600 + i * 20)))
+    val cur = Warehouse.currentVersion(spark, root).get
+    val before = Warehouse.dataFilesOf(spark, root, cur).size
+    val truth = rows(Warehouse.read(spark, root))
+    val v = Warehouse.optimizeFiles(spark, root).getOrElse(fail("must pack"))
+    val after = Warehouse.dataFilesOf(spark, root, v)
+    assert(after.size < before,
+      s"optimize must SHRINK the file count ($before -> ${after.size})")
+    // ~one packed file per partition value (3 bean types): a
+    // round-robin shuffle before the dynamic write would spray every
+    // partition across all tasks and GROW the count instead
+    val packed = after.filter(_.contains(s"/v$v/"))
+    assert(packed.size <= 3,
+      s"expected at most one packed file per partition, got $packed")
+    assert(rows(Warehouse.read(spark, root)) === truth)
+  }
+
   test("many-file manifests: 300 tiny files fold to a handful, metadata bounded") {
     val root = freshRoot()
     // ONE commit, 300 tiny files — the shape a churny append stream

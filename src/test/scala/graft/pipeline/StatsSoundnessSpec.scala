@@ -103,6 +103,32 @@ class StatsSoundnessSpec extends AnyFunSuite {
     assert(plannedFiles(q) === 1, "the ascii file still prunes (sound skip)")
   }
 
+  test("LEGACY float stats without the nan flag never prune (pre-flag manifests)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a NaN-bearing file whose stats we then doctor into the LEGACY
+    // shape (min/max present, nan: keys absent — what the pre-flag
+    // writer persisted after silently stripping NaN)
+    Warehouse.appendFiles(spark, root,
+      Seq((1L, 2.0), (2L, Double.NaN)).toDF("id", "x").coalesce(1))
+    val fs = hfs(root)
+    val mPath = new Path(Warehouse.versionPath(root, 0L), "_MANIFEST")
+    val in = fs.open(mPath)
+    val txt = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    val doctored = txt.replaceAll(""","?"nan:[^"]+":(true|false)""", "")
+      .replaceAll(""",\}""", "}")
+    assert(doctored != txt, "fixture must actually strip the nan flags")
+    val out = fs.create(mPath, true)
+    out.write(doctored.getBytes("UTF-8")); out.close()
+    // the legacy stats must NOT prune: x's max understates the NaN row
+    val got = rows(spark.read.format("graft").load(root)
+      .filter(col("x") > lit(100.0)))
+    assert(got.size === 1 && got.head.contains("NaN"),
+      s"legacy stats must never prune a NaN row, got $got")
+  }
+
   test("a _zonemap sidecar never leaks into a DV merge-on-read scan as data") {
     val root = freshRoot()
     val batch = Enrich.enrich(CocoaGen.shipments(spark, 60, seed = 7),
