@@ -257,6 +257,13 @@ object SparkEntry {
     // right-sized files ride verbatim, the table STAYS in manifest
     // mode; fold + carry + mode all required in-gate
     "p40_manifest_optimize" -> ((s, _) => cocoaManifestOptimize(s)),
+    // p41: DELETION VECTORS × manifest commits — the LAST composition
+    // cell: a merge-on-read SQL DELETE on a manifest table attaches an
+    // in-place (file,pos) vector keyed root-relative — no version
+    // bump, no rewrite, manifest lines untouched (all required
+    // in-gate); the read serves the live rows through the DV scan
+    // over the manifest's own file list
+    "p41_manifest_dv_delete" -> ((s, _) => cocoaManifestDvDelete(s)),
     // p37: the same mode through PLAIN SQL (commitMode=manifest →
     // INSERT upsert + DELETE route file-granular), requires pinned.
     "p37_sql_manifest_lifecycle" -> ((s, _) => cocoaSqlManifestLifecycle(s)),
@@ -1223,6 +1230,50 @@ object SparkEntry {
     require(after.contains(bigLine),
       "p40: the right-sized file must ride by reference, VERBATIM")
     Warehouse.read(spark, root).orderBy("shipment_id")
+  }
+
+  /** p41: DELETION VECTORS × MANIFEST COMMITS through plain SQL — the
+    * round-13 closing of the composition matrix: a table that opted
+    * into BOTH `commitMode=manifest` (O(Δ) DML) and
+    * `deleteMode=merge-on-read` (O(matched) deletes). The INSERT
+    * converts zero-copy; the DELETE attaches an in-place vector keyed
+    * by the ROOT-relative path (manifest files span version dirs) —
+    * REQUIRED in-gate: no version bump, the manifest lines untouched,
+    * a `_dv` sidecar present. The SELECT serves the live rows through
+    * the merge-on-read scan over the manifest's own file list (zero
+    * listing). Same truth as p31's plain-table twin. */
+  private def cocoaManifestDvDelete(spark: SparkSession): DataFrame = {
+    val wh = cocoaWarehouse(spark)
+    val base = graft.core.RunTemp.dir("graft_manifest_mor_", keep = 32)
+    val root = s"$base/cocoa_mmor"
+    val half = coalesce(col("quality_score") < lit(8.8), lit(false))
+    Warehouse.commit(spark, root,
+      wh.filter(half).repartitionByRange(4, col("shipment_id")))
+    graft.sources.v2.GraftCatalog.writeProps(
+      graft.sources.v2.GraftTables.fs(spark, root), root,
+      Map("mergeKey" -> "shipment_id", "commitMode" -> "manifest",
+        "deleteMode" -> "merge-on-read"))
+    spark.conf.set("spark.sql.catalog.graft_mmor_gate",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mmor_gate.base", base)
+    wh.filter(!half).createOrReplaceTempView("graft_mmor_gate_src")
+    spark.sql("INSERT INTO graft_mmor_gate.cocoa_mmor" +
+      " SELECT * FROM graft_mmor_gate_src")
+    val fs = graft.sources.v2.GraftTables.fs(spark, root)
+    val m1 = Warehouse.manifestOf(fs, root, 1L).getOrElse(
+      throw new IllegalStateException(
+        "p41: the INSERT must publish a manifest version"))
+    spark.sql("DELETE FROM graft_mmor_gate.cocoa_mmor" +
+      " WHERE quality_score < 8.0 OR region = 'Volta'")
+    require(Warehouse.currentVersion(spark, root) == Some(1L),
+      "p41: a merge-on-read delete must not publish a version")
+    require(Warehouse.manifestOf(fs, root, 1L).get == m1,
+      "p41: the manifest must be untouched — the DV is the only new state")
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      Warehouse.dvPath(root, 1L))),
+      "p41: expected a deletion-vector sidecar")
+    spark.sql("SELECT * FROM graft_mmor_gate.cocoa_mmor")
+      .orderBy("shipment_id")
   }
 
   /** p37: the MANIFEST lifecycle through plain SQL — commit half the
@@ -4729,6 +4780,11 @@ object SparkEntry {
     "p32_sql_ctas" -> cocoaOracle("SELECT * FROM wh ORDER BY shipment_id"),
     // p31: merge-on-read SQL DELETE — same live truth as p12.
     "p31_sql_delete_mor" -> cocoaOracle(
+      """SELECT * FROM wh
+        |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
+        |ORDER BY shipment_id""".stripMargin),
+    // p41: the manifest twin of p31 — same cut, same survivors.
+    "p41_manifest_dv_delete" -> cocoaOracle(
       """SELECT * FROM wh
         |WHERE NOT coalesce(quality_score < 8.0 OR region = 'Volta', FALSE)
         |ORDER BY shipment_id""".stripMargin),

@@ -552,14 +552,18 @@ object Warehouse {
       schema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String],
       stats: Map[String, Map[String, (Option[Any], Option[Any])]] = Map.empty,
-      withFilePath: Boolean = false): DataFrame = {
+      withFilePath: Boolean = false,
+      withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (entries.isEmpty)
+    if (entries.isEmpty) {
+      var empty = org.apache.spark.sql.types.StructType(schema.fields)
+      if (withFilePath) empty = empty.add("__file",
+        org.apache.spark.sql.types.StringType)
+      if (withPos) empty = empty.add("__pos",
+        org.apache.spark.sql.types.LongType)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        if (withFilePath) org.apache.spark.sql.types.StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField("__file",
-            org.apache.spark.sql.types.StringType)) else schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
     val parts = partCols.filter(schema.fieldNames.contains)
     val partSchema = org.apache.spark.sql.types.StructType(
       parts.map(p => schema.fields(schema.fieldIndex(p))))
@@ -570,8 +574,34 @@ object Warehouse {
     val base = org.apache.spark.sql.graftbridge.Bridge
       .ofFileIndex(spark, idx, dataSchema, partSchema)
     val cols = schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
-      (if (withFilePath) Seq(col("_metadata.file_path").as("__file")) else Nil)
+      (if (withFilePath) Seq(col("_metadata.file_path").as("__file")) else Nil) ++
+      (if (withPos) Seq(col("_metadata.row_index").as("__pos")) else Nil)
     base.select(cols: _*)
+  }
+
+  /** Manifest version `v` with DV-addressable row identity: every
+    * schema column plus `_dv_file` (the ROOT-relative url-encoded
+    * path — manifest files span version dirs, so the plain-snapshot
+    * dataDir-relative key cannot address them) and `_dv_pos` (the
+    * row's ordinal within its file). The [[snapshotWithPos]] twin for
+    * manifest chains; [[graft.sources.v2.GraftDvScan]] derives the
+    * identical key for its merge-on-read skip. */
+  private def manifestSnapshotWithPos(spark: SparkSession, root: String,
+      v: Long, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fs = Ingest.fs(spark, root)
+    val base = entriesFrame(spark, root, dataFileEntries(spark, root, v),
+      schema, manifestParts(fs, root, v), dataFileStats(spark, root, v),
+      withFilePath = true, withPos = true)
+    // same last-occurrence fence as [[snapshotWithPos]], on the ROOT
+    // dir segment: only a real directory boundary can produce it
+    // (version dirs are `v\d+`, partition segments hive-escape '/')
+    val rootQ = fs.makeQualified(new Path(root)).toString.stripSuffix("/")
+    val marker = "/" + rootQ.substring(rootQ.lastIndexOf('/') + 1) + "/"
+    base
+      .withColumn("_dv_file", substring_index(col("__file"), marker, -1))
+      .withColumnRenamed("__pos", "_dv_pos")
+      .drop("__file")
   }
 
   /** TIME-TRAVEL read of one committed version through the
@@ -1116,8 +1146,16 @@ object Warehouse {
           try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
             StandardCharsets.UTF_8)
           finally in.close()
-        org.apache.spark.sql.types.DataType.fromJson(txt)
+        val parsed = org.apache.spark.sql.types.DataType.fromJson(txt)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
+        // NULLABLE-RELAXED, the same rule parquet reads and
+        // DataFrameReader.schema() apply: a widened chain's older
+        // files MISS the widened columns (null-fill is the contract),
+        // and a non-nullable field here would let the analyzer
+        // constant-fold `col IS NULL` to FALSE over connector reads —
+        // silently wrong results, not just a reader error
+        org.apache.spark.sql.types.StructType(
+          parsed.fields.map(_.copy(nullable = true)))
       } else dataFilesOf(spark, root, v) match {
         // legacy manifest without the sidecar: deterministic by-name
         // union (one footer job), never a one-footer sample
@@ -1875,12 +1913,11 @@ object Warehouse {
     val l2p = eraL2P(spark, root, v, eraOf.getOrElse(v), schema.fieldNames.toSeq)
     val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       f.copy(name = l2p.getOrElse(f.name, f.name))))
-    // MANIFEST versions: no DVs and no OWN rename map by construction
-    // (the manifest commit refuses both) — the read is the file list;
-    // a rename LATER in the walk still translates (l2p covers it)
+    // MANIFEST versions: the read is the file list; a rename LATER in
+    // the walk still translates (l2p covers it). DVs compose since
+    // round 13 — applied by the same anti-join as the plain branch
+    // (and skipped for applyDvs=false callers: feed purity).
     if (manifestOf(fs, root, v).isDefined) {
-      require(dvFrame(spark, root, v).isEmpty,
-        s"manifest version v$v of $root carries DVs — invariant broken")
       val onDisk = effectiveSchema(spark, root, v).fieldNames.toSet
       val missing = phys.fieldNames.filterNot(onDisk.contains)
       // RENAME-signature guard only (missing AND an unclaimed extra):
@@ -1892,7 +1929,18 @@ object Warehouse {
             s" ${missing.mkString(", ")} under era-v${eraOf.getOrElse(v)}" +
             " logical names — rename chain untranslatable or the caller's" +
             " schema is from a different era")
-      val live = readSnapshot(spark, root, v, phys)
+      val live = dvFrame(spark, root, v).filter(_ => applyDvs) match {
+        case None => readSnapshot(spark, root, v, phys)
+        case Some(dv0) =>
+          val dvBytes = dvPartDirs(fs, root, v)
+            .map(p => fs.getContentSummary(p).getLength).sum
+          val dv = if (dvBytes <= 32L * 1024 * 1024) broadcast(dv0) else dv0
+          val base = manifestSnapshotWithPos(spark, root, v, phys)
+          base.join(dv,
+              base("_dv_file") === dv("file") && base("_dv_pos") === dv("pos"),
+              "left_anti")
+            .drop("_dv_file", "_dv_pos")
+      }
       return (
         if (l2p.isEmpty) live
         else live.select(schema.fieldNames.toSeq
@@ -2302,11 +2350,21 @@ object Warehouse {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"deleteWhere: no committed snapshot under $root"))
-    require(manifestOf(Ingest.fs(spark, root), root, v).isEmpty,
-      s"deleteWhere: $root v$v is a manifest version — merge-on-read" +
-        " deletion vectors are the PLAIN-snapshot delete; use" +
-        " deleteWhereFiles (file-granular, already O(touched files))")
-    val base = snapshotWithPos(spark, root, v, schema)
+    // MANIFEST versions compose (round 13): the DV key becomes the
+    // ROOT-relative path (manifest files span version dirs) and the
+    // base read plans through the manifest index — O(matched) deletes
+    // with zero rewrite on top of O(Δ) DML, the Delta pairing. A
+    // renamed chain refuses (the DV writer addresses physical names;
+    // deleteWhereFiles translates, or applyDv/compact first).
+    val isManifest = manifestOf(Ingest.fs(spark, root), root, v).isDefined
+    if (isManifest) require(
+      columnMapping(Ingest.fs(spark, root), root, v).isEmpty,
+      s"deleteWhere: $root v$v is a RENAMED manifest chain — merge-on-read" +
+        " vectors address physical names; use deleteWhereFiles (translates)" +
+        " or compact first")
+    val base =
+      if (isManifest) manifestSnapshotWithPos(spark, root, v, schema)
+      else snapshotWithPos(spark, root, v, schema)
     val live = dvFrame(spark, root, v) match {
       case Some(dv) => base.join(dv,
         base("_dv_file") === dv("file") && base("_dv_pos") === dv("pos"),
@@ -2375,7 +2433,10 @@ object Warehouse {
           val dvBytes = dvPartDirs(fs, root, v)
             .map(p => fs.getContentSummary(p).getLength).sum
           val dv = if (dvBytes <= broadcastDvMaxBytes) broadcast(dv0) else dv0
-          val base = snapshotWithPos(spark, root, v, schema)
+          val base =
+            if (manifestOf(fs, root, v).isDefined)
+              manifestSnapshotWithPos(spark, root, v, schema)
+            else snapshotWithPos(spark, root, v, schema)
           base.join(dv,
               base("_dv_file") === dv("file") && base("_dv_pos") === dv("pos"),
               "left_anti")

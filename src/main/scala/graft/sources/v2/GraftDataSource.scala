@@ -394,11 +394,20 @@ object GraftTables {
             // in [[GraftMappedScanBuilder]] (the plain-branch shape).
             val partSchema = StructType(
               parts.map(p => schema.fields(schema.fieldIndex(p))))
+            // DELETION VECTORS compose with manifest versions (round
+            // 13): an in-place merge-on-read delete routes the read
+            // through [[GraftDvScan]] over the manifest's OWN file
+            // list (never a root listing — other versions' files live
+            // there too), DV keys root-relative
+            val dvDir = new Path(Warehouse.dvPath(root, v))
+            val hasDv = fs.exists(dvDir) && fs.listStatus(dvDir).nonEmpty
             new GraftSnapshotTable(tableName, spark, root, exposed, None,
               mergeKey, resolvedVersion = Some(v), mapping = mapping,
+              dvVersion = if (hasDv) Some(v) else None,
               manifestIndex = Some(new ManifestFileIndex(spark, root, entries,
                 Warehouse.dataFileStats(spark, root, v), partSchema)),
-              manifestPartCols = parts)
+              manifestPartCols = parts,
+              manifestDvEntries = if (hasDv) Some(entries) else None)
         }
       case Some(v) =>
         val dvDir = new Path(Warehouse.dvPath(root, v))
@@ -492,7 +501,8 @@ class GraftSnapshotTable(tableName: String,
     dvVersion: Option[Long] = None,
     mapping: Map[String, String] = Map.empty,
     manifestIndex: Option[ManifestFileIndex] = None,
-    manifestPartCols: Seq[String] = Seq.empty)
+    manifestPartCols: Seq[String] = Seq.empty,
+    manifestDvEntries: Option[Seq[(String, Long, Long)]] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -558,7 +568,24 @@ class GraftSnapshotTable(tableName: String,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (manifestIndex.isDefined) {
+    if (manifestDvEntries.isDefined && dvVersion.isDefined) {
+      // DV-bearing MANIFEST version: the merge-on-read scan owns the
+      // read over the manifest's explicit file list; keys are
+      // root-relative, so the "data dir" handed to the key/partition
+      // parser is the table ROOT. Rename maps cannot coexist
+      // (deleteWhere refuses them on manifest chains).
+      // nullable-relaxed, like DataFrameReader.schema(): a widened
+      // chain's older files MISS the widened columns and must
+      // null-fill through the reader closure
+      def relax(st: StructType) = StructType(st.fields.map(_.copy(nullable = true)))
+      val partSchema = StructType(manifestPartCols.map(p =>
+        tableSchema.fields(tableSchema.fieldIndex(p))))
+      new GraftDvScanBuilder(spark, root, dvVersion.get,
+        GraftTables.fs(spark, root).makeQualified(
+          new org.apache.hadoop.fs.Path(root)).toString,
+        relax(tableSchema), relax(partSchema),
+        mapping, explicitFiles = manifestDvEntries)
+    } else if (manifestIndex.isDefined) {
       // manifest snapshot: the builtin parquet scan plans over the
       // MANIFEST-BACKED file index — zero listing / per-file stats,
       // partition columns served from the index's path-derived spec.
@@ -574,8 +601,14 @@ class GraftSnapshotTable(tableName: String,
         org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
           GraftTables.classic(spark), manifestIndex.get, physSchema,
           dataSchema, options)
-      if (mapping.isEmpty) builder
-      else new GraftMappedScanBuilder(builder, mapping)
+      if (mapping.nonEmpty) new GraftMappedScanBuilder(builder, mapping)
+      // partitioned manifest scans get DYNAMIC partition pruning too
+      // (the same [[GraftRuntimeScan]] wrap as plain partitioned
+      // snapshots — runtime filters fold into the manifest index's
+      // partition spec); renamed chains stay static-pruned (the DPP
+      // filter names are logical, the index's spec is physical)
+      else if (manifestPartCols.nonEmpty) new GraftRuntimeScanBuilder(builder)
+      else builder
     } else inner match {
       // DV-bearing snapshot: the merge-on-read scan OWNS the read —
       // the builtin parquet scan (zone maps and DPP included) would

@@ -97,7 +97,8 @@ case class GraftDvInputPartition(filePath: String, length: Long,
 
 class GraftDvScanBuilder(spark: SparkSession, root: String, version: Long,
     dataDir: String, tableSchema: StructType, partSchema: StructType,
-    mapping: Map[String, String] = Map.empty)
+    mapping: Map[String, String] = Map.empty,
+    explicitFiles: Option[Seq[(String, Long, Long)]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -107,13 +108,18 @@ class GraftDvScanBuilder(spark: SparkSession, root: String, version: Long,
 
   override def build(): Scan =
     new GraftDvScanImpl(spark, root, version, dataDir, tableSchema,
-      required, partSchema, mapping)
+      required, partSchema, mapping, explicitFiles)
 }
 
 class GraftDvScanImpl(spark: SparkSession, private val root: String,
     private val version: Long, private val dataDir: String,
     tableSchema: StructType, required: StructType,
-    partSchema: StructType, private val mapping: Map[String, String])
+    partSchema: StructType, private val mapping: Map[String, String],
+    // a MANIFEST version's persisted (path, size, mtime) entries:
+    // its files span version dirs, so the recursive dataDir listing
+    // below cannot find them (and must not — the manifest IS the
+    // listing); dataDir is then the table ROOT (DV keys root-relative)
+    private val explicitFiles: Option[Seq[(String, Long, Long)]] = None)
     extends Scan with Batch {
 
   // a version carrying BOTH deletion vectors and a rename map: the
@@ -178,16 +184,21 @@ class GraftDvScanImpl(spark: SparkSession, private val root: String,
         abs.stripPrefix(dataDirQ + "/").split("/")
           .exists(seg => seg.startsWith("_") || seg.startsWith("."))
     }
-    val files = {
-      val it = fs.listFiles(new Path(dataDir), true)
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
-          !hidden(s.getPath)) buf += s
-      }
-      buf.toSeq
+    val files: Seq[(Path, Long, Long)] = explicitFiles match {
+      case Some(entries) =>
+        // manifest version: the persisted entries ARE the listing
+        entries.map { case (abs, len, mtime) => (new Path(abs), len, mtime) }
+      case None =>
+        val it = fs.listFiles(new Path(dataDir), true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Path, Long, Long)]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !hidden(s.getPath))
+            buf += ((s.getPath, s.getLen, s.getModificationTime))
+        }
+        buf.toSeq
     }
     // The DV key is the URL-ENCODED path relative to the data dir
     // (matching snapshotWithPos' `_metadata.file_path` strip exactly):
@@ -202,11 +213,10 @@ class GraftDvScanImpl(spark: SparkSession, private val root: String,
       require(i >= 0, s"graft: data file $p is not under $dataDir")
       enc.substring(i + marker.length)
     }
-    files.map { s =>
-      GraftDvInputPartition(s.getPath.toString, s.getLen,
-        s.getModificationTime,
-        deleted.getOrElse(relKey(s.getPath), Array.empty[Long]),
-        GraftDvScan.partitionValuesOf(dataDir, s.getPath,
+    files.map { case (p, len, mtime) =>
+      GraftDvInputPartition(p.toString, len, mtime,
+        deleted.getOrElse(relKey(p), Array.empty[Long]),
+        GraftDvScan.partitionValuesOf(dataDir, p,
           toPhysical(partSchema),
           spark.sessionState.conf.sessionLocalTimeZone))
     }.toArray

@@ -161,12 +161,15 @@ class GraftSnapshotSource(spark: SparkSession, root: String,
         val toPaths = tl.map(_.split("\t", 2).head).toSet
         if (!fromPaths.subsetOf(toPaths)) None
         else Some {
-          // same invariants as snap(): manifest versions never carry
-          // DVs, and the pinned schema must translate to to's era
+          // DVs can attach to manifest versions too (round 13): an
+          // in-place delete mutates content an append-only stream
+          // cannot represent — same refusal as snap()'s
           require(Warehouse.dvRows(spark, root, to).isEmpty &&
             Warehouse.dvRows(spark, root, f).isEmpty,
             s"graft: manifest span v$f -> v$to of $root carries deletion" +
-              " vectors — invariant broken")
+              " vectors — its content can change in place, which an" +
+              " append-only snapshot stream cannot represent; use the" +
+              " change feed (TBLPROPERTIES('changeFeed'='true'))")
           val t = Warehouse.eraTranslation(spark, root, to,
             math.max(to, pinnedEra), schema.fieldNames.toSeq)
           val phys = StructType(schema.fields.map(fd =>

@@ -252,14 +252,24 @@ class ManifestSpec extends AnyFunSuite {
     val mRoot = freshRoot()
     Warehouse.commit(spark, mRoot, batch(24, n = 20))
     Warehouse.appendFiles(spark, mRoot, batch(25, n = 2, idOffset = 830))
-    val e4 = intercept[IllegalArgumentException] {
-      Warehouse.deleteWhere(spark, mRoot, col("quality_score") < lit(8.0))
-    }
-    assert(e4.getMessage.contains("deleteWhereFiles"))
     val e6 = intercept[IllegalArgumentException] {
       Warehouse.cloneShallow(spark, mRoot, freshRoot() + "_c")
     }
     assert(e6.getMessage.contains("compact"))
+    // merge-on-read deleteWhere COMPOSES since round 13
+    // (ManifestDvSpec owns the behavior pins); the matrix entry flips:
+    val nDv = Warehouse.deleteWhere(spark, mRoot,
+      col("quality_score") < lit(8.0))
+    assert(nDv > 0 && Warehouse.readWithDv(spark, mRoot)
+      .filter(col("quality_score") < lit(8.0)).count() === 0)
+    // …and a manifest COMMIT atop the fresh DVs still refuses
+    val e4 = intercept[IllegalArgumentException] {
+      Warehouse.appendFiles(spark, mRoot, batch(26, n = 1, idOffset = 840))
+    }
+    assert(e4.getMessage.contains("applyDv"))
+    // applyDv folds to plain; the next append re-enters manifest mode
+    Warehouse.applyDv(spark, mRoot)
+    Warehouse.appendFiles(spark, mRoot, batch(27, n = 1, idOffset = 850))
     // RENAME COLUMN composes since round 13 (metadata-only map commit
     // — ManifestRenameSpec owns the behavior pins)
     Warehouse.renameColumns(spark, mRoot, Map("region" -> "zone"))
@@ -325,9 +335,14 @@ class ManifestSpec extends AnyFunSuite {
     assert(live.filter(col("note").isNull).count() === 20,
       "pre-widening rows null-fill the new column")
     assert(live.filter(col("note") === "fresh").count() === 5)
-    // connector read sees the same deterministic schema
+    // connector read sees the same deterministic schema — and the
+    // widened column's nullability is RELAXED there too, or the
+    // analyzer constant-folds `note IS NULL` to false (silently
+    // wrong: lit()-widened columns persist nullable=false)
     val conn = spark.read.format("graft").load(root)
     assert(conn.columns.contains("note") && conn.count() === 25)
+    assert(conn.filter(col("note").isNull).count() === 20,
+      "the connector must null-fill pre-widening rows, never fold the filter")
     // narrowing is still loud (a widened table must never lose 'note')
     val e = intercept[IllegalArgumentException] {
       Warehouse.appendFiles(spark, root, batch(35, n = 1, idOffset = 870))

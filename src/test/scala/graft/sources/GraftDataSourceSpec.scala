@@ -874,6 +874,34 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(got.length === expect.toInt, "pruning must not change results")
   }
 
+  test("dynamic partition pruning reaches PARTITIONED MANIFEST reads too") {
+    import graft.sources.v2.GraftRuntimeScan
+    val root = freshRoot()
+    Warehouse.commitPartitioned(spark, root, batch(84, n = 120), Seq("region"))
+    Warehouse.appendFiles(spark, root, batch(85, n = 20, idOffset = 900))
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(Warehouse.manifestOf(hfs, root,
+      Warehouse.currentVersion(spark, root).get).isDefined)
+    val fact = spark.read.format("graft").load(root)
+    val regions = fact.select("region").distinct().collect().map(_.getString(0))
+    assert(regions.length >= 3)
+    val dimPath = Files.createTempDirectory("graft_dpp_mdim").toString
+    spark.createDataFrame(
+      regions.toSeq.map(r => (r, if (r == regions.head) 1 else 0)))
+      .toDF("region", "keep").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(broadcast(dim.filter(col("keep") === 1)), Seq("region"))
+    val before = GraftRuntimeScan.runtimeFiltersApplied.get()
+    val got = joined.collect()
+    assert(GraftRuntimeScan.runtimeFiltersApplied.get() > before,
+      "the DPP subquery must reach the MANIFEST scan as a runtime filter\n" +
+        joined.queryExecution.executedPlan.toString)
+    val expect = Warehouse.read(spark, root)
+      .filter(col("region") === regions.head).count()
+    assert(got.length === expect.toInt, "pruning must not change results")
+  }
+
   test("runtime-filterable scans keep structural equality (exchange/scan reuse)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import graft.sources.v2.{GraftRuntimeScan, GraftTables}
