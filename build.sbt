@@ -30,5 +30,23 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Heap sized to the harness shape, not the JVM default: local[32]
+  // runs 32 concurrent tasks inside ONE driver JVM, so execution
+  // memory per task is (heap × spark.memory.fraction) / 32 — at the
+  // old 8g default that was ~150 MB/task and the full-registry bench
+  // ran memory-starved (measured: the 30M-row calibration shuffle
+  // took 5.0 s in-session vs 1.5 s standalone; 24g restores 1.2-1.6 s
+  // and cut the whole bench ~19%). Env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Spark's ContextCleaner reclaims shuffle files / broadcasts via
+  // weak references, so it needs GCs to happen; with a big heap they
+  // become rare and the cleaner runs System.gc() periodically
+  // (spark.cleaner.periodicGC.interval, set in the session builders).
+  // Without this flag that call is a stop-the-world FULL collection —
+  // measured 2-3 s pauses landing inside timed queries; with it G1
+  // runs a concurrent cycle instead (reference processing intact).
+  "-XX:+ExplicitGCInvokesConcurrent",
+) ++
+  // Ad-hoc JVM flags for local A/B experiments (GC, tmpdir, extra -D
+  // confs) without touching the build — unset in normal runs.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -27,6 +27,15 @@ object Bench {
         // is on; without it every CacheScope-sealed result pins the full
         // pre-coalesce shuffle width onto all downstream consumers.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        // A long-lived session on a generously-heaped JVM garbage-
+        // collects rarely, and the ContextCleaner (weak-reference
+        // driven) then never reclaims accumulated broadcast/shuffle
+        // state — measured: the END of each bench pass degraded 2×
+        // (w01 14.6→25.3 s) once the heap stopped forcing GCs. One
+        // periodic GC per minute keeps the cleaner live; paired with
+        // -XX:+ExplicitGCInvokesConcurrent (build.sbt) so the call is
+        // a concurrent cycle, not a stop-the-world pause.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // Warm the session (codegen, parquet footer cache, JIT) so the

@@ -18,6 +18,8 @@ object Scratch {
       // is on; without it every CacheScope-sealed result pins the full
       // pre-coalesce shuffle width onto all downstream consumers.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // keep the ContextCleaner live on a big-heap JVM (see Bench)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1204,6 +1204,32 @@ object Warehouse {
     * the DV-key aliasing lesson) → one JSON object with `min:<col>` /
     * `max:<col>`. Hive partition columns get stats too when present
     * (the dir value surfaces as a constant column per file). */
+  /** Run `f` with AQE disabled on `spark`'s session, restoring the
+    * previous value after. The warehouse's per-commit METADATA queries
+    * (per-file stats aggregation, touched-file planning, source dup
+    * checks) are bounded O(files)-row collects; AQE materializes each
+    * of their exchanges as its OWN Spark job — pure scheduling latency
+    * (~0.1-0.2 s/job locally) that DML-heavy workloads pay per
+    * statement, with nothing for AQE to re-plan at these sizes
+    * (measured: a manifest delete drops from 6 jobs to 4; the w02
+    * ten-delete row sheds ~20 jobs). Result-identical by construction:
+    * exact aggregations/semi-joins whose physical shape is all AQE
+    * could change. Set/restore on the caller's session (the
+    * withStreamPartitions pattern) — commit paths are single-threaded
+    * per session, and a throw restores via finally. */
+  private def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    if (prev.contains("false")) f
+    else {
+      spark.conf.set(key, "false")
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def statsJsonByFile(spark: SparkSession, stage: Path,
       schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
     import org.apache.spark.sql.functions._
@@ -1236,12 +1262,16 @@ object Warehouse {
     val staged = scala.util.Try(
       spark.read.schema(schema).parquet(stage.toString)).getOrElse(
       return Map.empty)
-    if (staged.isEmpty) return Map.empty
+    // No isEmpty pre-check: an all-empty stage aggregates to zero
+    // groups → Map.empty anyway, and the check was a whole extra
+    // Spark job on EVERY manifest commit (zero-row files are already
+    // handled by absence — a file with no rows gets no stats line and
+    // is simply never pruned).
     // key on the stage-RELATIVE path in _metadata.file_path's own
     // URL-ENCODED form; the stage dir name (`.v<N>_<uuid>`) contains
     // no encodable characters, so the marker match is exact
     val marker = "/" + stage.getName + "/"
-    val grouped = staged
+    val grouped = withAqeOff(spark)(staged
       .groupBy(col("_metadata.file_path").as("__f"))
       // ignoreNullFields=false: an all-null column must SERIALIZE its
       // nulls (min:null,max:null = the "never matches a comparison"
@@ -1249,7 +1279,7 @@ object Warehouse {
       // file look stat-less (never pruned) instead
       .agg(to_json(struct(aggs: _*),
         Map("ignoreNullFields" -> "false")).as("__stats"))
-      .collect()
+      .collect())
     grouped.map { r =>
       val enc = r.getString(0)
       val i = enc.lastIndexOf(marker)
@@ -1507,11 +1537,12 @@ object Warehouse {
     // file read would null-fill them under the predicate), the
     // persisted stats PRUNE candidate files before any task runs, and
     // the caller's LOGICAL names surface above the physical scan
-    val touchedKeys = renameCols(entriesFrame(spark, root, entries, schema,
-        parts, dataFileStats(spark, root, cur), withFilePath = true), p2l)
-      .filter(predicate)
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val touchedKeys = withAqeOff(spark)(
+      renameCols(entriesFrame(spark, root, entries, schema,
+          parts, dataFileStats(spark, root, cur), withFilePath = true), p2l)
+        .filter(predicate)
+        .select(col("__file")).distinct()
+        .collect()).map(_.getString(0)).toSet
     val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
     val carried = kept.map(_._2) // verbatim: sizes + stats survive
@@ -1562,11 +1593,12 @@ object Warehouse {
     val lines = carryLines(spark, root, cur)
     if (lines.isEmpty) return None
     val entries = dataFileEntries(spark, root, cur)
-    val touchedKeys = renameCols(entriesFrame(spark, root, entries, schema,
-        parts, dataFileStats(spark, root, cur), withFilePath = true), p2l)
-      .filter(predicate)
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val touchedKeys = withAqeOff(spark)(
+      renameCols(entriesFrame(spark, root, entries, schema,
+          parts, dataFileStats(spark, root, cur), withFilePath = true), p2l)
+        .filter(predicate)
+        .select(col("__file")).distinct()
+        .collect()).map(_.getString(0)).toSet
     val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     if (touched.isEmpty) return None
     val carried = kept.map(_._2) // verbatim: sizes + stats survive
@@ -1642,19 +1674,20 @@ object Warehouse {
     val src = source.select(
       logicalSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
       .localCheckpoint(true)
-    val dup = src.groupBy(col(s"`$keyCol`")).count()
-      .filter(col("count") > 1).limit(1).collect()
+    val dup = withAqeOff(spark)(src.groupBy(col(s"`$keyCol`")).count()
+      .filter(col("count") > 1).limit(1).collect())
     require(dup.isEmpty,
       s"mergeFiles: source carries duplicate key '${dup.headOption.map(_.get(0))
         .getOrElse("")}' — no deterministic last-writer; dedupe first")
     val srcKeys = src.select(col(s"`$keyCol`").as("__mk")).distinct()
     val touchedKeys =
       if (entries.isEmpty) Set.empty[String]
-      else renameCols(entriesFrame(spark, root, entries, current, parts,
-          withFilePath = true), p2l)
-        .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_semi")
-        .select(col("__file")).distinct()
-        .collect().map(_.getString(0)).toSet
+      else withAqeOff(spark)(
+        renameCols(entriesFrame(spark, root, entries, current, parts,
+            withFilePath = true), p2l)
+          .join(srcKeys, col(s"`$keyCol`") === col("__mk"), "left_semi")
+          .select(col("__file")).distinct()
+          .collect()).map(_.getString(0)).toSet
     val (touched, kept) = lines.partition(e => touchedKeys(sparkPathKey(e._1)))
     val carried = kept.map(_._2) // verbatim: sizes + stats survive
     val touchedSet = touched.map(_._1).toSet

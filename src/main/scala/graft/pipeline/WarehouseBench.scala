@@ -65,9 +65,17 @@ object WarehouseBench {
     val root = graft.core.RunTemp.dir(s"graft_wbench_${tag}_", keep = 8)
     val li0 = graft.core.Tables.lineitem(spark, dir)
     val span = li0.agg(max("l_orderkey")).head().getLong(0) + 1
-    val li = (0 until 4).map(i =>
-      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * span)))
-      .reduce(_ unionByName _)
+    // 4× inflation via an in-task explode, not a 4-branch union: the
+    // union form scanned lineitem once PER BRANCH per pass — and the
+    // range shuffle below samples its child with a separate job, so
+    // the seed paid ~8 parquet scans where one suffices (guide §2.4:
+    // remove passes the plan doesn't need). Row multiset is identical
+    // (each input row yields the same 4 shifted copies), so both
+    // arms' seed, cuts and checksums are unchanged.
+    val li = li0
+      .select(col("*"), explode(sequence(lit(0L), lit(3L))).as("__shift"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("__shift") * lit(span))
+      .drop("__shift")
     val clustered = li.repartitionByRange(32, col("l_orderkey"))
     if (manifest) Warehouse.appendFiles(spark, root, clustered)
     else Warehouse.commit(spark, root, clustered)
