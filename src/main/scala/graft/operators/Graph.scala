@@ -256,9 +256,21 @@ object Graph {
     // side) instead of two — the edge list never joins back to its
     // own adjacency index. Oriented edges are distinct, so the
     // explode reproduces the edge set exactly.
+    // EXPLICIT width on the join key: the intersection stage is
+    // CPU-heavy (per-row O(outdeg) array intersect + 3-way credit
+    // explode) over BYTE-small rows, exactly the shape AQE's
+    // byte-based coalescing collapses to a handful of tasks (measured
+    // at sf0.1: the joined stage ran 5 tasks / 3.9 s — the whole
+    // query's dominant stage — vs sub-second at session width). An
+    // explicit count opts out of coalescing (the widenWidth rule);
+    // the count is the session's configured shuffle width, so
+    // cluster runs keep their own sizing. Counts are exact aggregates
+    // — partitioning cannot change the result.
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val withAdj = adj
       .select(col("node").as("src"), col("nbrs").as("na"),
         explode(col("nbrs")).as("dst"))
+      .repartition(width, col("dst"))
       .join(adj.select(col("node").as("dst"), col("nbrs").as("nb")), "dst")
       .select(col("src"), col("dst"),
         array_intersect(col("na"), col("nb")).as("common"))

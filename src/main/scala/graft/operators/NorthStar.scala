@@ -1049,6 +1049,15 @@ object NorthStar {
     // fan-out is a small constant; collect_set dedups within the
     // order, the trailing distinct dedups across orders.
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      // EXPLICIT width into the per-order aggregation: the pair
+      // expansion after it is CPU-heavy over byte-small rows, and
+      // AQE's byte-based coalescing was collapsing the whole
+      // derivation to 3-4 tasks at sf0.1 (~3 s of the shared-memo
+      // build). The repartition keys on the groupBy key, so the
+      // aggregation reuses the exchange — this widens, it does not
+      // add a shuffle. Session-width count = cluster-adaptive.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
     li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(sort_array(col("ps")).as("ps"))
@@ -1678,7 +1687,13 @@ object NorthStar {
   def decontamination(spark: SparkSession, dir: String, n: Int = 5,
       benchBelow: Long = 10L): DataFrame =
     decontaminationOf(
-      Tables.documents(spark, dir).select("doc_id", "text"), n, benchBelow)
+      // widen the single-row-group scan before the shingle explode —
+      // the same pre-kernel repartition every other text row applies
+      // (d43 already had it); without it the whole CPU-heavy shingle
+      // pass ran as ONE task (measured: a 1.8 s single-task stage =
+      // ~85% of the row)
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .repartition(widenWidth(spark), md5(col("text"))), n, benchBelow)
 
   /** d43: decontamination by OVERLAP FRACTION — the published rule
     * (GPT-3/PaLM-style) flags a document when the FRACTION of its

@@ -1129,7 +1129,14 @@ object Relational {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
     val orders = li.agg(countDistinct("ok").as("n_orders"))
     val cu = li.groupBy("p").agg(count(lit(1)).as("n_item"))
-    val a = li.select(col("ok"), col("p").as("u"))
+    // EXPLICIT width on the pair-expansion join: the per-order pair
+    // explode + counting aggregate is CPU-heavy over byte-small rows,
+    // and AQE's byte-based coalescing collapsed it to 5 tasks at
+    // sf0.1 (1.1 s — the row's dominant stage). The explicit count
+    // opts out of coalescing; the other side shuffles to match, and
+    // the counting aggregate is exact under any partitioning.
+    val width = spark.sessionState.conf.numShufflePartitions
+    val a = li.select(col("ok"), col("p").as("u")).repartition(width, col("ok"))
     val b = li.select(col("ok"), col("p").as("v"))
     a.join(b, "ok").filter(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("n_both"))
