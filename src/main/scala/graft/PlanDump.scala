@@ -35,8 +35,34 @@ object PlanDump {
     names.foreach { n =>
       val df = all(n)(spark, sfDir)
       val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      Files.write(outDir.resolve(s"${n}_$suffix.txt"), txt.getBytes("UTF-8"))
-      System.err.println(s"wrote ${n}_$suffix.txt (${txt.length} chars)")
+      // Formatted explain under AQE shows the INITIAL plan without
+      // WholeStageCodegen spans; codegen claims need the EXECUTED
+      // plan. A noop write would execute a DIFFERENT QueryExecution
+      // (the write command's), leaving df.queryExecution un-executed
+      // — so drive df's OWN executed plan via its internal-row RDD
+      // (no driver collection, no row conversion), then walk the
+      // finalized AQE tree for WholeStageCodegen spans.
+      val exec = try {
+        df.queryExecution.toRdd.foreach(_ => ())
+        import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val subtrees = scala.collection.mutable.ArrayBuffer[WholeStageCodegenExec]()
+        def go(p: SparkPlan): Unit = p match {
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case q: QueryStageExec => go(q.plan)
+          case w: WholeStageCodegenExec =>
+            subtrees += w; w.children.foreach(go); w.subqueries.foreach(go)
+          case o => o.children.foreach(go); o.subqueries.foreach(go)
+        }
+        go(df.queryExecution.executedPlan)
+        s"Found ${subtrees.size} WholeStageCodegen subtrees.\n" +
+          subtrees.zipWithIndex.map { case (w, i) =>
+            s"== Subtree ${i + 1} ==\n${w.treeString.linesIterator.take(24).mkString("\n")}"
+          }.mkString("\n")
+      } catch { case e: Throwable => s"<exec failed: ${e.getMessage}>" }
+      val out = txt + "\n\n== Executed: WholeStageCodegen subtrees ==\n" + exec + "\n"
+      Files.write(outDir.resolve(s"${n}_$suffix.txt"), out.getBytes("UTF-8"))
+      System.err.println(s"wrote ${n}_$suffix.txt (${out.length} chars)")
     }
     spark.stop()
   }

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{column => _}
 import org.apache.spark.sql.types._
@@ -20,9 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (~µs), using Spark's own XxHash64 so results stay consistent with
   * the SQL `xxhash64` function family.
   *
-  * `CodegenFallback` is deliberate: the per-row eval is a single JVM
-  * call, so codegen would only inline the call site; the loops
-  * themselves are already JIT-compiled Scala.
+  * Every expression implements `doGenCode` (round 14): a
+  * `CodegenFallback` anywhere in an operator excludes the WHOLE
+  * operator from whole-stage codegen (`CollapseCodegenStages.
+  * supportCodegen`), so each kernel used to knock its entire stage —
+  * scan, filters, sibling expressions — out of operator fusion. The
+  * generated code calls the very same JIT-compiled kernel (a static
+  * forwarder for stateless kernels, a `references`-array instance
+  * method for model-carrying ones), so results are identical by
+  * construction; only the stage fusion changes.
   */
 object SketchExpressions {
 
@@ -63,38 +70,50 @@ object SketchExpressions {
     * Spark's XxHash64 by default; `portable = true` switches to
     * [[portableTokenHash64]] so a SQL oracle can recompute the
     * identical sketch. */
+  /** Static kernel target of [[SimHash64]] (also its codegen call). */
+  def simhashKernel(arr: ArrayData, portable: Boolean): Long = {
+    val sums = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h =
+          if (portable) portableTokenHash64(arr.getUTF8String(i))
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 63
+    while (b >= 0) {
+      out = (out << 1) | (if (sums(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    out
+  }
+
   case class SimHash64(child: Expression, portable: Boolean = false)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
 
     override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
-      if (v == null) return 0L
-      val arr = v.asInstanceOf[ArrayData]
-      val sums = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h =
-            if (portable) portableTokenHash64(arr.getUTF8String(i))
-            else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 63
-      while (b >= 0) {
-        out = (out << 1) | (if (sums(b) > 0) 1L else 0L)
-        b -= 1
-      }
-      out
+      if (v == null) 0L
+      else simhashKernel(v.asInstanceOf[ArrayData], portable)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L :
+          graft.functions.SketchExpressions.simhashKernel(${c.value}, $portable);""",
+        isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
@@ -113,7 +132,7 @@ object SketchExpressions {
     * production MinHash implementations). Empty/null input →
     * Long.MaxValue entries (never collides with real content). */
   case class MinHashSignature(child: Expression, numHashes: Int, shingleK: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
 
@@ -126,11 +145,13 @@ object SketchExpressions {
     @transient private lazy val coefB: Array[Long] =
       Array.tabulate(numHashes)(s => portableMix64(0xbf58476d1ce4e5b9L * (s + 101)))
 
-    override def eval(input: InternalRow): Any = {
+    /** Codegen/eval kernel; `arr` may be null (null input → the
+      * empty-set signature of Long.MaxValue entries, same as eval
+      * always produced). Public so generated code can call it via the
+      * `references` array. */
+    def kernel(arr: ArrayData): ArrayData = {
       val mins = Array.fill(numHashes)(Long.MaxValue)
-      val v = child.eval(input)
-      if (v != null) {
-        val arr = v.asInstanceOf[ArrayData]
+      if (arr != null) {
         val n = arr.numElements()
         // token hashes once; shingle base hash = chained token hashes
         val th = new Array[Long](n)
@@ -163,6 +184,19 @@ object SketchExpressions {
       }
       new GenericArrayData(mins)
     }
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      kernel(if (v == null) null else v.asInstanceOf[ArrayData])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSig", this)
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        ArrayData ${ev.value} = $ref.kernel(${c.isNull} ? null : ${c.value});""",
+        isNull = FalseLiteral)
+    }
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
   }
 
@@ -176,7 +210,7 @@ object SketchExpressions {
     * Empty input → Long.MaxValue entries; null → null (callers filter
     * null shingle sets). */
   case class MinHashFromHashes(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
@@ -185,8 +219,9 @@ object SketchExpressions {
     @transient private lazy val coefB: Array[Long] =
       Array.tabulate(numHashes)(s => portableMix64(0xbf58476d1ce4e5b9L * (s + 101)))
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
+    /** Codegen/eval kernel (public: generated code calls it through
+      * the `references` array). */
+    def kernel(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val mins = Array.fill(numHashes)(Long.MaxValue)
       val a = coefA
@@ -204,6 +239,11 @@ object SketchExpressions {
       }
       new GenericArrayData(mins)
     }
+    override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashFrom", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
     override protected def withNewChildInternal(c: Expression): MinHashFromHashes =
       copy(child = c)
   }
@@ -214,22 +254,28 @@ object SketchExpressions {
     * xxhash64 chain (same sequence ⇒ same fingerprint, any edit ⇒
     * different) but every step is expressible in portable SQL, so the
     * value is oracle-checkable. Null tokens are skipped. */
+  /** Static kernel target of [[PortableFingerprint64]]. */
+  def portableFingerprintKernel(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        h = portableMix64(h ^ portableTokenHash64(arr.getUTF8String(i)))
+      i += 1
+    }
+    h
+  }
+
   case class PortableFingerprint64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      var h = 0L
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i))
-          h = portableMix64(h ^ portableTokenHash64(arr.getUTF8String(i)))
-        i += 1
-      }
-      h
-    }
+    override protected def nullSafeEval(v: Any): Any =
+      portableFingerprintKernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchExpressions.portableFingerprintKernel($c);")
     override protected def withNewChildInternal(c: Expression): PortableFingerprint64 =
       copy(child = c)
   }
@@ -278,7 +324,7 @@ object SketchExpressions {
     * to [−1, 1]. One fused loop per row instead of planes × dims
     * interpreted lambdas. */
   case class SignLshBucket(child: Expression, planes: Int, table: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
 
@@ -303,8 +349,9 @@ object SketchExpressions {
       compCache
     }
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
+    /** Codegen/eval kernel (public: generated code calls it through
+      * the `references` array). */
+    def kernel(arr: ArrayData): Long = {
       val n = arr.numElements()
       val comps = components(n)
       var bucket = 0L
@@ -318,6 +365,11 @@ object SketchExpressions {
         p += 1
       }
       bucket
+    }
+    override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("signLsh", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
     }
     override protected def withNewChildInternal(c: Expression): SignLshBucket = copy(c)
   }
@@ -348,15 +400,22 @@ object SketchExpressions {
     out.toArray
   }
 
+  /** [[tokenizeKernel]] boxed as ArrayData — the static call target
+    * shared by [[Tokenize]]'s eval and codegen paths. */
+  def tokenizeArrayData(s: UTF8String): ArrayData =
+    new GenericArrayData(tokenizeKernel(s).asInstanceOf[Array[Any]])
+
   /** array<string> tokens of raw text — drop-in for the HOF
     * formulation of `TextFunctions.tokens` (identical output). */
   case class Tokenize(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override protected def nullSafeEval(v: Any): Any =
-      new GenericArrayData(
-        tokenizeKernel(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+      tokenizeArrayData(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchExpressions.tokenizeArrayData($c);")
     override protected def withNewChildInternal(c: Expression): Tokenize = copy(c)
   }
 
@@ -368,37 +427,44 @@ object SketchExpressions {
     * one whole-token-stream shingle, mirroring
     * `TextFunctions.wordShingles`. Sorted output lets
     * [[SortedLongJaccard]] verify candidates with one merge scan. */
+  /** Static kernel target of [[ShingleHashes]]. */
+  def shingleHashKernel(v: UTF8String, k: Int): ArrayData = {
+    val toks = tokenizeKernel(v)
+    val n = toks.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = XxHash64Function.hash(toks(i), StringType, 42L); i += 1 }
+    val nShingles = math.max(n - k + 1, 1)
+    val hs = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      var h = 42L
+      var j = 0
+      while (j < k && s + j < n) { h = XxHash64Function.hash(th(s + j), LongType, h); j += 1 }
+      hs(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sorted)
+    var w = 0
+    var r = 0
+    while (r < nShingles) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
   case class ShingleHashes(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k >= 1, "shingle size must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
-    override protected def nullSafeEval(v: Any): Any = {
-      val toks = tokenizeKernel(v.asInstanceOf[UTF8String])
-      val n = toks.length
-      val th = new Array[Long](n)
-      var i = 0
-      while (i < n) { th(i) = XxHash64Function.hash(toks(i), StringType, 42L); i += 1 }
-      val nShingles = math.max(n - k + 1, 1)
-      val hs = new Array[Long](nShingles)
-      var s = 0
-      while (s < nShingles) {
-        var h = 42L
-        var j = 0
-        while (j < k && s + j < n) { h = XxHash64Function.hash(th(s + j), LongType, h); j += 1 }
-        hs(s) = h
-        s += 1
-      }
-      java.util.Arrays.sort(hs)
-      // dedupe in place (sorted)
-      var w = 0
-      var r = 0
-      while (r < nShingles) {
-        if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
-        r += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(hs, w))
-    }
+    override protected def nullSafeEval(v: Any): Any =
+      shingleHashKernel(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchExpressions.shingleHashKernel($c, $k);")
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
   }
 
@@ -412,14 +478,10 @@ object SketchExpressions {
     * shorter-than-k docs contribute one whole-token-stream shingle.
     * Feeds [[MinHashUnionAgg]], whose per-group sketch must be
     * recomputable by the DuckDB oracle end-to-end. */
-  case class PortableShingleHashes(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
-    require(k >= 1, "shingle size must be >= 1")
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullable: Boolean = child.nullable
-    override protected def nullSafeEval(v: Any): Any = {
-      val toks = tokenizeKernel(v.asInstanceOf[UTF8String])
-      val n = toks.length
+  /** Static kernel target of [[PortableShingleHashes]]. */
+  def portableShingleHashKernel(v: UTF8String, k: Int): ArrayData = {
+    val toks = tokenizeKernel(v)
+    val n = toks.length
       val nShingles = math.max(n - k + 1, 1)
       val hs = new Array[Long](nShingles)
       var s = 0
@@ -438,17 +500,28 @@ object SketchExpressions {
           j += 1
         }
         hs(s) = portableMix64(h)
-        s += 1
-      }
-      java.util.Arrays.sort(hs)
-      var w = 0
-      var r = 0
-      while (r < nShingles) {
-        if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
-        r += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+      s += 1
     }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < nShingles) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  case class PortableShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      portableShingleHashKernel(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchExpressions.portableShingleHashKernel($c, $k);")
     override protected def withNewChildInternal(c: Expression): PortableShingleHashes =
       copy(child = c)
   }
@@ -456,28 +529,33 @@ object SketchExpressions {
   /** Exact Jaccard of two SORTED DISTINCT array<long> sets via one
     * merge scan — O(|a|+|b|), no hash sets, no HOFs. Empty∪empty →
     * 0.0 (matches `Dedup.jaccard`'s `when(union > 0)` guard). */
+  /** Static kernel target of [[SortedLongJaccard]]. */
+  def sortedJaccardKernel(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   case class SortedLongJaccard(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = left.nullable || right.nullable
-    override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val na = a.numElements()
-      val nb = b.numElements()
-      var i = 0
-      var j = 0
-      var inter = 0
-      while (i < na && j < nb) {
-        val x = a.getLong(i)
-        val y = b.getLong(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      val union = na + nb - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      sortedJaccardKernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.SketchExpressions.sortedJaccardKernel($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
@@ -486,32 +564,38 @@ object SketchExpressions {
     * `len/bands` consecutive signature entries. Collision-equivalent
     * to `xxhash64(slice(sig, …))` per band (same band slice ⇒ same
     * hash) without the interpreted transform+slice chain. */
+  /** Static kernel target of [[BandHashes]]. */
+  def bandHashKernel(arr: ArrayData, bands: Int): ArrayData = {
+    val n = arr.numElements()
+    // also guards the SQL path (graft_band_hashes), which has no
+    // Scala-side validation: trailing signature entries must not be
+    // silently discarded
+    if (n % bands != 0) throw new IllegalArgumentException(
+      s"bands ($bands) must divide the signature length ($n)")
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var j = b * rows
+      val end = j + rows
+      while (j < end) { h = XxHash64Function.hash(arr.getLong(j), LongType, h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   case class BandHashes(child: Expression, bands: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(bands >= 1, "bands must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      // also guards the SQL path (graft_band_hashes), which has no
-      // Scala-side validation: trailing signature entries must not be
-      // silently discarded
-      if (n % bands != 0) throw new IllegalArgumentException(
-        s"bands ($bands) must divide the signature length ($n)")
-      val rows = n / bands
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var h = 42L
-        var j = b * rows
-        val end = j + rows
-        while (j < end) { h = XxHash64Function.hash(arr.getLong(j), LongType, h); j += 1 }
-        out(b) = h
-        b += 1
-      }
-      new GenericArrayData(out)
-    }
+    override protected def nullSafeEval(v: Any): Any =
+      bandHashKernel(v.asInstanceOf[ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.SketchExpressions.bandHashKernel($c, $bands);")
     override protected def withNewChildInternal(c: Expression): BandHashes = copy(child = c)
   }
 
@@ -523,7 +607,7 @@ object SketchExpressions {
     * broadcast), so probe selection costs one eval per row instead of
     * a crossJoin + window shuffle. */
   case class TopCells(child: Expression, centroids: Array[Array[Float]], m: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(m >= 1 && m <= centroids.length, "1 <= m <= nCells")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = child.nullable
@@ -536,8 +620,9 @@ object SketchExpressions {
         s
       }
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
+    /** Codegen/eval kernel (public: generated code calls it through
+      * the `references` array). */
+    def kernel(arr: ArrayData): ArrayData = {
       val k = centroids.length
       val dist = new Array[Double](k)
       var c = 0
@@ -566,6 +651,11 @@ object SketchExpressions {
       }
       new GenericArrayData(java.util.Arrays.copyOf(idx, m))
     }
+    override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("topCells", this)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
     override protected def withNewChildInternal(c: Expression): TopCells = copy(child = c)
   }
 
@@ -580,13 +670,14 @@ object SketchExpressions {
     * scale). */
   case class PqEncode(vec: Expression, cell: Expression,
       centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def left: Expression = vec
     override def right: Expression = cell
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override protected def nullSafeEval(v: Any, c: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val cent = centroids(c.asInstanceOf[Int])
+    /** Codegen/eval kernel (public: generated code calls it through
+      * the `references` array). */
+    def kernel(arr: ArrayData, cellId: Int): ArrayData = {
+      val cent = centroids(cellId)
       val m = codebooks.length
       val sub = cent.length / m
       val out = new Array[Int](m)
@@ -614,6 +705,12 @@ object SketchExpressions {
       }
       new GenericArrayData(out)
     }
+    override protected def nullSafeEval(v: Any, c: Any): Any =
+      kernel(v.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncode", this)
+      nullSafeCodeGen(ctx, ev, (v, c) => s"${ev.value} = $ref.kernel($v, $c);")
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
       copy(vec = l, cell = r)
   }
@@ -633,15 +730,15 @@ object SketchExpressions {
     * (128 vs 32 per pair — noise next to the exchange). */
   case class PqAdcDistance(vec: Expression, cell: Expression, codes: Expression,
       centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression {
     override def first: Expression = vec
     override def second: Expression = cell
     override def third: Expression = codes
     override def dataType: DataType = DoubleType
-    override protected def nullSafeEval(v: Any, c: Any, k: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val cent = centroids(c.asInstanceOf[Int])
-      val codeA = k.asInstanceOf[ArrayData]
+    /** Codegen/eval kernel (public: generated code calls it through
+      * the `references` array). */
+    def kernel(arr: ArrayData, cellId: Int, codeA: ArrayData): Double = {
+      val cent = centroids(cellId)
       val m = codebooks.length
       val sub = cent.length / m
       var d = 0.0
@@ -660,6 +757,12 @@ object SketchExpressions {
         s += 1
       }
       d
+    }
+    override protected def nullSafeEval(v: Any, c: Any, k: Any): Any =
+      kernel(v.asInstanceOf[ArrayData], c.asInstanceOf[Int], k.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqAdc", this)
+      nullSafeCodeGen(ctx, ev, (v, c, k) => s"${ev.value} = $ref.kernel($v, $c, $k);")
     }
     override protected def withNewChildrenInternal(
         f: Expression, s: Expression, t: Expression): PqAdcDistance =

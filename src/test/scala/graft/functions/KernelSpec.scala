@@ -99,4 +99,59 @@ class KernelSpec extends AnyFunSuite {
       .head.getSeq[Int](0).toSeq
     assert(got === Seq(0, 1))
   }
+
+  test("every kernel expression: codegen path == interpreted path") {
+    // Round 14 gave every kernel a doGenCode (whole-stage codegen was
+    // disabled for any stage containing a CodegenFallback kernel).
+    // Both paths call the same JVM kernel; this pins them to identical
+    // outputs on the edge-case corpus, including nulls.
+    val centroids = Array(Array(0f, 0f, 0f, 0f), Array(5f, 1f, -2f, 3f),
+      Array(-4f, 2f, 0f, 7f))
+    val codebooks = Array(
+      Array(Array(0f, 0f), Array(1f, -1f), Array(-2f, 2f)),
+      Array(Array(0f, 1f), Array(2f, 0f), Array(-1f, -1f)))
+    val vecs = Seq(Seq(1f, 2f, 3f, 4f), Seq(-1f, 0f, 5f, 2f),
+      Seq(0f, 0f, 0f, 0f), Seq(4.5f, 1.2f, -1.9f, 3.3f))
+    val rows = edgeTexts.zipWithIndex.map { case (t, i) =>
+      (t, Option(edgeTexts((i + 1) % edgeTexts.size)).getOrElse("fallback pair"),
+        vecs(i % vecs.size), i % centroids.length)
+    }
+    def frame() = rows.toDF("ta", "tb", "vec", "cell").select(
+      TextFunctions.tokens(col("ta")).as("toks"),
+      SketchExpressions.shingleHashes(col("ta"), 3).as("sh"),
+      SketchExpressions.portableShingleHashes(col("ta"), 3).as("psh"),
+      SketchExpressions.simhash64(TextFunctions.tokens(col("ta"))).as("sim"),
+      SketchExpressions.simhash64(TextFunctions.tokens(col("ta")), portable = true).as("simp"),
+      SketchExpressions.minhashSignature(TextFunctions.tokens(col("ta")), 16, 3).as("mh"),
+      SketchExpressions.minhashFromHashes(
+        SketchExpressions.shingleHashes(col("ta"), 3), 16).as("mhh"),
+      SketchExpressions.bandHashes(
+        SketchExpressions.minhashSignature(TextFunctions.tokens(col("ta")), 16, 3), 4).as("bh"),
+      SketchExpressions.portableFingerprint64(TextFunctions.tokens(col("ta"))).as("fp"),
+      SketchExpressions.sortedLongJaccard(
+        SketchExpressions.shingleHashes(col("ta"), 3),
+        SketchExpressions.shingleHashes(col("tb"), 3)).as("jac"),
+      SketchExpressions.signLshBucket(col("vec"), 8, 1).as("lsh"),
+      SketchExpressions.topCells(col("vec"), centroids, 2).as("cells"),
+      SketchExpressions.pqEncode(col("vec"), col("cell"), centroids, codebooks).as("pq"),
+      SketchExpressions.pqAdcDistance(col("vec"), col("cell"),
+        SketchExpressions.pqEncode(col("vec"), col("cell"), centroids, codebooks),
+        centroids, codebooks).as("adc"),
+      SketchExpressions.floatDot(col("vec"), col("vec")).as("dot"))
+    val codegen = frame().collect()
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.codegen.wholeStage", "true"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    val interpreted =
+      try {
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        frame().collect()
+      } finally {
+        conf.set("spark.sql.codegen.wholeStage", saved._1)
+        conf.set("spark.sql.codegen.factoryMode", saved._2)
+      }
+    assert(codegen.length === interpreted.length)
+    codegen.zip(interpreted).foreach { case (a, b) => assert(a === b) }
+  }
 }
