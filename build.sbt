@@ -27,6 +27,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// min(24g, 60% of MemTotal), floored at 2g: the measured 32-task
+// sizing where the host affords it, a non-swapping fraction where it
+// does not. Linux-only read; other hosts fall back to the 24g cap.
+val defaultHeap: String = {
+  val capMb = 24 * 1024
+  val memTotalMb =
+    try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong / 1024 }
+    } catch { case _: Throwable => None }
+  val mb = memTotalMb.map(t => math.max(2048L, math.min(capMb.toLong, t * 6 / 10)))
+    .getOrElse(capMb.toLong)
+  s"${mb}m"
+}
+
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -36,8 +52,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // old 8g default that was ~150 MB/task and the full-registry bench
   // ran memory-starved (measured: the 30M-row calibration shuffle
   // took 5.0 s in-session vs 1.5 s standalone; 24g restores 1.2-1.6 s
-  // and cut the whole bench ~19%). Env-overridable for smaller hosts.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // and cut the whole bench ~19%). The DEFAULT is clamped to 60% of
+  // the host's physical memory so a small host never over-commits
+  // and swaps the whole bench; SPARK_DRIVER_MEM still overrides
+  // unconditionally for deliberate experiments.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   // Spark's ContextCleaner reclaims shuffle files / broadcasts via
   // weak references, so it needs GCs to happen; with a big heap they
   // become rare and the cleaner runs System.gc() periodically

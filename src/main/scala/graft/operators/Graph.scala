@@ -256,21 +256,33 @@ object Graph {
     // side) instead of two — the edge list never joins back to its
     // own adjacency index. Oriented edges are distinct, so the
     // explode reproduces the edge set exactly.
-    // EXPLICIT width on the join key: the intersection stage is
-    // CPU-heavy (per-row O(outdeg) array intersect + 3-way credit
-    // explode) over BYTE-small rows, exactly the shape AQE's
-    // byte-based coalescing collapses to a handful of tasks (measured
-    // at sf0.1: the joined stage ran 5 tasks / 3.9 s — the whole
-    // query's dominant stage — vs sub-second at session width). An
-    // explicit count opts out of coalescing (the widenWidth rule);
-    // the count is the session's configured shuffle width, so
-    // cluster runs keep their own sizing. Counts are exact aggregates
-    // — partitioning cannot change the result.
+    // EXPLICIT width on the UNIQUE (src, dst) edge key: the
+    // intersection stage is CPU-heavy (per-row O(outdeg) array
+    // intersect + 3-way credit explode) over BYTE-small rows, exactly
+    // the shape AQE's byte-based coalescing collapses to a handful of
+    // tasks (measured at sf0.1: 5 tasks / 3.9 s — the whole query's
+    // dominant stage — vs sub-second at session width). Round 13
+    // keyed this exchange on `dst` alone — but `dst` is the
+    // power-law end of the orientation, and a REPARTITION_BY_NUM
+    // exchange is exempt from AQE's skew-join splitting as well as
+    // its coalescing: a hub node's whole adjacency landed on one
+    // task with the escape hatch turned off. Keying on the (src,
+    // dst) PAIR keeps the explicit width but makes the stage
+    // skew-proof by construction — oriented edges are distinct, so
+    // every key has multiplicity 1. The adjacency side broadcasts
+    // (it is the aggregated index, far smaller than the exploded
+    // edge side), so the intersect/filter/credit pipeline all runs
+    // in the one repartitioned stage; if a giant graph ever pushes
+    // the join to sort-merge, its own ENSURE_REQUIREMENTS exchanges
+    // on `dst` take over with AQE's skew split available. The width
+    // is the session's configured shuffle width, so cluster runs
+    // keep their own sizing; counts are exact aggregates —
+    // partitioning cannot change the result.
     val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val withAdj = adj
       .select(col("node").as("src"), col("nbrs").as("na"),
         explode(col("nbrs")).as("dst"))
-      .repartition(width, col("dst"))
+      .repartition(width, col("src"), col("dst"))
       .join(adj.select(col("node").as("dst"), col("nbrs").as("nb")), "dst")
       .select(col("src"), col("dst"),
         array_intersect(col("na"), col("nb")).as("common"))
@@ -278,14 +290,19 @@ object Graph {
     // Per-triangle credits: the edge endpoints each earn one per
     // common neighbor; each common neighbor earns one. Weighted
     // corner rows keep the post-filter volume at 3·|triangles|.
-    withAdj.select(explode(concat(
-        array(
-          struct(col("src").as("node"), size(col("common")).cast("long").as("w")),
-          struct(col("dst").as("node"), size(col("common")).cast("long").as("w"))),
-        transform(col("common"),
-          c => struct(c.as("node"), lit(1L).as("w"))))).as("x"))
-      .groupBy(col("x.node").as("node"))
-      .agg(sum(col("x.w")).as("n_triangles"))
+    // Spelled as one explode over common ++ [src, dst] with the
+    // weight chosen per row — NOT a transform(common, c -> struct)
+    // lambda: higher-order functions are CodegenFallback, and that
+    // one lambda knocked the whole credit stage out of whole-stage
+    // codegen. The `when` is exact: under the ≺ orientation src ∉
+    // na (no self-loops) and dst ∉ nb, so neither endpoint can
+    // appear in common = na ∩ nb, and the endpoint rows are exactly
+    // the two appended entries.
+    withAdj.select(col("src"), col("dst"), col("common"),
+        explode(concat(col("common"), array(col("src"), col("dst")))).as("node"))
+      .groupBy("node")
+      .agg(sum(when(col("node") === col("src") || col("node") === col("dst"),
+        size(col("common")).cast("long")).otherwise(lit(1L))).as("n_triangles"))
   }
 
   /** Multi-source BFS shortest-hop distances over an undirected graph,

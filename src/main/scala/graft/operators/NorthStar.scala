@@ -1826,10 +1826,16 @@ object NorthStar {
     * asc — a total order, so ties can't flip engines) is still short
     * of ceil(total·coverBp/10⁴), i.e. the prefix that first reaches
     * coverage; UNK rates are floor basis points. Scale shape: one
-    * map-side token count, one cumulative window over O(vocab) rows
-    * (the degree-histogram pattern — never a window over tokens), and
-    * one broadcast-able anti-join of the token stream against the
-    * vocabulary. */
+    * map-side token count, a RANGE-PARTITIONED two-pass prefix sum
+    * over the distinct-token counts (partition-local cumsum +
+    * broadcast per-partition offsets — the globalRankDeciles pattern;
+    * a single global window here would push O(distinct tokens),
+    * hundreds of millions of rows at corpus scale, through ONE task),
+    * and one broadcast-able anti-join of the token stream against the
+    * vocabulary. The staged parquet pins the range exchange's
+    * partition ids: a re-evaluated range exchange may re-sample its
+    * bounds, and the offset pass must see the pids the subtotal pass
+    * counted. */
   def vocabCoverage(spark: SparkSession, dir: String, coverBp: Int = 9900): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, dir)
@@ -1837,11 +1843,27 @@ object NorthStar {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val cumW = Window.orderBy(col("c").desc, col("tok").asc)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val tmp = graft.core.RunTemp.dir("graft_vocab_")
+    counts.repartitionByRange(parts, col("c").desc, col("tok").asc)
+      .withColumn("pid", spark_partition_id())
+      .write.mode("overwrite").parquet(tmp)
+    // explicit schema: an empty corpus writes no part files, and a
+    // bare read would then fail schema inference
+    val staged = spark.read.schema(counts.schema.add("pid", "int")).parquet(tmp)
+    val sub = staged.groupBy("pid").agg(sum(col("c")).as("cnt"))
+    // subtotal frame ≤ `parts` rows — the only unpartitioned window
+    // runs over it, never over the token counts
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = sub
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val total = sub.agg(sum(col("cnt")).as("t"))
+    val wLocal = Window.partitionBy("pid").orderBy(col("c").desc, col("tok").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vocab = counts
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .crossJoin(broadcast(counts.agg(sum(col("c")).as("t"))))
+    val vocab = staged.join(broadcast(off), Seq("pid"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wLocal))
+      .crossJoin(broadcast(total))
       .filter((col("cum") - col("c")) * 10000 < col("t") * coverBp)
       .select("tok")
     val unk = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
