@@ -48,15 +48,27 @@ object Graph {
     val SCALE = 1000000000000L // 10^12 fixed-point units
     val base = 15L * SCALE / 100L // undamped teleport mass numerator
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val nTot = nodes.agg(count(lit(1)).as("n"))
     val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Materialize the DEGREE-ANNOTATED edge list once, hash-partitioned
+    // on the join key (the labelPropagation dirEdges pattern): `deg` is
+    // loop-INVARIANT, yet the unrolled plan re-joined it — and re-derived
+    // the edge list — every round. With the eager partitioned checkpoint
+    // each round is one join + one aggregation and only the O(nodes)
+    // rank table moves; join reassociation (pr⋈edges)⋈deg → pr⋈(edges⋈deg)
+    // cannot change rows (inner equi-joins on the same keys).
+    val edgesDeg0 = edges.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+    val edgesDeg = if (iters > 1) {
+      val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+      val h = edgesDeg0.repartition(width, col("src")).localCheckpoint(true)
+      ckpts += h; h
+    } else edgesDeg0
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+    val nTot = nodes.agg(count(lit(1)).as("n"))
     var pr = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), expr(s"$SCALE div n").as("r"))
     for (i <- 1 to iters) {
       val contrib = pr
-        .join(edges, pr("node") === edges("src"))
-        .join(deg, "src")
+        .join(edgesDeg, pr("node") === edgesDeg("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, Seq("node"), "left")
@@ -94,6 +106,15 @@ object Graph {
     require(checkpointEvery > 0, s"checkpointEvery must be > 0, got $checkpointEvery")
     val SCALE = 1000000000000L
     val base = 15L * SCALE / 100L
+    // NOTE (round 14): folding the loop-invariant `wsum` into an
+    // eager partitioned edge checkpoint (the pageRankIntExact
+    // edgesDeg change) was tried here and MEASURED WORSE on the
+    // weighted callers (g06 min 0.68 s lazy vs ≥1.3 s checkpointed):
+    // their edge input is already a checkpointed co-order memo, so
+    // the derivation is free, and the lazy loop lets one adaptive
+    // execution broadcast the tiny rank/weight tables — while a
+    // checkpointed LogicalRDD loses runtime size stats and pushed
+    // the per-round join to a narrow sort-merge. Kept lazy.
     val wsum = edges.groupBy("src").agg(sum(col("w")).as("wsum"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val nTot = nodes.agg(count(lit(1)).as("n"))
