@@ -31,6 +31,27 @@ import graft.functions.SketchExpressions
   */
 object IvfIndex {
 
+  /** Run `f` with AQE disabled, restoring the previous value after —
+    * the Warehouse bounded-metadata pattern: the index maintenance
+    * paths' touched-cell/survivor-cell collects are bounded O(cells)-
+    * row aggregations, and AQE materializes each of their exchanges
+    * as its OWN Spark job (~0.1-0.2 s scheduling floor apiece) with
+    * nothing to re-plan at these sizes. Result-identical by
+    * construction: exact distinct/aggregation collects whose physical
+    * shape is all AQE could change. */
+  private def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    if (prev.contains("false")) f
+    else {
+      spark.conf.set(key, "false")
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Driver-local Lloyd's k-means over a sample: k-means++ style
     * seeding (deterministic, seeded) then at most `iters` sweeps,
     * stopping early when assignments stabilize. Returns `k` centroids
@@ -194,8 +215,11 @@ object IvfIndex {
   /** The centroid model of a persisted index — tiny (cells × dim
     * floats), bounded driver load. */
   private def loadCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
-    spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell_id").collect()
+    // sort DRIVER-side: a distributed orderBy before a tiny model
+    // collect pays a range exchange (plus its AQE materialization
+    // job) to order rows the driver can sort in microseconds
+    spark.read.parquet(s"$dir/centroids").collect()
+      .sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray)
 
   /** Load a persisted index: (assignments, centroids). */
@@ -716,14 +740,17 @@ object IvfIndex {
   /** Load a persisted PQ index: (coded assignments, model). Model
     * load is bounded driver traffic (KB). */
   def loadPq(spark: SparkSession, dir: String): (DataFrame, PqModel) = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell_id").collect()
+    // driver-side sorts, same rationale as [[loadCentroids]]: the
+    // model tables are KB-sized; the distributed orderBy cost two
+    // extra jobs per load under AQE
+    val centroids = spark.read.parquet(s"$dir/centroids").collect()
+      .sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray)
-    val books = spark.read.parquet(s"$dir/codebooks")
-      .orderBy("subspace", "code").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+    val books = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(r => (r._1, r._2))
       .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.map(_._2))
+      .map(_._2.sortBy(_._2).map(_._3))
       .toArray
     (spark.read.parquet(s"$dir/cells"), PqModel(centroids, books))
   }
